@@ -1,0 +1,326 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.Exact._
+
+/** A-series §2: the reference's relational surface re-expressed Spark-first
+  * on the TPC-H-ish test tables.
+  *
+  * Reference analogs are cited per query (file:line in /root/reference).
+  * Design rules: declarative DataFrame plans only, dims broadcast explicitly,
+  * money aggregated in exact integer cents/micros (see [[graft.functions.Exact]]),
+  * no collect() anywhere.
+  */
+object RelationalCore {
+
+  /** Royalty-rate analog: the reference derives a per-book-type royalty rate
+    * (dw4_book_dim.py:233-242). Here the "book type" is p_type. */
+  private val rateSql =
+    "CASE p_type WHEN 'PROMO' THEN CAST(0.25 AS DOUBLE) WHEN 'ECONOMY' THEN CAST(0.15 AS DOUBLE) WHEN 'STANDARD' THEN CAST(0.10 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+  private def rateCol = when(col("p_type") === "PROMO", 0.25)
+    .when(col("p_type") === "ECONOMY", 0.15)
+    .when(col("p_type") === "STANDARD", 0.10)
+    .otherwise(0.0)
+
+  // ---------------------------------------------------------------- A1
+  /** Filter + groupBy + multi-aggregate. Reference: the fact scripts'
+    * groupby-agg blocks (dw5_order_royalty_fact.py:170-186, 497-530). */
+  val q01 = Q(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_qty,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_base_price,
+      |  CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount))*1000000) AS BIGINT)) AS BIGINT)/1000000.0 AS sum_disc_price,
+      |  CAST(SUM(CAST(ROUND(((l_extendedprice*(1-l_discount))*(1+l_tax))*1000000) AS BIGINT)) AS BIGINT)/1000000.0 AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumCents(col("l_quantity")).as("sum_qty"),
+        sumCents(col("l_extendedprice")).as("sum_base_price"),
+        sumMicros(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        sumMicros((col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+  }
+
+  // ---------------------------------------------------------------- A2
+  /** Order-line fact: multi-way dim join + per-row derived columns.
+    * Reference: FACT_Order (dw5_order_royalty_fact.py:886-1294) — line-item
+    * grain, dims merged in, conditional derived columns.
+    * Scale: nation/region are bounded dims → broadcast; lineitem⋈orders is a
+    * fact-fact equi-join on the natural key (shuffle, AQE-managed). */
+  val q02 = Q(
+    "q02_fact_order",
+    """SELECT l.l_orderkey AS order_key, l.l_linenumber AS line_number,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+      |  n.n_name AS nation, r.r_name AS region, c.c_mktsegment AS segment,
+      |  CAST(ROUND(l_quantity) AS BIGINT) AS quantity,
+      |  CAST(ROUND((l_extendedprice*(1-l_discount))*1000000) AS BIGINT)/1000000.0 AS net_revenue,
+      |  CAST(ROUND((l_extendedprice*l_discount)*1000000) AS BIGINT)/1000000.0 AS discount_amount,
+      |  CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_wholesale,
+      |  CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS is_return,
+      |  CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'expedite'
+      |       WHEN o.o_orderpriority = '3-MEDIUM' THEN 'standard' ELSE 'deferred' END AS priority_class
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_number"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("n_name").as("nation"),
+        col("r_name").as("region"),
+        col("c_mktsegment").as("segment"),
+        round(col("l_quantity")).cast("long").as("quantity"),
+        (micros(col("l_extendedprice") * (lit(1) - col("l_discount"))) / 1e6).as("net_revenue"),
+        (micros(col("l_extendedprice") * col("l_discount")) / 1e6).as("discount_amount"),
+        when(col("c_mktsegment") === "BUILDING", 1).otherwise(0).as("is_wholesale"),
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("is_return"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "expedite")
+          .when(col("o_orderpriority") === "3-MEDIUM", "standard")
+          .otherwise("deferred").as("priority_class"))
+  }
+
+  // ---------------------------------------------------------------- A3
+  /** Royalty fact: conditional revenue splits, wholesale/returns exclusion,
+    * rate × qualified revenue. Reference: FACT_Royalty
+    * (dw5_order_royalty_fact.py:653-722) — Royalty_Qualified_Revenue excludes
+    * wholesale revenue and returns; Royalty_Paid = qualified × rate.
+    * "Wholesale customer" analog: c_mktsegment = 'BUILDING'; "return" analog:
+    * l_returnflag = 'R'; "book type"/rate analog: p_type (see rateCol). */
+  val q03 = Q(
+    "q03_fact_royalty",
+    s"""SELECT p.p_brand AS brand, p.p_type AS book_type,
+      |  strftime(o.o_orderdate, '%Y-%m') AS month,
+      |  $rateSql AS royalty_rate,
+      |  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty_shipped,
+      |  CAST(SUM(CASE WHEN c.c_mktsegment='BUILDING' THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_wholesale,
+      |  CAST(SUM(CASE WHEN l.l_returnflag='R' THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_returned,
+      |  CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount))*1000000) AS BIGINT)) AS BIGINT)/1000000.0 AS revenue_gross,
+      |  CAST(SUM(CASE WHEN c.c_mktsegment='BUILDING' THEN CAST(ROUND((l_extendedprice*(1-l_discount))*1000000) AS BIGINT) ELSE 0 END) AS BIGINT)/1000000.0 AS revenue_wholesale,
+      |  CAST(SUM(CASE WHEN l.l_returnflag='R' THEN CAST(ROUND((l_extendedprice*(1-l_discount))*1000000) AS BIGINT) ELSE 0 END) AS BIGINT)/1000000.0 AS returns_in_revenue,
+      |  CAST(SUM(CASE WHEN ($rateSql) > 0 AND c.c_mktsegment<>'BUILDING' AND l.l_returnflag<>'R' THEN CAST(ROUND((l_extendedprice*(1-l_discount))*1000000) AS BIGINT) ELSE 0 END) AS BIGINT)/1000000.0 AS royalty_qualified_revenue,
+      |  CAST(SUM(CASE WHEN ($rateSql) > 0 AND c.c_mktsegment<>'BUILDING' AND l.l_returnflag<>'R' THEN CAST(ROUND(((l_extendedprice*(1-l_discount))*($rateSql))*1000000) AS BIGINT) ELSE 0 END) AS BIGINT)/1000000.0 AS royalty_paid
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_brand, p.p_type, strftime(o.o_orderdate, '%Y-%m'), $rateSql""".stripMargin) { (s, d) =>
+    val net = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val qty = round(col("l_quantity")).cast("long")
+    val qualified = rateCol > 0 && col("c_mktsegment") =!= "BUILDING" && col("l_returnflag") =!= "R"
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(
+        col("p_brand").as("brand"),
+        col("p_type").as("book_type"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        rateCol.as("royalty_rate"))
+      .agg(
+        sum(qty).as("qty_shipped"),
+        sum(when(col("c_mktsegment") === "BUILDING", qty).otherwise(0L)).as("qty_wholesale"),
+        sum(when(col("l_returnflag") === "R", qty).otherwise(0L)).as("qty_returned"),
+        (sum(micros(net)) / 1e6).as("revenue_gross"),
+        (sum(when(col("c_mktsegment") === "BUILDING", micros(net)).otherwise(0L)) / 1e6).as("revenue_wholesale"),
+        (sum(when(col("l_returnflag") === "R", micros(net)).otherwise(0L)) / 1e6).as("returns_in_revenue"),
+        (sum(when(qualified, micros(net)).otherwise(0L)) / 1e6).as("royalty_qualified_revenue"),
+        (sum(when(qualified, micros(net * rateCol)).otherwise(0L)) / 1e6).as("royalty_paid"))
+  }
+
+  // ---------------------------------------------------------------- A4
+  /** Summary report over the royalty fact: quarter × payee rollup.
+    * Reference: fr2 Royalty_Summary_Report (dw5_order_royalty_fact.py:750-772).
+    * "Royalty author" analog: the customer's nation. */
+  val q04 = Q(
+    "q04_summary_report",
+    s"""SELECT CAST(year(o.o_orderdate) AS BIGINT) AS year,
+      |  'Q' || CAST(quarter(o.o_orderdate) AS VARCHAR) AS quarter,
+      |  n.n_name AS payee,
+      |  CAST(SUM(CASE WHEN ($rateSql) > 0 AND c.c_mktsegment<>'BUILDING' AND l.l_returnflag<>'R' THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS total_qty,
+      |  CAST(SUM(CASE WHEN ($rateSql) > 0 AND c.c_mktsegment<>'BUILDING' AND l.l_returnflag<>'R' THEN CAST(ROUND((l_extendedprice*(1-l_discount))*1000000) AS BIGINT) ELSE 0 END) AS BIGINT)/1000000.0 AS total_item_usd,
+      |  CAST(SUM(CASE WHEN ($rateSql) > 0 AND c.c_mktsegment<>'BUILDING' AND l.l_returnflag<>'R' THEN CAST(ROUND(((l_extendedprice*(1-l_discount))*($rateSql))*1000000) AS BIGINT) ELSE 0 END) AS BIGINT)/1000000.0 AS payout
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+    val net = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val qty = round(col("l_quantity")).cast("long")
+    val qualified = rateCol > 0 && col("c_mktsegment") =!= "BUILDING" && col("l_returnflag") =!= "R"
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("year"),
+        concat(lit("Q"), quarter(col("o_orderdate")).cast("string")).as("quarter"),
+        col("n_name").as("payee"))
+      .agg(
+        sum(when(qualified, qty).otherwise(0L)).as("total_qty"),
+        (sum(when(qualified, micros(net)).otherwise(0L)) / 1e6).as("total_item_usd"),
+        (sum(when(qualified, micros(net * rateCol)).otherwise(0L)) / 1e6).as("payout"))
+  }
+
+  // ---------------------------------------------------------------- A5
+  /** Split allocation: co-payee rows are duplicated, one per payee.
+    * Reference: split royalties fr7–fr10 (dw5_order_royalty_fact.py:808-838)
+    * duplicate co-author rows with per-author names. Spark-first: build the
+    * payee array and explode — one pass, no N dataframe copies + union. */
+  val q05 = Q(
+    "q05_split_allocation",
+    """SELECT s_suppkey AS supp_key,
+      |  unnest(CASE WHEN s_suppkey % 2 = 0
+      |              THEN [s_name || ' & partner A', s_name || ' & partner B']
+      |              ELSE [s_name] END) AS split_payee,
+      |  CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount))*1000000) AS BIGINT)) AS BIGINT)/1000000.0 AS revenue
+      |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY s_suppkey, s_name""".stripMargin) { (s, d) =>
+    val net = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey").as("supp_key"), col("s_name"))
+      .agg((sum(micros(net)) / 1e6).as("revenue"))
+      .withColumn("split_payee",
+        explode(when(col("supp_key") % 2 === 0,
+            array(concat(col("s_name"), lit(" & partner A")), concat(col("s_name"), lit(" & partner B"))))
+          .otherwise(array(col("s_name")))))
+      .select(col("supp_key"), col("split_payee"), col("revenue"))
+  }
+
+  // ---------------------------------------------------------------- A6
+  /** Incremental merge: new increment replaces matching archive rows.
+    * Reference: dw3_merge_inc.py:109-118 — `~archive.key.isin(increment.key)`
+    * then concat. Spark-first: left_anti join + unionByName (no IN-list
+    * collect; scales as a shuffle join). The "increment" is simulated as a
+    * re-pull of recent orders whose status got lower-cased upstream. */
+  val q06 = Q(
+    "q06_incremental_merge",
+    """WITH inc AS (
+      |  SELECT o_orderkey, lower(o_orderstatus) AS status,
+      |         strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |         CAST(ROUND(o_totalprice*100) AS BIGINT)/100.0 AS total_price,
+      |         o_orderpriority AS priority
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+      |SELECT o_orderkey, o_orderstatus AS status,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |       CAST(ROUND(o_totalprice*100) AS BIGINT)/100.0 AS total_price,
+      |       o_orderpriority AS priority
+      |FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+      |UNION ALL SELECT * FROM inc""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      (cents(col("o_totalprice")) / 100.0).as("total_price"),
+      col("o_orderpriority").as("priority"))
+    val inc = Tables.orders(s, d).filter(col("o_orderdate") >= lit("2001-01-01")).select(
+      col("o_orderkey"),
+      lower(col("o_orderstatus")).as("status"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      (cents(col("o_totalprice")) / 100.0).as("total_price"),
+      col("o_orderpriority").as("priority"))
+    ord.join(inc.select("o_orderkey"), Seq("o_orderkey"), "left_anti").unionByName(inc)
+  }
+
+  // ---------------------------------------------------------------- A7
+  /** Rule-based categorization: ordered first-match CASE cascade.
+    * Reference: Products_Dim np.select (dw2_wc_increment.py:88-109) — ordered
+    * conditions over category/shipping-class/name → product category. */
+  val q07 = Q(
+    "q07_dim_product",
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size,
+      |  CASE WHEN p_type = 'PROMO' THEN 'Promotional'
+      |       WHEN p_size >= 40 THEN 'Oversize'
+      |       WHEN p_type IN ('STANDARD','MEDIUM') THEN 'Core'
+      |       WHEN p_brand = 'Brand#1' THEN 'House'
+      |       ELSE 'Other' END AS category,
+      |  CASE WHEN p_retailprice < 500 THEN 'budget'
+      |       WHEN p_retailprice < 1200 THEN 'mid'
+      |       ELSE 'premium' END AS price_band
+      |FROM part""".stripMargin) { (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+      when(col("p_type") === "PROMO", "Promotional")
+        .when(col("p_size") >= 40, "Oversize")
+        .when(col("p_type").isin("STANDARD", "MEDIUM"), "Core")
+        .when(col("p_brand") === "Brand#1", "House")
+        .otherwise("Other").as("category"),
+      when(col("p_retailprice") < 500, "budget")
+        .when(col("p_retailprice") < 1200, "mid")
+        .otherwise("premium").as("price_band"))
+  }
+
+  // ---------------------------------------------------------------- A8
+  /** Per-key summary re-joined to detail rows.
+    * Reference: pd_sum per-order totals merged back to line items
+    * (dw2_wc_increment.py:457-479). Spark-first: partial-agg-friendly groupBy
+    * then equi-join back (both sides share the l_orderkey shuffle key, so AQE
+    * can reuse the exchange). */
+  val q08 = Q(
+    "q08_per_group_summary_join",
+    """WITH order_summary AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS order_items,
+      |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS order_products,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS order_subtotal
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+      |       s.order_items, s.order_products, s.order_subtotal
+      |FROM lineitem l JOIN order_summary s ON l.l_orderkey = s.l_orderkey""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val summary = li.groupBy(col("l_orderkey"))
+      .agg(
+        sum(round(col("l_quantity")).cast("long")).as("order_items"),
+        countDistinct(col("l_partkey")).as("order_products"),
+        sumCents(col("l_extendedprice")).as("order_subtotal"))
+    li.select("l_orderkey", "l_linenumber", "l_partkey")
+      .join(summary, Seq("l_orderkey"))
+  }
+
+  // ---------------------------------------------------------------- A9
+  /** Typed null-repair cascade after an enriching left join.
+    * Reference: the wc5 fillna matrix (dw5_order_royalty_fact.py:430-483) —
+    * numeric→0, strings→'NA'/'Error - Missing', keys→sentinels. */
+  val q09 = Q(
+    "q09_fillna_cascade",
+    """SELECT o.o_orderkey,
+      |  COALESCE(c.c_mktsegment, 'Error - Missing') AS segment,
+      |  COALESCE(c.c_acctbal, 0.0) AS acctbal,
+      |  COALESCE(c.c_name, 'Missing - ' || CAST(o.o_orderkey AS VARCHAR)) AS cust_name,
+      |  CASE WHEN c.c_custkey IS NULL THEN '9999Q99'
+      |       ELSE CAST(year(o.o_orderdate) AS VARCHAR) || 'Q' || CAST(quarter(o.o_orderdate) AS VARCHAR) END AS quarter_key,
+      |  COALESCE(CAST(c.c_nationkey AS BIGINT), -1) AS nation_key
+      |FROM orders o
+      |LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+      |  ON o.o_custkey = c.c_custkey""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d).filter(col("c_custkey") % 3 === 0)
+    Tables.orders(s, d)
+      .join(cust, col("o_custkey") === col("c_custkey"), "left")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("c_mktsegment"), lit("Error - Missing")).as("segment"),
+        coalesce(col("c_acctbal"), lit(0.0)).as("acctbal"),
+        coalesce(col("c_name"), concat(lit("Missing - "), col("o_orderkey").cast("string"))).as("cust_name"),
+        when(col("c_custkey").isNull, "9999Q99")
+          .otherwise(concat(year(col("o_orderdate")).cast("string"), lit("Q"), quarter(col("o_orderdate")).cast("string")))
+          .as("quarter_key"),
+        coalesce(col("c_nationkey").cast("long"), lit(-1L)).as("nation_key"))
+  }
+
+  val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09)
+}
