@@ -32,6 +32,10 @@ object Tables {
     "embeddings" -> Seq("vec_id", "embedding", "label"))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default;
+    // read it as a raw nanosecond Long (epoch) and derive seconds downstream.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     val missing = required.getOrElse(name, Nil).filterNot(df.columns.contains)
     require(missing.isEmpty, s"table $name missing columns: ${missing.mkString(",")}")

@@ -1,0 +1,143 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Fuzzy-matching and text-normalization surface (SURVEY §2 A10/A11/A21).
+  *
+  * The reference builds its Book_Dim by CROSS-JOINING every source title with
+  * every master title and scoring TF-IDF cosine similarity
+  * (dw4_book_dim.py:96-99, 165-192). A cross join is O(n·m) and dies at
+  * warehouse scale; the Spark-first re-expression is an inverted-index join
+  * on shared tokens — identical results for any threshold that implies at
+  * least one shared token, but the candidate-pair build is an equi-join that
+  * shuffles on the token key. The DuckDB oracle keeps the naive cross-join
+  * formulation, which doubles as an independent spec of the semantics.
+  */
+object Matching {
+
+  /** "Master catalog": a sample of bare product names; "source titles": every
+    * product name suffixed with its type string, mirroring how the reference's
+    * source systems decorate titles ("Title - Paperback", dw3_merge_inc.py:143). */
+  private val masterSql =
+    "SELECT DISTINCT lower(p_name) AS master_title FROM part WHERE p_partkey % 4 = 0"
+  private val testSql =
+    "SELECT DISTINCT lower(p_name || ' ' || p_type) AS test_title FROM part"
+
+  // ---------------------------------------------------------------- A10
+  /** Token-set Jaccard match, threshold 0.5.
+    * Reference analog: fuzzy-ratio bundle matching (dw4_book_dim.py:291-293). */
+  val q10 = Q(
+    "q10_cross_join_match",
+    s"""WITH master AS ($masterSql),
+      |test AS ($testSql),
+      |pairs AS (
+      |  SELECT m.master_title, t.test_title,
+      |         list_distinct(string_split(m.master_title, ' ')) AS ma,
+      |         list_distinct(string_split(t.test_title, ' ')) AS ta
+      |  FROM master m CROSS JOIN test t),
+      |scored AS (
+      |  SELECT master_title, test_title,
+      |         ROUND(CAST(len(list_intersect(ma, ta)) AS DOUBLE) /
+      |               CAST(len(list_distinct(list_concat(ma, ta))) AS DOUBLE), 6) AS jaccard
+      |  FROM pairs)
+      |SELECT master_title, test_title, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin) { (s, d) =>
+    val part = Tables.part(s, d)
+    val master = part.filter(col("p_partkey") % 4 === 0)
+      .select(lower(col("p_name")).as("master_title")).distinct()
+      .withColumn("ma", array_distinct(split(col("master_title"), " ")))
+    val test = part
+      .select(lower(concat(col("p_name"), lit(" "), col("p_type"))).as("test_title")).distinct()
+      .withColumn("ta", array_distinct(split(col("test_title"), " ")))
+    // Inverted index: candidate pairs share >=1 token (implied by jaccard>=0.5).
+    val mTok = master.select(col("master_title"), col("ma"), explode(col("ma")).as("tok"))
+    val tTok = test.select(col("test_title"), col("ta"), explode(col("ta")).as("tok"))
+    mTok.join(tTok, "tok")
+      .select(col("master_title"), col("test_title"), col("ma"), col("ta"))
+      .dropDuplicates("master_title", "test_title")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("ma"), col("ta"))).cast("double") /
+              size(array_union(col("ma"), col("ta"))).cast("double"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("master_title", "test_title", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- A11
+  /** TF-IDF cosine title matching, sklearn-equivalent weighting:
+    * idf = ln((1+N)/(1+df)) + 1, raw-count tf, L2-normalized vectors,
+    * threshold 0.7 — mirroring dw4_book_dim.py:165-192.
+    * Scale path: weights live in an inverted index keyed by token; the
+    * pair-dot-product is a token equi-join, never a cross join. */
+  val q11 = Q(
+    "q11_tfidf_match",
+    s"""WITH master AS ($masterSql),
+      |test AS ($testSql),
+      |corpus AS (SELECT master_title AS title FROM master UNION SELECT test_title FROM test),
+      |toks AS (SELECT title, unnest(regexp_extract_all(title, '[a-z0-9]{2,}')) AS tok FROM corpus),
+      |tf AS (SELECT title, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY title, tok),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM corpus),
+      |df AS (SELECT tok, CAST(COUNT(DISTINCT title) AS BIGINT) AS df FROM tf GROUP BY tok),
+      |w AS (SELECT tf.title, tf.tok, tf.cnt * (ln((1.0 + n.n_docs)/(1.0 + df.df)) + 1.0) AS w
+      |      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+      |norms AS (SELECT title, sqrt(SUM(w*w)) AS nrm FROM w GROUP BY title),
+      |dots AS (
+      |  SELECT wm.title AS master_title, wt.title AS test_title, SUM(wm.w * wt.w) AS dot
+      |  FROM w wm JOIN w wt ON wm.tok = wt.tok
+      |  WHERE wm.title IN (SELECT master_title FROM master)
+      |    AND wt.title IN (SELECT test_title FROM test)
+      |  GROUP BY wm.title, wt.title),
+      |scored AS (
+      |  SELECT d.master_title, d.test_title,
+      |         ROUND(d.dot / (nm.nrm * nt.nrm), 6) AS cos_sim
+      |  FROM dots d
+      |  JOIN norms nm ON d.master_title = nm.title
+      |  JOIN norms nt ON d.test_title = nt.title)
+      |SELECT master_title, test_title, cos_sim FROM scored WHERE cos_sim >= 0.7""".stripMargin) { (s, d) =>
+    val part = Tables.part(s, d)
+    val master = part.filter(col("p_partkey") % 4 === 0)
+      .select(lower(col("p_name")).as("title")).distinct()
+    val test = part
+      .select(lower(concat(col("p_name"), lit(" "), col("p_type"))).as("title")).distinct()
+    val corpus = master.union(test).distinct()
+    val toks = corpus.select(col("title"),
+      explode(regexp_extract_all(col("title"), lit("[a-z0-9]{2,}"), lit(0))).as("tok"))
+    val tf = toks.groupBy("title", "tok").agg(count(lit(1)).as("cnt"))
+    val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+    val dfTab = tf.groupBy("tok").agg(countDistinct("title").as("df"))
+    val w = tf.join(dfTab, "tok").crossJoin(broadcast(nDocs))
+      .select(col("title"), col("tok"),
+        (col("cnt") * (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0))).as("w"))
+    val norms = w.groupBy("title").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val wm = w.join(master, Seq("title"), "left_semi")
+      .select(col("title").as("master_title"), col("tok"), col("w").as("wm"))
+    val wt = w.join(test, Seq("title"), "left_semi")
+      .select(col("title").as("test_title"), col("tok"), col("w").as("wt"))
+    wm.join(wt, "tok")
+      .groupBy("master_title", "test_title")
+      .agg(sum(col("wm") * col("wt")).as("dot"))
+      .join(norms.select(col("title").as("master_title"), col("nrm").as("nm")), "master_title")
+      .join(norms.select(col("title").as("test_title"), col("nrm").as("nt")), "test_title")
+      .select(col("master_title"), col("test_title"),
+        round(col("dot") / (col("nm") * col("nt")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.7)
+  }
+
+  // ---------------------------------------------------------------- A21
+  /** Regex text-normalization pipeline.
+    * Reference: clean_text_column (wc_block2_helpers.py:101-128) — strip,
+    * drop non-alphanumerics to spaces, collapse whitespace, strip again. */
+  val q21 = Q(
+    "q21_text_clean",
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text,
+      |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS clean_len
+      |FROM documents""".stripMargin) { (s, d) =>
+    val cleaned = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      cleaned.as("clean_text"),
+      length(cleaned).cast("long").as("clean_len"))
+  }
+
+  val queries: Seq[Q] = Seq(q10, q11, q21)
+}

@@ -1,0 +1,113 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.Exact._
+
+/** Date-dimension and report-shaping surface (SURVEY §2 A12/A15/A16/A17). */
+object Reporting {
+
+  // ---------------------------------------------------------------- A12
+  /** Date dimension derivation with the reference's quarter keys and the
+    * SCB 3-month forward shift (dw5_order_royalty_fact.py:733-743:
+    * Combined_Month_SCB_fwd = MKEY_Date + DateOffset(months=3)). */
+  val q12 = Q(
+    "q12_date_dim",
+    """WITH dates AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+      |SELECT strftime(d, '%Y-%m-%d') AS date_key,
+      |  CAST(year(d) AS BIGINT) AS year,
+      |  strftime(d, '%B') AS month_name,
+      |  strftime(d, '%B') || CAST(year(d) AS VARCHAR) AS monthyear,
+      |  CAST(year(d) AS VARCHAR) || 'Q' || CAST(quarter(d) AS VARCHAR) AS quarter_key,
+      |  CAST(year(d + INTERVAL 3 MONTH) AS VARCHAR) || 'Q' || CAST(quarter(d + INTERVAL 3 MONTH) AS VARCHAR) AS sales_qtr_fwd
+      |FROM dates""".stripMargin) { (s, d) =>
+    val fwd = add_months(col("d"), 3)
+    Tables.orders(s, d)
+      .select(col("o_orderdate").cast("date").as("d")).distinct()
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("date_key"),
+        year(col("d")).cast("long").as("year"),
+        date_format(col("d"), "MMMM").as("month_name"),
+        concat(date_format(col("d"), "MMMM"), year(col("d")).cast("string")).as("monthyear"),
+        concat(year(col("d")).cast("string"), lit("Q"), quarter(col("d")).cast("string")).as("quarter_key"),
+        concat(year(fwd).cast("string"), lit("Q"), quarter(fwd).cast("string")).as("sales_qtr_fwd"))
+  }
+
+  // ---------------------------------------------------------------- A15
+  /** Rollup subtotals: revenue by (region, nation) with ALL-level totals —
+    * the reference ships separate summary + printable reports at different
+    * grains (dw5_order_royalty_fact.py:750-806); grouping sets produce all
+    * grains in one shuffle. */
+  val q15 = Q(
+    "q15_rollup",
+    """SELECT COALESCE(r.r_name, 'ALL') AS region, COALESCE(n.n_name, 'ALL') AS nation,
+      |  CAST(GROUPING(r.r_name) AS BIGINT) AS g_region,
+      |  CAST(GROUPING(n.n_name) AS BIGINT) AS g_nation,
+      |  CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount))*1000000) AS BIGINT)) AS BIGINT)/1000000.0 AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY ROLLUP(r.r_name, n.n_name)""".stripMargin) { (s, d) =>
+    val net = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping(col("r_name")).cast("long").as("g_region"),
+        grouping(col("n_name")).cast("long").as("g_nation"),
+        (sum(micros(net)) / 1e6).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("g_region"), col("g_nation"), col("revenue"), col("n_lines"))
+  }
+
+  // ---------------------------------------------------------------- A16
+  /** Pivot-style wide aggregation: return-flag rows × line-status columns.
+    * Expressed as conditional aggregates so the output schema is static —
+    * at 100 TB a dynamic pivot would need a distinct-values pre-pass. */
+  val q16 = Q(
+    "q16_pivot",
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(ROUND((l_extendedprice*(1-l_discount))*1000000) AS BIGINT) ELSE 0 END) AS BIGINT)/1000000.0 AS rev_open,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(ROUND((l_extendedprice*(1-l_discount))*1000000) AS BIGINT) ELSE 0 END) AS BIGINT)/1000000.0 AS rev_fulfilled
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    val net = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_linestatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("n_fulfilled"),
+        (sum(when(col("l_linestatus") === "O", micros(net)).otherwise(0L)) / 1e6).as("rev_open"),
+        (sum(when(col("l_linestatus") === "F", micros(net)).otherwise(0L)) / 1e6).as("rev_fulfilled"))
+  }
+
+  // ---------------------------------------------------------------- A17
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`), rounded to 4 dp for cross-engine stability. */
+  val q17 = Q(
+    "q17_percentiles",
+    """SELECT p_brand,
+      |  ROUND(quantile_cont(p_retailprice, 0.25), 4) AS p25,
+      |  ROUND(quantile_cont(p_retailprice, 0.5), 4) AS median,
+      |  ROUND(quantile_cont(p_retailprice, 0.95), 4) AS p95,
+      |  CAST(COUNT(*) AS BIGINT) AS n_parts
+      |FROM part GROUP BY p_brand""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(
+        round(expr("percentile(p_retailprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(p_retailprice, 0.5)"), 4).as("median"),
+        round(expr("percentile(p_retailprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n_parts"))
+  }
+
+  val queries: Seq[Q] = Seq(q12, q15, q16, q17)
+}

@@ -1,0 +1,187 @@
+package graft.etl
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.Exact._
+
+/** Window-function surface: running aggregates, top-k, as-of join,
+  * sessionization, tumbling windows, keep-first dedup (SURVEY §2
+  * A13/A14/A18/A19/A20/A22).
+  *
+  * Scale rule: every window partitions on a high-cardinality key
+  * (customer/user/brand); there is no global ORDER BY anywhere.
+  * Events timestamps are nanosecond longs (see Tables.load); all temporal
+  * logic happens on epoch SECONDS so Spark (µs) and DuckDB (ns) agree.
+  */
+object Windowing {
+
+  /** events normalized to epoch seconds — `ts div 1000000000` is integer
+    * division on the raw ns long (a double division would round, not floor). */
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      expr("ts div 1000000000").as("sec"))
+  private val evSql =
+    "SELECT event_id, user_id, event_type, value, epoch_ns(ts)//1000000000 AS sec FROM events"
+
+  // ---------------------------------------------------------------- A13
+  /** Running spend, order sequence, days since previous order per customer.
+    * Reference analog: the sort_values + cumulative idioms in the fact build
+    * (dw5_order_royalty_fact.py:531, 655). */
+  val q13 = Q(
+    "q13_window_running",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS order_seq,
+      |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT)/100.0 AS running_spend,
+      |  CAST(COALESCE(date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER w, CAST(o_orderdate AS DATE)), -1) AS BIGINT) AS days_since_prev
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      row_number().over(w).cast("long").as("order_seq"),
+      (sum(cents(col("o_totalprice"))).over(wr) / 100.0).as("running_spend"),
+      coalesce(
+        datediff(col("o_orderdate").cast("date"), lag(col("o_orderdate").cast("date"), 1).over(w)),
+        lit(-1)).cast("long").as("days_since_prev"))
+  }
+
+  // ---------------------------------------------------------------- A14
+  /** Top-3 parts by revenue within each brand (row_number <= k). */
+  val q14 = Q(
+    "q14_topk_per_group",
+    """WITH rev AS (
+      |  SELECT p.p_brand AS brand, l.l_partkey AS part_key,
+      |         CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount))*1000000) AS BIGINT)) AS BIGINT) AS rev_u
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY p.p_brand, l.l_partkey),
+      |ranked AS (
+      |  SELECT brand, part_key, rev_u,
+      |         CAST(row_number() OVER (PARTITION BY brand ORDER BY rev_u DESC, part_key) AS BIGINT) AS rank
+      |  FROM rev)
+      |SELECT brand, part_key, rev_u/1000000.0 AS revenue, rank FROM ranked WHERE rank <= 3""".stripMargin) { (s, d) =>
+    val net = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val rev = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("l_partkey").as("part_key"))
+      .agg(sum(micros(net)).as("rev_u"))
+    val w = Window.partitionBy(col("brand")).orderBy(col("rev_u").desc, col("part_key"))
+    rev.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("brand"), col("part_key"), (col("rev_u") / 1e6).as("revenue"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- A18
+  /** As-of join: each purchase event matched to the user's latest strictly
+    * earlier click. Spark-first: a single pass — union the two event roles,
+    * sort within user, carry the last click forward with an exclusive-frame
+    * window. No pairwise join, so skewed users cannot blow up candidates;
+    * the DuckDB oracle is the naive pair join + row_number. */
+  val q18 = Q(
+    "q18_asof_join",
+    s"""WITH ev AS ($evSql),
+      |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM ev WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.event_id AS purchase_id, p.user_id, p.sec AS purchase_sec, p.value AS purchase_value,
+      |         c.event_id AS click_id, c.sec AS click_sec,
+      |         row_number() OVER (PARTITION BY p.event_id ORDER BY c.sec DESC, c.event_id DESC) AS rn
+      |  FROM p JOIN c ON p.user_id = c.user_id AND c.sec < p.sec)
+      |SELECT purchase_id, user_id, purchase_sec, purchase_value, click_id, click_sec
+      |FROM j WHERE rn = 1""".stripMargin) { (s, d) =>
+    val base = ev(s, d).filter(col("event_type").isin("click", "purchase"))
+      // at equal seconds a purchase sorts BEFORE clicks so the exclusive
+      // frame below enforces strictly-earlier clicks
+      .withColumn("type_rank", when(col("event_type") === "purchase", 0).otherwise(1))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("type_rank"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("last_click",
+        last(when(col("event_type") === "click",
+          struct(col("sec").as("click_sec"), col("event_id").as("click_id"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_click").isNotNull)
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("sec").as("purchase_sec"), col("value").as("purchase_value"),
+        col("last_click.click_id").as("click_id"), col("last_click.click_sec").as("click_sec"))
+  }
+
+  // ---------------------------------------------------------------- A19
+  /** Gap-based sessionization: a >30-min silence starts a new session.
+    * lag → new-session flag → running sum = session number → session rollup. */
+  val q19 = Q(
+    "q19_sessionize",
+    s"""WITH ev AS ($evSql),
+      |flagged AS (
+      |  SELECT user_id, event_id, sec, value,
+      |         CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |numbered AS (
+      |  SELECT user_id, event_id, sec, value,
+      |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS BIGINT) AS session_num
+      |  FROM flagged)
+      |SELECT user_id, session_num,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MIN(sec) AS BIGINT) AS start_sec,
+      |  CAST(MAX(sec) AS BIGINT) AS end_sec,
+      |  CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT)/1000000.0 AS total_value
+      |FROM numbered GROUP BY user_id, session_num""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d)
+      .withColumn("new_sess",
+        when(lag(col("sec"), 1).over(w).isNull || col("sec") - lag(col("sec"), 1).over(w) > 1800, 1).otherwise(0))
+      .withColumn("session_num", sum(col("new_sess")).over(wr).cast("long"))
+      .groupBy(col("user_id"), col("session_num"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_sec"),
+        max(col("sec")).as("end_sec"),
+        sumMicros(col("value")).as("total_value"))
+  }
+
+  // ---------------------------------------------------------------- A20
+  /** Tumbling one-hour window aggregation — the batch mirror of the
+    * Structured Streaming pipeline in graft.streaming. */
+  val q20 = Q(
+    "q20_events_window",
+    s"""WITH ev AS ($evSql)
+      |SELECT strftime(make_timestamp((sec//3600)*3600*1000000), '%Y-%m-%d %H:00') AS window_start,
+      |  event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT)/1000000.0 AS total_value
+      |FROM ev GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .groupBy(
+        date_format(timestamp_seconds((col("sec") / 3600).cast("long") * 3600), "yyyy-MM-dd HH:00").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sumMicros(col("value")).as("total_value"))
+  }
+
+  // ---------------------------------------------------------------- A22
+  /** Keep-first-per-key dedup: earliest event per (user, type).
+    * Reference: drop_duplicates(subset=OrderItemIndex) (dw3_merge_inc.py:110-113). */
+  val q22 = Q(
+    "q22_dedup_semantic_key",
+    s"""WITH ev AS ($evSql),
+      |ranked AS (
+      |  SELECT event_id, user_id, event_type, sec,
+      |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY sec, event_id) AS rn
+      |  FROM ev)
+      |SELECT event_id, user_id, event_type, sec FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("sec"), col("event_id"))
+    ev(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "event_type", "sec")
+  }
+
+  val queries: Seq[Q] = Seq(q13, q14, q18, q19, q20, q22)
+}
