@@ -8,7 +8,9 @@ object SparkEntry {
   /** All engine capabilities, one Q per SURVEY.md §2 row. */
   def registry: Seq[Q] =
     etl.RelationalCore.queries ++ etl.Matching.queries ++
-      etl.Windowing.queries ++ etl.Reporting.queries
+      etl.Windowing.queries ++ etl.Reporting.queries ++
+      operators.Dedup.queries ++ operators.SimilaritySearch.queries ++
+      functions.TextAnalysis.queries ++ multimodal.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.TextPrep._
+
+/** Text-analysis operators over the documents table (SURVEY §2 D1–D4):
+  * language ID, quality scoring, token counting, fingerprinting.
+  * All single-pass, narrow (no shuffle except final writes), codegen-friendly
+  * column expressions — exactly what survives a 100 TB scan.
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "on")
+  private val stopEs = Seq("el", "la", "de", "y", "en", "que", "los", "se")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "von", "mit", "den")
+  private val stopFr = Seq("le", "la", "les", "de", "et", "est", "dans", "une")
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  // ---------------------------------------------------------------- D1
+  /** Stopword-overlap language ID with a CJK regex fast path. Deterministic
+    * argmax with fixed tie order en > es > de > fr. */
+  val tx01 = Q(
+    "tx01_lang_id",
+    s"""WITH doc AS (SELECT doc_id, lang, $cleanSql AS c FROM documents),
+      |scored AS (SELECT doc_id, lang,
+      |  CAST(len(list_intersect(list_distinct(string_split(c, ' ')), ${sqlList(stopEn)})) AS BIGINT) AS s_en,
+      |  CAST(len(list_intersect(list_distinct(string_split(c, ' ')), ${sqlList(stopEs)})) AS BIGINT) AS s_es,
+      |  CAST(len(list_intersect(list_distinct(string_split(c, ' ')), ${sqlList(stopDe)})) AS BIGINT) AS s_de,
+      |  CAST(len(list_intersect(list_distinct(string_split(c, ' ')), ${sqlList(stopFr)})) AS BIGINT) AS s_fr,
+      |  CASE WHEN regexp_matches(c, '[\\x{4e00}-\\x{9fff}]') THEN 1 ELSE 0 END AS has_cjk
+      |FROM doc)
+      |SELECT doc_id, lang AS labeled_lang, s_en, s_es, s_de, s_fr,
+      |  CASE WHEN has_cjk = 1 THEN 'zh'
+      |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |       WHEN s_de >= s_fr THEN 'de'
+      |       ELSE 'fr' END AS pred_lang
+      |FROM scored""".stripMargin) { (s, d) =>
+    val toks = array_distinct(split(clean(col("text")), " "))
+    def score(set: Seq[String]) =
+      size(array_intersect(toks, typedLit(set))).cast("long")
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      score(stopEn).as("s_en"), score(stopEs).as("s_es"),
+      score(stopDe).as("s_de"), score(stopFr).as("s_fr"),
+      when(regexp_like(clean(col("text")), lit("[\\x{4e00}-\\x{9fff}]")), 1).otherwise(0).as("has_cjk"))
+      .select(
+        col("doc_id"), col("labeled_lang"), col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
+        when(col("has_cjk") === 1, "zh")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr").as("pred_lang"))
+  }
+
+  // ---------------------------------------------------------------- D2
+  /** Quality scoring from character-class and stopword ratios — the classic
+    * pre-training heuristics (length, alpha ratio, stopword density). */
+  val tx02 = Q(
+    "tx02_quality_score",
+    s"""WITH doc AS (SELECT doc_id, text, $cleanSql AS c FROM documents),
+      |feat AS (SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_raw,
+      |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+      |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      |  CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_space,
+      |  CAST(len(string_split(c, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_intersect(list_distinct(string_split(c, ' ')), ${sqlList(stopEn)})) AS BIGINT) AS stop_hits
+      |FROM doc)
+      |SELECT doc_id, n_raw, n_alpha, n_digit, n_space, n_tokens,
+      |  n_raw - n_alpha - n_digit - n_space AS n_punct,
+      |  ROUND(CAST(n_alpha AS DOUBLE) / CAST(n_raw AS DOUBLE), 6) AS alpha_ratio,
+      |  ROUND(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+      |  ROUND(0.4 * (CAST(n_alpha AS DOUBLE) / CAST(n_raw AS DOUBLE))
+      |      + 0.3 * least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 50.0)
+      |      + 0.3 * (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS quality
+      |FROM feat""".stripMargin) { (s, d) =>
+    val c = clean(col("text"))
+    val feat = Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_raw"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("n_alpha"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digit"),
+      (length(col("text")) - length(regexp_replace(col("text"), "\\s", ""))).cast("long").as("n_space"),
+      size(split(c, " ")).cast("long").as("n_tokens"),
+      size(array_intersect(array_distinct(split(c, " ")), typedLit(stopEn))).cast("long").as("stop_hits"))
+    feat.select(
+      col("doc_id"), col("n_raw"), col("n_alpha"), col("n_digit"), col("n_space"), col("n_tokens"),
+      (col("n_raw") - col("n_alpha") - col("n_digit") - col("n_space")).as("n_punct"),
+      round(col("n_alpha").cast("double") / col("n_raw").cast("double"), 6).as("alpha_ratio"),
+      round(col("stop_hits").cast("double") / col("n_tokens").cast("double"), 6).as("stop_ratio"),
+      round(lit(0.4) * (col("n_alpha").cast("double") / col("n_raw").cast("double"))
+        + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / lit(50.0))
+        + lit(0.3) * (col("stop_hits").cast("double") / col("n_tokens").cast("double")), 6).as("quality"))
+  }
+
+  // ---------------------------------------------------------------- D3
+  /** Token counting: whitespace tokens, regex word/punct tokens (a BPE-ish
+    * upper bound), and the chars-per-token estimate. */
+  val tx03 = Q(
+    "tx03_token_count",
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens,
+      |  CAST(ceil(CAST(length(text) AS DOUBLE) / 3.3) AS BIGINT) AS bpe_estimate,
+      |  ROUND(CAST(length(text) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT), 4) AS chars_per_token
+      |FROM documents""".stripMargin) { (s, d) =>
+    val ws = size(split(trim(col("text")), "\\s+")).cast("long")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      ws.as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("re_tokens"),
+      ceil(length(col("text")).cast("double") / lit(3.3)).cast("long").as("bpe_estimate"),
+      round(length(col("text")).cast("double") / ws, 4).as("chars_per_token"))
+  }
+
+  // ---------------------------------------------------------------- D4
+  /** Document fingerprint: md5 of the sorted distinct token set (order- and
+    * whitespace-insensitive content identity), plus fingerprint family size. */
+  val tx04 = Q(
+    "tx04_fingerprint",
+    s"""WITH doc AS (SELECT doc_id, $cleanSql AS c FROM documents),
+      |fp AS (SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(c, ' '))), ' ')) AS fingerprint
+      |FROM doc)
+      |SELECT doc_id, fingerprint,
+      |  CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS family_size
+      |FROM fp""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(clean(col("text")), " "))), " ")).as("fingerprint"))
+      .withColumn("family_size",
+        count(lit(1)).over(Window.partitionBy(col("fingerprint"))).cast("long"))
+  }
+
+  val queries: Seq[Q] = Seq(tx01, tx02, tx03, tx04)
+}

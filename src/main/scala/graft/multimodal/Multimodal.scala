@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Multimodal binary-column plumbing (SURVEY §2 E1/E2).
+  *
+  * Media payloads are opaque `binary` columns with typed metadata. The real
+  * media decode (image/audio libs) is STUBBED — this container ships no
+  * codec — but everything Spark-side is real: binary casting, byte-level
+  * slicing, per-frame explode fan-out, checksums, metadata schema. The
+  * payload here is the document text's bytes (pure ASCII, verified), so the
+  * DuckDB oracle can compute identical values on VARCHAR while Spark works
+  * on BinaryType (DuckDB 1.0 lacks md5/substring over BLOB).
+  */
+object Multimodal {
+
+  // ---------------------------------------------------------------- E1
+  /** Binary payload + typed metadata: size, magic bytes, content checksum,
+    * and a STUB decode (fake width/height derived deterministically from the
+    * byte length — stands in for an image-header parse). */
+  val mm01 = Q(
+    "mm01_binary_meta",
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  upper(hex(encode(substring(text, 1, 4)))) AS magic,
+      |  md5(text) AS checksum,
+      |  CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) AS fake_width,
+      |  CAST((octet_length(encode(text)) // 64) % 64 + 16 AS BIGINT) AS fake_height,
+      |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
+      |FROM documents""".stripMargin) { (s, d) =>
+    val bin = col("text").cast("binary")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      octet_length(bin).cast("long").as("n_bytes"),
+      upper(hex(substring(bin, 1, 4))).as("magic"),
+      md5(bin).as("checksum"),
+      // STUB decode: a real pipeline parses the media header here (e.g. via
+      // a native Expression over the first KB); the fake is deterministic so
+      // the plumbing stays testable.
+      (octet_length(bin) % 64 + 16).cast("long").as("fake_width"),
+      ((octet_length(bin) / 64).cast("long") % 64 + 16).cast("long").as("fake_height"),
+      ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"))
+  }
+
+  // ---------------------------------------------------------------- E2
+  /** Frame sampling: treat the payload as fixed 64-byte frames, sample every
+    * 4th frame, hash each sampled frame — the shape of video frame-extract
+    * fan-out (one input row → many frame rows) with deterministic content. */
+  val mm02 = Q(
+    "mm02_frame_sample",
+    """WITH sized AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) // 64 AS n_frames FROM documents),
+      |frames AS (
+      |  SELECT doc_id, n_frames, unnest(range(0, n_frames, 4)) AS frame_idx FROM sized WHERE n_frames > 0)
+      |SELECT f.doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(f.n_frames AS BIGINT) AS n_frames,
+      |  md5(substring(s.text, CAST(f.frame_idx*64 + 1 AS BIGINT), 64)) AS frame_md5,
+      |  upper(hex(encode(substring(s.text, CAST(f.frame_idx*64 + 1 AS BIGINT), 4)))) AS frame_magic
+      |FROM frames f JOIN sized s ON f.doc_id = s.doc_id""".stripMargin) { (s, d) =>
+    val bin = col("text").cast("binary")
+    Tables.documents(s, d)
+      .select(col("doc_id"), bin.as("payload"),
+        (octet_length(bin) / 64).cast("long").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_idx", explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))))
+      .withColumn("frame_md5", md5(expr("substring(payload, CAST(frame_idx*64 + 1 AS INT), 64)")))
+      .withColumn("frame_magic", upper(hex(expr("substring(payload, CAST(frame_idx*64 + 1 AS INT), 4)"))))
+      .select("doc_id", "frame_idx", "n_frames", "frame_md5", "frame_magic")
+  }
+
+  val queries: Seq[Q] = Seq(mm01, mm02)
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.TextPrep._
+
+/** Deduplication family (SURVEY §2 B1–B5): exact, MinHash+LSH, SimHash,
+  * blocked n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: no operator ever forms the full O(n²) pair set. Candidates
+  * come from equi-join keys — content hash (B1), LSH band signatures (B2),
+  * fingerprint prefix buckets (B3), length blocks (B4), cluster labels (B5) —
+  * so the heavy step is always a shuffle-partitionable join whose fan-out is
+  * bounded by bucket size, and only candidates pay the verification cost.
+  * The DuckDB oracles run the *same* candidate generation, making recall
+  * deterministic and cross-checked, not just precision.
+  */
+object Dedup {
+
+  private def docsClean(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars"), clean(col("text")).as("c"))
+  private val docsCleanSql =
+    s"SELECT doc_id, n_chars, $cleanSql AS c FROM documents"
+
+  /** doc_id → distinct 3-word shingles. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    docsClean(s, d).select(col("doc_id"),
+      shingles3(tokens(col("c")), col("c")).as("shs"))
+  private val docShinglesSql =
+    s"""doc AS ($docsCleanSql),
+       |toks AS (SELECT doc_id, n_chars, string_split(c, ' ') AS t, c FROM doc),
+       |sh AS (SELECT doc_id, n_chars, ${shingles3Sql("t", "c")} AS shs FROM toks)""".stripMargin
+
+  // ---------------------------------------------------------------- B1
+  /** Exact dedup via normalized-content hash: groups share md5(clean text);
+    * survivor = min doc_id (the reference's drop_duplicates keep-first,
+    * dw3_merge_inc.py:110-113, content-addressed instead of positional). */
+  val dd01 = Q(
+    "dd01_exact",
+    s"""WITH doc AS ($docsCleanSql)
+      |SELECT md5(c) AS content_hash,
+      |  CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_copies
+      |FROM doc GROUP BY md5(c)""".stripMargin) { (s, d) =>
+    docsClean(s, d)
+      .groupBy(md5(col("c")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  // ---------------------------------------------------------------- B2
+  /** MinHash + LSH banding: 8-permutation signature over 3-word shingles,
+    * 4 bands × 2 rows; docs sharing a band become candidates; candidates are
+    * verified with true shingle Jaccard >= 0.5. Candidate recall is the
+    * standard LSH s-curve (1-(1-j²)⁴) but fully deterministic here because
+    * the hash is an explicit arithmetic permutation both engines compute. */
+  val dd02 = Q(
+    "dd02_minhash_lsh", {
+      val minCols = minhashPerms.zipWithIndex.map { case ((a, b), k) =>
+        s"MIN(($a*h + $b) % 1000000007) AS mh$k" }.mkString(",\n  ")
+      val bandList = (0 until 4).map { bnd =>
+        s"concat('b$bnd:', mh${2 * bnd}, ':', mh${2 * bnd + 1})" }.mkString("[", ", ", "]")
+      s"""WITH $docShinglesSql,
+        |shx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        |hashed AS (SELECT doc_id, ${charHashSql("s")} AS h FROM shx),
+        |sig AS (SELECT doc_id,
+        |  $minCols
+        |FROM hashed GROUP BY doc_id),
+        |bands AS (SELECT doc_id, unnest($bandList) AS bk FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+        |scored AS (SELECT c.id_a, c.id_b, ${jaccardSql("sa.shs", "sb.shs")} AS jaccard
+        |           FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)
+        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin
+    }) { (s, d) =>
+    val sh = docShingles(s, d).cache()
+    val hashed = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), charHash(col("sh")).as("h"))
+    val minAggs = minhashPerms.zipWithIndex.map { case ((a, b), k) =>
+      min((lit(a) * col("h") + lit(b)) % 1000000007L).as(s"mh$k") }
+    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map { bnd =>
+        concat(lit(s"b$bnd:"), col(s"mh${2 * bnd}").cast("string"), lit(":"), col(s"mh${2 * bnd + 1}").cast("string"))
+      }: _*)).as("bk"))
+    val a = bands.select(col("doc_id").as("id_a"), col("bk"))
+    val b = bands.select(col("doc_id").as("id_b"), col("bk"))
+    val cand = a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shs").as("sa")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shs").as("sb")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- B3
+  /** SimHash: 24-bit weighted-bit fingerprint over token hashes; candidates
+    * block on all but the 4 low fingerprint bits; near-dup when hamming <= 4. */
+  val dd03 = Q(
+    "dd03_simhash",
+    s"""WITH doc AS ($docsCleanSql),
+      |tok AS (SELECT doc_id, unnest(string_split(c, ' ')) AS t FROM doc),
+      |tc AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY doc_id, t),
+      |th AS (SELECT doc_id, cnt, ${charHashSql("t")} AS h FROM tc),
+      |bits AS (SELECT doc_id, unnest(range(0, 24)) AS b, cnt, h FROM th),
+      |contrib AS (SELECT doc_id, b,
+      |  SUM(CASE WHEN (h // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN cnt ELSE -cnt END) AS w
+      |FROM bits GROUP BY doc_id, b),
+      |fp AS (SELECT doc_id,
+      |  CAST(SUM(CASE WHEN w > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS fingerprint
+      |FROM contrib GROUP BY doc_id),
+      |cand AS (SELECT a.doc_id AS id_a, a.fingerprint AS fp_a, b.doc_id AS id_b, b.fingerprint AS fp_b
+      |         FROM fp a JOIN fp b ON a.fingerprint // 16 = b.fingerprint // 16 AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, fp_a, fp_b,
+      |  CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 4""".stripMargin) { (s, d) =>
+    val tok = docsClean(s, d).select(col("doc_id"), explode(tokens(col("c"))).as("t"))
+    val tc = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+    val th = tc.select(col("doc_id"), col("cnt"), charHash(col("t")).as("h"))
+    val bits = th.select(col("doc_id"), col("cnt"), col("h"),
+      explode(sequence(lit(0), lit(23))).as("b"))
+    val contrib = bits.groupBy("doc_id", "b").agg(
+      sum(when((col("h") / pow(lit(2), col("b")).cast("long")).cast("long") % 2 === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as("w"))
+    val fp = contrib.groupBy("doc_id").agg(
+      sum(when(col("w") > 0, pow(lit(2), col("b")).cast("long")).otherwise(0L)).cast("long").as("fingerprint"))
+    val a = fp.select(col("doc_id").as("id_a"), col("fingerprint").as("fp_a"),
+      (col("fingerprint") / 16).cast("long").as("blk"))
+    val b = fp.select(col("doc_id").as("id_b"), col("fingerprint").as("fp_b"),
+      (col("fingerprint") / 16).cast("long").as("blk"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= 4)
+      .select("id_a", "id_b", "fp_a", "fp_b", "hamming")
+  }
+
+  // ---------------------------------------------------------------- B4
+  /** Blocked pairwise n-gram Jaccard: candidates must sit in the same or an
+    * adjacent 50-char length block (explode-3-keys equi-join — Spark never
+    * runs the OR-predicate nested-loop join the naive form implies). */
+  val dd04 = Q(
+    "dd04_ngram_jaccard",
+    s"""WITH $docShinglesSql,
+      |blocked AS (SELECT doc_id, shs, n_chars // 50 AS bk FROM sh),
+      |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.shs AS sa, b.shs AS sb
+      |         FROM blocked a JOIN blocked b
+      |           ON a.doc_id < b.doc_id AND abs(a.bk - b.bk) <= 1),
+      |scored AS (SELECT id_a, id_b, ${jaccardSql("sa", "sb")} AS jaccard FROM cand)
+      |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin) { (s, d) =>
+    val blocked = docShingles(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+      .select(col("doc_id"), col("shs"), (col("n_chars") / 50).cast("long").as("bk"))
+    val left = blocked.select(col("doc_id").as("id_a"), col("shs").as("sa"),
+      explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("bk"))
+    val right = blocked.select(col("doc_id").as("id_b"), col("shs").as("sb"), col("bk"))
+    left.join(right, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- B5
+  /** Embedding-cosine near-dup, blocked by cluster label: the pairwise join
+    * stays inside label partitions. Dot products are explicit left-folds in
+    * double precision — bit-identical across engines. */
+  val dd05 = Q(
+    "dd05_embedding_cosine",
+    s"""WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(v)+1), i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE))), (acc, x) -> acc + x)) AS nrm
+      |FROM e),
+      |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+      |  ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(a.v)+1), i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))), (acc, x) -> acc + x) / (a.nrm * b.nrm), 6) AS cos_sim
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, label, cos_sim FROM pairs WHERE cos_sim >= 0.25""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val n = e.withColumn("nrm", sqrt(aggregate(
+      transform(col("v"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)))
+    val a = n.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= 0.25)
+      .select("id_a", "id_b", "label", "cos_sim")
+  }
+
+  val queries: Seq[Q] = Seq(dd01, dd02, dd03, dd04, dd05)
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (SURVEY §2 C1/C2).
+  *
+  * C1 is the exact brute-force baseline: broadcast the (small) query set
+  * against the corpus — a broadcast nested-loop the planner handles well
+  * because one side is tiny by construction.
+  * C2 is the 100 TB scale path: IVF-style coarse quantization. Vectors are
+  * assigned to their nearest centroid once (an equi-partitionable key), and
+  * a query only scans its own cell — the candidate set shrinks by the number
+  * of cells, and the big join is an equi-join on cell id.
+  */
+object SimilaritySearch {
+
+  /** Explicit left-fold cosine in double precision — bit-identical in both
+    * engines (same op order), so rounded values compare exactly. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+  private def nrm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+  private def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
+    round(dot(a, b) / (na * nb), 6)
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+  private def nrmSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", nrm(col("v")))
+  private val vecsSql =
+    s"SELECT vec_id, label, embedding AS v, ${nrmSql("embedding")} AS nrm FROM embeddings"
+
+  // ---------------------------------------------------------------- C1
+  /** Brute-force cosine top-5: query set = vec_id % 20 = 0, corpus = rest. */
+  val ann01 = Q(
+    "ann01_bruteforce_topk",
+    s"""WITH n AS ($vecsSql),
+      |q AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+      |c AS (SELECT * FROM n WHERE vec_id % 20 <> 0),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROUND(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS cos_sim
+      |  FROM q CROSS JOIN c),
+      |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      |FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin) { (s, d) =>
+    val n = vecs(s, d)
+    val q = n.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = n.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(q).crossJoin(c)
+      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("cv"), col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  // ---------------------------------------------------------------- C2
+  /** IVF-style top-3: centroids = vec_id % 50 = 0; every vector joins its
+    * argmax-cosine centroid; queries probe only their own cell. */
+  val ann02 = Q(
+    "ann02_ivf_topk",
+    s"""WITH n AS ($vecsSql),
+      |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+      |assign0 AS (
+      |  SELECT n.vec_id, n.v, n.nrm, cent.cent_id,
+      |    ROUND(${dotSql("n.v", "cent.cv")} / (n.nrm * cent.cn), 6) AS cos_c,
+      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY ROUND(${dotSql("n.v", "cent.cv")} / (n.nrm * cent.cn), 6) DESC, cent.cent_id) AS rn
+      |  FROM n CROSS JOIN cent),
+      |assigned AS (SELECT vec_id, v, nrm, cent_id FROM assign0 WHERE rn = 1),
+      |q AS (SELECT * FROM assigned WHERE vec_id % 20 = 0),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, q.cent_id AS cell,
+      |    ROUND(${dotSql("q.v", "a.v")} / (q.nrm * a.nrm), 6) AS cos_sim
+      |  FROM q JOIN assigned a ON q.cent_id = a.cent_id AND q.vec_id <> a.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cell, cos_sim,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      |FROM scored)
+      |SELECT query_id, neighbor_id, cell, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin) { (s, d) =>
+    val n = vecs(s, d)
+    val cent = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val assigned = n.crossJoin(broadcast(cent))
+      .withColumn("cos_c", cosine(col("v"), col("nrm"), col("cv"), col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+    val q = assigned.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cent_id"))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.join(assigned.select(col("vec_id").as("neighbor_id"), col("v").as("av"), col("nrm").as("an"), col("cent_id")), Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("av"), col("an")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cent_id").as("cell"), col("cos_sim"), col("rank"))
+  }
+
+  val queries: Seq[Q] = Seq(ann01, ann02)
+}
