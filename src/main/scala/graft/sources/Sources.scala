@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources & sinks (SURVEY §2 G2/G3).
+  *
+  * Reference analog: the reference reads/writes CSV with an explicit
+  * `dtype_spec` dict so types survive the text round-trip
+  * (/root/reference/dw3_merge_inc.py:33-83) and lands facts in BigQuery
+  * partitioned tables (/root/reference/dw5_order_royalty_fact.py). Here the
+  * same contracts are the Spark-native ones: an explicit StructType carried
+  * through csv/json, and `partitionBy` parquet for the fact sink so the date
+  * predicate becomes partition pruning instead of a full scan.
+  */
+object Sources {
+
+  /** G2: write `df` as CSV and read it back with df's own schema enforced
+    * (FAILFAST — a drifted value errors instead of silently nulling). */
+  def csvRoundTrip(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .csv(path)
+    readCsv(spark, path, df.schema)
+  }
+
+  /** Schema-enforced CSV reader — the dtype_spec analog. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("mode", "FAILFAST")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .csv(path)
+
+  /** G2: JSON round-trip with enforced schema (no sampling inference — at
+    * 100 TB, schema inference is a full extra pass over the data). */
+  def jsonRoundTrip(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).json(path)
+    spark.read.schema(df.schema).option("mode", "FAILFAST").json(path)
+  }
+
+  /** G3: partitioned fact write — the scale path for the order-line fact.
+    * Partitioning on a low-cardinality derived month key keeps file counts
+    * bounded (one dir per month, not per day) while date-range queries prune
+    * to the touched months at planning time. */
+  def writeFactPartitioned(df: DataFrame, dateCol: String, path: String): Unit =
+    df.withColumn("part_month", date_format(col(dateCol), "yyyy-MM"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("part_month")
+      .parquet(path)
+
+  def readFact(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.sources.Sources
+
+/** G2/G3: typed round-trips and partition-pruned fact reads. */
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("G2 csv round-trip preserves schema and values") {
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val back = Sources.csvRoundTrip(spark, orders, tmp("csv"))
+    assert(back.schema == orders.schema)
+    val a = orders.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("G2 json round-trip preserves schema and values") {
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val back = Sources.jsonRoundTrip(spark, cust, tmp("json"))
+    assert(back.schema == cust.schema)
+    val a = cust.orderBy("c_custkey").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("c_custkey").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("G3 partitioned fact write prunes partitions on the month key") {
+    val path = tmp("fact")
+    val orders = Tables.orders(spark, sfDir)
+    Sources.writeFactPartitioned(orders, "o_orderdate", path)
+
+    val month = orders
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      .agg(min("m")).head.getString(0)
+    val pruned = Sources.readFact(spark, path)
+      .filter(col("part_month") === month)
+    // Count matches the unpartitioned filter...
+    val expected = orders
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") === month).count()
+    assert(expected > 0 && pruned.count() == expected)
+
+    // ...and the scan plans only the one matching partition directory.
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case a: AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
+      case f: FileSourceScanExec => Some(f)
+    }.flatten
+    assert(scan.isDefined, "expected a FileSourceScanExec")
+    assert(scan.get.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, got ${scan.get.selectedPartitions.partitionCount}")
+  }
+}
