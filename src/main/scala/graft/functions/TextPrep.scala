@@ -32,12 +32,10 @@ object TextPrep {
     s"CASE WHEN len($t) >= 3 THEN list_distinct(list_transform(range(0, len($t)-2), i -> array_to_string($t[i+1:i+3], ' '))) ELSE [$c] END"
 
   /** 31-base polynomial string hash mod 1e9+7 — identical left-fold in both
-    * engines, the deterministic seed for minhash/simhash permutations. */
-  def charHash(s: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % 1000000007L)
+    * engines, the deterministic seed for minhash/simhash permutations.
+    * Spark side is the codegen'd [[PolyHash31]] (byte loop == ascii-char loop
+    * because every hashed string is cleaned ASCII). */
+  def charHash(s: Column): Column = PolyHash.polyHash31(s)
   def charHashSql(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($s)+1), i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))), (acc, x) -> (acc*31 + x) % 1000000007)"
 

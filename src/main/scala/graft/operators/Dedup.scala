@@ -137,27 +137,43 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- B4
-  /** Blocked pairwise n-gram Jaccard: candidates must sit in the same or an
-    * adjacent 50-char length block (explode-3-keys equi-join — Spark never
-    * runs the OR-predicate nested-loop join the naive form implies). */
+  /** Pairwise n-gram Jaccard near-dup via an inverted-index join: explode
+    * distinct shingles, self-equi-join on the shingle, and COUNT shared
+    * shingles per pair — |A∩B| — so J = inter/(|A|+|B|-inter) falls out of a
+    * hash aggregate. No per-pair array intersection, no cross join; the
+    * whole plan is codegen hash joins/aggs keyed on the shingle and the pair.
+    * A lossless size-ratio bound (J>=0.5 ⇒ min>=max/2) prunes inside the
+    * join. The DuckDB oracle is the naive O(n²) cross join with true
+    * list_intersect — an independent spec of the same semantics.
+    * Scale path: the shingle is the shuffle key; df-capped or prefix-filtered
+    * (PPJoin, Xiao et al., WWW'08) shingle sets bound fan-out if a corpus has
+    * ultra-frequent shingles (boilerplate); here max df is small, so the
+    * plain inverted index is both exact and fastest. */
   val dd04 = Q(
     "dd04_ngram_jaccard",
     s"""WITH $docShinglesSql,
-      |blocked AS (SELECT doc_id, shs, n_chars // 50 AS bk FROM sh),
-      |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.shs AS sa, b.shs AS sb
-      |         FROM blocked a JOIN blocked b
-      |           ON a.doc_id < b.doc_id AND abs(a.bk - b.bk) <= 1),
-      |scored AS (SELECT id_a, id_b, ${jaccardSql("sa", "sb")} AS jaccard FROM cand)
+      |scored AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |                  ${jaccardSql("a.shs", "b.shs")} AS jaccard
+      |           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin) { (s, d) =>
-    val blocked = docShingles(s, d)
-      .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
-      .select(col("doc_id"), col("shs"), (col("n_chars") / 50).cast("long").as("bk"))
-    val left = blocked.select(col("doc_id").as("id_a"), col("shs").as("sa"),
-      explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("bk"))
-    val right = blocked.select(col("doc_id").as("id_b"), col("shs").as("sb"), col("bk"))
-    left.join(right, Seq("bk")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+    // explode_outer: plain explode pushes a `size(shs)>0` filter below the
+    // projection chain, recomputing the regex+shingle expression per row;
+    // shingle arrays are never empty (shingles3 falls back to [c]), so the
+    // outer variant is semantics-identical and keeps the pipeline single-pass.
+    val shx = docShingles(s, d).withColumn("sz", size(col("shs")))
+      .select(col("doc_id"), col("sz"), explode_outer(col("shs")).as("tok"))
+    // shuffle_hash (not broadcast): both sides shuffle on tok, so Catalyst
+    // plans the second side as a ReusedExchange — the corpus is shingled
+    // ONCE. Also the only plan shape that survives when the corpus is 100 TB.
+    shx.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("tok"))
+      .join(shx.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("tok"))
+        .hint("shuffle_hash"), Seq("tok"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")) * 2 >= greatest(col("sz_a"), col("sz_b")))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
   }
@@ -177,15 +193,12 @@ object Dedup {
       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
       |SELECT id_a, id_b, label, cos_sim FROM pairs WHERE cos_sim >= 0.25""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding").as("v"))
-    val n = e.withColumn("nrm", sqrt(aggregate(
-      transform(col("v"), x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)))
+    val n = e.withColumn("nrm", graft.functions.VectorMath.l2norm(col("v")))
     val a = n.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"), col("nrm").as("na"))
     val b = n.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", round(
-        aggregate(zip_with(col("va"), col("vb"), (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")), 6))
+        graft.functions.VectorMath.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= 0.25)
       .select("id_a", "id_b", "label", "cos_sim")
   }

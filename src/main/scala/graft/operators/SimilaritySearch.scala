@@ -18,14 +18,11 @@ import graft.{Q, Tables}
   */
 object SimilaritySearch {
 
-  /** Explicit left-fold cosine in double precision — bit-identical in both
-    * engines (same op order), so rounded values compare exactly. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-  private def nrm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  /** Codegen'd left-fold cosine in double precision — bit-identical in both
+    * engines (same op order, graft.functions.DotProduct), so rounded values
+    * compare exactly while the scan stays inside WholeStageCodegen. */
+  private def dot(a: Column, b: Column): Column = graft.functions.VectorMath.dot(a, b)
+  private def nrm(a: Column): Column = graft.functions.VectorMath.l2norm(a)
   private def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
     round(dot(a, b) / (na * nb), 6)
 
