@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-salted equi-join (SURVEY §5).
+  *
+  * AQE's skew-join split handles most sort-merge skew at runtime, but it
+  * cannot split a single hot KEY GROUP that must land in one task of a
+  * shuffled hash aggregation or shuffled join build. Salting can: the fact
+  * side spreads each key's rows across `buckets` sub-keys with a
+  * deterministic hash of a discriminator column, and the other side is
+  * replicated once per bucket — turning one straggler task into `buckets`
+  * even ones at the cost of a bounded (`buckets`×) duplication of the small
+  * side. Exact same join result, re-balanced shuffle.
+  *
+  * Reference analog: the reference merges its increment into the archive on
+  * a synthetic order-item key (dw3_merge_inc.py); at warehouse scale a
+  * campaign day makes single order keys hot — exactly this shape.
+  */
+object Salting {
+
+  /** Inner equi-join of `big` (skewed) with `small` on `key`, spreading each
+    * of big's key groups over `buckets` salt values derived from
+    * `discriminator` (any roughly-uniform column of the big side, e.g. a line
+    * number or row id). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 discriminator: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val salted = big.withColumn("__salt", pmod(hash(col(discriminator)), lit(buckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Salted aggregation: two-phase groupBy for a skewed grouping key. Phase 1
+    * aggregates (key, salt) partials; phase 2 combines per key. Caller
+    * supplies partial and final aggregate expression builders that must
+    * compose (sum/sum, count/sum, min/min, ...). */
+  def saltedSum(df: DataFrame, key: String, discriminator: String,
+                valueCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    df.withColumn("__salt", pmod(hash(col(discriminator)), lit(buckets)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+  }
+}
