@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, PolyHash31}
+
+/** SQL surface for graft's native expressions.
+  *
+  * Deployment path: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * makes `dot_product(a, b)` and `poly_hash31(s)` available to every SQL
+  * user of the session — the standard mechanism for shipping Catalyst
+  * extensions in a library (no fork of Spark, no UDF registry, full codegen).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("poly_hash31"),
+      new ExpressionInfo(classOf[PolyHash31].getName, "poly_hash31"),
+      (args: Seq[Expression]) => PolyHash31(args.head)))
+}

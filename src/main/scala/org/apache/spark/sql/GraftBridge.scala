@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register graft's SQL functions on an ALREADY-BUILT session (e.g. one
+    * handed over by a driver that did not pass spark.sql.extensions). */
+  def registerFunctions(
+      spark: SparkSession,
+      fns: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+                org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                Seq[Expression] => Expression)]): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    fns.foreach { case (id, info, builder) => registry.registerFunction(id, info, builder) }
+  }
 }
