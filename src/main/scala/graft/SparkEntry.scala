@@ -8,7 +8,7 @@ object SparkEntry {
   /** All engine capabilities, one Q per SURVEY.md §2 row. */
   def registry: Seq[Q] =
     etl.RelationalCore.queries ++ etl.Matching.queries ++
-      etl.Windowing.queries ++ etl.Reporting.queries ++
+      etl.Windowing.queries ++ etl.Reporting.queries ++ etl.Ingest.queries ++
       operators.Dedup.queries ++ operators.SimilaritySearch.queries ++
       functions.TextAnalysis.queries ++ multimodal.Multimodal.queries
 

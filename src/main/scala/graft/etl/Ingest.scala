@@ -1,0 +1,56 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+
+/** Ingest-stage surface: nested-JSON flattening (SURVEY §2 A23).
+  *
+  * The reference's ingest pulls order documents whose `line_items` is a
+  * nested JSON array, flattens one row per line item, and keeps the
+  * positional `OrderItemIndex` (dw2_wc_increment.py, wc_block2_helpers.py:
+  * flattened-JSON column-index discovery; dw3_merge_inc.py:96-113 builds the
+  * OrderItemIndex key from that position). Spark-first this is
+  * `from_json` with an explicit array<struct> schema + `posexplode` — schema
+  * declared, never inferred (inference is an extra full pass at 100 TB).
+  *
+  * The JSON document is constructed from `lineitem` on the fly (this
+  * container has no REST source), sorted by line number so the positional
+  * index is deterministic; the DuckDB oracle specifies the same semantics
+  * directly with a window — flattening must exactly recover the relational
+  * rows, JSON being a transport detail.
+  */
+object Ingest {
+
+  private val itemSchema = ArrayType(StructType(Seq(
+    StructField("ln", IntegerType),
+    StructField("pk", LongType),
+    StructField("qty", DoubleType))))
+
+  // ---------------------------------------------------------------- A23
+  val q23 = Q(
+    "q23_json_flatten",
+    """SELECT l_orderkey AS order_key,
+      |  CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity) - 1 AS BIGINT) AS item_index,
+      |  CAST(l_linenumber AS INT) AS line_number,
+      |  l_partkey AS part_key, l_quantity AS quantity
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    // Stage 1 — the "source system" document: one JSON string per order
+    // with its line_items array (sorted for a stable positional index).
+    val docs = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("order_key"))
+      .agg(to_json(array_sort(collect_list(struct(
+        col("l_linenumber").cast("int").as("ln"),
+        col("l_partkey").as("pk"),
+        col("l_quantity").as("qty"))))).as("payload"))
+    // Stage 2 — ingest: parse with the declared schema, flatten with index.
+    docs
+      .select(col("order_key"),
+        posexplode(from_json(col("payload"), itemSchema)).as(Seq("item_index", "item")))
+      .select(col("order_key"), col("item_index").cast("long").as("item_index"),
+        col("item.ln").as("line_number"), col("item.pk").as("part_key"),
+        col("item.qty").as("quantity"))
+  }
+
+  val queries: Seq[Q] = Seq(q23)
+}
