@@ -48,31 +48,28 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  // ---------------------------------------------------------------- B2
-  /** MinHash + LSH banding: 8-permutation signature over 3-word shingles,
-    * 4 bands × 2 rows; docs sharing a band become candidates; candidates are
-    * verified with true shingle Jaccard >= 0.5. Candidate recall is the
-    * standard LSH s-curve (1-(1-j²)⁴) but fully deterministic here because
-    * the hash is an explicit arithmetic permutation both engines compute. */
-  val dd02 = Q(
-    "dd02_minhash_lsh", {
-      val minCols = minhashPerms.zipWithIndex.map { case ((a, b), k) =>
-        s"MIN(($a*h + $b) % 1000000007) AS mh$k" }.mkString(",\n  ")
-      val bandList = (0 until 4).map { bnd =>
-        s"concat('b$bnd:', mh${2 * bnd}, ':', mh${2 * bnd + 1})" }.mkString("[", ", ", "]")
-      s"""WITH $docShinglesSql,
-        |shx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-        |hashed AS (SELECT doc_id, ${charHashSql("s")} AS h FROM shx),
-        |sig AS (SELECT doc_id,
-        |  $minCols
-        |FROM hashed GROUP BY doc_id),
-        |bands AS (SELECT doc_id, unnest($bandList) AS bk FROM sig),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-        |scored AS (SELECT c.id_a, c.id_b, ${jaccardSql("sa.shs", "sb.shs")} AS jaccard
-        |           FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)
-        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin
-    }) { (s, d) =>
+  /** CTE chain ending in `scored` (id_a, id_b, jaccard) — the LSH-verified
+    * near-dup pairs, shared by dd02's oracle and dd06's recursive closure. */
+  private val lshScoredSql: String = {
+    val minCols = minhashPerms.zipWithIndex.map { case ((a, b), k) =>
+      s"MIN(($a*h + $b) % 1000000007) AS mh$k" }.mkString(",\n  ")
+    val bandList = (0 until 4).map { bnd =>
+      s"concat('b$bnd:', mh${2 * bnd}, ':', mh${2 * bnd + 1})" }.mkString("[", ", ", "]")
+    s"""$docShinglesSql,
+      |shx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+      |hashed AS (SELECT doc_id, ${charHashSql("s")} AS h FROM shx),
+      |sig AS (SELECT doc_id,
+      |  $minCols
+      |FROM hashed GROUP BY doc_id),
+      |bands AS (SELECT doc_id, unnest($bandList) AS bk FROM sig),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      |scored AS (SELECT c.id_a, c.id_b, ${jaccardSql("sa.shs", "sb.shs")} AS jaccard
+      |           FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)""".stripMargin
+  }
+
+  /** Spark side of the same pair computation (see dd02 scaladoc). */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
     val sh = docShingles(s, d).cache()
     val hashed = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
       .select(col("doc_id"), charHash(col("sh")).as("h"))
@@ -93,6 +90,74 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sa"), col("sb")))
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- B2
+  /** MinHash + LSH banding: 8-permutation signature over 3-word shingles,
+    * 4 bands × 2 rows; docs sharing a band become candidates; candidates are
+    * verified with true shingle Jaccard >= 0.5. Candidate recall is the
+    * standard LSH s-curve (1-(1-j²)⁴) but fully deterministic here because
+    * the hash is an explicit arithmetic permutation both engines compute. */
+  val dd02 = Q(
+    "dd02_minhash_lsh",
+    s"""WITH $lshScoredSql
+      |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin)(
+    lshPairs)
+
+  // ---------------------------------------------------------------- B6
+  /** Near-dup CLUSTER formation: connected components over the LSH-verified
+    * pair graph via iterative min-label propagation — each doc's cluster_id
+    * converges to the smallest doc_id reachable through near-dup edges, and
+    * the canonical survivor is the doc that owns the label. This is the step
+    * that turns pairwise dedup signals into a keep/drop decision for a
+    * training corpus.
+    *
+    * Scale: every iteration is one equi-join + partial-agg shuffle keyed on
+    * doc_id (never a collect); iterations are bounded by component diameter
+    * (small for near-dup blobs, which are dense); lineage is cut per round
+    * with localCheckpoint so plans stay O(1). For planet-scale graphs swap
+    * the loop body for the large-star/small-star alternation of Kiveris et
+    * al., "Connected Components in MapReduce and Beyond" (SoCC'14) — same
+    * per-round join shape, provably logarithmic rounds.
+    * The DuckDB oracle computes the same fixpoint with a recursive CTE. */
+  val dd06 = Q(
+    "dd06_dup_clusters",
+    s"""WITH RECURSIVE $lshScoredSql,
+      |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, comp) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src),
+      |labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+      |SELECT id AS doc_id, comp AS cluster_id, id = comp AS is_canonical
+      |FROM labels""".stripMargin) { (s, d) =>
+    val pairs = lshPairs(s, d).select("id_a", "id_b")
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 30) {
+      val neighborMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("nid")).agg(min(col("comp")).as("ncomp"))
+      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = updated.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+      (col("id") === col("comp")).as("is_canonical"))
   }
 
   // ---------------------------------------------------------------- B3
@@ -203,5 +268,5 @@ object Dedup {
       .select("id_a", "id_b", "label", "cos_sim")
   }
 
-  val queries: Seq[Q] = Seq(dd01, dd02, dd03, dd04, dd05)
+  val queries: Seq[Q] = Seq(dd01, dd02, dd03, dd04, dd05, dd06)
 }
