@@ -140,19 +140,21 @@ object Dedup {
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
+    // Labels only ever decrease, so sum(comp) is a monotone convergence
+    // metric — one lightweight agg per round instead of a change-count join.
+    var prevSum = labels.agg(sum("comp")).head.getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < 30) {
       val neighborMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("nid")).agg(min(col("comp")).as("ncomp"))
-      val updated = labels.join(neighborMin, labels("id") === col("nid"), "left")
+      labels = labels.join(neighborMin, labels("id") === col("nid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = updated.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = updated
-      converged = changed == 0
+      val curSum = labels.agg(sum("comp")).head.getLong(0)
+      converged = curSum == prevSum
+      prevSum = curSum
       iter += 1
     }
     edges.unpersist()
