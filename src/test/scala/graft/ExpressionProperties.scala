@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{DotProduct, PolyHash31}
+
+/** Property tests for the native expressions, driven through Catalyst
+  * interpreted eval (no Spark jobs — hundreds of cases run in ms). The
+  * codegen path is covered by ExpressionSpec; interpreted-vs-reference here
+  * pins the arithmetic contract both paths share. */
+object ExpressionProperties extends Properties("graft.expressions") {
+
+  // The documented PolyHash31 domain: cleaned ASCII text.
+  private val asciiString: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      (8, Gen.alphaLowerChar), (2, Gen.numChar), (3, Gen.const(' '))))
+      .map(_.mkString)
+
+  private def refHash(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+
+  property("polyHash31 == 31-base fold, any ASCII input") =
+    forAll(asciiString) { s =>
+      PolyHash31(Literal(s)).eval(null) == refHash(s)
+    }
+
+  property("polyHash31 of null is null") = Prop {
+    PolyHash31(Literal.create(null, StringType)).eval(null) == null
+  }
+
+  private val floatArray: Gen[Array[Float]] =
+    Gen.listOf(Gen.chooseNum(-1e6f, 1e6f)).map(_.toArray)
+
+  private def refDot(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  private def lit(a: Array[Float]) = Literal.create(a, ArrayType(FloatType))
+
+  property("dotProduct == strict left fold, any float arrays") =
+    forAll(floatArray, floatArray) { (a, b) =>
+      val got = DotProduct(lit(a), lit(b)).eval(null).asInstanceOf[Double]
+      // bit-exact, including signed zeros
+      java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(refDot(a, b))
+    }
+
+  property("dotProduct self-dot is non-negative") =
+    forAll(floatArray) { a =>
+      DotProduct(lit(a), lit(a)).eval(null).asInstanceOf[Double] >= 0.0
+    }
+
+  property("dotProduct with a null side is null") = Prop {
+    DotProduct(Literal.create(null, ArrayType(FloatType)), lit(Array(1f)))
+      .eval(null) == null
+  }
+}
