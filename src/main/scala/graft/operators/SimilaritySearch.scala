@@ -107,5 +107,72 @@ object SimilaritySearch {
       .select(col("query_id"), col("neighbor_id"), col("cent_id").as("cell"), col("cos_sim"), col("rank"))
   }
 
-  val queries: Seq[Q] = Seq(ann01, ann02)
+  // ---------------------------------------------------------------- C3
+  /** Random-hyperplane LSH buckets (SimHash-for-cosine, Charikar STOC'02):
+    * 8 fixed ±1 hyperplanes hash every vector to an 8-bit bucket code; a
+    * query probes only its own bucket. The hyperplanes are deterministic
+    * constants — the SAME Scala values are embedded into both the Spark plan
+    * and the oracle SQL, so the partition is identical by construction.
+    * Scale: the bucket code is a plain equi-join key (like ann02's cell but
+    * data-independent — no centroid training pass, the right trade when the
+    * corpus churns faster than a codebook can be retrained). */
+  private val nPlanes = 8
+  private val dim = 64
+  /** ±1 entries from a tiny deterministic LCG — reproducible everywhere. */
+  private val planes: IndexedSeq[IndexedSeq[Int]] =
+    IndexedSeq.tabulate(nPlanes) { p =>
+      IndexedSeq.tabulate(dim) { i =>
+        val x = (p * 1009L + i * 9176L + 12345L) * 1103515245L % 2147483647L
+        if (((x >> 7) & 1L) == 0L) -1 else 1
+      }
+    }
+
+  private def planeDot(v: Column, p: Int): Column = {
+    // Codegen'd ordered fold against the literal plane (same order as SQL).
+    val planeArr = array(planes(p).map(x => lit(x.toDouble)): _*)
+    graft.functions.VectorMath.dot(v, planeArr)
+  }
+  private def planeDotSql(v: String, p: Int): String = {
+    val arr = planes(p).mkString("[", ", ", "]")
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($v)+1), i -> CAST($v[i] AS DOUBLE) * CAST($arr[i] AS DOUBLE))), (acc, x) -> acc + x)"
+  }
+
+  private def bucketCol(v: Column): Column =
+    (0 until nPlanes).map { p =>
+      when(planeDot(v, p) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  private def bucketSql(v: String): String =
+    (0 until nPlanes).map { p =>
+      s"CASE WHEN ${planeDotSql(v, p)} > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  val ann03 = Q(
+    "ann03_lsh_topk",
+    s"""WITH n AS ($vecsSql),
+      |coded AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM n),
+      |q AS (SELECT * FROM coded WHERE vec_id % 20 = 0),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+      |    ROUND(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS cos_sim
+      |  FROM q JOIN coded c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, bucket, cos_sim,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      |FROM scored)
+      |SELECT query_id, neighbor_id, bucket, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin) { (s, d) =>
+    val coded = vecs(s, d).withColumn("bucket", bucketCol(col("v")))
+    val q = coded.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.join(coded.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("bucket")), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("cv"), col("cn")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id", "bucket", "cos_sim", "rank")
+  }
+
+  val queries: Seq[Q] = Seq(ann01, ann02, ann03)
 }
