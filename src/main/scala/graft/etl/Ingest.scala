@@ -52,5 +52,26 @@ object Ingest {
         col("item.qty").as("quantity"))
   }
 
-  val queries: Seq[Q] = Seq(q23)
+  // ---------------------------------------------------------------- A24
+  /** Typed extraction from a semi-structured JSON column: the reference
+    * reads meta fields out of flattened WooCommerce JSON by discovered
+    * column index (wc_block2_helpers.py); Spark-first it's a JSON-path
+    * extraction with an explicit cast, aggregated per event type. */
+  val q24 = Q(
+    "q24_props_extract",
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  }
+
+  val queries: Seq[Q] = Seq(q23, q24)
 }

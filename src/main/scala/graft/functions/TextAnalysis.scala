@@ -135,5 +135,43 @@ object TextAnalysis {
         count(lit(1)).over(Window.partitionBy(col("fingerprint"))).cast("long"))
   }
 
-  val queries: Seq[Q] = Seq(tx01, tx02, tx03, tx04)
+  // ---------------------------------------------------------------- D5
+  /** Repetition profile — the Gopher-style most-common-word fraction plus
+    * distinct-token ratio, the workhorse boilerplate/spam filter signals for
+    * a training corpus. One explode + per-doc aggregate: shuffle keyed on
+    * doc_id (high cardinality, even), partial-agg friendly. Deterministic
+    * top-token tie-break: (count DESC, token ASC). */
+  val tx05 = Q(
+    "tx05_repetition",
+    s"""WITH doc AS (SELECT doc_id, $cleanSql AS c FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(c, ' ')) AS t FROM doc),
+      |tc AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY doc_id, t),
+      |ranked AS (SELECT doc_id, t, cnt,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, t) AS rn,
+      |  CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS distinct_tokens
+      |FROM tc)
+      |SELECT doc_id, n_tokens, distinct_tokens, t AS top_token,
+      |  cnt AS top_token_count,
+      |  ROUND(CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS top_token_frac,
+      |  ROUND(CAST(distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS distinct_ratio
+      |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(clean(col("text")), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    tc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("t"))))
+      .withColumn("n_tokens", sum(col("cnt")).over(wDoc).cast("long"))
+      .withColumn("distinct_tokens", count(lit(1)).over(wDoc).cast("long"))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+        col("t").as("top_token"), col("cnt").as("top_token_count"),
+        round(col("cnt").cast("double") / col("n_tokens").cast("double"), 6).as("top_token_frac"),
+        round(col("distinct_tokens").cast("double") / col("n_tokens").cast("double"), 6).as("distinct_ratio"))
+  }
+
+  val queries: Seq[Q] = Seq(tx01, tx02, tx03, tx04, tx05)
 }
