@@ -82,6 +82,20 @@ object EventsStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** F3: streaming exact-dedup on event_id. `dropDuplicates` after a
+    * watermark keeps only the id-state young enough to matter — at-least-once
+    * sources (Kafka replays, file re-lands) become effectively-once without
+    * unbounded state. Batch mirror: dropDuplicates on the same column. */
+  def dedupedEvents(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay).dropDuplicates("event_id")
+
+  /** F4: stream-static enrichment — the streaming fact joins a static dim
+    * (re-read per micro-batch, broadcast by the planner when small). The
+    * reference does the same join batch-wise when attaching the date dim to
+    * fresh increments (dw5). */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, key)
+
   /** F2: gap-based sessionization with custom state.
     * A session closes when no event arrives within `gapSeconds` of the last
     * one; the watermark timeout flushes idle state so it cannot grow without
