@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+
+/** End-to-end pipeline integration: the reference's dw2→dw5 flow chained
+  * through this library's operators on real test tables — flatten ingest,
+  * anti-join incremental merge, fact build, near-dup corpus pruning, and a
+  * partition-pruned fact landing. Guards cross-module integration beyond the
+  * per-operator oracle checks. */
+class PipelineSpec extends SparkSpec {
+
+  test("ingest -> merge -> fact -> partitioned landing conserves rows") {
+    // 1. Ingest: flatten nested line-item documents (dw2 analog).
+    val flat = SparkEntry.queries("q23_json_flatten")(spark, sfDir)
+    val nLineitems = Tables.lineitem(spark, sfDir).count()
+    assert(flat.count() == nLineitems, "flatten must recover every line item")
+
+    // 2. Incremental merge (dw3): archive ∪ increment with anti-join, no key dupes.
+    val merged = SparkEntry.queries("q06_incremental_merge")(spark, sfDir)
+    val nOrders = Tables.orders(spark, sfDir).count()
+    assert(merged.count() == nOrders)
+    assert(merged.select("o_orderkey").distinct().count() == nOrders)
+
+    // 3. Fact build (dw5): line-item grain with dims attached.
+    val fact = SparkEntry.queries("q02_fact_order")(spark, sfDir)
+    assert(fact.count() == nLineitems, "fact is line-item grain")
+
+    // 4. Partitioned landing: month partitions, pruned reads agree with source.
+    val out = Files.createTempDirectory("graft-pipeline").toString
+    Sources.writeFactPartitioned(
+      Tables.orders(spark, sfDir), "o_orderdate", out)
+    val landed = Sources.readFact(spark, out)
+    assert(landed.count() == nOrders)
+    val byMonth = landed.groupBy("part_month").count()
+    assert(byMonth.agg(sum("count")).head.getLong(0) == nOrders)
+  }
+
+  test("dedup stage prunes the corpus to canonical docs only") {
+    val docs = Tables.documents(spark, sfDir)
+    val clusters = SparkEntry.queries("dd06_dup_clusters")(spark, sfDir)
+    // Corpus after dedup: drop non-canonical members of every near-dup cluster.
+    val drop = clusters.filter(!col("is_canonical")).select(col("doc_id"))
+    val kept = docs.join(drop, Seq("doc_id"), "left_anti")
+    val nDocs = docs.count()
+    val nDrop = drop.count()
+    assert(nDrop > 0, "test corpus plants near-dups")
+    assert(kept.count() == nDocs - nDrop)
+    // Every cluster keeps exactly one canonical representative.
+    val perCluster = clusters.groupBy("cluster_id")
+      .agg(sum(when(col("is_canonical"), 1).otherwise(0)).as("canon"))
+    assert(perCluster.filter(col("canon") =!= 1).count() == 0)
+  }
+}
