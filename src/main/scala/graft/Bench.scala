@@ -3,13 +3,23 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query seconds at
   * SPARK_GRAFT_SF_DIR. A first untimed pass at sf0.001 warms JIT/codegen and
-  * file-index caches so the timed pass measures the queries at steady state
+  * file-index caches so the timed passes measure the queries at steady state
   * (standard JMH-style methodology), not first-run JVM warm-up — every timed
-  * number is still a complete cold-cache-of-data end-to-end execution. */
+  * number is still a complete cold-cache-of-data end-to-end execution.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
+  * MEDIAN, so one-off AQE re-plan / GC noise doesn't reorder queries in the
+  * results. A query that throws is recorded as -1 and EXCLUDED from the
+  * total (and listed under "failed") — a broken query must never make the
+  * benchmark look faster.
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,16 +34,23 @@ object Bench {
     }
     spark.sharedState.cacheManager.clearCache()
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $sec%8.2f s")
+      val times = (1 to reps).flatMap { r =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name rep $r FAILED: ${e.getMessage}"); None
+        }
+      }
+      val sec = if (times.length < reps) -1.0 else median(times)
+      System.err.println(f"[bench] $name%-28s $sec%8.2f s (median of $reps)")
       name -> sec
     }
+    val failed = results.collect { case (n, s) if s < 0 => n }
+    val total = results.collect { case (_, s) if s >= 0 => s }.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -104,14 +104,15 @@ object Matching {
     val tf = toks.groupBy("title", "tok").agg(count(lit(1)).as("cnt"))
     val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
     val dfTab = tf.groupBy("tok").agg(countDistinct("title").as("df"))
-    // Cached: the weight table feeds the norm aggregation AND both sides of
-    // the inverted-index dot-product join — uncached, the tf/df groupBys
-    // would run 3×. (At cluster scale this is a few GB per executor slice —
-    // MEMORY_AND_DISK by default, safe to spill.)
+    // localCheckpoint: the weight table feeds the norm aggregation AND both
+    // sides of the inverted-index dot-product join — unmaterialized, the
+    // tf/df groupBys would run 3×. Checkpoint (not cache) so the blocks are
+    // ContextCleaner-released when the plan dies instead of pinning the
+    // cache manager for the rest of a Verify/Bench session.
     val w = tf.join(dfTab, "tok").crossJoin(broadcast(nDocs))
       .select(col("title"), col("tok"),
         (col("cnt") * (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0))).as("w"))
-      .cache()
+      .localCheckpoint()
     val norms = w.groupBy("title").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val wm = w.join(master, Seq("title"), "left_semi")
       .select(col("title").as("master_title"), col("tok"), col("w").as("wm"))

@@ -19,16 +19,18 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- D1
   /** Stopword-overlap language ID with a CJK regex fast path. Deterministic
-    * argmax with fixed tie order en > es > de > fr. */
+    * argmax with fixed tie order en > es > de > fr. The CJK test runs on the
+    * RAW text — clean() maps every non-[a-z0-9\s] char (CJK included) to a
+    * space, so testing the cleaned column could never fire. */
   val tx01 = Q(
     "tx01_lang_id",
-    s"""WITH doc AS (SELECT doc_id, lang, $cleanSql AS c FROM documents),
+    s"""WITH doc AS (SELECT doc_id, lang, text, $cleanSql AS c FROM documents),
       |scored AS (SELECT doc_id, lang,
       |  CAST(len(list_intersect(list_distinct(string_split(c, ' ')), ${sqlList(stopEn)})) AS BIGINT) AS s_en,
       |  CAST(len(list_intersect(list_distinct(string_split(c, ' ')), ${sqlList(stopEs)})) AS BIGINT) AS s_es,
       |  CAST(len(list_intersect(list_distinct(string_split(c, ' ')), ${sqlList(stopDe)})) AS BIGINT) AS s_de,
       |  CAST(len(list_intersect(list_distinct(string_split(c, ' ')), ${sqlList(stopFr)})) AS BIGINT) AS s_fr,
-      |  CASE WHEN regexp_matches(c, '[\\x{4e00}-\\x{9fff}]') THEN 1 ELSE 0 END AS has_cjk
+      |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 1 ELSE 0 END AS has_cjk
       |FROM doc)
       |SELECT doc_id, lang AS labeled_lang, s_en, s_es, s_de, s_fr,
       |  CASE WHEN has_cjk = 1 THEN 'zh'
@@ -44,7 +46,7 @@ object TextAnalysis {
       col("doc_id"), col("lang").as("labeled_lang"),
       score(stopEn).as("s_en"), score(stopEs).as("s_es"),
       score(stopDe).as("s_de"), score(stopFr).as("s_fr"),
-      when(regexp_like(clean(col("text")), lit("[\\x{4e00}-\\x{9fff}]")), 1).otherwise(0).as("has_cjk"))
+      when(regexp_like(col("text"), lit("[\\x{4e00}-\\x{9fff}]")), 1).otherwise(0).as("has_cjk"))
       .select(
         col("doc_id"), col("labeled_lang"), col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
         when(col("has_cjk") === 1, "zh")

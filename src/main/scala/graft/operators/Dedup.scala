@@ -68,9 +68,13 @@ object Dedup {
       |           FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)""".stripMargin
   }
 
-  /** Spark side of the same pair computation (see dd02 scaladoc). */
+  /** Spark side of the same pair computation (see dd02 scaladoc).
+    * The shingle table is localCheckpoint'ed, not cache()'d: it is read three
+    * times (hashing + both sides of the verify join), but checkpoint blocks
+    * are released by the ContextCleaner once the plan is unreferenced —
+    * a long Verify/Bench session doesn't accumulate pinned cache entries. */
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d).cache()
+    val sh = docShingles(s, d).localCheckpoint()
     val hashed = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
       .select(col("doc_id"), charHash(col("sh")).as("h"))
     val minAggs = minhashPerms.zipWithIndex.map { case ((a, b), k) =>
@@ -142,29 +146,67 @@ object Dedup {
       .withColumn("comp", col("id")).localCheckpoint()
     // Labels only ever decrease, so sum(comp) is a monotone convergence
     // metric — one lightweight agg per round instead of a change-count join.
-    var prevSum = labels.agg(sum("comp")).head.getLong(0)
+    // coalesce(.., 0): a dedup-free corpus has zero edges and an empty label
+    // table, whose sum() is NULL — the query must return 0 rows, not NPE.
+    def compSum(): Long =
+      labels.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
+    var prevSum = compSum()
     var converged = false
     var iter = 0
-    while (!converged && iter < 30) {
+    val maxIters = 50
+    while (!converged && iter < maxIters) {
       val neighborMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("nid")).agg(min(col("comp")).as("ncomp"))
       labels = labels.join(neighborMin, labels("id") === col("nid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val curSum = labels.agg(sum("comp")).head.getLong(0)
+      val curSum = compSum()
       converged = curSum == prevSum
       prevSum = curSum
       iter += 1
     }
     edges.unpersist()
+    // Silent cap-exit would return split (wrong) clusters while the oracle
+    // computes the true fixpoint — fail loudly instead. Components of
+    // diameter > 50 need the large/small-star alternation cited above.
+    if (!converged)
+      throw new IllegalStateException(
+        s"dd06 label propagation did not converge in $maxIters rounds; " +
+          "component diameter exceeds the cap — use large-star/small-star")
     labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"),
       (col("id") === col("comp")).as("is_canonical"))
   }
 
   // ---------------------------------------------------------------- B3
-  /** SimHash: 24-bit weighted-bit fingerprint over token hashes; candidates
-    * block on all but the 4 low fingerprint bits; near-dup when hamming <= 4. */
+  /** Pigeonhole candidate generation for SimHash: split the 24 fingerprint
+    * bits into 5 disjoint blocks (5+5+5+5+4). A pair with hamming <= 4 has
+    * its differing bits spread over at most 4 blocks, so AT LEAST one block
+    * is bit-identical — indexing every doc under its 5 (block-id, block-value)
+    * keys and equi-joining guarantees 100% recall (Gurmeet/Manku et al.,
+    * "Detecting Near-Duplicates for Web Crawling", WWW'07 §3). Factored out
+    * so SimhashRecallSpec can prove recall against brute-force hamming.
+    * Scale: 5× index fan-out, candidates bounded by per-block bucket size —
+    * never all-pairs. */
+  private[graft] def simhashPairs(fp: DataFrame): DataFrame = {
+    val blocks = fp.select(col("doc_id"), col("fingerprint"),
+      posexplode(array(
+        col("fingerprint") % 32,
+        shiftright(col("fingerprint"), 5) % 32,
+        shiftright(col("fingerprint"), 10) % 32,
+        shiftright(col("fingerprint"), 15) % 32,
+        shiftright(col("fingerprint"), 20))).as(Seq("bi", "bv")))
+    val a = blocks.select(col("doc_id").as("id_a"), col("fingerprint").as("fp_a"), col("bi"), col("bv"))
+    val b = blocks.select(col("doc_id").as("id_b"), col("fingerprint").as("fp_b"), col("bi"), col("bv"))
+    a.join(b, Seq("bi", "bv")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= 4)
+  }
+
+  /** SimHash: 24-bit weighted-bit fingerprint over token hashes; pigeonhole
+    * 5-block candidate generation (see [[simhashPairs]]); near-dup when
+    * hamming <= 4 — full recall at that radius by construction. */
   val dd03 = Q(
     "dd03_simhash",
     s"""WITH doc AS ($docsCleanSql),
@@ -178,8 +220,13 @@ object Dedup {
       |fp AS (SELECT doc_id,
       |  CAST(SUM(CASE WHEN w > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS fingerprint
       |FROM contrib GROUP BY doc_id),
-      |cand AS (SELECT a.doc_id AS id_a, a.fingerprint AS fp_a, b.doc_id AS id_b, b.fingerprint AS fp_b
-      |         FROM fp a JOIN fp b ON a.fingerprint // 16 = b.fingerprint // 16 AND a.doc_id < b.doc_id)
+      |blocks AS (SELECT doc_id, fingerprint,
+      |  unnest([0, 1, 2, 3, 4]) AS bi,
+      |  unnest([fingerprint % 32, (fingerprint // 32) % 32, (fingerprint // 1024) % 32,
+      |          (fingerprint // 32768) % 32, fingerprint // 1048576]) AS bv
+      |FROM fp),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fingerprint AS fp_a, b.fingerprint AS fp_b
+      |         FROM blocks a JOIN blocks b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
       |SELECT id_a, id_b, fp_a, fp_b,
       |  CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 4""".stripMargin) { (s, d) =>
@@ -193,14 +240,7 @@ object Dedup {
         .otherwise(-col("cnt"))).as("w"))
     val fp = contrib.groupBy("doc_id").agg(
       sum(when(col("w") > 0, pow(lit(2), col("b")).cast("long")).otherwise(0L)).cast("long").as("fingerprint"))
-    val a = fp.select(col("doc_id").as("id_a"), col("fingerprint").as("fp_a"),
-      (col("fingerprint") / 16).cast("long").as("blk"))
-    val b = fp.select(col("doc_id").as("id_b"), col("fingerprint").as("fp_b"),
-      (col("fingerprint") / 16).cast("long").as("blk"))
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
-      .filter(col("hamming") <= 4)
-      .select("id_a", "id_b", "fp_a", "fp_b", "hamming")
+    simhashPairs(fp).select("id_a", "id_b", "fp_a", "fp_b", "hamming")
   }
 
   // ---------------------------------------------------------------- B4

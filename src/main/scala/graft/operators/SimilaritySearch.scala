@@ -67,7 +67,14 @@ object SimilaritySearch {
 
   // ---------------------------------------------------------------- C2
   /** IVF-style top-3: centroids = vec_id % 50 = 0; every vector joins its
-    * argmax-cosine centroid; queries probe only their own cell. */
+    * argmax-cosine centroid; queries probe only their own cell.
+    *
+    * Assignment is a single `max_by` hash aggregate over the
+    * vector×broadcast-centroid candidates: the k per-vector rows collapse
+    * map-side (partial aggregation), so the corpus is shuffled once at its
+    * own size — never the k-fold blow-up a `row_number` window would sort.
+    * Tie-break mirrors the oracle: highest cos_c, then lowest cent_id
+    * (max_by ordering struct(cos_c, -cent_id)). */
   val ann02 = Q(
     "ann02_ivf_topk",
     s"""WITH n AS ($vecsSql),
@@ -90,12 +97,13 @@ object SimilaritySearch {
     val n = vecs(s, d)
     val cent = n.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
     val assigned = n.crossJoin(broadcast(cent))
       .withColumn("cos_c", cosine(col("v"), col("nrm"), col("cv"), col("cn")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cent_id"), col("v"), col("nrm")),
+        struct(col("cos_c"), (-col("cent_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"),
+        col("best.nrm").as("nrm"), col("best.cent_id").as("cent_id"))
     val q = assigned.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cent_id"))
     val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
