@@ -128,6 +128,61 @@ object Matching {
       .filter(col("cos_sim") >= 0.7)
   }
 
+  // ---------------------------------------------------------------- A25
+  /** Edit-distance fuzzy ratio matching — the reference's Bundle_Dim match is
+    * `fuzz.ratio(master, test) >= 95` (dw4_book_dim.py:291-293), Levenshtein-
+    * based: it catches within-token typos that token-set Jaccard (q10) cannot.
+    * Ratio here is the indel-normalized variant
+    * `100 * (1 - lev(a,b) / (|a|+|b|))` — both engines have a built-in
+    * unit-cost `levenshtein`, and the 95 threshold keeps the same "nearly
+    * identical strings" contract as fuzz.ratio.
+    *
+    * Scale: NO cross join. ratio >= 95 implies
+    * lev <= 0.05*(|a|+|b|), and |len(a)-len(b)| <= lev, so a matching
+    * master's length lies within ~10.6% of the test's — each test title
+    * explodes to the few length-buckets (width 4) that can contain a match
+    * and the candidate build is an equi-join on the bucket. The bound is
+    * lossless: d = floor(0.11*len)+1 > 2/19*len covers every admissible
+    * length difference. The DuckDB oracle keeps the naive cross join as an
+    * independent spec of the semantics. */
+  private val W = 4 // length-bucket width
+  val q25 = Q(
+    "q25_fuzzy_ratio",
+    s"""WITH master AS ($masterSql),
+      |test AS (SELECT DISTINCT CASE WHEN p_partkey % 10 = 1 THEN lower(p_name)
+      |           WHEN p_partkey % 2 = 0
+      |           THEN left(lower(p_name), length(p_name) - 1)
+      |           ELSE lower(p_name || ' ' || p_type) END AS test_title
+      |         FROM part),
+      |scored AS (
+      |  SELECT m.master_title, t.test_title,
+      |    CAST(levenshtein(m.master_title, t.test_title) AS BIGINT) AS lev,
+      |    ROUND(100.0 * (1.0 - CAST(levenshtein(m.master_title, t.test_title) AS DOUBLE)
+      |          / (length(m.master_title) + length(t.test_title))), 4) AS ratio
+      |  FROM master m CROSS JOIN test t)
+      |SELECT master_title, test_title, lev, ratio FROM scored WHERE ratio >= 95.0""".stripMargin) { (s, d) =>
+    val part = Tables.part(s, d)
+    val master = part.filter(col("p_partkey") % 4 === 0)
+      .select(lower(col("p_name")).as("master_title")).distinct()
+      .withColumn("bucket", floor(length(col("master_title")) / W))
+    val test = part.select(
+        when(col("p_partkey") % 10 === 1, lower(col("p_name")))
+          .when(col("p_partkey") % 2 === 0,
+            lower(col("p_name")).substr(lit(1), length(col("p_name")) - 1))
+          .otherwise(lower(concat(col("p_name"), lit(" "), col("p_type"))))
+          .as("test_title")).distinct()
+      .withColumn("lt", length(col("test_title")))
+      .withColumn("d", floor(col("lt") * 11 / 100) + 1)
+      .withColumn("bucket",
+        explode(sequence(floor((col("lt") - col("d")) / W), floor((col("lt") + col("d")) / W))))
+    master.join(test, Seq("bucket"))
+      .withColumn("lev", levenshtein(col("master_title"), col("test_title")).cast("long"))
+      .withColumn("ratio", round(lit(100.0) * (lit(1.0) - col("lev").cast("double") /
+        (length(col("master_title")) + col("lt"))), 4))
+      .filter(col("ratio") >= 95.0)
+      .select("master_title", "test_title", "lev", "ratio")
+  }
+
   // ---------------------------------------------------------------- A21
   /** Regex text-normalization pipeline.
     * Reference: clean_text_column (wc_block2_helpers.py:101-128) — strip,
@@ -145,5 +200,5 @@ object Matching {
       length(cleaned).cast("long").as("clean_len"))
   }
 
-  val queries: Seq[Q] = Seq(q10, q11, q21)
+  val queries: Seq[Q] = Seq(q10, q11, q21, q25)
 }

@@ -322,5 +322,80 @@ object RelationalCore {
         coalesce(col("c_nationkey").cast("long"), lit(-1L)).as("nation_key"))
   }
 
-  val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09)
+  // ---------------------------------------------------------------- A26
+  /** Bundle revenue-share attribution. Reference: dw5_order_royalty_fact.py:
+    * 375-408 — each line item is joined to its PARENT bundle row ("Bundled
+    * By" → unique bundle totals) and `Revenue_Share_Book/NonBook × Order Line
+    * Total_y` is attributed under an np.select guard (bundle rows themselves
+    * get 0). Here each multi-line order plays the bundle: line 1 is the
+    * bundle row, the other lines are its components ("book" when l_partkey is
+    * even, else "merch"); books carry weight 2, merch weight 1, and each
+    * component receives share = weight/Σweights of the bundle row's net
+    * total — so the bundle's revenue is conserved across its components
+    * (proved by BundleConservationSpec).
+    *
+    * Scale: the parent lookup and the weight sum are both equi-keyed on
+    * l_orderkey — the same shuffle key as the detail rows, so AQE reuses one
+    * exchange; the weight aggregation is partial-agg friendly; no windows,
+    * no collect. */
+  val q26 = Q(
+    "q26_bundle_attribution",
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey,
+      |    CAST(ROUND((l_extendedprice*(1-l_discount))*1000000) AS BIGINT) AS net_micros,
+      |    CASE WHEN l_linenumber = 1 THEN 'bundle'
+      |         WHEN l_partkey % 2 = 0 THEN 'book' ELSE 'merch' END AS category
+      |  FROM lineitem),
+      |parent AS (SELECT l_orderkey, MIN(net_micros) AS total_micros
+      |           FROM li WHERE l_linenumber = 1 GROUP BY l_orderkey),
+      |wsum AS (SELECT l_orderkey,
+      |    CAST(SUM(CASE WHEN l_partkey % 2 = 0 THEN 2 ELSE 1 END) AS BIGINT) AS total_weight
+      |  FROM li WHERE l_linenumber > 1 GROUP BY l_orderkey)
+      |SELECT li.l_orderkey AS order_key, li.l_linenumber AS line_number, li.category,
+      |  CASE WHEN li.category = 'bundle' THEN CAST(0 AS DOUBLE)
+      |       ELSE ROUND((CASE WHEN li.category = 'book' THEN CAST(2 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END) / w.total_weight, 6) END AS share,
+      |  CASE WHEN li.category = 'bundle' OR p.l_orderkey IS NULL THEN CAST(0 AS DOUBLE)
+      |       ELSE CAST((p.total_micros * (CASE WHEN li.category = 'book' THEN 2 ELSE 1 END)) // (w.total_weight * 100) AS BIGINT)/10000.0 END AS attributed
+      |FROM li
+      |LEFT JOIN parent p ON li.l_orderkey = p.l_orderkey
+      |LEFT JOIN wsum w ON li.l_orderkey = w.l_orderkey""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      micros(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_micros"),
+      when(col("l_linenumber") === 1, "bundle")
+        .when(col("l_partkey") % 2 === 0, "book")
+        .otherwise("merch").as("category"))
+    // The reference dedups its bundle lookup before joining
+    // (unique_bundles = drop_duplicates(subset=['Bundle ID'])) — and the
+    // synthetic lineitem does repeat (orderkey, linenumber) pairs, so the
+    // parent table must be unique per order or the join fans out. MIN makes
+    // the survivor deterministic (content-addressed keep-first).
+    val parent = li.filter(col("l_linenumber") === 1)
+      .groupBy("l_orderkey")
+      .agg(min(col("net_micros")).as("total_micros"))
+    val wsum = li.filter(col("l_linenumber") > 1)
+      .groupBy("l_orderkey")
+      .agg(sum(when(col("l_partkey") % 2 === 0, 2L).otherwise(1L)).as("total_weight"))
+    val weight = when(col("category") === "book", 2L).otherwise(1L)
+    // Attribution stays in integer micro-units with floor division — the
+    // numerator (micros × weight) is far below 2^53, and the quotient's
+    // distance to any wrong integer is >= 1/divisor >> one ulp, so
+    // floor(double-division) is bit-exact in both engines. A double
+    // `round(share*total, 4)` lands on 4-dp midpoints where engine rounding
+    // modes disagree.
+    val attributed = floor((col("total_micros") * weight).cast("double") /
+      (col("total_weight") * 100)).cast("long") / 10000.0
+    val share = round(weight.cast("double") / col("total_weight"), 6)
+    li.join(parent, Seq("l_orderkey"), "left")
+      .join(wsum, Seq("l_orderkey"), "left")
+      .select(
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_number"),
+        col("category"),
+        when(col("category") === "bundle", 0.0).otherwise(share).as("share"),
+        when(col("category") === "bundle" || col("total_micros").isNull, 0.0)
+          .otherwise(attributed).as("attributed"))
+  }
+
+  val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q26)
 }
