@@ -1,5 +1,7 @@
 package graft.etl
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -49,11 +51,28 @@ object Matching {
     val test = part
       .select(lower(concat(col("p_name"), lit(" "), col("p_type"))).as("test_title")).distinct()
       .withColumn("ta", array_distinct(split(col("test_title"), " ")))
-    // Inverted index: candidate pairs share >=1 token (implied by jaccard>=0.5).
-    val mTok = master.select(col("master_title"), col("ma"), explode(col("ma")).as("tok"))
-    val tTok = test.select(col("test_title"), col("ta"), explode(col("ta")).as("tok"))
-    mTok.join(tTok, "tok")
-      .select(col("master_title"), col("test_title"), col("ma"), col("ta"))
+    // PPJoin prefix-filtered inverted index (Xiao et al., WWW'08): order every
+    // token set by one global canonical order (df ASC, token ASC — rare
+    // tokens first) and index only each title's first |x|-⌈t·|x|⌉+1 tokens.
+    // Any pair with J >= t must share a token inside BOTH prefixes, so the
+    // candidate equi-join is lossless while an ultra-common token ("the", a
+    // publisher name) stops being a df² hot key — its occurrences past the
+    // prefix boundary are never indexed. MatchingEquivalenceSpec proves
+    // output equality with brute force.
+    val mTok = master.select(col("master_title").as("title"), col("ma").as("arr"),
+      explode(col("ma")).as("tok"))
+    val tTok = test.select(col("test_title").as("title"), col("ta").as("arr"),
+      explode(col("ta")).as("tok"))
+    val dfTab = mTok.select("title", "tok").union(tTok.select("title", "tok"))
+      .distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    def prefix(tok: DataFrame): DataFrame = {
+      val wOrd = Window.partitionBy("title").orderBy(col("df"), col("tok"))
+      tok.join(dfTab, "tok")
+        .withColumn("rn", row_number().over(wOrd))
+        .filter(col("rn") <= size(col("arr")) - ceil(size(col("arr")) * 0.5) + 1)
+    }
+    prefix(mTok).select(col("title").as("master_title"), col("arr").as("ma"), col("tok"))
+      .join(prefix(tTok).select(col("title").as("test_title"), col("arr").as("ta"), col("tok")), "tok")
       .dropDuplicates("master_title", "test_title")
       .withColumn("jaccard",
         round(size(array_intersect(col("ma"), col("ta"))).cast("double") /
@@ -114,11 +133,35 @@ object Matching {
         (col("cnt") * (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0))).as("w"))
       .localCheckpoint()
     val norms = w.groupBy("title").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    // Cosine prefix filter (Bayardo et al., "Scaling Up All Pairs Similarity
+    // Search", WWW'07): order tokens by the global canonical order (df ASC,
+    // tok ASC) and keep, per title, only tokens where the L2 norm of the
+    // NORMALIZED suffix starting at that token is >= t. If two titles share
+    // no token inside both prefixes, their smallest-order shared token sits
+    // in a suffix of norm < t on one side, so cos <= ||suffix|| < t — the
+    // candidate equi-join on prefix tokens is lossless. The margin below t
+    // absorbs the 6-dp output rounding plus double noise. The full dot
+    // product is then computed per CANDIDATE pair over all shared tokens, so
+    // an ultra-common token never becomes a df² shuffle key.
+    val wSuf = Window.partitionBy("title").orderBy(col("df"), col("tok"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pref = w.join(dfTab, "tok").join(norms, "title")
+      .withColumn("wn", col("w") / col("nrm"))
+      .withColumn("sufsq", sum(col("wn") * col("wn")).over(wSuf))
+      .filter(sqrt(col("sufsq")) >= lit(0.7 - 2e-6))
+      .select("title", "tok")
     val wm = w.join(master, Seq("title"), "left_semi")
       .select(col("title").as("master_title"), col("tok"), col("w").as("wm"))
     val wt = w.join(test, Seq("title"), "left_semi")
       .select(col("title").as("test_title"), col("tok"), col("w").as("wt"))
-    wm.join(wt, "tok")
+    val cand = pref.join(master, Seq("title"), "left_semi")
+      .select(col("title").as("master_title"), col("tok"))
+      .join(pref.join(test, Seq("title"), "left_semi")
+        .select(col("title").as("test_title"), col("tok")), "tok")
+      .select("master_title", "test_title").distinct()
+    cand
+      .join(wm, "master_title")
+      .join(wt, Seq("test_title", "tok"))
       .groupBy("master_title", "test_title")
       .agg(sum(col("wm") * col("wt")).as("dot"))
       .join(norms.select(col("title").as("master_title"), col("nrm").as("nm")), "master_title")
