@@ -243,5 +243,44 @@ object Matching {
       length(cleaned).cast("long").as("clean_len"))
   }
 
-  val queries: Seq[Q] = Seq(q10, q11, q21, q25)
+  // ---------------------------------------------------------------- A29
+  /** Ordered phrase-removal cleaning — the step that makes the reference's
+    * fuzzy matching work on real data: dw4_book_dim.py:110-131 chains
+    * str.replace calls in a FIXED order (multi-word phrases first
+    * — 'digital only // out of print' — then word replacements ' the | and ',
+    * then a char/phrase removal class, then whitespace collapse + strip).
+    * Order is semantic: removing the single word 'scan' before the phrase
+    * 'table scan' would leave a dangling 'table'. Mirrored here over the
+    * documents corpus with corpus-relevant phrases; each step is one
+    * codegen'd regexp_replace, single-pass, no shuffle — the DuckDB oracle
+    * encodes the identical ordered chain. */
+  val q29 = Q(
+    "q29_phrase_clean",
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |    'table scan', ' ', 'g'),
+      |    '\s+\b(the|and)\b\s+', ' ', 'g'),
+      |    'scan|batch|[():]', '', 'g'),
+      |    '\s+', ' ', 'g')) AS phrase_clean,
+      |  CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |    'table scan', ' ', 'g'),
+      |    '\s+\b(the|and)\b\s+', ' ', 'g'),
+      |    'scan|batch|[():]', '', 'g'),
+      |    '\s+', ' ', 'g'))) AS BIGINT) AS clean_len
+      |FROM documents""".stripMargin) { (s, d) =>
+    val cleaned = trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(col("text")), "table scan", " "),
+            "\\s+\\b(the|and)\\b\\s+", " "),
+          "scan|batch|[():]", ""),
+        "\\s+", " "))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      cleaned.as("phrase_clean"),
+      length(cleaned).cast("long").as("clean_len"))
+  }
+
+  val queries: Seq[Q] = Seq(q10, q11, q21, q25, q29)
 }

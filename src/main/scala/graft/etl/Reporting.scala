@@ -109,5 +109,57 @@ object Reporting {
         count(lit(1)).as("n_parts"))
   }
 
-  val queries: Seq[Q] = Seq(q12, q15, q16, q17)
+  // ---------------------------------------------------------------- A27
+  /** Approximate-percentile companion to q17 — the 100 TB default path.
+    * Exact per-group `percentile()` buffers every value of a group in one
+    * aggregation buffer (OOM-shaped for a hot group); `percentile_approx`
+    * is a bounded-memory Greenwald-Khanna summary that partial-aggregates
+    * map-side. Contract: q17 stays the oracle-checked EXACT variant; this
+    * query is tolerance-gated — it emits the exact median (hash-compared
+    * cross-engine) plus a within-tolerance flag for the sketch, computed on
+    * the Spark side and asserted true by the oracle: a drifting sketch flips
+    * the flag and fails the hash compare. */
+  val q27 = Q(
+    "q27_approx_percentiles",
+    """SELECT p_brand,
+      |  ROUND(quantile_cont(p_retailprice, 0.5), 4) AS p50_exact,
+      |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  TRUE AS p50_within_tol
+      |FROM part GROUP BY p_brand""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(
+        round(expr("percentile(p_retailprice, 0.5)"), 4).as("p50_exact"),
+        count(lit(1)).as("n_parts"),
+        expr("percentile_approx(p_retailprice, 0.5, 10000)").as("p50_approx"),
+        (max(col("p_retailprice")) - min(col("p_retailprice"))).as("rng"))
+      .select(col("p_brand"), col("p50_exact"), col("n_parts"),
+        (abs(col("p50_approx") - col("p50_exact")) <= col("rng") * 0.05 + lit(1e-6))
+          .as("p50_within_tol"))
+  }
+
+  // ---------------------------------------------------------------- A28
+  /** Approximate-distinct companion to q08/q20's countDistinct — HyperLogLog++
+    * partial-aggregates in O(1) memory per group where COUNT(DISTINCT) must
+    * shuffle every distinct key. Same tolerance-oracle contract as q27: the
+    * exact count is hash-compared, the sketch is gated by a Spark-side flag
+    * the oracle asserts true (rsd 2%, gate at 15%+5 — generous but a real
+    * failure detector for a broken sketch). */
+  val q28 = Q(
+    "q28_approx_distinct",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust_exact,
+      |  TRUE AS within_tol
+      |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust_exact"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("n_approx"))
+      .select(col("month"), col("n_cust_exact"),
+        (abs(col("n_approx") - col("n_cust_exact")) <= col("n_cust_exact") * 0.15 + lit(5))
+          .as("within_tol"))
+  }
+
+  val queries: Seq[Q] = Seq(q12, q15, q16, q17, q27, q28)
 }
