@@ -59,21 +59,27 @@ object Matching {
     // publisher name) stops being a df² hot key — its occurrences past the
     // prefix boundary are never indexed. MatchingEquivalenceSpec proves
     // output equality with brute force.
-    val mTok = master.select(col("master_title").as("title"), col("ma").as("arr"),
-      explode(col("ma")).as("tok"))
-    val tTok = test.select(col("test_title").as("title"), col("ta").as("arr"),
-      explode(col("ta")).as("tok"))
-    val dfTab = mTok.select("title", "tok").union(tTok.select("title", "tok"))
-      .distinct().groupBy("tok").agg(count(lit(1)).as("df"))
-    def prefix(tok: DataFrame): DataFrame = {
-      val wOrd = Window.partitionBy("title").orderBy(col("df"), col("tok"))
-      tok.join(dfTab, "tok")
-        .withColumn("rn", row_number().over(wOrd))
-        .filter(col("rn") <= size(col("arr")) - ceil(size(col("arr")) * 0.5) + 1)
-    }
-    prefix(mTok).select(col("title").as("master_title"), col("arr").as("ma"), col("tok"))
-      .join(prefix(tTok).select(col("title").as("test_title"), col("arr").as("ta"), col("tok")), "tok")
-      .dropDuplicates("master_title", "test_title")
+    // One tagged token table → ONE df aggregation and ONE prefix window pass
+    // (a per-side prefix() helper would duplicate the df subtree in the
+    // plan); candidate dedup runs on the bare string pair (hash aggregate),
+    // and the token arrays join back per candidate for the verify step.
+    val toks = master.select(col("master_title").as("title"), col("ma").as("arr"),
+        lit(true).as("is_m"))
+      .union(test.select(col("test_title"), col("ta"), lit(false)))
+      .select(col("title"), col("is_m"), col("arr"), explode(col("arr")).as("tok"))
+    val dfTab = toks.select("title", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy("title", "is_m").orderBy(col("df"), col("tok"))
+    val pref = toks.join(dfTab, "tok")
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") <= size(col("arr")) - ceil(size(col("arr")) * 0.5) + 1)
+      .select("title", "is_m", "tok")
+    val cand = pref.filter(col("is_m")).select(col("title").as("master_title"), col("tok"))
+      .join(pref.filter(!col("is_m")).select(col("title").as("test_title"), col("tok")), "tok")
+      .select("master_title", "test_title").distinct()
+    cand
+      .join(master, "master_title")
+      .join(test, "test_title")
       .withColumn("jaccard",
         round(size(array_intersect(col("ma"), col("ta"))).cast("double") /
               size(array_union(col("ma"), col("ta"))).cast("double"), 6))

@@ -108,22 +108,88 @@ object Dedup {
       |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin)(
     lshPairs)
 
+  /** Distributed connected components via the large-star/small-star
+    * alternation of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" (SoCC'14). Input: undirected edges (id_a, id_b); output one row
+    * per node touching an edge: (doc_id, cluster_id = component minimum,
+    * is_canonical = owns the label).
+    *
+    * Each round is two join+partial-agg shuffles keyed on the node id:
+    *   large-star: every node links its LARGER neighbors to the minimum of
+    *     its neighborhood (incl. itself);
+    *   small-star: every node links its smaller-or-equal neighbors (and
+    *     itself) to that minimum.
+    * The alternation provably converges in O(log² n) rounds REGARDLESS of
+    * component diameter — a 10⁹-node chain takes ~30 rounds where min-label
+    * propagation needs 10⁹ — to a star forest whose centers are the
+    * component minima. Convergence is detected exactly (set equality via
+    * anti-joins), never by an iteration cap; a cap remains only as a
+    * runaway backstop far above the log² bound.
+    * ConnectedComponentsSpec checks the result against driver-side
+    * union-find on random graphs and on chain graphs of diameter ≫ the old
+    * propagation cap. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // Canonical undirected representation: (lo, hi), lo < hi.
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("u"), col("v")).as("lo"), greatest(col("u"), col("v")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    // Both directions, for neighborhood grouping.
+    def bidir(e: DataFrame): DataFrame = e
+      .select(col("lo").as("u"), col("hi").as("v"))
+      .union(e.select(col("hi").as("u"), col("lo").as("v")))
+
+    val spark = pairs.sparkSession
+    import spark.implicits.StringToColumn
+
+    var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+      .localCheckpoint()
+    var converged = edges.isEmpty
+    var iter = 0
+    val maxIters = 64 // runaway backstop only; log²(n) ≪ this for any real n
+    while (!converged && iter < maxIters) {
+      val adj = bidir(edges)
+      // m(u) = min over the neighborhood of u, including u itself.
+      val nbrMin = adj.groupBy($"u").agg(least(min($"v"), $"u").as("m"))
+      // large-star: (v, m(u)) for every neighbor v > u.
+      val large = canon(adj.join(nbrMin, "u").filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v")))
+      val adj2 = bidir(large)
+      val nbrMin2 = adj2.groupBy($"u").agg(least(min($"v"), $"u").as("m"))
+      // small-star: (v, m(u)) for every neighbor v <= u, plus (u, m(u)).
+      val small = canon(
+        adj2.join(nbrMin2, "u").filter($"v" <= $"u").select($"v".as("u"), $"m".as("v"))
+          .union(nbrMin2.select($"u", $"m".as("v"))))
+        .localCheckpoint()
+      // Exact set-equality convergence — no checksum collisions, no cap exit.
+      converged = small.join(edges, Seq("lo", "hi"), "left_anti").isEmpty &&
+        edges.join(small, Seq("lo", "hi"), "left_anti").isEmpty
+      edges = small
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters star rounds — " +
+          "input exceeds any plausible log² bound; investigate the edge set")
+    // Converged: a star forest of (center=lo, satellite=hi) pairs.
+    val nodes = bidir(edges).select($"u".as("doc_id")).distinct()
+    nodes.join(edges.select($"hi".as("doc_id"), $"lo".as("ctr")), Seq("doc_id"), "left")
+      .groupBy($"doc_id")
+      .agg(coalesce(min($"ctr"), first($"doc_id")).as("cluster_id"))
+      .select($"doc_id", $"cluster_id", ($"doc_id" === $"cluster_id").as("is_canonical"))
+  }
+
   // ---------------------------------------------------------------- B6
   /** Near-dup CLUSTER formation: connected components over the LSH-verified
-    * pair graph via iterative min-label propagation — each doc's cluster_id
-    * converges to the smallest doc_id reachable through near-dup edges, and
-    * the canonical survivor is the doc that owns the label. This is the step
-    * that turns pairwise dedup signals into a keep/drop decision for a
-    * training corpus.
+    * pair graph — each doc's cluster_id is the smallest doc_id reachable
+    * through near-dup edges, and the canonical survivor is the doc that owns
+    * the label. This is the step that turns pairwise dedup signals into a
+    * keep/drop decision for a training corpus.
     *
-    * Scale: every iteration is one equi-join + partial-agg shuffle keyed on
-    * doc_id (never a collect); iterations are bounded by component diameter
-    * (small for near-dup blobs, which are dense); lineage is cut per round
-    * with localCheckpoint so plans stay O(1). For planet-scale graphs swap
-    * the loop body for the large-star/small-star alternation of Kiveris et
-    * al., "Connected Components in MapReduce and Beyond" (SoCC'14) — same
-    * per-round join shape, provably logarithmic rounds.
-    * The DuckDB oracle computes the same fixpoint with a recursive CTE. */
+    * Engine: the [[connectedComponents]] large/small-star alternation —
+    * logarithmic rounds independent of component diameter, every round a
+    * pair of equi-join + partial-agg shuffles keyed on node id, lineage cut
+    * per round with localCheckpoint. The DuckDB oracle computes the same
+    * fixpoint with a recursive CTE. */
   val dd06 = Q(
     "dd06_dup_clusters",
     s"""WITH RECURSIVE $lshScoredSql,
@@ -138,44 +204,7 @@ object Dedup {
       |labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
       |SELECT id AS doc_id, comp AS cluster_id, id = comp AS is_canonical
       |FROM labels""".stripMargin) { (s, d) =>
-    val pairs = lshPairs(s, d).select("id_a", "id_b")
-    val edges = pairs
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
-    // Labels only ever decrease, so sum(comp) is a monotone convergence
-    // metric — one lightweight agg per round instead of a change-count join.
-    // coalesce(.., 0): a dedup-free corpus has zero edges and an empty label
-    // table, whose sum() is NULL — the query must return 0 rows, not NPE.
-    def compSum(): Long =
-      labels.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
-    var prevSum = compSum()
-    var converged = false
-    var iter = 0
-    val maxIters = 50
-    while (!converged && iter < maxIters) {
-      val neighborMin = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst").as("nid")).agg(min(col("comp")).as("ncomp"))
-      labels = labels.join(neighborMin, labels("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      val curSum = compSum()
-      converged = curSum == prevSum
-      prevSum = curSum
-      iter += 1
-    }
-    edges.unpersist()
-    // Silent cap-exit would return split (wrong) clusters while the oracle
-    // computes the true fixpoint — fail loudly instead. Components of
-    // diameter > 50 need the large/small-star alternation cited above.
-    if (!converged)
-      throw new IllegalStateException(
-        s"dd06 label propagation did not converge in $maxIters rounds; " +
-          "component diameter exceeds the cap — use large-star/small-star")
-    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"),
-      (col("id") === col("comp")).as("is_canonical"))
+    connectedComponents(lshPairs(s, d).select("id_a", "id_b"))
   }
 
   // ---------------------------------------------------------------- B3
@@ -233,13 +262,17 @@ object Dedup {
     val tok = docsClean(s, d).select(col("doc_id"), explode(tokens(col("c"))).as("t"))
     val tc = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
     val th = tc.select(col("doc_id"), col("cnt"), charHash(col("t")).as("h"))
-    val bits = th.select(col("doc_id"), col("cnt"), col("h"),
-      explode(sequence(lit(0), lit(23))).as("b"))
-    val contrib = bits.groupBy("doc_id", "b").agg(
-      sum(when((col("h") / pow(lit(2), col("b")).cast("long")).cast("long") % 2 === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as("w"))
-    val fp = contrib.groupBy("doc_id").agg(
-      sum(when(col("w") > 0, pow(lit(2), col("b")).cast("long")).otherwise(0L)).cast("long").as("fingerprint"))
+    // 24 conditional aggregates in ONE hash aggregate keyed on doc_id — the
+    // oracle's unnest(range(0,24)) formulation as a row explosion would put
+    // 24× the corpus through an extra shuffle; per-bit columns partial-agg
+    // map-side and never widen the row count.
+    val bitAggs = (0 until 24).map { b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, col("cnt")).otherwise(-col("cnt"))).as(s"w$b")
+    }
+    val fp = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 24).map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("fingerprint"))
     simhashPairs(fp).select("id_a", "id_b", "fp_a", "fp_b", "hamming")
   }
 
