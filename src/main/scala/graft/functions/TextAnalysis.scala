@@ -175,5 +175,30 @@ object TextAnalysis {
         round(col("distinct_tokens").cast("double") / col("n_tokens").cast("double"), 6).as("distinct_ratio"))
   }
 
-  val queries: Seq[Q] = Seq(tx01, tx02, tx03, tx04, tx05)
+  // ---------------------------------------------------------------- D6
+  /** Deterministic stratified sampling — the domain-mixing workhorse of a
+    * training-data pipeline: each source gets a target rate and membership is
+    * decided by an explicit content hash of the doc id, NOT rand(). That
+    * makes the sample (a) reproducible run-to-run and engine-to-engine,
+    * (b) stable under corpus growth (a doc's keep/drop never flips when
+    * other docs arrive), and (c) a pure narrow single-pass filter — no
+    * shuffle, no state, survives any scan size. Rates here: sources hashing
+    * even keep 20%, odd keep 60% (basis points of the hash bucket). */
+  val tx06 = Q(
+    "tx06_sample_stratified",
+    s"""WITH doc AS (SELECT doc_id, source,
+      |  ${charHashSql("'smp:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket,
+      |  CAST(CASE WHEN ${charHashSql("source")} % 2 = 0 THEN 2000 ELSE 6000 END AS BIGINT) AS rate_bp
+      |FROM documents)
+      |SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket, rate_bp
+      |FROM doc WHERE bucket < rate_bp""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (charHash(concat(lit("smp:"), col("doc_id").cast("string"))) % 10000).as("bucket"),
+        when(charHash(col("source")) % 2 === 0, 2000L).otherwise(6000L).as("rate_bp"))
+      .filter(col("bucket") < col("rate_bp"))
+      .select(col("doc_id"), col("source"), col("bucket").cast("long").as("bucket"), col("rate_bp"))
+  }
+
+  val queries: Seq[Q] = Seq(tx01, tx02, tx03, tx04, tx05, tx06)
 }
