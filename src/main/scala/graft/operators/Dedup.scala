@@ -218,19 +218,28 @@ object Dedup {
     * Scale: 5× index fan-out, candidates bounded by per-block bucket size —
     * never all-pairs. */
   private[graft] def simhashPairs(fp: DataFrame): DataFrame = {
+    def blockVal(c: Column, j: Int): Column =
+      if (j < 4) shiftright(c, 5 * j) % 32 else shiftright(c, 20)
     val blocks = fp.select(col("doc_id"), col("fingerprint"),
-      posexplode(array(
-        col("fingerprint") % 32,
-        shiftright(col("fingerprint"), 5) % 32,
-        shiftright(col("fingerprint"), 10) % 32,
-        shiftright(col("fingerprint"), 15) % 32,
-        shiftright(col("fingerprint"), 20))).as(Seq("bi", "bv")))
+      posexplode(array((0 until 5).map(j => blockVal(col("fingerprint"), j)): _*))
+        .as(Seq("bi", "bv")))
     val a = blocks.select(col("doc_id").as("id_a"), col("fingerprint").as("fp_a"), col("bi"), col("bv"))
     val b = blocks.select(col("doc_id").as("id_b"), col("fingerprint").as("fp_b"), col("bi"), col("bv"))
+    // A pair sharing k blocks would surface k times; keep it only where it
+    // FIRST matches (every earlier block differs) — a scalar predicate on
+    // the two fingerprints, replacing a full shuffle-distinct of the
+    // candidate set.
+    val firstMatch = (0 until 5).foldLeft(lit(false)) { (acc, j) =>
+      when(col("bi") === j,
+        (0 until j).map(k => blockVal(col("fp_a"), k) =!= blockVal(col("fp_b"), k))
+          .foldLeft(lit(true))(_ && _))
+        .otherwise(acc)
+    }
     a.join(b, Seq("bi", "bv")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+      .filter(firstMatch)
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= 4)
+      .select("id_a", "id_b", "fp_a", "fp_b", "hamming")
   }
 
   /** SimHash: 24-bit weighted-bit fingerprint over token hashes; pigeonhole
