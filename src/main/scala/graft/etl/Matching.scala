@@ -193,7 +193,19 @@ object Matching {
     * and the candidate build is an equi-join on the bucket. The bound is
     * lossless: d = floor(0.11*len)+1 > 2/19*len covers every admissible
     * length difference. The DuckDB oracle keeps the naive cross join as an
-    * independent spec of the semantics. */
+    * independent spec of the semantics.
+    *
+    * Skew note: length buckets are LOW-cardinality keys, so a corpus whose
+    * titles concentrate on few lengths pairs up within those buckets. The
+    * content-keyed refinement is chunk pigeonholing (PartEnum, Arasu et al.
+    * VLDB'06 / Ed-Join, Xiao et al. VLDB'08): split each master into k+1
+    * disjoint chunks (k = max admissible edits); a qualifying pair must
+    * contain one chunk verbatim within a ±k position window, making the
+    * join key a substring (high-cardinality) at ~80× index fan-out. Same
+    * trade dd04's PPJoin option measures empirically (ngramJaccardPairs:
+    * content-keyed candidates cost a second verify join and lose 4× on this
+    * corpus) — bucket blocking is the right default here, the chunk scheme
+    * the documented swap for length-concentrated corpora. */
   private val W = 4 // length-bucket width
   val q25 = Q(
     "q25_fuzzy_ratio",

@@ -286,46 +286,82 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- B4
-  /** Pairwise n-gram Jaccard near-dup via an inverted-index join: explode
-    * distinct shingles, self-equi-join on the shingle, and COUNT shared
-    * shingles per pair — |A∩B| — so J = inter/(|A|+|B|-inter) falls out of a
-    * hash aggregate. No per-pair array intersection, no cross join; the
-    * whole plan is codegen hash joins/aggs keyed on the shingle and the pair.
-    * A lossless size-ratio bound (J>=0.5 ⇒ min>=max/2) prunes inside the
-    * join. The DuckDB oracle is the naive O(n²) cross join with true
-    * list_intersect — an independent spec of the same semantics.
-    * Scale path: the shingle is the shuffle key; df-capped or prefix-filtered
-    * (PPJoin, Xiao et al., WWW'08) shingle sets bound fan-out if a corpus has
-    * ultra-frequent shingles (boilerplate); here max df is small, so the
-    * plain inverted index is both exact and fastest. */
-  val dd04 = Q(
-    "dd04_ngram_jaccard",
-    s"""WITH $docShinglesSql,
-      |scored AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |                  ${jaccardSql("a.shs", "b.shs")} AS jaccard
-      |           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin) { (s, d) =>
+  /** n-gram Jaccard pair scoring, two selectable candidate plans — measured
+    * on this corpus, reasoned for 100 TB:
+    *
+    * `prefixFilter = false` (default): explode distinct shingles,
+    * self-equi-join on the shingle, COUNT shared shingles per pair — |A∩B| —
+    * so J = inter/(|A|+|B|-inter) falls out of one hash aggregate. No
+    * per-pair array intersection, no cross join; `shuffle_hash` makes the
+    * second exploded side a ReusedExchange (the corpus is shingled once).
+    * Fastest when shingle document frequencies are modest, which is the
+    * common case after boilerplate stripping.
+    *
+    * `prefixFilter = true`: PPJoin (Xiao et al., WWW'08) — shingles ordered
+    * by (df ASC, shingle ASC); only each doc's first |x|-⌈t·|x|⌉+1 shingles
+    * are indexed (a J>=0.5 pair must share a shingle inside BOTH prefixes —
+    * lossless); candidates then re-join the full index for the COUNT. This
+    * bounds fan-out when a boilerplate shingle is shared by a large corpus
+    * fraction (the df² hot-key case) at the price of a second verify join —
+    * measured ~4× slower on THIS corpus (whose near-dup density makes the
+    * candidate set large either way), which is why it is the documented
+    * swap-in rather than the default. DedupEquivalenceSpec proves BOTH
+    * plans equal brute force on planted corpora.
+    *
+    * Both prune with the lossless size-ratio bound (J>=0.5 ⇒ min>=max/2). */
+  private[graft] def ngramJaccardPairs(s: SparkSession, d: String,
+      prefixFilter: Boolean): DataFrame = {
     // explode_outer: plain explode pushes a `size(shs)>0` filter below the
     // projection chain, recomputing the regex+shingle expression per row;
     // shingle arrays are never empty (shingles3 falls back to [c]), so the
     // outer variant is semantics-identical and keeps the pipeline single-pass.
     val shx = docShingles(s, d).withColumn("sz", size(col("shs")))
       .select(col("doc_id"), col("sz"), explode_outer(col("shs")).as("tok"))
-    // shuffle_hash (not broadcast): both sides shuffle on tok, so Catalyst
-    // plans the second side as a ReusedExchange — the corpus is shingled
-    // ONCE. Also the only plan shape that survives when the corpus is 100 TB.
-    shx.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("tok"))
-      .join(shx.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("tok"))
-        .hint("shuffle_hash"), Seq("tok"))
-      .filter(col("id_a") < col("id_b") &&
-        least(col("sz_a"), col("sz_b")) * 2 >= greatest(col("sz_a"), col("sz_b")))
+    def score(pairs: DataFrame): DataFrame = pairs
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
+    val sizeRatio = col("id_a") < col("id_b") &&
+      least(col("sz_a"), col("sz_b")) * 2 >= greatest(col("sz_a"), col("sz_b"))
+    if (!prefixFilter) {
+      score(shx.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("tok"))
+        .join(shx.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("tok"))
+          .hint("shuffle_hash"), Seq("tok"))
+        .filter(sizeRatio))
+    } else {
+      val shc = shx.localCheckpoint() // feeds df table, prefix window, verify join
+      val dfT = shc.groupBy("tok").agg(count(lit(1)).as("df"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("df"), col("tok"))
+      val pref = shc.join(dfT, "tok")
+        .withColumn("rn", row_number().over(wOrd))
+        .filter(col("rn") <= col("sz") - ceil(col("sz") * 0.5) + 1)
+        .select("doc_id", "sz", "tok")
+      val cand = pref.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("tok"))
+        .join(pref.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("tok"))
+          .hint("shuffle_hash"), Seq("tok"))
+        .filter(sizeRatio)
+        .select("id_a", "id_b", "sz_a", "sz_b").distinct()
+      score(cand
+        .join(shc.select(col("doc_id").as("id_a"), col("tok")), Seq("id_a"))
+        .join(shc.select(col("doc_id").as("id_b"), col("tok")).hint("shuffle_hash"),
+          Seq("id_b", "tok")))
+    }
   }
+
+  /** See [[ngramJaccardPairs]]. The DuckDB oracle is the naive O(n²) cross
+    * join with true list_intersect — an independent spec of the semantics. */
+  val dd04 = Q(
+    "dd04_ngram_jaccard",
+    s"""WITH $docShinglesSql,
+      |scored AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |                  ${jaccardSql("a.shs", "b.shs")} AS jaccard
+      |           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin)(
+    ngramJaccardPairs(_, _, prefixFilter = false))
 
   // ---------------------------------------------------------------- B5
   /** Embedding-cosine near-dup, blocked by cluster label: the pairwise join

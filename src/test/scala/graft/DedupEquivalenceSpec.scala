@@ -44,10 +44,10 @@ class DedupEquivalenceSpec extends SparkSpec {
     dir
   }
 
-  for (seed <- Seq(1, 2, 3)) {
-    test(s"dd04 inverted-index == brute force on generated corpus (seed $seed)") {
+  for (seed <- Seq(1, 2, 3); prefix <- Seq(false, true)) {
+    test(s"dd04 inverted-index (prefixFilter=$prefix) == brute force (seed $seed)") {
       val dir = writeDocs(seed)
-      val fast = SparkEntry.queries("dd04_ngram_jaccard")(spark, dir)
+      val fast = operators.Dedup.ngramJaccardPairs(spark, dir, prefixFilter = prefix)
         .orderBy("id_a", "id_b")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
 
