@@ -1,0 +1,41 @@
+package graft
+
+/** Regression guards for the plan shapes the scale design promises — these
+  * encode review findings so a refactor cannot quietly reintroduce them:
+  * ann02's centroid assignment must stay a max_by aggregate (round 1 shipped
+  * it as a row_number window over the n×k candidate relation — a k-fold
+  * shuffle+sort of the corpus), and the fuzzy-match family must never plan a
+  * cartesian/nested-loop pair build. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("ann02 assigns centroids with max_by aggregation, not a window") {
+    val p = plan("ann02_ivf_topk")
+    assert(p.contains("max_by"), s"assignment must aggregate with max_by; plan:\n$p")
+    // Exactly one Window: the FINAL per-query top-k ranking. The assignment
+    // stage contributing a second one is the regression this spec guards.
+    val windows = "(?<!Group)Window(?!GroupLimit)".r.findAllIn(p).length
+    assert(windows == 1,
+      s"expected exactly the final ranking Window, found $windows; plan:\n$p")
+  }
+
+  test("fuzzy-match family plans no cartesian products") {
+    for (name <- Seq("q10_cross_join_match", "q11_tfidf_match", "q25_fuzzy_ratio")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop join:\n$p")
+    }
+  }
+
+  test("ann01 broadcasts the bounded query side for its exact scan") {
+    // The one intentional nested loop: brute-force baseline with the tiny
+    // query set broadcast. It must broadcast — a shuffled NL join would mean
+    // the hint was lost.
+    val p = plan("ann01_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+}
