@@ -175,6 +175,31 @@ object TextAnalysis {
         round(col("distinct_tokens").cast("double") / col("n_tokens").cast("double"), 6).as("distinct_ratio"))
   }
 
+  /** doc_id → the tx02 quality score, for operators that rank docs by
+    * quality (dd07 survivor selection). Same formula and 6-dp rounding as
+    * tx02's `quality` column; [[qualityScoreSql]] is the oracle mirror. */
+  private[graft] def qualityScore(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val c = clean(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_raw"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("n_alpha"),
+      size(split(c, " ")).cast("long").as("n_tokens"),
+      size(array_intersect(array_distinct(split(c, " ")), typedLit(stopEn))).cast("long").as("stop_hits"))
+      .select(col("doc_id"),
+        round(lit(0.4) * (col("n_alpha").cast("double") / col("n_raw").cast("double"))
+          + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / lit(50.0))
+          + lit(0.3) * (col("stop_hits").cast("double") / col("n_tokens").cast("double")), 6).as("quality"))
+  }
+
+  /** DuckDB mirror of [[qualityScore]] as a CTE body over `documents`. */
+  private[graft] val qualityScoreSql: String =
+    s"""SELECT doc_id,
+       |  ROUND(0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
+       |      + 0.3 * least(CAST(1.0 AS DOUBLE), CAST(len(string_split($cleanSql, ' ')) AS DOUBLE) / 50.0)
+       |      + 0.3 * (CAST(len(list_intersect(list_distinct(string_split($cleanSql, ' ')), ${sqlList(stopEn)})) AS DOUBLE) / CAST(len(string_split($cleanSql, ' ')) AS DOUBLE)), 6) AS quality
+       |FROM documents""".stripMargin
+
   // ---------------------------------------------------------------- D6
   /** Deterministic stratified sampling — the domain-mixing workhorse of a
     * training-data pipeline: each source gets a target rate and membership is

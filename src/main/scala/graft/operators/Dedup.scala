@@ -388,5 +388,46 @@ object Dedup {
       .select("id_a", "id_b", "label", "cos_sim")
   }
 
-  val queries: Seq[Q] = Seq(dd01, dd02, dd03, dd04, dd05, dd06)
+  // ---------------------------------------------------------------- B7
+  /** Survivor selection — the dedup endgame: within every near-dup cluster
+    * (dd06's connected components), KEEP the member with the best tx02
+    * quality score (tie-break lowest doc_id) and report the cluster size.
+    * This is the decision a training pipeline actually executes: one
+    * canonical document per duplicate set, chosen by content quality rather
+    * than arrival order.
+    *
+    * Scale: clusters ⋈ quality is an equi-join on doc_id; the survivor pick
+    * is a max_by hash aggregate keyed on cluster_id — partial-agg friendly,
+    * no window over the membership relation. */
+  val dd07 = Q(
+    "dd07_keep_best",
+    s"""WITH RECURSIVE $lshScoredSql,
+      |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, comp) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src),
+      |labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+      |quality AS (${graft.functions.TextAnalysis.qualityScoreSql}),
+      |ranked AS (SELECT l.comp AS cluster_id, l.id, q.quality,
+      |  row_number() OVER (PARTITION BY l.comp ORDER BY q.quality DESC, l.id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY l.comp) AS n_members
+      |FROM labels l JOIN quality q ON l.id = q.doc_id)
+      |SELECT cluster_id, id AS survivor_id, quality AS best_quality,
+      |  CAST(n_members AS BIGINT) AS n_members
+      |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
+    val clusters = connectedComponents(lshPairs(s, d).select("id_a", "id_b"))
+    clusters.join(graft.functions.TextAnalysis.qualityScore(s, d), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"), struct(col("quality"), (-col("doc_id")).as("tie"))).as("survivor_id"),
+        max(col("quality")).as("best_quality"),
+        count(lit(1)).as("n_members"))
+      .select("cluster_id", "survivor_id", "best_quality", "n_members")
+  }
+
+  val queries: Seq[Q] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07)
 }

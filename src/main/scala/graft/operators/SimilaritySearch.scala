@@ -115,6 +115,66 @@ object SimilaritySearch {
       .select(col("query_id"), col("neighbor_id"), col("cent_id").as("cell"), col("cos_sim"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- C4
+  /** Multi-probe IVF top-3: like ann02, but each QUERY probes its 2 best
+    * cells instead of 1 — the standard recall/cost knob for IVF indexes
+    * (a query near a cell boundary misses neighbors assigned to the
+    * adjacent cell; probing the runner-up cell recovers them at 2× the
+    * scan cost).
+    *
+    * Scale: corpus assignment is the same max_by hash aggregate as ann02
+    * (never a window over the n×k relation). The probe ranking DOES use a
+    * row_number window — over queries × centroids only, both bounded sides
+    * by construction, so the sorted relation never grows with the corpus.
+    * Each corpus vector lives in exactly one cell, so the two probe joins
+    * produce disjoint candidate sets — no pair dedup needed. */
+  val ann04 = Q(
+    "ann04_ivf_multiprobe",
+    s"""WITH n AS ($vecsSql),
+      |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+      |assign0 AS (
+      |  SELECT n.vec_id, n.v, n.nrm, cent.cent_id,
+      |    ROUND(${dotSql("n.v", "cent.cv")} / (n.nrm * cent.cn), 6) AS cos_c,
+      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY ROUND(${dotSql("n.v", "cent.cv")} / (n.nrm * cent.cn), 6) DESC, cent.cent_id) AS rn
+      |  FROM n CROSS JOIN cent),
+      |assigned AS (SELECT vec_id, v, nrm, cent_id FROM assign0 WHERE rn = 1),
+      |probes AS (SELECT vec_id, v, nrm, cent_id FROM assign0 WHERE rn <= 2 AND vec_id % 20 = 0),
+      |scored AS (
+      |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, p.cent_id AS cell,
+      |    ROUND(${dotSql("p.v", "a.v")} / (p.nrm * a.nrm), 6) AS cos_sim
+      |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id AND p.vec_id <> a.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cell, cos_sim,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      |FROM scored)
+      |SELECT query_id, neighbor_id, cell, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin) { (s, d) =>
+    val n = vecs(s, d)
+    val cent = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = n.crossJoin(broadcast(cent))
+      .withColumn("cos_c", cosine(col("v"), col("nrm"), col("cv"), col("cn")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cent_id"), col("v"), col("nrm")),
+        struct(col("cos_c"), (-col("cent_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"),
+        col("best.nrm").as("nrm"), col("best.cent_id").as("cent_id"))
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val probes = n.filter(col("vec_id") % 20 === 0)
+      .crossJoin(broadcast(cent))
+      .withColumn("cos_c", cosine(col("v"), col("nrm"), col("cv"), col("cn")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cent_id"))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probes.join(assigned.select(col("vec_id").as("neighbor_id"), col("v").as("av"),
+        col("nrm").as("an"), col("cent_id")), Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("av"), col("an")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cent_id").as("cell"), col("cos_sim"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- C3
   /** Random-hyperplane LSH buckets (SimHash-for-cosine, Charikar STOC'02):
     * 8 fixed ±1 hyperplanes hash every vector to an 8-bit bucket code; a
@@ -182,5 +242,5 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "bucket", "cos_sim", "rank")
   }
 
-  val queries: Seq[Q] = Seq(ann01, ann02, ann03)
+  val queries: Seq[Q] = Seq(ann01, ann02, ann03, ann04)
 }
