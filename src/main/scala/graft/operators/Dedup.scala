@@ -160,9 +160,12 @@ object Dedup {
         adj2.join(nbrMin2, "u").filter($"v" <= $"u").select($"v".as("u"), $"m".as("v"))
           .union(nbrMin2.select($"u", $"m".as("v"))))
         .localCheckpoint()
-      // Exact set-equality convergence — no checksum collisions, no cap exit.
-      converged = small.join(edges, Seq("lo", "hi"), "left_anti").isEmpty &&
-        edges.join(small, Seq("lo", "hi"), "left_anti").isEmpty
+      // Exact set-equality convergence in ONE job: both sides are distinct
+      // sets, so the edge sets differ iff some key appears exactly once in
+      // their union-all — no checksum collisions, no cap exit.
+      converged = small.unionAll(edges)
+        .groupBy("lo", "hi").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 1).isEmpty
       edges = small
       iter += 1
     }
