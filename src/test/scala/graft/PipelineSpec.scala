@@ -39,6 +39,33 @@ class PipelineSpec extends SparkSpec {
     assert(byMonth.agg(sum("count")).head.getLong(0) == nOrders)
   }
 
+  test("dim-match -> bundle-attribution flow (dw4 -> dw5 analog)") {
+    // dw4: fuzzy dim matching — the Levenshtein ratio match must agree with
+    // the token-set match wherever both fire, and neither may pair a title
+    // with itself-decorated garbage above threshold.
+    val ratio = SparkEntry.queries("q25_fuzzy_ratio")(spark, sfDir)
+    assert(ratio.count() > 0, "fuzzy ratio must find planted typo matches")
+    assert(ratio.filter(col("ratio") < 95.0).count() == 0)
+
+    // dw5: bundle attribution consumes the fact flow; spot-check the global
+    // invariant (per-order conservation is BundleConservationSpec's job):
+    // total attributed revenue equals the sum of bundle totals of orders
+    // that have at least one component line.
+    val attr = SparkEntry.queries("q26_bundle_attribution")(spark, sfDir)
+    val attributedTotal = attr.agg(sum("attributed")).head.getDouble(0)
+    import graft.functions.Exact.micros
+    val li = Tables.lineitem(spark, sfDir)
+    val withComponents = li.filter(col("l_linenumber") > 1)
+      .select(col("l_orderkey")).distinct()
+    val bundleTotal = li.filter(col("l_linenumber") === 1)
+      .groupBy("l_orderkey")
+      .agg((min(micros(col("l_extendedprice") * (lit(1) - col("l_discount")))) / 1e6).as("t"))
+      .join(withComponents, Seq("l_orderkey"), "left_semi")
+      .agg(sum("t")).head.getDouble(0)
+    assert(math.abs(attributedTotal - bundleTotal) < 1.0,
+      s"attributed=$attributedTotal vs bundles=$bundleTotal")
+  }
+
   test("dedup stage prunes the corpus to canonical docs only") {
     val docs = Tables.documents(spark, sfDir)
     val clusters = SparkEntry.queries("dd06_dup_clusters")(spark, sfDir)
