@@ -23,10 +23,12 @@ object Dedup {
   private val docsCleanSql =
     s"SELECT doc_id, n_chars, $cleanSql AS c FROM documents"
 
-  /** doc_id → distinct 3-word shingles. */
+  /** doc_id → distinct 3-word shingles (native single-pass expression —
+    * see [[graft.functions.WordShingles3]]; ShingleProperties proves it
+    * equals the declarative shingles3 ∘ tokens composition). */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     docsClean(s, d).select(col("doc_id"),
-      shingles3(tokens(col("c")), col("c")).as("shs"))
+      graft.functions.WordShingles3.shingles3(col("c")).as("shs"))
   private val docShinglesSql =
     s"""doc AS ($docsCleanSql),
        |toks AS (SELECT doc_id, n_chars, string_split(c, ' ') AS t, c FROM doc),
