@@ -31,6 +31,12 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q01's date filter reaches the parquet scan as a pushed filter") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate predicate must push to the scan; plan:\n$p")
+  }
+
   test("ann01 broadcasts the bounded query side for its exact scan") {
     // The one intentional nested loop: brute-force baseline with the tiny
     // query set broadcast. It must broadcast — a shuffled NL join would mean
