@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -197,16 +197,106 @@ object Matching {
     *
     * Skew note: length buckets are LOW-cardinality keys, so a corpus whose
     * titles concentrate on few lengths pairs up within those buckets. The
-    * content-keyed refinement is chunk pigeonholing (PartEnum, Arasu et al.
-    * VLDB'06 / Ed-Join, Xiao et al. VLDB'08): split each master into k+1
-    * disjoint chunks (k = max admissible edits); a qualifying pair must
-    * contain one chunk verbatim within a ±k position window, making the
-    * join key a substring (high-cardinality) at ~80× index fan-out. Same
-    * trade dd04's PPJoin option measures empirically (ngramJaccardPairs:
-    * content-keyed candidates cost a second verify join and lose 4× on this
-    * corpus) — bucket blocking is the right default here, the chunk scheme
-    * the documented swap for length-concentrated corpora. */
+    * content-keyed refinement is implemented as the selectable
+    * `chunkBlocking` plan in [[fuzzyRatioPairs]] (PartEnum, Arasu et al.
+    * VLDB'06 / Ed-Join, Xiao et al. VLDB'08): a qualifying pair must
+    * contain one of the master's k+1 disjoint chunks verbatim within a ±k
+    * position window, making the join key a substring (high-cardinality) at
+    * ~(lengths×chunks×shifts) index fan-out. Same trade dd04's PPJoin
+    * option measures empirically — bucket blocking is the fast default
+    * here, the chunk plan the swap for length-concentrated corpora;
+    * FuzzyBlockingSpec proves both produce identical output, including on a
+    * single-length corpus. */
   private val W = 4 // length-bucket width
+
+  private def fuzzyMaster(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).filter(col("p_partkey") % 4 === 0)
+      .select(lower(col("p_name")).as("master_title")).distinct()
+  private def fuzzyTest(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      when(col("p_partkey") % 10 === 1, lower(col("p_name")))
+        .when(col("p_partkey") % 2 === 0,
+          lower(col("p_name")).substr(lit(1), length(col("p_name")) - 1))
+        .otherwise(lower(concat(col("p_name"), lit(" "), col("p_type"))))
+        .as("test_title")).distinct()
+
+  /** Exact verify shared by both candidate plans: unit-cost Levenshtein,
+    * indel-normalized ratio, threshold 95. */
+  private def fuzzyVerify(cand: DataFrame): DataFrame = cand
+    .withColumn("lev", levenshtein(col("master_title"), col("test_title")).cast("long"))
+    .withColumn("ratio", round(lit(100.0) * (lit(1.0) - col("lev").cast("double") /
+      (length(col("master_title")) + length(col("test_title"))).cast("double")), 4))
+    .filter(col("ratio") >= 95.0)
+    .select("master_title", "test_title", "lev", "ratio")
+
+  /** Fuzzy-ratio pair scoring with two lossless candidate plans.
+    *
+    * `chunkBlocking = false` (default): length-bucket blocking — each test
+    * title explodes to the few width-4 buckets that can hold an admissible
+    * master length (|len diff| <= floor(0.11·len)+1 ⊇ the 2/19 bound).
+    *
+    * `chunkBlocking = true`: PartEnum-style chunk pigeonholing. For master
+    * length lm, any qualifying pair has lev <= (2/19)·lm < k :=
+    * floor(2·lm/19)+1; split the master into k+1 disjoint chunks, then at
+    * most lev < k chunks are touched by edits, so >= 2 survive verbatim in
+    * the test string, shifted by at most the lev < k net indels. The index
+    * key is (lm, chunk#, substring) — content-keyed, so a corpus where
+    * every title has the same length still spreads across the shuffle.
+    * Test titles enumerate admissible master lengths × chunks × shifts
+    * (~lengths·k·(2k+1) keys each); masters emit k+1 keys. */
+  private[graft] def fuzzyRatioPairs(s: SparkSession, d: String,
+      chunkBlocking: Boolean): DataFrame = {
+    val master = fuzzyMaster(s, d)
+    val test = fuzzyTest(s, d)
+    if (!chunkBlocking) {
+      val m = master.withColumn("bucket", floor(length(col("master_title")) / W))
+      val t = test
+        .withColumn("lt", length(col("test_title")))
+        .withColumn("d", floor(col("lt") * 11 / 100) + 1)
+        .withColumn("bucket",
+          explode(sequence(floor((col("lt") - col("d")) / W), floor((col("lt") + col("d")) / W))))
+        .drop("lt", "d")
+      fuzzyVerify(m.join(t, Seq("bucket")))
+    } else {
+      def chunkStart(lm: Column, k: Column, j: Column): Column = floor(j * lm / (k + 1))
+      // Master side: its k+1 chunks at their own positions.
+      val lm = length(col("master_title")).cast("long")
+      val km = floor(lm * 2 / 19) + 1
+      val mKeys = filter(
+        transform(sequence(lit(0L), km), j => {
+          val sj = chunkStart(lm, km, j)
+          val lenj = chunkStart(lm, km, j + 1) - sj
+          struct(lm.as("lm"), j.as("j"), sj.as("p"), lenj.as("len"))
+        }),
+        st => st.getField("len") > 0)
+      val m = master.select(col("master_title"), explode(mKeys).as("ck"))
+        .select(col("master_title"), col("ck.lm").as("lm"), col("ck.j").as("j"),
+          col("master_title").substr((col("ck.p") + 1).cast("int"),
+            col("ck.len").cast("int")).as("chunk"))
+      // Test side: every admissible master length × chunk × ±k shift window.
+      val lt = length(col("test_title")).cast("long")
+      val dAdm = floor(lt * 11 / 100) + 1
+      val tKeys = flatten(transform(sequence(lt - dAdm, lt + dAdm), lmc => {
+        val k = floor(lmc * 2 / 19) + 1
+        flatten(transform(sequence(lit(0L), k), j => {
+          val sj = chunkStart(lmc, k, j)
+          val lenj = chunkStart(lmc, k, j + 1) - sj
+          filter(
+            transform(sequence(sj - k, sj + k), p =>
+              struct(lmc.as("lm"), j.as("j"), p.as("p"), lenj.as("len"))),
+            st => st.getField("len") > 0 && st.getField("p") >= 0 &&
+              st.getField("p") + st.getField("len") <= lt)
+        }))
+      }))
+      val t = test.select(col("test_title"), explode(tKeys).as("ck"))
+        .select(col("test_title"), col("ck.lm").as("lm"), col("ck.j").as("j"),
+          col("test_title").substr((col("ck.p") + 1).cast("int"),
+            col("ck.len").cast("int")).as("chunk"))
+      fuzzyVerify(m.join(t, Seq("lm", "j", "chunk"))
+        .select("master_title", "test_title").distinct())
+    }
+  }
+
   val q25 = Q(
     "q25_fuzzy_ratio",
     s"""WITH master AS ($masterSql),
@@ -221,28 +311,8 @@ object Matching {
       |    ROUND(100.0 * (1.0 - CAST(levenshtein(m.master_title, t.test_title) AS DOUBLE)
       |          / (length(m.master_title) + length(t.test_title))), 4) AS ratio
       |  FROM master m CROSS JOIN test t)
-      |SELECT master_title, test_title, lev, ratio FROM scored WHERE ratio >= 95.0""".stripMargin) { (s, d) =>
-    val part = Tables.part(s, d)
-    val master = part.filter(col("p_partkey") % 4 === 0)
-      .select(lower(col("p_name")).as("master_title")).distinct()
-      .withColumn("bucket", floor(length(col("master_title")) / W))
-    val test = part.select(
-        when(col("p_partkey") % 10 === 1, lower(col("p_name")))
-          .when(col("p_partkey") % 2 === 0,
-            lower(col("p_name")).substr(lit(1), length(col("p_name")) - 1))
-          .otherwise(lower(concat(col("p_name"), lit(" "), col("p_type"))))
-          .as("test_title")).distinct()
-      .withColumn("lt", length(col("test_title")))
-      .withColumn("d", floor(col("lt") * 11 / 100) + 1)
-      .withColumn("bucket",
-        explode(sequence(floor((col("lt") - col("d")) / W), floor((col("lt") + col("d")) / W))))
-    master.join(test, Seq("bucket"))
-      .withColumn("lev", levenshtein(col("master_title"), col("test_title")).cast("long"))
-      .withColumn("ratio", round(lit(100.0) * (lit(1.0) - col("lev").cast("double") /
-        (length(col("master_title")) + col("lt"))), 4))
-      .filter(col("ratio") >= 95.0)
-      .select("master_title", "test_title", "lev", "ratio")
-  }
+      |SELECT master_title, test_title, lev, ratio FROM scored WHERE ratio >= 95.0""".stripMargin)(
+    fuzzyRatioPairs(_, _, chunkBlocking = false))
 
   // ---------------------------------------------------------------- A21
   /** Regex text-normalization pipeline.
