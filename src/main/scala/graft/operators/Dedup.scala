@@ -273,15 +273,19 @@ object Dedup {
       |SELECT id_a, id_b, fp_a, fp_b,
       |  CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 4""".stripMargin) { (s, d) =>
-    val tok = docsClean(s, d).select(col("doc_id"), explode(tokens(col("c"))).as("t"))
-    val tc = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
-    val th = tc.select(col("doc_id"), col("cnt"), charHash(col("t")).as("h"))
-    // 24 conditional aggregates in ONE hash aggregate keyed on doc_id — the
-    // oracle's unnest(range(0,24)) formulation as a row explosion would put
-    // 24× the corpus through an extra shuffle; per-bit columns partial-agg
-    // map-side and never widen the row count.
+    // The oracle counts per-(doc, distinct token) then weights by count; a
+    // sum of count×(±1) over distinct tokens equals a sum of ±1 over raw
+    // token OCCURRENCES, so the engine skips the (doc_id, token) count
+    // shuffle entirely: hash each occurrence and fold 24 conditional
+    // aggregates in ONE hash aggregate keyed on doc_id (map-side partials
+    // collapse to one row per doc per partition). The oracle's
+    // unnest(range(0,24)) row explosion would similarly put 24× the corpus
+    // through an extra shuffle; per-bit columns never widen the row count.
+    val th = docsClean(s, d)
+      .select(col("doc_id"), explode(tokens(col("c"))).as("t"))
+      .select(col("doc_id"), charHash(col("t")).as("h"))
     val bitAggs = (0 until 24).map { b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, col("cnt")).otherwise(-col("cnt"))).as(s"w$b")
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"w$b")
     }
     val fp = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"),
