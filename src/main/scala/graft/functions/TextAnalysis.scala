@@ -158,20 +158,23 @@ object TextAnalysis {
       |  ROUND(CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS top_token_frac,
       |  ROUND(CAST(distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS distinct_ratio
       |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val tc = Tables.documents(s, d)
+    // One min_by aggregate instead of the oracle's window formulation: the
+    // top-token pick, token total, and distinct count all partial-aggregate
+    // map-side; a per-doc window would sort and hold whole doc partitions.
+    // Tie-break mirrors the oracle: cnt DESC then token ASC = min_by over
+    // struct(-cnt, t).
+    Tables.documents(s, d)
       .select(col("doc_id"), explode(split(clean(col("text")), " ")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
-    val wDoc = Window.partitionBy(col("doc_id"))
-    tc
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("t"))))
-      .withColumn("n_tokens", sum(col("cnt")).over(wDoc).cast("long"))
-      .withColumn("distinct_tokens", count(lit(1)).over(wDoc).cast("long"))
-      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        min_by(struct(col("t").as("top_token"), col("cnt").as("top_token_count")),
+          struct((-col("cnt")).as("neg"), col("t"))).as("top"))
       .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
-        col("t").as("top_token"), col("cnt").as("top_token_count"),
-        round(col("cnt").cast("double") / col("n_tokens").cast("double"), 6).as("top_token_frac"),
+        col("top.top_token").as("top_token"), col("top.top_token_count").as("top_token_count"),
+        round(col("top.top_token_count").cast("double") / col("n_tokens").cast("double"), 6).as("top_token_frac"),
         round(col("distinct_tokens").cast("double") / col("n_tokens").cast("double"), 6).as("distinct_ratio"))
   }
 
