@@ -183,5 +183,56 @@ object Windowing {
       .select("event_id", "user_id", "event_type", "sec")
   }
 
-  val queries: Seq[Q] = Seq(q13, q14, q18, q19, q20, q22)
+  // ---------------------------------------------------------------- A30
+  /** Range (point-in-interval) join, bin-bucketized. High-value purchases
+    * open a one-hour window [sec, sec+3600); every event whose timestamp
+    * falls inside any window is attributed to it — and there is NO shared
+    * equi-key between the two sides, the shape Spark's planner can only
+    * execute as a broadcast-nested-loop (every point × every window).
+    *
+    * The Spark-first re-expression bins time at the window length: an
+    * interval of length L overlaps at most 2 bins of width L, so windows
+    * explode to ≤2 (distinct) bin keys, points map to exactly 1, and the
+    * candidate build becomes a plain shuffle equi-join on the bin — at most
+    * 2× duplication of the (small) window side, zero duplication of the
+    * point side, exact containment re-checked per candidate. A point's bin
+    * can hold both copies of no window (the two bins differ), so no pair
+    * dedup is needed. RangeJoinSpec proves the binned plan equals the
+    * naive cross-join formulation, which the DuckDB oracle keeps (its
+    * IEJoin handles inequality joins natively — single-node luxury). */
+  val q30 = Q(
+    "q30_range_join",
+    s"""WITH ev AS ($evSql),
+      |w AS (SELECT event_id AS window_id, sec AS wstart FROM ev
+      |      WHERE event_type = 'purchase' AND value > 150),
+      |j AS (SELECT w.window_id, w.wstart, p.value FROM w JOIN ev p
+      |      ON p.sec >= w.wstart AND p.sec < w.wstart + 3600 AND p.event_id <> w.window_id)
+      |SELECT window_id, CAST(wstart AS BIGINT) AS window_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT)/1000000.0 AS total_value
+      |FROM j GROUP BY window_id, wstart""".stripMargin)(
+    (s, d) => rangeJoinCounts(s, d, binned = true))
+
+  /** Both q30 plans — `binned = false` is the naive nested-loop baseline
+    * RangeJoinSpec checks the bucketized plan against. */
+  private[graft] def rangeJoinCounts(s: org.apache.spark.sql.SparkSession, d: String,
+      binned: Boolean): org.apache.spark.sql.DataFrame = {
+    val base = ev(s, d)
+    val win = base.filter(col("event_type") === "purchase" && col("value") > 150)
+      .select(col("event_id").as("window_id"), col("sec").as("wstart"))
+    val pts = base.select(col("event_id").as("pid"), col("sec").as("psec"), col("value"))
+    val contained = col("psec") >= col("wstart") &&
+      col("psec") < col("wstart") + 3600 && col("pid") =!= col("window_id")
+    val cand =
+      if (binned) {
+        val wb = win.withColumn("bin", explode(array_distinct(array(
+          expr("wstart div 3600"), expr("(wstart + 3599) div 3600")))))
+        wb.join(pts.withColumn("bin", expr("psec div 3600")), Seq("bin"))
+      } else win.crossJoin(pts)
+    cand.filter(contained)
+      .groupBy(col("window_id"), col("wstart").as("window_start"))
+      .agg(count(lit(1)).as("n_events"), sumMicros(col("value")).as("total_value"))
+  }
+
+  val queries: Seq[Q] = Seq(q13, q14, q18, q19, q20, q22, q30)
 }

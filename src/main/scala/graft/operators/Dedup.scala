@@ -438,5 +438,37 @@ object Dedup {
       .select("cluster_id", "survivor_id", "best_quality", "n_members")
   }
 
-  val queries: Seq[Q] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07)
+  // ---------------------------------------------------------------- B8
+  /** Embedding-cosine near-dup, LSH-blocked — dd05 without the label crutch.
+    * dd05's pairwise join is bounded only because the synthetic corpus has a
+    * label column to block on; an unlabeled 100 TB corpus has no such gift.
+    * Here the blocking key is [[SimilaritySearch]]'s deterministic 8-plane
+    * hyperplane bucket (Charikar STOC'02): vectors with high cosine land in
+    * the same bucket with probability (1-θ/π)^8, the pairwise verify join
+    * stays inside buckets (corpus/256 expected bucket size), and the key is
+    * data-independent — no training pass, churn-safe. The DuckDB oracle runs
+    * the identical bucket partition, so recall is pinned cross-engine, and
+    * ann03's single-probe contract applies: raise planes for precision,
+    * multi-probe neighbor buckets for recall. */
+  val dd08 = Q(
+    "dd08_embedding_lsh",
+    s"""WITH n AS (${SimilaritySearch.vecsSql}),
+      |coded AS (SELECT vec_id, v, nrm, ${SimilaritySearch.bucketSql("v")} AS bucket FROM n),
+      |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+      |  ROUND(${SimilaritySearch.dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+      |FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, bucket, cos_sim FROM pairs WHERE cos_sim >= 0.25""".stripMargin) { (s, d) =>
+    val coded = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", graft.functions.VectorMath.l2norm(col("v")))
+      .withColumn("bucket", SimilaritySearch.bucketCol(col("v")))
+    val a = coded.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
+    val b = coded.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", SimilaritySearch.cosine(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("cos_sim") >= 0.25)
+      .select("id_a", "id_b", "bucket", "cos_sim")
+  }
+
+  val queries: Seq[Q] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08)
 }

@@ -23,18 +23,18 @@ object SimilaritySearch {
     * compare exactly while the scan stays inside WholeStageCodegen. */
   private def dot(a: Column, b: Column): Column = graft.functions.VectorMath.dot(a, b)
   private def nrm(a: Column): Column = graft.functions.VectorMath.l2norm(a)
-  private def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
+  private[operators] def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
     round(dot(a, b) / (na * nb), 6)
 
-  private def dotSql(a: String, b: String): String =
+  private[operators] def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
-  private def nrmSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+  private[operators] def nrmSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private[operators] def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .withColumn("nrm", nrm(col("v")))
-  private val vecsSql =
+  private[operators] val vecsSql =
     s"SELECT vec_id, label, embedding AS v, ${nrmSql("embedding")} AS nrm FROM embeddings"
 
   // ---------------------------------------------------------------- C1
@@ -205,11 +205,11 @@ object SimilaritySearch {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($v)+1), i -> CAST($v[i] AS DOUBLE) * CAST($arr[i] AS DOUBLE))), (acc, x) -> acc + x)"
   }
 
-  private def bucketCol(v: Column): Column =
+  private[operators] def bucketCol(v: Column): Column =
     (0 until nPlanes).map { p =>
       when(planeDot(v, p) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-  private def bucketSql(v: String): String =
+  private[operators] def bucketSql(v: String): String =
     (0 until nPlanes).map { p =>
       s"CASE WHEN ${planeDotSql(v, p)} > 0 THEN ${1L << p} ELSE 0 END"
     }.mkString("(", " + ", ")")
