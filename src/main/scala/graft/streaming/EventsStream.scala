@@ -96,6 +96,37 @@ object EventsStream {
   def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, key)
 
+  /** F5: stream-stream interval join — each purchase matched to the same
+    * user's clicks in the `lookback` window before it (attribution while
+    * both streams are in flight). The watermark on BOTH inputs plus the
+    * two-sided time-range condition is what lets Spark bound the join
+    * state: a buffered click can be evicted once the watermark guarantees
+    * no future purchase's lookback window can reach it. Without the range
+    * condition the click state would grow forever — the streaming analog
+    * of q30's "no equi-key, no bound" trap, solved by the time bound
+    * instead of bins. Batch mirror: the same join on static frames
+    * (StreamIntervalJoinSpec asserts equality on identical rows). */
+  def clickAttribution(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      lookback: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val c = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    p.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_id"), col("click_ts"))
+  }
+
   /** F2: gap-based sessionization with custom state.
     * A session closes when no event arrives within `gapSeconds` of the last
     * one; the watermark timeout flushes idle state so it cannot grow without

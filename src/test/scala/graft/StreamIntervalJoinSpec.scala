@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{Event, EventsStream}
+
+/** F5 stream-stream interval join: purchases attributed to same-user clicks
+  * within the lookback window, checked against the identical join computed
+  * batch-wise on the same rows — including a click landing in a later
+  * micro-batch than its purchase (the buffered-state case the stream-stream
+  * join exists for) and clicks outside the window or from another user.
+  */
+class StreamIntervalJoinSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val events = Seq(
+    Event(10L, ts(5), 1L, "click", 0.0),
+    Event(11L, ts(20), 1L, "click", 0.0),
+    Event(12L, ts(40), 1L, "purchase", 9.5), // catches click 11 (20m back), not 10 (35m)
+    Event(13L, ts(41), 2L, "click", 0.0),    // other user: never attributed to 12
+    Event(14L, ts(50), 2L, "purchase", 3.0), // catches click 13
+    Event(15L, ts(90), 1L, "purchase", 7.0)) // no click within 30m
+
+  test("F5 equals its batch mirror across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[Event]
+    val query = EventsStream.clickAttribution(input.toDF(), input.toDF())
+      .writeStream.format("memory").queryName("f5_attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Purchase 12 arrives a batch BEFORE click 11 re-delivery order-wise:
+      // split so one matching click is buffered state from batch 1 and the
+      // other side arrives in batch 2.
+      input.addData(events.take(3))
+      query.processAllAvailable()
+      input.addData(events.drop(3))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def key(r: org.apache.spark.sql.Row): (Long, Long) = (r.getLong(0), r.getLong(4))
+    val streamed = spark.table("f5_attr").collect().map(key).sorted.toSeq
+    val batch = EventsStream.clickAttribution(events.toDF(), events.toDF())
+      .collect().map(key).sorted.toSeq
+    assert(batch == Seq((12L, 11L), (14L, 13L)))
+    assert(streamed == batch)
+  }
+}
