@@ -37,6 +37,19 @@ class PlanShapeSpec extends SparkSpec {
       s"shipdate predicate must push to the scan; plan:\n$p")
   }
 
+  test("q30's binned range join plans an equi-join, not a nested loop") {
+    val p = plan("q30_range_join")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the bin key must turn the interval join into an equi-join; plan:\n$p")
+  }
+
+  test("tx05 plans pure hash aggregation — no per-doc window") {
+    val p = plan("tx05_repetition")
+    assert(!p.contains("Window"), s"tx05 must not sort doc partitions; plan:\n$p")
+    assert(p.contains("min_by"), s"top-token pick must be a min_by aggregate; plan:\n$p")
+  }
+
   test("ann01 broadcasts the bounded query side for its exact scan") {
     // The one intentional nested loop: brute-force baseline with the tiny
     // query set broadcast. It must broadcast — a shuffled NL join would mean
