@@ -14,7 +14,11 @@ import org.apache.spark.sql.SparkSession
   * benchmark look faster.
   */
 object Bench {
-  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -63,10 +63,15 @@ object Matching {
     // (a per-side prefix() helper would duplicate the df subtree in the
     // plan); candidate dedup runs on the bare string pair (hash aggregate),
     // and the token arrays join back per candidate for the verify step.
+    // localCheckpoint: the tagged token table feeds the df aggregation, the
+    // prefix window, and both sides of the candidate join — unmaterialized,
+    // the union+explode+distinct subtree would re-evaluate ~4×. Same pattern
+    // as q11's weight table and dd04's shingle table.
     val toks = master.select(col("master_title").as("title"), col("ma").as("arr"),
         lit(true).as("is_m"))
       .union(test.select(col("test_title"), col("ta"), lit(false)))
       .select(col("title"), col("is_m"), col("arr"), explode(col("arr")).as("tok"))
+      .localCheckpoint()
     val dfTab = toks.select("title", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy("title", "is_m").orderBy(col("df"), col("tok"))

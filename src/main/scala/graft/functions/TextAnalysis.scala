@@ -11,11 +11,25 @@ import graft.functions.TextPrep._
   */
 object TextAnalysis {
 
+  import org.apache.spark.sql.Column
+
   private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "on")
   private val stopEs = Seq("el", "la", "de", "y", "en", "que", "los", "se")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "von", "mit", "den")
   private val stopFr = Seq("le", "la", "les", "de", "et", "est", "dans", "une")
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** THE quality formula — single definition shared by tx02's output column
+    * and [[qualityScore]] (dd07's survivor ranking), so a weighting tweak can
+    * never drift one copy away from the other. Mirror: [[qualityFormulaSql]]. */
+  private def qualityFormula(nAlpha: Column, nRaw: Column, nTokens: Column, stopHits: Column): Column =
+    round(lit(0.4) * (nAlpha.cast("double") / nRaw.cast("double"))
+      + lit(0.3) * least(lit(1.0), nTokens.cast("double") / lit(50.0))
+      + lit(0.3) * (stopHits.cast("double") / nTokens.cast("double")), 6)
+  private def qualityFormulaSql(nAlpha: String, nRaw: String, nTokens: String, stopHits: String): String =
+    s"""ROUND(0.4 * (CAST($nAlpha AS DOUBLE) / CAST($nRaw AS DOUBLE))
+       |      + 0.3 * least(CAST(1.0 AS DOUBLE), CAST($nTokens AS DOUBLE) / 50.0)
+       |      + 0.3 * (CAST($stopHits AS DOUBLE) / CAST($nTokens AS DOUBLE)), 6)""".stripMargin
 
   // ---------------------------------------------------------------- D1
   /** Stopword-overlap language ID with a CJK regex fast path. Deterministic
@@ -74,9 +88,7 @@ object TextAnalysis {
       |  n_raw - n_alpha - n_digit - n_space AS n_punct,
       |  ROUND(CAST(n_alpha AS DOUBLE) / CAST(n_raw AS DOUBLE), 6) AS alpha_ratio,
       |  ROUND(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
-      |  ROUND(0.4 * (CAST(n_alpha AS DOUBLE) / CAST(n_raw AS DOUBLE))
-      |      + 0.3 * least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 50.0)
-      |      + 0.3 * (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS quality
+      |  ${qualityFormulaSql("n_alpha", "n_raw", "n_tokens", "stop_hits")} AS quality
       |FROM feat""".stripMargin) { (s, d) =>
     val c = clean(col("text"))
     val feat = Tables.documents(s, d).select(
@@ -92,9 +104,7 @@ object TextAnalysis {
       (col("n_raw") - col("n_alpha") - col("n_digit") - col("n_space")).as("n_punct"),
       round(col("n_alpha").cast("double") / col("n_raw").cast("double"), 6).as("alpha_ratio"),
       round(col("stop_hits").cast("double") / col("n_tokens").cast("double"), 6).as("stop_ratio"),
-      round(lit(0.4) * (col("n_alpha").cast("double") / col("n_raw").cast("double"))
-        + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / lit(50.0))
-        + lit(0.3) * (col("stop_hits").cast("double") / col("n_tokens").cast("double")), 6).as("quality"))
+      qualityFormula(col("n_alpha"), col("n_raw"), col("n_tokens"), col("stop_hits")).as("quality"))
   }
 
   // ---------------------------------------------------------------- D3
@@ -190,17 +200,17 @@ object TextAnalysis {
       size(split(c, " ")).cast("long").as("n_tokens"),
       size(array_intersect(array_distinct(split(c, " ")), typedLit(stopEn))).cast("long").as("stop_hits"))
       .select(col("doc_id"),
-        round(lit(0.4) * (col("n_alpha").cast("double") / col("n_raw").cast("double"))
-          + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / lit(50.0))
-          + lit(0.3) * (col("stop_hits").cast("double") / col("n_tokens").cast("double")), 6).as("quality"))
+        qualityFormula(col("n_alpha"), col("n_raw"), col("n_tokens"), col("stop_hits")).as("quality"))
   }
 
   /** DuckDB mirror of [[qualityScore]] as a CTE body over `documents`. */
   private[graft] val qualityScoreSql: String =
     s"""SELECT doc_id,
-       |  ROUND(0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))
-       |      + 0.3 * least(CAST(1.0 AS DOUBLE), CAST(len(string_split($cleanSql, ' ')) AS DOUBLE) / 50.0)
-       |      + 0.3 * (CAST(len(list_intersect(list_distinct(string_split($cleanSql, ' ')), ${sqlList(stopEn)})) AS DOUBLE) / CAST(len(string_split($cleanSql, ' ')) AS DOUBLE)), 6) AS quality
+       |  ${qualityFormulaSql(
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))",
+            "length(text)",
+            s"len(string_split($cleanSql, ' '))",
+            s"len(list_intersect(list_distinct(string_split($cleanSql, ' ')), ${sqlList(stopEn)}))")} AS quality
        |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------- D6
@@ -216,14 +226,19 @@ object TextAnalysis {
     "tx06_sample_stratified",
     s"""WITH doc AS (SELECT doc_id, source,
       |  ${charHashSql("'smp:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket,
-      |  CAST(CASE WHEN ${charHashSql("source")} % 2 = 0 THEN 2000 ELSE 6000 END AS BIGINT) AS rate_bp
+      |  CAST(CASE WHEN ${charHashSql(cleanSqlOf("source"))} % 2 = 0 THEN 2000 ELSE 6000 END AS BIGINT) AS rate_bp
       |FROM documents)
       |SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket, rate_bp
       |FROM doc WHERE bucket < rate_bp""".stripMargin) { (s, d) =>
+    // Hash the CLEANED source: charHash's byte-loop == DuckDB ascii()-loop
+    // contract holds only for ASCII input, and clean() maps any non-ASCII
+    // byte to a space — so a future corpus with a non-ASCII source name
+    // cannot silently split the two engines' keep/drop sets. (The doc_id
+    // key is ASCII by construction.)
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         (charHash(concat(lit("smp:"), col("doc_id").cast("string"))) % 10000).as("bucket"),
-        when(charHash(col("source")) % 2 === 0, 2000L).otherwise(6000L).as("rate_bp"))
+        when(charHash(clean(col("source"))) % 2 === 0, 2000L).otherwise(6000L).as("rate_bp"))
       .filter(col("bucket") < col("rate_bp"))
       .select(col("doc_id"), col("source"), col("bucket").cast("long").as("bucket"), col("rate_bp"))
   }

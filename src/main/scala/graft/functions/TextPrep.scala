@@ -14,8 +14,10 @@ object TextPrep {
   /** Lowercase, strip non-alphanumerics to spaces, collapse whitespace. */
   def clean(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
-  val cleanSql: String =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+  /** DuckDB mirror of [[clean]] over an arbitrary column expression. */
+  def cleanSqlOf(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+  val cleanSql: String = cleanSqlOf("text")
 
   /** Whitespace tokens of a cleaned string. */
   def tokens(c: Column): Column = split(c, " ")

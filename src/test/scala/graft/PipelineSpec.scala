@@ -40,12 +40,22 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("dim-match -> bundle-attribution flow (dw4 -> dw5 analog)") {
-    // dw4: fuzzy dim matching — the Levenshtein ratio match must agree with
-    // the token-set match wherever both fire, and neither may pair a title
-    // with itself-decorated garbage above threshold.
+    // dw4: fuzzy dim matching. Independent recall expectation: the test-title
+    // construction plants, for every master with p_partkey % 4 == 0 (always
+    // even, so the % 2 == 0 last-char-drop branch applies), the pair
+    // (m, m minus its last char) at lev = 1 — which clears ratio >= 95
+    // whenever 1/(2L-1) <= 0.05, i.e. len(m) >= 11. Every such planted pair
+    // must be recalled through the blocking + verify pipeline.
     val ratio = SparkEntry.queries("q25_fuzzy_ratio")(spark, sfDir)
-    assert(ratio.count() > 0, "fuzzy ratio must find planted typo matches")
-    assert(ratio.filter(col("ratio") < 95.0).count() == 0)
+    val planted = Tables.part(spark, sfDir).filter(col("p_partkey") % 4 === 0)
+      .select(lower(col("p_name")).as("master_title")).distinct()
+      .filter(length(col("master_title")) >= 11)
+      .withColumn("test_title",
+        expr("substring(master_title, 1, length(master_title) - 1)"))
+    val nPlanted = planted.count()
+    assert(nPlanted > 0, "corpus must plant last-char-drop matches")
+    val missed = planted.join(ratio, Seq("master_title", "test_title"), "left_anti")
+    assert(missed.count() == 0, "q25 must recall every planted lev-1 pair")
 
     // dw5: bundle attribution consumes the fact flow; spot-check the global
     // invariant (per-order conservation is BundleConservationSpec's job):

@@ -36,12 +36,12 @@ class StreamIntervalJoinSpec extends SparkSpec {
       .writeStream.format("memory").queryName("f5_attr")
       .outputMode(OutputMode.Append).start()
     try {
-      // Purchase 12 arrives a batch BEFORE click 11 re-delivery order-wise:
-      // split so one matching click is buffered state from batch 1 and the
-      // other side arrives in batch 2.
-      input.addData(events.take(3))
+      // Batch 1 delivers only the clicks; purchase 12's match (click 11) must
+      // therefore survive as buffered join state until the purchase arrives
+      // in batch 2 — the cross-batch retention case this spec exists for.
+      input.addData(events.take(2))
       query.processAllAvailable()
-      input.addData(events.drop(3))
+      input.addData(events.drop(2))
       query.processAllAvailable()
     } finally query.stop()
 
