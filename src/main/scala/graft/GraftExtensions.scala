@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, PolyHash31}
+import graft.functions.{DotProduct, PolyHash31, WordShingles3}
 
 /** SQL surface for graft's native expressions.
   *
@@ -26,5 +26,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     (FunctionIdentifier("poly_hash31"),
       new ExpressionInfo(classOf[PolyHash31].getName, "poly_hash31"),
-      (args: Seq[Expression]) => PolyHash31(args.head)))
+      (args: Seq[Expression]) => PolyHash31(args.head)),
+    (FunctionIdentifier("word_shingles3"),
+      new ExpressionInfo(classOf[WordShingles3].getName, "word_shingles3"),
+      (args: Seq[Expression]) => WordShingles3(args.head)))
 }
