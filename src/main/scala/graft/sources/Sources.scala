@@ -51,4 +51,25 @@ object Sources {
 
   def readFact(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** G5: small-file compaction for a partitioned landing. Streaming and
+    * incremental writers (F-series sinks, q06-style merges) produce
+    * batches × tasks files per partition; scans then pay per-file open cost
+    * and the driver pays per-file listing state. Compaction rewrites each
+    * partition directory through ONE shuffle task (hash repartition on the
+    * partition key), re-split only by `maxRecordsPerFile` — so the file
+    * count per partition drops to ⌈rows / maxRecordsPerFile⌉ regardless of
+    * how many increments landed. At warehouse scale this runs on the
+    * partitions an increment touched (filter before calling), not the whole
+    * table; the transactional swap (write-audit-publish or Delta OPTIMIZE)
+    * is the ADR-001 deployment path — here the rewrite lands in a fresh
+    * directory for the caller to swap in. */
+  def compactFact(spark: SparkSession, path: String, outPath: String,
+      maxRecordsPerFile: Long): Unit =
+    readFact(spark, path)
+      .repartition(col("part_month"))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("part_month")
+      .parquet(outPath)
 }

@@ -59,4 +59,32 @@ class SourcesSpec extends SparkSpec {
     assert(scan.get.selectedPartitions.partitionCount == 1,
       s"expected 1 pruned partition, got ${scan.get.selectedPartitions.partitionCount}")
   }
+
+  test("G5 compaction collapses per-partition file counts, conserving rows") {
+    val landing = tmp("landing")
+    val compacted = tmp("compacted")
+    val orders = Tables.orders(spark, sfDir)
+    // Simulate a many-increment landing: 8 writer tasks per month directory.
+    orders.withColumn("part_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .repartition(8)
+      .write.partitionBy("part_month")
+      .parquet(landing)
+
+    def filesPerMonth(dir: String): Map[String, Int] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("part_month="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    }
+    assert(filesPerMonth(landing).values.max > 1, "landing must be fragmented")
+
+    Sources.compactFact(spark, landing, compacted, maxRecordsPerFile = 1000000L)
+    assert(filesPerMonth(compacted).values.max == 1,
+      s"every month should compact to one file: ${filesPerMonth(compacted)}")
+    val a = Sources.readFact(spark, landing)
+    val b = Sources.readFact(spark, compacted)
+    assert(a.schema == b.schema)
+    assert(b.count() == orders.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
