@@ -67,7 +67,7 @@ class SourcesSpec extends SparkSpec {
     // Simulate a many-increment landing: 8 writer tasks per month directory.
     orders.withColumn("part_month", date_format(col("o_orderdate"), "yyyy-MM"))
       .repartition(8)
-      .write.partitionBy("part_month")
+      .write.mode("overwrite").partitionBy("part_month")
       .parquet(landing)
 
     def filesPerMonth(dir: String): Map[String, Int] = {
