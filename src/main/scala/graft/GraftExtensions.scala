@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, PolyHash31, WordShingles3}
+import graft.functions.{DotProduct, PolyHash31, WordShingles3, WordShinglesN}
 
 /** SQL surface for graft's native expressions.
   *
@@ -29,5 +29,9 @@ object GraftExtensions {
       (args: Seq[Expression]) => PolyHash31(args.head)),
     (FunctionIdentifier("word_shingles3"),
       new ExpressionInfo(classOf[WordShingles3].getName, "word_shingles3"),
-      (args: Seq[Expression]) => WordShingles3(args.head)))
+      (args: Seq[Expression]) => WordShingles3(args.head)),
+    (FunctionIdentifier("word_shingles_n"),
+      new ExpressionInfo(classOf[WordShinglesN].getName, "word_shingles_n"),
+      (args: Seq[Expression]) => WordShinglesN(args(0),
+        args(1).eval().asInstanceOf[Int])))
 }

@@ -73,5 +73,72 @@ object Ingest {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
   }
 
-  val queries: Seq[Q] = Seq(q23, q24)
+  private val orderDocSchema = StructType(Seq(
+    StructField("line_items", ArrayType(StructType(Seq(
+      StructField("ln", IntegerType),
+      StructField("pk", LongType),
+      StructField("qty", DoubleType))))),
+    StructField("refunds", ArrayType(StructType(Seq(
+      StructField("ln", IntegerType),
+      StructField("amt", DoubleType)))))))
+
+  // ---------------------------------------------------------------- A33
+  /** Sibling-array flatten: ONE source document carries SEVERAL parallel
+    * child arrays (the reference's order documents hold `line_items_*`,
+    * `refunds_*` and `coupon_lines_*` column families, each flattened into
+    * its own child relation — dw2_wc_increment.py:195-197), and ingest must
+    * split them into separate child tables with independent positional
+    * indices. Spark-first: parse the document ONCE with a declared
+    * two-array schema, then a single explode over the concat of the two
+    * `transform`-tagged arrays — one pass, one fan-out, no join-back and no
+    * double parse; the child table name rides along as a tag column so the
+    * result ships as one relation (a per-tag partitioned write splits it
+    * into physical child tables at the sink).
+    *
+    * Document synthesis mirrors q23 (no REST source in this container):
+    * line_items = the order's lines; refunds = its returned (`R`) lines. */
+  val q33 = Q(
+    "q33_sibling_flatten",
+    """SELECT l_orderkey AS order_key, 'line_item' AS child,
+      |  CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity) - 1 AS BIGINT) AS item_index,
+      |  CAST(l_linenumber AS INT) AS line_number,
+      |  l_partkey AS part_key, l_quantity AS value
+      |FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, 'refund',
+      |  CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice) - 1 AS BIGINT),
+      |  CAST(l_linenumber AS INT),
+      |  CAST(NULL AS BIGINT), l_extendedprice
+      |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin) { (s, d) =>
+    // Stage 1 — the "source system" document: one JSON string per order with
+    // BOTH sibling arrays (sorted for stable positional indices; collect_list
+    // skips the nulls the `when` leaves on non-refund lines).
+    val docs = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("order_key"))
+      .agg(to_json(struct(
+        array_sort(collect_list(struct(
+          col("l_linenumber").cast("int").as("ln"),
+          col("l_partkey").as("pk"),
+          col("l_quantity").as("qty")))).as("line_items"),
+        array_sort(collect_list(when(col("l_returnflag") === "R", struct(
+          col("l_linenumber").cast("int").as("ln"),
+          col("l_extendedprice").as("amt"))))).as("refunds"))).as("payload"))
+    // Stage 2 — ingest: one parse, one explode of the tagged concat.
+    val doc = from_json(col("payload"), orderDocSchema)
+    val tagged = concat(
+      transform(doc.getField("line_items"), (x, i) => struct(
+        lit("line_item").as("child"), i.cast("long").as("item_index"),
+        x.getField("ln").as("line_number"), x.getField("pk").as("part_key"),
+        x.getField("qty").as("value"))),
+      transform(doc.getField("refunds"), (x, i) => struct(
+        lit("refund").as("child"), i.cast("long").as("item_index"),
+        x.getField("ln").as("line_number"), lit(null).cast("long").as("part_key"),
+        x.getField("amt").as("value"))))
+    docs.select(col("order_key"), explode(tagged).as("c"))
+      .select(col("order_key"), col("c.child").as("child"),
+        col("c.item_index").as("item_index"), col("c.line_number").as("line_number"),
+        col("c.part_key").as("part_key"), col("c.value").as("value"))
+  }
+
+  val queries: Seq[Q] = Seq(q23, q24, q33)
 }

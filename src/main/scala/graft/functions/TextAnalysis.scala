@@ -243,5 +243,62 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("bucket").cast("long").as("bucket"), col("rate_bp"))
   }
 
-  val queries: Seq[Q] = Seq(tx01, tx02, tx03, tx04, tx05, tx06)
+  // ---------------------------------------------------------------- D7
+  /** PII redaction — the scrub pass every training pipeline runs before
+    * anything else sees the text: emails, dotted-quad IPs and US-style
+    * phone numbers are counted and replaced with typed placeholder tags.
+    * The regexes stay in the RE2 ∩ java.util.regex common dialect (char
+    * classes, bounded repeats, \\b) so both engines match identically.
+    *
+    * The synthetic corpus contains no PII, so (q31/q32 pattern) the query
+    * SYNTHESIZES it deterministically from doc_id — every doc_id % 5 == 0
+    * gains an email, % 7 a phone, % 11 an IP, so the redactor sees docs
+    * with zero, one, and multiple PII kinds. Redaction order email → phone
+    * → IP (the patterns are mutually non-overlapping by construction:
+    * the email local part is alphanumeric, phones are dashed, IPs dotted).
+    *
+    * Scale: a pure per-row projection chain — single pass, no shuffle; at
+    * 100 TB this pipelines into the ingest scan like q21/q29. */
+  val tx07 = Q(
+    "tx07_pii_redact",
+    """WITH pii AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com for details' ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0 THEN ' or call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0 THEN ' from host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+      |    AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+      |  regexp_replace(regexp_replace(regexp_replace(t,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+      |FROM pii""".stripMargin) { (s, d) =>
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val t = concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com for details"))).otherwise(""),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" or call 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" from host 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"))).otherwise(""))
+    Tables.documents(s, d)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), ipRe, "[IP]").as("redacted"))
+  }
+
+  val queries: Seq[Q] = Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07)
 }

@@ -44,14 +44,42 @@ case class WordShingles3(child: Expression) extends UnaryExpression {
 object WordShingles3 {
   /** Static so generated code can call it — keeps the expression inside
     * WholeStageCodegen as a single method call per row. */
-  def compute(s: UTF8String): ArrayData = {
+  def compute(s: UTF8String): ArrayData = WordShinglesN.compute(s, 3)
+
+  def shingles3(c: Column): Column =
+    GraftBridge.column(WordShingles3(GraftBridge.expression(c)))
+}
+
+/** [[WordShingles3]] generalized to n-word shingles — same semantics, same
+  * zero-copy substring-view scan, with n a plan-time constant baked into the
+  * generated call. n ≥ 13 is the usual benchmark-decontamination window
+  * (GPT-3 appendix C); dd09 uses 8 to fit the synthetic corpus' doc length. */
+case class WordShinglesN(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WordShinglesN.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShinglesN.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesN =
+    copy(child = newChild)
+}
+
+object WordShinglesN {
+  /** Static so generated code can call it. */
+  def compute(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
     // Token boundaries: split at EVERY single space (mirrors split(c, " "),
     // where consecutive spaces yield empty tokens).
     var nTokens = 1
     var i = 0
     while (i < bytes.length) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
-    if (nTokens < 3) return new GenericArrayData(Array[Any](s))
+    if (nTokens < n) return new GenericArrayData(Array[Any](s))
     val starts = new Array[Int](nTokens)
     val ends = new Array[Int](nTokens)
     var t = 0
@@ -62,17 +90,17 @@ object WordShingles3 {
       i += 1
     }
     ends(t) = bytes.length
-    // Shingle i spans token i through token i+2 inclusive of the single
+    // Shingle i spans token i through token i+n-1 inclusive of the single
     // separator spaces — a contiguous byte range of the input.
     val seen = new java.util.LinkedHashSet[UTF8String]
     i = 0
-    while (i + 2 < nTokens) {
-      seen.add(UTF8String.fromBytes(bytes, starts(i), ends(i + 2) - starts(i)))
+    while (i + n - 1 < nTokens) {
+      seen.add(UTF8String.fromBytes(bytes, starts(i), ends(i + n - 1) - starts(i)))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
-  def shingles3(c: Column): Column =
-    GraftBridge.column(WordShingles3(GraftBridge.expression(c)))
+  def shinglesN(c: Column, n: Int): Column =
+    GraftBridge.column(WordShinglesN(GraftBridge.expression(c), n))
 }

@@ -64,8 +64,9 @@ object Multimodal {
         (octet_length(bin) / 64).cast("long").as("n_frames"))
       .filter(col("n_frames") > 0)
       .withColumn("frame_idx", explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))))
-      .withColumn("frame_md5", md5(expr("substring(payload, CAST(frame_idx*64 + 1 AS INT), 64)")))
-      .withColumn("frame_magic", upper(hex(expr("substring(payload, CAST(frame_idx*64 + 1 AS INT), 4)"))))
+      .withColumn("off", (col("frame_idx") * 64 + 1).cast("int"))
+      .withColumn("frame_md5", md5(col("payload").substr(col("off"), lit(64))))
+      .withColumn("frame_magic", upper(hex(col("payload").substr(col("off"), lit(4)))))
       .select("doc_id", "frame_idx", "n_frames", "frame_md5", "frame_magic")
   }
 

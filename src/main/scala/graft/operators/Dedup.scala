@@ -124,9 +124,17 @@ object Dedup {
     * The alternation provably converges in O(log² n) rounds REGARDLESS of
     * component diameter — a 10⁹-node chain takes ~30 rounds where min-label
     * propagation needs 10⁹ — to a star forest whose centers are the
-    * component minima. Convergence is detected exactly (set equality via
-    * anti-joins), never by an iteration cap; a cap remains only as a
-    * runaway backstop far above the log² bound.
+    * component minima. Convergence stays exact (set equality, never an
+    * iteration cap; the cap is a runaway backstop far above the log² bound)
+    * but is detected cheaply: each round computes an order-independent
+    * signature (count, Σhash, Σ(lo+hi)) of the new edge set in the SAME job
+    * that materializes it, and the exact set-equality join runs only when
+    * the signature repeats — equal sets always have equal signatures, so the
+    * expensive confirm fires once, at convergence (plus vanishingly rare
+    * hash coincidences, where it correctly rejects and the loop continues).
+    * Each round is therefore ONE job: the new edge set is cut with a LAZY
+    * localCheckpoint whose blocks materialize under the signature aggregate,
+    * so no separate materialization or convergence job exists.
     * ConnectedComponentsSpec checks the result against driver-side
     * union-find on random graphs and on chain graphs of diameter ≫ the old
     * propagation cap. */
@@ -135,17 +143,28 @@ object Dedup {
     def canon(e: DataFrame): DataFrame = e
       .select(least(col("u"), col("v")).as("lo"), greatest(col("u"), col("v")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
-    // Both directions, for neighborhood grouping.
+    // Both directions in a single pass: explode, not self-union — a union
+    // would reference (and recompute) the input subtree twice.
     def bidir(e: DataFrame): DataFrame = e
-      .select(col("lo").as("u"), col("hi").as("v"))
-      .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      .select(explode(array(
+        struct(col("lo").as("u"), col("hi").as("v")),
+        struct(col("hi").as("u"), col("lo").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    // Order-independent edge-set signature; equal sets ⇒ equal signatures.
+    def signature(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(hash(col("lo"), col("hi")).cast("long")), lit(0L)),
+        coalesce(sum(col("lo") + col("hi")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
 
     val spark = pairs.sparkSession
     import spark.implicits.StringToColumn
 
     var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
       .localCheckpoint()
-    var converged = edges.isEmpty
+    var sig = signature(edges)
+    var converged = sig._1 == 0L
     var iter = 0
     val maxIters = 64 // runaway backstop only; log²(n) ≪ this for any real n
     while (!converged && iter < maxIters) {
@@ -161,13 +180,20 @@ object Dedup {
       val small = canon(
         adj2.join(nbrMin2, "u").filter($"v" <= $"u").select($"v".as("u"), $"m".as("v"))
           .union(nbrMin2.select($"u", $"m".as("v"))))
-        .localCheckpoint()
-      // Exact set-equality convergence in ONE job: both sides are distinct
-      // sets, so the edge sets differ iff some key appears exactly once in
-      // their union-all — no checksum collisions, no cap exit.
-      converged = small.unionAll(edges)
-        .groupBy("lo", "hi").agg(count(lit(1)).as("c"))
-        .filter(col("c") === 1).isEmpty
+        .localCheckpoint(eager = false)
+      // This aggregate is the round's one job: it computes the small-star
+      // set, persists its checkpoint blocks, and folds the convergence
+      // signature — no separate materialization or comparison pass.
+      val newSig = signature(small)
+      if (newSig == sig) {
+        // Signature repeat: confirm with the exact one-job set-equality
+        // check (both sides are distinct sets, so they differ iff some key
+        // appears exactly once in the union-all). Runs once per execution.
+        converged = small.unionAll(edges)
+          .groupBy("lo", "hi").agg(count(lit(1)).as("c"))
+          .filter(col("c") === 1).isEmpty
+      }
+      sig = newSig
       edges = small
       iter += 1
     }
@@ -183,6 +209,17 @@ object Dedup {
       .select($"doc_id", $"cluster_id", ($"doc_id" === $"cluster_id").as("is_canonical"))
   }
 
+  /** The shared cluster relation: LSH-verified near-dup pairs → connected
+    * components — expressed ONCE and consumed by both dd06 (the relation
+    * itself) and dd07 (survivor selection over it). In deployment this is a
+    * materialized intermediate table: dd06's sink IS dd07's source, so the
+    * shingle → minhash → band-join → verify → CC pipeline runs once per
+    * corpus snapshot. The per-query harness keeps each query self-contained
+    * end-to-end (no cross-query runtime caching — bench numbers stay honest
+    * per-query costs), which is why dd07's cost ≈ dd06 + one equi-join. */
+  private[graft] def clusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(lshPairs(s, d).select("id_a", "id_b"))
+
   // ---------------------------------------------------------------- B6
   /** Near-dup CLUSTER formation: connected components over the LSH-verified
     * pair graph — each doc's cluster_id is the smallest doc_id reachable
@@ -191,10 +228,10 @@ object Dedup {
     * keep/drop decision for a training corpus.
     *
     * Engine: the [[connectedComponents]] large/small-star alternation —
-    * logarithmic rounds independent of component diameter, every round a
-    * pair of equi-join + partial-agg shuffles keyed on node id, lineage cut
-    * per round with localCheckpoint. The DuckDB oracle computes the same
-    * fixpoint with a recursive CTE. */
+    * logarithmic rounds independent of component diameter, every round ONE
+    * job of equi-join + partial-agg shuffles keyed on node id, lineage cut
+    * per round with a lazy localCheckpoint. The DuckDB oracle computes the
+    * same fixpoint with a recursive CTE. */
   val dd06 = Q(
     "dd06_dup_clusters",
     s"""WITH RECURSIVE $lshScoredSql,
@@ -208,9 +245,7 @@ object Dedup {
       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src),
       |labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
       |SELECT id AS doc_id, comp AS cluster_id, id = comp AS is_canonical
-      |FROM labels""".stripMargin) { (s, d) =>
-    connectedComponents(lshPairs(s, d).select("id_a", "id_b"))
-  }
+      |FROM labels""".stripMargin)(clusters)
 
   // ---------------------------------------------------------------- B3
   /** Pigeonhole candidate generation for SimHash: split the 24 fingerprint
@@ -428,8 +463,7 @@ object Dedup {
       |SELECT cluster_id, id AS survivor_id, quality AS best_quality,
       |  CAST(n_members AS BIGINT) AS n_members
       |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
-    val clusters = connectedComponents(lshPairs(s, d).select("id_a", "id_b"))
-    clusters.join(graft.functions.TextAnalysis.qualityScore(s, d), Seq("doc_id"))
+    clusters(s, d).join(graft.functions.TextAnalysis.qualityScore(s, d), Seq("doc_id"))
       .groupBy(col("cluster_id"))
       .agg(
         max_by(col("doc_id"), struct(col("quality"), (-col("doc_id")).as("tie"))).as("survivor_id"),
@@ -470,5 +504,48 @@ object Dedup {
       .select("id_a", "id_b", "bucket", "cos_sim")
   }
 
-  val queries: Seq[Q] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08)
+  // ---------------------------------------------------------------- B9
+  /** Benchmark DECONTAMINATION — the training-corpus hygiene step next to
+    * dedup: a training document that shares any n-word shingle with the
+    * held-out eval split is flagged (with how many windows leaked and what
+    * fraction of the doc they are), the standard n-gram-collision
+    * decontamination of GPT-3 appendix C / Dolma. Here n=8 (sized to the
+    * synthetic docs; 13 is the published default — one plan-time constant)
+    * and the eval split is the deterministic doc_id % 17 == 0 slice.
+    *
+    * Scale: grams come from the [[graft.functions.WordShinglesN]] codegen
+    * scan, are hashed to 8-byte keys ([[TextPrep.charHash]]) BEFORE the
+    * shuffle — the join moves longs, not 45-char strings — and the eval side
+    * of the hash-distinct is a fraction of the corpus: a classic
+    * small-vs-huge equi-join that broadcasts at real scale. The gram table
+    * is localCheckpoint'ed once and feeds eval/train/count uses without
+    * re-scanning the corpus. */
+  val dd09 = Q(
+    "dd09_decontaminate",
+    s"""WITH doc AS ($docsCleanSql),
+      |toks AS (SELECT doc_id, string_split(c, ' ') AS t, c FROM doc),
+      |g0 AS (SELECT doc_id, CASE WHEN len(t) >= 8 THEN list_distinct(list_transform(range(0, len(t)-7), i -> array_to_string(t[i+1:i+8], ' '))) ELSE [c] END AS gs FROM toks),
+      |g AS (SELECT doc_id, ${charHashSql("gram")} AS gh FROM (SELECT doc_id, unnest(gs) AS gram FROM g0)),
+      |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 17 = 0),
+      |tr AS (SELECT doc_id, gh FROM g WHERE doc_id % 17 <> 0),
+      |ng AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM tr GROUP BY doc_id),
+      |hits AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared FROM tr t JOIN ev e ON t.gh = e.gh GROUP BY t.doc_id)
+      |SELECT h.doc_id, h.n_shared, n.n_grams,
+      |  ROUND(CAST(h.n_shared AS DOUBLE) / CAST(n.n_grams AS DOUBLE), 6) AS shared_frac
+      |FROM hits h JOIN ng n ON h.doc_id = n.doc_id""".stripMargin) { (s, d) =>
+    val g = docsClean(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.WordShinglesN.shinglesN(col("c"), 8)).as("gram"))
+      .select(col("doc_id"), charHash(col("gram")).as("gh"))
+      .localCheckpoint()
+    val ev = g.filter(col("doc_id") % 17 === 0).select("gh").distinct()
+    val tr = g.filter(col("doc_id") % 17 =!= 0)
+    val ng = tr.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = tr.join(ev, "gh").groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    hits.join(ng, "doc_id")
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        round(col("n_shared").cast("double") / col("n_grams").cast("double"), 6).as("shared_frac"))
+  }
+
+  val queries: Seq[Q] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09)
 }

@@ -242,5 +242,44 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "bucket", "cos_sim", "rank")
   }
 
-  val queries: Seq[Q] = Seq(ann01, ann02, ann03, ann04)
+  // ---------------------------------------------------------------- C5
+  /** Index-quality EVALUATION — the operator that tells you whether an ANN
+    * index is trustworthy: per query, recall@3 of the LSH index (ann03)
+    * against the exact brute-force answer (ann01 restricted to rank ≤ 3).
+    * A production pipeline runs this on a query sample after every index
+    * (re)build and alerts on recall regressions; it is the measurement half
+    * of ann03's "raise planes for precision, probe neighbors for recall"
+    * contract. Queries with zero LSH hits still appear (recall 0), so a
+    * collapsed bucket can't hide.
+    *
+    * Composes the two existing builds — both oracle-checked — and compares
+    * on (query_id, neighbor_id): a bounded equi-join over query-sample-sized
+    * relations, trivially broadcastable at scale. */
+  val ann05 = Q(
+    "ann05_recall_eval",
+    s"""WITH exact AS (${ann01.oracle.get}),
+      |e3 AS (SELECT query_id, neighbor_id FROM exact WHERE rank <= 3),
+      |lsh AS (${ann03.oracle.get}),
+      |base AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM e3 GROUP BY query_id),
+      |hits AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |         FROM e3 e JOIN lsh l ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+      |         GROUP BY e.query_id)
+      |SELECT b.query_id, b.n_exact,
+      |  coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+      |  ROUND(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(b.n_exact AS DOUBLE), 6) AS recall_at_3
+      |FROM base b LEFT JOIN hits h ON b.query_id = h.query_id""".stripMargin) { (s, d) =>
+    val e3 = ann01.build(s, d).filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id")
+    val lsh = ann03.build(s, d).select("query_id", "neighbor_id")
+    val base = e3.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val hits = e3.join(lsh, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    base.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_exact").cast("double"), 6).as("recall_at_3"))
+  }
+
+  val queries: Seq[Q] = Seq(ann01, ann02, ann03, ann04, ann05)
 }
