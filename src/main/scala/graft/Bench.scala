@@ -43,10 +43,20 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       val times = (1 to reps).flatMap { r =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name rep $r FAILED: ${e.getMessage}"); None
-        }
+        val res =
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name rep $r FAILED: ${e.getMessage}"); None
+          }
+        // Every rep builds its plans (and localCheckpoints) from scratch, so
+        // blocks from the finished rep are garbage — but ContextCleaner only
+        // releases them after a driver GC, and with a large heap that can be
+        // never. Left alone they pile up across the run and squeeze execution
+        // memory for every LATER query (measured ~2× inflation by mid-suite).
+        // Freeing them between reps keeps each timed number what it claims
+        // to be: a cold end-to-end execution. (Outside the timed window.)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        res
       }
       val sec = if (times.length < reps) -1.0 else median(times)
       System.err.println(f"[bench] $name%-28s $sec%8.2f s (median of $reps)")

@@ -57,4 +57,28 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("ann01_bruteforce_topk")
     assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
   }
+
+  test("q31/q32 repair cascades are pure projections — no shuffle, no join") {
+    for (name <- Seq("q31_book_type", "q32_rate_repair")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name must pipeline into the scan; plan:\n$p")
+      assert(!p.contains("Join"), s"$name must not join; plan:\n$p")
+    }
+  }
+
+  test("q33 fans out through ONE generate — no second parse, no join-back") {
+    val p = plan("q33_sibling_flatten")
+    val generates = "Generate ".r.findAllIn(p).length
+    assert(generates == 1,
+      s"both child tables must come from one tagged explode, found $generates; plan:\n$p")
+    assert(!p.contains("Join"), s"sibling flatten must not join; plan:\n$p")
+  }
+
+  test("dd09's gram join is an equi-join on hashed longs, never a cartesian") {
+    val p = plan("dd09_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must stay an equi-join; plan:\n$p")
+    assert(p.contains("poly_hash") || p.contains("PolyHash") || p.contains("gh"),
+      s"grams must be hashed before the shuffle; plan:\n$p")
+  }
 }
