@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, PolyHash31, WordShingles3, WordShinglesN}
+import graft.functions.{DotProduct, PolyHash31, SimHash24, WordShingles3, WordShinglesN}
 
 /** SQL surface for graft's native expressions.
   *
@@ -33,5 +33,8 @@ object GraftExtensions {
     (FunctionIdentifier("word_shingles_n"),
       new ExpressionInfo(classOf[WordShinglesN].getName, "word_shingles_n"),
       (args: Seq[Expression]) => WordShinglesN(args(0),
-        args(1).eval().asInstanceOf[Int])))
+        args(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("simhash24"),
+      new ExpressionInfo(classOf[SimHash24].getName, "simhash24"),
+      (args: Seq[Expression]) => SimHash24(args.head)))
 }

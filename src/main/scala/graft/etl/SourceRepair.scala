@@ -140,5 +140,45 @@ object SourceRepair {
         repair(col("ebook_rate_raw"), "0.25").as("ebook_rate"))
   }
 
-  val queries: Seq[Q] = Seq(q31, q32)
+  // ---------------------------------------------------------------- A34
+  /** Multi-source flag derivation — the reference's Wholesale/Giftwrapped
+    * pattern (dw2_wc_increment.py:301-302, 468-471): a flag becomes 'Yes'
+    * when ANY of several alternative evidence columns fires (two meta-style
+    * columns OR membership in a hardcoded coupon-code list), then a role
+    * string is derived with the where-isnull/fillna idiom — the flag column
+    * itself stays the reference's quirky 'Yes'/NULL string, not a boolean,
+    * and the role is 'Wholesale Customer' where the flag is set else
+    * 'Customer'. Evidence analogs on the test tables: market segment
+    * (meta column 1), order priority (meta column 2), and a clerk-style
+    * membership list over the order status+priority pair.
+    *
+    * Scale: one broadcast dim join (customer) + per-row conditionals —
+    * the membership list is a literal IN, never a join. */
+  val q34 = Q(
+    "q34_flag_derivation",
+    """SELECT o.o_orderkey AS order_key,
+      |  CASE WHEN c.c_mktsegment = 'BUILDING'
+      |         OR o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |         OR (o.o_orderstatus || ':' || o.o_orderpriority) IN ('F:3-MEDIUM', 'O:5-LOW')
+      |       THEN 'Yes' ELSE NULL END AS wholesale,
+      |  CASE WHEN c.c_mktsegment = 'BUILDING'
+      |         OR o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |         OR (o.o_orderstatus || ':' || o.o_orderpriority) IN ('F:3-MEDIUM', 'O:5-LOW')
+      |       THEN 'Wholesale Customer' ELSE 'Customer' END AS customer_role,
+      |  CASE WHEN c.c_acctbal < 0 THEN 'Yes' ELSE NULL END AS giftwrapped
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin) { (s, d) =>
+    val isWholesale = col("c_mktsegment") === "BUILDING" ||
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH") ||
+      concat(col("o_orderstatus"), lit(":"), col("o_orderpriority"))
+        .isin("F:3-MEDIUM", "O:5-LOW")
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("order_key"),
+        when(isWholesale, "Yes").otherwise(lit(null).cast("string")).as("wholesale"),
+        when(isWholesale, "Wholesale Customer").otherwise("Customer").as("customer_role"),
+        when(col("c_acctbal") < 0, "Yes").otherwise(lit(null).cast("string")).as("giftwrapped"))
+  }
+
+  val queries: Seq[Q] = Seq(q31, q32, q34)
 }

@@ -310,22 +310,14 @@ object Dedup {
       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 4""".stripMargin) { (s, d) =>
     // The oracle counts per-(doc, distinct token) then weights by count; a
     // sum of count×(±1) over distinct tokens equals a sum of ±1 over raw
-    // token OCCURRENCES, so the engine skips the (doc_id, token) count
-    // shuffle entirely: hash each occurrence and fold 24 conditional
-    // aggregates in ONE hash aggregate keyed on doc_id (map-side partials
-    // collapse to one row per doc per partition). The oracle's
-    // unnest(range(0,24)) row explosion would similarly put 24× the corpus
-    // through an extra shuffle; per-bit columns never widen the row count.
-    val th = docsClean(s, d)
-      .select(col("doc_id"), explode(tokens(col("c"))).as("t"))
-      .select(col("doc_id"), charHash(col("t")).as("h"))
-    val bitAggs = (0 until 24).map { b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"w$b")
-    }
-    val fp = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 24).map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).cast("long").as("fingerprint"))
+    // token OCCURRENCES, so the engine computes the whole fingerprint as
+    // ONE scalar codegen pass over each document ([[graft.functions
+    // .SimHash24]]): no token explode, no (doc, 24-sums) aggregate — the
+    // fingerprint stage is now shuffle-free and the first exchange in the
+    // plan is the (already one-row-per-doc) pigeonhole candidate join. The
+    // oracle's unnest(range(0,24)) row explosion stays the independent spec.
+    val fp = docsClean(s, d).select(col("doc_id"),
+      graft.functions.SimHash24.simhash24(col("c")).as("fingerprint"))
     simhashPairs(fp).select("id_a", "id_b", "fp_a", "fp_b", "hamming")
   }
 

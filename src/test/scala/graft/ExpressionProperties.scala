@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
-import graft.functions.{DotProduct, PolyHash31}
+import graft.functions.{DotProduct, PolyHash31, SimHash24}
 
 /** Property tests for the native expressions, driven through Catalyst
   * interpreted eval (no Spark jobs — hundreds of cases run in ms). The
@@ -60,5 +60,24 @@ object ExpressionProperties extends Properties("graft.expressions") {
   property("dotProduct with a null side is null") = Prop {
     DotProduct(Literal.create(null, ArrayType(FloatType)), lit(Array(1f)))
       .eval(null) == null
+  }
+
+  /** Reference SimHash: split(" ", -1) token semantics (trailing/consecutive
+    * empties kept — Spark's split default), per-occurrence ±1 bit weights. */
+  private def refSimhash(s: String): Long = {
+    val counts = new Array[Int](24)
+    for (t <- s.split(" ", -1); b <- 0 until 24) {
+      if (((refHash(t) >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+    }
+    (0 until 24).map(b => if (counts(b) > 0) 1L << b else 0L).sum
+  }
+
+  property("simHash24 == tokenize∘hash∘weight composition, any ASCII input") =
+    forAll(asciiString) { s =>
+      SimHash24(Literal(s)).eval(null) == refSimhash(s)
+    }
+
+  property("simHash24 of null is null") = Prop {
+    SimHash24(Literal.create(null, StringType)).eval(null) == null
   }
 }
