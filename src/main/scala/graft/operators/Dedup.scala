@@ -72,16 +72,21 @@ object Dedup {
 
   /** Spark side of the same pair computation (see dd02 scaladoc).
     * The shingle table is localCheckpoint'ed, not cache()'d: it is read three
-    * times (hashing + both sides of the verify join), but checkpoint blocks
-    * are released by the ContextCleaner once the plan is unreferenced —
-    * a long Verify/Bench session doesn't accumulate pinned cache entries. */
+    * times (signatures + both sides of the verify join), but checkpoint
+    * blocks are released by the ContextCleaner once the plan is unreferenced
+    * — a long Verify/Bench session doesn't accumulate pinned cache entries.
+    * The 8-permutation signature is a per-row SCALAR (hash the shingle array
+    * once with `transform`, then 8 `array_min`s): the old explode → groupBy
+    * min path put every (doc, shingle) row through a shuffle just to take
+    * per-doc minima the row already had locally. Same arithmetic, same
+    * values — the oracle's exploded GROUP BY remains the independent spec. */
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
     val sh = docShingles(s, d).localCheckpoint()
-    val hashed = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
-      .select(col("doc_id"), charHash(col("sh")).as("h"))
-    val minAggs = minhashPerms.zipWithIndex.map { case ((a, b), k) =>
-      min((lit(a) * col("h") + lit(b)) % 1000000007L).as(s"mh$k") }
-    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val sig = sh
+      .withColumn("hs", transform(col("shs"), x => charHash(x)))
+      .select(col("doc_id") +: minhashPerms.zipWithIndex.map { case ((a, b), k) =>
+        array_min(transform(col("hs"),
+          h => (lit(a) * h + lit(b)) % 1000000007L)).as(s"mh$k") }: _*)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map { bnd =>
         concat(lit(s"b$bnd:"), col(s"mh${2 * bnd}").cast("string"), lit(":"), col(s"mh${2 * bnd + 1}").cast("string"))

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.TextPrep
+import graft.functions.WordShingles3
+
+/** A document arriving on the ingest stream. */
+final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+/** One (band, bucket) assignment of a document, carrying its full signature. */
+final case class BandedDoc(
+    band: Int,
+    band_key: String,
+    doc_id: Long,
+    ts: Timestamp,
+    sig: Seq[Long])
+
+/** An emitted near-duplicate match: `doc_id` arrived and collided with the
+  * earlier `dup_of` (estimated similarity = fraction of agreeing minhash
+  * rows). One row per (doc, earlier-doc) pair regardless of how many bands
+  * collide (first-match-band dedup). */
+final case class DupMatch(doc_id: Long, dup_of: Long, band: Int, est_sim: Double)
+
+/** Per-bucket state: the signatures of documents seen in this bucket. */
+final case class BucketState(docs: List[(Long, Seq[Long])], lastTs: Long)
+
+/** F6: STREAMING near-duplicate detection — dedup-on-ingest (SURVEY §2 F6).
+  *
+  * The batch dedup family (dd02/dd06/dd07) assumes the corpus is at rest; a
+  * training-data pipeline also needs the arrival-time variant: as documents
+  * land, flag each one that near-duplicates something already ingested,
+  * before it reaches storage. Same MinHash+LSH math as dd02, re-expressed
+  * for Structured Streaming:
+  *
+  *  - The 8-permutation signature is a per-row SCALAR (`array_min` over
+  *    `transform` of the shingle array) — no explode, no aggregate, so the
+  *    stream needs no shuffle before banding. (The arithmetic is identical
+  *    to dd02's exploded groupBy-min: min over the same hash values.)
+  *  - Docs fan out to their 4 band buckets; `flatMapGroupsWithState` keyed
+  *    on the bucket holds the signatures seen there. A new doc is compared
+  *    against its bucket's members: ≥ 4/8 agreeing rows (the s-curve
+  *    midpoint, matching dd02's J ≥ 0.5 verify) emits a match against each.
+  *  - A pair colliding in several bands would emit once per band; the
+  *    first-match-band predicate (emit only where every earlier band
+  *    differs — dd03's trick) makes emissions exactly-once per pair with
+  *    zero extra state or post-dedup shuffle.
+  *  - State is bounded two ways, exactly like sessionization: the event-time
+  *    timeout drops buckets idle past the dedup horizon (duplicates arriving
+  *    later than the horizon are accepted as "new" — the documented
+  *    trade-off every streaming dedup makes), and within a bucket the
+  *    member list is capped at `maxBucketSize` oldest-first (a bucket that
+  *    hot is boilerplate; its docs all match each other anyway).
+  *
+  * DocsStreamSpec checks the emitted matches against a driver-side reference
+  * over the same arrival order, including cross-micro-batch state. */
+object DocsStream {
+
+  private val M = 1000000007L
+
+  /** Per-row minhash component over the PRE-HASHED shingle array: min of the
+    * k-th arithmetic permutation — dd02's signature without the explode. */
+  private def mh(hs: Column, k: Int): Column = {
+    val (a, b) = TextPrep.minhashPerms(k)
+    array_min(transform(hs, h => (lit(a) * h + lit(b)) % M))
+  }
+
+  /** (doc_id, ts, band, band_key, sig) stream/batch-agnostic projection. */
+  def banded(docs: Dataset[Doc]): Dataset[BandedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shs = WordShingles3.shingles3(TextPrep.clean(col("text")))
+    docs.withColumn("shs", shs)
+      // Hash each shingle ONCE, then take the 8 permutation minima over the
+      // hashed array — not 8 re-hashes of every shingle.
+      .withColumn("hs", transform(col("shs"),
+        x => graft.functions.PolyHash.polyHash31(x)))
+      .withColumn("sig", array((0 until 8).map(k => mh(col("hs"), k)): _*))
+      .select(col("doc_id"), col("ts"),
+        posexplode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            concat(lit(s"b$b:"), element_at(col("sig"), 2 * b + 1).cast("string"),
+              lit(":"), element_at(col("sig"), 2 * b + 2).cast("string")).as("band_key"))
+        }: _*)).as(Seq("pos", "bk")),
+        col("sig"))
+      .select(col("bk.band").as("band"), col("bk.band_key").as("band_key"),
+        col("doc_id"), col("ts"), col("sig"))
+      .as[BandedDoc]
+  }
+
+  /** Rows k where the two signatures agree. */
+  private def agreement(a: Seq[Long], b: Seq[Long]): Int =
+    (0 until 8).count(k => a(k) == b(k))
+
+  /** True iff `band` is the FIRST band where the two signatures collide. */
+  private def firstMatchBand(band: Int, a: Seq[Long], b: Seq[Long]): Boolean =
+    (0 until band).forall(bp => a(2 * bp) != b(2 * bp) || a(2 * bp + 1) != b(2 * bp + 1))
+
+  /** The streaming near-dup detector. `horizon` bounds how far back a
+    * duplicate can be detected (state eviction), `minAgree` of 8 rows is the
+    * similarity gate (4 ≈ J 0.5). */
+  def nearDupMatches(
+      docs: Dataset[Doc],
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 3600L * 1000,
+      minAgree: Int = 4,
+      maxBucketSize: Int = 1000): Dataset[DupMatch] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    banded(docs.withWatermark("ts", watermarkDelay))
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[BucketState, DupMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // Arrival order within a micro-batch is not guaranteed: process
+            // in deterministic (ts, doc_id) order, matching the reference.
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var members = state.getOption.map(_.docs).getOrElse(Nil)
+            var lastTs = state.getOption.map(_.lastTs).getOrElse(0L)
+            val out = Seq.newBuilder[DupMatch]
+            for (r <- sorted) {
+              for ((id, sig) <- members
+                   if agreement(r.sig, sig) >= minAgree
+                     && firstMatchBand(r.band, r.sig, sig))
+                out += DupMatch(r.doc_id, id, r.band, agreement(r.sig, sig) / 8.0)
+              members = ((r.doc_id, r.sig) :: members).take(maxBucketSize)
+              lastTs = math.max(lastTs, r.ts.getTime)
+            }
+            state.update(BucketState(members, lastTs))
+            state.setTimeoutTimestamp(lastTs + horizonMs)
+            out.result().iterator
+          }
+      }
+  }
+}
