@@ -180,5 +180,59 @@ object SourceRepair {
         when(col("c_acctbal") < 0, "Yes").otherwise(lit(null).cast("string")).as("giftwrapped"))
   }
 
-  val queries: Seq[Q] = Seq(q31, q32, q34)
+  // ---------------------------------------------------------------- A35
+  /** Two-channel harmonized fact union — dw5's core shape: the WC retail
+    * channel (order-line grain, has quantities) and the SCB distributor
+    * channel (statement grain, no per-line quantity, months shifted +3 by
+    * the royalty calendar) are concatenated into ONE fact, each channel
+    * contributing only the columns it has, then per-row channel-conditional
+    * "Combined_*" keys pick whichever side is present
+    * (dw5_order_royalty_fact.py:731,743 np.select defaulting to the other
+    * channel; the concat at :649-657). Spark-first: `unionByName` with
+    * allowMissingColumns (schema harmonization without hand-written NULL
+    * padding), `coalesce` for the combined keys, and the missing measure
+    * stays NULL through the aggregate — SCB months report NULL total_qty,
+    * not a fake 0.
+    *
+    * Scale: the union is a zero-shuffle concatenation of two scans; the
+    * only exchange is the final report aggregate. Money sums in exact
+    * integer micros ([[graft.functions.Exact]]). */
+  val q35 = Q(
+    "q35_channel_union",
+    s"""WITH wc AS (
+      |  SELECT 'WC' AS channel, strftime(o.o_orderdate, '%Y-%m') AS wc_month,
+      |    CAST(NULL AS VARCHAR) AS scb_month,
+      |    CAST(ROUND(l.l_quantity) AS BIGINT) AS qty, l.l_extendedprice AS rev
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |scb AS (
+      |  SELECT 'SCB' AS channel, CAST(NULL AS VARCHAR) AS wc_month,
+      |    strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m') AS scb_month,
+      |    CAST(NULL AS BIGINT) AS qty, o_totalprice AS rev
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |u AS (SELECT * FROM wc UNION ALL SELECT * FROM scb)
+      |SELECT coalesce(scb_month, wc_month) AS combined_month, channel,
+      |  CAST(SUM(qty) AS BIGINT) AS total_qty,
+      |  ${graft.functions.Exact.sqlSumMicros("rev")} AS total_rev,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM u GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    import graft.functions.Exact.sumMicros
+    val wc = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(lit("WC").as("channel"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("wc_month"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        col("l_extendedprice").as("rev"))
+    val scb = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+      .select(lit("SCB").as("channel"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM").as("scb_month"),
+        col("o_totalprice").as("rev"))
+    wc.unionByName(scb, allowMissingColumns = true)
+      .groupBy(coalesce(col("scb_month"), col("wc_month")).as("combined_month"),
+        col("channel"))
+      .agg(sum(col("qty")).as("total_qty"),
+        sumMicros(col("rev")).as("total_rev"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val queries: Seq[Q] = Seq(q31, q32, q34, q35)
 }

@@ -300,5 +300,59 @@ object TextAnalysis {
           emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), ipRe, "[IP]").as("redacted"))
   }
 
-  val queries: Seq[Q] = Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07)
+  // ---------------------------------------------------------------- D8
+  /** Composite quality FILTER — the keep/drop decision built from tx02's
+    * signals, Gopher/Dolma style: ordered gates, FIRST failing gate is the
+    * recorded reason (so corpus-health dashboards can histogram drop causes),
+    * pass = survived all gates. Gates compare the same round-6 ratios both
+    * engines compute, so the decision boundary is bit-identical.
+    *
+    * Scale: like tx02, a single-pass projection — the filter decision
+    * pipelines into the ingest scan; downstream writers partition on `pass`
+    * (or the reason) to land kept/dropped docs separately. */
+  val tx08 = Q(
+    "tx08_quality_filter",
+    s"""WITH doc AS (SELECT doc_id, text, $cleanSql AS c FROM documents),
+      |feat AS (SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_raw,
+      |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+      |  CAST(len(string_split(c, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_intersect(list_distinct(string_split(c, ' ')), ${sqlList(stopEn)})) AS BIGINT) AS stop_hits
+      |FROM doc),
+      |scored AS (SELECT doc_id, n_tokens,
+      |  ROUND(CAST(n_alpha AS DOUBLE) / CAST(n_raw AS DOUBLE), 6) AS alpha_ratio,
+      |  ROUND(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+      |  ${qualityFormulaSql("n_alpha", "n_raw", "n_tokens", "stop_hits")} AS quality
+      |FROM feat)
+      |SELECT doc_id, n_tokens, alpha_ratio, stop_ratio, quality,
+      |  CASE WHEN n_tokens < 20 THEN 'too_short'
+      |       WHEN alpha_ratio < 0.8 THEN 'low_alpha'
+      |       WHEN stop_ratio < 0.02 THEN 'low_stopword'
+      |       WHEN quality < 0.5 THEN 'low_quality'
+      |       ELSE NULL END AS fail_reason,
+      |  n_tokens >= 20 AND alpha_ratio >= 0.8 AND stop_ratio >= 0.02
+      |    AND quality >= 0.5 AS pass
+      |FROM scored""".stripMargin) { (s, d) =>
+    val c = clean(col("text"))
+    val feat = Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_raw"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("n_alpha"),
+      size(split(c, " ")).cast("long").as("n_tokens"),
+      size(array_intersect(array_distinct(split(c, " ")), typedLit(stopEn))).cast("long").as("stop_hits"))
+    feat.select(col("doc_id"), col("n_tokens"),
+      round(col("n_alpha").cast("double") / col("n_raw").cast("double"), 6).as("alpha_ratio"),
+      round(col("stop_hits").cast("double") / col("n_tokens").cast("double"), 6).as("stop_ratio"),
+      qualityFormula(col("n_alpha"), col("n_raw"), col("n_tokens"), col("stop_hits")).as("quality"))
+      .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"), col("stop_ratio"), col("quality"),
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("alpha_ratio") < 0.8, "low_alpha")
+          .when(col("stop_ratio") < 0.02, "low_stopword")
+          .when(col("quality") < 0.5, "low_quality")
+          .otherwise(lit(null).cast("string")).as("fail_reason"),
+        (col("n_tokens") >= 20 && col("alpha_ratio") >= 0.8
+          && col("stop_ratio") >= 0.02 && col("quality") >= 0.5).as("pass"))
+  }
+
+  val queries: Seq[Q] = Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08)
 }
