@@ -40,6 +40,10 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     }
     spark.sharedState.cacheManager.clearCache()
+    // clearCache() only drops Dataset.cache entries — the warmup queries'
+    // localCheckpoint blocks are persistent RDDs and would otherwise sit in
+    // storage memory through the first timed rep (see the per-rep sweep).
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     val results = ordered.map { case (name, fn) =>
       val times = (1 to reps).flatMap { r =>
         val t0 = System.nanoTime()

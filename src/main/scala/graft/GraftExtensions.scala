@@ -32,8 +32,19 @@ object GraftExtensions {
       (args: Seq[Expression]) => WordShingles3(args.head)),
     (FunctionIdentifier("word_shingles_n"),
       new ExpressionInfo(classOf[WordShinglesN].getName, "word_shingles_n"),
-      (args: Seq[Expression]) => WordShinglesN(args(0),
-        args(1).eval().asInstanceOf[Int])),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_shingles_n(text, n) takes 2 arguments")
+        require(args(1).foldable, "word_shingles_n: n must be a literal")
+        val n = args(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_shingles_n: n must be integral, got $other")
+        }
+        WordShinglesN(args(0), n)
+      }),
     (FunctionIdentifier("simhash24"),
       new ExpressionInfo(classOf[SimHash24].getName, "simhash24"),
       (args: Seq[Expression]) => SimHash24(args.head)))

@@ -47,11 +47,15 @@ object SourceRepair {
       |          WHEN 6 THEN ' - Special Signed Edition'
       |          ELSE '' END) AS product_name
       |  FROM part),
+      |pos AS (SELECT part_key, product_name,
+      |  strpos(product_name, ' - ') AS p FROM named),
       |split AS (
       |  SELECT part_key, product_name,
-      |    list_extract(str_split(product_name, ' - '), 1) AS title,
-      |    coalesce(list_extract(str_split(product_name, ' - '), 2), 'Print') AS type_string
-      |  FROM named)
+      |    CASE WHEN p > 0 THEN substr(product_name, 1, p - 1)
+      |         ELSE product_name END AS title,
+      |    CASE WHEN p > 0 THEN substr(product_name, p + 3)
+      |         ELSE 'Print' END AS type_string
+      |  FROM pos)
       |SELECT part_key, product_name, title, type_string,
       |  CASE
       |    WHEN contains(lower(type_string), 'hardcover') THEN 'Hardcover'

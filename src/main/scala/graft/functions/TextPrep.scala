@@ -46,6 +46,25 @@ object TextPrep {
     (2971L, 1332L), (4297L, 7919L), (6121L, 1511L), (8233L, 2027L),
     (9413L, 4463L), (10667L, 5779L), (12289L, 6841L), (14341L, 8863L))
 
+  /** Per-row 8-permutation minhash signature over a shingle array: hash each
+    * shingle ONCE, then fold each permutation's min with `array_min` —
+    * dd02's signature without an explode → groupBy shuffle. The single
+    * definition keeps the batch LSH family (Dedup.lshPairs) and the
+    * streaming detector (DocsStream.banded) arithmetically identical. */
+  def minhashSig(shs: Column): Column = {
+    val hs = transform(shs, x => charHash(x))
+    array(minhashPerms.map { case (a, b) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % 1000000007L)) }: _*)
+  }
+
+  /** The 4 LSH band keys of a signature array (2 rows per band), formatted
+    * "b<i>:<mh>:<mh>" — shared by batch banding and the streaming buckets. */
+  def bandKeys(sig: Column): Seq[Column] =
+    (0 until 4).map { b =>
+      concat(lit(s"b$b:"), element_at(sig, 2 * b + 1).cast("string"),
+        lit(":"), element_at(sig, 2 * b + 2).cast("string"))
+    }
+
   /** Token-set Jaccard over two distinct-element array columns, rounded to
     * 6 dp so both engines threshold on identical values. */
   def jaccard(a: Column, b: Column): Column =

@@ -82,15 +82,9 @@ object Dedup {
     * values — the oracle's exploded GROUP BY remains the independent spec. */
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
     val sh = docShingles(s, d).localCheckpoint()
-    val sig = sh
-      .withColumn("hs", transform(col("shs"), x => charHash(x)))
-      .select(col("doc_id") +: minhashPerms.zipWithIndex.map { case ((a, b), k) =>
-        array_min(transform(col("hs"),
-          h => (lit(a) * h + lit(b)) % 1000000007L)).as(s"mh$k") }: _*)
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 until 4).map { bnd =>
-        concat(lit(s"b$bnd:"), col(s"mh${2 * bnd}").cast("string"), lit(":"), col(s"mh${2 * bnd + 1}").cast("string"))
-      }: _*)).as("bk"))
+    val sig = sh.select(col("doc_id"), minhashSig(col("shs")).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      explode(array(bandKeys(col("sig")): _*)).as("bk"))
     val a = bands.select(col("doc_id").as("id_a"), col("bk"))
     val b = bands.select(col("doc_id").as("id_b"), col("bk"))
     val cand = a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))

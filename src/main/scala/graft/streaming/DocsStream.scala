@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Column, Dataset}
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -26,8 +26,9 @@ final case class BandedDoc(
   * collide (first-match-band dedup). */
 final case class DupMatch(doc_id: Long, dup_of: Long, band: Int, est_sim: Double)
 
-/** Per-bucket state: the signatures of documents seen in this bucket. */
-final case class BucketState(docs: List[(Long, Seq[Long])], lastTs: Long)
+/** Per-bucket state: (doc_id, event-time ms, signature) of documents seen in
+  * this bucket, newest first, trimmed to the dedup horizon. */
+final case class BucketState(docs: List[(Long, Long, Seq[Long])], lastTs: Long)
 
 /** F6: STREAMING near-duplicate detection — dedup-on-ingest (SURVEY §2 F6).
   *
@@ -49,42 +50,30 @@ final case class BucketState(docs: List[(Long, Seq[Long])], lastTs: Long)
   *    first-match-band predicate (emit only where every earlier band
   *    differs — dd03's trick) makes emissions exactly-once per pair with
   *    zero extra state or post-dedup shuffle.
-  *  - State is bounded two ways, exactly like sessionization: the event-time
-  *    timeout drops buckets idle past the dedup horizon (duplicates arriving
-  *    later than the horizon are accepted as "new" — the documented
-  *    trade-off every streaming dedup makes), and within a bucket the
-  *    member list is capped at `maxBucketSize` oldest-first (a bucket that
-  *    hot is boilerplate; its docs all match each other anyway).
+  *  - State is bounded by event time, exactly like sessionization: the
+  *    group-state timeout drops buckets idle past the dedup horizon, and a
+  *    live bucket trims members older than the horizon on every arrival
+  *    (duplicates arriving later than the horizon are accepted as "new" —
+  *    the documented trade-off every streaming dedup makes). Eviction is
+  *    deliberately NOT count-based: an age cut is consistent across a doc's
+  *    four band buckets, which the first-match-band suppression relies on.
   *
   * DocsStreamSpec checks the emitted matches against a driver-side reference
   * over the same arrival order, including cross-micro-batch state. */
 object DocsStream {
 
-  private val M = 1000000007L
-
-  /** Per-row minhash component over the PRE-HASHED shingle array: min of the
-    * k-th arithmetic permutation — dd02's signature without the explode. */
-  private def mh(hs: Column, k: Int): Column = {
-    val (a, b) = TextPrep.minhashPerms(k)
-    array_min(transform(hs, h => (lit(a) * h + lit(b)) % M))
-  }
-
-  /** (doc_id, ts, band, band_key, sig) stream/batch-agnostic projection. */
+  /** (doc_id, ts, band, band_key, sig) stream/batch-agnostic projection —
+    * signature and band keys come from the SAME TextPrep builders the batch
+    * LSH family uses, so the two paths cannot drift apart. */
   def banded(docs: Dataset[Doc]): Dataset[BandedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val shs = WordShingles3.shingles3(TextPrep.clean(col("text")))
-    docs.withColumn("shs", shs)
-      // Hash each shingle ONCE, then take the 8 permutation minima over the
-      // hashed array — not 8 re-hashes of every shingle.
-      .withColumn("hs", transform(col("shs"),
-        x => graft.functions.PolyHash.polyHash31(x)))
-      .withColumn("sig", array((0 until 8).map(k => mh(col("hs"), k)): _*))
+    docs
+      .withColumn("sig",
+        TextPrep.minhashSig(WordShingles3.shingles3(TextPrep.clean(col("text")))))
       .select(col("doc_id"), col("ts"),
-        posexplode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            concat(lit(s"b$b:"), element_at(col("sig"), 2 * b + 1).cast("string"),
-              lit(":"), element_at(col("sig"), 2 * b + 2).cast("string")).as("band_key"))
+        posexplode(array(TextPrep.bandKeys(col("sig")).zipWithIndex.map {
+          case (k, b) => struct(lit(b).as("band"), k.as("band_key"))
         }: _*)).as(Seq("pos", "bk")),
         col("sig"))
       .select(col("bk.band").as("band"), col("bk.band_key").as("band_key"),
@@ -100,15 +89,28 @@ object DocsStream {
   private def firstMatchBand(band: Int, a: Seq[Long], b: Seq[Long]): Boolean =
     (0 until band).forall(bp => a(2 * bp) != b(2 * bp) || a(2 * bp + 1) != b(2 * bp + 1))
 
-  /** The streaming near-dup detector. `horizon` bounds how far back a
-    * duplicate can be detected (state eviction), `minAgree` of 8 rows is the
-    * similarity gate (4 ≈ J 0.5). */
+  /** The streaming near-dup detector. `horizonMs` bounds how far back a
+    * duplicate can be detected, `minAgree` of 8 rows is the similarity gate
+    * (4 ≈ J 0.5).
+    *
+    * State eviction is EVENT-TIME based in two layers: idle buckets are
+    * dropped wholesale by the group-state timeout, and within a live bucket
+    * members older than the horizon relative to the newest arrival are
+    * trimmed. Event-time trimming (vs a per-bucket count cap) is what keeps
+    * the first-match-band suppression sound: a doc inside the horizon is
+    * present in ALL FOUR of its band buckets, so the suppressing bucket and
+    * the emitting bucket agree on membership. (The residual race is only at
+    * the horizon boundary itself — a partner evicted from one bucket
+    * slightly before another — which degrades into the already-documented
+    * "older than the horizon counts as new" semantics, never a silent drop
+    * of an in-horizon pair.) A redelivered doc_id (at-least-once source) is
+    * recognized in state and neither re-matched against itself nor
+    * double-inserted. */
   def nearDupMatches(
       docs: Dataset[Doc],
       watermarkDelay: String = "10 minutes",
       horizonMs: Long = 3600L * 1000,
-      minAgree: Int = 4,
-      maxBucketSize: Int = 1000): Dataset[DupMatch] = {
+      minAgree: Int = 4): Dataset[DupMatch] = {
     val spark = docs.sparkSession
     import spark.implicits._
     banded(docs.withWatermark("ts", watermarkDelay))
@@ -127,11 +129,14 @@ object DocsStream {
             var lastTs = state.getOption.map(_.lastTs).getOrElse(0L)
             val out = Seq.newBuilder[DupMatch]
             for (r <- sorted) {
-              for ((id, sig) <- members
-                   if agreement(r.sig, sig) >= minAgree
-                     && firstMatchBand(r.band, r.sig, sig))
-                out += DupMatch(r.doc_id, id, r.band, agreement(r.sig, sig) / 8.0)
-              members = ((r.doc_id, r.sig) :: members).take(maxBucketSize)
+              members = members.filter(_._2 >= r.ts.getTime - horizonMs)
+              if (!members.exists(_._1 == r.doc_id)) {
+                for ((id, _, sig) <- members
+                     if agreement(r.sig, sig) >= minAgree
+                       && firstMatchBand(r.band, r.sig, sig))
+                  out += DupMatch(r.doc_id, id, r.band, agreement(r.sig, sig) / 8.0)
+                members = (r.doc_id, r.ts.getTime, r.sig) :: members
+              }
               lastTs = math.max(lastTs, r.ts.getTime)
             }
             state.update(BucketState(members, lastTs))

@@ -77,7 +77,9 @@ class DocsStreamSpec extends SparkSpec {
     try {
       input.addData(Seq(d1, d2))
       query.processAllAvailable()
-      input.addData(Seq(d3, d4)) // d3 must match state from batch 1
+      // d3 must match state from batch 1; d1 is REDELIVERED (at-least-once
+      // source) and must produce no self-match and no duplicate emissions.
+      input.addData(Seq(d3, d4, d1))
       query.processAllAvailable()
     } finally query.stop()
 

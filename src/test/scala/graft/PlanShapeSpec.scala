@@ -78,7 +78,9 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("dd09_decontaminate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"decontamination must stay an equi-join; plan:\n$p")
-    assert(p.contains("poly_hash") || p.contains("PolyHash") || p.contains("gh"),
-      s"grams must be hashed before the shuffle; plan:\n$p")
+    // The join key must be the 8-byte hash (a LONG attribute, `gh#NL`), not
+    // the raw 45-char gram strings — a string `gh` alias would lack the L.
+    assert("gh#\\d+L".r.findFirstIn(p).isDefined,
+      s"grams must be hashed to longs before the shuffle; plan:\n$p")
   }
 }
