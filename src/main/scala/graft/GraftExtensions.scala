@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, PolyHash31, SimHash24, WordShingles3, WordShinglesN}
+import graft.functions.{DotProduct, MinHashSig8, PolyHash31, SimHash24, WordShingles3, WordShinglesN}
 
 /** SQL surface for graft's native expressions.
   *
@@ -47,5 +47,8 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("simhash24"),
       new ExpressionInfo(classOf[SimHash24].getName, "simhash24"),
-      (args: Seq[Expression]) => SimHash24(args.head)))
+      (args: Seq[Expression]) => SimHash24(args.head)),
+    (FunctionIdentifier("minhash_sig8"),
+      new ExpressionInfo(classOf[MinHashSig8].getName, "minhash_sig8"),
+      (args: Seq[Expression]) => MinHashSig8(args.head)))
 }

@@ -56,4 +56,73 @@ case class PolyHash31(child: Expression) extends UnaryExpression {
 object PolyHash {
   def polyHash31(s: Column): Column =
     GraftBridge.column(PolyHash31(GraftBridge.expression(s)))
+
+  /** Static hash for sibling expressions that loop over array elements. */
+  def hashBytes(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var acc = 0L
+    var i = from
+    while (i < until) {
+      acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+}
+
+/** The full 8-permutation MinHash signature of a shingle array in ONE native
+  * codegen pass: each shingle is hashed exactly once, and the 8 permutation
+  * minima are tracked in registers — the signature every LSH operator
+  * (dd02/dd06/dd07 batch, DocsStream streaming) starts from.
+  *
+  * Why native: the declarative `array_min(transform(hs, …))` ×8 form either
+  * duplicates the hashing transform into all eight trees (higher-order
+  * functions get no subexpression elimination — measured 2.9× slower on
+  * dd02) or leans on a multi-referenced projection alias the optimizer must
+  * happen to keep; and HOFs are CodegenFallback, so the hot loop stays
+  * interpreted either way. Permutation constants come from
+  * [[TextPrep.minhashPerms]] — one definition, both engines, all operators.
+  * Semantics: min over the shingles of (a_k·hash+b_k) mod 1e9+7 per row k;
+  * input arrays are never empty by the shingles3 contract ([c] fallback). */
+case class MinHashSig8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig8.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig8.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig8 =
+    copy(child = newChild)
+}
+
+object MinHashSig8 {
+  private val A = TextPrep.minhashPerms.map(_._1).toArray
+  private val B = TextPrep.minhashPerms.map(_._2).toArray
+  private val M = 1000000007L
+
+  /** Static so generated code can call it. */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(A.length)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val bytes = arr.getUTF8String(i).getBytes
+      val h = PolyHash.hashBytes(bytes, 0, bytes.length)
+      var k = 0
+      while (k < A.length) {
+        val v = (A(k) * h + B(k)) % M
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  def minhashSig8(c: Column): Column =
+    GraftBridge.column(MinHashSig8(GraftBridge.expression(c)))
 }

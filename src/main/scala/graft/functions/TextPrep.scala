@@ -46,16 +46,12 @@ object TextPrep {
     (2971L, 1332L), (4297L, 7919L), (6121L, 1511L), (8233L, 2027L),
     (9413L, 4463L), (10667L, 5779L), (12289L, 6841L), (14341L, 8863L))
 
-  /** Per-row 8-permutation minhash signature over a shingle array: hash each
-    * shingle ONCE, then fold each permutation's min with `array_min` —
-    * dd02's signature without an explode → groupBy shuffle. The single
+  /** Per-row 8-permutation minhash signature over a shingle array — dd02's
+    * signature with no explode → groupBy shuffle and each shingle hashed
+    * exactly once, as the native [[MinHashSig8]] codegen pass. The single
     * definition keeps the batch LSH family (Dedup.lshPairs) and the
     * streaming detector (DocsStream.banded) arithmetically identical. */
-  def minhashSig(shs: Column): Column = {
-    val hs = transform(shs, x => charHash(x))
-    array(minhashPerms.map { case (a, b) =>
-      array_min(transform(hs, h => (lit(a) * h + lit(b)) % 1000000007L)) }: _*)
-  }
+  def minhashSig(shs: Column): Column = MinHashSig8.minhashSig8(shs)
 
   /** The 4 LSH band keys of a signature array (2 rows per band), formatted
     * "b<i>:<mh>:<mh>" — shared by batch banding and the streaming buckets. */

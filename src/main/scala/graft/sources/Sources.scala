@@ -72,4 +72,32 @@ object Sources {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("part_month")
       .parquet(outPath)
+
+  /** G6: schema-evolution read. Incremental landings drift: a new source
+    * field appears mid-history, so old files lack the column. Reading with
+    * `mergeSchema` unions the file schemas (old rows surface NULL for new
+    * columns — parquet's column-absent semantics, no rewrite of history),
+    * and the caller's `expected` schema is then ENFORCED: missing expected
+    * columns are added as typed NULLs, unexpected extras are dropped, and a
+    * type conflict fails loudly instead of silently casting. This is the
+    * reference's dtype_spec contract (dw3_merge_inc.py:33-83) applied to a
+    * drifting parquet landing rather than CSV.
+    *
+    * Scale: mergeSchema's footer-union pass is driver-side metadata work
+    * (bounded by file count, which G5 compaction keeps low); the projection
+    * is a per-row map — no shuffle. */
+  def readFactEvolved(spark: SparkSession, path: String,
+      expected: StructType): DataFrame = {
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    val have = merged.schema.map(f => f.name -> f.dataType).toMap
+    val cols = expected.fields.map { f =>
+      have.get(f.name) match {
+        case Some(t) if t == f.dataType => col(f.name)
+        case Some(t) => throw new IllegalArgumentException(
+          s"schema drift on '${f.name}': landing has $t, contract wants ${f.dataType}")
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    merged.select(cols.toIndexedSeq: _*)
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
-import graft.functions.{DotProduct, PolyHash31, SimHash24}
+import graft.functions.{DotProduct, MinHashSig8, PolyHash31, SimHash24}
 
 /** Property tests for the native expressions, driven through Catalyst
   * interpreted eval (no Spark jobs — hundreds of cases run in ms). The
@@ -80,4 +80,15 @@ object ExpressionProperties extends Properties("graft.expressions") {
   property("simHash24 of null is null") = Prop {
     SimHash24(Literal.create(null, StringType)).eval(null) == null
   }
+
+  property("minHashSig8 == per-permutation min over hashed shingles") =
+    forAll(Gen.nonEmptyListOf(asciiString)) { shs =>
+      val got = MinHashSig8(Literal.create(shs, ArrayType(StringType)))
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      val want = graft.functions.TextPrep.minhashPerms.map { case (a, b) =>
+        shs.map(s => (a * refHash(s) + b) % 1000000007L).min
+      }
+      got == want
+    }
 }

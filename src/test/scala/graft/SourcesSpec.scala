@@ -60,6 +60,37 @@ class SourcesSpec extends SparkSpec {
       s"expected 1 pruned partition, got ${scan.get.selectedPartitions.partitionCount}")
   }
 
+  test("G6 schema-evolution read: drifted landing meets the typed contract") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("evolve")
+    val s = spark
+    import s.implicits._
+    // Era 1: two columns. Era 2: the source grew a `channel` column.
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amount")
+      .write.mode("overwrite").parquet(s"$dir/era=1")
+    Seq((3L, 30.0, "web"), (4L, 40.0, "store")).toDF("k", "amount", "channel")
+      .write.mode("overwrite").parquet(s"$dir/era=2")
+
+    val contract = StructType(Seq(
+      StructField("k", LongType),
+      StructField("amount", DoubleType),
+      StructField("channel", StringType),
+      StructField("region", StringType))) // contracted but landed nowhere yet
+    val out = Sources.readFactEvolved(spark, dir, contract)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "amount", "channel", "region"))
+    val rows = out.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.isNullAt(2), r.isNullAt(3))).toSeq
+    // Old-era rows surface NULL channel; the never-landed column is all-NULL.
+    assert(rows == Seq((1L, true, true), (2L, true, true),
+      (3L, false, true), (4L, false, true)))
+    // A type conflict must fail loudly, not cast silently.
+    val bad = StructType(Seq(StructField("k", LongType),
+      StructField("amount", StringType)))
+    intercept[IllegalArgumentException] {
+      Sources.readFactEvolved(spark, dir, bad)
+    }
+  }
+
   test("G5 compaction collapses per-partition file counts, conserving rows") {
     val landing = tmp("landing")
     val compacted = tmp("compacted")
