@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSig8, PolyHash31, SimHash24, WordShingles3, WordShinglesN}
+import graft.functions.{CdcChunks, DotProduct, MinHashSig8, PolyHash31, SimHash24, WordShingles3, WordShinglesN}
 
 /** SQL surface for graft's native expressions.
   *
@@ -50,5 +50,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash24(args.head)),
     (FunctionIdentifier("minhash_sig8"),
       new ExpressionInfo(classOf[MinHashSig8].getName, "minhash_sig8"),
-      (args: Seq[Expression]) => MinHashSig8(args.head)))
+      (args: Seq[Expression]) => MinHashSig8(args.head)),
+    (FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (args: Seq[Expression]) => CdcChunks(args.head)))
 }

@@ -70,5 +70,40 @@ object Multimodal {
       .select("doc_id", "frame_idx", "n_frames", "frame_md5", "frame_magic")
   }
 
-  val queries: Seq[Q] = Seq(mm01, mm02)
+  // ---------------------------------------------------------------- E3
+  /** Content-defined chunking of the binary payload ([[graft.functions
+    * .CdcChunks]] Gear rolling hash): one row per chunk with its offset,
+    * length and content hash — the content-addressed identity that makes
+    * byte-shifted duplicate media dedupe, where mm02's fixed frames cannot.
+    * A rolling hash is sequential per row and inexpressible in set-based
+    * SQL, so this query is rows-only checked; CdcChunksSpec proves the
+    * partition + shift-resync properties instead. */
+  val mm03 = Q.rowsOnly("mm03_cdc_chunks") { (s, d) =>
+    val bin = col("text").cast("binary")
+    Tables.documents(s, d)
+      .select(col("doc_id"), bin.as("payload"),
+        graft.functions.CdcChunks.cdcChunks(bin).as("chunks"))
+      .select(col("doc_id"), col("payload"),
+        posexplode(col("chunks")).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.off").as("off"), col("c.len").as("len"),
+        md5(col("payload").substr(col("c.off") + 1, col("c.len"))).as("chunk_md5"))
+  }
+
+  // ---------------------------------------------------------------- E4
+  /** Corpus-level chunk dedup stats over mm03: group chunks by content
+    * hash, count copies, and report the bytes a content-addressed store
+    * saves — the measurement that justifies CDC. Near-dup documents share
+    * most interior chunks, so the corpus' planted duplicates surface here
+    * as n_copies > 1 groups. */
+  val mm04 = Q.rowsOnly("mm04_chunk_dedup") { (s, d) =>
+    mm03.build(s, d)
+      .groupBy(col("chunk_md5"), col("len"))
+      .agg(count(lit(1)).as("n_copies"))
+      .select(col("chunk_md5"), col("len"), col("n_copies"),
+        (col("n_copies") > 1).as("is_dup"),
+        ((col("n_copies") - 1) * col("len")).as("bytes_saved"))
+  }
+
+  val queries: Seq[Q] = Seq(mm01, mm02, mm03, mm04)
 }
