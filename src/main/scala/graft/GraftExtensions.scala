@@ -20,16 +20,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Arity checked here; element types are checked by each expression's
+    * ExpectsInputTypes/checkInputDataTypes, so misuse fails analysis with a
+    * clear message rather than a runtime cast error. */
+  private def arity(name: String, n: Int)(args: Seq[Expression]): Seq[Expression] = {
+    require(args.length == n, s"$name takes exactly $n argument(s), got ${args.length}")
+    args
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      (args: Seq[Expression]) => { val a = arity("dot_product", 2)(args); DotProduct(a(0), a(1)) }),
     (FunctionIdentifier("poly_hash31"),
       new ExpressionInfo(classOf[PolyHash31].getName, "poly_hash31"),
-      (args: Seq[Expression]) => PolyHash31(args.head)),
+      (args: Seq[Expression]) => PolyHash31(arity("poly_hash31", 1)(args).head)),
     (FunctionIdentifier("word_shingles3"),
       new ExpressionInfo(classOf[WordShingles3].getName, "word_shingles3"),
-      (args: Seq[Expression]) => WordShingles3(args.head)),
+      (args: Seq[Expression]) => WordShingles3(arity("word_shingles3", 1)(args).head)),
     (FunctionIdentifier("word_shingles_n"),
       new ExpressionInfo(classOf[WordShinglesN].getName, "word_shingles_n"),
       (args: Seq[Expression]) => {
@@ -47,11 +55,11 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("simhash24"),
       new ExpressionInfo(classOf[SimHash24].getName, "simhash24"),
-      (args: Seq[Expression]) => SimHash24(args.head)),
+      (args: Seq[Expression]) => SimHash24(arity("simhash24", 1)(args).head)),
     (FunctionIdentifier("minhash_sig8"),
       new ExpressionInfo(classOf[MinHashSig8].getName, "minhash_sig8"),
-      (args: Seq[Expression]) => MinHashSig8(args.head)),
+      (args: Seq[Expression]) => MinHashSig8(arity("minhash_sig8", 1)(args).head)),
     (FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
-      (args: Seq[Expression]) => CdcChunks(args.head)))
+      (args: Seq[Expression]) => CdcChunks(arity("cdc_chunks", 1)(args).head)))
 }

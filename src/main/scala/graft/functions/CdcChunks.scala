@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -31,6 +32,11 @@ import org.apache.spark.sql.types._
   * set-based SQL — the query built on this is rows-only checked, and
   * CdcChunksSpec proves the partition and shift-resync properties instead. */
 case class CdcChunks(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"cdc_chunks expects BINARY, got ${t.sql}")
+  }
 
   override def dataType: DataType = CdcChunks.outType
 

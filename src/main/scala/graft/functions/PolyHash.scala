@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftBridge
@@ -21,31 +22,24 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class PolyHash31(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"poly_hash31 expects STRING, got ${t.sql}")
+  }
+
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    var acc = 0L
-    var i = 0
-    while (i < bytes.length) {
-      acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L
-      i += 1
-    }
-    acc
+    PolyHash.hashBytes(bytes, 0, bytes.length)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
       val bytes = ctx.freshName("bytes")
-      val acc = ctx.freshName("acc")
-      val i = ctx.freshName("i")
       s"""
          |byte[] $bytes = $s.getBytes();
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  $acc = ($acc * 31 + ($bytes[$i] & 0xff)) % 1000000007L;
-         |}
-         |${ev.value} = $acc;
+         |${ev.value} = graft.functions.PolyHash.hashBytes($bytes, 0, $bytes.length);
        """.stripMargin
     })
 
@@ -81,18 +75,32 @@ object PolyHash {
   * happen to keep; and HOFs are CodegenFallback, so the hot loop stays
   * interpreted either way. Permutation constants come from
   * [[TextPrep.minhashPerms]] — one definition, both engines, all operators.
-  * Semantics: min over the shingles of (a_k·hash+b_k) mod 1e9+7 per row k;
-  * input arrays are never empty by the shingles3 contract ([c] fallback). */
+  * Semantics: min over the shingles of (a_k·hash+b_k) mod 1e9+7 per row k.
+  * An EMPTY (or all-null-element) array yields a NULL signature — a min over
+  * nothing is undefined, and a sentinel would make every empty doc LSH-
+  * collide with every other; null elements are skipped. Neither occurs in
+  * the shipped pipelines (the shingles3 contract falls back to [c]), but the
+  * SQL-registered function must not mislabel empty inputs. */
 case class MinHashSig8(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig8 expects ARRAY<STRING>, got ${t.sql}")
+  }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
     MinHashSig8.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinHashSig8.compute($c);")
+      s"""
+         |${ev.value} = graft.functions.MinHashSig8.compute($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig8 =
     copy(child = newChild)
@@ -103,24 +111,29 @@ object MinHashSig8 {
   private val B = TextPrep.minhashPerms.map(_._2).toArray
   private val M = 1000000007L
 
-  /** Static so generated code can call it. */
+  /** Static so generated code can call it; null for empty/all-null input. */
   def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(A.length)(Long.MaxValue)
+    var seen = false
     var i = 0
     while (i < n) {
-      val bytes = arr.getUTF8String(i).getBytes
-      val h = PolyHash.hashBytes(bytes, 0, bytes.length)
-      var k = 0
-      while (k < A.length) {
-        val v = (A(k) * h + B(k)) % M
-        if (v < mins(k)) mins(k) = v
-        k += 1
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val bytes = arr.getUTF8String(i).getBytes
+        val h = PolyHash.hashBytes(bytes, 0, bytes.length)
+        var k = 0
+        while (k < A.length) {
+          val v = (A(k) * h + B(k)) % M
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
       }
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    if (!seen) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
   def minhashSig8(c: Column): Column =

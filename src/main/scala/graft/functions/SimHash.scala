@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftBridge
@@ -29,6 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class SimHash24(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash24 expects STRING, got ${t.sql}")
+  }
+
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =
@@ -51,9 +57,7 @@ object SimHash24 {
     var i = 0
     while (i <= bytes.length) {
       if (i == bytes.length || bytes(i) == ' ') {
-        var acc = 0L
-        var j = start
-        while (j < i) { acc = (acc * 31 + (bytes(j) & 0xff)) % 1000000007L; j += 1 }
+        val acc = PolyHash.hashBytes(bytes, start, i)
         var b = 0
         while (b < 24) {
           if (((acc >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

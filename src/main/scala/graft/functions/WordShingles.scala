@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -27,6 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * views, deduped in first-occurrence order.
   */
 case class WordShingles3(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"word_shingles3 expects STRING, got ${t.sql}")
+  }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -56,6 +62,11 @@ object WordShingles3 {
   * (GPT-3 appendix C); dd09 uses 8 to fit the synthetic corpus' doc length. */
 case class WordShinglesN(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"word_shingles_n expects STRING, got ${t.sql}")
+  }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

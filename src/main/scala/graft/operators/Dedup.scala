@@ -75,11 +75,12 @@ object Dedup {
     * times (signatures + both sides of the verify join), but checkpoint
     * blocks are released by the ContextCleaner once the plan is unreferenced
     * — a long Verify/Bench session doesn't accumulate pinned cache entries.
-    * The 8-permutation signature is a per-row SCALAR (hash the shingle array
-    * once with `transform`, then 8 `array_min`s): the old explode → groupBy
-    * min path put every (doc, shingle) row through a shuffle just to take
-    * per-doc minima the row already had locally. Same arithmetic, same
-    * values — the oracle's exploded GROUP BY remains the independent spec. */
+    * The 8-permutation signature is a per-row SCALAR (the native
+    * [[graft.functions.MinHashSig8]] codegen pass — each shingle hashed
+    * once, 8 minima in registers): the old explode → groupBy min path put
+    * every (doc, shingle) row through a shuffle just to take per-doc minima
+    * the row already had locally. Same arithmetic, same values — the
+    * oracle's exploded GROUP BY remains the independent spec. */
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
     val sh = docShingles(s, d).localCheckpoint()
     val sig = sh.select(col("doc_id"), minhashSig(col("shs")).as("sig"))

@@ -89,12 +89,15 @@ object Sources {
   def readFactEvolved(spark: SparkSession, path: String,
       expected: StructType): DataFrame = {
     val merged = spark.read.option("mergeSchema", "true").parquet(path)
-    val have = merged.schema.map(f => f.name -> f.dataType).toMap
+    // Case-INSENSITIVE landing lookup, matching Spark's own resolution — a
+    // landed 'Channel' must satisfy a contracted 'channel', not be silently
+    // shadowed by an all-NULL column.
+    val have = merged.schema.map(f => f.name.toLowerCase -> f).toMap
     val cols = expected.fields.map { f =>
-      have.get(f.name) match {
-        case Some(t) if t == f.dataType => col(f.name)
-        case Some(t) => throw new IllegalArgumentException(
-          s"schema drift on '${f.name}': landing has $t, contract wants ${f.dataType}")
+      have.get(f.name.toLowerCase) match {
+        case Some(g) if g.dataType == f.dataType => col(g.name).as(f.name)
+        case Some(g) => throw new IllegalArgumentException(
+          s"schema drift on '${f.name}': landing has ${g.dataType}, contract wants ${f.dataType}")
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }

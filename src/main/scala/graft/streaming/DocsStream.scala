@@ -38,10 +38,10 @@ final case class BucketState(docs: List[(Long, Long, Seq[Long])], lastTs: Long)
   * before it reaches storage. Same MinHash+LSH math as dd02, re-expressed
   * for Structured Streaming:
   *
-  *  - The 8-permutation signature is a per-row SCALAR (`array_min` over
-  *    `transform` of the shingle array) — no explode, no aggregate, so the
-  *    stream needs no shuffle before banding. (The arithmetic is identical
-  *    to dd02's exploded groupBy-min: min over the same hash values.)
+  *  - The 8-permutation signature is a per-row SCALAR (the native
+  *    [[graft.functions.MinHashSig8]] codegen pass, shared with dd02
+  *    through TextPrep.minhashSig) — no explode, no aggregate, so the
+  *    stream needs no shuffle before banding.
   *  - Docs fan out to their 4 band buckets; `flatMapGroupsWithState` keyed
   *    on the bucket holds the signatures seen there. A new doc is compared
   *    against its bucket's members: ≥ 4/8 agreeing rows (the s-curve
