@@ -81,13 +81,11 @@ object Multimodal {
   val mm03 = Q.rowsOnly("mm03_cdc_chunks") { (s, d) =>
     val bin = col("text").cast("binary")
     Tables.documents(s, d)
-      .select(col("doc_id"), bin.as("payload"),
-        graft.functions.CdcChunks.cdcChunks(bin).as("chunks"))
-      .select(col("doc_id"), col("payload"),
-        posexplode(col("chunks")).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), graft.functions.CdcChunks.cdcChunks(bin).as("chunks"))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_idx", "c")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("c.off").as("off"), col("c.len").as("len"),
-        md5(col("payload").substr(col("c.off") + 1, col("c.len"))).as("chunk_md5"))
+        col("c.md5").as("chunk_md5"))
   }
 
   // ---------------------------------------------------------------- E4

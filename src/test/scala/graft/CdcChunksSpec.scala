@@ -16,7 +16,7 @@ class CdcChunksSpec extends SparkSpec {
   private def chunksOf(payload: Array[Byte]): Seq[(Int, Int)] = {
     val arr = CdcChunks.compute(payload)
     (0 until arr.numElements()).map { i =>
-      val r = arr.getStruct(i, 2)
+      val r = arr.getStruct(i, 3)
       (r.getInt(0), r.getInt(1))
     }
   }
@@ -66,10 +66,17 @@ class CdcChunksSpec extends SparkSpec {
     import s.implicits._
     val viaPlan = Seq("alpha bravo charlie " * 50).toDF("text")
       .select(CdcChunks.cdcChunks(col("text").cast("binary")).as("chunks"))
-      .select(explode(col("chunks")).as("c")).select("c.off", "c.len")
-      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
-    val direct = chunksOf(("alpha bravo charlie " * 50).getBytes("UTF-8"))
-    assert(viaPlan == direct)
+      .select(explode(col("chunks")).as("c")).select("c.off", "c.len", "c.md5")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    val payload = ("alpha bravo charlie " * 50).getBytes("UTF-8")
+    val direct = chunksOf(payload)
+    assert(viaPlan.map(t => (t._1, t._2)) == direct)
+    // The emitted hash IS md5 of the chunk bytes.
+    viaPlan.foreach { case (off, len, h) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(payload, off, len)
+      assert(h == md.digest().map("%02x".format(_)).mkString)
+    }
 
     val mm03 = SparkEntry.queries("mm03_cdc_chunks")(spark, sfDir).localCheckpoint()
     // Per-doc chunk lengths must sum to the payload size.

@@ -83,6 +83,20 @@ class PipelineHygieneSpec extends SparkSpec {
       .count() >= 1)
   }
 
+  test("ann04 multi-probe recall >= ann02 single-cell recall (the knob works)") {
+    // Recall@3 against brute force for both IVF variants: probing a second
+    // cell may only ADD candidates, so per-corpus aggregate recall must not
+    // decrease — the contract that justifies ann04's 2x scan cost.
+    val e3 = operators.SimilaritySearch.ann01.build(spark, sfDir)
+      .filter(col("rank") <= 3).select("query_id", "neighbor_id").localCheckpoint()
+    def hits(name: String): Long = e3
+      .join(SparkEntry.queries(name)(spark, sfDir).select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+    val single = hits("ann02_ivf_topk")
+    val multi = hits("ann04_ivf_multiprobe")
+    assert(multi >= single, s"multi-probe recall $multi < single-cell $single")
+  }
+
   test("ann05: recall bounded in [0,1], covers every query, exact-vs-exact is 1") {
     val out = SparkEntry.queries("ann05_recall_eval")(spark, sfDir).localCheckpoint()
     val nQueries = Tables.embeddings(spark, sfDir)
