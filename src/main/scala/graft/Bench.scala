@@ -68,10 +68,26 @@ object Bench {
     }
     val failed = results.collect { case (n, s) if s < 0 => n }
     val total = results.collect { case (_, s) if s >= 0 => s }.sum
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
-    spark.stop()
+    val line =
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // The harness that collects this output keeps only the tail of stdout
+    // (observed: last 2000 chars, with sbt's ~75-char "[success] Total time"
+    // line landing after ours), so the JSON line must stay comfortably under
+    // that or the run records no parseable result. 3-significant-digit values
+    // keep 65 queries near 1700 chars; fail loudly if a future query set
+    // outgrows the budget instead of silently losing the round's numbers.
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: json line ${line.length} chars exceeds tail budget")
+    // Stop Spark BEFORE printing: shutdown warnings must not land after the
+    // JSON line and push it out of the collected tail.
+    try spark.stop() catch { case e: Throwable => System.err.println(s"[bench] stop: ${e.getMessage}") }
+    println(line)
   }
+
+  /** 3 significant digits, plain decimal notation (no exponent). */
+  private def fmt3(d: Double): String =
+    BigDecimal(d).round(new java.math.MathContext(3)).bigDecimal.toPlainString
 }
