@@ -9,7 +9,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     etl.RelationalCore.queries ++ etl.Matching.queries ++
       etl.Windowing.queries ++ etl.Reporting.queries ++ etl.Ingest.queries ++
-      etl.SourceRepair.queries ++
+      etl.SourceRepair.queries ++ etl.Dimensional.queries ++
       operators.Dedup.queries ++ operators.SimilaritySearch.queries ++
       functions.TextAnalysis.queries ++ multimodal.Multimodal.queries
 

@@ -354,5 +354,60 @@ object TextAnalysis {
           && col("stop_ratio") >= 0.02 && col("quality") >= 0.5).as("pass"))
   }
 
-  val queries: Seq[Q] = Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08)
+  // ---------------------------------------------------------------- D9
+  /** Domain MIXTURE weights — the planning step between corpus stats and
+    * tx06's sampler: given per-source token counts and a target mixture
+    * (uniform here; any literal target map drops in), compute each source's
+    * actual token share, the reweighting factor toward the target, and the
+    * epoch-bounded sampling rate (scaled so the most over-weighted source
+    * samples at exactly 1.0 — no source is asked for more than one epoch of
+    * itself, the standard single-epoch cap from the GPT-3/Pile recipes).
+    * `expected_tokens` is the post-sampling budget per source.
+    *
+    * Scale: one partial-agg pass over the corpus (token counts collapse
+    * map-side per source), then arithmetic on a sources-sized relation (tiny
+    * — the two global scalars broadcast). The output IS the rate table
+    * tx06-style hash samplers consume. */
+  val tx09 = Q(
+    "tx09_mixture_weights",
+    """WITH d AS (SELECT source,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+      |FROM documents),
+      |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |               CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      |        FROM d GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+      |               CAST(COUNT(*) AS BIGINT) AS n_sources FROM per),
+      |w AS (SELECT per.source, per.n_docs, per.n_tokens,
+      |  CAST(per.n_tokens AS DOUBLE) / CAST(tot.tot_tokens AS DOUBLE) AS actual_frac,
+      |  (CAST(1.0 AS DOUBLE) / CAST(tot.n_sources AS DOUBLE)) /
+      |    (CAST(per.n_tokens AS DOUBLE) / CAST(tot.tot_tokens AS DOUBLE)) AS weight
+      |FROM per CROSS JOIN tot),
+      |m AS (SELECT MAX(weight) AS max_w FROM w)
+      |SELECT source, n_docs, n_tokens,
+      |  ROUND(actual_frac, 6) AS actual_frac,
+      |  ROUND(weight, 6) AS weight,
+      |  ROUND(weight / max_w, 6) AS sample_rate,
+      |  CAST(FLOOR(CAST(n_tokens AS DOUBLE) * (weight / max_w)) AS BIGINT) AS expected_tokens
+      |FROM w CROSS JOIN m""".stripMargin) { (s, d) =>
+    val per = Tables.documents(s, d)
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"), count(lit(1)).as("n_sources"))
+    val w = per.crossJoin(broadcast(tot))
+      .withColumn("actual_frac", col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+      .withColumn("weight",
+        (lit(1.0) / col("n_sources").cast("double")) / col("actual_frac"))
+    val m = w.agg(max(col("weight")).as("max_w"))
+    w.crossJoin(broadcast(m))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("actual_frac"), 6).as("actual_frac"),
+        round(col("weight"), 6).as("weight"),
+        round(col("weight") / col("max_w"), 6).as("sample_rate"),
+        floor(col("n_tokens").cast("double") * (col("weight") / col("max_w"))).cast("long")
+          .as("expected_tokens"))
+  }
+
+  val queries: Seq[Q] = Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09)
 }

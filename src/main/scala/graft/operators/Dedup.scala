@@ -539,5 +539,68 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_grams").cast("double"), 6).as("shared_frac"))
   }
 
-  val queries: Seq[Q] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09)
+  // ---------------------------------------------------------------- B10
+  /** PARAGRAPH-level exact dedup — the sub-document granularity between dd01
+    * (whole-doc) and dd02 (fuzzy): boilerplate that repeats across documents
+    * (headers, license blocks, navigation chrome) is removed paragraph by
+    * paragraph while the unique remainder of each document survives. This is
+    * the Dolma/CCNet-style paragraph dedup step, keyed on a paragraph hash
+    * with first-occurrence-wins semantics.
+    *
+    * The synthetic corpus is one unbroken line (no newlines), so "paragraph"
+    * is synthesized deterministically as consecutive 20-token windows — the
+    * same synthesize-missing-structure pattern as q31/q32/tx07; the
+    * segmentation rule is one plan-time expression swap when real paragraph
+    * breaks exist. Near-dup documents differing by token SUBSTITUTION keep
+    * their unedited windows bit-identical, so the planted near-dup pairs
+    * surface here as shared paragraphs.
+    *
+    * First occurrence = lowest (doc_id, position), resolved with ONE
+    * `min(struct(doc_id, p))` hash aggregate per paragraph hash —
+    * lexicographic struct ordering gives the two-level argmin in a single
+    * partial-agg-friendly pass (the oracle spells the same thing as two
+    * grouped MINs). Scale: paragraphs are an explode of the corpus scan;
+    * the keeper table is an equi-join on the hash; nothing is ever pairwise. */
+  val dd10 = Q(
+    "dd10_paragraph_dedup",
+    s"""WITH doc AS ($docsCleanSql),
+      |t AS (SELECT doc_id, string_split(c, ' ') AS t FROM doc),
+      |ch AS (SELECT doc_id,
+      |  list_transform(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT)), i -> i) AS ps,
+      |  list_transform(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT)),
+      |                 i -> md5(array_to_string(t[i*20+1:i*20+20], ' '))) AS hs
+      |FROM t),
+      |para AS (SELECT doc_id, unnest(ps) AS p, unnest(hs) AS h FROM ch),
+      |k1 AS (SELECT h, MIN(doc_id) AS kd FROM para GROUP BY h),
+      |k2 AS (SELECT p.h, p.doc_id AS kd, MIN(p.p) AS kp
+      |       FROM para p JOIN k1 ON p.h = k1.h AND p.doc_id = k1.kd
+      |       GROUP BY p.h, p.doc_id),
+      |flag AS (SELECT p.doc_id,
+      |  CASE WHEN p.doc_id = k2.kd AND p.p = k2.kp THEN 0 ELSE 1 END AS is_dup
+      |  FROM para p JOIN k2 ON p.h = k2.h)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+      |  CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+      |  ROUND(CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+      |FROM flag GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val para = docsClean(s, d)
+      .select(col("doc_id"), split(col("c"), " ").as("t"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), (ceil(size(col("t")) / lit(20.0)) - 1).cast("int")),
+        i => md5(array_join(slice(col("t"), i * 20 + 1, lit(20)), " "))))
+        .as(Seq("p", "h")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("h"))
+      .localCheckpoint() // feeds the keeper aggregate AND the flag join
+    val keep = para.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("p"))).as("k"))
+      .select(col("h"), col("k.doc_id").as("kd"), col("k.p").as("kp"))
+    para.join(keep, "h")
+      .withColumn("is_dup",
+        when(col("doc_id") === col("kd") && col("p") === col("kp"), 0L).otherwise(1L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"), sum(col("is_dup")).as("n_dups"))
+      .select(col("doc_id"), col("n_paras"), col("n_dups"),
+        round(col("n_dups").cast("double") / col("n_paras").cast("double"), 6).as("dup_frac"))
+  }
+
+  val queries: Seq[Q] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10)
 }

@@ -281,5 +281,86 @@ object SimilaritySearch {
           col("n_exact").cast("double"), 6).as("recall_at_3"))
   }
 
-  val queries: Seq[Q] = Seq(ann01, ann02, ann03, ann04, ann05)
+  // ---------------------------------------------------------------- C6
+  /** Scalar-quantized (int8) top-3 — the memory-bandwidth half of the ANN
+    * scale story. A 100 TB float32 corpus is 4 bytes/dim; per-dimension
+    * affine int8 codes (code = round((x-min)/scale), scale=(max-min)/255)
+    * cut that 4× so a cell/bucket scan streams a quarter of the bytes, at a
+    * bounded reconstruction error of scale/2 per dimension (classic SQ8 — the
+    * same trade IVF libraries ship as "SQ8" codecs, e.g. Faiss
+    * ScalarQuantizer; here over the whole corpus so the quantization effect
+    * is isolated from cell-probing recall effects, which ann02/ann04 cover).
+    *
+    * The pipeline materializes the stored artifact explicitly: per-dim
+    * (min, scale) stats (one partial-agg pass, 64 groups), the int code
+    * array per vector, then scoring against DEQUANTIZED vectors with the
+    * native codegen [[graft.functions.DotProduct]]. Queries stay float
+    * (asymmetric SQ: only the corpus side is quantized, the standard
+    * accuracy-preserving choice). Output carries both the approx score
+    * (ranking key) and the true cosine of the returned neighbors, so the
+    * quantization error is visible per row; ranking ties break on
+    * neighbor_id like every other ANN operator. */
+  val ann06 = Q(
+    "ann06_sq8_topk",
+    s"""WITH n AS ($vecsSql),
+      |c AS (SELECT * FROM n WHERE vec_id % 20 <> 0),
+      |q AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+      |stats AS (SELECT i, MIN(CAST(v[i] AS DOUBLE)) AS mn, MAX(CAST(v[i] AS DOUBLE)) AS mx
+      |          FROM c CROSS JOIN range(1, 65) AS t(i) GROUP BY i),
+      |sarr AS (SELECT list(mn ORDER BY i) AS mns,
+      |                list((mx - mn) / CAST(255.0 AS DOUBLE) ORDER BY i) AS scs
+      |         FROM stats),
+      |coded AS (SELECT c.vec_id AS neighbor_id, c.v AS cv, c.nrm AS cn,
+      |  list_transform(range(1, 65), i -> CASE WHEN scs[i] = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE round((CAST(c.v[i] AS DOUBLE) - mns[i]) / scs[i]) END) AS codes
+      |  FROM c CROSS JOIN sarr),
+      |dq AS (SELECT neighbor_id, cv, cn,
+      |  list_transform(range(1, 65), i -> mns[i] + codes[i] * scs[i]) AS dv
+      |  FROM coded CROSS JOIN sarr),
+      |dqn AS (SELECT neighbor_id, cv, cn, dv, ${nrmSql("dv")} AS dn FROM dq),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, d.neighbor_id,
+      |    ROUND(${dotSql("q.v", "d.dv")} / (q.nrm * d.dn), 6) AS approx_sim,
+      |    ROUND(${dotSql("q.v", "d.cv")} / (q.nrm * d.cn), 6) AS cos_sim
+      |  FROM q CROSS JOIN dqn d),
+      |ranked AS (SELECT query_id, neighbor_id, approx_sim, cos_sim,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id) AS BIGINT) AS rank
+      |FROM scored)
+      |SELECT query_id, neighbor_id, approx_sim, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin) { (s, d) =>
+    val n = vecs(s, d)
+    val c = n.filter(col("vec_id") % 20 =!= 0)
+    val q = n.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // Per-dim (min, scale): explode is 64 rows per vector but collapses
+    // map-side into 64 groups — a partial-agg tree pass at any scale.
+    val stats = c.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+    val sarr = stats
+      .agg(array_sort(collect_list(struct(col("i"), col("mn"),
+        ((col("mx") - col("mn")) / lit(255.0)).as("sc")))).as("st"))
+      .select(transform(col("st"), e => e.getField("mn")).as("mns"),
+        transform(col("st"), e => e.getField("sc")).as("scs"))
+    // codes is the artifact a deployment stores (int8 per dim); dv is its
+    // dequantization, scored with the codegen dot product. Same rounding
+    // rule both engines: round-half-up on a non-negative argument.
+    val coded = c.crossJoin(broadcast(sarr))
+      .withColumn("codes", transform(col("v"), (x, i) =>
+        when(col("scs").getItem(i) === 0.0, lit(0.0))
+          .otherwise(round((x.cast("double") - col("mns").getItem(i)) / col("scs").getItem(i), 0))))
+      .withColumn("dv", transform(col("codes"), (cd, i) =>
+        col("mns").getItem(i) + cd * col("scs").getItem(i)))
+      .withColumn("dn", nrm(col("dv")))
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"),
+        col("dv"), col("dn"))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("approx_sim").desc, col("neighbor_id"))
+    broadcast(q).crossJoin(coded)
+      .withColumn("approx_sim", cosine(col("qv"), col("qn"), col("dv"), col("dn")))
+      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("cv"), col("cn")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id", "approx_sim", "cos_sim", "rank")
+  }
+
+  val queries: Seq[Q] = Seq(ann01, ann02, ann03, ann04, ann05, ann06)
 }
