@@ -1,11 +1,13 @@
 package graft.etl
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
 /** Dimensional-modeling operators beyond the reference's Type-1 dims
-  * (SURVEY §2 A36).
+  * (SURVEY §2 A36/A37).
   *
   * The reference rebuilds its dimensions from scratch every run and keeps
   * only the latest attribute value per key (dw4_book_dim.py's Book_Dim /
@@ -13,28 +15,16 @@ import graft.{Q, Tables}
   * this customer's segment WHEN the order was placed" needs the Type-2
   * history table instead — the standard Kimball SCD2 shape: one row per
   * (key, consecutive attribute state) with a validity interval and a
-  * current-row flag.
+  * current-row flag. q36 is the from-scratch build; q37 is the production
+  * path — applying an increment to an existing dimension without touching
+  * unchanged keys — oracled against the full rebuild, so hash equality IS
+  * the proof that the incremental merge loses nothing.
   */
 object Dimensional {
 
-  // ---------------------------------------------------------------- A36
-  /** SCD Type-2 dimension build from an observation log.
-    *
-    * Input: every order is an observation of its customer's priority class
-    * on that date (latest order of the day wins, deterministically — max
-    * o_orderkey). Output: one row per consecutive run of equal attribute
-    * values per customer, with [valid_from, valid_to) date intervals,
-    * a 1-based version number, and is_current on the open interval — the
-    * table a point-in-time dimension join consumes.
-    *
-    * Scale: every window partitions on o_custkey (high cardinality, never a
-    * global sort); the run-collapse is a hash aggregate on
-    * (custkey, version). Change detection is lag(), interval close is
-    * lead() — both single-pass within the partition. At 100 TB the
-    * observation extract is the only full-fact scan; everything after runs
-    * on the (much smaller) one-row-per-(key, day) relation. */
-  val q36 = Q(
-    "q36_scd2_dim",
+  /** The SQL of the full SCD2 rebuild over the whole observation log —
+    * q36's oracle, and (deliberately) q37's too. */
+  private val rebuildSql =
     """WITH obs0 AS (
       |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS obs_date,
       |         o_orderpriority AS attr,
@@ -59,15 +49,24 @@ object Dimensional {
       |  FROM seg)
       |SELECT custkey, attr, version, valid_from, valid_to,
       |       valid_to IS NULL AS is_current
-      |FROM fin""".stripMargin) { (s, d) =>
+      |FROM fin""".stripMargin
+
+  /** Day-level observation extract: the latest order of the day wins,
+    * deterministically (max o_orderkey) — one row per (custkey, day). */
+  private def dayObs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"), to_date(col("o_orderdate")).as("obs_date"))
+      .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("attr"))
+
+  /** The SCD2 core: (custkey, obs_date, attr) observations → versioned
+    * validity intervals. All windows partition on the dimension key (high
+    * cardinality, never a global sort); the run-collapse is a hash aggregate.
+    * Shared verbatim by the full rebuild (q36) and the tail rebuild inside
+    * the incremental apply (q37). */
+  private[graft] def scd2(obs: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("custkey")).orderBy(col("obs_date"))
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wSeg = Window.partitionBy(col("custkey")).orderBy(col("valid_from"))
-    // Latest observation per (customer, day): max_by collapses map-side —
-    // same day-winner the oracle's row_number DESC picks (o_orderkey unique).
-    val obs = Tables.orders(s, d)
-      .groupBy(col("o_custkey").as("custkey"), to_date(col("o_orderdate")).as("obs_date"))
-      .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("attr"))
     obs
       .withColumn("prev", lag(col("attr"), 1).over(wOrd))
       .withColumn("is_chg", when(col("prev").isNull || col("prev") =!= col("attr"), 1).otherwise(0))
@@ -79,5 +78,64 @@ object Dimensional {
         col("valid_to"), col("valid_to").isNull.as("is_current"))
   }
 
-  val queries: Seq[Q] = Seq(q36)
+  // ---------------------------------------------------------------- A36
+  /** SCD Type-2 dimension build from an observation log.
+    *
+    * Input: every order is an observation of its customer's priority class
+    * on that date (latest order of the day wins, deterministically — max
+    * o_orderkey). Output: one row per consecutive run of equal attribute
+    * values per customer, with [valid_from, valid_to) date intervals,
+    * a 1-based version number, and is_current on the open interval — the
+    * table a point-in-time dimension join consumes.
+    *
+    * Scale: see [[scd2]]; at 100 TB the observation extract is the only
+    * full-fact scan — everything after runs on the (much smaller)
+    * one-row-per-(key, day) relation. */
+  val q36 = Q("q36_scd2_dim", rebuildSql) { (s, d) => scd2(dayObs(s, d)) }
+
+  // ---------------------------------------------------------------- A37
+  /** INCREMENTAL SCD2 apply — the production upsert the reference's
+    * anti-join merge (dw3_merge_inc.py:109-118) grows into once the
+    * dimension keeps history: given the existing dimension table and a batch
+    * of new observations, close the affected open intervals, append the new
+    * runs, and leave every untouched key's rows byte-identical — WITHOUT
+    * re-deriving history for unchanged keys.
+    *
+    * Mechanics: keys present in the increment are "touched". Each touched
+    * key's open row is replayed as a pseudo-observation (its valid_from +
+    * attr carry the whole collapsed run — only the run's min date matters),
+    * unioned with the increment, and pushed through the SAME [[scd2]] core;
+    * the resulting tail versions are offset by the key's prior version count
+    * so numbering continues seamlessly. Closed rows of touched keys and all
+    * rows of untouched keys pass through untouched.
+    *
+    * The ORACLE is the full rebuild over the complete log (q36's SQL,
+    * verbatim): the driver's hash compare proves incremental == rebuild,
+    * which is exactly the invariant an incremental dimension pipeline must
+    * hold. Scale: every join is equi-keyed on custkey; the tail rebuild runs
+    * only on touched keys (increment-sized, not history-sized); in
+    * deployment the pass-through is a partition-pruned no-op of the stored
+    * table, so the nightly cost tracks the increment. */
+  val q37 = Q("q37_scd2_apply", rebuildSql) { (s, d) =>
+    val all = dayObs(s, d)
+    val cut = to_date(lit("1997-01-01"))
+    // The "existing table" (history before the cut) and tonight's batch.
+    val base = scd2(all.filter(col("obs_date") < cut)).localCheckpoint()
+    val inc = all.filter(col("obs_date") >= cut)
+    val touched = inc.select("custkey").distinct()
+    val open = base.filter(col("is_current"))
+      .join(touched, Seq("custkey"), "left_semi")
+    val pseudo = open.select(col("custkey"), col("valid_from").as("obs_date"), col("attr"))
+    val tail = scd2(pseudo.unionByName(inc))
+      .join(open.select(col("custkey"), (col("version") - 1).as("voff")), Seq("custkey"), "left")
+      .withColumn("version", col("version") + coalesce(col("voff"), lit(0L)))
+      .drop("voff")
+      .select("custkey", "attr", "version", "valid_from", "valid_to", "is_current")
+    val untouched = base.join(touched, Seq("custkey"), "left_anti")
+    val closedTouched = base.filter(!col("is_current"))
+      .join(touched, Seq("custkey"), "left_semi")
+    untouched.unionByName(closedTouched).unionByName(tail)
+  }
+
+  val queries: Seq[Q] = Seq(q36, q37)
 }

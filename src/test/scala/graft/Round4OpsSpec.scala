@@ -51,6 +51,12 @@ class Round4OpsSpec extends SparkSpec {
     assert(joined.filter(col("obs_attr") =!= col("attr")).isEmpty)
   }
 
+  test("q37: incremental apply equals the full rebuild, row for row") {
+    val inc = etl.Dimensional.q37.build(spark, sfDir)
+    val full = etl.Dimensional.q36.build(spark, sfDir)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+  }
+
   // --------------------------------------------------- dd10 paragraph dedup
   test("dd10: kept paragraphs == globally distinct paragraphs") {
     val out = operators.Dedup.dd10.build(spark, sfDir)
