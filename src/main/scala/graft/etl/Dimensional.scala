@@ -67,12 +67,15 @@ object Dimensional {
     val wOrd = Window.partitionBy(col("custkey")).orderBy(col("obs_date"))
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wSeg = Window.partitionBy(col("custkey")).orderBy(col("valid_from"))
+    // A run's valid_from IS its change-detection row's date, so keeping only
+    // is_chg rows replaces the run-collapse groupBy (the oracle's `seg` CTE)
+    // — one fewer shuffle, and every window stays on the custkey exchange.
     obs
       .withColumn("prev", lag(col("attr"), 1).over(wOrd))
       .withColumn("is_chg", when(col("prev").isNull || col("prev") =!= col("attr"), 1).otherwise(0))
       .withColumn("version", sum(col("is_chg")).over(wRun).cast("long"))
-      .groupBy(col("custkey"), col("attr"), col("version"))
-      .agg(min(col("obs_date")).as("valid_from"))
+      .filter(col("is_chg") === 1)
+      .withColumn("valid_from", col("obs_date"))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wSeg))
       .select(col("custkey"), col("attr"), col("version"), col("valid_from"),
         col("valid_to"), col("valid_to").isNull.as("is_current"))

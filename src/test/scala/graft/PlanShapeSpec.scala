@@ -74,6 +74,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"sibling flatten must not join; plan:\n$p")
   }
 
+  test("q36/q37 windows all partition on custkey — never a global sort") {
+    for (name <- Seq("q36_scd2_dim", "q37_scd2_apply")) {
+      val p = plan(name)
+      // every Sort in the plan must be the local pre-window sort of a
+      // custkey-partitioned exchange; a global (non-partitioned) sort would
+      // appear as Sort ... global=true over a range partitioning
+      assert(!p.contains("rangepartitioning"),
+        s"$name must not range-shuffle (global sort); plan:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name joins must stay equi-keyed; plan:\n$p")
+    }
+  }
+
+  test("dd10's keeper pick is one min(struct) aggregate — no window, no self-join dedup") {
+    val p = plan("dd10_paragraph_dedup")
+    assert(!p.contains("Window"), s"first-occurrence must not sort paragraph partitions; plan:\n$p")
+    assert(p.contains("min(k#") || p.contains("min(struct") || p.contains("partial_min"),
+      s"keeper must be a min aggregate; plan:\n$p")
+  }
+
+  test("ann06 broadcasts the bounded query side; stats never shuffle the corpus twice") {
+    val p = plan("ann06_sq8_topk")
+    // same intentional broadcast-NL shape as ann01: tiny query set × corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("dd09's gram join is an equi-join on hashed longs, never a cartesian") {
     val p = plan("dd09_decontaminate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
