@@ -362,5 +362,90 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "approx_sim", "cos_sim", "rank")
   }
 
-  val queries: Seq[Q] = Seq(ann01, ann02, ann03, ann04, ann05, ann06)
+  // ---------------------------------------------------------------- C7
+  /** IVF + SQ8 — the two scale levers COMPOSED, which is the shape a
+    * deployed 100 TB index actually takes (Faiss "IVF<n>,SQ8"): the cell
+    * probe (ann02) bounds HOW MANY vectors a query scans, the int8 codes
+    * (ann06) bound the BYTES each scanned vector costs. Centroids stay
+    * full-precision (they're the small trained artifact); the stored corpus
+    * is quantized; queries stay float and probe their own cell with
+    * asymmetric scoring against dequantized members. Query vectors are NOT
+    * part of the stored index (unlike ann02's self-index formulation) —
+    * matching how a serving system indexes the corpus, not the queries.
+    * Exact cosine of each returned neighbor rides along, so end-to-end
+    * quality (cell recall × quantization agreement) is visible per row. */
+  val ann07 = Q(
+    "ann07_ivf_sq8_topk",
+    s"""WITH n AS ($vecsSql),
+      |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+      |assign0 AS (
+      |  SELECT n.vec_id, n.v, n.nrm, cent.cent_id,
+      |    ROUND(${dotSql("n.v", "cent.cv")} / (n.nrm * cent.cn), 6) AS cos_c,
+      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY ROUND(${dotSql("n.v", "cent.cv")} / (n.nrm * cent.cn), 6) DESC, cent.cent_id) AS rn
+      |  FROM n CROSS JOIN cent),
+      |assigned AS (SELECT vec_id, v, nrm, cent_id FROM assign0 WHERE rn = 1),
+      |c AS (SELECT * FROM assigned WHERE vec_id % 20 <> 0),
+      |q AS (SELECT * FROM assigned WHERE vec_id % 20 = 0),
+      |stats AS (SELECT i, MIN(CAST(v[i] AS DOUBLE)) AS mn, MAX(CAST(v[i] AS DOUBLE)) AS mx
+      |          FROM c CROSS JOIN range(1, 65) AS t(i) GROUP BY i),
+      |sarr AS (SELECT list(mn ORDER BY i) AS mns,
+      |                list((mx - mn) / CAST(255.0 AS DOUBLE) ORDER BY i) AS scs
+      |         FROM stats),
+      |dq AS (SELECT c.vec_id AS neighbor_id, c.cent_id, c.v AS av, c.nrm AS an,
+      |  list_transform(range(1, 65), i -> CASE WHEN scs[i] = 0 THEN mns[i]
+      |    ELSE mns[i] + round((CAST(c.v[i] AS DOUBLE) - mns[i]) / scs[i]) * scs[i] END) AS dv
+      |  FROM c CROSS JOIN sarr),
+      |dqn AS (SELECT neighbor_id, cent_id, av, an, dv, ${nrmSql("dv")} AS dn FROM dq),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, d.neighbor_id, d.cent_id AS cell,
+      |    ROUND(${dotSql("q.v", "d.dv")} / (q.nrm * d.dn), 6) AS approx_sim,
+      |    ROUND(${dotSql("q.v", "d.av")} / (q.nrm * d.an), 6) AS cos_sim
+      |  FROM q JOIN dqn d ON q.cent_id = d.cent_id AND q.vec_id <> d.neighbor_id),
+      |ranked AS (SELECT query_id, neighbor_id, cell, approx_sim, cos_sim,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id) AS BIGINT) AS rank
+      |FROM scored)
+      |SELECT query_id, neighbor_id, cell, approx_sim, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin) { (s, d) =>
+    val n = vecs(s, d)
+    val cent = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = n.crossJoin(broadcast(cent))
+      .withColumn("cos_c", cosine(col("v"), col("nrm"), col("cv"), col("cn")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cent_id"), col("v"), col("nrm")),
+        struct(col("cos_c"), (-col("cent_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"),
+        col("best.nrm").as("nrm"), col("best.cent_id").as("cent_id"))
+    val corpus = assigned.filter(col("vec_id") % 20 =!= 0)
+    val stats = corpus.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+    val sarr = stats
+      .agg(array_sort(collect_list(struct(col("i"), col("mn"),
+        ((col("mx") - col("mn")) / lit(255.0)).as("sc")))).as("st"))
+      .select(transform(col("st"), e => e.getField("mn")).as("mns"),
+        transform(col("st"), e => e.getField("sc")).as("scs"))
+    // quantize∘dequantize fused per element (ann06 materializes the code
+    // artifact separately; here the plan stays lean — same arithmetic)
+    val coded = corpus.crossJoin(broadcast(sarr))
+      .withColumn("dv", transform(col("v"), (x, i) => {
+        val mn = col("mns").getItem(i); val sc = col("scs").getItem(i)
+        when(sc === 0.0, mn).otherwise(mn + round((x.cast("double") - mn) / sc, 0) * sc)
+      }))
+      .withColumn("dn", nrm(col("dv")))
+      .select(col("vec_id").as("neighbor_id"), col("cent_id"),
+        col("v").as("av"), col("nrm").as("an"), col("dv"), col("dn"))
+    val q = assigned.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cent_id"))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("approx_sim").desc, col("neighbor_id"))
+    q.join(coded, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_sim", cosine(col("qv"), col("qn"), col("dv"), col("dn")))
+      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("av"), col("an")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cent_id").as("cell"),
+        col("approx_sim"), col("cos_sim"), col("rank"))
+  }
+
+  val queries: Seq[Q] = Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07)
 }
