@@ -29,6 +29,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Broadcast blocks (unlike the checkpoint RDDs swept below) are only
+      // released by ContextCleaner after their weak refs clear — i.e. after
+      // a driver GC. Backstop so a quiet heap can't hoard a whole suite's
+      // broadcasts in the 8 GiB forked JVM (default for this knob is 30min,
+      // longer than the entire run).
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional comma-separated subset for local iteration (driver leaves unset).
@@ -60,6 +66,10 @@ object Bench {
         // Freeing them between reps keeps each timed number what it claims
         // to be: a cold end-to-end execution. (Outside the timed window.)
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        // Broadcast blocks need a GC before ContextCleaner can reap them;
+        // force one between reps (outside the timed window) so storage
+        // memory enters every rep empty regardless of heap size or load.
+        System.gc()
         res
       }
       val sec = if (times.length < reps) -1.0 else median(times)

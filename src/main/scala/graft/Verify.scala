@@ -12,6 +12,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // See Bench: broadcast blocks are only reaped after a driver GC.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -26,7 +28,10 @@ object Verify {
       } finally
         // Release the finished query's localCheckpoint blocks (see Bench) —
         // 56 queries' worth would otherwise accumulate for the whole dump.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        {
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          System.gc() // lets ContextCleaner reap finished broadcasts too
+        }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
