@@ -124,12 +124,29 @@ object Dimensional {
     val cut = to_date(lit("1997-01-01"))
     // The "existing table" (history before the cut) and tonight's batch.
     val base = scd2(all.filter(col("obs_date") < cut)).localCheckpoint()
-    val inc = all.filter(col("obs_date") >= cut)
+    applyIncrement(base, all.filter(col("obs_date") >= cut))
+  }
+
+  /** The incremental SCD2 merge (q37's core, factored so the streaming
+    * dimension-maintenance sink reuses it batch by batch): touched keys get
+    * a tail rebuild through [[scd2]] with version continuation, untouched
+    * keys pass through byte-identical. `base` must be an scd2-shaped table;
+    * `inc` a (custkey, obs_date, attr) batch with obs_date strictly after
+    * the key's open valid_from. */
+  private[graft] def applyIncrement(base: DataFrame, inc: DataFrame): DataFrame = {
     val touched = inc.select("custkey").distinct()
     val open = base.filter(col("is_current"))
       .join(touched, Seq("custkey"), "left_semi")
     val pseudo = open.select(col("custkey"), col("valid_from").as("obs_date"), col("attr"))
-    val tail = scd2(pseudo.unionByName(inc))
+    // An increment row dated exactly at the open run's valid_from REPLACES
+    // the replayed pseudo-observation (same-day re-observation / batch
+    // replay); otherwise the two coexist at distinct dates and this dedup is
+    // a no-op. Keyed hash aggregate over an increment-sized relation.
+    val obs = pseudo.withColumn("pri", lit(0))
+      .unionByName(inc.withColumn("pri", lit(1)))
+      .groupBy("custkey", "obs_date")
+      .agg(max_by(col("attr"), col("pri")).as("attr"))
+    val tail = scd2(obs)
       .join(open.select(col("custkey"), (col("version") - 1).as("voff")), Seq("custkey"), "left")
       .withColumn("version", col("version") + coalesce(col("voff"), lit(0L)))
       .drop("voff")
@@ -140,5 +157,42 @@ object Dimensional {
     untouched.unionByName(closedTouched).unionByName(tail)
   }
 
-  val queries: Seq[Q] = Seq(q36, q37)
+  // ---------------------------------------------------------------- A38
+  /** POINT-IN-TIME dimension join — the query the SCD2 table exists to
+    * answer: every fact row picks up the dimension attributes that were
+    * valid WHEN the fact happened, not the latest ones. Each order joins
+    * its customer's priority-class run whose [valid_from, valid_to)
+    * interval covers the order date.
+    *
+    * Plan shape: equi-join on the dimension key with the interval bounds as
+    * a residual condition — a hash join, never a range/cross join, because
+    * custkey carries all the join selectivity and each key has few versions
+    * (the per-key interval list is the small side of the residual scan). At
+    * 100 TB the fact side shuffles once on custkey (or the dim broadcasts —
+    * it is run-collapsed, orders of magnitude smaller than the fact); an
+    * interval-covering match is guaranteed by construction since version 1
+    * starts at the key's first observation. */
+  val q38 = Q(
+    "q38_pit_join",
+    s"""WITH dim AS ($rebuildSql)
+      |SELECT o.o_orderkey AS order_key, o.o_custkey AS custkey,
+      |  CAST(o.o_orderdate AS DATE) AS order_date,
+      |  d.attr AS priority_at_order, d.version, o.o_totalprice AS total_price
+      |FROM orders o
+      |JOIN dim d ON o.o_custkey = d.custkey
+      |  AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+      |  AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to)""".stripMargin) { (s, d) =>
+    val dim = scd2(dayObs(s, d))
+    val facts = Tables.orders(s, d).select(
+      col("o_orderkey").as("order_key"), col("o_custkey").as("custkey"),
+      to_date(col("o_orderdate")).as("order_date"), col("o_totalprice").as("total_price"))
+    facts.join(dim,
+        facts("custkey") === dim("custkey") &&
+          col("order_date") >= col("valid_from") &&
+          (col("valid_to").isNull || col("order_date") < col("valid_to")))
+      .select(col("order_key"), facts("custkey"), col("order_date"),
+        col("attr").as("priority_at_order"), col("version"), col("total_price"))
+  }
+
+  val queries: Seq[Q] = Seq(q36, q37, q38)
 }
