@@ -409,5 +409,53 @@ object TextAnalysis {
           .as("expected_tokens"))
   }
 
-  val queries: Seq[Q] = Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09)
+  // ---------------------------------------------------------------- D10
+  /** Corpus unigram language-model scoring — the perplexity-style quality
+    * proxy CCNet (Wenzek et al. 2020) filters with, built from the corpus
+    * itself: token probabilities p(w) = cnt(w)/total from one counting
+    * pass, then each document scores the average log-probability of its
+    * tokens (avg_logp = Σ ln cnt(w) / n − ln total; higher = more typical
+    * text, lower = rare/garbled). n_hapax (corpus-frequency-1 tokens per
+    * doc) rides along as the integer rarity signal.
+    *
+    * Scale: two hash aggregates and one equi-join on the token — the
+    * vocabulary count collapses map-side (partial agg over a Zipf stream),
+    * the score join is token-keyed (AQE handles the hot-stopword skew),
+    * and the per-doc reduce is doc-keyed. No windows, no driver state; the
+    * corpus-total scalar is a one-row broadcast. Cross-engine float note:
+    * ln() of INTEGER counts on both sides, summed then rounded at 4 dp —
+    * the engines' libm disagreement is ≤1 ulp (~1e-16 relative), far
+    * below the rounding quantum. */
+  val tx10 = Q(
+    "tx10_unigram_lm",
+    s"""WITH doc AS (SELECT doc_id, $cleanSql AS c FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(c, ' ')) AS w FROM doc),
+      |tok2 AS (SELECT doc_id, w FROM tok WHERE len(w) > 0),
+      |vocab AS (SELECT w, COUNT(*) AS cnt FROM tok2 GROUP BY w),
+      |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+      |scored AS (SELECT t.doc_id, COUNT(*) AS n,
+      |    SUM(ln(CAST(v.cnt AS DOUBLE))) AS sl,
+      |    SUM(CASE WHEN v.cnt = 1 THEN 1 ELSE 0 END) AS hapax
+      |  FROM tok2 t JOIN vocab v USING (w) GROUP BY t.doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |  ROUND(sl / n - ln(total), 4) AS avg_logp,
+      |  CAST(hapax AS BIGINT) AS n_hapax
+      |FROM scored CROSS JOIN tot""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(clean(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).cast("double").as("total"))
+    toks.join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(log(col("cnt").cast("double"))).as("sl"),
+        sum(when(col("cnt") === 1, 1).otherwise(0)).as("hapax"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round(col("sl") / col("n") - log(col("total")), 4).as("avg_logp"),
+        col("hapax").cast("long").as("n_hapax"))
+  }
+
+  val queries: Seq[Q] = Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10)
 }

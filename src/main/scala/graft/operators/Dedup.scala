@@ -602,5 +602,71 @@ object Dedup {
         round(col("n_dups").cast("double") / col("n_paras").cast("double"), 6).as("dup_frac"))
   }
 
-  val queries: Seq[Q] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10)
+  // ---------------------------------------------------------------- B11
+  /** SEMANTIC dedup, cluster-blocked (SemDeDup, Abbas et al. 2023): assign
+    * every embedding to its nearest coarse centroid (the IVF assignment
+    * ann02 ships), compare pairs ONLY within a cell, and remove the
+    * higher-id member of every pair above the similarity threshold — the
+    * keep-one-per-semantic-neighborhood policy that prunes paraphrases and
+    * re-encodings exact/MinHash dedup (dd01/dd02) cannot see.
+    *
+    * Differs from dd08 in WHERE candidates come from: dd08 blocks on
+    * data-independent hyperplane buckets (robust to churning corpora),
+    * this blocks on learned cluster structure (tighter candidate sets when
+    * the corpus clusters well) — the two ends of the embedding-dedup
+    * design space. Output is the REMOVAL decision per dropped vector:
+    * its cell, the surviving keeper (lowest-id qualifying neighbor — the
+    * deterministic stand-in for SemDeDup's keep-one rule), how many
+    * qualifying neighbors it had, and the strongest similarity.
+    *
+    * Scale: assignment is a broadcast-centroid max_by hash aggregate
+    * (corpus shuffled once at its own size); the pair join is equi-keyed
+    * on cell with per-cell size bounded by the centroid count knob; the
+    * removal aggregate is a hash aggregate on the pair stream. No O(n²)
+    * stage anywhere; the codegen dot product keeps the scans in
+    * WholeStageCodegen. */
+  val dd11 = Q(
+    "dd11_semdedup",
+    s"""WITH n AS (${SimilaritySearch.vecsSql}),
+      |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+      |assign0 AS (
+      |  SELECT n.vec_id, n.v, n.nrm, cent.cent_id,
+      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY ROUND(${SimilaritySearch.dotSql("n.v", "cent.cv")} / (n.nrm * cent.cn), 6) DESC, cent.cent_id) AS rn
+      |  FROM n CROSS JOIN cent),
+      |assigned AS (SELECT vec_id, v, nrm, cent_id AS cell FROM assign0 WHERE rn = 1),
+      |pairs AS (SELECT a.vec_id AS keeper, b.vec_id AS removed, a.cell,
+      |  ROUND(${SimilaritySearch.dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+      |FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      |SELECT removed AS removed_id, cell,
+      |  MIN(keeper) AS keeper_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_dups,
+      |  MAX(cos_sim) AS max_sim
+      |FROM pairs WHERE cos_sim >= 0.25
+      |GROUP BY removed, cell""".stripMargin) { (s, d) =>
+    val n = SimilaritySearch.vecs(s, d)
+    val cent = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = n.crossJoin(broadcast(cent))
+      .withColumn("cos_c",
+        SimilaritySearch.cosine(col("v"), col("nrm"), col("cv"), col("cn")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cent_id"), col("v"), col("nrm")),
+        struct(col("cos_c"), (-col("cent_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"),
+        col("best.nrm").as("nrm"), col("best.cent_id").as("cell"))
+    val a = assigned.select(col("vec_id").as("keeper"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("removed"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell"))
+    a.join(b, Seq("cell")).filter(col("keeper") < col("removed"))
+      .withColumn("cos_sim",
+        SimilaritySearch.cosine(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("cos_sim") >= 0.25)
+      .groupBy(col("removed").as("removed_id"), col("cell"))
+      .agg(min(col("keeper")).as("keeper_id"),
+        count(lit(1)).as("n_dups"),
+        max(col("cos_sim")).as("max_sim"))
+  }
+
+  val queries: Seq[Q] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11)
 }
