@@ -11,6 +11,7 @@ object SparkEntry {
       etl.Windowing.queries ++ etl.Reporting.queries ++ etl.Ingest.queries ++
       etl.SourceRepair.queries ++ etl.Dimensional.queries ++
       operators.Dedup.queries ++ operators.SimilaritySearch.queries ++
+      operators.Salting.queries ++
       functions.TextAnalysis.queries ++ multimodal.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
 
 /** Skew-salted equi-join (SURVEY §5).
   *
@@ -46,4 +47,35 @@ object Salting {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
   }
+
+  // ---------------------------------------------------------------- A39
+  /** Skew-salted join, RESULT-PROVED: revenue by order priority computed
+    * through [[saltedJoin]] (8 salt buckets on the line number), oracled
+    * against the plain join — the driver's hash compare is the cross-engine
+    * proof that salting changes the shuffle layout and nothing else. The
+    * money sum goes through integer cents ([[graft.functions.Exact]]) so
+    * the 8-way re-bucketing cannot perturb a float total.
+    *
+    * Scale: this is the de-skew tool for the one case AQE cannot fix — a
+    * single hot key group that must co-locate in one task. Cost model in
+    * the [[saltedJoin]] scaladoc; SaltingSpec holds the plan-level
+    * equivalence and the salt-distribution properties. */
+  val q39 = Q(
+    "q39_salted_join",
+    s"""SELECT o.o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  ${graft.functions.Exact.sqlSumCents("l.l_extendedprice")} AS revenue
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderpriority""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val ords = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    saltedJoin(li, ords, "l_orderkey", "l_linenumber", buckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        graft.functions.Exact.sumCents(col("l_extendedprice")).as("revenue"))
+  }
+
+  val queries: Seq[Q] = Seq(q39)
 }
