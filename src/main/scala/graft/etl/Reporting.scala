@@ -161,5 +161,42 @@ object Reporting {
           .as("within_tol"))
   }
 
-  val queries: Seq[Q] = Seq(q12, q15, q16, q17, q27, q28)
+  // ---------------------------------------------------------------- A40
+  /** CUBE over (return flag, line status) with an explicit GROUPING_ID —
+    * q15's rollup covers the hierarchical subtotal ladder; a cross-tab
+    * report needs the full lattice (every flag×status combination PLUS
+    * per-flag totals, per-status totals, and the grand total — 2ᵏ grouping
+    * sets). GROUPING_ID disambiguates a real NULL-keyed group from a
+    * subtotal row, which COALESCE alone cannot.
+    *
+    * Scale: Spark expands CUBE into one Expand + one hash aggregate — 2ᵏ
+    * rows per input row pre-aggregation, all collapsing map-side (partial
+    * agg), so the shuffle carries only group cells. k stays tiny (2 here)
+    * by design; a wide-k cube is a modeling error, not an engine gap. */
+  val q40 = Q(
+    "q40_cube",
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |  COALESCE(l_linestatus, 'ALL') AS status,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      |  ${sqlSumMicros("l_extendedprice*(1-l_discount)")} AS revenue,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+    val net = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        sumMicros(net).as("revenue"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("revenue"), col("qty"), col("n_lines"))
+  }
+
+  val queries: Seq[Q] = Seq(q12, q15, q16, q17, q27, q28, q40)
 }

@@ -103,5 +103,68 @@ object Multimodal {
         ((col("n_copies") - 1) * col("len")).as("bytes_saved"))
   }
 
-  val queries: Seq[Q] = Seq(mm01, mm02, mm03, mm04)
+  // ---------------------------------------------------------------- E5
+  /** FIXED-BLOCK cross-document dedup stats — the measured baseline the CDC
+    * pair (mm03/mm04) exists to beat. Every payload is cut into aligned
+    * 64-byte frames (mm02's framing), frames dedup corpus-wide by content
+    * hash with a deterministic first-occurrence winner (min (doc_id,
+    * frame_idx) — dd10's paragraph rule applied to bytes), and each document
+    * reports how many of its frames a content-addressed store would NOT
+    * have to keep. Fixed-size blocking is what VDO/dedup filesystems do;
+    * it catches aligned duplication but loses on byte-shifted copies,
+    * which is precisely the gap content-defined chunking closes —
+    * CdcChunksSpec proves the resync property, and this operator provides
+    * the corpus-level numbers for the comparison.
+    *
+    * Unlike the CDC pair this IS set-SQL-expressible (no rolling state),
+    * so it carries a full DuckDB hash oracle.
+    *
+    * Scale: one scan explodes ~50-byte (hash, position) tuples — payload
+    * bytes never shuffle; the keeper table is one min-struct hash aggregate
+    * on the hash key; the flag join is equi-keyed on the same hash. Same
+    * shape as dd10, linear at any corpus size. */
+  val mm05 = Q(
+    "mm05_block_dedup",
+    """WITH sized AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) // 64 AS n_frames FROM documents),
+      |frames AS (
+      |  SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS f FROM sized WHERE n_frames > 0),
+      |hashed AS (
+      |  SELECT fr.doc_id, fr.n_frames, fr.f,
+      |    md5(substring(s.text, CAST(fr.f*64 + 1 AS BIGINT), 64)) AS h
+      |  FROM frames fr JOIN sized s ON fr.doc_id = s.doc_id),
+      |keep AS (
+      |  SELECT h, MIN({'d': doc_id, 'f': f}) AS k FROM hashed GROUP BY h),
+      |flagged AS (
+      |  SELECT hd.doc_id, hd.n_frames,
+      |    CASE WHEN hd.doc_id = keep.k.d AND hd.f = keep.k.f THEN 0 ELSE 1 END AS is_dup
+      |  FROM hashed hd JOIN keep ON hd.h = keep.h)
+      |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(SUM(is_dup) AS BIGINT) AS n_dup_frames,
+      |  CAST(SUM(is_dup) * 64 AS BIGINT) AS bytes_saved,
+      |  ROUND(CAST(SUM(is_dup) AS DOUBLE) / CAST(n_frames AS DOUBLE), 6) AS dup_frac
+      |FROM flagged GROUP BY doc_id, n_frames""".stripMargin) { (s, d) =>
+    val bin = col("text").cast("binary")
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), bin.as("payload"),
+        (octet_length(bin) / 64).cast("long").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .withColumn("f", explode(sequence(lit(0L), col("n_frames") - 1)))
+      .withColumn("h", md5(col("payload").substr((col("f") * 64 + 1).cast("int"), lit(64))))
+      .select(col("doc_id"), col("n_frames"), col("f"), col("h"))
+      .localCheckpoint() // feeds the keeper aggregate AND the flag join
+    val keep = hashed.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("f"))).as("k"))
+      .select(col("h"), col("k.doc_id").as("kd"), col("k.f").as("kf"))
+    hashed.join(keep, "h")
+      .withColumn("is_dup",
+        when(col("doc_id") === col("kd") && col("f") === col("kf"), 0L).otherwise(1L))
+      .groupBy("doc_id", "n_frames")
+      .agg(sum(col("is_dup")).as("n_dup_frames"))
+      .select(col("doc_id"), col("n_frames"), col("n_dup_frames"),
+        (col("n_dup_frames") * 64).as("bytes_saved"),
+        round(col("n_dup_frames").cast("double") / col("n_frames").cast("double"), 6).as("dup_frac"))
+  }
+
+  val queries: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05)
 }
