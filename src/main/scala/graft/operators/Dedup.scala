@@ -654,6 +654,10 @@ object Dedup {
         struct(col("cos_c"), (-col("cent_id")).as("tie"))).as("best"))
       .select(col("vec_id"), col("best.v").as("v"),
         col("best.nrm").as("nrm"), col("best.cent_id").as("cell"))
+      // referenced twice (both pair sides) — checkpoint so the broadcast
+      // centroid assignment runs once, not once per reference (subtree
+      // duplication gets no CSE)
+      .localCheckpoint()
     val a = assigned.select(col("vec_id").as("keeper"), col("v").as("va"),
       col("nrm").as("na"), col("cell"))
     val b = assigned.select(col("vec_id").as("removed"), col("v").as("vb"),

@@ -110,4 +110,37 @@ class PlanShapeSpec extends SparkSpec {
     assert("gh#\\d+L".r.findFirstIn(p).isDefined,
       s"grams must be hashed to longs before the shuffle; plan:\n$p")
   }
+
+  test("q38's point-in-time join is a hash join on custkey, never a range/cross join") {
+    val p = plan("q38_pit_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval bounds must ride as residual condition on the custkey equi-join; plan:\n$p")
+  }
+
+  test("dd11's pair generation is cell-equi-keyed off ONE checkpointed assignment") {
+    val p = plan("dd11_semdedup")
+    // The assignment subtree is localCheckpointed (it feeds both pair
+    // sides; without the cut its broadcast-centroid scan would run twice —
+    // the duplicated-subtree regression this guard holds), so the final
+    // plan must contain NO nested loop at all and join the two checkpoint
+    // reads equi-keyed on the cell.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must be the cell equi-join of checkpoint reads; plan:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell".r.findFirstIn(p).isDefined,
+      s"pair join must key on cell; plan:\n$p")
+  }
+
+  test("ann08's ADC scan is an equi-join on (subspace, code) with one final ranking window") {
+    val p = plan("ann08_pq_topk")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    val windows = "(?<!Group)Window(?!GroupLimit)".r.findAllIn(p).length
+    assert(windows == 1,
+      s"only the final per-query top-k may sort; found $windows windows; plan:\n$p")
+  }
+
+  test("tx10's score join is token-equi-keyed; no window anywhere") {
+    val p = plan("tx10_unigram_lm")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window "),
+      s"unigram scoring is joins + hash aggregates only; plan:\n$p")
+  }
 }
