@@ -672,5 +672,61 @@ object Dedup {
         max(col("cos_sim")).as("max_sim"))
   }
 
-  val queries: Seq[Q] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11)
+  // ---------------------------------------------------------------- B12
+  /** MinHash CALIBRATION — the measurement half of the MinHash family,
+    * as ann05 is for the ANN family: for every LSH band candidate pair
+    * (unfiltered — the raw funnel dd02 thresholds), both the 8-permutation
+    * signature ESTIMATE of Jaccard (matching components / 8) and the TRUE
+    * shingle Jaccard, plus the signed error. This is the table that answers
+    * "are 8 permutations enough, and where does the s-curve put my
+    * threshold" before anyone trusts dd02's ≥0.5 cut on a new corpus —
+    * E[est] = true Jaccard per the MinHash guarantee (Broder '97), with
+    * stderr √(j(1−j)/8) visible directly in the dump.
+    *
+    * Scale: identical plan shape to dd02 (scalar signatures, band-key
+    * equi-join, shingle join for the exact value) — the estimate column is
+    * free (the signatures already rode along); the true-Jaccard join is the
+    * expensive verify step this table exists to help TUNE (a calibrated
+    * band/threshold config verifies fewer false candidates). */
+  val dd12 = Q(
+    "dd12_minhash_calibration",
+    s"""WITH $lshScoredSql,
+      |sigj AS (SELECT c.id_a, c.id_b,
+      |    ROUND(CAST((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END +
+      |      CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END +
+      |      CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END +
+      |      CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END +
+      |      CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END +
+      |      CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END +
+      |      CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END +
+      |      CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0, 6) AS est_jaccard
+      |  FROM cand c JOIN sig a ON c.id_a = a.doc_id JOIN sig b ON c.id_b = b.doc_id)
+      |SELECT s.id_a, s.id_b, g.est_jaccard, s.jaccard AS true_jaccard,
+      |  ROUND(g.est_jaccard - s.jaccard, 6) AS err
+      |FROM scored s JOIN sigj g ON s.id_a = g.id_a AND s.id_b = g.id_b""".stripMargin) { (s, d) =>
+    val sh = docShingles(s, d).localCheckpoint()
+    val sig = sh.select(col("doc_id"), minhashSig(col("shs")).as("sig"))
+      .localCheckpoint() // feeds banding AND both estimate sides
+    val bands = sig.select(col("doc_id"),
+      explode(array(bandKeys(col("sig")): _*)).as("bk"))
+    val cand = bands.select(col("doc_id").as("id_a"), col("bk"))
+      .join(bands.select(col("doc_id").as("id_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val matches = (0 until 8)
+      .map(k => when(element_at(col("sa"), k + 1) === element_at(col("sb"), k + 1), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sb")), Seq("id_b"))
+      .join(sh.select(col("doc_id").as("id_a"), col("shs").as("ssa")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shs").as("ssb")), Seq("id_b"))
+      .withColumn("est_jaccard", round(matches.cast("double") / 8.0, 6))
+      .withColumn("true_jaccard", jaccard(col("ssa"), col("ssb")))
+      .withColumn("err", round(col("est_jaccard") - col("true_jaccard"), 6))
+      .select("id_a", "id_b", "est_jaccard", "true_jaccard", "err")
+  }
+
+  val queries: Seq[Q] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12)
 }

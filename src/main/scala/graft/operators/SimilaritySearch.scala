@@ -484,9 +484,11 @@ object SimilaritySearch {
     * all-pairs chance, 0.35 exact ceiling — Round5OpsSpec pins this). On
     * a corpus with real duplicate structure the near-dups sit far above
     * the quantization floor and surface in the top ranks. */
-  val ann08 = Q(
-    "ann08_pq_topk",
-    s"""WITH n0 AS ($vecsSql),
+  /** Shared PQ machinery for ann08/ann09: the CTE chain from raw vectors
+    * through the ADC-ranked candidate list (see ann08 scaladoc for the
+    * design and the cross-engine float discipline). */
+  private val pqCtesSql: String =
+    s"""n0 AS ($vecsSql),
       |n AS (SELECT vec_id, list_transform(v, x -> CAST(x AS DOUBLE) / nrm) AS nv, v, nrm FROM n0),
       |cent AS (SELECT vec_id AS cb_id, nv AS cv FROM n WHERE vec_id % 50 = 0),
       |sub AS (SELECT m FROM range(0, 4) AS t(m)),
@@ -514,16 +516,15 @@ object SimilaritySearch {
       |    SUM(CASE WHEN t.m = 3 THEN t.dist END) AS d3
       |  FROM codes cd JOIN qtab t ON cd.m = t.m AND cd.code = t.cb_id
       |  GROUP BY t.query_id, cd.neighbor_id),
-      |ranked AS (SELECT query_id, neighbor_id,
+      |pq_ranked AS (SELECT query_id, neighbor_id,
       |    ROUND(((d0 + d1) + d2) + d3, 6) AS approx_dist,
       |    CAST(row_number() OVER (PARTITION BY query_id
-      |      ORDER BY ROUND(((d0 + d1) + d2) + d3, 6) ASC, neighbor_id) AS BIGINT) AS rank
-      |  FROM parts),
-      |top AS (SELECT * FROM ranked WHERE rank <= 3)
-      |SELECT t.query_id, t.neighbor_id, t.approx_dist,
-      |  ROUND(${dotSql("q.v", "c2.v")} / (q.nrm * ${nrmSql("c2.v")}), 6) AS cos_sim, t.rank
-      |FROM top t JOIN q ON q.vec_id = t.query_id
-      |JOIN n0 c2 ON c2.vec_id = t.neighbor_id""".stripMargin) { (s, d) =>
+      |      ORDER BY ROUND(((d0 + d1) + d2) + d3, 6) ASC, neighbor_id) AS BIGINT) AS pq_rank
+      |  FROM parts)""".stripMargin
+
+  /** Spark side of [[pqCtesSql]]: ADC-ranked candidates
+    * (query_id, neighbor_id, approx_dist, pq_rank). */
+  private def pqRanked(s: SparkSession, d: String): DataFrame = {
     val n = vecs(s, d)
       .withColumn("nv", transform(col("v"), x => x.cast("double") / col("nrm")))
     val sub = (0 until 4).map(lit(_))
@@ -560,18 +561,85 @@ object SimilaritySearch {
         sum(when(col("m") === 3, col("dist"))).as("d3"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dist").asc, col("neighbor_id"))
-    val top = parts
+    parts
       .withColumn("approx_dist", round(col("d0") + col("d1") + col("d2") + col("d3"), 6))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= 3)
-      .select("query_id", "neighbor_id", "approx_dist", "rank")
+      .withColumn("pq_rank", row_number().over(wRank).cast("long"))
+      .select("query_id", "neighbor_id", "approx_dist", "pq_rank")
+  }
+
+  val ann08 = Q(
+    "ann08_pq_topk",
+    s"""WITH $pqCtesSql,
+      |top AS (SELECT query_id, neighbor_id, approx_dist, pq_rank AS rank
+      |        FROM pq_ranked WHERE pq_rank <= 3)
+      |SELECT t.query_id, t.neighbor_id, t.approx_dist,
+      |  ROUND(${dotSql("q.v", "c2.v")} / (q.nrm * ${nrmSql("c2.v")}), 6) AS cos_sim, t.rank
+      |FROM top t JOIN q ON q.vec_id = t.query_id
+      |JOIN n0 c2 ON c2.vec_id = t.neighbor_id""".stripMargin) { (s, d) =>
+    val top = pqRanked(s, d)
+      .filter(col("pq_rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("approx_dist"),
+        col("pq_rank").as("rank"))
     // Late materialization: raw floats are read only for the <=3Q winners.
-    val qv = q.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val cv = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("cv2"), col("nrm").as("cn2"))
+    val n = vecs(s, d)
+    val qv = n.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cv = n.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv2"), col("nrm").as("cn2"))
     top.join(qv, "query_id").join(cv, "neighbor_id")
       .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("cv2"), col("cn2")))
       .select("query_id", "neighbor_id", "approx_dist", "cos_sim", "rank")
   }
 
-  val queries: Seq[Q] = Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08)
+  // ---------------------------------------------------------------- C9
+  /** TWO-STAGE retrieval: PQ recall funnel -> exact rerank — the shape a
+    * deployed vector-serving path actually takes (FAISS/ScaNN style): the
+    * cheap compressed index OVER-FETCHES (top-10 by ADC distance, codes
+    * only, 4 bytes/vector scanned), then the expensive exact metric runs
+    * on just those 10 candidates per query and re-orders them (top-3 by
+    * true cosine). The funnel turns PQ's quantization error from a result
+    * error into a bounded extra-fetch cost — the measured fix for the
+    * rank-correlation-not-recall trade documented on ann08.
+    *
+    * Output carries BOTH ranks: `pq_rank` (where the compressed index put
+    * the candidate) and `rank` (where the exact metric puts it) — the
+    * per-row visibility of what reranking bought.
+    *
+    * Scale: stage 1 is ann08's plan (equi-joins + hash aggregates + one
+    * bounded ranking window); stage 2 touches 10 rows per query — the
+    * full-precision vectors are read ONLY for candidates (late
+    * materialization), so the float scan cost is queries x 10, not
+    * queries x corpus. */
+  val ann09 = Q(
+    "ann09_pq_rerank",
+    s"""WITH $pqCtesSql,
+      |cand AS (SELECT query_id, neighbor_id, approx_dist, pq_rank
+      |         FROM pq_ranked WHERE pq_rank <= 10),
+      |exact AS (SELECT t.query_id, t.neighbor_id, t.approx_dist, t.pq_rank,
+      |    ROUND(${dotSql("q.v", "c2.v")} / (q.nrm * ${nrmSql("c2.v")}), 6) AS cos_sim
+      |  FROM cand t JOIN q ON q.vec_id = t.query_id
+      |  JOIN n0 c2 ON c2.vec_id = t.neighbor_id),
+      |reranked AS (SELECT query_id, neighbor_id, approx_dist, pq_rank, cos_sim,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      |  FROM exact)
+      |SELECT query_id, neighbor_id, approx_dist, pq_rank, cos_sim, rank
+      |FROM reranked WHERE rank <= 3""".stripMargin) { (s, d) =>
+    val cand = pqRanked(s, d).filter(col("pq_rank") <= 10)
+    val n = vecs(s, d)
+    val qv = n.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cv = n.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv2"), col("nrm").as("cn2"))
+    val wRerank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("cv2"), col("cn2")))
+      .withColumn("rank", row_number().over(wRerank).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id", "approx_dist", "pq_rank", "cos_sim", "rank")
+  }
+
+
+  val queries: Seq[Q] = Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09)
 }

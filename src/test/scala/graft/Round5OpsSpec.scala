@@ -111,6 +111,37 @@ class Round5OpsSpec extends SparkSpec {
       s"PQ picks' avg true cosine $picked not above chance $chance")
   }
 
+  // ----------------------------------------------------- ann09 PQ rerank
+  test("ann09: candidates come from PQ's top-10, and reranking only improves pick quality") {
+    val reranked = operators.SimilaritySearch.ann09.build(spark, sfDir).cache()
+    // funnel containment: every reranked candidate was a stage-1 pick
+    assert(reranked.filter(col("pq_rank") > 10).isEmpty)
+    // rank is dense 1..3 ordered by exact cosine
+    val perQuery = reranked.groupBy("query_id").agg(
+      count(lit(1)).as("n"), min("rank").as("r0"), max("rank").as("r1"))
+    assert(perQuery.filter(col("n") =!= 3 || col("r0") =!= 1 || col("r1") =!= 3).isEmpty)
+    // reranking top-10 ⊇ top-3 by the true metric, so per query the WORST
+    // reranked pick is at least as good as the worst raw-PQ pick
+    val worstReranked = reranked.groupBy("query_id").agg(min("cos_sim").as("w_rr"))
+    val worstRaw = pq.groupBy("query_id").agg(min("cos_sim").as("w_pq"))
+    assert(worstReranked.join(worstRaw, "query_id")
+      .filter(col("w_rr") < col("w_pq")).isEmpty)
+    reranked.unpersist()
+  }
+
+  // -------------------------------------------------- dd12 minhash calibration
+  test("dd12: estimates are k/8 grid values and banded candidates match ≥2 components") {
+    val cal = operators.Dedup.dd12.build(spark, sfDir).cache()
+    // est is a multiple of 1/8 in [0,1]; true jaccard in [0,1]; err consistent
+    assert(cal.filter(col("est_jaccard") * 8 =!= round(col("est_jaccard") * 8, 0)).isEmpty)
+    assert(cal.filter(col("true_jaccard") < 0 || col("true_jaccard") > 1).isEmpty)
+    assert(cal.filter(round(col("est_jaccard") - col("true_jaccard"), 6) =!= col("err")).isEmpty)
+    // sharing an LSH band means 2 equal signature rows ⇒ est ≥ 2/8 for
+    // EVERY candidate — the structural floor band-blocking guarantees
+    assert(cal.filter(col("est_jaccard") < 0.25).isEmpty)
+    cal.unpersist()
+  }
+
   // ------------------------------------------------------- tx10 unigram LM
   test("tx10: scores are well-formed and rarity orders them") {
     val lm = functions.TextAnalysis.tx10.build(spark, sfDir).cache()
