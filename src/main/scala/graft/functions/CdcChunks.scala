@@ -32,9 +32,11 @@ import org.apache.spark.sql.types._
   * so the downstream explode ships ~50-byte structs instead of carrying the
   * whole payload into every chunk row for a later substr+md5 (measured 235k
   * rows × 3 KB payload duplication on the test corpus).
-  * A rolling-hash scan is inherently sequential per row, inexpressible in
-  * set-based SQL — the query built on this is rows-only checked, and
-  * CdcChunksSpec proves the partition and shift-resync properties instead. */
+  * The rolling-hash scan LOOKS inexpressible in set SQL, but the cut test
+  * reads only h mod 64, which depends on just the trailing 6 bytes — so
+  * the DuckDB oracle ([[oracleCtes]]) reproduces the chunking exactly and
+  * the queries built on this are full hash-checked; CdcChunksSpec
+  * additionally proves the partition and shift-resync properties. */
 case class CdcChunks(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -112,4 +114,59 @@ object CdcChunks {
 
   def cdcChunks(c: Column): Column =
     GraftBridge.column(CdcChunks(GraftBridge.expression(c)))
+
+  /** DuckDB oracle for the chunking — a WITH-body (caller prefixes
+    * `WITH RECURSIVE`) ending in a `chunks(doc_id, chunk_idx, off, len,
+    * chunk_md5)` CTE over the ASCII `documents.text` payloads.
+    *
+    * Set SQL cannot run the rolling hash as written, but it doesn't have
+    * to: the cut test `(h & 0x3F) == 0` reads only `h mod 64`, and since
+    * `h = 2·h_prev + gear(b)` every byte older than 6 positions is
+    * multiplied by 2⁶ ≡ 0 (mod 64) — so the flag at each position is a
+    * SIX-BYTE window expression (gear table reduced mod 64), not a scan.
+    * Chunk boundaries then follow from the flags with a recursive CTE
+    * whose depth is the max chunks-per-doc (≤ len/MIN), stepping from each
+    * cut to the next flagged position in [start+MIN-1, start+MAX-2] with
+    * the unconditional MAX-length fallback — exactly [[compute]]'s loop.
+    * The same MIN/MAX/gear constants are interpolated from this object, so
+    * the two implementations cannot drift apart. */
+  private[graft] def oracleCtes: String = {
+    val g64 = gear.map(_ & 63L).mkString("[", ", ", "]")
+    s"""sized AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |positions AS (SELECT doc_id, CAST(unnest(range(1, n + 1)) AS INT) AS pos FROM sized),
+      |bytes AS (
+      |  SELECT p.doc_id, p.pos,
+      |    ($g64)[ascii(substring(s.text, CAST(p.pos AS BIGINT), 1)) + 1] AS g
+      |  FROM positions p JOIN sized s ON p.doc_id = s.doc_id),
+      |flags AS (
+      |  SELECT doc_id, pos,
+      |    ((g + 2*COALESCE(LAG(g, 1) OVER w, 0) + 4*COALESCE(LAG(g, 2) OVER w, 0)
+      |        + 8*COALESCE(LAG(g, 3) OVER w, 0) + 16*COALESCE(LAG(g, 4) OVER w, 0)
+      |        + 32*COALESCE(LAG(g, 5) OVER w, 0)) % 64) = 0 AS f
+      |  FROM bytes WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |nxt AS (
+      |  SELECT doc_id, pos,
+      |    MIN(CASE WHEN f THEN pos END) OVER (PARTITION BY doc_id ORDER BY pos DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nf
+      |  FROM flags),
+      |cuts AS (
+      |  SELECT s.doc_id, s.n, CAST(1 AS INT) AS strt,
+      |    CAST(CASE WHEN nf.nf IS NOT NULL AND nf.nf <= $MAX - 1 THEN nf.nf
+      |         ELSE LEAST($MAX, s.n) END AS INT) AS fin,
+      |    CAST(0 AS INT) AS chunk_idx
+      |  FROM sized s LEFT JOIN nxt nf ON nf.doc_id = s.doc_id AND nf.pos = $MIN
+      |  UNION ALL
+      |  SELECT c.doc_id, c.n, CAST(c.fin + 1 AS INT),
+      |    CAST(CASE WHEN nf.nf IS NOT NULL AND nf.nf <= c.fin + $MAX - 1 THEN nf.nf
+      |         ELSE LEAST(c.fin + $MAX, c.n) END AS INT),
+      |    CAST(c.chunk_idx + 1 AS INT)
+      |  FROM cuts c LEFT JOIN nxt nf ON nf.doc_id = c.doc_id AND nf.pos = c.fin + $MIN
+      |  WHERE c.fin < c.n),
+      |chunks AS (
+      |  SELECT c.doc_id, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+      |    CAST(c.strt - 1 AS INT) AS off,
+      |    CAST(c.fin - c.strt + 1 AS INT) AS len,
+      |    md5(substring(s.text, CAST(c.strt AS BIGINT), c.fin - c.strt + 1)) AS chunk_md5
+      |  FROM cuts c JOIN sized s ON c.doc_id = s.doc_id)""".stripMargin
+  }
 }

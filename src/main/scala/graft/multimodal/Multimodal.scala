@@ -76,9 +76,14 @@ object Multimodal {
     * length and content hash — the content-addressed identity that makes
     * byte-shifted duplicate media dedupe, where mm02's fixed frames cannot.
     * A rolling hash is sequential per row and inexpressible in set-based
-    * SQL, so this query is rows-only checked; CdcChunksSpec proves the
+    * SQL naively; the oracle instead exploits that the cut test reads only
+    * h mod 64 (six trailing bytes) — see CdcChunks.oracleCtes. Full
+    * hash-checked; CdcChunksSpec additionally proves the
     * partition + shift-resync properties instead. */
-  val mm03 = Q.rowsOnly("mm03_cdc_chunks") { (s, d) =>
+  val mm03 = Q(
+    "mm03_cdc_chunks",
+    s"""WITH RECURSIVE ${graft.functions.CdcChunks.oracleCtes}
+      |SELECT doc_id, chunk_idx, off, len, chunk_md5 FROM chunks""".stripMargin) { (s, d) =>
     val bin = col("text").cast("binary")
     Tables.documents(s, d)
       .select(col("doc_id"), graft.functions.CdcChunks.cdcChunks(bin).as("chunks"))
@@ -94,7 +99,13 @@ object Multimodal {
     * saves — the measurement that justifies CDC. Near-dup documents share
     * most interior chunks, so the corpus' planted duplicates surface here
     * as n_copies > 1 groups. */
-  val mm04 = Q.rowsOnly("mm04_chunk_dedup") { (s, d) =>
+  val mm04 = Q(
+    "mm04_chunk_dedup",
+    s"""WITH RECURSIVE ${graft.functions.CdcChunks.oracleCtes}
+      |SELECT chunk_md5, len, CAST(COUNT(*) AS BIGINT) AS n_copies,
+      |  COUNT(*) > 1 AS is_dup,
+      |  (CAST(COUNT(*) AS BIGINT) - 1) * len AS bytes_saved
+      |FROM chunks GROUP BY chunk_md5, len""".stripMargin) { (s, d) =>
     mm03.build(s, d)
       .groupBy(col("chunk_md5"), col("len"))
       .agg(count(lit(1)).as("n_copies"))

@@ -9,6 +9,10 @@ package graft
 class PlanShapeSpec extends SparkSpec {
 
   private def plan(name: String): String = {
+    // Another suite may have .cache()d the same query's result on the shared
+    // session; the cache manager would then substitute an InMemoryRelation
+    // and these guards would inspect the cached plan instead of the real one.
+    spark.sharedState.cacheManager.clearCache()
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.queryExecution.executedPlan.toString
   }
