@@ -123,18 +123,24 @@ object Ingest {
         array_sort(collect_list(when(col("l_returnflag") === "R", struct(
           col("l_linenumber").cast("int").as("ln"),
           col("l_extendedprice").as("amt"))))).as("refunds"))).as("payload"))
-    // Stage 2 — ingest: one parse, one explode of the tagged concat.
-    val doc = from_json(col("payload"), orderDocSchema)
+    // Stage 2 — ingest: one parse, one explode of the tagged concat. The
+    // parse gets ITS OWN projection: both transform() branches read the
+    // parsed doc, and inlining from_json into the explode argument would
+    // run the parse twice per order (transform is interpreted — no
+    // subexpression elimination; measured 2× from_json in the Generate
+    // node). CollapseProject keeps the split because the doc reference
+    // count is 2 and from_json is non-cheap.
     val tagged = concat(
-      transform(doc.getField("line_items"), (x, i) => struct(
+      transform(col("doc").getField("line_items"), (x, i) => struct(
         lit("line_item").as("child"), i.cast("long").as("item_index"),
         x.getField("ln").as("line_number"), x.getField("pk").as("part_key"),
         x.getField("qty").as("value"))),
-      transform(doc.getField("refunds"), (x, i) => struct(
+      transform(col("doc").getField("refunds"), (x, i) => struct(
         lit("refund").as("child"), i.cast("long").as("item_index"),
         x.getField("ln").as("line_number"), lit(null).cast("long").as("part_key"),
         x.getField("amt").as("value"))))
-    docs.select(col("order_key"), explode(tagged).as("c"))
+    docs.select(col("order_key"), from_json(col("payload"), orderDocSchema).as("doc"))
+      .select(col("order_key"), explode(tagged).as("c"))
       .select(col("order_key"), col("c.child").as("child"),
         col("c.item_index").as("item_index"), col("c.line_number").as("line_number"),
         col("c.part_key").as("part_key"), col("c.value").as("value"))
