@@ -222,6 +222,37 @@ object TextAnalysis {
     * other docs arrive), and (c) a pure narrow single-pass filter — no
     * shuffle, no state, survives any scan size. Rates here: sources hashing
     * even keep 20%, odd keep 60% (basis points of the hash bucket). */
+  /** Quality signals + gate decision appended to any (doc_id, text, ...)
+    * relation — THE single definition shared by tx08 (batch) and the F9
+    * admission stream, so the two can never drift. Stateless, shuffle-free,
+    * codegen-friendly: safe under Structured Streaming. */
+  private[graft] def withQualitySignals(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val c = clean(col("text"))
+    df.withColumn("n_raw", length(col("text")).cast("long"))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
+      .withColumn("n_tokens", size(split(c, " ")).cast("long"))
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(split(c, " ")), typedLit(stopEn))).cast("long"))
+      .withColumn("alpha_ratio", round(col("n_alpha").cast("double") / col("n_raw").cast("double"), 6))
+      .withColumn("stop_ratio", round(col("stop_hits").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("quality", qualityFormula(col("n_alpha"), col("n_raw"), col("n_tokens"), col("stop_hits")))
+      .withColumn("fail_reason",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("alpha_ratio") < 0.8, "low_alpha")
+          .when(col("stop_ratio") < 0.02, "low_stopword")
+          .when(col("quality") < 0.5, "low_quality")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("pass", col("n_tokens") >= 20 && col("alpha_ratio") >= 0.8
+        && col("stop_ratio") >= 0.02 && col("quality") >= 0.5)
+  }
+
+  /** tx06's deterministic sampling decision appended to any (doc_id,
+    * source, ...) relation — shared by the batch sampler and F9. */
+  private[graft] def withSampleDecision(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("bucket", (charHash(concat(lit("smp:"), col("doc_id").cast("string"))) % 10000).cast("long"))
+      .withColumn("rate_bp", when(charHash(clean(col("source"))) % 2 === 0, 2000L).otherwise(6000L))
+      .withColumn("sampled", col("bucket") < col("rate_bp"))
+
   val tx06 = Q(
     "tx06_sample_stratified",
     s"""WITH doc AS (SELECT doc_id, source,
@@ -235,12 +266,9 @@ object TextAnalysis {
     // byte to a space — so a future corpus with a non-ASCII source name
     // cannot silently split the two engines' keep/drop sets. (The doc_id
     // key is ASCII by construction.)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        (charHash(concat(lit("smp:"), col("doc_id").cast("string"))) % 10000).as("bucket"),
-        when(charHash(clean(col("source"))) % 2 === 0, 2000L).otherwise(6000L).as("rate_bp"))
-      .filter(col("bucket") < col("rate_bp"))
-      .select(col("doc_id"), col("source"), col("bucket").cast("long").as("bucket"), col("rate_bp"))
+    withSampleDecision(Tables.documents(s, d))
+      .filter(col("sampled"))
+      .select(col("doc_id"), col("source"), col("bucket"), col("rate_bp"))
   }
 
   // ---------------------------------------------------------------- D7
@@ -333,25 +361,9 @@ object TextAnalysis {
       |  n_tokens >= 20 AND alpha_ratio >= 0.8 AND stop_ratio >= 0.02
       |    AND quality >= 0.5 AS pass
       |FROM scored""".stripMargin) { (s, d) =>
-    val c = clean(col("text"))
-    val feat = Tables.documents(s, d).select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_raw"),
-      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("n_alpha"),
-      size(split(c, " ")).cast("long").as("n_tokens"),
-      size(array_intersect(array_distinct(split(c, " ")), typedLit(stopEn))).cast("long").as("stop_hits"))
-    feat.select(col("doc_id"), col("n_tokens"),
-      round(col("n_alpha").cast("double") / col("n_raw").cast("double"), 6).as("alpha_ratio"),
-      round(col("stop_hits").cast("double") / col("n_tokens").cast("double"), 6).as("stop_ratio"),
-      qualityFormula(col("n_alpha"), col("n_raw"), col("n_tokens"), col("stop_hits")).as("quality"))
-      .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"), col("stop_ratio"), col("quality"),
-        when(col("n_tokens") < 20, "too_short")
-          .when(col("alpha_ratio") < 0.8, "low_alpha")
-          .when(col("stop_ratio") < 0.02, "low_stopword")
-          .when(col("quality") < 0.5, "low_quality")
-          .otherwise(lit(null).cast("string")).as("fail_reason"),
-        (col("n_tokens") >= 20 && col("alpha_ratio") >= 0.8
-          && col("stop_ratio") >= 0.02 && col("quality") >= 0.5).as("pass"))
+    withQualitySignals(Tables.documents(s, d))
+      .select("doc_id", "n_tokens", "alpha_ratio", "stop_ratio", "quality",
+        "fail_reason", "pass")
   }
 
   // ---------------------------------------------------------------- D9
