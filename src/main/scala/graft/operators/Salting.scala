@@ -31,7 +31,12 @@ object Salting {
     val salted = big.withColumn("__salt", pmod(hash(col(discriminator)), lit(buckets)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    // Salting exists to rebalance a SHUFFLE: pin the shuffle-hash path so
+    // the planner cannot "helpfully" broadcast the buckets×-replicated side
+    // (measured: it did, turning the demonstration into a buckets×-bigger
+    // broadcast with no shuffle left to rebalance — and at real scale the
+    // replicated side wouldn't fit a broadcast anyway).
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 
   /** Salted aggregation: two-phase groupBy for a skewed grouping key. Phase 1

@@ -142,6 +142,13 @@ class PlanShapeSpec extends SparkSpec {
       s"only the final per-query top-k may sort; found $windows windows; plan:\n$p")
   }
 
+  test("q39's salted join shuffles — the planner must not broadcast the replicated side") {
+    val p = plan("q39_salted_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"salting rebalances a shuffle; a broadcast leaves nothing to rebalance; plan:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"plan:\n$p")
+  }
+
   test("tx10's score join is token-equi-keyed; no window anywhere") {
     val p = plan("tx10_unigram_lm")
     assert(!p.contains("CartesianProduct") && !p.contains("Window "),
