@@ -641,5 +641,49 @@ object SimilaritySearch {
   }
 
 
-  val queries: Seq[Q] = Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09)
+  // ---------------------------------------------------------------- C10
+  /** FILTERED similarity search — top-k under a metadata predicate (here:
+    * same label as the query), the feature every vector store ships as
+    * "filtered search". The design axis is WHERE the filter runs:
+    * post-filtering a global top-k under-delivers (a query whose true
+    * same-label neighbors rank 4th..6th globally returns fewer than k
+    * rows, or none); PRE-filtering pushes the predicate into candidate
+    * generation, and in relational form that is simply the filter column
+    * JOINING as part of the equi-key — the label here, composing with any
+    * blocking key the index adds (cell AND label for IVF).
+    *
+    * Scale: the candidate join is equi-keyed on the label (never a cross
+    * join followed by a filter — the predicate IS the join key), partial
+    * aggregation bounds the per-label fan-out, and the ranking window
+    * partitions on the query id. A skewed label (one giant category)
+    * degrades toward ann01's full scan for exactly those queries — the
+    * honest worst case of pre-filtering, handled the same way (IVF cell
+    * composes into the key to re-bound the candidate set). */
+  val ann10 = Q(
+    "ann10_filtered_topk",
+    s"""WITH n AS ($vecsSql),
+      |q AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+      |c AS (SELECT * FROM n WHERE vec_id % 20 <> 0),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.label,
+      |    ROUND(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS cos_sim
+      |  FROM q JOIN c ON q.label = c.label),
+      |ranked AS (SELECT query_id, neighbor_id, label, cos_sim,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      |FROM scored)
+      |SELECT query_id, neighbor_id, label, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin) { (s, d) =>
+    val n = vecs(s, d)
+    val q = n.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("label"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = n.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("label"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.join(c, Seq("label"))
+      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("cv"), col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id", "label", "cos_sim", "rank")
+  }
+
+  val queries: Seq[Q] = Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10)
 }

@@ -154,4 +154,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window "),
       s"unigram scoring is joins + hash aggregates only; plan:\n$p")
   }
+
+  test("ann10's filter predicate IS the join key — no cross join then filter") {
+    val p = plan("ann10_filtered_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pre-filtering must enter candidate generation as the equi-key; plan:\n$p")
+  }
 }

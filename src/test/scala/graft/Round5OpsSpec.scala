@@ -129,6 +129,24 @@ class Round5OpsSpec extends SparkSpec {
     reranked.unpersist()
   }
 
+  // ----------------------------------------------------- ann10 filtered ANN
+  test("ann10: every neighbor satisfies the filter, and k is delivered when the label allows") {
+    val f = operators.SimilaritySearch.ann10.build(spark, sfDir).cache()
+    val n = Tables.embeddings(spark, sfDir)
+    // pre-filtering: result labels all match the query's (the output label
+    // column is the shared join key, so cross-check against the raw table)
+    val lbl = n.select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    assert(f.join(lbl, "query_id").filter(col("label") =!= col("qlabel")).isEmpty)
+    // a query whose label has >= 3 corpus members gets exactly 3 rows —
+    // the under-delivery post-filtering suffers cannot happen
+    val corpusPerLabel = n.filter(col("vec_id") % 20 =!= 0)
+      .groupBy("label").agg(count(lit(1)).as("n_corpus"))
+    val delivered = f.groupBy("query_id", "label").agg(count(lit(1)).as("k"))
+      .join(corpusPerLabel, "label")
+    assert(delivered.filter(col("n_corpus") >= 3 && col("k") =!= 3).isEmpty)
+    f.unpersist()
+  }
+
   // -------------------------------------------------- dd12 minhash calibration
   test("dd12: estimates are k/8 grid values and banded candidates match ≥2 components") {
     val cal = operators.Dedup.dd12.build(spark, sfDir).cache()
