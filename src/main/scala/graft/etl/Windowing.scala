@@ -234,5 +234,92 @@ object Windowing {
       .agg(count(lit(1)).as("n_events"), sumMicros(col("value")).as("total_value"))
   }
 
-  val queries: Seq[Q] = Seq(q13, q14, q18, q19, q20, q22, q30)
+  // ---------------------------------------------------------------- A41
+  /** Peak-concurrency sweep line: how many user sessions are active at
+    * once, per day — the capacity-planning query every event warehouse
+    * eventually runs. Sessions are q19's gap-based intervals; a session is
+    * active on [start_sec, end_sec], and the day's answer is the maximum
+    * of the +1/−1 boundary-event running sum.
+    *
+    * The naive formulation is ONE global ORDER BY over every boundary
+    * event — a single-partition sort that dies at 100 TB. The scale shape
+    * here: intervals are SPLIT at day boundaries (a session touching d
+    * days contributes d single-day segments, each clamped to its day), so
+    * the sweep's running sum partitions on the day key — bounded windows,
+    * no global sort, and day boundaries are exact because a segment never
+    * crosses one. Ties at the same second process −1 before +1 (an
+    * interval ending as another starts does not overlap it); intermediate
+    * prefixes among equal-(t,delta) rows only ever undershoot the final
+    * value at that instant, so max() over the row-frame running sum is
+    * exact. peak_sec is the FIRST second the day's maximum is reached
+    * (max_by on the (running, −t) struct — a hash aggregate, not a second
+    * window). */
+  val q41 = Q(
+    "q41_max_concurrent",
+    s"""WITH ev AS ($evSql),
+      |flagged AS (
+      |  SELECT user_id, sec, event_id,
+      |         CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |numbered AS (
+      |  SELECT user_id, sec,
+      |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS session_num
+      |  FROM flagged),
+      |sess AS (SELECT user_id, session_num, MIN(sec) AS start_sec, MAX(sec) AS end_sec
+      |         FROM numbered GROUP BY user_id, session_num),
+      |seg AS (
+      |  SELECT user_id, session_num, unnest(range(start_sec//86400, end_sec//86400 + 1)) AS day,
+      |         start_sec, end_sec FROM sess),
+      |clamped AS (
+      |  SELECT day, GREATEST(start_sec, day*86400) AS seg_start,
+      |         LEAST(end_sec, (day+1)*86400 - 1) AS seg_end FROM seg),
+      |deltas AS (
+      |  SELECT day, seg_start AS t, 1 AS delta FROM clamped
+      |  UNION ALL SELECT day, seg_end + 1, -1 FROM clamped),
+      |swept AS (
+      |  SELECT day, t, delta,
+      |         SUM(delta) OVER (PARTITION BY day ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS running
+      |  FROM deltas),
+      |ranked AS (
+      |  SELECT day, t, running,
+      |         row_number() OVER (PARTITION BY day ORDER BY running DESC, t) AS rn,
+      |         SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) OVER (PARTITION BY day) AS n_sessions
+      |  FROM swept)
+      |SELECT strftime(make_timestamp(day*86400*1000000), '%Y-%m-%d') AS day_date,
+      |  CAST(n_sessions AS BIGINT) AS n_sessions,
+      |  CAST(running AS BIGINT) AS max_concurrent,
+      |  CAST(t AS BIGINT) AS peak_sec
+      |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev(s, d)
+      .withColumn("new_sess",
+        when(lag(col("sec"), 1).over(w).isNull || col("sec") - lag(col("sec"), 1).over(w) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_num", sum(col("new_sess")).over(wr))
+      .groupBy(col("user_id"), col("session_num"))
+      .agg(min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+    val clamped = sess
+      .select(explode(sequence(expr("start_sec div 86400"), expr("end_sec div 86400"))).as("day"),
+        col("start_sec"), col("end_sec"))
+      .select(col("day"),
+        greatest(col("start_sec"), col("day") * 86400).as("seg_start"),
+        least(col("end_sec"), (col("day") + 1) * 86400 - 1).as("seg_end"))
+    val deltas = clamped.select(col("day"), col("seg_start").as("t"), lit(1).as("delta"))
+      .unionAll(clamped.select(col("day"), (col("seg_end") + 1).as("t"), lit(-1).as("delta")))
+    val wSweep = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("running", sum(col("delta")).over(wSweep))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("delta") === 1, 1).otherwise(0)).as("n_sessions"),
+        max(col("running")).as("max_concurrent"),
+        max_by(col("t"), struct(col("running"), (-col("t")).as("tie"))).as("peak_sec"))
+      .select(
+        date_format(timestamp_seconds(col("day") * 86400), "yyyy-MM-dd").as("day_date"),
+        col("n_sessions"), col("max_concurrent"), col("peak_sec"))
+  }
+
+  val queries: Seq[Q] = Seq(q13, q14, q18, q19, q20, q22, q30, q41)
 }

@@ -469,5 +469,122 @@ object TextAnalysis {
         col("hapax").cast("long").as("n_hapax"))
   }
 
-  val queries: Seq[Q] = Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10)
+  // ---------------------------------------------------------------- D11
+  /** Per-source vocabulary profile — the corpus-composition dashboard a
+    * mixture planner (tx09) reads next to its token shares: total tokens,
+    * distinct types, type/token ratio, hapax fraction (the vocabulary-
+    * growth signal), and the dominant token with its count. A source whose
+    * TTR or hapax fraction is an outlier is boilerplate-heavy or
+    * template-generated — the corpus-level screen that per-doc scoring
+    * (tx02/tx05) cannot see.
+    *
+    * Scale: ONE hash aggregate over (source, token) — partial aggregation
+    * collapses each scan partition to its local vocabulary before the
+    * shuffle, so the wire carries |sources|×|vocab| rows, not the corpus.
+    * The per-source rollup and the dominant-token pick then run on that
+    * bounded relation (the row_number window partitions on source and
+    * sorts vocabularies, not documents). */
+  val tx11 = Q(
+    "tx11_vocab_stats",
+    s"""WITH doc AS (SELECT doc_id, source, $cleanSql AS c FROM documents),
+      |tok AS (SELECT source, unnest(string_split(c, ' ')) AS w FROM doc),
+      |tok2 AS (SELECT source, w FROM tok WHERE len(w) > 0),
+      |vocab AS (SELECT source, w, COUNT(*) AS cnt FROM tok2 GROUP BY source, w),
+      |ranked AS (SELECT source, w, cnt,
+      |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rn
+      |  FROM vocab),
+      |stats AS (SELECT source,
+      |    SUM(cnt) AS n_tokens, COUNT(*) AS n_types,
+      |    SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax
+      |  FROM vocab GROUP BY source)
+      |SELECT s.source, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(s.n_types AS BIGINT) AS n_types,
+      |  ROUND(CAST(s.n_types AS DOUBLE) / CAST(s.n_tokens AS DOUBLE), 6) AS type_token_ratio,
+      |  CAST(s.n_hapax AS BIGINT) AS n_hapax,
+      |  r.w AS top_token, CAST(r.cnt AS BIGINT) AS top_count
+      |FROM stats s JOIN ranked r ON s.source = r.source AND r.rn = 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables.documents(s, d)
+      .select(col("source"), explode(split(clean(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the rollup AND the dominant-token pick
+    val wTop = Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("w"))
+    val top = vocab.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("source"), col("w").as("top_token"), col("cnt").as("top_count"))
+    vocab.groupBy("source")
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1).otherwise(0)).as("n_hapax"))
+      .join(top, "source")
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("type_token_ratio"),
+        col("n_hapax").cast("long").as("n_hapax"), col("top_token"), col("top_count"))
+  }
+
+  // ---------------------------------------------------------------- D12
+  /** PMI collocation mining — which word pairs co-occur more than chance:
+    * PMI(a,b) = ln(c_ab·N₁²/(N₂·c_a·c_b)) over CONSECUTIVE token pairs.
+    * The classic phrase-discovery pass (word2vec's phrase pre-join, quality
+    * n-gram lists); bigrams here are counted WITH multiplicity — a
+    * different primitive from the dedup family's distinct-shingle sets
+    * (WordShingles3), which is exactly why it earns its own operator.
+    *
+    * Scale: bigram formation is a zip of the token array with its own
+    * tail (arrays_zip over two slices — no posexplode self-join); counting
+    * is one hash aggregate per n-gram order, both partial-agg friendly;
+    * the PMI join keys bigrams to their two unigram rows — equi-joins on a
+    * relation bounded by vocabulary², not the corpus. The count≥5 floor is
+    * applied BEFORE the unigram joins, so rare-pair noise never shuffles.
+    * One ln() over a ratio of exact integers keeps cross-engine drift
+    * below the 4-dp rounding quantum (same argument as tx10). */
+  val tx12 = Q(
+    "tx12_pmi_bigrams",
+    s"""WITH doc AS (SELECT doc_id, $cleanSql AS c FROM documents),
+      |t AS (SELECT doc_id, string_split(c, ' ') AS t FROM doc),
+      |big AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+      |        FROM t WHERE len(t) >= 2),
+      |bcnt AS (SELECT bg, COUNT(*) AS c_ab FROM big GROUP BY bg),
+      |tok AS (SELECT unnest(string_split(c, ' ')) AS w FROM doc),
+      |ucnt AS (SELECT w, COUNT(*) AS c_u FROM tok WHERE len(w) > 0 GROUP BY w),
+      |n1 AS (SELECT CAST(SUM(c_u) AS DOUBLE) AS total1 FROM ucnt),
+      |n2 AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS total2 FROM bcnt),
+      |j AS (SELECT b.bg, b.c_ab, ua.c_u AS c_a, ub.c_u AS c_b
+      |  FROM bcnt b
+      |  JOIN ucnt ua ON string_split(b.bg, ' ')[1] = ua.w
+      |  JOIN ucnt ub ON string_split(b.bg, ' ')[2] = ub.w
+      |  WHERE b.c_ab >= 5)
+      |SELECT bg AS bigram, CAST(c_ab AS BIGINT) AS n_pair,
+      |  CAST(c_a AS BIGINT) AS n_first, CAST(c_b AS BIGINT) AS n_second,
+      |  ROUND(ln(CAST(c_ab AS DOUBLE) * total1 * total1 / (total2 * c_a * c_b)), 4) + 0.0 AS pmi
+      |FROM j CROSS JOIN n1 CROSS JOIN n2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(split(clean(col("text")), " ").as("t"))
+    val big = docs.filter(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val bcnt = big.groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint() // feeds the bigram total AND the PMI join
+    val ucnt = docs.select(explode(col("t")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c_u"))
+      .localCheckpoint() // joined twice (first and second word of the pair)
+    val n1 = ucnt.agg(sum(col("c_u")).cast("double").as("total1"))
+    val n2 = bcnt.agg(sum(col("c_ab")).cast("double").as("total2"))
+    bcnt.filter(col("c_ab") >= 5)
+      .withColumn("wa", split(col("bg"), " ").getItem(0))
+      .withColumn("wb", split(col("bg"), " ").getItem(1))
+      .join(ucnt.select(col("w").as("wa"), col("c_u").as("c_a")), "wa")
+      .join(ucnt.select(col("w").as("wb"), col("c_u").as("c_b")), "wb")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("bg").as("bigram"), col("c_ab").as("n_pair"),
+        col("c_a").as("n_first"), col("c_b").as("n_second"),
+        // + 0.0 collapses IEEE −0.0 (a rounded −1e-9) to +0.0 in both engines
+        (round(log(col("c_ab").cast("double") * col("total1") * col("total1") /
+          (col("total2") * col("c_a") * col("c_b"))), 4) + lit(0.0)).as("pmi"))
+  }
+
+  val queries: Seq[Q] =
+    Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12)
 }

@@ -728,5 +728,52 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard", "true_jaccard", "err")
   }
 
-  val queries: Seq[Q] = Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12)
+  // ---------------------------------------------------------------- B13
+  /** Containment near-dup (C4/RefinedWeb flavor): score pairs by
+    * C = |A∩B| / min(|A|,|B|) — the fraction of the SMALLER document's
+    * shingles found in the other. Jaccard (dd04) misses exactly these
+    * pairs: a paragraph pasted into a 100× longer page has J ≈ |A|/|B| ≈ 0
+    * but C ≈ 1. That asymmetry also kills dd04's size-ratio prune
+    * (min ≥ max/2): a contained pair can have ANY size ratio, so no length
+    * blocking is lossless here — which is what makes containment its own
+    * operator rather than a dd04 threshold tweak.
+    *
+    * Scale: same shared-shingle COUNT plan as dd04 — explode distinct
+    * shingles, self-equi-join on the shingle (shuffle_hash → the second
+    * exploded side is a ReusedExchange), |A∩B| from ONE hash aggregate;
+    * never a per-pair array intersect, never a cross join. Candidate
+    * fan-out is bounded by shingle document frequency exactly as in dd04;
+    * the PPJoin-style prefix bound does not transfer (containment has no
+    * two-sided prefix guarantee), so df-hot shingles are the documented
+    * knob: strip boilerplate upstream (q21/q29) or cap df. */
+  val dd13 = Q(
+    "dd13_containment",
+    s"""WITH $docShinglesSql,
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.shs, b.shs)) AS n_shared,
+      |    len(a.shs) AS sz_a, len(b.shs) AS sz_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+      |  CAST(sz_a AS BIGINT) AS sz_a, CAST(sz_b AS BIGINT) AS sz_b,
+      |  ROUND(CAST(n_shared AS DOUBLE) / CAST(LEAST(sz_a, sz_b) AS DOUBLE), 6) AS containment
+      |FROM pairs
+      |WHERE ROUND(CAST(n_shared AS DOUBLE) / CAST(LEAST(sz_a, sz_b) AS DOUBLE), 6) >= 0.5""".stripMargin) { (s, d) =>
+    val shx = docShingles(s, d).withColumn("sz", size(col("shs")))
+      .select(col("doc_id"), col("sz"), explode_outer(col("shs")).as("tok"))
+    shx.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("tok"))
+      .join(shx.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("tok"))
+        .hint("shuffle_hash"), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("containment", round(col("n_shared").cast("double") /
+        least(col("sz_a"), col("sz_b")).cast("double"), 6))
+      .filter(col("containment") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("sz_a").cast("long").as("sz_a"), col("sz_b").cast("long").as("sz_b"),
+        col("containment"))
+  }
+
+  val queries: Seq[Q] =
+    Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12, dd13)
 }

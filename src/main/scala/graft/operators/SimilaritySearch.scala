@@ -685,5 +685,73 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "label", "cos_sim", "rank")
   }
 
-  val queries: Seq[Q] = Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10)
+  // ---------------------------------------------------------------- C11
+  /** kNN GRAPH build — every corpus vector gets its top-3 in-cell
+    * neighbors, and each directed edge is marked MUTUAL when its reverse
+    * edge also survived the top-k cut. This is the all-pairs version of
+    * ann02 (every vector is a query), i.e. the k-nearest-neighbor graph
+    * that semantic clustering, SemDeDup-style pruning (dd11), and
+    * graph-based ANN serving structures all consume as their input
+    * artifact; the mutual flag is the standard symmetrization step
+    * (mutual-kNN edges are the high-precision subset used for clustering).
+    *
+    * Scale: assignment is ann02's broadcast-centroid max_by hash aggregate
+    * — corpus shuffled ONCE at its own size. The pair stage is a
+    * self-equi-join on the cell id (never all-pairs; per-cell fan-out is
+    * bounded by the centroid-count knob), the top-k window partitions on
+    * the source vector, and symmetrization is an equi-join of the k·n edge
+    * list with itself on the (dst,src) key — all shuffle-partitionable,
+    * nothing quadratic in the corpus. The edge list is localCheckpoint'ed:
+    * it feeds the output AND the reverse-edge probe, and the in-cell
+    * scoring must not run twice. */
+  val ann11 = Q(
+    "ann11_knn_graph",
+    s"""WITH n AS ($vecsSql),
+      |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+      |assign0 AS (
+      |  SELECT n.vec_id, n.v, n.nrm, cent.cent_id,
+      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY ROUND(${dotSql("n.v", "cent.cv")} / (n.nrm * cent.cn), 6) DESC, cent.cent_id) AS rn
+      |  FROM n CROSS JOIN cent),
+      |assigned AS (SELECT vec_id, v, nrm, cent_id AS cell FROM assign0 WHERE rn = 1),
+      |scored AS (
+      |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id, a.cell,
+      |    ROUND(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+      |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      |ranked AS (SELECT src_id, dst_id, cell, cos_sim,
+      |  CAST(row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS BIGINT) AS rank
+      |FROM scored),
+      |knn AS (SELECT * FROM ranked WHERE rank <= 3)
+      |SELECT k.src_id, k.dst_id, k.cell, k.cos_sim, k.rank,
+      |  CAST(CASE WHEN r.src_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS mutual
+      |FROM knn k LEFT JOIN knn r ON k.src_id = r.dst_id AND k.dst_id = r.src_id""".stripMargin) { (s, d) =>
+    val n = vecs(s, d)
+    val cent = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = n.crossJoin(broadcast(cent))
+      .withColumn("cos_c", cosine(col("v"), col("nrm"), col("cv"), col("cn")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cent_id"), col("v"), col("nrm")),
+        struct(col("cos_c"), (-col("cent_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"),
+        col("best.nrm").as("nrm"), col("best.cent_id").as("cell"))
+    val w = Window.partitionBy(col("src_id")).orderBy(col("cos_sim").desc, col("dst_id"))
+    val knn = assigned
+      .select(col("vec_id").as("src_id"), col("v").as("av"), col("nrm").as("an"), col("cell"))
+      .join(assigned.select(col("vec_id").as("dst_id"), col("v").as("bv"),
+        col("nrm").as("bn"), col("cell")), Seq("cell"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .withColumn("cos_sim", cosine(col("av"), col("an"), col("bv"), col("bn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("src_id", "dst_id", "cell", "cos_sim", "rank")
+      .localCheckpoint() // feeds the output AND the reverse-edge probe
+    knn.join(
+        knn.select(col("dst_id").as("src_id"), col("src_id").as("dst_id"), lit(1).as("m")),
+        Seq("src_id", "dst_id"), "left")
+      .withColumn("mutual", when(col("m").isNotNull, 1L).otherwise(0L))
+      .select("src_id", "dst_id", "cell", "cos_sim", "rank", "mutual")
+  }
+
+  val queries: Seq[Q] =
+    Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10, ann11)
 }
