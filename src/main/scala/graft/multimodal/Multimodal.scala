@@ -177,5 +177,92 @@ object Multimodal {
         round(col("n_dup_frames").cast("double") / col("n_frames").cast("double"), 6).as("dup_frac"))
   }
 
-  val queries: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05)
+  // ---------------------------------------------------------------- E6
+  /** Perceptual fingerprints for media payloads: 64-bit average-hash
+    * (aHash) over the stub-decoded byte strip ([[graft.functions.AHash64]]
+    * — one codegen pass, four 16-bit pieces). Content hashes (mm01) break
+    * under ANY byte change; aHash survives uniform brightness shifts by
+    * construction (the exact cross-multiplied mean comparison cancels
+    * them) — the perceptual-identity contract in miniature. The query
+    * emits the corpus FINGERPRINT TABLE — every one of the 64×N bits is
+    * hash-checked against DuckDB's independent list-arithmetic spelling of
+    * the same integer comparisons, the strongest cross-engine pin a native
+    * expression gets. Pair retrieval at Hamming≤3 reuses dd03's pigeonhole
+    * machinery on the four pieces; AHashSpec proves shift invariance,
+    * edit locality, and the planted-near-dup pair join end-to-end (this
+    * text-bytes corpus has no byte-position-near payloads, so the honest
+    * corpus-level pair set is empty — the fingerprint table is the
+    * artifact with information in it).
+    *
+    * Scale: a scalar projection on the scan — no shuffle, no fan-out; the
+    * pair stage (when run) is the (piece-idx, piece-value) equi-join with
+    * 100% recall at radius 3 by pigeonhole. */
+  val mm06 = Q(
+    "mm06_phash", {
+      val pieceExprs = (0 until 4).map { j =>
+        (0 until 16).map { k =>
+          val b = j * 16 + k
+          s"(CASE WHEN sums[$b + 1] * n > total * ((($b + 1)*n)//64 - ($b*n)//64) THEN ${1 << k} ELSE 0 END)"
+        }.mkString(" + ")
+      }
+      val pieceCols = pieceExprs.zipWithIndex
+        .map { case (e, j) => s"CAST($e AS BIGINT) AS p$j" }.mkString(",\n      |  ")
+      s"""WITH sized AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+      |bs AS (SELECT doc_id, n,
+      |  list_transform(range(0, 64), b ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range((b*n)//64 + 1, ((b+1)*n)//64 + 1),
+      |                     i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+      |      (a, x) -> a + x)) AS sums
+      |  FROM sized),
+      |tot AS (SELECT doc_id, n, sums, list_reduce(sums, (a, x) -> a + x) AS total FROM bs),
+      |ph AS (SELECT doc_id, n,
+      |  $pieceCols
+      |  FROM tot)
+      |SELECT doc_id, n AS n_bytes,
+      |  printf('%04x%04x%04x%04x', p3, p2, p1, p0) AS phash,
+      |  p0, p1, p2, p3,
+      |  CAST(bit_count(p0) + bit_count(p1) + bit_count(p2) + bit_count(p3) AS BIGINT) AS n_bright
+      |FROM ph""".stripMargin
+    }) { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+      graft.functions.AHash64.ahash64(col("text").cast("binary")).as("ps"))
+      .select(col("doc_id"), col("n_bytes"),
+        element_at(col("ps"), 1).as("p0"), element_at(col("ps"), 2).as("p1"),
+        element_at(col("ps"), 3).as("p2"), element_at(col("ps"), 4).as("p3"))
+      .select(col("doc_id"), col("n_bytes"),
+        format_string("%04x%04x%04x%04x", col("p3"), col("p2"), col("p1"), col("p0")).as("phash"),
+        col("p0"), col("p1"), col("p2"), col("p3"),
+        (0 until 4).map(j => bit_count(col(s"p$j"))).reduce(_ + _).cast("long").as("n_bright"))
+  }
+
+  /** Hamming≤3 perceptual-pair retrieval over [[mm06]]'s fingerprint table
+    * (columns doc_id, p0..p3): 4-piece pigeonhole candidates (≥1 piece
+    * bit-identical — 100% recall at radius 3), first-match scalar dedup,
+    * exact Hamming verify. dd03's machinery on the media fingerprint;
+    * AHashSpec drives it end-to-end on planted near-identical payloads. */
+  private[graft] def phashPairs(fp: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val blocks = fp.select(col("doc_id"), col("p0"), col("p1"), col("p2"), col("p3"),
+      posexplode(array(col("p0"), col("p1"), col("p2"), col("p3"))).as(Seq("bi", "bv")))
+    val a = blocks.select(col("doc_id").as("id_a"), col("bi"), col("bv"),
+      col("p0").as("a0"), col("p1").as("a1"), col("p2").as("a2"), col("p3").as("a3"))
+    val b = blocks.select(col("doc_id").as("id_b"), col("bi"), col("bv"),
+      col("p0").as("b0"), col("p1").as("b1"), col("p2").as("b2"), col("p3").as("b3"))
+    val firstMatch = (0 until 4).foldLeft(lit(false)) { (acc, j) =>
+      when(col("bi") === j,
+        (0 until j).map(k => col(s"a$k") =!= col(s"b$k"))
+          .foldLeft(lit(true))(_ && _))
+        .otherwise(acc)
+    }
+    val hamming = (0 until 4).map(j =>
+      bit_count(col(s"a$j").bitwiseXOR(col(s"b$j")))).reduce(_ + _)
+    a.join(b, Seq("bi", "bv")).filter(col("id_a") < col("id_b"))
+      .filter(firstMatch)
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  val queries: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06)
 }

@@ -132,4 +132,53 @@ object Sources {
     }
     merged.select(cols.toIndexedSeq: _*)
   }
+
+  /** G9: ZONED write — range-partition on the query key, sort within each
+    * zone, and persist a min/max MANIFEST (one row per written file). This
+    * is the data-skipping layout every table format (Iceberg manifests,
+    * Delta file stats, parquet row-group zone maps) builds on: because a
+    * range filter on a sorted layout touches only the files whose
+    * [zmin, zmax] intersect it, a reader can prove most files irrelevant
+    * from the manifest alone — partition pruning (G3) for keys too dense
+    * to be directory keys.
+    *
+    * Scale: `repartitionByRange` is one range-shuffle (sampled bounds);
+    * the manifest aggregate is one scan collapsing to |files| rows. At
+    * 100 TB the manifest (KBs per thousand files) IS the planning input —
+    * exactly what Iceberg ships in avro manifests; ADR-001's formats
+    * replace the hand-rolled manifest, not the layout. */
+  def writeFactZoned(df: DataFrame, keyCol: String, path: String, nZones: Int): Unit = {
+    df.repartitionByRange(nZones, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val spark = df.sparkSession
+    spark.catalog.refreshByPath(path)
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("zmin"), max(col(keyCol)).as("zmax"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path + "_zonemap")
+  }
+
+  /** The manifest-pruned file list for a [lo, hi] range — driver-side
+    * planning over one row per file, the same bounded metadata pass every
+    * table format's planner runs. Exposed so callers (and the spec) can
+    * observe how many files a query actually admits. */
+  def zonedFiles(spark: SparkSession, path: String, lo: Any, hi: Any): Seq[String] =
+    spark.read.parquet(path + "_zonemap")
+      .filter(col("zmax") >= lit(lo) && col("zmin") <= lit(hi))
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** G9 read: open ONLY the manifest-admitted files, then re-apply the
+    * exact range predicate (zone bounds are necessary, not sufficient).
+    * An empty admission returns an empty frame with the table's schema. */
+  def readFactZoned(spark: SparkSession, path: String, keyCol: String,
+      lo: Any, hi: Any): DataFrame = {
+    val files = zonedFiles(spark, path, lo, hi)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*)
+    base.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+  }
 }

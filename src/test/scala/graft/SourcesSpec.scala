@@ -156,4 +156,35 @@ class SourcesSpec extends SparkSpec {
     assert(again.count() == orders.count())
     assert(again.collect().map(_.toSeq).toSet == afterRows)
   }
+
+  test("G9 zoned write: manifest admits a strict file subset and the pruned read is exact") {
+    val path = tmp("zoned")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    Sources.writeFactZoned(li, "l_orderkey", path, nZones = 8)
+
+    val total = Sources.zonedFiles(spark, path, Long.MinValue, Long.MaxValue).size
+    assert(total >= 8) // one file per zone at least
+
+    // a narrow key range must plan to a strict subset of the files
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).head
+    val (lo, hi) = (keys.getLong(0), keys.getLong(0) + (keys.getLong(1) - keys.getLong(0)) / 10)
+    val admitted = Sources.zonedFiles(spark, path, lo, hi)
+    assert(admitted.nonEmpty && admitted.size < total)
+
+    // ...and return exactly the rows of the full-scan filter
+    val got = Sources.readFactZoned(spark, path, "l_orderkey", lo, hi)
+    val want = li.filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("G9 zoned read of an empty key range returns zero rows with the table schema") {
+    val path = tmp("zoned-empty")
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    Sources.writeFactZoned(li, "l_orderkey", path, nZones = 4)
+    val none = Sources.readFactZoned(spark, path, "l_orderkey", -100L, -1L)
+    assert(none.isEmpty)
+    assert(none.columns.toSet == Set("l_orderkey", "l_quantity"))
+  }
 }
