@@ -198,5 +198,65 @@ object Reporting {
         col("gid"), col("revenue"), col("qty"), col("n_lines"))
   }
 
-  val queries: Seq[Q] = Seq(q12, q15, q16, q17, q27, q28, q40)
+  // ---------------------------------------------------------------- A42
+  /** Exact distributed second-moment statistics per brand: Pearson
+    * correlation, population covariance and stddevs of (quantity, net
+    * revenue). The price-analysis companion to q17's percentiles — and a
+    * statement about HOW moments are computed at scale: never a two-pass
+    * mean-then-residual (a second corpus scan), never a naive
+    * float-accumulator (non-associative, shuffle-order-dependent). Each
+    * row contributes integer-scaled (x, y, xy, x², y²); the ONLY
+    * aggregation is exact integer sums — associative, partial-agg
+    * friendly, reproducible under any partitioning/AQE re-plan — and the
+    * closed forms n·Σxy−ΣxΣy etc. turn them into the statistics with ONE
+    * float op chain per group, identical in both engines.
+    *
+    * Widths: y in cents (≤1e7), y² ≤ 1e14 per row fits BIGINT; group sums
+    * accumulate in decimal(30+,0) (Spark) / HUGEINT (DuckDB), so Σy² and
+    * n·Σy² stay exact far past 1e9 rows per group — the overflow headroom
+    * a 100 TB fact needs. */
+  val q42 = Q(
+    "q42_group_stats",
+    """WITH j AS (SELECT p.p_brand AS brand,
+      |    CAST(ROUND(l.l_quantity) AS BIGINT) AS x,
+      |    CAST(ROUND((l.l_extendedprice*(1-l.l_discount))*100) AS BIGINT) AS y
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |s AS (SELECT brand, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      |  FROM j GROUP BY brand)
+      |SELECT brand, CAST(n AS BIGINT) AS n_lines,
+      |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+      |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) + 0.0 AS corr_qty_rev,
+      |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) + 0.0 AS covar_pop,
+      |  ROUND(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS stddev_qty,
+      |  ROUND(sqrt(CAST(n*syy - sy*sy AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0, 6) AS stddev_rev
+      |FROM s""".stripMargin) { (s, d) =>
+    val x = round(col("l_quantity")).cast("long")
+    val y = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    val sums = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), x.as("x"), y.as("y"))
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n"),
+        // decimal sums throughout: Σy alone fits a long, but the closed
+        // forms square it (ΣyΣy), which wraps 2^63 already at sf0.01
+        sum(col("x").cast("decimal(20,0)")).as("sx"),
+        sum(col("y").cast("decimal(20,0)")).as("sy"),
+        // per-row products fit BIGINT (x<=2^6, y<=2^24-ish); the SUMS go
+        // through decimal so group totals never wrap at fact scale
+        sum((col("x") * col("y")).cast("decimal(30,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(30,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(30,0)")).as("syy"))
+    val nD = col("n").cast("double")
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    sums.select(col("brand"), col("n").as("n_lines"),
+      (round(num / sqrt(denx * deny), 6) + lit(0.0)).as("corr_qty_rev"),
+      (round(num / nD / nD / 100.0, 6) + lit(0.0)).as("covar_pop"),
+      round(sqrt(denx) / nD, 6).as("stddev_qty"),
+      round(sqrt(deny) / nD / 100.0, 6).as("stddev_rev"))
+  }
+
+  val queries: Seq[Q] = Seq(q12, q15, q16, q17, q27, q28, q40, q42)
 }

@@ -122,6 +122,27 @@ class Round5bOpsSpec extends SparkSpec {
     stats.unpersist(); toks.unpersist()
   }
 
+  // ---------------------------------------------------- q42 exact moments
+  test("q42: exact integer-sum statistics agree with Spark's float estimators") {
+    val got = etl.Reporting.q42.build(spark, sfDir)
+    val net = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val ref = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        round(col("l_quantity")).cast("long").cast("double").as("x"),
+        (round(net * 100).cast("long").cast("double") / 100.0).as("y"))
+      .groupBy("brand")
+      .agg(corr(col("x"), col("y")).as("r"), covar_pop(col("x"), col("y")).as("cv"),
+        stddev_pop(col("x")).as("dx"), stddev_pop(col("y")).as("dy"))
+    val j = got.join(ref, "brand")
+    assert(j.filter(
+      abs(col("corr_qty_rev") - col("r")) > 1e-5 ||
+      abs(col("covar_pop") - col("cv")) > 1e-4 ||
+      abs(col("stddev_qty") - col("dx")) > 1e-5 ||
+      abs(col("stddev_rev") - col("dy")) > 1e-2).isEmpty)
+    assert(got.filter(abs(col("corr_qty_rev")) > 1).isEmpty)
+  }
+
   // ------------------------------------------------------ tx12 PMI bigrams
   test("tx12: pair counts are bounded by both unigram counts and PMI recomputes") {
     val pmi = functions.TextAnalysis.tx12.build(spark, sfDir).cache()
