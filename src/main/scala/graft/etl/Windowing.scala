@@ -321,5 +321,98 @@ object Windowing {
         col("n_sessions"), col("max_concurrent"), col("peak_sec"))
   }
 
-  val queries: Seq[Q] = Seq(q13, q14, q18, q19, q20, q22, q30, q41)
+  // ---------------------------------------------------------------- A43
+  /** Cohort retention matrix: users grouped by their first-seen epoch week,
+    * tracked across subsequent weeks — the activation/retention report every
+    * event warehouse runs weekly.
+    *
+    * Scale shape: events collapse FIRST to the (user, week) activity grid
+    * (one hash aggregate — partial agg eats the per-user event fan-in
+    * map-side), then the cohort key is a window min over that bounded grid
+    * (users × weeks, not events), and the matrix rollup needs NO distinct:
+    * (user, week) rows are unique by construction, so active_users is a
+    * plain count. One shuffle on user_id, one on the (cohort, offset) key. */
+  val q43 = Q(
+    "q43_cohort_retention",
+    s"""WITH ev AS ($evSql),
+      |uw AS (SELECT user_id, sec//604800 AS week, COUNT(*) AS n_events
+      |       FROM ev GROUP BY user_id, sec//604800),
+      |fw AS (SELECT user_id, week, n_events,
+      |       MIN(week) OVER (PARTITION BY user_id) AS cohort_week FROM uw)
+      |SELECT strftime(make_timestamp(cohort_week*604800*1000000), '%Y-%m-%d') AS cohort_start,
+      |  CAST(week - cohort_week AS BIGINT) AS week_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS active_users,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events
+      |FROM fw GROUP BY cohort_week, week - cohort_week""".stripMargin) { (s, d) =>
+    val uw = ev(s, d)
+      .groupBy(col("user_id"), expr("sec div 604800").as("week"))
+      .agg(count(lit(1)).as("n_events"))
+    val wU = Window.partitionBy(col("user_id"))
+    uw.withColumn("cohort_week", min(col("week")).over(wU))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("active_users"), sum(col("n_events")).as("n_events"))
+      .select(
+        date_format(timestamp_seconds(col("cohort_week") * 604800), "yyyy-MM-dd").as("cohort_start"),
+        col("week_offset"), col("active_users"), col("n_events"))
+  }
+
+  // ---------------------------------------------------------------- A44
+  /** Ordered conversion funnel: first view → first later click → first
+    * later purchase, strictly increasing timestamps per user (an event at
+    * the same second as the previous stage does NOT advance the funnel).
+    *
+    * Spark-first: NO self-joins — one shuffle on user_id, then a cascade of
+    * three unbounded-frame window minimums over the SAME partitioning
+    * (each stage's entry time is a per-user constant the next stage's
+    * conditional min reads), one row per user via hash aggregate, and the
+    * three-row funnel table is an explode of a single-row aggregate. The
+    * DuckDB oracle keeps the naive three-join spelling, so hash equality
+    * proves the window cascade == the join cascade. */
+  val q44 = Q(
+    "q44_funnel",
+    s"""WITH ev AS ($evSql),
+      |s1 AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN sec END) AS v
+      |       FROM ev GROUP BY user_id),
+      |s2 AS (SELECT ev.user_id, MIN(ev.sec) AS c FROM ev
+      |       JOIN s1 ON ev.user_id = s1.user_id AND ev.event_type = 'click' AND ev.sec > s1.v
+      |       GROUP BY ev.user_id),
+      |s3 AS (SELECT ev.user_id, MIN(ev.sec) AS p FROM ev
+      |       JOIN s2 ON ev.user_id = s2.user_id AND ev.event_type = 'purchase' AND ev.sec > s2.c
+      |       GROUP BY ev.user_id),
+      |agg AS (SELECT (SELECT COUNT(v) FROM s1) AS rv,
+      |               (SELECT COUNT(*) FROM s2) AS rc,
+      |               (SELECT COUNT(*) FROM s3) AS rp)
+      |SELECT stage, n_users, frac_of_first, conv_from_prev FROM (
+      |  SELECT '1_view' AS stage, CAST(rv AS BIGINT) AS n_users,
+      |    CAST(1.0 AS DOUBLE) AS frac_of_first, CAST(1.0 AS DOUBLE) AS conv_from_prev FROM agg
+      |  UNION ALL SELECT '2_click', CAST(rc AS BIGINT),
+      |    ROUND(CAST(rc AS DOUBLE) / CAST(rv AS DOUBLE), 6),
+      |    ROUND(CAST(rc AS DOUBLE) / CAST(rv AS DOUBLE), 6) FROM agg
+      |  UNION ALL SELECT '3_purchase', CAST(rp AS BIGINT),
+      |    ROUND(CAST(rp AS DOUBLE) / CAST(rv AS DOUBLE), 6),
+      |    ROUND(CAST(rp AS DOUBLE) / CAST(rc AS DOUBLE), 6) FROM agg)""".stripMargin) { (s, d) =>
+    val wU = Window.partitionBy(col("user_id"))
+    val perUser = ev(s, d)
+      .withColumn("v", min(when(col("event_type") === "view", col("sec"))).over(wU))
+      .withColumn("c", min(when(col("event_type") === "click" && col("sec") > col("v"), col("sec"))).over(wU))
+      .withColumn("p", min(when(col("event_type") === "purchase" && col("sec") > col("c"), col("sec"))).over(wU))
+      .groupBy(col("user_id"))
+      .agg(min(col("v")).as("v"), min(col("c")).as("c"), min(col("p")).as("p"))
+    val totals = perUser.agg(
+      count(col("v")).as("rv"), count(col("c")).as("rc"), count(col("p")).as("rp"))
+    totals.select(explode(array(
+        struct(lit("1_view").as("stage"), col("rv").as("n_users"),
+          lit(1.0).as("frac_of_first"), lit(1.0).as("conv_from_prev")),
+        struct(lit("2_click").as("stage"), col("rc").as("n_users"),
+          round(col("rc").cast("double") / col("rv").cast("double"), 6).as("frac_of_first"),
+          round(col("rc").cast("double") / col("rv").cast("double"), 6).as("conv_from_prev")),
+        struct(lit("3_purchase").as("stage"), col("rp").as("n_users"),
+          round(col("rp").cast("double") / col("rv").cast("double"), 6).as("frac_of_first"),
+          round(col("rp").cast("double") / col("rc").cast("double"), 6).as("conv_from_prev"))
+      )).as("row"))
+      .select(col("row.stage").as("stage"), col("row.n_users").as("n_users"),
+        col("row.frac_of_first").as("frac_of_first"), col("row.conv_from_prev").as("conv_from_prev"))
+  }
+
+  val queries: Seq[Q] = Seq(q13, q14, q18, q19, q20, q22, q30, q41, q43, q44)
 }

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.TextPrep._
@@ -585,6 +586,117 @@ object TextAnalysis {
           (col("total2") * col("c_a") * col("c_b"))), 4) + lit(0.0)).as("pmi"))
   }
 
+  // ---------------------------------------------------------------- D13
+  /** Duplicate n-gram fractions — the Gopher repetition gates tx05's
+    * most-common-word signal does not cover (Rae et al. 2021 §A1.1: "fraction
+    * of tokens in duplicated n-grams"): per document, the share of bigrams /
+    * trigrams that are repeats of an n-gram already seen IN THAT document.
+    * Template spam and boilerplate score high here while passing tx05 (no
+    * single dominant token, lots of repeated phrases).
+    *
+    * Scale: n-grams form by zipping the token array with its own slices
+    * (tx12's zip-with-tail — no posexplode self-join), counting is one
+    * (doc_id, gram) hash aggregate per order — doc-keyed, partial-agg
+    * friendly, nothing crosses documents — and the two per-doc profiles
+    * re-join the docs spine on doc_id. A doc with < n tokens contributes
+    * zero n-grams and reports frac 0. */
+  val tx13 = Q(
+    "tx13_dup_ngrams",
+    s"""WITH doc AS (SELECT doc_id, $cleanSql AS c FROM documents),
+      |t AS (SELECT doc_id, string_split(c, ' ') AS t FROM doc),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+      |       FROM t WHERE len(t) >= 2),
+      |b2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM bg GROUP BY doc_id, g),
+      |p2 AS (SELECT doc_id, SUM(cnt) AS n2, SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS d2
+      |       FROM b2 GROUP BY doc_id),
+      |tg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |       FROM t WHERE len(t) >= 3),
+      |b3 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM tg GROUP BY doc_id, g),
+      |p3 AS (SELECT doc_id, SUM(cnt) AS n3, SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS d3
+      |       FROM b3 GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(p2.n2, 0) AS BIGINT) AS n_bigrams,
+      |  CASE WHEN COALESCE(p2.n2, 0) = 0 THEN CAST(0 AS DOUBLE)
+      |       ELSE ROUND(CAST(p2.d2 AS DOUBLE) / CAST(p2.n2 AS DOUBLE), 6) END AS dup_bigram_frac,
+      |  CAST(COALESCE(p3.n3, 0) AS BIGINT) AS n_trigrams,
+      |  CASE WHEN COALESCE(p3.n3, 0) = 0 THEN CAST(0 AS DOUBLE)
+      |       ELSE ROUND(CAST(p3.d3 AS DOUBLE) / CAST(p3.n3 AS DOUBLE), 6) END AS dup_trigram_frac
+      |FROM doc d LEFT JOIN p2 ON d.doc_id = p2.doc_id LEFT JOIN p3 ON d.doc_id = p3.doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d).select(col("doc_id"), split(clean(col("text")), " ").as("t"))
+    def profile(n: Int, tot: String, dup: String) = {
+      val grams =
+        if (n == 2) zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat_ws(" ", a, b))
+        else zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 2),
+          zip_with(
+            slice(col("t"), lit(2), size(col("t")) - 2),
+            slice(col("t"), lit(3), size(col("t")) - 2),
+            (a, b) => concat_ws(" ", a, b)),
+          (a, b) => concat_ws(" ", a, b))
+      t.filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(grams).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as(tot),
+          sum(when(col("cnt") >= 2, col("cnt")).otherwise(0)).as(dup))
+    }
+    def frac(dup: Column, tot: Column) =
+      when(coalesce(tot, lit(0L)) === 0, lit(0.0))
+        .otherwise(round(dup.cast("double") / tot.cast("double"), 6))
+    t.select(col("doc_id"))
+      .join(profile(2, "n2", "d2"), Seq("doc_id"), "left")
+      .join(profile(3, "n3", "d3"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n2"), lit(0L)).as("n_bigrams"),
+        frac(col("d2"), col("n2")).as("dup_bigram_frac"),
+        coalesce(col("n3"), lit(0L)).as("n_trigrams"),
+        frac(col("d3"), col("n3")).as("dup_trigram_frac"))
+  }
+
+  // ---------------------------------------------------------------- D14
+  /** Sequence-packing plan — concat-then-chunk at a fixed token budget
+    * (B = 512), the layout step between a filtered corpus and a trainer:
+    * documents stream per source in doc_id order, token counts accumulate,
+    * and the budget grid chops the stream into fixed-size sequences
+    * (documents DO straddle sequence boundaries — that is what concat
+    * packing means). Each doc reports the sequence span it lands in; the
+    * per-source sequence count and the residual padding of the last
+    * sequence fall out of the same arithmetic.
+    *
+    * Scale: ONE prefix-sum window per source over doc-count rows (token
+    * counts are a codegen scalar, no token explosion). The partition key is
+    * the source — at 100 TB you pack per (source, shard) with the shard key
+    * assigned by the same deterministic hash tx06 samples with, which keeps
+    * every window bounded; the per-source spelling here IS that plan with
+    * one shard. */
+  val tx14 = Q(
+    "tx14_seq_packing",
+    """WITH d AS (SELECT doc_id, source,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+      |FROM documents),
+      |cum AS (SELECT doc_id, source, n_toks,
+      |  SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cume
+      |FROM d)
+      |SELECT doc_id, source, n_toks,
+      |  CAST((cume - n_toks) // 512 AS BIGINT) AS seq_first,
+      |  CAST((cume - 1) // 512 AS BIGINT) AS seq_last,
+      |  CAST((cume - 1) // 512 - (cume - n_toks) // 512 + 1 AS BIGINT) AS n_seqs
+      |FROM cum""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+      .withColumn("cume", sum(col("n_toks")).over(w))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        expr("(cume - n_toks) div 512").as("seq_first"),
+        expr("(cume - 1) div 512").as("seq_last"),
+        (expr("(cume - 1) div 512") - expr("(cume - n_toks) div 512") + 1).as("n_seqs"))
+  }
+
   val queries: Seq[Q] =
-    Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12)
+    Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12, tx13, tx14)
 }

@@ -197,17 +197,19 @@ object Multimodal {
     * Scale: a scalar projection on the scan — no shuffle, no fan-out; the
     * pair stage (when run) is the (piece-idx, piece-value) equi-join with
     * 100% recall at radius 3 by pigeonhole. */
-  val mm06 = Q(
-    "mm06_phash", {
-      val pieceExprs = (0 until 4).map { j =>
-        (0 until 16).map { k =>
-          val b = j * 16 + k
-          s"(CASE WHEN sums[$b + 1] * n > total * ((($b + 1)*n)//64 - ($b*n)//64) THEN ${1 << k} ELSE 0 END)"
-        }.mkString(" + ")
-      }
-      val pieceCols = pieceExprs.zipWithIndex
-        .map { case (e, j) => s"CAST($e AS BIGINT) AS p$j" }.mkString(",\n      |  ")
-      s"""WITH sized AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+  /** Shared DuckDB CTE chain ending in `ph(doc_id, n, p0..p3)` — the
+    * list-arithmetic spelling of AHash64, consumed by mm06 (fingerprint
+    * table) and mm07 (cluster formation) so the two oracles cannot drift. */
+  private val phCtesSql: String = {
+    val pieceExprs = (0 until 4).map { j =>
+      (0 until 16).map { k =>
+        val b = j * 16 + k
+        s"(CASE WHEN sums[$b + 1] * n > total * ((($b + 1)*n)//64 - ($b*n)//64) THEN ${1 << k} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+    val pieceCols = pieceExprs.zipWithIndex
+      .map { case (e, j) => s"CAST($e AS BIGINT) AS p$j" }.mkString(",\n      |  ")
+    s"""sized AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
       |bs AS (SELECT doc_id, n,
       |  list_transform(range(0, 64), b ->
       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -218,19 +220,28 @@ object Multimodal {
       |tot AS (SELECT doc_id, n, sums, list_reduce(sums, (a, x) -> a + x) AS total FROM bs),
       |ph AS (SELECT doc_id, n,
       |  $pieceCols
-      |  FROM tot)
-      |SELECT doc_id, n AS n_bytes,
-      |  printf('%04x%04x%04x%04x', p3, p2, p1, p0) AS phash,
-      |  p0, p1, p2, p3,
-      |  CAST(bit_count(p0) + bit_count(p1) + bit_count(p2) + bit_count(p3) AS BIGINT) AS n_bright
-      |FROM ph""".stripMargin
-    }) { (s, d) =>
+      |  FROM tot)""".stripMargin
+  }
+
+  /** Shared Spark fingerprint relation (doc_id, n_bytes, p0..p3) — one
+    * codegen AHash64 pass, consumed by mm06 and mm07. */
+  private[graft] def fingerprints(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d).select(col("doc_id"),
       octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
       graft.functions.AHash64.ahash64(col("text").cast("binary")).as("ps"))
       .select(col("doc_id"), col("n_bytes"),
         element_at(col("ps"), 1).as("p0"), element_at(col("ps"), 2).as("p1"),
         element_at(col("ps"), 3).as("p2"), element_at(col("ps"), 4).as("p3"))
+
+  val mm06 = Q(
+    "mm06_phash",
+    s"""WITH $phCtesSql
+      |SELECT doc_id, n AS n_bytes,
+      |  printf('%04x%04x%04x%04x', p3, p2, p1, p0) AS phash,
+      |  p0, p1, p2, p3,
+      |  CAST(bit_count(p0) + bit_count(p1) + bit_count(p2) + bit_count(p3) AS BIGINT) AS n_bright
+      |FROM ph""".stripMargin) { (s, d) =>
+    fingerprints(s, d)
       .select(col("doc_id"), col("n_bytes"),
         format_string("%04x%04x%04x%04x", col("p3"), col("p2"), col("p1"), col("p0")).as("phash"),
         col("p0"), col("p1"), col("p2"), col("p3"),
@@ -264,5 +275,54 @@ object Multimodal {
       .select("id_a", "id_b", "hamming")
   }
 
-  val queries: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06)
+  // ---------------------------------------------------------------- E7
+  /** Perceptual-identity GROUPS over the whole media corpus: connected
+    * components of the Hamming≤3 aHash pair graph ([[phashPairs]] — 4-piece
+    * pigeonhole, 100% recall at radius 3), with SINGLETONS kept, so every
+    * payload lands in exactly one identity group and `cluster_size` says how
+    * many perceptual copies exist. dd06's large/small-star CC engine on the
+    * media fingerprint — the composition that turns pairwise perceptual
+    * signals into a keep/drop decision for a multimodal corpus, exactly as
+    * dd06/dd07 do for text. On THIS corpus the honest pair set is empty
+    * (text-byte payloads: nearest pair sits at Hamming 8 — measured), so
+    * the table is 500 singletons; AHashSpec drives the same pipeline over
+    * planted near-identical payloads and proves groups actually form.
+    *
+    * Scale: fingerprint = one codegen scan; candidates = (piece, value)
+    * equi-join (never all-pairs); CC = log² rounds of keyed joins; the
+    * singleton join is doc-keyed. The DuckDB oracle recomputes everything
+    * from bytes: brute-force pair scan + recursive-CTE fixpoint. */
+  val mm07 = Q(
+    "mm07_phash_clusters",
+    s"""WITH RECURSIVE $phCtesSql,
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      |    AND (a.p0 = b.p0 OR a.p1 = b.p1 OR a.p2 = b.p2 OR a.p3 = b.p3)
+      |  WHERE bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1))
+      |      + bit_count(xor(a.p2, b.p2)) + bit_count(xor(a.p3, b.p3)) <= 3),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT doc_id AS id FROM ph),
+      |reach(id, comp) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src),
+      |labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+      |sized2 AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM labels GROUP BY comp)
+      |SELECT l.id AS doc_id, l.comp AS cluster_id, s.sz AS cluster_size,
+      |  l.id = l.comp AS is_canonical
+      |FROM labels l JOIN sized2 s ON l.comp = s.comp""".stripMargin) { (s, d) =>
+    val fp = fingerprints(s, d).localCheckpoint() // feeds pair join AND spine
+    val cc = graft.operators.Dedup.connectedComponents(phashPairs(fp))
+      .select(col("doc_id"), col("cluster_id"))
+    val labeled = fp.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  val queries: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07)
 }

@@ -752,6 +752,79 @@ object SimilaritySearch {
       .select("src_id", "dst_id", "cell", "cos_sim", "rank", "mutual")
   }
 
+  // ---------------------------------------------------------------- C12
+  /** Distributed k-means training (Lloyd's algorithm, 2 rounds, k = 8) —
+    * closes the loop the rest of the IVF family leaves open: ann02/04/07
+    * consume a centroid artifact; this operator TRAINS one. Deterministic
+    * and exact end-to-end so two engines (and two cluster runs) agree
+    * bit-for-bit: embeddings scale to integer micro-units up front, seeds
+    * are the k lowest vec_ids, distances are exact integer squared-L2,
+    * ties break to the lowest cell, and centroid updates floor the exact
+    * integer mean (sums < 2^53, so the double division is exact).
+    *
+    * Scale shape per round: assignment is corpus × broadcast(k) with a
+    * min_by hash aggregate (partial agg collapses the k-fold fan-out
+    * map-side — ann02's idiom); the update is one (cell, dim) hash
+    * aggregate over posexploded dims (k×d rows out), rebuilt into arrays
+    * by an array_sort(collect_list) over k tiny groups. No windows over
+    * the corpus, no driver-side iteration state — rounds are a fixed
+    * unrolled pipeline, the MLlib shape without the RDD API. */
+  val ann12 = Q(
+    "ann12_kmeans_train",
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v
+      |         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+      |d1 AS (SELECT e.vec_id, seed.cell,
+      |         list_sum(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-seed.v[i])*(e.v[i]-seed.v[i]))) AS dist
+      |       FROM e CROSS JOIN seed),
+      |a1 AS (SELECT vec_id, cell FROM (
+      |         SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1)
+      |       WHERE rn = 1),
+      |x1 AS (SELECT a1.cell, generate_subscripts(e.v, 1) AS dim, unnest(e.v) AS x
+      |       FROM a1 JOIN e USING (vec_id)),
+      |m1 AS (SELECT cell, dim, CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      |       FROM x1 GROUP BY cell, dim),
+      |c1 AS (SELECT cell, list(c ORDER BY dim) AS v FROM m1 GROUP BY cell),
+      |d2 AS (SELECT e.vec_id, c1.cell,
+      |         list_sum(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-c1.v[i])*(e.v[i]-c1.v[i]))) AS dist
+      |       FROM e CROSS JOIN c1),
+      |a2 AS (SELECT vec_id, cell FROM (
+      |         SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2)
+      |       WHERE rn = 1),
+      |x2 AS (SELECT a2.cell, generate_subscripts(e.v, 1) AS dim, unnest(e.v) AS x
+      |       FROM a2 JOIN e USING (vec_id)),
+      |m2 AS (SELECT cell, dim, CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c,
+      |              CAST(COUNT(*) AS BIGINT) AS n_members FROM x2 GROUP BY cell, dim)
+      |SELECT cell, CAST(dim AS BIGINT) AS dim, c AS c_scaled, n_members FROM m2""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")).as("v"))
+      .localCheckpoint() // scanned by both assignment rounds and both updates
+    val seed = e.orderBy("vec_id").limit(8)
+      .withColumn("cell", (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+      .select(col("cell"), col("v").as("cv"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)), lit(0L), _ + _))
+        .groupBy("vec_id")
+        .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
+    def update(asg: DataFrame): DataFrame =
+      asg.join(e, "vec_id")
+        .select(col("cell"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy(col("cell"), (col("p") + 1).cast("long").as("dim"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("c"),
+          count(lit(1)).as("n_members"))
+    val c1 = update(assign(seed))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+      .select(col("cell"), transform(col("pairs"), p => p.getField("c")).as("cv"))
+    update(assign(c1))
+      .select(col("cell"), col("dim"), col("c").as("c_scaled"), col("n_members"))
+  }
+
   val queries: Seq[Q] =
-    Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10, ann11)
+    Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10, ann11, ann12)
 }

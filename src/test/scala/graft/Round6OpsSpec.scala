@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-5 third-wave operators: q43 cohort retention,
+  * q44 conversion funnel. Semantic invariants only — the DuckDB
+  * hash-compare pins exact values.
+  */
+class Round6OpsSpec extends SparkSpec {
+
+  // ----------------------------------------------------- q43 cohort retention
+  test("q43: offset-0 cohort sizes partition the user base; events conserved") {
+    val m = etl.Windowing.q43.build(spark, sfDir).cache()
+    val ev = Tables.events(spark, sfDir)
+    val totalUsers = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    val totalEvents = ev.count()
+    // every user belongs to exactly one cohort and is active in week 0
+    val week0 = m.filter(col("week_offset") === 0)
+      .agg(sum(col("active_users"))).head().getLong(0)
+    assert(week0 == totalUsers)
+    // the matrix double-counts no event
+    assert(m.agg(sum(col("n_events"))).head().getLong(0) == totalEvents)
+    assert(m.filter(col("week_offset") < 0).isEmpty)
+    m.unpersist()
+  }
+
+  test("q43: a cohort's later-week actives never exceed its week-0 size") {
+    val m = etl.Windowing.q43.build(spark, sfDir)
+    val w0 = m.filter(col("week_offset") === 0)
+      .select(col("cohort_start"), col("active_users").as("cohort_size"))
+    val bad = m.join(w0, "cohort_start")
+      .filter(col("active_users") > col("cohort_size"))
+    assert(bad.isEmpty)
+  }
+
+  // ----------------------------------------------------------- q44 funnel
+  test("q44: three stages, monotone non-increasing, matches the join-cascade brute force") {
+    val f = etl.Windowing.q44.build(spark, sfDir).cache()
+    assert(f.count() == 3)
+    val byStage = f.orderBy("stage").select("n_users").collect().map(_.getLong(0))
+    assert(byStage(0) >= byStage(1) && byStage(1) >= byStage(2))
+
+    // brute force via explicit join cascade (the oracle's shape, in Spark)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000000000").as("sec"))
+    val s1 = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("sec"))).as("v"))
+      .filter(col("v").isNotNull)
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("sec") > col("v"))
+      .groupBy("user_id").agg(min(col("sec")).as("c"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("sec") > col("c"))
+      .groupBy("user_id").agg(min(col("sec")).as("p"))
+    assert(byStage(0) == s1.count())
+    assert(byStage(1) == s2.count())
+    assert(byStage(2) == s3.count())
+    f.unpersist()
+  }
+
+  // ------------------------------------------------------ tx13 dup n-grams
+  test("tx13: n-gram counts match token arithmetic; fractions in [0,1]") {
+    val p = functions.TextAnalysis.tx13.build(spark, sfDir).cache()
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(functions.TextPrep.clean(col("text")), " ")).as("n_tok"))
+    val j = p.join(toks, "doc_id")
+    assert(j.filter(col("n_bigrams") =!= greatest(col("n_tok") - 1, lit(0))).isEmpty)
+    assert(j.filter(col("n_trigrams") =!= greatest(col("n_tok") - 2, lit(0))).isEmpty)
+    assert(p.filter(col("dup_bigram_frac") < 0 || col("dup_bigram_frac") > 1
+      || col("dup_trigram_frac") < 0 || col("dup_trigram_frac") > 1).isEmpty)
+    assert(p.count() == Tables.documents(spark, sfDir).count())
+    p.unpersist()
+  }
+
+  // ------------------------------------------------------ tx14 seq packing
+  test("tx14: per-source sequence count is ceil(total/512); spans chain without gaps") {
+    val p = functions.TextAnalysis.tx14.build(spark, sfDir).cache()
+    // budget arithmetic: last sequence id + 1 == ceil(total tokens / 512)
+    val per = p.groupBy("source")
+      .agg(sum(col("n_toks")).as("tot"), max(col("seq_last")).as("last"))
+      .filter((col("last") + 1) =!= ceil(col("tot").cast("double") / 512).cast("long"))
+    assert(per.isEmpty)
+    assert(p.filter(col("n_seqs") =!= col("seq_last") - col("seq_first") + 1).isEmpty)
+    assert(p.filter(col("seq_first") > col("seq_last")).isEmpty)
+    // doc N+1 starts in the sequence doc N ends in, or the next one
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val chained = p.withColumn("prev_last", lag(col("seq_last"), 1).over(w))
+      .filter(col("prev_last").isNotNull)
+      .filter(col("seq_first") =!= col("prev_last") && col("seq_first") =!= col("prev_last") + 1)
+    assert(chained.isEmpty)
+    p.unpersist()
+  }
+
+  // ------------------------------------------------------ ann12 k-means
+  test("ann12: full 8x64 grid, membership partitions the corpus, centroids in data range") {
+    val m = operators.SimilaritySearch.ann12.build(spark, sfDir).cache()
+    assert(m.count() == 8 * 64)
+    assert(m.select(countDistinct(col("cell"))).head().getLong(0) == 8)
+    // n_members is per-cell constant and partitions the corpus
+    val perCell = m.groupBy("cell").agg(countDistinct(col("n_members")).as("nv"),
+      max(col("n_members")).as("n"))
+    assert(perCell.filter(col("nv") =!= 1).isEmpty)
+    val total = perCell.agg(sum(col("n"))).head().getLong(0)
+    assert(total == Tables.embeddings(spark, sfDir).count())
+    // every centroid coordinate sits inside the data's per-dim range
+    val dims = Tables.embeddings(spark, sfDir)
+      .select(posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long"))).as(Seq("p", "x")))
+      .groupBy((col("p") + 1).as("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val bad = m.join(dims, "dim")
+      .filter(col("c_scaled") < col("lo") - 1 || col("c_scaled") > col("hi"))
+    assert(bad.isEmpty)
+    m.unpersist()
+  }
+
+  // ------------------------------------------------- mm07 phash clusters
+  test("mm07: identity groups cover the corpus exactly once; sizes consistent") {
+    val g = multimodal.Multimodal.mm07.build(spark, sfDir).cache()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(g.count() == nDocs)
+    assert(g.select(countDistinct(col("doc_id"))).head().getLong(0) == nDocs)
+    // cluster sizes are consistent with the actual group populations
+    val recount = g.groupBy("cluster_id").agg(count(lit(1)).as("actual"))
+    assert(g.join(recount, "cluster_id").filter(col("cluster_size") =!= col("actual")).isEmpty)
+    // exactly one canonical doc per cluster, and it owns the min doc_id
+    val canon = g.groupBy("cluster_id")
+      .agg(sum(when(col("is_canonical"), 1).otherwise(0)).as("nc"), min(col("doc_id")).as("lo"))
+    assert(canon.filter(col("nc") =!= 1).isEmpty)
+    assert(canon.filter(col("cluster_id") =!= col("lo")).isEmpty)
+    g.unpersist()
+  }
+
+  test("mm07 mechanism: planted perceptual near-dups form one group (CC over phashPairs)") {
+    import spark.implicits._
+    // p-pieces planted directly: docs 1,2,3 within Hamming<=3 chain, 9 isolated
+    val fp = Seq(
+      (1L, 255L, 7L, 0L, 0L),
+      (2L, 254L, 7L, 0L, 0L),   // hamming(1,2)=1
+      (3L, 254L, 5L, 0L, 0L),   // hamming(2,3)=1, hamming(1,3)=2
+      (9L, 0L, 0L, 1L << 15, 65535L)
+    ).toDF("doc_id", "p0", "p1", "p2", "p3")
+    val pairs = multimodal.Multimodal.phashPairs(fp)
+    assert(pairs.count() == 3) // (1,2),(2,3),(1,3)
+    val cc = operators.Dedup.connectedComponents(pairs)
+    val labels = cc.select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}
