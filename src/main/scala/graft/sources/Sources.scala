@@ -181,4 +181,41 @@ object Sources {
       else spark.read.parquet(files: _*)
     base.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
   }
+
+  /** G10: corrupt-record QUARANTINE for a JSON landing — the third contract
+    * after FAILFAST (G2: any drift kills the job) and mergeSchema (G6:
+    * benign drift absorbed): malformed rows must neither kill a 100 TB load
+    * NOR silently vanish. The landing is read as raw text and each line is
+    * parsed with `from_json` against the declared schema — a parse failure
+    * yields a NULL struct, so routing is a null test, the original bytes of
+    * every rejected line survive for forensics, and the same plan works
+    * verbatim under `readStream` (no PERMISSIVE `_corrupt_record` column,
+    * whose filter requires a cache barrier and dies on streaming scans).
+    * Lines that parse but miss a required field are quarantined too — the
+    * "valid JSON, broken record" class an audit would otherwise catch late.
+    *
+    * Returns (clean, quarantine): clean rows carry the declared schema;
+    * quarantine rows carry the raw line + which gate rejected them. The
+    * split is one scan, two narrow filters — no shuffle anywhere. */
+  def readJsonQuarantined(spark: SparkSession, path: String, schema: StructType,
+      required: Seq[String]): (DataFrame, DataFrame) = {
+    // PERMISSIVE from_json yields an all-NULL struct for malformed input, so a
+    // null test cannot separate "corrupt" from "every field absent" — the
+    // declared corrupt-record column can (non-null ⇔ the parser rejected the
+    // line and preserved it verbatim).
+    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.text(path)
+      .select(col("value").as("raw"),
+        from_json(col("value"), withCorrupt,
+          Map("columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+    val malformed = col("r").getField("_corrupt_record").isNotNull
+    val missing = required.map(f => col("r").getField(f).isNull)
+      .foldLeft(lit(false))(_ || _)
+    val clean = parsed.filter(!malformed && !missing)
+      .select(schema.fieldNames.map(f => col("r").getField(f).as(f)): _*)
+    val quarantine = parsed.filter(malformed || missing)
+      .select(col("raw"),
+        when(malformed, "malformed").otherwise("missing_required").as("reason"))
+    (clean, quarantine)
+  }
 }

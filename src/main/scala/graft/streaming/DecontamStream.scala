@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.{TextPrep, WordShinglesN}
+
+/** F11: streaming benchmark DECONTAMINATION — dd09's eval-overlap check
+  * applied at ingest, so a training document is flagged against the eval
+  * split the moment it lands instead of in a nightly sweep over the
+  * accumulated corpus (the moment that matters: once a contaminated doc is
+  * mixed in, every downstream sample of it is suspect).
+  *
+  * The eval side is a STATIC broadcast-sized relation of hashed 8-token
+  * shingles (distinct grams of the held-out split — small by construction,
+  * exactly dd09's assumption). Each micro-batch then needs only itself:
+  * shingle → hash → broadcast equi-join → per-doc count, all within the
+  * batch, so the stream keeps NO cross-batch state, needs NO watermark, and
+  * replays are idempotent because the decision is a pure function of
+  * (document bytes, eval set). The column logic is the SAME composition
+  * dd09 uses (WordShinglesN(8) + charHash), so the ingest gate and the
+  * nightly batch cannot drift — DecontamStreamSpec asserts streamed flags
+  * equal the batch operator's on identical rows.
+  *
+  * Scale: per batch one doc-keyed hash aggregate; the eval join is a
+  * broadcast (no shuffle of the gram stream beyond the doc-keyed reduce).
+  * At 100 TB of ingest this is map-side work plus one bounded reduce —
+  * ingest-bandwidth bound, like F9.
+  */
+object DecontamStream {
+
+  /** Distinct hashed 8-gram shingles of the eval split — the static side,
+    * built once per eval-set release and broadcast to every executor. */
+  def evalGrams(evalDocs: DataFrame): DataFrame =
+    evalDocs
+      .select(explode(WordShinglesN.shinglesN(TextPrep.clean(col("text")), 8)).as("gram"))
+      .select(TextPrep.charHash(col("gram")).as("gh"))
+      .distinct()
+
+  /** Per-document contamination decision for one (doc_id, text) relation —
+    * batch or micro-batch; the plan is identical. Every input doc gets a
+    * row (zero-hit docs report n_shared = 0, contaminated = false). */
+  def flags(docs: DataFrame, evalHashes: DataFrame): DataFrame = {
+    val g = docs
+      .select(col("doc_id"),
+        explode(WordShinglesN.shinglesN(TextPrep.clean(col("text")), 8)).as("gram"))
+      .select(col("doc_id"), TextPrep.charHash(col("gram")).as("gh"))
+    val ng = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = g.join(broadcast(evalHashes), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    ng.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_grams"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double")
+          / col("n_grams").cast("double"), 6).as("shared_frac"))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
+
+  /** Start the ingest-time gate: each micro-batch's flags append to the
+    * decision log at `tableDir`. Decisions are deterministic, so an
+    * at-least-once replay appends exact duplicate rows — removable by key
+    * (dd01 semantics) or absorbed by an F7-style keyed upsert in an ACID
+    * deployment; nothing ever flips a verdict. */
+  def sink(docs: DataFrame, evalHashes: DataFrame,
+      tableDir: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        flags(b, evalHashes).write.mode(org.apache.spark.sql.SaveMode.Append).parquet(tableDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+}

@@ -187,4 +187,31 @@ class SourcesSpec extends SparkSpec {
     assert(none.isEmpty)
     assert(none.columns.toSet == Set("l_orderkey", "l_quantity"))
   }
+
+  test("G10 quarantine routes malformed and incomplete lines, conserving every byte") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import org.apache.spark.sql.types._
+    val dir = tmp("quarantine")
+    val lines = Seq(
+      """{"id": 1, "name": "alpha", "qty": 10}""",      // clean
+      """{"id": 2, "name": "beta"}""",                  // valid JSON, qty missing -> clean (not required)
+      """{"id": 3, "qty": 5}""",                        // name missing -> quarantine (required)
+      """{"id": 4, "name": "gamma", "qty": """,        // truncated -> malformed
+      """not json at all""",                            // malformed
+      """{"id": 6, "name": "zeta", "qty": 7}""")        // clean
+    JFiles.write(Paths.get(dir, "landing.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("qty", LongType)))
+    val (clean, quarantine) = Sources.readJsonQuarantined(spark, dir, schema, Seq("id", "name"))
+    assert(clean.schema.fieldNames.toSeq == Seq("id", "name", "qty"))
+    assert(clean.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 6L))
+    val q = quarantine.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(q.size + clean.count() == lines.size)
+    // rejected lines survive byte-exact, with the gate that rejected them
+    assert(q.map(_._1).toSet == Set(lines(2), lines(3), lines(4)))
+    assert(q.toMap.apply(lines(2)) == "missing_required")
+    assert(q.toMap.apply(lines(4)) == "malformed")
+  }
 }
