@@ -414,5 +414,70 @@ object Windowing {
         col("row.frac_of_first").as("frac_of_first"), col("row.conv_from_prev").as("conv_from_prev"))
   }
 
-  val queries: Seq[Q] = Seq(q13, q14, q18, q19, q20, q22, q30, q41, q43, q44)
+  // ---------------------------------------------------------------- A45
+  /** SLIDING-window aggregation (1 h length, 15 min slide) — the batch
+    * mirror of `window(ts, '1 hour', '15 minutes')`, q20's tumbling
+    * companion. Spark-first: each event explodes to the BOUNDED set of
+    * windows covering it (length/slide = 4 ids, a fixed fan-out the
+    * partial aggregation collapses map-side) and the rest is one hash
+    * aggregate on the window key — the same assign-then-reduce plan
+    * Structured Streaming compiles sliding windows to, spelled portably so
+    * the DuckDB oracle states identical semantics. No window function, no
+    * sort; survives any corpus size because the fan-out is length/slide,
+    * never data-dependent. */
+  val q45 = Q(
+    "q45_sliding_window",
+    s"""WITH ev AS ($evSql),
+      |assigned AS (
+      |  SELECT unnest(range(sec//900 - 3, sec//900 + 1)) * 900 AS window_start,
+      |         event_type, user_id, value
+      |  FROM ev)
+      |SELECT CAST(window_start AS BIGINT) AS window_start, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT)/1000000.0 AS total_value
+      |FROM assigned GROUP BY window_start, event_type""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .select(
+        explode(sequence(expr("sec div 900 - 3"), expr("sec div 900"))).as("win_id"),
+        col("event_type"), col("user_id"), col("value"))
+      .withColumn("window_start", col("win_id") * 900)
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sumMicros(col("value")).as("total_value"))
+  }
+
+  // ---------------------------------------------------------------- A46
+  /** Value-RANGE window frame: trailing-30-day spend per customer at each
+    * order — the frame family q13's ROWS frames don't exercise (peers at
+    * the same date aggregate together, and the frame edge is a VALUE
+    * distance, not a row count). The reference's pandas analog is the
+    * rolling('30D') idiom. Window partitions on the customer key, orders
+    * within a customer are bounded — no global sort; money in integer
+    * cents so the trailing sums are exact cross-engine. */
+  val q46 = Q(
+    "q46_trailing_window",
+    """WITH o AS (SELECT o_orderkey, o_custkey,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS od,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, CAST(od AS BIGINT) AS order_day,
+      |  CAST(SUM(cents) OVER w AS BIGINT)/100.0 AS spend_30d,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_30d
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY od RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))).cast("long").as("od"),
+      cents(col("o_totalprice")).as("cents"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od")).rangeBetween(-29, 0)
+    o.select(
+      col("o_orderkey"), col("o_custkey"), col("od").as("order_day"),
+      (sum(col("cents")).over(w) / 100.0).as("spend_30d"),
+      count(lit(1)).over(w).as("n_orders_30d"))
+  }
+
+  val queries: Seq[Q] = Seq(q13, q14, q18, q19, q20, q22, q30, q41, q43, q44, q45, q46)
 }

@@ -697,6 +697,59 @@ object TextAnalysis {
         (expr("(cume - 1) div 512") - expr("(cume - n_toks) div 512") + 1).as("n_seqs"))
   }
 
+  // ---------------------------------------------------------------- D15
+  /** Per-source Zipf fit — the corpus-health regression behind tx11's raw
+    * vocabulary numbers: least-squares slope/intercept/R² of ln(freq) on
+    * ln(rank) over each source's rank-frequency spectrum. Natural text
+    * tracks slope ≈ −1 (Zipf's law); template or machine-generated sources
+    * bend the curve, which this screen catches while per-doc scores
+    * (tx02/tx05/tx13) see nothing wrong with any individual document.
+    *
+    * Scale: the regression runs over VOCABULARIES, not the corpus — one
+    * (source, token) hash aggregate bounds everything after it (tx11's
+    * argument); the rank window partitions on source and sorts each
+    * source's vocabulary once; the fit is closed-form from five exact
+    * per-source sums. Cross-engine floats: ln() over integer ranks/counts,
+    * summed then rounded at 4 dp — libm disagreement ≤ 1 ulp, far below
+    * the quantum (tx10's argument, squared terms included). */
+  val tx15 = Q(
+    "tx15_zipf_fit",
+    s"""WITH doc AS (SELECT doc_id, source, $cleanSql AS c FROM documents),
+      |tok AS (SELECT source, unnest(string_split(c, ' ')) AS w FROM doc),
+      |vocab AS (SELECT source, w, COUNT(*) AS cnt FROM tok WHERE len(w) > 0 GROUP BY source, w),
+      |ranked AS (SELECT source, cnt,
+      |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rank
+      |  FROM vocab),
+      |pts AS (SELECT source, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM ranked),
+      |sums AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+      |  FROM pts GROUP BY source)
+      |SELECT source, CAST(n AS BIGINT) AS n_types,
+      |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
+      |  ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4) AS intercept,
+      |  ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS r2
+      |FROM sums""".stripMargin) { (s, d) =>
+    val vocab = Tables.documents(s, d)
+      .select(col("source"), explode(split(clean(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    val wRank = Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("w"))
+    val pts = vocab.withColumn("rank", row_number().over(wRank))
+      .select(col("source"),
+        log(col("rank").cast("double")).as("x"), log(col("cnt").cast("double")).as("y"))
+    val sums = pts.groupBy("source").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    sums.select(col("source"), col("n").cast("long").as("n_types"),
+      round(num / den, 4).as("slope"),
+      round((col("sy") - (num / den) * col("sx")) / col("n"), 4).as("intercept"),
+      round(num * num / (den * (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+  }
+
   val queries: Seq[Q] =
-    Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12, tx13, tx14)
+    Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12, tx13, tx14, tx15)
 }

@@ -160,4 +160,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pre-filtering must enter candidate generation as the equi-key; plan:\n$p")
   }
+
+  test("q43 builds the cohort matrix distinct-free: no Expand, one user-keyed window") {
+    val p = plan("q43_cohort_retention")
+    assert(!p.contains("Expand"),
+      s"the (user, week) grid makes active_users a plain count — no distinct Expand; plan:\n$p")
+    val windows = "(?<!Group)Window(?!GroupLimit)".r.findAllIn(p).length
+    assert(windows == 1, s"cohort key is ONE window min; found $windows; plan:\n$p")
+  }
+
+  test("q44's funnel is a window cascade — no self-joins") {
+    val p = plan("q44_funnel")
+    assert(!p.contains("Join"), s"the stage cascade must not join events to events; plan:\n$p")
+  }
+
+  test("q45 aggregates sliding windows with no window function and no join") {
+    val p = plan("q45_sliding_window")
+    assert(!"(?<!Group)Window(?!GroupLimit)".r.findAllIn(p).hasNext,
+      s"sliding windows are assign-then-reduce, not a sort; plan:\n$p")
+    assert(!p.contains("Join"), s"plan:\n$p")
+    assert(p.contains("Generate"), s"the bounded window fan-out must be an explode; plan:\n$p")
+  }
+
+  test("q46's trailing frame is one customer-keyed window, no join") {
+    val p = plan("q46_trailing_window")
+    val windows = "(?<!Group)Window(?!GroupLimit)".r.findAllIn(p).length
+    assert(windows == 1 && !p.contains("Join"), s"plan:\n$p")
+  }
+
+  test("ann12 assigns cells with min_by aggregation; the only window indexes the 8 seeds") {
+    val p = plan("ann12_kmeans_train")
+    assert(p.contains("min_by"), s"assignment must aggregate with min_by; plan:\n$p")
+    val windows = "(?<!Group)Window(?!GroupLimit)".r.findAllIn(p).length
+    assert(windows <= 1,
+      s"corpus assignment contributing a window is the ann02 regression; found $windows; plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("mm07's candidate generation is pigeonhole-keyed — no cartesian pair build") {
+    val p = plan("mm07_phash_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairs must come from the (piece, value) equi-join; plan:\n$p")
+  }
 }

@@ -148,4 +148,53 @@ class Round6OpsSpec extends SparkSpec {
     val labels = cc.select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  // ---------------------------------------------------- q45 sliding window
+  test("q45: every window's aggregate equals the brute-force interval count") {
+    val w = etl.Windowing.q45.build(spark, sfDir).cache()
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts div 1000000000").as("sec"))
+    // 4 windows cover each event (1h length / 15min slide)
+    val total = ev.count()
+    assert(w.agg(sum(col("n_events"))).head().getLong(0) == 4 * total)
+    // brute force: windows × events containment join
+    val brute = w.select(col("window_start"), col("event_type"))
+      .join(ev, Seq("event_type"))
+      .filter(col("sec") >= col("window_start") && col("sec") < col("window_start") + 3600)
+      .groupBy("window_start", "event_type").agg(count(lit(1)).as("expect"))
+    val bad = w.join(brute, Seq("window_start", "event_type"))
+      .filter(col("n_events") =!= col("expect"))
+    assert(bad.isEmpty)
+    w.unpersist()
+  }
+
+  // --------------------------------------------------- q46 trailing window
+  test("q46: trailing-30-day spend equals the brute-force self-join") {
+    val t = etl.Windowing.q46.build(spark, sfDir).cache()
+    val o = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_custkey"),
+      datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))).cast("long").as("od"),
+      expr("CAST(ROUND(o_totalprice*100) AS BIGINT)").as("cents"))
+    val brute = o.select(col("o_orderkey"), col("o_custkey"), col("od"))
+      .join(o.select(col("o_custkey"), col("od").as("od2"), col("cents")), "o_custkey")
+      .filter(col("od2") >= col("od") - 29 && col("od2") <= col("od"))
+      .groupBy("o_orderkey")
+      .agg((sum(col("cents")) / 100.0).as("expect_spend"), count(lit(1)).as("expect_n"))
+    val bad = t.join(brute, "o_orderkey")
+      .filter(col("spend_30d") =!= col("expect_spend") || col("n_orders_30d") =!= col("expect_n"))
+    assert(bad.isEmpty)
+    assert(t.count() == o.count())
+    t.unpersist()
+  }
+
+  // --------------------------------------------------------- tx15 zipf fit
+  test("tx15: Zipfian slopes negative, r2 in [0,1], n_types agrees with tx11") {
+    val z = functions.TextAnalysis.tx15.build(spark, sfDir).cache()
+    assert(z.filter(col("slope") >= 0).isEmpty)
+    assert(z.filter(col("r2") < 0 || col("r2") > 1).isEmpty)
+    val v = functions.TextAnalysis.tx11.build(spark, sfDir)
+      .select(col("source"), col("n_types").as("expect_types"))
+    assert(z.join(v, "source").filter(col("n_types") =!= col("expect_types")).isEmpty)
+    z.unpersist()
+  }
 }
