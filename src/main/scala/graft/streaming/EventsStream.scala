@@ -82,6 +82,27 @@ object EventsStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** F12: watermarked SLIDING-window counts — `window(ts, length, slide)`,
+    * q45's streaming half (q45 spells the same assign-then-reduce plan in
+    * batch for the DuckDB oracle). Each event lands in length/slide = 4
+    * windows; the watermark closes a window when event time passes its end
+    * + delay, so state is bounded by (windows in flight) × (event types).
+    * Output columns match q45's batch mirror. */
+  def slidingCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      slide: String = "15 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** F3: streaming exact-dedup on event_id. `dropDuplicates` after a
     * watermark keeps only the id-state young enough to matter — at-least-once
     * sources (Kafka replays, file re-lands) become effectively-once without
@@ -123,6 +144,37 @@ object EventsStream {
       col("user_id") === col("click_user") &&
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_id"), col("click_ts"))
+  }
+
+  /** F13: stream-stream LEFT OUTER interval join — F5 with the unmatched
+    * side kept: a purchase with no qualifying click inside the lookback
+    * window emits exactly once with NULL click columns, after the watermark
+    * passes the window's horizon and the engine can PROVE no match is still
+    * coming (the "organic conversion" rows an attribution report needs —
+    * an inner join silently drops them). State eviction is the same
+    * two-sided watermark + time-range bound as F5; the outer rows are
+    * emitted from evicted state, so lateness of the null verdict is the
+    * watermark delay, never unbounded. */
+  def clickAttributionOuter(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      lookback: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val c = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    p.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"),
+      "leftOuter")
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("purchase_value"), col("click_id"), col("click_ts"))
   }

@@ -187,6 +187,51 @@ class Round6OpsSpec extends SparkSpec {
     t.unpersist()
   }
 
+  // ------------------------------------------------------ tx16 outlier docs
+  test("tx16: every doc screened; z sign matches deviation; flags match |z|>3.5") {
+    val o = functions.TextAnalysis.tx16.build(spark, sfDir).cache()
+    assert(o.count() == Tables.documents(spark, sfDir).count())
+    // robust z agrees in sign with the raw deviation
+    assert(o.filter(col("mad_q") =!= 0)
+      .filter(signum(col("robust_z")) =!= signum(col("quality") - col("med_q"))
+        && col("robust_z") =!= 0).isEmpty)
+    // the flag is exactly the |z| > 3.5 rule when MAD is positive
+    assert(o.filter(col("mad_q") =!= 0)
+      .filter(col("is_outlier") =!= (abs(col("robust_z")) > 3.5)).isEmpty)
+    o.unpersist()
+  }
+
+  // --------------------------------------------------------- mm08 entropy
+  test("mm08: histogram arithmetic consistent; uniform and constant payloads bound entropy") {
+    val e = multimodal.Multimodal.mm08.build(spark, sfDir).cache()
+    assert(e.count() == Tables.documents(spark, sfDir).count())
+    // entropy bounded by [0, ln(distinct_bytes)]; dominant share consistent
+    assert(e.filter(col("entropy_nats") < 0).isEmpty)
+    assert(e.filter(col("entropy_nats") > log(col("distinct_bytes").cast("double")) + 1e-9).isEmpty)
+    assert(e.filter(col("top_frac") * col("n_bytes") < 1).isEmpty)
+    assert(e.filter(col("distinct_bytes") > 256 || col("distinct_bytes") < 1).isEmpty)
+    e.unpersist()
+  }
+
+  // ------------------------------------------------------- q47 reconcile
+  test("q47: classes partition both tables; referential integrity visible in output") {
+    val r = etl.RelationalCore.q47.build(spark, sfDir).cache()
+    val nOrders = Tables.orders(spark, sfDir).count()
+    val liOrders = Tables.lineitem(spark, sfDir)
+      .select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    assert(r.count() == nOrders) // right_only is empty, so keys == orders
+    val byStatus = r.groupBy("status").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byStatus.getOrElse("right_only", 0L) == 0L)
+    assert(byStatus.getOrElse("left_only", 0L) == nOrders - liOrders)
+    assert(byStatus.getOrElse("matched", 0L) + byStatus.getOrElse("drift", 0L) == liOrders)
+    // diff arithmetic holds row-wise
+    assert(r.filter(col("status") === "matched" && col("diff_micros") =!= 0).isEmpty)
+    assert(r.filter(col("status") === "left_only")
+      .filter(col("diff_micros") =!= col("order_micros")).isEmpty)
+    r.unpersist()
+  }
+
   // --------------------------------------------------------- tx15 zipf fit
   test("tx15: Zipfian slopes negative, r2 in [0,1], n_types agrees with tx11") {
     val z = functions.TextAnalysis.tx15.build(spark, sfDir).cache()

@@ -52,4 +52,37 @@ class StreamIntervalJoinSpec extends SparkSpec {
     assert(batch == Seq((12L, 11L), (14L, 13L)))
     assert(streamed == batch)
   }
+
+  test("F13 left outer: unmatched purchase emits once with NULL click after the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[Event]
+    val query = EventsStream.clickAttributionOuter(input.toDF(), input.toDF())
+      .writeStream.format("memory").queryName("f13_attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(events)
+      query.processAllAvailable()
+      // Push BOTH sides' watermarks far past purchase 15's horizon so the
+      // engine can prove no matching click is still in flight — only then
+      // may the outer (NULL-click) row leave the evicted state.
+      input.addData(Seq(
+        Event(98L, ts(300), 9L, "click", 0.0),
+        Event(99L, ts(300), 9L, "purchase", 0.0)))
+      query.processAllAvailable()
+      input.addData(Seq(
+        Event(100L, ts(400), 9L, "click", 0.0),
+        Event(101L, ts(400), 9L, "purchase", 0.0)))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    def key(r: org.apache.spark.sql.Row): (Long, Long) =
+      (r.getLong(0), if (r.isNullAt(4)) -1L else r.getLong(4))
+    val streamed = spark.table("f13_attr").collect().map(key)
+      .filter(_._1 < 90L).sorted.toSeq // ignore the watermark-driver dummies
+    assert(streamed == Seq((12L, 11L), (14L, 13L), (15L, -1L)),
+      s"expected the two matches plus exactly one NULL-click row; got $streamed")
+  }
 }

@@ -48,6 +48,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 4) // (h0,h1) × (view,purchase)
   }
 
+  test("F12 slidingCounts: streaming equals batch; every event covers 4 windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[Event]
+    input.addData(sample)
+
+    val query = EventsStream.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("f12_sliding")
+      .outputMode(OutputMode.Complete).start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    val streamed = s.table("f12_sliding")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventsStream.slidingCounts(sample.toDF())
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // 1h window / 15min slide: each event is counted in exactly 4 windows
+    val totalCounted = s.table("f12_sliding")
+      .agg(sum(col("n_events"))).head().getLong(0)
+    assert(totalCounted == 4L * sample.size)
+  }
+
   test("F2 sessionized: closed sessions match gap semantics; timeout flushes") {
     val s = spark
     import s.implicits._
