@@ -752,6 +752,24 @@ object SimilaritySearch {
       .select("src_id", "dst_id", "cell", "cos_sim", "rank", "mutual")
   }
 
+  /** Embeddings scaled to exact integer micro-units — the arithmetic the
+    * deterministic k-means family (ann12/ann13) runs on: doubles only ever
+    * hold exact integers < 2^53, so both engines agree bit-for-bit. */
+  private[operators] def scaledVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")).as("v"))
+
+  /** Nearest-cell assignment by exact integer squared-L2, ties to the lowest
+    * cell — ann02's min_by hash-aggregate idiom (never a corpus window).
+    * `cents` is the broadcast-sized (cell, cv) artifact. */
+  private[operators] def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)), lit(0L), _ + _))
+      .groupBy("vec_id")
+      .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
+
   // ---------------------------------------------------------------- C12
   /** Distributed k-means training (Lloyd's algorithm, 2 rounds, k = 8) —
     * closes the loop the rest of the IVF family leaves open: ann02/04/07
@@ -798,19 +816,12 @@ object SimilaritySearch {
       |m2 AS (SELECT cell, dim, CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c,
       |              CAST(COUNT(*) AS BIGINT) AS n_members FROM x2 GROUP BY cell, dim)
       |SELECT cell, CAST(dim AS BIGINT) AS dim, c AS c_scaled, n_members FROM m2""".stripMargin) { (s, d) =>
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")).as("v"))
+    val e = scaledVecs(s, d)
       .localCheckpoint() // scanned by both assignment rounds and both updates
     val seed = e.orderBy("vec_id").limit(8)
       .withColumn("cell", (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
       .select(col("cell"), col("v").as("cv"))
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .withColumn("dist",
-          aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)), lit(0L), _ + _))
-        .groupBy("vec_id")
-        .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
+    def assign(cents: DataFrame): DataFrame = assignCells(e, cents)
     def update(asg: DataFrame): DataFrame =
       asg.join(e, "vec_id")
         .select(col("cell"), posexplode(col("v")).as(Seq("p", "x")))
@@ -825,6 +836,77 @@ object SimilaritySearch {
       .select(col("cell"), col("dim"), col("c").as("c_scaled"), col("n_members"))
   }
 
+  // ---------------------------------------------------------------- C13
+  /** Index DRIFT monitor — the operational trigger for retraining: when a
+    * delta batch of embeddings lands in an IVF index (assignment is
+    * per-vector independent, so ingest itself is embarrassingly
+    * incremental), the question that matters is whether the landed data
+    * MOVED the cells. Per cell: base and post-ingest member counts, growth
+    * fraction, and the exact squared-L2 displacement of the cell's mean
+    * (integer micro-units end-to-end — drift 0 means bit-equal means, not
+    * within-epsilon). A cell whose mean walked far from its centroid
+    * serves increasingly wrong candidates; this table says which cells and
+    * how far, before recall quietly sags. Delta batch = vec_id % 5 = 4;
+    * centroid artifact = the ann02 family's vec_id % 50 = 0 vectors.
+    *
+    * Scale: one broadcast assignment pass (min_by aggregate), one
+    * (cell, dim) hash aggregate computing base/post means side by side
+    * (conditional sums — the explode collapses map-side), one k×d-sized
+    * reduce for the distances. Nothing pairwise, nothing windowed. */
+  val ann13 = Q(
+    "ann13_index_drift",
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),
+      |d0 AS (SELECT e.vec_id, cents.cell,
+      |         list_sum(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-cents.cv[i])*(e.v[i]-cents.cv[i]))) AS dist
+      |       FROM e CROSS JOIN cents),
+      |asg AS (SELECT vec_id, cell FROM (
+      |         SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d0)
+      |       WHERE rn = 1),
+      |m AS (SELECT a.cell, a.vec_id % 5 = 4 AS is_new,
+      |        generate_subscripts(e.v, 1) AS dim, unnest(e.v) AS x
+      |      FROM asg a JOIN e USING (vec_id)),
+      |dims AS (SELECT cell, dim,
+      |    CAST(FLOOR(CAST(SUM(CASE WHEN NOT is_new THEN x END) AS DOUBLE)
+      |         / SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END)) AS BIGINT) AS bm,
+      |    CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS am
+      |  FROM m GROUP BY cell, dim),
+      |drift AS (SELECT cell, SUM((am-bm)*(am-bm)) AS drift_sq FROM dims GROUP BY cell),
+      |counts AS (SELECT cell,
+      |    CAST(SUM(CASE WHEN vec_id % 5 = 4 THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+      |    CAST(SUM(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM asg GROUP BY cell)
+      |SELECT c.cell, c.n_base, c.n_new,
+      |  ROUND(CAST(c.n_new AS DOUBLE) / CAST(c.n_base + c.n_new AS DOUBLE), 6) AS growth_frac,
+      |  d.drift_sq
+      |FROM counts c JOIN drift d ON c.cell = d.cell""".stripMargin) { (s, d) =>
+    val e = scaledVecs(s, d).localCheckpoint() // assignment + both mean passes
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val asg = assignCells(e, cents)
+    val withFlag = asg.join(e, "vec_id").withColumn("is_new", col("vec_id") % 5 === 4)
+    val dims = withFlag
+      .select(col("cell"), col("is_new"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy(col("cell"), (col("p") + 1).cast("long").as("dim"))
+      .agg(
+        floor(sum(when(!col("is_new"), col("x"))).cast("double")
+          / sum(when(!col("is_new"), 1).otherwise(0))).cast("long").as("bm"),
+        floor(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("am"))
+    val drift = dims.groupBy("cell")
+      .agg(sum((col("am") - col("bm")) * (col("am") - col("bm"))).as("drift_sq"))
+    val counts = withFlag.groupBy("cell")
+      .agg(sum(when(col("is_new"), 0).otherwise(1)).as("n_base"),
+        sum(when(col("is_new"), 1).otherwise(0)).as("n_new"))
+    counts.join(drift, "cell")
+      .select(col("cell"), col("n_base"), col("n_new"),
+        round(col("n_new").cast("double") / (col("n_base") + col("n_new")).cast("double"), 6)
+          .as("growth_frac"),
+        col("drift_sq"))
+  }
+
   val queries: Seq[Q] =
-    Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10, ann11, ann12)
+    Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
+      ann11, ann12, ann13)
 }

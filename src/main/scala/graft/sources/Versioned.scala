@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** G11: SNAPSHOT-VERSIONED table with TIME TRAVEL on plain parquet — the
+  * capability slice of Iceberg/Delta that incremental pipelines lean on
+  * hardest: every publish is an immutable numbered snapshot, "the table" is
+  * one tiny pointer file naming the current snapshot, reads resolve the
+  * pointer (or any retained historical version, for reproducing yesterday's
+  * training run / debugging a regression), and old snapshots survive until
+  * an explicit vacuum.
+  *
+  * Layout: `root/_versions/v<n>/` holds snapshot n's parquet; `root/_current`
+  * holds the version number. Publishing writes the snapshot dir first, then
+  * swaps the pointer via write-temp + ATOMIC_MOVE — a reader resolves either
+  * the old pointer or the new one, never a torn state, and concurrent
+  * readers of v(n−1) are undisturbed because published snapshot dirs are
+  * never mutated (the property rename-based WAP alone cannot give: G8
+  * retires the live dir during publish). The documented seam (ADR-001):
+  * ATOMIC_MOVE needs a rename-atomic filesystem — on an object store this
+  * pointer swap is exactly the metadata commit an ACID table format
+  * provides, and [[publish]]'s body is the code that format call replaces.
+  *
+  * Scale: the pointer file is bytes; snapshots are ordinary parquet dirs
+  * (partitioned/bucketed as the caller wrote them); vacuum deletes whole
+  * retired dirs. Nothing here grows with data volume except the snapshots
+  * themselves.
+  */
+object Versioned {
+
+  private def versionsDir(root: String): Path = Paths.get(root, "_versions")
+  private def pointer(root: String): Path = Paths.get(root, "_current")
+
+  /** Highest published version, 0 if none. */
+  def currentVersion(root: String): Long =
+    if (Files.exists(pointer(root)))
+      new String(Files.readAllBytes(pointer(root)), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+
+  /** Publish `df` as the next snapshot and atomically advance the pointer.
+    * Returns the new version number. */
+  def publish(df: DataFrame, root: String): Long = {
+    val next = currentVersion(root) + 1
+    val snap = versionsDir(root).resolve(s"v$next")
+    df.write.parquet(snap.toString)
+    // Pointer swap: write aside, then ATOMIC_MOVE over the live pointer.
+    Files.createDirectories(Paths.get(root))
+    val tmp = pointer(root).resolveSibling("_current.tmp")
+    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointer(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Read the current snapshot (the pointer resolved at plan time). */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root, currentVersion(root))
+
+  /** Time travel: read retained snapshot `version` exactly as published. */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val snap = versionsDir(root).resolve(s"v$version")
+    require(Files.exists(snap), s"version $version is not retained under $root")
+    spark.read.parquet(snap.toString)
+  }
+
+  /** Retained version numbers, ascending. */
+  def versions(root: String): Seq[Long] = {
+    val dir = versionsDir(root)
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val it = Files.list(dir).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.startsWith("v")) buf += name.drop(1).toLong
+      }
+      buf.sorted.toSeq
+    }
+  }
+
+  /** Drop every retained snapshot older than the newest `keep` (the current
+    * version is always kept). Readers of dropped versions fail loudly on
+    * their NEXT plan — never with silently changed data. */
+  def vacuum(root: String, keep: Int): Seq[Long] = {
+    val all = versions(root)
+    val drop = all.dropRight(math.max(keep, 1))
+    drop.foreach { v =>
+      val dir = versionsDir(root).resolve(s"v$v")
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    drop
+  }
+}

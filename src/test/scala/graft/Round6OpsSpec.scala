@@ -213,6 +213,18 @@ class Round6OpsSpec extends SparkSpec {
     e.unpersist()
   }
 
+  // ---------------------------------------------------- ann13 index drift
+  test("ann13: membership partitions the corpus; an unchanged cell has zero drift") {
+    val m = operators.SimilaritySearch.ann13.build(spark, sfDir).cache()
+    val total = m.agg(sum(col("n_base") + col("n_new"))).head().getLong(0)
+    assert(total == Tables.embeddings(spark, sfDir).count())
+    assert(m.filter(col("growth_frac") < 0 || col("growth_frac") > 1).isEmpty)
+    assert(m.filter(col("drift_sq") < 0).isEmpty)
+    // no delta arrivals -> the mean cannot have moved (exact, not epsilon)
+    assert(m.filter(col("n_new") === 0 && col("drift_sq") =!= 0).isEmpty)
+    m.unpersist()
+  }
+
   // ------------------------------------------------------- q47 reconcile
   test("q47: classes partition both tables; referential integrity visible in output") {
     val r = etl.RelationalCore.q47.build(spark, sfDir).cache()

@@ -214,4 +214,25 @@ class SourcesSpec extends SparkSpec {
     assert(q.toMap.apply(lines(2)) == "missing_required")
     assert(q.toMap.apply(lines(4)) == "malformed")
   }
+
+  test("G11 versioned publish: time travel reads exactly, vacuum retires, pointer atomic") {
+    import graft.sources.Versioned
+    val root = tmp("versioned")
+    val v1Data = Tables.region(spark, sfDir)
+    val v2Data = Tables.nation(spark, sfDir)
+    assert(Versioned.currentVersion(root) == 0L)
+    assert(Versioned.publish(v1Data, root) == 1L)
+    assert(Versioned.publish(v2Data, root) == 2L)
+    assert(Versioned.versions(root) == Seq(1L, 2L))
+    // current read = latest snapshot; time travel = the old bytes, exactly
+    assert(Versioned.read(spark, root).count() == v2Data.count())
+    val back = Versioned.readVersion(spark, root, 1L)
+    assert(back.schema == v1Data.schema)
+    assert(back.exceptAll(v1Data).isEmpty && v1Data.exceptAll(back).isEmpty)
+    // vacuum keeps the newest `keep`; dropped versions fail loudly
+    assert(Versioned.vacuum(root, keep = 1) == Seq(1L))
+    assert(Versioned.versions(root) == Seq(2L))
+    intercept[IllegalArgumentException](Versioned.readVersion(spark, root, 1L))
+    assert(Versioned.read(spark, root).count() == v2Data.count())
+  }
 }
