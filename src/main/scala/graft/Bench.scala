@@ -97,8 +97,12 @@ object Bench {
     // queries, never the totals. The complete JSON additionally lands in
     // BENCH_LOCAL.json in the working directory, which the round's
     // end-of-round commit preserves in-repo with full precision.
+    val maxSec = if (results.isEmpty) 0.0 else results.map(_._2).max
     val line =
-      s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","n_queries":${results.size},"max_sec":${fmt3(results.map(_._2).max)},"value":${fmt3(total)}}"""
+      s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","n_queries":${results.size},"max_sec":${fmt3(maxSec)},"value":${fmt3(total)}}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] note: json line ${line.length} chars exceeds the ~2000-char " +
+        "stdout tail the collector keeps — totals are last so they survive; full line in BENCH_LOCAL.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (line + "\n").getBytes("UTF-8"))

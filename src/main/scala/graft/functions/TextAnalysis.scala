@@ -788,6 +788,7 @@ object TextAnalysis {
       |FROM dev d JOIN mad m ON d.source = m.source""".stripMargin) { (s, d) =>
     val q = withQualitySignals(Tables.documents(s, d))
       .select(col("doc_id"), col("source"), col("quality"))
+      .localCheckpoint() // feeds med, dev and the final join — one corpus scan
     val med = q.groupBy("source")
       .agg(round(expr("percentile(quality, 0.5)"), 6).as("med_q"))
     val dev = q.join(broadcast(med), "source")

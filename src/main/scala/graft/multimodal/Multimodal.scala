@@ -325,56 +325,63 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------- E8
-  /** Byte-ENTROPY screen for opaque payloads — the standard pre-decode
-    * router in a media pipeline: Shannon entropy near 8 bits/byte means the
-    * payload is already compressed or encrypted (re-compressing or
+  /** Symbol-ENTROPY screen for payloads — the standard pre-decode router in
+    * a media pipeline: Shannon entropy near the alphabet's maximum means
+    * the payload is already compressed or encrypted (re-compressing or
     * feature-extracting it is wasted work), low entropy with a dominant
-    * byte means text or sparse raster data. Emits entropy (nats), distinct
-    * byte count, and the dominant byte with its share, per payload.
+    * symbol means text or sparse raster data. Emits entropy (nats),
+    * distinct symbol count, and the dominant symbol with its share.
     *
-    * Scale: the per-payload byte histogram is an explode + (doc, byte) hash
+    * The unit is stated precisely, because char ≠ byte outside ASCII: this
+    * query computes CODEPOINT entropy of the text payload — both engines
+    * index characters (`substring`/`split`) and count codepoints, so the
+    * cross-engine contract holds for any unicode content. For true binary
+    * payloads the identical plan runs over the decoded byte array at the
+    * mm01 decode seam (MediaDecode), where bytes, not codepoints, are the
+    * symbols.
+    *
+    * Scale: the per-payload histogram is an explode + (doc, symbol) hash
     * aggregate — partial aggregation collapses each scan partition to at
-    * most 256 rows per document BEFORE the shuffle, so the wire carries
-    * ≤256·N rows no matter how big payloads get (the explode itself
-    * pipelines inside the scan stage, never materialized). Entropy is one
-    * ln() pass over exact integer counts, rounded at 4 dp (tx10's
-    * cross-engine argument); the dominant byte is a max_by aggregate with
-    * a deterministic tie (lowest byte), mirrored by the oracle's
-    * row_number. */
+    * most |alphabet| rows per document BEFORE the shuffle (the explode
+    * itself pipelines inside the scan stage, never materialized). Entropy
+    * is one ln() pass over exact integer counts, rounded at 4 dp (tx10's
+    * cross-engine argument); the dominant symbol is a max_by aggregate
+    * with a deterministic tie (lowest codepoint), mirrored by the
+    * oracle's row_number. */
   val mm08 = Q(
     "mm08_entropy",
-    """WITH sized AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+    """WITH sized AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
       |b AS (SELECT doc_id, n,
-      |  unnest(list_transform(range(1, n+1), i -> ascii(substring(text, i, 1)))) AS byte
+      |  unnest(list_transform(range(1, n+1), i -> ascii(substring(text, i, 1)))) AS cp
       |FROM sized),
-      |c AS (SELECT doc_id, n, byte, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY doc_id, n, byte),
-      |top AS (SELECT doc_id, byte AS top_byte, cnt AS top_cnt FROM (
-      |  SELECT doc_id, byte, cnt,
-      |         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, byte) AS rn FROM c)
+      |c AS (SELECT doc_id, n, cp, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY doc_id, n, cp),
+      |top AS (SELECT doc_id, cp AS top_cp, cnt AS top_cnt FROM (
+      |  SELECT doc_id, cp, cnt,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, cp) AS rn FROM c)
       |  WHERE rn = 1),
-      |e AS (SELECT doc_id, n, CAST(COUNT(*) AS BIGINT) AS distinct_bytes,
+      |e AS (SELECT doc_id, n, CAST(COUNT(*) AS BIGINT) AS distinct_chars,
       |  SUM(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS scl
       |FROM c GROUP BY doc_id, n)
-      |SELECT e.doc_id, e.n AS n_bytes, e.distinct_bytes,
+      |SELECT e.doc_id, e.n AS n_chars, e.distinct_chars,
       |  ROUND(ln(CAST(e.n AS DOUBLE)) - e.scl / e.n, 4) + 0.0 AS entropy_nats,
-      |  CAST(t.top_byte AS BIGINT) AS top_byte,
+      |  CAST(t.top_cp AS BIGINT) AS top_cp,
       |  ROUND(CAST(t.top_cnt AS DOUBLE) / CAST(e.n AS DOUBLE), 6) AS top_frac
       |FROM e JOIN top t ON e.doc_id = t.doc_id""".stripMargin) { (s, d) =>
     val c = Tables.documents(s, d)
       .select(col("doc_id"), length(col("text")).cast("long").as("n"),
         explode(split(col("text"), "")).as("ch"))
       .filter(length(col("ch")) === 1) // split("") may emit a trailing ""
-      .select(col("doc_id"), col("n"), ascii(col("ch")).cast("long").as("byte"))
-      .groupBy(col("doc_id"), col("n"), col("byte"))
+      .select(col("doc_id"), col("n"), ascii(col("ch")).cast("long").as("cp"))
+      .groupBy(col("doc_id"), col("n"), col("cp"))
       .agg(count(lit(1)).as("cnt"))
     c.groupBy(col("doc_id"), col("n"))
-      .agg(count(lit(1)).as("distinct_bytes"),
+      .agg(count(lit(1)).as("distinct_chars"),
         sum(col("cnt").cast("double") * log(col("cnt").cast("double"))).as("scl"),
-        max_by(struct(col("byte").as("top_byte"), col("cnt").as("top_cnt")),
-          struct(col("cnt"), (-col("byte")).as("tie"))).as("top"))
-      .select(col("doc_id"), col("n").as("n_bytes"), col("distinct_bytes"),
+        max_by(struct(col("cp").as("top_cp"), col("cnt").as("top_cnt")),
+          struct(col("cnt"), (-col("cp")).as("tie"))).as("top"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("distinct_chars"),
         (round(log(col("n").cast("double")) - col("scl") / col("n"), 4) + lit(0.0)).as("entropy_nats"),
-        col("top.top_byte").as("top_byte"),
+        col("top.top_cp").as("top_cp"),
         round(col("top.top_cnt").cast("double") / col("n").cast("double"), 6).as("top_frac"))
   }
 

@@ -208,7 +208,10 @@ object Sources {
       .select(col("value").as("raw"),
         from_json(col("value"), withCorrupt,
           Map("columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
-    val malformed = col("r").getField("_corrupt_record").isNotNull
+    // Blank/whitespace-only lines parse to a NULL struct (no corrupt-record
+    // column populated) — they are malformed input, not a schema failure.
+    val malformed = col("r").getField("_corrupt_record").isNotNull ||
+      col("r").isNull || trim(col("raw")) === ""
     val missing = required.map(f => col("r").getField(f).isNull)
       .foldLeft(lit(false))(_ || _)
     val clean = parsed.filter(!malformed && !missing)

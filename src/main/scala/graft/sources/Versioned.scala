@@ -41,18 +41,36 @@ object Versioned {
     else 0L
 
   /** Publish `df` as the next snapshot and atomically advance the pointer.
-    * Returns the new version number. */
+    * Returns the new version number.
+    *
+    * Crash-safe against its own failures: the snapshot is written to a
+    * staging dir and renamed into place, and an orphan `v<next>` left by a
+    * previous crashed publish (pointer still < next ⇒ provably never
+    * published) is cleared first instead of wedging every later publish
+    * with path-already-exists. SINGLE-WRITER by contract, like every
+    * file-format table without a lock service — two concurrent publishers
+    * would race the version allocation; that coordination is exactly what
+    * an ACID catalog adds at this seam (ADR-001). */
   def publish(df: DataFrame, root: String): Long = {
     val next = currentVersion(root) + 1
     val snap = versionsDir(root).resolve(s"v$next")
-    df.write.parquet(snap.toString)
+    val staging = versionsDir(root).resolve(s"v$next.staging")
+    deleteTree(staging) // stale staging from a crashed attempt
+    deleteTree(snap)    // orphan snapshot: pointer < next, so never published
+    df.write.parquet(staging.toString)
+    Files.move(staging, snap, StandardCopyOption.ATOMIC_MOVE)
     // Pointer swap: write aside, then ATOMIC_MOVE over the live pointer.
-    Files.createDirectories(Paths.get(root))
     val tmp = pointer(root).resolveSibling("_current.tmp")
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer(root), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     next
+  }
+
+  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+    finally walk.close()
   }
 
   /** Read the current snapshot (the pointer resolved at plan time). */
@@ -66,18 +84,22 @@ object Versioned {
     spark.read.parquet(snap.toString)
   }
 
-  /** Retained version numbers, ascending. */
+  /** Retained version numbers, ascending (staging/orphan dirs excluded). */
   def versions(root: String): Seq[Long] = {
     val dir = versionsDir(root)
     if (!Files.exists(dir)) Seq.empty
     else {
-      val it = Files.list(dir).iterator()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-      while (it.hasNext) {
-        val name = it.next().getFileName.toString
-        if (name.startsWith("v")) buf += name.drop(1).toLong
-      }
-      buf.sorted.toSeq
+      val list = Files.list(dir)
+      try {
+        val it = list.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (it.hasNext) {
+          val name = it.next().getFileName.toString
+          if (name.startsWith("v") && name.drop(1).forall(_.isDigit))
+            buf += name.drop(1).toLong
+        }
+        buf.sorted.toSeq
+      } finally list.close()
     }
   }
 
@@ -87,11 +109,7 @@ object Versioned {
   def vacuum(root: String, keep: Int): Seq[Long] = {
     val all = versions(root)
     val drop = all.dropRight(math.max(keep, 1))
-    drop.foreach { v =>
-      val dir = versionsDir(root).resolve(s"v$v")
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    }
+    drop.foreach(v => deleteTree(versionsDir(root).resolve(s"v$v")))
     drop
   }
 }

@@ -31,12 +31,18 @@ import graft.functions.{TextPrep, WordShinglesN}
 object DecontamStream {
 
   /** Distinct hashed 8-gram shingles of the eval split — the static side,
-    * built once per eval-set release and broadcast to every executor. */
+    * built once per eval-set release and broadcast to every executor. The
+    * localCheckpoint MATERIALIZES it here: without the cut, every
+    * micro-batch's foreachBatch job would re-shingle, re-hash and
+    * re-distinct the eval corpus from scratch (batch jobs share no
+    * exchange reuse across invocations) — a fixed multi-stage tax on the
+    * latency-sensitive ingest path. */
   def evalGrams(evalDocs: DataFrame): DataFrame =
     evalDocs
       .select(explode(WordShinglesN.shinglesN(TextPrep.clean(col("text")), 8)).as("gram"))
       .select(TextPrep.charHash(col("gram")).as("gh"))
       .distinct()
+      .localCheckpoint()
 
   /** Per-document contamination decision for one (doc_id, text) relation —
     * batch or micro-batch; the plan is identical. Every input doc gets a

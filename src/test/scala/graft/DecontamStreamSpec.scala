@@ -29,7 +29,6 @@ class DecontamStreamSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     DecontamStream.evalGrams(Seq((900L, evalText)).toDF("doc_id", "text"))
-      .localCheckpoint()
   }
 
   test("F11 streamed flags equal the batch operator's; planted leak caught") {

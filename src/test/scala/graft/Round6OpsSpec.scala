@@ -205,11 +205,11 @@ class Round6OpsSpec extends SparkSpec {
   test("mm08: histogram arithmetic consistent; uniform and constant payloads bound entropy") {
     val e = multimodal.Multimodal.mm08.build(spark, sfDir).cache()
     assert(e.count() == Tables.documents(spark, sfDir).count())
-    // entropy bounded by [0, ln(distinct_bytes)]; dominant share consistent
+    // entropy bounded by [0, ln(distinct_chars)]; dominant share consistent
     assert(e.filter(col("entropy_nats") < 0).isEmpty)
-    assert(e.filter(col("entropy_nats") > log(col("distinct_bytes").cast("double")) + 1e-9).isEmpty)
-    assert(e.filter(col("top_frac") * col("n_bytes") < 1).isEmpty)
-    assert(e.filter(col("distinct_bytes") > 256 || col("distinct_bytes") < 1).isEmpty)
+    assert(e.filter(col("entropy_nats") > log(col("distinct_chars").cast("double")) + 1e-9).isEmpty)
+    assert(e.filter(col("top_frac") * col("n_chars") < 1).isEmpty)
+    assert(e.filter(col("distinct_chars") > col("n_chars") || col("distinct_chars") < 1).isEmpty)
     e.unpersist()
   }
 

@@ -198,6 +198,7 @@ class SourcesSpec extends SparkSpec {
       """{"id": 3, "qty": 5}""",                        // name missing -> quarantine (required)
       """{"id": 4, "name": "gamma", "qty": """,        // truncated -> malformed
       """not json at all""",                            // malformed
+      "   ",                                            // blank -> malformed, not missing_required
       """{"id": 6, "name": "zeta", "qty": 7}""")        // clean
     JFiles.write(Paths.get(dir, "landing.json"),
       lines.mkString("\n").getBytes("UTF-8"))
@@ -210,9 +211,10 @@ class SourcesSpec extends SparkSpec {
     val q = quarantine.collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(q.size + clean.count() == lines.size)
     // rejected lines survive byte-exact, with the gate that rejected them
-    assert(q.map(_._1).toSet == Set(lines(2), lines(3), lines(4)))
+    assert(q.map(_._1).toSet == Set(lines(2), lines(3), lines(4), lines(5)))
     assert(q.toMap.apply(lines(2)) == "missing_required")
     assert(q.toMap.apply(lines(4)) == "malformed")
+    assert(q.toMap.apply(lines(5)) == "malformed") // blank is not a schema failure
   }
 
   test("G11 versioned publish: time travel reads exactly, vacuum retires, pointer atomic") {
