@@ -774,6 +774,65 @@ object Dedup {
         col("containment"))
   }
 
+  // ---------------------------------------------------------------- B14
+  /** MULTI-SIGNAL dedup — what production corpus pipelines actually run:
+    * no single near-dup detector catches everything (Jaccard is blind to
+    * containment by construction — dd13's raison d'être — and containment
+    * alone over-merges balanced partial overlaps), so the keep/drop
+    * decision clusters the UNION of the signal families' edge sets. Here:
+    * LSH-verified Jaccard ≥ 0.5 pairs ∪ containment ≥ 0.5 pairs →
+    * connected components → every clustered doc labeled, with the cluster's
+    * contributing signal families surfaced as a sorted `signals` tag
+    * ('containment', 'lsh', or 'containment+lsh') — the audit column that
+    * says WHY a cluster exists, which is how thresholds get tuned per
+    * signal instead of per pipeline.
+    *
+    * Scale: both edge generators are the already-bounded keyed joins
+    * (band-bucket, shared-shingle count); the union is edge-sized; CC is
+    * dd06's large/small-star engine; the signal rollup is one hash
+    * aggregate over edges. Nothing new shuffles the corpus. */
+  val dd14 = Q(
+    "dd14_multi_signal",
+    s"""WITH RECURSIVE $lshScoredSql,
+      |contain AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+      |        / CAST(LEAST(len(a.shs), len(b.shs)) AS DOUBLE), 6) >= 0.5),
+      |sigedges AS (
+      |  SELECT id_a, id_b, 'lsh' AS sig FROM scored WHERE jaccard >= 0.5
+      |  UNION ALL SELECT id_a, id_b, 'containment' FROM contain),
+      |edgeset AS (SELECT DISTINCT id_a, id_b FROM sigedges),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM edgeset
+      |          UNION ALL SELECT id_b, id_a FROM edgeset),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, comp) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src),
+      |labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+      |sized AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM labels GROUP BY comp),
+      |csig AS (SELECT l.comp,
+      |    array_to_string(list_sort(list_distinct(list(s.sig))), '+') AS signals
+      |  FROM sigedges s JOIN labels l ON s.id_a = l.id GROUP BY l.comp)
+      |SELECT l.id AS doc_id, l.comp AS cluster_id, z.sz AS cluster_size,
+      |  c.signals, l.id = l.comp AS is_canonical
+      |FROM labels l JOIN sized z ON l.comp = z.comp
+      |JOIN csig c ON l.comp = c.comp""".stripMargin) { (s, d) =>
+    val sigedges = lshPairs(s, d).select(col("id_a"), col("id_b"), lit("lsh").as("sig"))
+      .unionByName(dd13.build(s, d).select(col("id_a"), col("id_b"),
+        lit("containment").as("sig")))
+      .localCheckpoint() // feeds CC AND the per-cluster signal rollup
+    val labels = connectedComponents(sigedges.select("id_a", "id_b"))
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    val sigs = sigedges
+      .join(labels.select(col("doc_id").as("id_a"), col("cluster_id")), "id_a")
+      .groupBy("cluster_id")
+      .agg(array_join(array_sort(array_distinct(collect_list(col("sig")))), "+").as("signals"))
+    labels.join(sizes, "cluster_id").join(sigs, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("signals"), col("is_canonical"))
+  }
+
   val queries: Seq[Q] =
-    Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12, dd13)
+    Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12, dd13, dd14)
 }

@@ -213,6 +213,24 @@ class Round6OpsSpec extends SparkSpec {
     e.unpersist()
   }
 
+  // ------------------------------------------------- dd14 multi-signal
+  test("dd14: refines never splits — dd06's LSH clusters stay together; signals well-formed") {
+    val m = operators.Dedup.dd14.build(spark, sfDir).cache()
+    // more edges can only coarsen: any two docs dd06 clusters together
+    // must map to one dd14 cluster
+    val lshOnly = operators.Dedup.dd06.build(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id").as("lsh_cluster"))
+    val split = lshOnly.join(m.select(col("doc_id"), col("cluster_id")), "doc_id")
+      .groupBy("lsh_cluster")
+      .agg(countDistinct(col("cluster_id")).as("n"))
+      .filter(col("n") =!= 1)
+    assert(split.isEmpty)
+    assert(m.filter(!col("signals").isin("lsh", "containment", "containment+lsh")).isEmpty)
+    val recount = m.groupBy("cluster_id").agg(count(lit(1)).as("actual"))
+    assert(m.join(recount, "cluster_id").filter(col("cluster_size") =!= col("actual")).isEmpty)
+    m.unpersist()
+  }
+
   // ---------------------------------------------------- ann13 index drift
   test("ann13: membership partitions the corpus; an unchanged cell has zero drift") {
     val m = operators.SimilaritySearch.ann13.build(spark, sfDir).cache()
