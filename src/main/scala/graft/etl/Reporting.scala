@@ -258,5 +258,40 @@ object Reporting {
       round(sqrt(deny) / nD / 100.0, 6).as("stddev_rev"))
   }
 
-  val queries: Seq[Q] = Seq(q12, q15, q16, q17, q27, q28, q40, q42)
+  // ---------------------------------------------------------------- A48
+  /** UNPIVOT / melt — q16's inverse, the report-ingestion direction: a wide
+    * layout (one column per priority class) folds back to the long
+    * (status, class, measure) relation analytics actually joins against.
+    * Spark-first this is `stack` inside the projection — a row GENERATOR,
+    * not a shuffle: the wide relation is already grouped, so melting is a
+    * fixed 3× fan-out of a tiny aggregate. Every (status, class) cell is
+    * emitted, including zeros — melt must preserve the grid, not just the
+    * populated cells (the oracle builds the same grid from a VALUES list
+    * so absent combinations stay visible as 0). Money in integer micros. */
+  val q48 = Q(
+    "q48_unpivot",
+    """WITH wide AS (SELECT o_orderstatus,
+      |    SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |        THEN CAST(ROUND(o_totalprice*1000000) AS BIGINT) ELSE 0 END) AS hi_u,
+      |    SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+      |        THEN CAST(ROUND(o_totalprice*1000000) AS BIGINT) ELSE 0 END) AS med_u,
+      |    SUM(CASE WHEN o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+      |        THEN CAST(ROUND(o_totalprice*1000000) AS BIGINT) ELSE 0 END) AS lo_u
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, c.prio_class,
+      |  CAST(CASE c.prio_class WHEN 'hi' THEN hi_u WHEN 'med' THEN med_u ELSE lo_u END AS BIGINT)/1000000.0 AS revenue
+      |FROM wide CROSS JOIN (VALUES ('hi'), ('med'), ('lo')) AS c(prio_class)""".stripMargin) { (s, d) =>
+    val u = micros(col("o_totalprice"))
+    val wide = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), u).otherwise(0L)).as("hi_u"),
+        sum(when(col("o_orderpriority") === "3-MEDIUM", u).otherwise(0L)).as("med_u"),
+        sum(when(col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW"), u).otherwise(0L)).as("lo_u"))
+    wide.select(col("o_orderstatus"),
+      expr("stack(3, 'hi', hi_u, 'med', med_u, 'lo', lo_u) AS (prio_class, rev_u)"))
+      .select(col("o_orderstatus"), col("prio_class"), (col("rev_u") / 1e6).as("revenue"))
+  }
+
+  val queries: Seq[Q] = Seq(q12, q15, q16, q17, q27, q28, q40, q42, q48)
 }

@@ -213,6 +213,22 @@ class Round6OpsSpec extends SparkSpec {
     e.unpersist()
   }
 
+  // ---------------------------------------------------- q48 unpivot/melt
+  test("q48: melt preserves the full grid and conserves total revenue") {
+    val m = etl.Reporting.q48.build(spark, sfDir).cache()
+    val statuses = Tables.orders(spark, sfDir)
+      .select(countDistinct(col("o_orderstatus"))).head().getLong(0)
+    assert(m.count() == statuses * 3) // every (status, class) cell, zeros kept
+    assert(m.groupBy("o_orderstatus", "prio_class").count()
+      .filter(col("count") =!= 1).isEmpty)
+    val total = Tables.orders(spark, sfDir)
+      .agg((sum(expr("CAST(ROUND(o_totalprice*1000000) AS BIGINT)")) / 1e6).as("t"))
+      .head().getDouble(0)
+    val melted = m.agg(sum(col("revenue"))).head().getDouble(0)
+    assert(math.abs(melted - total) < 1e-6)
+    m.unpersist()
+  }
+
   // ------------------------------------------------- dd14 multi-signal
   test("dd14: refines never splits — dd06's LSH clusters stay together; signals well-formed") {
     val m = operators.Dedup.dd14.build(spark, sfDir).cache()
