@@ -1,5 +1,6 @@
 package graft.etl
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.Exact._
@@ -293,5 +294,57 @@ object Reporting {
       .select(col("o_orderstatus"), col("prio_class"), (col("rev_u") / 1e6).as("revenue"))
   }
 
-  val queries: Seq[Q] = Seq(q12, q15, q16, q17, q27, q28, q40, q42, q48)
+  // ---------------------------------------------------------------- A49
+  /** Distribution-rank windows — percent_rank, cume_dist and quartile
+    * (ntile) of each part's price WITHIN its brand: the "where does this
+    * row sit in its group's distribution" family, the third window species
+    * after running frames (q13/q46) and top-k (q14). Deterministic because
+    * the ordering key is the unique (price, partkey) composite — no peer
+    * groups, so both engines' rank arithmetic agrees exactly. Windows
+    * partition on the brand key; nothing global. */
+  val q49 = Q(
+    "q49_distribution_ranks",
+    """SELECT p_brand, p_partkey, p_retailprice,
+      |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+      |  ROUND(cume_dist() OVER w, 6) AS cume,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM part
+      |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice"), col("p_partkey"))
+    Tables.part(s, d).select(
+      col("p_brand"), col("p_partkey"), col("p_retailprice"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  // ---------------------------------------------------------------- A50
+  /** Fixed-width histogram of order values — the binning report behind
+    * every pricing dashboard: integer-cents bucket arithmetic (never float
+    * edges), top bucket clamped open-ended. One hash aggregate over the
+    * scan; the bucket key is derived map-side, so the shuffle carries 10
+    * rows per partition. */
+  val q50 = Q(
+    "q50_histogram",
+    """WITH b AS (SELECT
+      |    LEAST(CAST(ROUND(o_totalprice*100) AS BIGINT) // 6000000, 9) AS bucket,
+      |    CAST(ROUND(o_totalprice*1000000) AS BIGINT) AS u
+      |  FROM orders)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(bucket * 60000 AS BIGINT) AS lo,
+      |  CAST(CASE WHEN bucket = 9 THEN NULL ELSE (bucket+1) * 60000 END AS BIGINT) AS hi,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(u) AS BIGINT)/1000000.0 AS revenue
+      |FROM b GROUP BY bucket""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(least(expr("CAST(ROUND(o_totalprice*100) AS BIGINT) div 6000000"), lit(9L)).as("bucket"),
+        micros(col("o_totalprice")).as("u"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), (sum(col("u")) / 1e6).as("revenue"))
+      .select(col("bucket"), (col("bucket") * 60000).as("lo"),
+        when(col("bucket") === 9, lit(null).cast("long")).otherwise((col("bucket") + 1) * 60000).as("hi"),
+        col("n_orders"), col("revenue"))
+  }
+
+  val queries: Seq[Q] = Seq(q12, q15, q16, q17, q27, q28, q40, q42, q48, q49, q50)
 }

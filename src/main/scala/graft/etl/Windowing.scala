@@ -479,5 +479,48 @@ object Windowing {
       count(lit(1)).over(w).as("n_orders_30d"))
   }
 
-  val queries: Seq[Q] = Seq(q13, q14, q18, q19, q20, q22, q30, q41, q43, q44, q45, q46)
+  // ---------------------------------------------------------------- A51
+  /** Gaps-and-islands: per-user ACTIVITY STREAKS (runs of consecutive
+    * active days) — the classic sequence-reconstruction idiom (island id =
+    * day − row_number over the per-user distinct-day grid) that no single
+    * window function expresses directly, and the engagement metric
+    * (current/longest streak) every product warehouse reports. Events
+    * collapse FIRST to the (user, day) grid (one hash aggregate), so the
+    * window sorts at most days-per-user rows per partition; the island key
+    * is a scalar; streak rollup is a second hash aggregate. Nothing
+    * global, nothing pairwise. */
+  val q51 = Q(
+    "q51_streaks",
+    s"""WITH ev AS ($evSql),
+      |grid AS (SELECT DISTINCT user_id, sec//86400 AS day FROM ev),
+      |isl AS (SELECT user_id, day,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+      |  FROM grid),
+      |streaks AS (SELECT user_id, island,
+      |    MIN(day) AS start_day, MAX(day) AS end_day,
+      |    COUNT(*) AS len
+      |  FROM isl GROUP BY user_id, island)
+      |SELECT user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+      |  CAST(SUM(len) AS BIGINT) AS active_days,
+      |  CAST(max_by(start_day, end_day) AS BIGINT) AS last_streak_start,
+      |  CAST(MAX(end_day) AS BIGINT) AS last_active_day
+      |FROM streaks GROUP BY user_id""".stripMargin) { (s, d) =>
+    val grid = ev(s, d).select(col("user_id"), expr("sec div 86400").as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val streaks = grid
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+        count(lit(1)).as("len"))
+    streaks.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        sum(col("len")).as("active_days"),
+        max_by(col("start_day"), col("end_day")).as("last_streak_start"),
+        max(col("end_day")).as("last_active_day"))
+  }
+
+  val queries: Seq[Q] = Seq(q13, q14, q18, q19, q20, q22, q30, q41, q43, q44, q45, q46, q51)
 }

@@ -803,7 +803,38 @@ object TextAnalysis {
           .otherwise(abs(z) > 3.5).as("is_outlier"))
   }
 
+  // ---------------------------------------------------------------- D17
+  /** Deterministic train/val/test SPLIT assignment (80/10/10) — the step
+    * between a filtered corpus and a trainer that everything downstream
+    * must be able to REPRODUCE: the split key is a content hash of the
+    * cleaned text (tx06's growth-stable idiom), so a document keeps its
+    * split across corpus re-crawls, re-orderings and engine versions, and
+    * an exact near-duplicate of a test document hashes into the same split
+    * instead of leaking into train (the dedup family handles non-exact
+    * leakage — dd09's decontamination is the cross-split audit for that).
+    * rand()-based splitting has none of these properties.
+    *
+    * Scale: a pure per-row projection — the hash is the codegen PolyHash31
+    * pass; no shuffle, no state, identical plan batch or streaming. */
+  val tx17 = Q(
+    "tx17_split_assign",
+    s"""WITH doc AS (SELECT doc_id, source,
+      |  ${charHashSql(s"'split:' || $cleanSql")} % 100 AS bucket
+      |FROM documents)
+      |SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM doc""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (charHash(concat(lit("split:"), clean(col("text")))) % 100).as("bucket"))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
   val queries: Seq[Q] =
     Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10,
-      tx11, tx12, tx13, tx14, tx15, tx16)
+      tx11, tx12, tx13, tx14, tx15, tx16, tx17)
 }

@@ -213,6 +213,69 @@ class Round6OpsSpec extends SparkSpec {
     e.unpersist()
   }
 
+  // ---------------------------------------------- q49 distribution ranks
+  test("q49: rank bounds hold and quartiles are balanced within each brand") {
+    val r = etl.Reporting.q49.build(spark, sfDir).cache()
+    assert(r.count() == Tables.part(spark, sfDir).count())
+    assert(r.filter(col("pct_rank") < 0 || col("pct_rank") > 1
+      || col("cume") <= 0 || col("cume") > 1).isEmpty)
+    assert(r.filter(!col("quartile").isin(1L, 2L, 3L, 4L)).isEmpty)
+    // ntile balance: quartile sizes within a brand differ by at most 1
+    val sizes = r.groupBy("p_brand", "quartile").count()
+    val spread = sizes.groupBy("p_brand")
+      .agg((max(col("count")) - min(col("count"))).as("d"))
+      .filter(col("d") > 1)
+    assert(spread.isEmpty)
+    r.unpersist()
+  }
+
+  // --------------------------------------------------------- q50 histogram
+  test("q50: buckets partition the orders and conserve revenue") {
+    val h = etl.Reporting.q50.build(spark, sfDir).cache()
+    val o = Tables.orders(spark, sfDir)
+    assert(h.agg(sum(col("n_orders"))).head().getLong(0) == o.count())
+    val total = o.agg((sum(expr("CAST(ROUND(o_totalprice*1000000) AS BIGINT)")) / 1e6).as("t"))
+      .head().getDouble(0)
+    assert(math.abs(h.agg(sum(col("revenue"))).head().getDouble(0) - total) < 1e-6)
+    assert(h.filter(col("lo") =!= col("bucket") * 60000).isEmpty)
+    assert(h.filter(col("bucket") =!= 9 && col("hi") =!= (col("bucket") + 1) * 60000).isEmpty)
+    h.unpersist()
+  }
+
+  // ----------------------------------------------------------- q51 streaks
+  test("q51: streak accounting matches the distinct (user, day) grid") {
+    val s51 = etl.Windowing.q51.build(spark, sfDir).cache()
+    val grid = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("(ts div 1000000000) div 86400").as("day")).distinct()
+    val perUser = grid.groupBy("user_id").agg(count(lit(1)).as("expect_days"),
+      max(col("day")).as("expect_last"))
+    val j = s51.join(perUser, "user_id")
+    assert(j.filter(col("active_days") =!= col("expect_days")).isEmpty)
+    assert(j.filter(col("last_active_day") =!= col("expect_last")).isEmpty)
+    assert(s51.filter(col("longest_streak") > col("active_days")
+      || col("longest_streak") < 1).isEmpty)
+    assert(s51.count() == grid.select("user_id").distinct().count())
+    s51.unpersist()
+  }
+
+  // ------------------------------------------------------ tx17 split assign
+  test("tx17: every doc split by the bucket rule; identical content shares a split") {
+    val t = functions.TextAnalysis.tx17.build(spark, sfDir).cache()
+    assert(t.count() == Tables.documents(spark, sfDir).count())
+    assert(t.filter(
+      (col("bucket") < 80 && col("split") =!= "train") ||
+      (col("bucket") >= 80 && col("bucket") < 90 && col("split") =!= "val") ||
+      (col("bucket") >= 90 && col("split") =!= "test")).isEmpty)
+    // content-addressed: byte-identical cleaned text never straddles splits
+    val withKey = t.join(
+      Tables.documents(spark, sfDir).select(col("doc_id"),
+        md5(functions.TextPrep.clean(col("text"))).as("k")), "doc_id")
+    val straddle = withKey.groupBy("k")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1)
+    assert(straddle.isEmpty)
+    t.unpersist()
+  }
+
   // ---------------------------------------------------- q48 unpivot/melt
   test("q48: melt preserves the full grid and conserves total revenue") {
     val m = etl.Reporting.q48.build(spark, sfDir).cache()
