@@ -103,10 +103,13 @@ object Bench {
     if (line.length > 1900)
       System.err.println(s"[bench] note: json line ${line.length} chars exceeds the ~2000-char " +
         "stdout tail the collector keeps — totals are last so they survive; full line in BENCH_LOCAL.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-        (line + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] local dump: ${e.getMessage}") }
+    // Full-suite runs only: a SPARK_GRAFT_BENCH_ONLY subset must not
+    // overwrite the committed full-suite record with a 3-query line.
+    if (only.isEmpty)
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+          (line + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable => System.err.println(s"[bench] local dump: ${e.getMessage}") }
     // Stop Spark BEFORE printing: shutdown warnings must not land after the
     // JSON line and push it out of the collected tail.
     try spark.stop() catch { case e: Throwable => System.err.println(s"[bench] stop: ${e.getMessage}") }

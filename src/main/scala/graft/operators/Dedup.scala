@@ -81,8 +81,13 @@ object Dedup {
     * every (doc, shingle) row through a shuffle just to take per-doc minima
     * the row already had locally. Same arithmetic, same values — the
     * oracle's exploded GROUP BY remains the independent spec. */
-  private def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d).localCheckpoint()
+  private def lshPairs(s: SparkSession, d: String): DataFrame =
+    lshPairsFrom(docShingles(s, d).localCheckpoint())
+
+  /** LSH-verified pairs from an ALREADY-MATERIALIZED shingle table — the
+    * seam dd14 threads a shared corpus pass through (its containment edge
+    * generator reads the same table). */
+  private def lshPairsFrom(sh: DataFrame): DataFrame = {
     val sig = sh.select(col("doc_id"), minhashSig(col("shs")).as("sig"))
     val bands = sig.select(col("doc_id"),
       explode(array(bandKeys(col("sig")): _*)).as("bk"))
@@ -757,8 +762,13 @@ object Dedup {
       |  CAST(sz_a AS BIGINT) AS sz_a, CAST(sz_b AS BIGINT) AS sz_b,
       |  ROUND(CAST(n_shared AS DOUBLE) / CAST(LEAST(sz_a, sz_b) AS DOUBLE), 6) AS containment
       |FROM pairs
-      |WHERE ROUND(CAST(n_shared AS DOUBLE) / CAST(LEAST(sz_a, sz_b) AS DOUBLE), 6) >= 0.5""".stripMargin) { (s, d) =>
-    val shx = docShingles(s, d).withColumn("sz", size(col("shs")))
+      |WHERE ROUND(CAST(n_shared AS DOUBLE) / CAST(LEAST(sz_a, sz_b) AS DOUBLE), 6) >= 0.5""".stripMargin)(
+    (s, d) => containmentPairs(docShingles(s, d)))
+
+  /** Containment pairs from a shingle table — dd13's body, factored so dd14
+    * can feed both edge generators from ONE materialized corpus pass. */
+  private def containmentPairs(shTable: DataFrame): DataFrame = {
+    val shx = shTable.withColumn("sz", size(col("shs")))
       .select(col("doc_id"), col("sz"), explode_outer(col("shs")).as("tok"))
     shx.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("tok"))
       .join(shx.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("tok"))
@@ -818,8 +828,9 @@ object Dedup {
       |  c.signals, l.id = l.comp AS is_canonical
       |FROM labels l JOIN sized z ON l.comp = z.comp
       |JOIN csig c ON l.comp = c.comp""".stripMargin) { (s, d) =>
-    val sigedges = lshPairs(s, d).select(col("id_a"), col("id_b"), lit("lsh").as("sig"))
-      .unionByName(dd13.build(s, d).select(col("id_a"), col("id_b"),
+    val sh = docShingles(s, d).localCheckpoint() // ONE corpus pass, both generators
+    val sigedges = lshPairsFrom(sh).select(col("id_a"), col("id_b"), lit("lsh").as("sig"))
+      .unionByName(containmentPairs(sh).select(col("id_a"), col("id_b"),
         lit("containment").as("sig")))
       .localCheckpoint() // feeds CC AND the per-cluster signal rollup
     val labels = connectedComponents(sigedges.select("id_a", "id_b"))

@@ -202,4 +202,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pairs must come from the (piece, value) equi-join; plan:\n$p")
   }
+
+  test("q49's three rank functions share ONE brand-partitioned window") {
+    val p = plan("q49_distribution_ranks")
+    val windows = "(?<!Group)Window(?!GroupLimit)".r.findAllIn(p).length
+    assert(windows == 1, s"same spec must collapse to one Window; found $windows; plan:\n$p")
+    assert(!p.contains("Join"), s"plan:\n$p")
+  }
+
+  test("q50's histogram is one hash aggregate — no join, no window") {
+    val p = plan("q50_histogram")
+    assert(!p.contains("Join") && !"(?<!Group)Window(?!GroupLimit)".r.findAllIn(p).hasNext,
+      s"bucket key is derived map-side; plan:\n$p")
+  }
+
+  test("q51 sorts the (user, day) grid, never the event stream") {
+    val p = plan("q51_streaks")
+    val windows = "(?<!Group)Window(?!GroupLimit)".r.findAllIn(p).length
+    assert(windows == 1, s"one island window over the grid; found $windows; plan:\n$p")
+    assert(!p.contains("Join"), s"plan:\n$p")
+  }
+
+  test("tx17's split assignment is a pure projection — no shuffle, no join") {
+    val p = plan("tx17_split_assign")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"split assignment must pipeline into the scan; plan:\n$p")
+  }
 }
