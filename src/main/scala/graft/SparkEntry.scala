@@ -9,7 +9,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     etl.RelationalCore.queries ++ etl.Matching.queries ++
       etl.Windowing.queries ++ etl.Reporting.queries ++ etl.Ingest.queries ++
-      etl.SourceRepair.queries ++ etl.Dimensional.queries ++
+      etl.SourceRepair.queries ++ etl.Dimensional.queries ++ etl.Pipeline.queries ++
       operators.Dedup.queries ++ operators.SimilaritySearch.queries ++
       operators.Salting.queries ++
       functions.TextAnalysis.queries ++ multimodal.Multimodal.queries

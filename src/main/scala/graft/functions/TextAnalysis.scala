@@ -14,11 +14,11 @@ object TextAnalysis {
 
   import org.apache.spark.sql.Column
 
-  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "on")
+  private[graft] val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "on")
   private val stopEs = Seq("el", "la", "de", "y", "en", "que", "los", "se")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "von", "mit", "den")
   private val stopFr = Seq("le", "la", "les", "de", "et", "est", "dans", "une")
-  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+  private[graft] def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   /** THE quality formula — single definition shared by tx02's output column
     * and [[qualityScore]] (dd07's survivor ranking), so a weighting tweak can
@@ -27,7 +27,7 @@ object TextAnalysis {
     round(lit(0.4) * (nAlpha.cast("double") / nRaw.cast("double"))
       + lit(0.3) * least(lit(1.0), nTokens.cast("double") / lit(50.0))
       + lit(0.3) * (stopHits.cast("double") / nTokens.cast("double")), 6)
-  private def qualityFormulaSql(nAlpha: String, nRaw: String, nTokens: String, stopHits: String): String =
+  private[graft] def qualityFormulaSql(nAlpha: String, nRaw: String, nTokens: String, stopHits: String): String =
     s"""ROUND(0.4 * (CAST($nAlpha AS DOUBLE) / CAST($nRaw AS DOUBLE))
        |      + 0.3 * least(CAST(1.0 AS DOUBLE), CAST($nTokens AS DOUBLE) / 50.0)
        |      + 0.3 * (CAST($stopHits AS DOUBLE) / CAST($nTokens AS DOUBLE)), 6)""".stripMargin

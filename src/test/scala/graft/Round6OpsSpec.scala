@@ -213,6 +213,35 @@ class Round6OpsSpec extends SparkSpec {
     e.unpersist()
   }
 
+  // ------------------------------------------------ q52/q53 pipeline
+  test("q53: funnel is monotone and the splits partition the survivors") {
+    val f = etl.Pipeline.q53.build(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f("0_all") >= f("1_corpus"))
+    assert(f("1_corpus") >= f("2_quality"))
+    assert(f("2_quality") >= f("3_exact_dedup"))
+    assert(f("3_exact_dedup") >= f("4_decontaminated"))
+    val splits = f.filterKeys(_.startsWith("5_")).values.sum
+    assert(splits == f("4_decontaminated"))
+  }
+
+  test("q52: pipeline agrees with its standalone operators (tx17 splits, dd09 leaks)") {
+    val p = etl.Pipeline.q52.build(spark, sfDir).cache()
+    // the pipeline's split assignment IS tx17's (same content-hash rule)
+    val t17 = functions.TextAnalysis.tx17.build(spark, sfDir)
+      .select(col("doc_id"), col("split").as("expect_split"))
+    assert(p.join(t17, "doc_id").filter(col("split") =!= col("expect_split")).isEmpty)
+    // no document dd09 flags as leaking survives the pipeline
+    val leaks = operators.Dedup.dd09.build(spark, sfDir).select("doc_id")
+    assert(p.join(leaks, "doc_id").isEmpty)
+    // packing arithmetic holds per (source, split)
+    val per = p.groupBy("source", "split")
+      .agg(sum(col("n_tokens")).as("tot"), max(col("seq_last")).as("last"))
+      .filter((col("last") + 1) =!= ceil(col("tot").cast("double") / 512).cast("long"))
+    assert(per.isEmpty)
+    p.unpersist()
+  }
+
   // ---------------------------------------------- q49 distribution ranks
   test("q49: rank bounds hold and quartiles are balanced within each brand") {
     val r = etl.Reporting.q49.build(spark, sfDir).cache()
