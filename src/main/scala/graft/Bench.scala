@@ -103,9 +103,9 @@ object Bench {
     if (line.length > 1900)
       System.err.println(s"[bench] note: json line ${line.length} chars exceeds the ~2000-char " +
         "stdout tail the collector keeps — totals are last so they survive; full line in BENCH_LOCAL.json")
-    // Full-suite runs only: a SPARK_GRAFT_BENCH_ONLY subset must not
-    // overwrite the committed full-suite record with a 3-query line.
-    if (only.isEmpty)
+    // Full-suite sf0.1 runs only: neither a SPARK_GRAFT_BENCH_ONLY subset
+    // nor a small-sf smoke may overwrite the committed full-suite record.
+    if (only.isEmpty && sfDir.contains("sf0.1"))
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
           (line + "\n").getBytes("UTF-8"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CdcChunks, DotProduct, MinHashSig8, PolyHash31, SimHash24, WordShingles3, WordShinglesN}
+import graft.functions.{AHash64, CdcChunks, DotProduct, MinHashSig8, PolyHash31, SimHash24, WordShingles3, WordShinglesN}
 
 /** SQL surface for graft's native expressions.
   *
@@ -61,5 +61,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashSig8(arity("minhash_sig8", 1)(args).head)),
     (FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
-      (args: Seq[Expression]) => CdcChunks(arity("cdc_chunks", 1)(args).head)))
+      (args: Seq[Expression]) => CdcChunks(arity("cdc_chunks", 1)(args).head)),
+    (FunctionIdentifier("ahash64"),
+      new ExpressionInfo(classOf[AHash64].getName, "ahash64"),
+      (args: Seq[Expression]) => AHash64(arity("ahash64", 1)(args).head)))
 }

@@ -44,12 +44,15 @@ class MultimodalDecodeSpec extends SparkSpec {
     GraftBridge.registerFunctions(spark, GraftExtensions.functions)
     val r = spark.sql(
       "SELECT poly_hash31('abc') AS h, dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
-        "word_shingles3('a b c d') AS sh, word_shingles_n('a b c d', 2) AS sh2")
+        "word_shingles3('a b c d') AS sh, word_shingles_n('a b c d', 2) AS sh2, " +
+        "ahash64(cast('hello world' AS BINARY)) AS ph")
       .head
     val expected = Seq('a', 'b', 'c').foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
     assert(r.getLong(0) == expected)
     assert(r.getDouble(1) == 11.0)
     assert(r.getSeq[String](2) == Seq("a b c", "b c d"))
     assert(r.getSeq[String](3) == Seq("a b", "b c", "c d"))
+    // ahash64 yields the four 16-bit fingerprint pieces
+    assert(r.getSeq[Long](4).length == 4)
   }
 }
