@@ -704,9 +704,11 @@ object SimilaritySearch {
     * nothing quadratic in the corpus. The edge list is localCheckpoint'ed:
     * it feeds the output AND the reverse-edge probe, and the in-cell
     * scoring must not run twice. */
-  val ann11 = Q(
-    "ann11_knn_graph",
-    s"""WITH n AS ($vecsSql),
+  /** Shared CTE chain ending in `knn` (each vector's in-cell top-3) —
+    * consumed by ann11 (the graph table) and ann14 (centrality over the
+    * mutual subgraph) so the two oracles cannot drift. */
+  private val knnChainSql: String =
+    s"""n AS ($vecsSql),
       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
       |assign0 AS (
       |  SELECT n.vec_id, n.v, n.nrm, cent.cent_id,
@@ -720,7 +722,11 @@ object SimilaritySearch {
       |ranked AS (SELECT src_id, dst_id, cell, cos_sim,
       |  CAST(row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS BIGINT) AS rank
       |FROM scored),
-      |knn AS (SELECT * FROM ranked WHERE rank <= 3)
+      |knn AS (SELECT * FROM ranked WHERE rank <= 3)""".stripMargin
+
+  val ann11 = Q(
+    "ann11_knn_graph",
+    s"""WITH $knnChainSql
       |SELECT k.src_id, k.dst_id, k.cell, k.cos_sim, k.rank,
       |  CAST(CASE WHEN r.src_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS mutual
       |FROM knn k LEFT JOIN knn r ON k.src_id = r.dst_id AND k.dst_id = r.src_id""".stripMargin) { (s, d) =>
@@ -906,7 +912,63 @@ object SimilaritySearch {
         col("drift_sq"))
   }
 
+  // ---------------------------------------------------------------- C14
+  /** Graph CENTRALITY over the mutual kNN graph — PageRank-style mass
+    * propagation (damping 0.85, 3 unrolled rounds) on ann11's high-
+    * precision mutual edge set: the prototype-selection signal graph-based
+    * curation ranks with (a vector central to its neighborhood represents
+    * it; a peripheral one is a candidate outlier or dedup casualty).
+    * Deterministic and exact cross-engine: node mass lives in integer
+    * millionths, each round floors `r div degree` contributions and the
+    * damped sum `(850·Σ) div 1000`, so two engines (and two cluster runs)
+    * agree bit-for-bit — the ann12 playbook applied to graph iteration.
+    * The mutual subgraph is symmetric by construction, so every node has
+    * an out-edge and no dangling-mass term is needed.
+    *
+    * Scale per round: one edge-keyed join + one hash aggregate — the
+    * standard distributed PageRank shape; rounds are a fixed unrolled
+    * pipeline (no driver-side loop state), and the edge set is bounded by
+    * 3N (top-3 per node), never N². */
+  val ann14 = Q(
+    "ann14_graph_rank",
+    s"""WITH $knnChainSql,
+      |medges AS (SELECT k.src_id AS src, k.dst_id AS dst FROM knn k
+      |           JOIN knn r ON k.src_id = r.dst_id AND k.dst_id = r.src_id),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM medges GROUP BY src),
+      |r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS r FROM deg),
+      |c1 AS (SELECT e.dst AS v, SUM(r0.r // d.deg) AS s FROM medges e
+      |       JOIN r0 ON e.src = r0.v JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      |r1 AS (SELECT deg.src AS v, 150000 + (850 * COALESCE(c1.s, 0)) // 1000 AS r
+      |       FROM deg LEFT JOIN c1 ON deg.src = c1.v),
+      |c2 AS (SELECT e.dst AS v, SUM(r1.r // d.deg) AS s FROM medges e
+      |       JOIN r1 ON e.src = r1.v JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      |r2 AS (SELECT deg.src AS v, 150000 + (850 * COALESCE(c2.s, 0)) // 1000 AS r
+      |       FROM deg LEFT JOIN c2 ON deg.src = c2.v),
+      |c3 AS (SELECT e.dst AS v, SUM(r2.r // d.deg) AS s FROM medges e
+      |       JOIN r2 ON e.src = r2.v JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      |r3 AS (SELECT deg.src AS v, 150000 + (850 * COALESCE(c3.s, 0)) // 1000 AS r
+      |       FROM deg LEFT JOIN c3 ON deg.src = c3.v)
+      |SELECT d.src AS vec_id, d.deg AS degree, CAST(r3.r AS BIGINT) AS score
+      |FROM deg d JOIN r3 ON d.src = r3.v""".stripMargin) { (s, d) =>
+    val medges = ann11.build(s, d).filter(col("mutual") === 1)
+      .select(col("src_id").as("src"), col("dst_id").as("dst"))
+      .localCheckpoint() // three propagation rounds read the same edges
+    val deg = medges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    def step(r: DataFrame): DataFrame = {
+      val contrib = medges
+        .join(r.withColumnRenamed("v", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("v"), expr("r div deg").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("s"))
+      deg.select(col("src").as("v")).join(contrib, Seq("v"), "left")
+        .select(col("v"), (lit(150000L) + expr("(850 * coalesce(s, 0)) div 1000")).as("r"))
+    }
+    val r3 = step(step(step(deg.select(col("src").as("v"), lit(1000000L).as("r")))))
+    deg.select(col("src").as("vec_id"), col("deg").as("degree"))
+      .join(r3.select(col("v").as("vec_id"), col("r").as("score")), "vec_id")
+  }
+
   val queries: Seq[Q] =
     Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
-      ann11, ann12, ann13)
+      ann11, ann12, ann13, ann14)
 }

@@ -339,6 +339,23 @@ class Round6OpsSpec extends SparkSpec {
     m.unpersist()
   }
 
+  // ---------------------------------------------------- ann14 graph rank
+  test("ann14: one score per mutual-graph node, base mass floor, global mass bounded") {
+    val g = operators.SimilaritySearch.ann14.build(spark, sfDir).cache()
+    val medges = operators.SimilaritySearch.ann11.build(spark, sfDir)
+      .filter(col("mutual") === 1)
+    val nodes = medges.select(col("src_id")).distinct().count()
+    assert(g.count() == nodes)
+    // every node keeps at least the random-jump base mass
+    assert(g.filter(col("score") < 150000).isEmpty)
+    // floors only lose mass: the total never exceeds the initial allocation
+    assert(g.agg(sum(col("score"))).head().getLong(0) <= nodes * 1000000L)
+    // degree column matches the actual mutual out-degree
+    val deg = medges.groupBy(col("src_id").as("vec_id")).agg(count(lit(1)).as("expect"))
+    assert(g.join(deg, "vec_id").filter(col("degree") =!= col("expect")).isEmpty)
+    g.unpersist()
+  }
+
   // ---------------------------------------------------- ann13 index drift
   test("ann13: membership partitions the corpus; an unchanged cell has zero drift") {
     val m = operators.SimilaritySearch.ann13.build(spark, sfDir).cache()
