@@ -228,4 +228,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("Join"),
       s"split assignment must pipeline into the scan; plan:\n$p")
   }
+
+  test("q52's pipeline stages plan no cartesian anywhere; one packing window") {
+    val p = plan("q52_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every pipeline join is keyed (hash, gram, doc_id); plan:\n$p")
+    val windows = "(?<!Group)Window(?!GroupLimit)".r.findAllIn(p).length
+    assert(windows == 1, s"only the packing prefix-sum may sort; found $windows; plan:\n$p")
+  }
+
+  test("ann14's propagation rounds are keyed joins — no cartesian, no window") {
+    val p = plan("ann14_graph_rank")
+    assert(!p.contains("CartesianProduct"),
+      s"mass propagation must join on edge keys; plan:\n$p")
+    // the only windows belong to the kNN build (per-src ranking); the
+    // propagation rounds themselves must add none beyond those two
+    val windows = "(?<!Group)Window(?!GroupLimit)".r.findAllIn(p).length
+    assert(windows <= 2, s"propagation must not sort; found $windows windows; plan:\n$p")
+  }
 }
