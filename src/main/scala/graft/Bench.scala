@@ -84,7 +84,8 @@ object Bench {
       name -> sec
     }
     val failed = results.collect { case (n, s) if s < 0 => n }
-    val total = results.collect { case (_, s) if s >= 0 => s }.sum
+    val ok = results.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -97,17 +98,24 @@ object Bench {
     // queries, never the totals. The complete JSON additionally lands in
     // BENCH_LOCAL.json in the working directory, which the round's
     // end-of-round commit preserves in-repo with full precision.
-    val maxSec = if (results.isEmpty) 0.0 else results.map(_._2).max
+    // Headline stats cover only succeeded queries: the -1 failure sentinel
+    // must never become max_sec, and n_queries says what `value` sums over
+    // (failures are already listed separately under "failed").
+    val maxSec = if (ok.isEmpty) 0.0 else ok.map(_._2).max
     val line =
-      s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","n_queries":${results.size},"max_sec":${fmt3(maxSec)},"value":${fmt3(total)}}"""
+      s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","n_queries":${ok.size},"max_sec":${fmt3(maxSec)},"value":${fmt3(total)}}"""
     if (line.length > 1900)
       System.err.println(s"[bench] note: json line ${line.length} chars exceeds the ~2000-char " +
         "stdout tail the collector keeps — totals are last so they survive; full line in BENCH_LOCAL.json")
     // Full-suite sf0.1 runs only: neither a SPARK_GRAFT_BENCH_ONLY subset
     // nor a small-sf smoke may overwrite the committed full-suite record.
+    // Lands in BENCH_FULL_LATEST.json — last full run, whoever ran it
+    // (driver or builder). BENCH_LOCAL.json is the builder's committed
+    // reference figure and is written only by hand (cp), so a driver run
+    // can never leave it as uncommitted drift (round-5 ambiguity).
     if (only.isEmpty && sfDir.contains("sf0.1"))
       try {
-        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
           (line + "\n").getBytes("UTF-8"))
       } catch { case e: Throwable => System.err.println(s"[bench] local dump: ${e.getMessage}") }
     // Stop Spark BEFORE printing: shutdown warnings must not land after the

@@ -23,9 +23,9 @@ import graft.functions.TextPrep.{charHash, charHashSql, clean, cleanSql}
   * q52 emits the curated, packed corpus — the relation a trainer reads;
   * q53 emits the funnel (per-stage survivor counts + final split sizes),
   * the ops dashboard for the same run. Near-dup clustering (dd06/dd07)
-  * slots in between stages 3 and 4 as a swap-in (its keep set replaces the
-  * exact-dedup keep set); it is exercised standalone so the pipeline's
-  * oracle stays a non-recursive CTE chain.
+  * slots in between stages 3 and 4 as a swap-in — `curated(nearDup =
+  * true)`, exercised by PipelineSpec — while the oracled default keeps the
+  * pipeline's oracle a non-recursive CTE chain.
   *
   * Scale: every stage is the standalone operator's plan — gate and split
   * are scan projections, dedup is one content-hash aggregate + semi-join,
@@ -37,8 +37,17 @@ import graft.functions.TextPrep.{charHash, charHashSql, clean, cleanSql}
 object Pipeline {
 
   /** Stage flags + final columns for every corpus doc. Checkpointed pieces
-    * are the ones consumed by more than one downstream stage. */
-  private def curated(s: SparkSession, d: String): DataFrame = {
+    * are the ones consumed by more than one downstream stage.
+    *
+    * `nearDup = true` enables the swap-in the header promises: stage 3b,
+    * between exact dedup and decontamination, drops every LSH-clustered doc
+    * that is not its cluster's dd07 survivor (quality-best, min-id tie).
+    * Strictly narrowing — the variant's survivors are a subset of the
+    * default pipeline's at every later stage (PipelineSpec pins this). The
+    * oracled q52/q53 run the default; the variant shares every stage's
+    * code, so the swap-in is one boolean away in deployment, not a fork. */
+  private[graft] def curated(
+      s: SparkSession, d: String, nearDup: Boolean = false): DataFrame = {
     val doc = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("text"), clean(col("text")).as("c"))
     // Stage 1: the eval split never enters the training corpus.
@@ -52,11 +61,25 @@ object Pipeline {
     val keep = gated.groupBy(md5(col("c")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val dd = gated.join(keep, "doc_id")
+    val ddExact = gated.join(keep, "doc_id")
+    // Stage 3b (swap-in): near-dup pruning — every clustered doc except
+    // its cluster's dd07 survivor is dropped; unclustered docs pass.
+    val dd =
+      if (!nearDup) ddExact
+      else {
+        val survivors = graft.operators.Dedup.dd07.build(s, d)
+          .select(col("survivor_id").as("doc_id"))
+        val casualties = graft.operators.Dedup.clusters(s, d).select("doc_id")
+          .join(survivors, Seq("doc_id"), "left_anti")
+        ddExact.join(casualties, Seq("doc_id"), "left_anti")
+      }
     // Stage 4: decontamination — any 8-gram shared with the holdout flags
-    // the doc (dd09's composition; strict 8-grams, no short-doc fallback —
-    // gated docs carry >= 20 tokens by stage 2).
+    // the doc. Strict 8-grams on BOTH sides: gated docs carry >= 20 tokens
+    // by stage 2, and eval docs are explicitly gated to >= 8 tokens so
+    // shinglesN's whole-doc fallback for short strings cannot plant a
+    // sub-8-gram the oracle's ev0 (WHERE len(t) >= 8) never sees.
     val evalGrams = doc.filter(col("doc_id") % 17 === 0)
+      .filter(size(split(col("c"), " ")) >= 8)
       .select(explode(WordShinglesN.shinglesN(col("c"), 8)).as("gram"))
       .select(charHash(col("gram")).as("gh")).distinct()
     val contaminated = dd
@@ -157,6 +180,7 @@ object Pipeline {
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val dd = gated.join(keep, "doc_id").localCheckpoint()
     val evalGrams = doc.filter(col("doc_id") % 17 === 0)
+      .filter(size(split(col("c"), " ")) >= 8) // mirror ev0's len(t) >= 8 gate
       .select(explode(WordShinglesN.shinglesN(col("c"), 8)).as("gram"))
       .select(charHash(col("gram")).as("gh")).distinct()
     val contaminated = dd

@@ -333,55 +333,59 @@ object Multimodal {
     * distinct symbol count, and the dominant symbol with its share.
     *
     * The unit is stated precisely, because char ≠ byte outside ASCII: this
-    * query computes CODEPOINT entropy of the text payload — both engines
-    * index characters (`substring`/`split`) and count codepoints, so the
-    * cross-engine contract holds for any unicode content. For true binary
-    * payloads the identical plan runs over the decoded byte array at the
-    * mm01 decode seam (MediaDecode), where bytes, not codepoints, are the
-    * symbols.
+    * query computes CHARACTER entropy of the text payload, grouping on the
+    * character string itself — never on engine-specific numeric codes
+    * (Spark's ascii() yields the first UTF-8 byte where DuckDB's yields the
+    * codepoint, so a code-based histogram merges characters sharing a lead
+    * byte). With string grouping the cross-engine contract holds for all
+    * BMP content; supplementary-plane payloads differ only in segmentation
+    * (Spark splits UTF-16 surrogate halves) and belong on the byte-level
+    * path anyway: for true binary payloads the identical plan runs over
+    * the decoded byte array at the mm01 decode seam (MediaDecode), where
+    * bytes, not characters, are the symbols.
     *
     * Scale: the per-payload histogram is an explode + (doc, symbol) hash
     * aggregate — partial aggregation collapses each scan partition to at
     * most |alphabet| rows per document BEFORE the shuffle (the explode
     * itself pipelines inside the scan stage, never materialized). Entropy
     * is one ln() pass over exact integer counts, rounded at 4 dp (tx10's
-    * cross-engine argument); the dominant symbol is a max_by aggregate
-    * with a deterministic tie (lowest codepoint), mirrored by the
-    * oracle's row_number. */
+    * cross-engine argument); the dominant symbol is a min_by aggregate
+    * over (−count, char) with a deterministic tie (lexicographically
+    * smallest character — binary UTF-8 order in both engines), mirrored
+    * by the oracle's row_number. */
   val mm08 = Q(
     "mm08_entropy",
     """WITH sized AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
       |b AS (SELECT doc_id, n,
-      |  unnest(list_transform(range(1, n+1), i -> ascii(substring(text, i, 1)))) AS cp
+      |  unnest(list_transform(range(1, n+1), i -> substring(text, i, 1))) AS ch
       |FROM sized),
-      |c AS (SELECT doc_id, n, cp, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY doc_id, n, cp),
-      |top AS (SELECT doc_id, cp AS top_cp, cnt AS top_cnt FROM (
-      |  SELECT doc_id, cp, cnt,
-      |         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, cp) AS rn FROM c)
+      |c AS (SELECT doc_id, n, ch, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY doc_id, n, ch),
+      |top AS (SELECT doc_id, ch AS top_ch, cnt AS top_cnt FROM (
+      |  SELECT doc_id, ch, cnt,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ch) AS rn FROM c)
       |  WHERE rn = 1),
       |e AS (SELECT doc_id, n, CAST(COUNT(*) AS BIGINT) AS distinct_chars,
       |  SUM(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS scl
       |FROM c GROUP BY doc_id, n)
       |SELECT e.doc_id, e.n AS n_chars, e.distinct_chars,
       |  ROUND(ln(CAST(e.n AS DOUBLE)) - e.scl / e.n, 4) + 0.0 AS entropy_nats,
-      |  CAST(t.top_cp AS BIGINT) AS top_cp,
+      |  t.top_ch,
       |  ROUND(CAST(t.top_cnt AS DOUBLE) / CAST(e.n AS DOUBLE), 6) AS top_frac
       |FROM e JOIN top t ON e.doc_id = t.doc_id""".stripMargin) { (s, d) =>
     val c = Tables.documents(s, d)
       .select(col("doc_id"), length(col("text")).cast("long").as("n"),
         explode(split(col("text"), "")).as("ch"))
       .filter(length(col("ch")) === 1) // split("") may emit a trailing ""
-      .select(col("doc_id"), col("n"), ascii(col("ch")).cast("long").as("cp"))
-      .groupBy(col("doc_id"), col("n"), col("cp"))
+      .groupBy(col("doc_id"), col("n"), col("ch"))
       .agg(count(lit(1)).as("cnt"))
     c.groupBy(col("doc_id"), col("n"))
       .agg(count(lit(1)).as("distinct_chars"),
         sum(col("cnt").cast("double") * log(col("cnt").cast("double"))).as("scl"),
-        max_by(struct(col("cp").as("top_cp"), col("cnt").as("top_cnt")),
-          struct(col("cnt"), (-col("cp")).as("tie"))).as("top"))
+        min_by(struct(col("ch").as("top_ch"), col("cnt").as("top_cnt")),
+          struct((-col("cnt")).as("nc"), col("ch"))).as("top"))
       .select(col("doc_id"), col("n").as("n_chars"), col("distinct_chars"),
         (round(log(col("n").cast("double")) - col("scl") / col("n"), 4) + lit(0.0)).as("entropy_nats"),
-        col("top.top_cp").as("top_cp"),
+        col("top.top_ch").as("top_ch"),
         round(col("top.top_cnt").cast("double") / col("n").cast("double"), 6).as("top_frac"))
   }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.TextPrep._
@@ -33,6 +34,30 @@ object Dedup {
     s"""doc AS ($docsCleanSql),
        |toks AS (SELECT doc_id, n_chars, string_split(c, ' ') AS t, c FROM doc),
        |sh AS (SELECT doc_id, n_chars, ${shingles3Sql("t", "c")} AS shs FROM toks)""".stripMargin
+
+  /** Default document-frequency cap for containment candidate generation.
+    * 64 is far above any genuine-content shingle's df in the corpus
+    * (measured max 7 at sf0.01) while bounding a boilerplate shingle's
+    * join fan-out to 64² candidate pairs instead of (corpus df)² — the
+    * difference between a skewed key and a job-killing quadratic one at
+    * 100 TB. */
+  private[graft] val containmentMaxDf = 64
+
+  /** DuckDB mirror of [[containmentPairs]]' df-capped semantics, appended
+    * after a chain ending in `sh (doc_id, …, shs)`; ends in
+    * `contain1 (id_a, id_b, n_shared, sz_a, sz_b, containment)`. Shared by
+    * dd13 and dd14 so the capped spelling cannot drift between them. */
+  private def containChainSql(cap: Int): String =
+    s"""csx AS (SELECT doc_id, unnest(shs) AS tok FROM sh),
+       |cdf AS (SELECT tok FROM csx GROUP BY tok HAVING COUNT(*) <= $cap),
+       |cshf AS (SELECT s.doc_id, list(s.tok) AS toks FROM csx s JOIN cdf USING (tok) GROUP BY s.doc_id),
+       |csz AS (SELECT doc_id, len(shs) AS sz FROM sh),
+       |contain1 AS (SELECT c.id_a, c.id_b, c.n_shared, za.sz AS sz_a, zb.sz AS sz_b,
+       |    ROUND(CAST(c.n_shared AS DOUBLE) / CAST(LEAST(za.sz, zb.sz) AS DOUBLE), 6) AS containment
+       |  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |          len(list_intersect(a.toks, b.toks)) AS n_shared
+       |        FROM cshf a JOIN cshf b ON a.doc_id < b.doc_id) c
+       |  JOIN csz za ON c.id_a = za.doc_id JOIN csz zb ON c.id_b = zb.doc_id)""".stripMargin
 
   // ---------------------------------------------------------------- B1
   /** Exact dedup via normalized-content hash: groups share md5(clean text);
@@ -166,6 +191,19 @@ object Dedup {
     val spark = pairs.sparkSession
     import spark.implicits.StringToColumn
 
+    // A superseded round's checkpoint blocks are provably garbage the moment
+    // the next round's blocks materialize (the lazy checkpoint cuts lineage),
+    // but the ContextCleaner only frees them at the next driver GC — on a
+    // dense graph the per-round block sets accumulate INSIDE one query and
+    // squeeze the heap (dd14 runs the most rounds and paid 9× for it on the
+    // 8 GiB bench JVM). Release them deterministically instead: the
+    // checkpointed RDD sits behind the DataFrame's LogicalRDD leaf.
+    def releaseCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+        case _ => () // not a checkpointed leaf — nothing to free
+      }
+
     var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
       .localCheckpoint()
     var sig = signature(edges)
@@ -199,6 +237,7 @@ object Dedup {
           .filter(col("c") === 1).isEmpty
       }
       sig = newSig
+      releaseCheckpoint(edges) // newSig materialized small's blocks; the old round's are now garbage
       edges = small
       iter += 1
     }
@@ -747,31 +786,46 @@ object Dedup {
     * shingles, self-equi-join on the shingle (shuffle_hash → the second
     * exploded side is a ReusedExchange), |A∩B| from ONE hash aggregate;
     * never a per-pair array intersect, never a cross join. Candidate
-    * fan-out is bounded by shingle document frequency exactly as in dd04;
-    * the PPJoin-style prefix bound does not transfer (containment has no
-    * two-sided prefix guarantee), so df-hot shingles are the documented
-    * knob: strip boilerplate upstream (q21/q29) or cap df. */
+    * fan-out is bounded by shingle document frequency, and because the
+    * PPJoin-style prefix bound does not transfer (containment has no
+    * two-sided prefix guarantee), the bound is ENFORCED: shingles whose
+    * document frequency exceeds [[containmentMaxDf]] are dropped from
+    * candidate generation — see [[containmentPairs]] for the exact
+    * semantics and recall trade, [[containmentHotShingles]] for the audit
+    * relation. The oracle applies the identical cap (cdf/cshf CTEs), so
+    * the capped semantics are what the gate checks, not an approximation
+    * of an uncapped ideal. */
   val dd13 = Q(
     "dd13_containment",
     s"""WITH $docShinglesSql,
-      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    len(list_intersect(a.shs, b.shs)) AS n_shared,
-      |    len(a.shs) AS sz_a, len(b.shs) AS sz_b
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |${containChainSql(containmentMaxDf)}
       |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
-      |  CAST(sz_a AS BIGINT) AS sz_a, CAST(sz_b AS BIGINT) AS sz_b,
-      |  ROUND(CAST(n_shared AS DOUBLE) / CAST(LEAST(sz_a, sz_b) AS DOUBLE), 6) AS containment
-      |FROM pairs
-      |WHERE ROUND(CAST(n_shared AS DOUBLE) / CAST(LEAST(sz_a, sz_b) AS DOUBLE), 6) >= 0.5""".stripMargin)(
+      |  CAST(sz_a AS BIGINT) AS sz_a, CAST(sz_b AS BIGINT) AS sz_b, containment
+      |FROM contain1
+      |WHERE containment >= 0.5""".stripMargin)(
     (s, d) => containmentPairs(docShingles(s, d)))
 
   /** Containment pairs from a shingle table — dd13's body, factored so dd14
-    * can feed both edge generators from ONE materialized corpus pass. */
-  private def containmentPairs(shTable: DataFrame): DataFrame = {
+    * can feed both edge generators from ONE materialized corpus pass.
+    *
+    * The df-cap: shingles appearing in more than `maxDf` documents are
+    * excluded from candidate generation AND from the shared-shingle count,
+    * while denominators keep the documents' ORIGINAL shingle counts — so
+    * containment is only ever UNDERestimated (precision intact, bounded
+    * recall loss). The pair you lose is one whose overlap consists
+    * entirely of corpus-hot boilerplate — exactly the overlap that should
+    * not merge two documents. One extra tok-keyed window pass pays for
+    * the bound; the window's partitioning is reused by the self-join. */
+  private[graft] def containmentPairs(
+      shTable: DataFrame, maxDf: Int = containmentMaxDf): DataFrame = {
     val shx = shTable.withColumn("sz", size(col("shs")))
       .select(col("doc_id"), col("sz"), explode_outer(col("shs")).as("tok"))
-    shx.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("tok"))
-      .join(shx.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("tok"))
+    val capped = shx
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    capped.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("tok"))
+      .join(capped.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("tok"))
         .hint("shuffle_hash"), Seq("tok"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
@@ -783,6 +837,16 @@ object Dedup {
         col("sz_a").cast("long").as("sz_a"), col("sz_b").cast("long").as("sz_b"),
         col("containment"))
   }
+
+  /** Audit companion to the df-cap: the shingles [[containmentPairs]]
+    * dropped, with their document frequencies — the "loud" record of what
+    * the cap cost, for threshold tuning and upstream boilerplate-strip
+    * (q21/q29) triage. Empty whenever the cap did not bite. */
+  private[graft] def containmentHotShingles(
+      shTable: DataFrame, maxDf: Int = containmentMaxDf): DataFrame =
+    shTable.select(explode(col("shs")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
 
   // ---------------------------------------------------------------- B14
   /** MULTI-SIGNAL dedup — what production corpus pipelines actually run:
@@ -804,10 +868,8 @@ object Dedup {
   val dd14 = Q(
     "dd14_multi_signal",
     s"""WITH RECURSIVE $lshScoredSql,
-      |contain AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |  WHERE ROUND(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-      |        / CAST(LEAST(len(a.shs), len(b.shs)) AS DOUBLE), 6) >= 0.5),
+      |${containChainSql(containmentMaxDf)},
+      |contain AS (SELECT id_a, id_b FROM contain1 WHERE containment >= 0.5),
       |sigedges AS (
       |  SELECT id_a, id_b, 'lsh' AS sig FROM scored WHERE jaccard >= 0.5
       |  UNION ALL SELECT id_a, id_b, 'containment' FROM contain),

@@ -848,9 +848,9 @@ object SimilaritySearch {
     * per-vector independent, so ingest itself is embarrassingly
     * incremental), the question that matters is whether the landed data
     * MOVED the cells. Per cell: base and post-ingest member counts, growth
-    * fraction, and the exact squared-L2 displacement of the cell's mean
-    * (integer micro-units end-to-end — drift 0 means bit-equal means, not
-    * within-epsilon). A cell whose mean walked far from its centroid
+    * in floor-divided ppm, and the exact squared-L2 displacement of the
+    * cell's mean (integer end-to-end — drift 0 means bit-equal means, not
+    * within-epsilon, and no floating arithmetic survives to the output). A cell whose mean walked far from its centroid
     * serves increasingly wrong candidates; this table says which cells and
     * how far, before recall quietly sags. Delta batch = vec_id % 5 = 4;
     * centroid artifact = the ann02 family's vec_id % 50 = 0 vectors.
@@ -885,8 +885,8 @@ object SimilaritySearch {
       |    CAST(SUM(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
       |  FROM asg GROUP BY cell)
       |SELECT c.cell, c.n_base, c.n_new,
-      |  ROUND(CAST(c.n_new AS DOUBLE) / CAST(c.n_base + c.n_new AS DOUBLE), 6) AS growth_frac,
-      |  d.drift_sq
+      |  CAST((c.n_new * 1000000) // (c.n_base + c.n_new) AS BIGINT) AS growth_ppm,
+      |  CAST(d.drift_sq AS BIGINT) AS drift_sq
       |FROM counts c JOIN drift d ON c.cell = d.cell""".stripMargin) { (s, d) =>
     val e = scaledVecs(s, d).localCheckpoint() // assignment + both mean passes
     val cents = e.filter(col("vec_id") % 50 === 0)
@@ -907,8 +907,7 @@ object SimilaritySearch {
         sum(when(col("is_new"), 1).otherwise(0)).as("n_new"))
     counts.join(drift, "cell")
       .select(col("cell"), col("n_base"), col("n_new"),
-        round(col("n_new").cast("double") / (col("n_base") + col("n_new")).cast("double"), 6)
-          .as("growth_frac"),
+        expr("(n_new * 1000000L) div (n_base + n_new)").as("growth_ppm"),
         col("drift_sq"))
   }
 

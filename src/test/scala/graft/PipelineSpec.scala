@@ -76,6 +76,25 @@ class PipelineSpec extends SparkSpec {
       s"attributed=$attributedTotal vs bundles=$bundleTotal")
   }
 
+  test("near-dup swap-in narrows the pipeline and drops exactly the cluster casualties") {
+    val base = etl.Pipeline.curated(spark, sfDir).cache()
+    val nd = etl.Pipeline.curated(spark, sfDir, nearDup = true).cache()
+    // with-neardup ⊆ without: stage 3b only removes docs
+    assert(nd.join(base, Seq("doc_id"), "left_anti").isEmpty)
+    assert(nd.count() < base.count(), "test corpus plants near-dups the swap-in must prune")
+    // the removed set is EXACTLY base ∩ (clustered non-survivors)
+    val survivors = SparkEntry.queries("dd07_keep_best")(spark, sfDir)
+      .select(col("survivor_id").as("doc_id"))
+    val casualties = SparkEntry.queries("dd06_dup_clusters")(spark, sfDir)
+      .select("doc_id").join(survivors, Seq("doc_id"), "left_anti")
+    val removed = base.select("doc_id").join(nd.select("doc_id"), Seq("doc_id"), "left_anti")
+    val expected = base.select("doc_id").join(casualties, Seq("doc_id"), "left_semi")
+    assert(removed.exceptAll(expected).isEmpty && expected.exceptAll(removed).isEmpty)
+    // surviving rows are untouched in content: same (source, split, n_tokens)
+    assert(nd.exceptAll(base.join(nd.select("doc_id"), Seq("doc_id"), "left_semi")).isEmpty)
+    base.unpersist(); nd.unpersist()
+  }
+
   test("dedup stage prunes the corpus to canonical docs only") {
     val docs = Tables.documents(spark, sfDir)
     val clusters = SparkEntry.queries("dd06_dup_clusters")(spark, sfDir)

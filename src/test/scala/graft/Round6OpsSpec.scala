@@ -361,7 +361,7 @@ class Round6OpsSpec extends SparkSpec {
     val m = operators.SimilaritySearch.ann13.build(spark, sfDir).cache()
     val total = m.agg(sum(col("n_base") + col("n_new"))).head().getLong(0)
     assert(total == Tables.embeddings(spark, sfDir).count())
-    assert(m.filter(col("growth_frac") < 0 || col("growth_frac") > 1).isEmpty)
+    assert(m.filter(col("growth_ppm") < 0 || col("growth_ppm") > 1000000).isEmpty)
     assert(m.filter(col("drift_sq") < 0).isEmpty)
     // no delta arrivals -> the mean cannot have moved (exact, not epsilon)
     assert(m.filter(col("n_new") === 0 && col("drift_sq") =!= 0).isEmpty)
