@@ -834,7 +834,71 @@ object TextAnalysis {
           .otherwise("test").as("split"))
   }
 
+  // ---------------------------------------------------------------- D18
+  /** CCNet-style perplexity BUCKETING (Wenzek et al. 2020) — the curation
+    * decision tx10's score exists for: per source, split documents into
+    * 'head' / 'middle' / 'tail' thirds of the LM-score distribution.
+    * CCNet trains on head+middle and drops (or down-weights) the tail;
+    * bucketing per SOURCE, not globally, is the part that matters — a
+    * clean-but-small source would otherwise be drowned by a big noisy
+    * one's score range. Thresholds are the per-source tertiles of tx10's
+    * 4-dp avg_logp (interpolated percentile — the q17-proven cross-engine
+    * primitive), re-rounded at 4 dp, so bucket edges are deterministic.
+    *
+    * Scale: tx10's two token aggregates + a per-source threshold aggregate
+    * whose output is 2×|sources| values — broadcast back for the labeling
+    * join; no corpus-wide window, no sort. Exact `percentile` buffers one
+    * source's scores in the aggregation buffer; at 100 TB swap in
+    * `percentile_approx` under q27's tolerance-gate contract (bucket edges
+    * move by the sketch error; head/tail membership is threshold-stable
+    * for all but edge-epsilon docs). */
+  val tx18 = Q(
+    "tx18_perplexity_buckets", {
+      val (t1, t2) = (1.0 / 3, 2.0 / 3)
+      s"""WITH doc AS (SELECT doc_id, source, $cleanSql AS c FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(c, ' ')) AS w FROM doc),
+        |tok2 AS (SELECT doc_id, w FROM tok WHERE len(w) > 0),
+        |vocab AS (SELECT w, COUNT(*) AS cnt FROM tok2 GROUP BY w),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+        |scored AS (SELECT t.doc_id, COUNT(*) AS n, SUM(ln(CAST(v.cnt AS DOUBLE))) AS sl
+        |  FROM tok2 t JOIN vocab v USING (w) GROUP BY t.doc_id),
+        |lm AS (SELECT s.doc_id, d.source, ROUND(s.sl / s.n - ln(tot.total), 4) AS avg_logp
+        |  FROM scored s CROSS JOIN tot JOIN doc d ON s.doc_id = d.doc_id),
+        |th AS (SELECT source, ROUND(quantile_cont(avg_logp, $t1), 4) AS t1,
+        |              ROUND(quantile_cont(avg_logp, $t2), 4) AS t2
+        |       FROM lm GROUP BY source)
+        |SELECT l.doc_id, l.source, l.avg_logp,
+        |  CASE WHEN l.avg_logp >= h.t2 THEN 'head'
+        |       WHEN l.avg_logp >= h.t1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM lm l JOIN th h ON l.source = h.source""".stripMargin
+    }) { (s, d) =>
+    val (t1, t2) = (1.0 / 3, 2.0 / 3)
+    val doc = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), clean(col("text")).as("c"))
+    val toks = doc.select(col("doc_id"), explode(split(col("c"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).cast("double").as("total"))
+    val lm = toks.join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum(log(col("cnt").cast("double"))).as("sl"))
+      .crossJoin(broadcast(tot))
+      .join(doc.select("doc_id", "source"), "doc_id")
+      .select(col("doc_id"), col("source"),
+        round(col("sl") / col("n") - log(col("total")), 4).as("avg_logp"))
+      .localCheckpoint() // feeds the threshold aggregate AND the labeling join
+    val th = lm.groupBy("source").agg(
+      round(expr(s"percentile(avg_logp, $t1)"), 4).as("t1"),
+      round(expr(s"percentile(avg_logp, $t2)"), 4).as("t2"))
+    lm.join(broadcast(th), "source")
+      .select(col("doc_id"), col("source"), col("avg_logp"),
+        when(col("avg_logp") >= col("t2"), "head")
+          .when(col("avg_logp") >= col("t1"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   val queries: Seq[Q] =
     Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10,
-      tx11, tx12, tx13, tx14, tx15, tx16, tx17)
+      tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18)
 }

@@ -75,25 +75,33 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** CTE chain ending in `scored` (id_a, id_b, jaccard) — the LSH-verified
-    * near-dup pairs, shared by dd02's oracle and dd06's recursive closure. */
-  private val lshScoredSql: String = {
+  /** CTE fragment `shx → hashed → sig → bands` from a chain ending in `sh`:
+    * the 8-permutation minhash signature and its 4 band keys per doc —
+    * shared by the within-corpus pair chain (dd02/dd06/dd14) and the
+    * cross-set incremental chain (dd15), so the signature spelling cannot
+    * drift between them. */
+  private val minhashBandsSql: String = {
     val minCols = minhashPerms.zipWithIndex.map { case ((a, b), k) =>
       s"MIN(($a*h + $b) % 1000000007) AS mh$k" }.mkString(",\n  ")
     val bandList = (0 until 4).map { bnd =>
       s"concat('b$bnd:', mh${2 * bnd}, ':', mh${2 * bnd + 1})" }.mkString("[", ", ", "]")
-    s"""$docShinglesSql,
-      |shx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    s"""shx AS (SELECT doc_id, unnest(shs) AS s FROM sh),
       |hashed AS (SELECT doc_id, ${charHashSql("s")} AS h FROM shx),
       |sig AS (SELECT doc_id,
       |  $minCols
       |FROM hashed GROUP BY doc_id),
-      |bands AS (SELECT doc_id, unnest($bandList) AS bk FROM sig),
+      |bands AS (SELECT doc_id, unnest($bandList) AS bk FROM sig)""".stripMargin
+  }
+
+  /** CTE chain ending in `scored` (id_a, id_b, jaccard) — the LSH-verified
+    * near-dup pairs, shared by dd02's oracle and dd06's recursive closure. */
+  private val lshScoredSql: String =
+    s"""$docShinglesSql,
+      |$minhashBandsSql,
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
       |scored AS (SELECT c.id_a, c.id_b, ${jaccardSql("sa.shs", "sb.shs")} AS jaccard
       |           FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)""".stripMargin
-  }
 
   /** Spark side of the same pair computation (see dd02 scaladoc).
     * The shingle table is localCheckpoint'ed, not cache()'d: it is read three
@@ -906,6 +914,85 @@ object Dedup {
         col("signals"), col("is_canonical"))
   }
 
+  // ---------------------------------------------------------------- B15
+  /** INCREMENTAL dedup — the shape production corpus pipelines actually
+    * run day to day: nobody re-clusters 100 TB when a batch lands; the
+    * increment is scored AGAINST the standing corpus and only genuinely
+    * new documents are admitted. Increment = doc_id % 5 = 4 (ann13's delta
+    * batch convention); base = the rest. Per increment doc, one verdict:
+    * 'exact_dup' (content hash already in the base), 'near_dup'
+    * (LSH-verified shingle Jaccard ≥ 0.5 against a base doc), or 'new' —
+    * plus the matched base doc (highest Jaccard, min-id tie) for audit.
+    * Exact takes precedence over near: identical cleaned text is Jaccard 1
+    * through the band join too, but the hash verdict is the cheaper and
+    * stronger claim.
+    *
+    * Scale is the point: the base side of every join is what a deployment
+    * stores as the dedup INDEX (content-hash set + minhash band table,
+    * both incrementally maintainable — G-series sinks), so the per-batch
+    * cost is |increment| signatures + equi-joins keyed on hash/band, never
+    * a corpus×corpus pass; candidate verification touches only
+    * band-colliding (increment, base) pairs. */
+  val dd15 = Q(
+    "dd15_incremental",
+    s"""WITH $docShinglesSql,
+      |$minhashBandsSql,
+      |inc AS (SELECT doc_id FROM doc WHERE doc_id % 5 = 4),
+      |bh AS (SELECT md5(c) AS h, MIN(doc_id) AS match_id
+      |       FROM doc WHERE doc_id % 5 <> 4 GROUP BY md5(c)),
+      |ex AS (SELECT d.doc_id, b.match_id FROM doc d JOIN bh b ON md5(d.c) = b.h
+      |       WHERE d.doc_id % 5 = 4),
+      |candx AS (SELECT DISTINCT a.doc_id, b.doc_id AS base_id
+      |          FROM bands a JOIN bands b ON a.bk = b.bk
+      |          WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4),
+      |nearv AS (SELECT c.doc_id, c.base_id, ${jaccardSql("sa.shs", "sb.shs")} AS j
+      |          FROM candx c JOIN sh sa ON c.doc_id = sa.doc_id
+      |          JOIN sh sb ON c.base_id = sb.doc_id),
+      |near AS (SELECT doc_id, base_id AS match_id, j FROM (
+      |  SELECT doc_id, base_id, j,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, base_id) AS rn
+      |  FROM nearv WHERE j >= 0.5) WHERE rn = 1)
+      |SELECT i.doc_id,
+      |  CASE WHEN e.match_id IS NOT NULL THEN 'exact_dup'
+      |       WHEN n.match_id IS NOT NULL THEN 'near_dup'
+      |       ELSE 'new' END AS verdict,
+      |  COALESCE(e.match_id, n.match_id) AS match_id,
+      |  CASE WHEN e.match_id IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE n.j END AS jaccard
+      |FROM inc i LEFT JOIN ex e ON i.doc_id = e.doc_id
+      |LEFT JOIN near n ON i.doc_id = n.doc_id""".stripMargin) { (s, d) =>
+    val doc = docsClean(s, d).localCheckpoint() // hash set + increment spine
+    val sh = docShingles(s, d).localCheckpoint() // signatures + verify join
+    val isInc = col("doc_id") % 5 === 4
+    val baseHash = doc.filter(!isInc)
+      .groupBy(md5(col("c")).as("h")).agg(min(col("doc_id")).as("em"))
+    val exact = doc.filter(isInc).select(col("doc_id"), md5(col("c")).as("h"))
+      .join(baseHash, "h").select(col("doc_id"), col("em"))
+    val bands = sh.select(col("doc_id"), minhashSig(col("shs")).as("sig"))
+      .select(col("doc_id"), explode(array(bandKeys(col("sig")): _*)).as("bk"))
+    val cand = bands.filter(isInc)
+      .join(bands.filter(!isInc).select(col("doc_id").as("base_id"), col("bk")), Seq("bk"))
+      .select("doc_id", "base_id").distinct()
+    val near = cand
+      .join(sh.select(col("doc_id"), col("shs").as("sa")), Seq("doc_id"))
+      .join(sh.select(col("doc_id").as("base_id"), col("shs").as("sb")), Seq("base_id"))
+      .withColumn("j", jaccard(col("sa"), col("sb")))
+      .filter(col("j") >= 0.5)
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("base_id").as("nm"), col("j").as("nj")),
+        struct((-col("j")).as("negj"), col("base_id"))).as("m"))
+      .select(col("doc_id"), col("m.nm").as("nm"), col("m.nj").as("nj"))
+    doc.filter(isInc).select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("em").isNotNull, "exact_dup")
+          .when(col("nm").isNotNull, "near_dup")
+          .otherwise("new").as("verdict"),
+        coalesce(col("em"), col("nm")).as("match_id"),
+        when(col("em").isNotNull, lit(1.0)).otherwise(col("nj")).as("jaccard"))
+  }
+
   val queries: Seq[Q] =
-    Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12, dd13, dd14)
+    Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12, dd13, dd14,
+      dd15)
 }

@@ -967,7 +967,101 @@ object SimilaritySearch {
       .join(r3.select(col("v").as("vec_id"), col("r").as("score")), "vec_id")
   }
 
+  // ---------------------------------------------------------------- C15
+  /** Probe-sweep recall FRONTIER — the tuning table behind IVF's one real
+    * knob: per query, recall@3 against the exact answer at nprobe = 1, 2,
+    * and 3, from ONE shared candidate pass. ann04 ships a fixed nprobe=2
+    * and ann05 measures one operating point; an index operator chooses
+    * nprobe by looking at this whole frontier (recall is monotone in
+    * nprobe by construction — Round6bOpsSpec pins it — so the operator
+    * reads off the cheapest depth that clears the recall SLO).
+    *
+    * Scale: the corpus is assigned and scored ONCE — candidates carry the
+    * probe depth that discovered them (probe_rn), and each depth's top-3
+    * is a row_number over the candidate relation filtered to probe_rn ≤ p.
+    * Candidates are bounded by |query sample| × 3 cells; the three depth
+    * rankings partition on (query, depth), never the corpus. Adding a
+    * probe depth re-ranks the SAME scored rows — no rescan, which is
+    * exactly the accounting an index-tuning sweep needs to be honest
+    * about marginal cost. */
+  val ann15 = Q(
+    "ann15_probe_sweep",
+    s"""WITH n AS ($vecsSql),
+      |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+      |assign0 AS (
+      |  SELECT n.vec_id, n.v, n.nrm, cent.cent_id,
+      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY ROUND(${dotSql("n.v", "cent.cv")} / (n.nrm * cent.cn), 6) DESC, cent.cent_id) AS rn
+      |  FROM n CROSS JOIN cent),
+      |assigned AS (SELECT vec_id, v, nrm, cent_id FROM assign0 WHERE rn = 1),
+      |probes AS (SELECT vec_id, v, nrm, cent_id, rn AS probe_rn
+      |           FROM assign0 WHERE rn <= 3 AND vec_id % 20 = 0),
+      |cand AS (
+      |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, p.probe_rn,
+      |    ROUND(${dotSql("p.v", "a.v")} / (p.nrm * a.nrm), 6) AS cos_sim
+      |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id AND p.vec_id <> a.vec_id),
+      |exact AS (${ann01.oracle.get}),
+      |e3 AS (SELECT query_id, neighbor_id FROM exact WHERE rank <= 3),
+      |base AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM e3 GROUP BY query_id),
+      |depths AS (SELECT unnest([1, 2, 3]) AS p),
+      |sel AS (SELECT query_id, neighbor_id, p FROM (
+      |  SELECT c.query_id, c.neighbor_id, d.p,
+      |    row_number() OVER (PARTITION BY c.query_id, d.p
+      |                       ORDER BY c.cos_sim DESC, c.neighbor_id) AS rk
+      |  FROM cand c JOIN depths d ON c.probe_rn <= d.p) WHERE rk <= 3),
+      |hits AS (SELECT s.query_id, s.p, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |         FROM sel s JOIN e3 e ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+      |         GROUP BY s.query_id, s.p)
+      |SELECT b.query_id, CAST(d.p AS BIGINT) AS nprobe, b.n_exact,
+      |  COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+      |  ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(b.n_exact AS DOUBLE), 6) AS recall_at_3
+      |FROM base b CROSS JOIN depths d
+      |LEFT JOIN hits h ON b.query_id = h.query_id AND d.p = h.p""".stripMargin) { (s, d) =>
+    val n = vecs(s, d)
+    val cent = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = n.crossJoin(broadcast(cent))
+      .withColumn("cos_c", cosine(col("v"), col("nrm"), col("cv"), col("cn")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cent_id"), col("v"), col("nrm")),
+        struct(col("cos_c"), (-col("cent_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"),
+        col("best.nrm").as("nrm"), col("best.cent_id").as("cent_id"))
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val probes = n.filter(col("vec_id") % 20 === 0)
+      .crossJoin(broadcast(cent))
+      .withColumn("cos_c", cosine(col("v"), col("nrm"), col("cv"), col("cn")))
+      .withColumn("probe_rn", row_number().over(wProbe))
+      .filter(col("probe_rn") <= 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cent_id"), col("probe_rn"))
+    val cand = probes.join(assigned.select(col("vec_id").as("neighbor_id"),
+        col("v").as("av"), col("nrm").as("an"), col("cent_id")), Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("qn"), col("av"), col("an")))
+      .select(col("query_id"), col("neighbor_id"), col("probe_rn"), col("cos_sim"))
+      .localCheckpoint() // the three depth rankings re-read the same scores
+    val depths = s.range(1, 4).select(col("id").cast("int").as("p"))
+    val wSel = Window.partitionBy(col("query_id"), col("p"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val sel = cand.join(broadcast(depths), col("probe_rn") <= col("p"))
+      .withColumn("rk", row_number().over(wSel))
+      .filter(col("rk") <= 3)
+      .select("query_id", "neighbor_id", "p")
+    val e3 = ann01.build(s, d).filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint() // base counts AND the hit join
+    val base = e3.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val hits = sel.join(e3, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id", "p").agg(count(lit(1)).as("n_hits"))
+    base.crossJoin(broadcast(depths))
+      .join(hits, Seq("query_id", "p"), "left")
+      .select(col("query_id"), col("p").cast("long").as("nprobe"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_exact").cast("double"), 6).as("recall_at_3"))
+  }
+
   val queries: Seq[Q] =
     Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
-      ann11, ann12, ann13, ann14)
+      ann11, ann12, ann13, ann14, ann15)
 }

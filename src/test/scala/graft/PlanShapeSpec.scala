@@ -246,4 +246,24 @@ class PlanShapeSpec extends SparkSpec {
     val windows = "(?<!Group)Window(?!GroupLimit)".r.findAllIn(p).length
     assert(windows <= 2, s"propagation must not sort; found $windows windows; plan:\n$p")
   }
+
+  test("dd15's increment scoring is hash/band equi-joins — no cartesian pair build") {
+    val p = plan("dd15_incremental")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the band/hash keys; plan:\n$p")
+  }
+
+  test("tx18's thresholds broadcast back — no corpus-wide window or sort") {
+    val p = plan("tx18_perplexity_buckets")
+    assert(!"(?<!Group)Window(?!GroupLimit)".r.findAllIn(p).hasNext,
+      s"bucketing must label via the threshold join, not a ranking window; plan:\n$p")
+    assert(p.contains("percentile"),
+      s"tertile thresholds must be the percentile aggregate; plan:\n$p")
+  }
+
+  test("ann15 scores candidates once and re-ranks per depth — no cartesian beyond the broadcast constants") {
+    val p = plan("ann15_probe_sweep")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextPrep
+
+/** Properties of the round-6 new operators. Semantic invariants only — the
+  * DuckDB hash-compare pins exact values. */
+class Round6bOpsSpec extends SparkSpec {
+
+  // ------------------------------------------------- dd15 incremental dedup
+  test("dd15: one verdict per increment doc; matches are base docs; jaccard bounded") {
+    val r = operators.Dedup.dd15.build(spark, sfDir).cache()
+    val nInc = Tables.documents(spark, sfDir).filter(col("doc_id") % 5 === 4).count()
+    assert(r.count() == nInc)
+    assert(r.select("doc_id").distinct().count() == nInc)
+    assert(r.filter(!col("verdict").isin("exact_dup", "near_dup", "new")).isEmpty)
+    // a match is always a BASE doc, never another increment doc or itself
+    assert(r.filter(col("match_id").isNotNull && col("match_id") % 5 === 4).isEmpty)
+    assert(r.filter(col("match_id") === col("doc_id")).isEmpty)
+    // verdict 'new' carries no match; dup verdicts always carry one
+    assert(r.filter(col("verdict") === "new" && col("match_id").isNotNull).isEmpty)
+    assert(r.filter(col("verdict") =!= "new" && col("match_id").isNull).isEmpty)
+    assert(r.filter(col("verdict") === "near_dup" &&
+      (col("jaccard") < 0.5 || col("jaccard") > 1.0)).isEmpty)
+    assert(r.filter(col("verdict") === "exact_dup" && col("jaccard") =!= 1.0).isEmpty)
+    r.unpersist()
+  }
+
+  test("dd15: 'new' verdicts have no base content-hash match (no false admits)") {
+    val r = operators.Dedup.dd15.build(spark, sfDir)
+    val doc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(TextPrep.clean(col("text"))).as("h"))
+    val baseH = doc.filter(col("doc_id") % 5 =!= 4).select("h").distinct()
+    val incWithBaseMatch = doc.filter(col("doc_id") % 5 === 4)
+      .join(baseH, "h").select("doc_id")
+    assert(r.filter(col("verdict") === "new")
+      .join(incWithBaseMatch, Seq("doc_id"), "left_semi").isEmpty)
+  }
+
+  test("dd15: exact branch fires at sf0.1 (the scale that plants exact dups) " +
+    "and agrees with a direct hash join") {
+    val d = "/root/testdata/sf0.1"
+    val r = operators.Dedup.dd15.build(spark, d).cache()
+    val doc = Tables.documents(spark, d)
+      .select(col("doc_id"), md5(TextPrep.clean(col("text"))).as("h"))
+    val expected = doc.filter(col("doc_id") % 5 === 4)
+      .join(doc.filter(col("doc_id") % 5 =!= 4)
+        .groupBy("h").agg(min(col("doc_id")).as("want")), "h")
+      .select(col("doc_id"), col("want"))
+    assert(expected.count() > 0, "sf0.1 must plant cross-split exact dups")
+    val got = r.filter(col("verdict") === "exact_dup").select("doc_id", "match_id")
+    assert(got.count() == expected.count())
+    assert(got.join(expected, "doc_id").filter(col("match_id") =!= col("want")).isEmpty)
+    r.unpersist()
+  }
+
+  // ------------------------------------------- tx18 perplexity buckets
+  test("tx18: buckets are score-ordered within every source and scores match tx10") {
+    val b = functions.TextAnalysis.tx18.build(spark, sfDir).cache()
+    assert(b.filter(!col("bucket").isin("head", "middle", "tail")).isEmpty)
+    // every tx10-scored doc gets a bucket, with the same 4-dp score
+    val lm = functions.TextAnalysis.tx10.build(spark, sfDir)
+      .select(col("doc_id"), col("avg_logp").as("want"))
+    assert(b.count() == lm.count())
+    assert(b.join(lm, "doc_id").filter(col("avg_logp") =!= col("want")).isEmpty)
+    // ordering: every head doc scores >= every middle doc of its source, etc.
+    val agg = b.groupBy("source").pivot("bucket").agg(
+      min(col("avg_logp")).as("mn"), max(col("avg_logp")).as("mx"))
+    assert(agg.filter(col("head_mn") < col("middle_mx")).isEmpty)
+    assert(agg.filter(col("middle_mn") < col("tail_mx")).isEmpty)
+    b.unpersist()
+  }
+
+  // ------------------------------------------------ ann15 probe sweep
+  test("ann15: three depths per query; hits bounded; recall monotone in nprobe") {
+    val f = operators.SimilaritySearch.ann15.build(spark, sfDir).cache()
+    val nq = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 20 === 0).count()
+    assert(f.count() == nq * 3)
+    assert(f.filter(col("n_hits") > col("n_exact") || col("n_hits") < 0).isEmpty)
+    assert(f.filter(col("recall_at_3") < 0 || col("recall_at_3") > 1).isEmpty)
+    // monotone: adding a probe can only add candidates
+    val byP = f.groupBy("query_id").pivot("nprobe", Seq(1, 2, 3))
+      .agg(first(col("n_hits")))
+    assert(byP.filter(col("1") > col("2") || col("2") > col("3")).isEmpty)
+    // frontier endpoint consistency: nprobe=1 equals ann05's shape of
+    // "own cell only" — hits can never exceed the exact top-3 size of 3
+    assert(f.filter(col("n_exact") > 3).isEmpty)
+    f.unpersist()
+  }
+
+  test("dd15: every dd02 near-dup pair that crosses the split is caught") {
+    // dd02's within-corpus verified pairs, restricted to (base, inc) — any
+    // such pair means the increment doc must NOT be admitted as 'new'.
+    val pairs = operators.Dedup.dd02.build(spark, sfDir)
+    val flagged = pairs
+      .select(explode(array(
+        struct(col("id_a").as("x"), col("id_b").as("y")),
+        struct(col("id_b").as("x"), col("id_a").as("y")))).as("p"))
+      .filter(col("p.x") % 5 === 4 && col("p.y") % 5 =!= 4)
+      .select(col("p.x").as("doc_id")).distinct()
+    val admitted = operators.Dedup.dd15.build(spark, sfDir)
+      .filter(col("verdict") === "new").select("doc_id")
+    assert(admitted.join(flagged, Seq("doc_id"), "left_semi").isEmpty)
+  }
+}
