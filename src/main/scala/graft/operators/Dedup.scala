@@ -963,25 +963,47 @@ object Dedup {
     val doc = docsClean(s, d).localCheckpoint() // hash set + increment spine
     val sh = docShingles(s, d).localCheckpoint() // signatures + verify join
     val isInc = col("doc_id") % 5 === 4
-    val baseHash = doc.filter(!isInc)
+    val inc = doc.filter(isInc).select(col("doc_id"), md5(col("c")).as("h"))
+      .join(sh.select("doc_id", "shs"), "doc_id")
+    val baseHashes = doc.filter(!isInc)
       .groupBy(md5(col("c")).as("h")).agg(min(col("doc_id")).as("em"))
-    val exact = doc.filter(isInc).select(col("doc_id"), md5(col("c")).as("h"))
-      .join(baseHash, "h").select(col("doc_id"), col("em"))
-    val bands = sh.select(col("doc_id"), minhashSig(col("shs")).as("sig"))
-      .select(col("doc_id"), explode(array(bandKeys(col("sig")): _*)).as("bk"))
-    val cand = bands.filter(isInc)
-      .join(bands.filter(!isInc).select(col("doc_id").as("base_id"), col("bk")), Seq("bk"))
+    val baseBands = sh.filter(!isInc)
+      .select(col("doc_id").as("base_id"),
+        explode(array(bandKeys(minhashSig(col("shs"))): _*)).as("bk"))
+      .select("bk", "base_id")
+    val baseSh = sh.filter(!isInc)
+      .select(col("doc_id").as("base_id"), col("shs").as("sb"))
+    incrementalVerdicts(inc, baseHashes, baseBands, baseSh)
+  }
+
+  /** dd15's decision core over explicit index relations — shared verbatim
+    * with the ingest-time twin [[graft.streaming.IncrementalDedupStream]],
+    * so the nightly batch and the streaming gate cannot drift. `inc` is
+    * the arriving relation (doc_id, h = md5 of cleaned text, shs); the
+    * three base relations are exactly what a deployment STORES as its
+    * dedup index: the content-hash set (h → min owner), the minhash band
+    * table (bk → member), and the shingle sets for candidate verification.
+    * All joins are keyed on hash/band/doc — per-batch cost is the
+    * increment's size against the touched index buckets. */
+  private[graft] def incrementalVerdicts(
+      inc: DataFrame, baseHashes: DataFrame,
+      baseBands: DataFrame, baseSh: DataFrame): DataFrame = {
+    val exact = inc.select(col("doc_id"), col("h"))
+      .join(baseHashes, "h").select(col("doc_id"), col("em"))
+    val bands = inc.select(col("doc_id"),
+      explode(array(bandKeys(minhashSig(col("shs"))): _*)).as("bk"))
+    val cand = bands.join(baseBands, Seq("bk"))
       .select("doc_id", "base_id").distinct()
     val near = cand
-      .join(sh.select(col("doc_id"), col("shs").as("sa")), Seq("doc_id"))
-      .join(sh.select(col("doc_id").as("base_id"), col("shs").as("sb")), Seq("base_id"))
+      .join(inc.select(col("doc_id"), col("shs").as("sa")), Seq("doc_id"))
+      .join(baseSh, Seq("base_id"))
       .withColumn("j", jaccard(col("sa"), col("sb")))
       .filter(col("j") >= 0.5)
       .groupBy(col("doc_id"))
       .agg(min_by(struct(col("base_id").as("nm"), col("j").as("nj")),
         struct((-col("j")).as("negj"), col("base_id"))).as("m"))
       .select(col("doc_id"), col("m.nm").as("nm"), col("m.nj").as("nj"))
-    doc.filter(isInc).select("doc_id")
+    inc.select("doc_id")
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
