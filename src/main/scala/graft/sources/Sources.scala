@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -220,5 +220,93 @@ object Sources {
       .select(col("raw"),
         when(malformed, "malformed").otherwise("missing_required").as("reason"))
     (clean, quarantine)
+  }
+
+  // ------------------------------------------------------------------ G12
+  /** 16-bit Morton (Z-order) interleave of two already-normalized
+    * coordinates — 32 shift/mask terms, pure codegen arithmetic. */
+  private def morton16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Affine map of an integer column onto the 16-bit Morton grid. */
+  private def norm16(c: Column, mn: Long, mx: Long): Column =
+    if (mx == mn) lit(0L)
+    else ((c.cast("long") - mn) * 65535L / (mx - mn)).cast("long")
+
+  /** G12: Z-ORDER clustering — multi-dimensional data skipping, the
+    * layout-side complement of G9's single-key zones (and the plain-parquet
+    * analog of Delta/Iceberg's OPTIMIZE ZORDER; ADR-001). A file layout
+    * range-sorted on one key gives that key tight per-file bounds but
+    * leaves every OTHER key spanning its full range in every file — a
+    * two-dimensional predicate prunes on one dimension and scans on the
+    * other. Interleaving the two keys' bits (Morton order) makes each
+    * file a roughly-square REGION of the (a, b) grid, so per-file min/max
+    * bounds are tight in BOTH dimensions and a box predicate admits
+    * O(files that touch the box), not O(files that touch its a-range).
+    *
+    * Both columns must be integer-valued (map dates through datediff
+    * first); bounds for the grid normalization come from one min/max
+    * aggregate — the same bounded planning pass every layout optimizer
+    * runs. The manifest stores per-file min/max of the NATURAL columns
+    * (never the Morton key — it exists only to order the shuffle), so
+    * pruning logic stays the G9 interval intersection, per dimension.
+    *
+    * Scale: one range-shuffle on the Morton key + one manifest aggregate;
+    * at 100 TB the manifest is KBs per thousand files and IS the planning
+    * input. ZOrderSpec pins the contract: a box predicate reads exactly
+    * its rows, and a secondary-dimension-only predicate prunes files where
+    * the G9 linear layout provably cannot. */
+  def writeFactZOrdered(df: DataFrame, colA: String, colB: String,
+      path: String, nFiles: Int): Unit = {
+    val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    val z = morton16(norm16(col(colA), r.getLong(0), r.getLong(1)),
+      norm16(col(colB), r.getLong(2), r.getLong(3)))
+    df.withColumn("_zkey", z)
+      .repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val spark = df.sparkSession
+    spark.catalog.refreshByPath(path)
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(colA)).as("amin"), max(col(colA)).as("amax"),
+        min(col(colB)).as("bmin"), max(col(colB)).as("bmax"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path + "_zonemap2")
+  }
+
+  /** Manifest-pruned file list for a box predicate — per-dimension interval
+    * intersection over one row per file (G9's planning pass, twice). Pass
+    * `None` for a dimension to leave it unconstrained. */
+  def zoned2Files(spark: SparkSession, path: String,
+      a: Option[(Any, Any)], b: Option[(Any, Any)]): Seq[String] = {
+    val m = spark.read.parquet(path + "_zonemap2")
+    val fa = a.map { case (lo, hi) => col("amax") >= lit(lo) && col("amin") <= lit(hi) }
+      .getOrElse(lit(true))
+    val fb = b.map { case (lo, hi) => col("bmax") >= lit(lo) && col("bmin") <= lit(hi) }
+      .getOrElse(lit(true))
+    m.filter(fa && fb).select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** G12 read: open ONLY the manifest-admitted files, then re-apply the
+    * exact box predicate (zone bounds are necessary, not sufficient). */
+  def readFactZOrdered(spark: SparkSession, path: String,
+      colA: String, colB: String,
+      a: Option[(Any, Any)], b: Option[(Any, Any)]): DataFrame = {
+    val files = zoned2Files(spark, path, a, b)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*)
+    val pa = a.map { case (lo, hi) => col(colA) >= lit(lo) && col(colA) <= lit(hi) }
+      .getOrElse(lit(true))
+    val pb = b.map { case (lo, hi) => col(colB) >= lit(lo) && col(colB) <= lit(hi) }
+      .getOrElse(lit(true))
+    base.filter(pa && pb)
   }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+
+/** G12: Z-order clustering — the box-predicate read must be exact, and the
+  * layout must deliver what motivates it: per-file bounds tight in BOTH
+  * dimensions, so a secondary-dimension predicate prunes files where the
+  * G9 single-key linear layout provably cannot.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  private val nFiles = 16
+
+  private lazy val fact = Tables.orders(spark, sfDir)
+    .select(col("o_orderkey"), col("o_custkey"),
+      datediff(col("o_orderdate"), lit("1992-01-01")).as("od"))
+    .localCheckpoint() // three layouts + expected-row checks read it
+
+  // data-driven predicate bounds: quarter-boxes of each dimension's range
+  private lazy val (odLo, odHi) = {
+    val r = fact.agg(min(col("od")), max(col("od"))).head()
+    (r.getInt(0), r.getInt(1))
+  }
+  private lazy val (ckLo, ckHi) = {
+    val r = fact.agg(min(col("o_custkey")), max(col("o_custkey"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("G12 box read returns exactly the predicate's rows") {
+    val out = Files.createTempDirectory("graft-zorder").toString
+    Sources.writeFactZOrdered(fact, "o_custkey", "od", out, nFiles)
+    val (aLo, aHi) = (ckLo, ckLo + (ckHi - ckLo) / 4)
+    val (bLo, bHi) = (odLo, odLo + (odHi - odLo) / 4)
+    val got = Sources.readFactZOrdered(spark, out, "o_custkey", "od",
+      Some((aLo, aHi)), Some((bLo, bHi)))
+    val want = fact.filter(col("o_custkey").between(aLo, aHi) && col("od").between(bLo, bHi))
+    assert(got.count() == want.count())
+    assert(got.select("o_orderkey").exceptAll(want.select("o_orderkey")).isEmpty)
+    // and the box admitted a strict subset of the files
+    val admitted = Sources.zoned2Files(spark, out, Some((aLo, aHi)), Some((bLo, bHi)))
+    val all = Sources.zoned2Files(spark, out, None, None)
+    assert(all.size == nFiles)
+    assert(admitted.size < all.size, s"box admitted ${admitted.size}/${all.size}")
+  }
+
+  test("G12 prunes the secondary dimension where the linear layout cannot") {
+    val zDir = Files.createTempDirectory("graft-zorder-z").toString
+    val linDir = Files.createTempDirectory("graft-zorder-lin").toString
+    Sources.writeFactZOrdered(fact, "o_custkey", "od", zDir, nFiles)
+    // linear comparison layout: range-sorted by custkey only, same file
+    // count, manifest carrying BOTH dims' bounds for a fair comparison
+    fact.repartitionByRange(nFiles, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(linDir)
+    spark.catalog.refreshByPath(linDir)
+    spark.read.parquet(linDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("o_custkey")).as("amin"), max(col("o_custkey")).as("amax"),
+        min(col("od")).as("bmin"), max(col("od")).as("bmax"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(linDir + "_zonemap2")
+
+    // date-only predicate: first ~15% of the actual date range
+    val (bLo, bHi) = (odLo, odLo + (odHi - odLo) * 15 / 100)
+    val zAdmitted = Sources.zoned2Files(spark, zDir, None, Some((bLo, bHi)))
+    val linAdmit = Sources.zoned2Files(spark, linDir, None, Some((bLo, bHi))).size
+    assert(zAdmitted.nonEmpty, "predicate range must be live")
+    // every custkey-sorted file spans ~the full date range -> no pruning
+    assert(linAdmit == nFiles,
+      s"linear layout unexpectedly pruned the secondary dim: $linAdmit/$nFiles")
+    assert(zAdmitted.size < nFiles,
+      s"z-order must prune on the secondary dim: ${zAdmitted.size}/$nFiles")
+    // primary-dimension pruning survives interleaving (coarser, but real)
+    val zA = Sources.zoned2Files(spark, zDir,
+      Some((ckLo, ckLo + (ckHi - ckLo) * 15 / 100)), None).size
+    assert(zA < nFiles, s"z-order lost primary-dim pruning entirely: $zA/$nFiles")
+  }
+}
