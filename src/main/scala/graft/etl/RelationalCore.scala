@@ -450,5 +450,56 @@ object RelationalCore {
         coalesce(col("n_lines"), lit(0L)).as("n_lines"))
   }
 
-  val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q26, q47)
+  // ---------------------------------------------------------------- A54
+  /** INCREMENTAL summary maintenance — the algebraic heart of every
+    * nightly-refresh warehouse (the reference's whole pipeline is an
+    * incremental merge; this is the same idea applied to the AGGREGATE
+    * layer): the standing summary of the archive is combined with the
+    * increment's partial aggregate — sums and counts merge by addition,
+    * min/max by min/max, avg is derived from merged sum/count — so the
+    * refresh costs O(increment), never an archive rescan. Split: increment
+    * = l_orderkey % 10 = 7 (the archive summary is itself computed here,
+    * standing in for the stored artifact).
+    *
+    * The oracle is the POINT: it computes the summary with one full-table
+    * GROUP BY — the hash compare therefore PROVES the merge is exactly
+    * lossless (mergeable-aggregate algebra, not an approximation). Money
+    * flows through integer cents (Exact) on both paths so the merged sums
+    * are bit-equal, not merely close.
+    *
+    * Scale: two grouped partial aggregates (the increment one tiny) and a
+    * |groups|-sized merge — the plan a 100 TB nightly refresh wants. */
+  val q54 = Q(
+    "q54_incremental_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+      |  CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 4) AS avg_qty
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    def partial(rows: org.apache.spark.sql.DataFrame) = rows
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_c"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("qty")).as("sum_qty"), sum(col("price_c")).as("sum_price_cents"),
+        count(lit(1)).as("n_rows"),
+        min(col("qty")).as("min_qty"), max(col("qty")).as("max_qty"))
+    val archive = partial(li.filter(col("l_orderkey") % 10 =!= 7))
+    val increment = partial(li.filter(col("l_orderkey") % 10 === 7))
+    archive.unionByName(increment) // the stored summary + the delta's partial
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("sum_qty")).as("sum_qty"),
+        sum(col("sum_price_cents")).as("sum_price_cents"),
+        sum(col("n_rows")).as("n_rows"),
+        min(col("min_qty")).as("min_qty"), max(col("max_qty")).as("max_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_price_cents"), col("n_rows"), col("min_qty"), col("max_qty"),
+        round(col("sum_qty").cast("double") / col("n_rows"), 4).as("avg_qty"))
+  }
+
+  val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q26, q47, q54)
 }

@@ -1,5 +1,6 @@
 package graft.multimodal
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -389,5 +390,69 @@ object Multimodal {
         round(col("top.top_cnt").cast("double") / col("n").cast("double"), 6).as("top_frac"))
   }
 
-  val queries: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08)
+  // ---------------------------------------------------------------- E9
+  /** Energy-based payload TRIM — the audio-preprocessing shape (silence
+    * trim / crude VAD): frame the payload, compute per-frame energy,
+    * mark frames whose energy falls below the payload's own mean, and
+    * report the leading/trailing silent runs a trimmer would cut plus the
+    * kept span. On real PCM this exact plan runs over decoded samples at
+    * the mm01 decode seam; here amplitude is (byte − 32) over the ASCII
+    * payload, which keeps every value deterministic and the oracle exact.
+    *
+    * The silence test is INTEGER end-to-end: frame f is silent iff
+    * 2·e(f)·n_frames < Σe — algebraically "energy below half the payload
+    * mean" without ever forming the mean, so no float crosses engines
+    * (ann12's playbook). A corollary the spec pins: at least one frame is
+    * always loud (summing the inequality over all frames contradicts
+    * itself), so the kept span is never empty.
+    *
+    * Scale: the frame explode pipelines inside the scan (64-byte frames,
+    * fan-out n_bytes/64); the mean needs the doc total, so the plan is one
+    * doc-keyed window sum followed by the doc-keyed trim aggregate — the
+    * second reuses the first's partitioning, one shuffle total, partition
+    * key = doc_id (high cardinality). */
+  val mm09 = Q(
+    "mm09_energy_trim",
+    """WITH sized AS (SELECT doc_id, text,
+      |    CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n_frames FROM documents),
+      |fr AS (SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS f, text
+      |       FROM sized WHERE n_frames > 0),
+      |fe AS (SELECT doc_id, n_frames, f,
+      |  CAST(list_sum(list_transform(range(1, 65), i ->
+      |    (ascii(substr(text, CAST(f*64 + i AS BIGINT), 1)) - 32)
+      |      * (ascii(substr(text, CAST(f*64 + i AS BIGINT), 1)) - 32))) AS BIGINT) AS e
+      |  FROM fr),
+      |ft AS (SELECT doc_id, n_frames, f, e, SUM(e) OVER (PARTITION BY doc_id) AS tot FROM fe),
+      |fl AS (SELECT doc_id, n_frames, f, 2 * e * n_frames < tot AS silent FROM ft)
+      |SELECT doc_id, n_frames,
+      |  CAST(SUM(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+      |  CAST(MIN(CASE WHEN NOT silent THEN f END) AS BIGINT) AS lead_trim,
+      |  CAST(n_frames - 1 - MAX(CASE WHEN NOT silent THEN f END) AS BIGINT) AS tail_trim,
+      |  CAST(MAX(CASE WHEN NOT silent THEN f END)
+      |     - MIN(CASE WHEN NOT silent THEN f END) + 1 AS BIGINT) AS kept_span
+      |FROM fl GROUP BY doc_id, n_frames""".stripMargin) { (s, d) =>
+    val frames = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) / 64).cast("long").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .withColumn("f", explode(sequence(lit(0L), col("n_frames") - 1)))
+      .withColumn("frame", expr("substring(text, CAST(f*64 + 1 AS INT), 64)"))
+      .withColumn("e", expr(
+        "aggregate(sequence(1, 64), 0L, (acc, i) -> acc + " +
+          "CAST((ascii(substring(frame, i, 1)) - 32) * (ascii(substring(frame, i, 1)) - 32) AS BIGINT))"))
+    val flagged = frames
+      .withColumn("tot", sum(col("e")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("silent", col("e") * col("n_frames") * 2 < col("tot"))
+    flagged.groupBy("doc_id", "n_frames")
+      .agg(
+        sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"),
+        min(when(!col("silent"), col("f"))).as("first_loud"),
+        max(when(!col("silent"), col("f"))).as("last_loud"))
+      .select(col("doc_id"), col("n_frames"), col("n_silent"),
+        col("first_loud").as("lead_trim"),
+        (col("n_frames") - 1 - col("last_loud")).as("tail_trim"),
+        (col("last_loud") - col("first_loud") + 1).as("kept_span"))
+  }
+
+  val queries: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09)
 }

@@ -88,6 +88,42 @@ class Round6bOpsSpec extends SparkSpec {
     f.unpersist()
   }
 
+  // --------------------------------------- q54 incremental summary merge
+  test("q54: merging archive + increment partials equals the one-pass summary") {
+    val got = etl.RelationalCore.q54.build(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    assert(li.filter(col("l_orderkey") % 10 === 7).count() > 0,
+      "increment split must be non-empty for the merge to be exercised")
+    val full = li
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"),
+        functions.Exact.cents(col("l_extendedprice")).as("pc"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("qty")).as("sum_qty"), sum(col("pc")).as("sum_price_cents"),
+        count(lit(1)).as("n_rows"), min(col("qty")).as("min_qty"),
+        max(col("qty")).as("max_qty"))
+      .withColumn("avg_qty", round(col("sum_qty").cast("double") / col("n_rows"), 4))
+    assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty,
+      "partial-aggregate merge must be exactly lossless")
+  }
+
+  // -------------------------------------------------- mm09 energy trim
+  test("mm09: trims partition the frame axis and the kept span is never empty") {
+    val t = multimodal.Multimodal.mm09.build(spark, sfDir).cache()
+    val expectDocs = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 64).count()
+    assert(t.count() == expectDocs)
+    // the integer threshold cannot silence every frame (summing the
+    // inequality over all frames is a contradiction)
+    assert(t.filter(col("n_silent") >= col("n_frames")).isEmpty)
+    assert(t.filter(col("kept_span") < 1).isEmpty)
+    // lead + kept + tail tile the frame axis exactly
+    assert(t.filter(col("lead_trim") + col("kept_span") + col("tail_trim")
+      =!= col("n_frames")).isEmpty)
+    assert(t.filter(col("lead_trim") < 0 || col("tail_trim") < 0).isEmpty)
+    t.unpersist()
+  }
+
   test("dd15: every dd02 near-dup pair that crosses the split is caught") {
     // dd02's within-corpus verified pairs, restricted to (base, inc) — any
     // such pair means the increment doc must NOT be admitted as 'new'.
