@@ -898,7 +898,71 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
   }
 
+  // ---------------------------------------------------------------- D19
+  /** Cross-source OVERLAP matrix — the audit a mixture planner (tx09) and
+    * a dedup operator both need before trusting "source" as a mixing unit:
+    * for every ordered source pair (A, B), how many of A's distinct
+    * 8-gram shingles also appear in B, and what fraction of A's gram
+    * vocabulary that is. A source that is largely a scrape or mirror of
+    * another shows up as a high-containment row; near-symmetric high
+    * overlap means the two sources should be merged (or deduped jointly)
+    * before mixture weights mean anything. Grams use dd09's exact
+    * spelling (8-token shingles, whole-doc fallback under 8 tokens), so
+    * this matrix and the decontamination operator agree on what a "gram"
+    * is.
+    *
+    * Scale: one (source, gram-hash) distinct aggregate bounds everything
+    * downstream by per-source gram vocabularies; the pair counts come
+    * from a gram-keyed self equi-join (each gram contributes at most
+    * |sources touching it|² pair rows — |sources|-bounded, never
+    * corpus-bounded); the final cross join is |sources|², driver-trivial,
+    * and exists so ZERO-overlap pairs surface explicitly. */
+  val tx19 = Q(
+    "tx19_source_overlap",
+    s"""WITH doc AS (SELECT doc_id, source, $cleanSql AS c FROM documents),
+      |toks AS (SELECT source, string_split(c, ' ') AS t, c FROM doc),
+      |g0 AS (SELECT source, CASE WHEN len(t) >= 8
+      |    THEN list_distinct(list_transform(range(0, len(t)-7), i -> array_to_string(t[i+1:i+8], ' ')))
+      |    ELSE [c] END AS gs FROM toks),
+      |grams AS (SELECT DISTINCT source, ${charHashSql("gram")} AS gh
+      |          FROM (SELECT source, unnest(gs) AS gram FROM g0)),
+      |counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY source),
+      |shared AS (SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |           FROM grams a JOIN grams b ON a.gh = b.gh AND a.source <> b.source
+      |           GROUP BY a.source, b.source)
+      |SELECT ca.source AS src_a, cb.source AS src_b,
+      |  COALESCE(s.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+      |  ca.n_grams AS n_grams_a,
+      |  ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / CAST(ca.n_grams AS DOUBLE), 6) AS overlap_frac
+      |FROM counts ca CROSS JOIN counts cb
+      |LEFT JOIN shared s ON ca.source = s.src_a AND cb.source = s.src_b
+      |WHERE ca.source <> cb.source""".stripMargin) { (s, d) =>
+    val grams = Tables.documents(s, d)
+      .select(col("source"),
+        explode(WordShinglesN.shinglesN(clean(col("text")), 8)).as("gram"))
+      .select(col("source"), charHash(col("gram")).as("gh"))
+      .distinct()
+      .localCheckpoint() // vocabulary counts AND both sides of the pair join
+    val counts = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val shared = grams.join(
+        grams.select(col("source").as("src_b"), col("gh")),
+        Seq("gh"))
+      .filter(col("source") =!= col("src_b"))
+      .groupBy(col("source").as("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val ca = counts.select(col("source").as("src_a"), col("n_grams").as("n_grams_a"))
+    val cb = counts.select(col("source").as("src_b"))
+    ca.crossJoin(cb)
+      .filter(col("src_a") =!= col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_grams_a"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_grams_a").cast("double"), 6).as("overlap_frac"))
+  }
+
   val queries: Seq[Q] =
     Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10,
-      tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18)
+      tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19)
 }

@@ -1061,7 +1061,79 @@ object SimilaritySearch {
           col("n_exact").cast("double"), 6).as("recall_at_3"))
   }
 
+  // ---------------------------------------------------------------- C16
+  /** Cell REBALANCE plan — the action ann13's drift monitor triggers and
+    * ann12's trainer consumes, closing the index-ops loop (detect → plan →
+    * retrain): per cell, a decision from its population against the mean —
+    * 'split' when more than 2× the mean load (size·k > 2·total, the
+    * integer spelling of size > 2·mean), 'merge' when under half
+    * (size·k·2 < total), else 'keep' — plus every cell's nearest OTHER
+    * centroid and exact integer distance, which is both the merge target
+    * and the split sanity check (a hot cell whose nearest neighbor is
+    * far is genuinely underclustered; one that is near means the split
+    * should seed FROM that boundary). An IVF serving fleet runs exactly
+    * this table after every drift alert: skewed cells are the ANN
+    * equivalent of a hot shuffle key — the 2× cell is the one whose probe
+    * latency blows the p99.
+    *
+    * Scale: one corpus assignment (broadcast min_by — ann02's idiom), a
+    * k-row size aggregate, and a k×k centroid distance table — everything
+    * after the assignment is centroid-sized, nothing corpus-sized
+    * shuffles. Integer end-to-end: no mean is ever formed, so the
+    * decision is bit-identical cross-engine. */
+  val ann16 = Q(
+    "ann16_rebalance",
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),
+      |d0 AS (SELECT e.vec_id, cents.cell,
+      |         list_sum(list_transform(range(1, len(e.v)+1), i -> (e.v[i]-cents.cv[i])*(e.v[i]-cents.cv[i]))) AS dist
+      |       FROM e CROSS JOIN cents),
+      |asg AS (SELECT vec_id, cell FROM (
+      |         SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d0)
+      |       WHERE rn = 1),
+      |sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members FROM asg GROUP BY cell),
+      |tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS k FROM sizes),
+      |cd AS (SELECT a.cell, b.cell AS nn_cell,
+      |         list_sum(list_transform(range(1, len(a.cv)+1), i -> (a.cv[i]-b.cv[i])*(a.cv[i]-b.cv[i]))) AS dist
+      |       FROM cents a JOIN cents b ON a.cell <> b.cell),
+      |nn AS (SELECT cell, nn_cell, CAST(dist AS BIGINT) AS nn_dist_sq FROM (
+      |         SELECT cell, nn_cell, dist,
+      |                row_number() OVER (PARTITION BY cell ORDER BY dist, nn_cell) AS rn FROM cd)
+      |       WHERE rn = 1)
+      |SELECT s.cell, s.n_members,
+      |  CASE WHEN s.n_members * t.k > 2 * t.total THEN 'split'
+      |       WHEN s.n_members * t.k * 2 < t.total THEN 'merge'
+      |       ELSE 'keep' END AS decision,
+      |  n.nn_cell, n.nn_dist_sq
+      |FROM sizes s CROSS JOIN tot t JOIN nn n ON s.cell = n.cell""".stripMargin) { (s, d) =>
+    val e = scaledVecs(s, d)
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+      .localCheckpoint() // assignment + both sides of the k×k distance table
+    val sizes = assignCells(e, cents)
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+    val tot = sizes.agg(sum(col("n_members")).as("total"), count(lit(1)).as("k"))
+    val nn = cents
+      .crossJoin(cents.select(col("cell").as("nn_cell"), col("cv").as("cv2")))
+      .filter(col("cell") =!= col("nn_cell"))
+      .withColumn("dist",
+        aggregate(zip_with(col("cv"), col("cv2"), (a, b) => (a - b) * (a - b)), lit(0L), _ + _))
+      .groupBy("cell")
+      .agg(min_by(struct(col("nn_cell"), col("dist").as("nn_dist_sq")),
+        struct(col("dist"), col("nn_cell"))).as("m"))
+      .select(col("cell"), col("m.nn_cell").as("nn_cell"), col("m.nn_dist_sq").as("nn_dist_sq"))
+    sizes.crossJoin(broadcast(tot))
+      .join(nn, "cell")
+      .select(col("cell"), col("n_members"),
+        when(col("n_members") * col("k") > col("total") * 2, "split")
+          .when(col("n_members") * col("k") * 2 < col("total"), "merge")
+          .otherwise("keep").as("decision"),
+        col("nn_cell"), col("nn_dist_sq"))
+  }
+
   val queries: Seq[Q] =
     Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
-      ann11, ann12, ann13, ann14, ann15)
+      ann11, ann12, ann13, ann14, ann15, ann16)
 }

@@ -88,6 +88,52 @@ class Round6bOpsSpec extends SparkSpec {
     f.unpersist()
   }
 
+  // --------------------------------------- tx19 source overlap matrix
+  test("tx19: full ordered matrix, symmetric shared counts, bounded containment") {
+    val m = functions.TextAnalysis.tx19.build(spark, sfDir).cache()
+    val nSrc = Tables.documents(spark, sfDir).select("source").distinct().count()
+    assert(m.count() == nSrc * (nSrc - 1))
+    assert(m.filter(col("n_shared") > col("n_grams_a")).isEmpty)
+    assert(m.filter(col("overlap_frac") < 0 || col("overlap_frac") > 1).isEmpty)
+    // |A ∩ B| is symmetric even though the fraction is directional
+    val rev = m.select(col("src_b").as("src_a"), col("src_a").as("src_b"),
+      col("n_shared").as("rev_shared"))
+    assert(m.join(rev, Seq("src_a", "src_b"))
+      .filter(col("n_shared") =!= col("rev_shared")).isEmpty)
+    m.unpersist()
+  }
+
+  // ------------------------------------------------ ann16 rebalance plan
+  test("ann16: sizes partition the corpus; nn is the exact argmin; decisions match the integer rule") {
+    val r = operators.SimilaritySearch.ann16.build(spark, sfDir).cache()
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(r.agg(sum(col("n_members"))).head().getLong(0) == total)
+    val k = r.count()
+    assert(r.filter(!col("decision").isin("split", "merge", "keep")).isEmpty)
+    assert(r.filter(col("nn_cell") === col("cell")).isEmpty)
+    // re-derive every decision from (n_members, k, total)
+    val bad = r.filter(
+      (col("n_members") * k > total * 2 && col("decision") =!= "split") ||
+      (col("n_members") * k * 2 < total && col("decision") =!= "merge") ||
+      (col("n_members") * k <= total * 2 && col("n_members") * k * 2 >= total
+        && col("decision") =!= "keep"))
+    assert(bad.isEmpty)
+    // nn_dist_sq is the true minimum over the centroid set (k is tiny)
+    val cents = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long")).as("v"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[Long](1)).toMap
+    r.collect().foreach { row =>
+      val (cell, nnCell, nnD) = (row.getLong(0), row.getAs[Long]("nn_cell"),
+        row.getAs[Long]("nn_dist_sq"))
+      val dists = (cents - cell).map { case (c2, v2) =>
+        c2 -> cents(cell).zip(v2).map { case (a, b) => (a - b) * (a - b) }.sum }
+      val (bestC, bestD) = dists.minBy { case (c2, dd) => (dd, c2) }
+      assert(bestC == nnCell && bestD == nnD, s"cell $cell: got ($nnCell,$nnD) want ($bestC,$bestD)")
+    }
+    r.unpersist()
+  }
+
   // --------------------------------------- q54 incremental summary merge
   test("q54: merging archive + increment partials equals the one-pass summary") {
     val got = etl.RelationalCore.q54.build(spark, sfDir)
