@@ -82,5 +82,51 @@ object Salting {
         graft.functions.Exact.sumCents(col("l_extendedprice")).as("revenue"))
   }
 
-  val queries: Seq[Q] = Seq(q39)
+  /** Key-skew profile of a relation — the measurement HALF of the salting
+    * decision (q39 is the mechanism): per key, its row count, integer-ppm
+    * share, and whether a `nPart`-way shuffle would make it a straggler
+    * (cnt·nPart > 4·total — the key's single task carrying over 4× the
+    * average partition's rows; integer spelling, no float). Top-N by count
+    * via orderBy+limit, which Spark plans as TakeOrderedAndProject — a
+    * per-partition top-N plus one driver merge, NEVER a global sort of
+    * the key distribution (|keys|-sized at 100 TB); the rank window runs
+    * over the N surviving rows only. */
+  private[graft] def skewProfile(rows: DataFrame, key: String,
+      nPart: Int, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = rows.groupBy(col(key).as("key")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("key")).limit(topN)
+    top.crossJoin(broadcast(tot))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("key"))).cast("long"))
+      .select(col("key"), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"),
+        (col("cnt") * nPart > col("total") * 4).as("needs_salting"),
+        col("rank"))
+  }
+
+  // ---------------------------------------------------------------- A55
+  /** Join-key SKEW profiler — the operational table that decides when q39's
+    * salting is worth its replication cost, before a straggler decides it
+    * for you: the 20 heaviest customer keys in orders with count, ppm
+    * share, and the integer straggler test at the engine's 32-partition
+    * shuffle width. In deployment this runs over yesterday's fact keys and
+    * feeds the salting allow-list; the brief's "campaign day makes single
+    * keys hot" is exactly what this table surfaces the morning it starts. */
+  val q55 = Q(
+    "q55_skew_profile",
+    """WITH c AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      |           FROM orders GROUP BY o_custkey),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+      |r AS (SELECT key, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rank FROM c)
+      |SELECT r.key, r.cnt,
+      |  CAST(r.cnt * 1000000 // t.total AS BIGINT) AS share_ppm,
+      |  r.cnt * 32 > t.total * 4 AS needs_salting,
+      |  r.rank
+      |FROM r CROSS JOIN t WHERE r.rank <= 20""".stripMargin) { (s, d) =>
+    skewProfile(Tables.orders(s, d), "o_custkey", nPart = 32, topN = 20)
+  }
+
+  val queries: Seq[Q] = Seq(q39, q55)
 }

@@ -266,4 +266,10 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("ann15_probe_sweep")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
+
+  test("q55's top-N is TakeOrderedAndProject — never a global sort of the key distribution") {
+    val p = plan("q55_skew_profile")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N must plan as per-partition top-N + driver merge; plan:\n$p")
+  }
 }

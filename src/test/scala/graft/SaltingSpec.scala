@@ -42,4 +42,27 @@ class SaltingSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(n == 8)
   }
+
+  test("q55/skewProfile: planted hot key is flagged, uniform keys are not") {
+    val s = spark
+    import s.implicits._
+    // key 1 carries 1000 of 1100 rows: 1000*32 > 4*1100 -> straggler
+    val rows = ((1 to 1000).map(_ => 1L) ++ (2L to 11L).flatMap(k => Seq.fill(10)(k)))
+      .toDF("k")
+    val p = Salting.skewProfile(rows, "k", nPart = 32, topN = 20).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(p(1L).getAs[Boolean]("needs_salting"))
+    assert(p(1L).getAs[Long]("rank") == 1L)
+    assert(p(1L).getAs[Long]("share_ppm") == 1000L * 1000000L / 1100L)
+    (2L to 11L).foreach(k => assert(!p(k).getAs[Boolean]("needs_salting")))
+  }
+
+  test("q55 on the real corpus: ranks are dense and counts nonincreasing") {
+    val r = Salting.q55.build(spark, sfDir).orderBy("rank").collect()
+    assert(r.length == 20)
+    assert(r.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
+    val cnts = r.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    assert(r.forall(x => x.getAs[Long]("share_ppm") >= 0 && x.getAs[Long]("share_ppm") <= 1000000))
+  }
 }
