@@ -106,7 +106,8 @@ object Bench {
       s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","n_queries":${ok.size},"max_sec":${fmt3(maxSec)},"value":${fmt3(total)}}"""
     if (line.length > 1900)
       System.err.println(s"[bench] note: json line ${line.length} chars exceeds the ~2000-char " +
-        "stdout tail the collector keeps — totals are last so they survive; full line in BENCH_LOCAL.json")
+        "stdout tail the collector keeps — totals are last so they survive; full sf0.1 runs " +
+        "additionally land the complete line in BENCH_FULL_LATEST.json (subset/smoke runs dump no file)")
     // Full-suite sf0.1 runs only: neither a SPARK_GRAFT_BENCH_ONLY subset
     // nor a small-sf smoke may overwrite the committed full-suite record.
     // Lands in BENCH_FULL_LATEST.json — last full run, whoever ran it

@@ -63,13 +63,22 @@ object Pipeline {
       .select("doc_id")
     val ddExact = gated.join(keep, "doc_id")
     // Stage 3b (swap-in): near-dup pruning — every clustered doc except
-    // its cluster's dd07 survivor is dropped; unclustered docs pass.
+    // its cluster's dd07 survivor is dropped; unclustered docs pass. The
+    // cluster relation is built ONCE and both the survivor pick (dd07's
+    // quality/min-id rule) and the casualty set derive from it — dd07's
+    // own build would run the whole shingle→LSH→CC pipeline a second time.
     val dd =
       if (!nearDup) ddExact
       else {
-        val survivors = graft.operators.Dedup.dd07.build(s, d)
-          .select(col("survivor_id").as("doc_id"))
-        val casualties = graft.operators.Dedup.clusters(s, d).select("doc_id")
+        val cl = graft.operators.Dedup.clusters(s, d)
+          .localCheckpoint() // survivor pick AND casualty anti-join
+        val survivors = cl
+          .join(TextAnalysis.qualityScore(s, d), Seq("doc_id"))
+          .groupBy(col("cluster_id"))
+          .agg(max_by(col("doc_id"),
+            struct(col("quality"), (-col("doc_id")).as("tie"))).as("doc_id"))
+          .select("doc_id")
+        val casualties = cl.select("doc_id")
           .join(survivors, Seq("doc_id"), "left_anti")
         ddExact.join(casualties, Seq("doc_id"), "left_anti")
       }

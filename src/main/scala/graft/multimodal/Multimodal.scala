@@ -396,8 +396,11 @@ object Multimodal {
     * mark frames whose energy falls below the payload's own mean, and
     * report the leading/trailing silent runs a trimmer would cut plus the
     * kept span. On real PCM this exact plan runs over decoded samples at
-    * the mm01 decode seam; here amplitude is (byte − 32) over the ASCII
-    * payload, which keeps every value deterministic and the oracle exact.
+    * the mm01 decode seam (byte frames over the decoded array); here the
+    * frames are CHARACTER frames of the ASCII payload — both engines index
+    * characters (`length`/`substr`), and amplitude is (code − 32), exact
+    * because the payload contract is ASCII (char = byte = codepoint; the
+    * object header states the corpus guarantee).
     *
     * The silence test is INTEGER end-to-end: frame f is silent iff
     * 2·e(f)·n_frames < Σe — algebraically "energy below half the payload
@@ -414,7 +417,7 @@ object Multimodal {
   val mm09 = Q(
     "mm09_energy_trim",
     """WITH sized AS (SELECT doc_id, text,
-      |    CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n_frames FROM documents),
+      |    CAST(length(text) // 64 AS BIGINT) AS n_frames FROM documents),
       |fr AS (SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS f, text
       |       FROM sized WHERE n_frames > 0),
       |fe AS (SELECT doc_id, n_frames, f,

@@ -965,16 +965,24 @@ object Dedup {
     val isInc = col("doc_id") % 5 === 4
     val inc = doc.filter(isInc).select(col("doc_id"), md5(col("c")).as("h"))
       .join(sh.select("doc_id", "shs"), "doc_id")
-    val baseHashes = doc.filter(!isInc)
-      .groupBy(md5(col("c")).as("h")).agg(min(col("doc_id")).as("em"))
-    val baseBands = sh.filter(!isInc)
-      .select(col("doc_id").as("base_id"),
-        explode(array(bandKeys(minhashSig(col("shs"))): _*)).as("bk"))
-      .select("bk", "base_id")
-    val baseSh = sh.filter(!isInc)
-      .select(col("doc_id").as("base_id"), col("shs").as("sb"))
+    val (baseHashes, baseBands, baseSh) =
+      dedupIndexRelations(doc.filter(!isInc), sh.filter(!isInc))
     incrementalVerdicts(inc, baseHashes, baseBands, baseSh)
   }
+
+  /** The storable dedup index's three relations — content-hash set
+    * (h → min owner), minhash band table (bk → member), verify shingle
+    * sets — from a cleaned-doc relation (doc_id, c) and its shingle table
+    * (doc_id, shs). ONE spelling, consumed by dd15's batch build and
+    * [[graft.streaming.IncrementalDedupStream.index]], so the index half
+    * of the batch/stream parity cannot drift either. */
+  private[graft] def dedupIndexRelations(
+      doc: DataFrame, sh: DataFrame): (DataFrame, DataFrame, DataFrame) = (
+    doc.groupBy(md5(col("c")).as("h")).agg(min(col("doc_id")).as("em")),
+    sh.select(col("doc_id").as("base_id"),
+        explode(array(bandKeys(minhashSig(col("shs"))): _*)).as("bk"))
+      .select("bk", "base_id"),
+    sh.select(col("doc_id").as("base_id"), col("shs").as("sb")))
 
   /** dd15's decision core over explicit index relations — shared verbatim
     * with the ingest-time twin [[graft.streaming.IncrementalDedupStream]],

@@ -39,20 +39,16 @@ object IncrementalDedupStream {
     * uncut plan would re-shingle the whole base corpus every micro-batch. */
   final case class BaseIndex(hashes: DataFrame, bands: DataFrame, shingles: DataFrame)
 
-  /** Build the index from a (doc_id, text) relation of the corpus at rest. */
+  /** Build the index from a (doc_id, text) relation of the corpus at rest.
+    * The relation spellings are dd15's own ([[graft.operators.Dedup
+    * .dedupIndexRelations]]) — one definition for batch and stream. */
   def index(baseDocs: DataFrame): BaseIndex = {
     val doc = baseDocs.select(col("doc_id"), TextPrep.clean(col("text")).as("c"))
     val shd = doc
       .select(col("doc_id"), WordShingles3.shingles3(col("c")).as("shs"))
       .localCheckpoint()
-    BaseIndex(
-      hashes = doc.groupBy(md5(col("c")).as("h"))
-        .agg(min(col("doc_id")).as("em")).localCheckpoint(),
-      bands = shd.select(col("doc_id").as("base_id"),
-          explode(array(TextPrep.bandKeys(TextPrep.minhashSig(col("shs"))): _*)).as("bk"))
-        .select("bk", "base_id").localCheckpoint(),
-      shingles = shd.select(col("doc_id").as("base_id"), col("shs").as("sb"))
-        .localCheckpoint())
+    val (hashes, bands, shingles) = graft.operators.Dedup.dedupIndexRelations(doc, shd)
+    BaseIndex(hashes.localCheckpoint(), bands.localCheckpoint(), shingles.localCheckpoint())
   }
 
   /** Per-document verdicts for one (doc_id, text) relation — batch or
