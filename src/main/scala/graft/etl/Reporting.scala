@@ -346,5 +346,38 @@ object Reporting {
         col("n_orders"), col("revenue"))
   }
 
-  val queries: Seq[Q] = Seq(q12, q15, q16, q17, q27, q28, q40, q42, q48, q49, q50)
+  // ---------------------------------------------------------------- A56
+  /** GROUPING SETS with an ARBITRARY set list — the third member of the
+    * multi-level-aggregate family: q15's ROLLUP is the prefix chain,
+    * q40's CUBE is every subset, and this is the hand-picked list a
+    * report actually wants ((priority, status), each margin, grand total
+    * — but NOT every other subset a CUBE would waste a pass on). Spark
+    * plans all three through the same Expand node, so partial aggregation
+    * still collapses map-side; the grouping-id disambiguator is spelled
+    * 2·grouping(a) + grouping(b) EXPLICITLY in both engines (their
+    * grouping_id() bit conventions are not worth trusting to agree).
+    * Declared via spark.sql — the one A-family query exercising the SQL
+    * entry path over a registered view, which a reference user migrating
+    * raw SQL would hit first. */
+  val q56 = Q(
+    "q56_grouping_sets",
+    s"""SELECT o_orderpriority, o_orderstatus,
+      |  CAST(2*GROUPING(o_orderpriority) + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  ${graft.functions.Exact.sqlSumCents("o_totalprice")} AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |  (o_orderpriority), (o_orderstatus), ())""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders_q56")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(2*grouping(o_orderpriority) + grouping(o_orderstatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        |FROM orders_q56
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderpriority), (o_orderstatus), ())""".stripMargin)
+  }
+
+  val queries: Seq[Q] = Seq(q12, q15, q16, q17, q27, q28, q40, q42, q48, q49, q50, q56)
 }

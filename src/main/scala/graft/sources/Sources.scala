@@ -224,8 +224,10 @@ object Sources {
 
   // ------------------------------------------------------------------ G12
   /** 16-bit Morton (Z-order) interleave of two already-normalized
-    * coordinates — 32 shift/mask terms, pure codegen arithmetic. */
-  private def morton16(x: Column, y: Column): Column =
+    * coordinates — 32 shift/mask terms, pure codegen arithmetic.
+    * private[graft] so ZOrderSpec can pin it against a reference
+    * bit-interleave. */
+  private[graft] def morton16(x: Column, y: Column): Column =
     (0 until 16).map { i =>
       shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1)

@@ -272,4 +272,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-N must plan as per-partition top-N + driver merge; plan:\n$p")
   }
+
+  test("q56's grouping sets plan one Expand with map-side partial aggregation") {
+    val p = plan("q56_grouping_sets")
+    assert("Expand".r.findAllIn(p).length >= 1 && !p.contains("Union"),
+      s"grouping sets must be one Expand, not a union of aggregates; plan:\n$p")
+  }
 }

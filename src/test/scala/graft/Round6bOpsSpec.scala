@@ -134,6 +134,22 @@ class Round6bOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  // ----------------------------------------------- q56 grouping sets
+  test("q56: every margin level sums to the grand total; gid partitions the levels") {
+    val g = etl.Reporting.q56.build(spark, sfDir).cache()
+    val total = g.filter(col("gid") === 3).select("n_orders").head().getLong(0)
+    for (gid <- Seq(0, 1, 2)) {
+      assert(g.filter(col("gid") === gid).agg(sum(col("n_orders"))).head().getLong(0) == total,
+        s"gid=$gid margin must conserve the order count")
+    }
+    // null pattern must match the grouping level exactly
+    assert(g.filter(col("gid") === 0 &&
+      (col("o_orderpriority").isNull || col("o_orderstatus").isNull)).isEmpty)
+    assert(g.filter(col("gid") === 1 && col("o_orderstatus").isNotNull).isEmpty)
+    assert(g.filter(col("gid") === 2 && col("o_orderpriority").isNotNull).isEmpty)
+    g.unpersist()
+  }
+
   // --------------------------------------- q54 incremental summary merge
   test("q54: merging archive + increment partials equals the one-pass summary") {
     val got = etl.RelationalCore.q54.build(spark, sfDir)

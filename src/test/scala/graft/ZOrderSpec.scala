@@ -47,6 +47,28 @@ class ZOrderSpec extends SparkSpec {
     assert(admitted.size < all.size, s"box admitted ${admitted.size}/${all.size}")
   }
 
+  test("morton16 equals a reference bit-interleave and preserves quadrant order") {
+    val s = spark
+    import s.implicits._
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val pts = for (x <- Seq(0L, 1L, 2L, 255L, 32767L, 65535L);
+                   y <- Seq(0L, 1L, 3L, 128L, 40000L, 65535L)) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .withColumn("z", Sources.morton16(col("x"), col("y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(x, y), s"morton($x,$y)")
+    }
+    // quadrant locality: the top bits of z are the top bits of (y, x) —
+    // every point of the low-left quadrant sorts before any of the
+    // high-right quadrant (the property that makes file regions square)
+    assert(ref(100, 200) < ref(33000, 40000))
+    // bit 31 (y's top bit) dominates: any y >= 2^15 point sorts after
+    // every y < 2^15 point regardless of x
+    assert(ref(65535, 32767) < ref(0, 32768))
+  }
+
   test("G12 prunes the secondary dimension where the linear layout cannot") {
     val zDir = Files.createTempDirectory("graft-zorder-z").toString
     val linDir = Files.createTempDirectory("graft-zorder-lin").toString
