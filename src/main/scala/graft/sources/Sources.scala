@@ -311,4 +311,39 @@ object Sources {
       .getOrElse(lit(true))
     base.filter(pa && pb)
   }
+
+  // ------------------------------------------------------------------ G13
+  /** Compaction PLANNER — the decision table in front of G5's mechanism:
+    * per partition directory, file count, total/average bytes, and the
+    * action a table maintainer should take — 'compact' when the partition
+    * holds more than `maxFiles` files OR its average file is below
+    * `minAvgBytes` (the small-file problem: every reader pays per-file
+    * open/footer cost, every planner pays per-file metadata), 'leave'
+    * otherwise. Running compaction blindly over a 100 TB table rewrites
+    * everything; this table scopes the rewrite to the partitions that
+    * earned it (the OPTIMIZE planning pass of Delta/Iceberg, on plain
+    * directories — ADR-001).
+    *
+    * Driver-side directory listing — one row per (partition, file), the
+    * same bounded metadata pass every planner runs (G9's adjudicated
+    * class); no Spark job at all until someone acts on the plan. */
+  def compactionPlan(spark: SparkSession, path: String,
+      maxFiles: Int, minAvgBytes: Long): DataFrame = {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val root = new java.io.File(path)
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    val rows = parts.toSeq.map { dir =>
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val bytes = files.map(_.length()).sum
+      (dir.getName, files.length.toLong, bytes)
+    }
+    rows.toDF("partition", "n_files", "total_bytes")
+      .withColumn("avg_bytes",
+        when(col("n_files") > 0, col("total_bytes") / col("n_files")).otherwise(0L))
+      .withColumn("action",
+        when(col("n_files") > maxFiles || (col("n_files") > 1 && col("avg_bytes") < minAvgBytes),
+          "compact").otherwise("leave"))
+  }
 }

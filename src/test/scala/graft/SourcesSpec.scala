@@ -119,6 +119,33 @@ class SourcesSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("G13 compaction planner scopes the rewrite to fragmented partitions only") {
+    val landing = tmp("plan-landing")
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("part_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    // fragment every month 8 ways, then rewrite ONE month to a single file
+    orders.repartition(8)
+      .write.mode("overwrite").partitionBy("part_month").parquet(landing)
+    val oneMonth = orders.select("part_month").orderBy("part_month").head().getString(0)
+    orders.filter(col("part_month") === oneMonth).coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$landing/part_month=$oneMonth")
+    val plan = Sources.compactionPlan(spark, landing, maxFiles = 4, minAvgBytes = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(4)))
+    val byPart = plan.map(p => p._1 -> p._3).toMap
+    assert(byPart(s"part_month=$oneMonth") == "leave",
+      "the already-compacted month must be left alone")
+    // every action matches the rule it claims (minAvgBytes=1 never fires
+    // on real parquet, so the rule reduces to the file-count test)
+    plan.foreach { case (part, nFiles, action) =>
+      assert(action == (if (nFiles > 4) "compact" else "leave"),
+        s"$part: n_files=$nFiles but action=$action")
+    }
+    // and the fragmented landing gives the planner real work
+    assert(plan.count(_._3 == "compact") > plan.length / 2,
+      s"most months must be flagged on an 8-way fragmented landing")
+  }
+
   test("G7 dynamic partition overwrite replaces only the increment's partitions") {
     val path = tmp("dynfact")
     val orders = Tables.orders(spark, sfDir)
