@@ -95,9 +95,9 @@ object Bench {
     // after ours). A 90+-query map cannot fit that budget, so the line is
     // laid out to degrade from the FRONT: per-query map first, headline
     // total/failed/sf LAST — truncation costs the alphabetically-early
-    // queries, never the totals. The complete JSON additionally lands in
-    // BENCH_LOCAL.json in the working directory, which the round's
-    // end-of-round commit preserves in-repo with full precision.
+    // queries, never the totals. Full sf0.1 runs additionally land the
+    // complete JSON in BENCH_FULL_LATEST.json (see below), which the
+    // round's end-of-round commit preserves in-repo with full precision.
     // Headline stats cover only succeeded queries: the -1 failure sentinel
     // must never become max_sec, and n_queries says what `value` sums over
     // (failures are already listed separately under "failed").

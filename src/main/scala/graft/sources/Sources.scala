@@ -316,10 +316,12 @@ object Sources {
   /** Compaction PLANNER — the decision table in front of G5's mechanism:
     * per partition directory, file count, total/average bytes, and the
     * action a table maintainer should take — 'compact' when the partition
-    * holds more than `maxFiles` files OR its average file is below
-    * `minAvgBytes` (the small-file problem: every reader pays per-file
-    * open/footer cost, every planner pays per-file metadata), 'leave'
-    * otherwise. Running compaction blindly over a 100 TB table rewrites
+    * holds more than `maxFiles` files OR holds several files averaging
+    * below `minAvgBytes` (the small-file problem: every reader pays
+    * per-file open/footer cost, every planner pays per-file metadata),
+    * 'leave' otherwise. A single file is always 'leave' regardless of
+    * size — rewriting one file into one file buys nothing.
+    * Running compaction blindly over a 100 TB table rewrites
     * everything; this table scopes the rewrite to the partitions that
     * earned it (the OPTIMIZE planning pass of Delta/Iceberg, on plain
     * directories — ADR-001).

@@ -275,7 +275,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q56's grouping sets plan one Expand with map-side partial aggregation") {
     val p = plan("q56_grouping_sets")
-    assert("Expand".r.findAllIn(p).length >= 1 && !p.contains("Union"),
-      s"grouping sets must be one Expand, not a union of aggregates; plan:\n$p")
+    assert("Expand".r.findAllIn(p).length == 1 && !p.contains("Union"),
+      s"grouping sets must be exactly one Expand, not a union of aggregates; plan:\n$p")
   }
 }
