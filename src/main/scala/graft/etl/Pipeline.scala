@@ -72,14 +72,8 @@ object Pipeline {
       else {
         val cl = graft.operators.Dedup.clusters(s, d)
           .localCheckpoint() // survivor pick AND casualty anti-join
-        val survivors = cl
-          .join(TextAnalysis.qualityScore(s, d), Seq("doc_id"))
-          .groupBy(col("cluster_id"))
-          .agg(max_by(col("doc_id"),
-            struct(col("quality"), (-col("doc_id")).as("tie"))).as("doc_id"))
-          .select("doc_id")
         val casualties = cl.select("doc_id")
-          .join(survivors, Seq("doc_id"), "left_anti")
+          .join(graft.operators.Dedup.survivorsFrom(cl, s, d), Seq("doc_id"), "left_anti")
         ddExact.join(casualties, Seq("doc_id"), "left_anti")
       }
     // Stage 4: decontamination — any 8-gram shared with the holdout flags

@@ -272,6 +272,17 @@ object Dedup {
   private[graft] def clusters(s: SparkSession, d: String): DataFrame =
     connectedComponents(lshPairs(s, d).select("id_a", "id_b"))
 
+  /** dd07's survivor rule over an ALREADY-BUILT cluster relation —
+    * quality-best member, min-id tie — factored so consumers holding a
+    * `clusters` result (Pipeline's swap-in, dd16's report) never run the
+    * shingle→LSH→CC pipeline a second time just to pick survivors. */
+  private[graft] def survivorsFrom(cl: DataFrame, s: SparkSession, d: String): DataFrame =
+    cl.join(graft.functions.TextAnalysis.qualityScore(s, d), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("quality"), (-col("doc_id")).as("tie"))).as("doc_id"))
+      .select("doc_id")
+
   // ---------------------------------------------------------------- B6
   /** Near-dup CLUSTER formation: connected components over the LSH-verified
     * pair graph — each doc's cluster_id is the smallest doc_id reachable
@@ -1022,7 +1033,79 @@ object Dedup {
         when(col("em").isNotNull, lit(1.0)).otherwise(col("nj")).as("jaccard"))
   }
 
+  // ---------------------------------------------------------------- B16
+  /** Per-source dedup IMPACT report — the dashboard that tells a corpus
+    * owner what dedup actually cost each source: document count, exact-dup
+    * casualties (non-keeper members of a content-hash group, dd01's rule),
+    * near-dup casualties (clustered non-survivors by dd07's quality rule,
+    * counted only among docs the exact rule didn't already remove —
+    * precedence makes the three classes partition every source), kept
+    * docs, and removed share in integer ppm. A source bleeding docs here
+    * is a scrape or template farm; one losing nothing may be under-deduped
+    * — either way this is the table that decision gets argued from (and
+    * the per-source refinement of q53's global funnel).
+    *
+    * Scale: composes the already-bounded machinery — one content-hash
+    * aggregate, ONE cluster build (dd06's CC engine) with survivors picked
+    * from the same relation, then a doc-keyed flag join + per-source
+    * rollup. Nothing new shuffles the corpus. */
+  val dd16 = Q(
+    "dd16_dedup_report",
+    s"""WITH RECURSIVE $lshScoredSql,
+      |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, comp) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src),
+      |labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+      |quality AS (${graft.functions.TextAnalysis.qualityScoreSql}),
+      |ranked AS (SELECT l.comp, l.id,
+      |  row_number() OVER (PARTITION BY l.comp ORDER BY q.quality DESC, l.id) AS rn
+      |FROM labels l JOIN quality q ON l.id = q.doc_id),
+      |surv AS (SELECT id FROM ranked WHERE rn = 1),
+      |eh AS (SELECT md5(c) AS h, MIN(doc_id) AS keep FROM doc GROUP BY md5(c)),
+      |ec AS (SELECT d.doc_id FROM doc d JOIN eh ON md5(d.c) = eh.h
+      |       WHERE d.doc_id <> eh.keep),
+      |nc AS (SELECT l.id AS doc_id FROM labels l
+      |       WHERE l.id NOT IN (SELECT id FROM surv)
+      |         AND l.id NOT IN (SELECT doc_id FROM ec)),
+      |docsrc AS (SELECT doc_id, source FROM documents)
+      |SELECT s.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+      |  CAST(SUM(CASE WHEN e.doc_id IS NULL AND n.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+      |  CAST(SUM(CASE WHEN e.doc_id IS NULL AND n.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN e.doc_id IS NOT NULL OR n.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+      |       // COUNT(*) AS BIGINT) AS removed_ppm
+      |FROM docsrc s LEFT JOIN ec e ON s.doc_id = e.doc_id
+      |LEFT JOIN nc n ON s.doc_id = n.doc_id
+      |GROUP BY s.source""".stripMargin) { (s, d) =>
+    val doc = docsClean(s, d).localCheckpoint() // hash groups + casualty join spine
+    val exactCas = doc
+      .join(doc.groupBy(md5(col("c")).as("h")).agg(min(col("doc_id")).as("keep")),
+        md5(col("c")) === col("h"))
+      .filter(col("doc_id") =!= col("keep"))
+      .select("doc_id")
+    val cl = clusters(s, d).localCheckpoint() // survivor pick AND casualty set
+    val nearCas = cl.select("doc_id")
+      .join(survivorsFrom(cl, s, d), Seq("doc_id"), "left_anti")
+      .join(exactCas, Seq("doc_id"), "left_anti")
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(exactCas.withColumn("ec", lit(1)), Seq("doc_id"), "left")
+      .join(nearCas.withColumn("nc", lit(1)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ec").isNotNull, 1).otherwise(0)).as("n_exact_dup"),
+        sum(when(col("ec").isNull && col("nc").isNotNull, 1).otherwise(0)).as("n_near_dup"),
+        sum(when(col("ec").isNull && col("nc").isNull, 1).otherwise(0)).as("n_kept"),
+        expr("sum(case when ec is not null or nc is not null then 1 else 0 end) * 1000000 div count(1)")
+          .as("removed_ppm"))
+  }
+
   val queries: Seq[Q] =
     Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12, dd13, dd14,
-      dd15)
+      dd15, dd16)
 }

@@ -134,6 +134,22 @@ class Round6bOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  // --------------------------------------------- dd16 dedup impact report
+  test("dd16: classes partition every source and exact counts agree with dd01") {
+    val r = operators.Dedup.dd16.build(spark, sfDir).cache()
+    assert(r.filter(col("n_exact_dup") + col("n_near_dup") + col("n_kept")
+      =!= col("n_docs")).isEmpty, "exact/near/kept must partition each source")
+    assert(r.agg(sum(col("n_docs"))).head().getLong(0) ==
+      Tables.documents(spark, sfDir).count())
+    // total exact casualties == dd01's non-keeper copies
+    val dd01Cas = operators.Dedup.dd01.build(spark, sfDir)
+      .agg(sum(col("n_copies") - 1)).head().getLong(0)
+    assert(r.agg(sum(col("n_exact_dup"))).head().getLong(0) == dd01Cas)
+    // removed_ppm re-derivable from the counts
+    assert(r.filter(expr("(n_exact_dup + n_near_dup) * 1000000 div n_docs") =!= col("removed_ppm")).isEmpty)
+    r.unpersist()
+  }
+
   // ----------------------------------------------- q56 grouping sets
   test("q56: every margin level sums to the grand total; gid partitions the levels") {
     val g = etl.Reporting.q56.build(spark, sfDir).cache()
