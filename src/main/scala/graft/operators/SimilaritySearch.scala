@@ -1133,7 +1133,59 @@ object SimilaritySearch {
         col("nn_cell"), col("nn_dist_sq"))
   }
 
+  // ---------------------------------------------------------------- C17
+  /** Codec FRONTIER — recall@3 against exact, per storage codec, with the
+    * bytes each codec streams per scanned vector: float32 (256 B, recall
+    * 1.0 by construction — the honest baseline row), SQ8 (64 B, ann06),
+    * PQ 4×8 (4 B, ann08). ann05 measures one index's recall and ann15 one
+    * index's probe knob; this table is the CODEC decision — which
+    * compression clears the recall SLO at the least scan bandwidth, the
+    * axis the whole SQ8/PQ family exists to optimize (a 100 TB float
+    * corpus is 25 TB in SQ8 and 1.6 TB in PQ — the frontier says what
+    * that buys and what it costs in recall, in one three-row table).
+    *
+    * Scale: ONE exact pass (ann01's top-3) feeds all three codec
+    * comparisons; each codec contributes its existing top-3 relation and
+    * one query-keyed hit join. Integer ppm recall — no float crosses
+    * engines. */
+  val ann17 = Q(
+    "ann17_codec_frontier",
+    s"""WITH exact AS (${ann01.oracle.get}),
+      |e3 AS (SELECT query_id, neighbor_id FROM exact WHERE rank <= 3),
+      |sq AS (${ann06.oracle.get}),
+      |pq AS (${ann08.oracle.get}),
+      |stats AS (
+      |  SELECT 'float32' AS codec, CAST(256 AS BIGINT) AS bytes_per_vec,
+      |         CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM e3 x JOIN e3 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id
+      |  UNION ALL
+      |  SELECT 'sq8', CAST(64 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+      |  FROM sq s JOIN e3 e ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+      |  UNION ALL
+      |  SELECT 'pq4x8', CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+      |  FROM pq p JOIN e3 e ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM e3)
+      |SELECT s.codec, s.bytes_per_vec, s.n_hits, t.n_exact,
+      |  CAST(s.n_hits * 1000000 // t.n_exact AS BIGINT) AS recall_ppm
+      |FROM stats s CROSS JOIN tot t""".stripMargin) { (s, d) =>
+    val e3 = ann01.build(s, d).filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint() // joined by all three codec comparisons + the total
+    def row(name: String, bytes: Long, topk: DataFrame): DataFrame =
+      topk.select("query_id", "neighbor_id")
+        .join(e3, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("codec"), lit(bytes).as("bytes_per_vec"), col("n_hits"))
+    val tot = e3.agg(count(lit(1)).as("n_exact"))
+    row("float32", 256L, e3)
+      .unionByName(row("sq8", 64L, ann06.build(s, d)))
+      .unionByName(row("pq4x8", 4L, ann08.build(s, d)))
+      .crossJoin(broadcast(tot))
+      .select(col("codec"), col("bytes_per_vec"), col("n_hits"), col("n_exact"),
+        expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
+  }
+
   val queries: Seq[Q] =
     Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
-      ann11, ann12, ann13, ann14, ann15, ann16)
+      ann11, ann12, ann13, ann14, ann15, ann16, ann17)
 }

@@ -134,6 +134,19 @@ class Round6bOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  // --------------------------------------------- ann17 codec frontier
+  test("ann17: float baseline is exact; recall never rises as bytes shrink") {
+    val f = operators.SimilaritySearch.ann17.build(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(f("float32").getAs[Long]("recall_ppm") == 1000000L,
+      "the float row is the definitionally-exact baseline")
+    assert(f.values.forall(r => r.getAs[Long]("n_hits") <= r.getAs[Long]("n_exact")))
+    val byBytes = f.values.toSeq.sortBy(-_.getAs[Long]("bytes_per_vec"))
+      .map(_.getAs[Long]("recall_ppm"))
+    assert(byBytes.zip(byBytes.tail).forall { case (hi, lo) => hi >= lo },
+      s"recall must be nonincreasing along the compression axis: $byBytes")
+  }
+
   // --------------------------------------------- dd16 dedup impact report
   test("dd16: classes partition every source and exact counts agree with dd01") {
     val r = operators.Dedup.dd16.build(spark, sfDir).cache()
