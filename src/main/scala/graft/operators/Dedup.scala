@@ -206,11 +206,17 @@ object Dedup {
     // squeeze the heap (dd14 runs the most rounds and paid 9× for it on the
     // 8 GiB bench JVM). Release them deterministically instead: the
     // checkpointed RDD sits behind the DataFrame's LogicalRDD leaf.
-    def releaseCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.logical match {
+    // Releasing makes the superseded DataFrame permanently unrecomputable
+    // (the checkpoint truncated its lineage), so release and replacement are
+    // fused into ONE operation: the old reference is overwritten in the same
+    // expression that frees its blocks, and no later statement can reach it.
+    def retireAndAdvance(old: DataFrame, next: DataFrame): DataFrame = {
+      old.queryExecution.logical match {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
         case _ => () // not a checkpointed leaf — nothing to free
       }
+      next
+    }
 
     var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
       .localCheckpoint()
@@ -245,8 +251,9 @@ object Dedup {
           .filter(col("c") === 1).isEmpty
       }
       sig = newSig
-      releaseCheckpoint(edges) // newSig materialized small's blocks; the old round's are now garbage
-      edges = small
+      // newSig materialized small's blocks; the old round's are now garbage.
+      // The convergence check above was the last read of the old `edges`.
+      edges = retireAndAdvance(edges, small)
       iter += 1
     }
     if (!converged)

@@ -265,6 +265,23 @@ object Sources {
       path: String, nFiles: Int): Unit = {
     val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    if (r.isNullAt(0)) {
+      // Empty input: min/max are null, so there is no grid to normalize
+      // into. Still honor the write contract — an empty dataset plus an
+      // empty zonemap — so readFactZOrdered opens the path and prunes
+      // every file (of which there are none) instead of failing on a
+      // missing manifest.
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      df.sparkSession.read.parquet(path)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(colA)).as("amin"), max(col(colA)).as("amax"),
+          min(col(colB)).as("bmin"), max(col(colB)).as("bmax"),
+          count(lit(1)).as("n_rows"))
+        .filter(col("n_rows") > 0) // drop the empty-file row, if any
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(path + "_zonemap2")
+      return
+    }
     val z = morton16(norm16(col(colA), r.getLong(0), r.getLong(1)),
       norm16(col(colB), r.getLong(2), r.getLong(3)))
     df.withColumn("_zkey", z)

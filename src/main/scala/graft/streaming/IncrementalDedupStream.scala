@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -50,6 +50,29 @@ object IncrementalDedupStream {
     val (hashes, bands, shingles) = graft.operators.Dedup.dedupIndexRelations(doc, shd)
     BaseIndex(hashes.localCheckpoint(), bands.localCheckpoint(), shingles.localCheckpoint())
   }
+
+  /** Persist the index to durable storage. localCheckpoint blocks are NOT
+    * fault-tolerant — an executor loss during a long-running ingest gate
+    * makes them unrecoverable and fails every later micro-batch — so the
+    * deployment path writes the three relations as parquet and reloads
+    * them; [[index]]'s checkpointed form is for tests and single-run batch
+    * use. The stored form is also what incremental maintenance appends to
+    * after each admitted batch (an F7-style keyed upsert in an ACID
+    * deployment). */
+  def saveIndex(ix: BaseIndex, dir: String): Unit = {
+    ix.hashes.write.mode("overwrite").parquet(s"$dir/hashes")
+    ix.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    ix.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** Reload a durable index. Plain parquet scans: each micro-batch's joins
+    * re-read only the partitions they touch, and a restarted query (or a
+    * rescheduled executor) recovers with no rebuild. */
+  def loadIndex(spark: SparkSession, dir: String): BaseIndex =
+    BaseIndex(
+      spark.read.parquet(s"$dir/hashes"),
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/shingles"))
 
   /** Per-document verdicts for one (doc_id, text) relation — batch or
     * micro-batch; the plan is identical, and the decision core is dd15's. */

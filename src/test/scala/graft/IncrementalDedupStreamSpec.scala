@@ -61,6 +61,22 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     assert(v(11L)._1 == "new" && v(11L)._2.isEmpty)
   }
 
+  test("F14 durable index: save/load round-trip yields identical verdicts") {
+    // The deployment path: localCheckpoint blocks are not fault-tolerant,
+    // so a long-running ingest gate stores the index as parquet. Verdicts
+    // computed against the reloaded index must equal the in-memory ones.
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val ix = IncrementalDedupStream.index(docs.filter(col("doc_id") % 5 =!= 4))
+    val dir = Files.createTempDirectory("graft-f14-ix").toString
+    IncrementalDedupStream.saveIndex(ix, dir)
+    val reloaded = IncrementalDedupStream.loadIndex(spark, dir)
+    val inc = docs.filter(col("doc_id") % 5 === 4)
+    val mem = IncrementalDedupStream.verdicts(inc, ix)
+    val dur = IncrementalDedupStream.verdicts(inc, reloaded)
+    assert(mem.exceptAll(dur).isEmpty && dur.exceptAll(mem).isEmpty,
+      "verdicts against the durable index must equal the checkpointed index's")
+  }
+
   test("F14 verdicts are a pure function — replay produces identical rows") {
     val s = spark
     import s.implicits._

@@ -47,6 +47,17 @@ class ZOrderSpec extends SparkSpec {
     assert(admitted.size < all.size, s"box admitted ${admitted.size}/${all.size}")
   }
 
+  test("G12 empty input: write succeeds and the reader sees zero rows") {
+    // min/max over zero rows are null — the writer must still honor the
+    // contract (dataset + zonemap) so readFactZOrdered opens the path.
+    val out = Files.createTempDirectory("graft-zorder-empty").toString
+    Sources.writeFactZOrdered(fact.filter(lit(false)), "o_custkey", "od", out, nFiles)
+    val got = Sources.readFactZOrdered(spark, out, "o_custkey", "od",
+      Some((ckLo, ckHi)), Some((odLo, odHi)))
+    assert(got.count() == 0L)
+    assert(Sources.zoned2Files(spark, out, None, None).isEmpty)
+  }
+
   test("morton16 equals a reference bit-interleave and preserves quadrant order") {
     val s = spark
     import s.implicits._
