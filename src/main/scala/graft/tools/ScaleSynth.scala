@@ -1,0 +1,127 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a scaled-up derivative of a driver testdata directory for
+  * EMPIRICAL scaling measurement (SCALING.md) — `/root/testdata` is
+  * read-only and tops out at sf0.1, so the 10× point has to be derived.
+  *
+  * Construction: N key-shifted copies of the source tables, built to the
+  * driver generator's own scaling laws (measured sf0.01 → sf0.1):
+  *
+  *   - facts and scaling dims (customer/supplier/part/orders/lineitem/
+  *     events/documents) grow 10× per decade → N copies, every int64 key
+  *     shifted by `k * 2,520,000,000` (divisible by every small modulus the
+  *     queries use for deterministic splits, so `key % m` cohorts are
+  *     preserved per copy; 10 copies stay far below Long overflow);
+  *   - `region`/`nation` are fixed-size dims at every SF → single copy;
+  *   - distinct `p_name` is SATURATED at 64 from sf0.01 on → names are NOT
+  *     salted (a real bigger SF repeats names, so the matching queries'
+  *     distinct-title inputs must stay constant-size);
+  *   - `embeddings` grows ×4 per decade (500 → 2000 measured) → ⌈N·4/10⌉
+  *     copies, each vector cyclically rotated by a per-copy offset: intra-
+  *     copy dot products are EXACTLY preserved (both sides rotate), norms
+  *     unchanged, cross-copy similarity decorrelated;
+  *   - `documents.text` in copy k>0 gets a content-independent per-(k, n)
+  *     word-POSITION permutation: word at position i moves to the slot
+  *     ranked by xxhash64(i, k, n). A bijection on positions preserves the
+  *     word multiset (length, vocab, stopword and char stats identical),
+  *     identical texts permute identically (intra-copy exact-dup classes
+  *     preserved), near-dups aligned position-wise stay aligned (near-dup
+  *     classes approximately preserved) — while the SAME text in two
+  *     different copies shares only chance trigram overlap, so copies do
+  *     not interact in candidate generation. That is the defining property
+  *     of a real 10× corpus (constant dup rate, 10× classes) and the one a
+  *     naive union would violate quadratically.
+  *
+  * Usage: ScaleSynth <srcDir> <outDir> <copies>
+  */
+object ScaleSynth {
+
+  /** Divisible by lcm(1..10) = 2520 so key-modulo cohorts survive the shift. */
+  val KeyStride = 2520000000L
+
+  private val int64Keys: Map[String, Seq[String]] = Map(
+    "customer"   -> Seq("c_custkey"),
+    "supplier"   -> Seq("s_suppkey"),
+    "part"       -> Seq("p_partkey"),
+    "orders"     -> Seq("o_orderkey", "o_custkey"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events"     -> Seq("event_id", "user_id"),
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private def shiftKeys(df: DataFrame, table: String, k: Int): DataFrame =
+    int64Keys.getOrElse(table, Nil).foldLeft(df) { (d, c) =>
+      d.withColumn(c, col(c) + lit(k * KeyStride))
+    }
+
+  /** Deterministic position-permutation of whitespace-separated words;
+    * identity for k = 0. */
+  private def permuteWords(textCol: String, k: Int): org.apache.spark.sql.Column =
+    if (k == 0) col(textCol)
+    else expr(
+      s"""array_join(
+         |  transform(
+         |    array_sort(
+         |      transform(split($textCol, ' '),
+         |        (w, i) -> struct(xxhash64(i, $k, size(split($textCol, ' '))) AS h,
+         |                         i AS i, w AS w))),
+         |    s -> s.w),
+         |  ' ')""".stripMargin)
+
+  /** Cyclic rotation of a float vector by r positions; identity for r = 0. */
+  private def rotateVec(vecCol: String, r: Int): org.apache.spark.sql.Column =
+    if (r == 0) col(vecCol)
+    else expr(s"concat(slice($vecCol, ${r + 1}, size($vecCol) - $r), slice($vecCol, 1, $r))")
+
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
+    def src(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+
+    // fixed dims: single copy
+    Seq("region", "nation").foreach(n => write(src(n), n))
+
+    // 10×-per-decade tables: `copies` key-shifted copies
+    Seq("customer", "supplier", "part", "orders", "lineitem", "events").foreach { n =>
+      val base = src(n)
+      write((0 until copies).map(k => shiftKeys(base, n, k)).reduce(_ unionAll _), n)
+    }
+
+    // documents: key shift + per-copy position permutation of the text
+    val docs = src("documents")
+    write((0 until copies).map { k =>
+      shiftKeys(docs, "documents", k).withColumn("text", permuteWords("text", k))
+    }.reduce(_ unionAll _), "documents")
+
+    // embeddings: ×4 per decade (generator's own law), rotated per copy
+    val embCopies = math.max(1, math.ceil(copies * 4.0 / 10.0).toInt)
+    val emb = src("embeddings")
+    val dim = emb.selectExpr("max(size(embedding))").head().getInt(0)
+    write((0 until embCopies).map { k =>
+      shiftKeys(emb, "embeddings", k)
+        .withColumn("embedding", rotateVec("embedding", k * (dim / math.max(embCopies, 1))))
+    }.reduce(_ unionAll _), "embeddings")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, copiesStr) = args.take(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    synthesize(spark, srcDir, outDir, copiesStr.toInt)
+    graft.Tables.all.foreach { n =>
+      val c = spark.read.parquet(s"$outDir/$n.parquet").count()
+      println(s"[synth] $n: $c rows")
+    }
+    spark.stop()
+  }
+}
