@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AHash64, CdcChunks, DotProduct, MinHashSig8, PolyHash31, SimHash24, WordShingles3, WordShinglesN}
+import graft.functions.{AHash64, CdcChunks, DotProduct, MinHashSig8, PolyHash31, SimHash60, WordShingles3, WordShinglesN}
 
 /** SQL surface for graft's native expressions.
   *
@@ -53,9 +53,9 @@ object GraftExtensions {
         }
         WordShinglesN(args(0), n)
       }),
-    (FunctionIdentifier("simhash24"),
-      new ExpressionInfo(classOf[SimHash24].getName, "simhash24"),
-      (args: Seq[Expression]) => SimHash24(arity("simhash24", 1)(args).head)),
+    (FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (args: Seq[Expression]) => SimHash60(arity("simhash60", 1)(args).head)),
     (FunctionIdentifier("minhash_sig8"),
       new ExpressionInfo(classOf[MinHashSig8].getName, "minhash_sig8"),
       (args: Seq[Expression]) => MinHashSig8(arity("minhash_sig8", 1)(args).head)),

@@ -61,6 +61,21 @@ object PolyHash {
     }
     acc
   }
+
+  /** Independent second fold (base 131, mod 998244353 — both < 2^30, so
+    * `acc*131 + byte` never overflows a BIGINT in either engine): supplies
+    * bits 30-59 of [[SimHash60]]'s per-token hash. Kept side by side with
+    * [[hashBytes]] so the two folds share the exactness contract (cleaned
+    * ASCII input ⇒ byte loop == DuckDB's per-character `ascii` fold). */
+  def hashBytes2(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var acc = 0L
+    var i = from
+    while (i < until) {
+      acc = (acc * 131 + (bytes(i) & 0xff)) % 998244353L
+      i += 1
+    }
+    acc
+  }
 }
 
 /** The full 8-permutation MinHash signature of a shingle array in ONE native

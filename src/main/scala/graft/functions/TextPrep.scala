@@ -41,6 +41,11 @@ object TextPrep {
   def charHashSql(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($s)+1), i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))), (acc, x) -> (acc*31 + x) % 1000000007)"
 
+  /** DuckDB mirror of [[PolyHash.hashBytes2]] — the independent base-131
+    * fold supplying SimHash60's bits 30-59. */
+  def charHash2Sql(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($s)+1), i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))), (acc, x) -> (acc*131 + x) % 998244353)"
+
   /** Universal-hash permutation constants for the 8-row minhash signature. */
   val minhashPerms: Seq[(Long, Long)] = Seq(
     (2971L, 1332L), (4297L, 7919L), (6121L, 1511L), (8233L, 2027L),

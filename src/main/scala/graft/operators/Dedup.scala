@@ -27,7 +27,7 @@ object Dedup {
   /** doc_id → distinct 3-word shingles (native single-pass expression —
     * see [[graft.functions.WordShingles3]]; ShingleProperties proves it
     * equals the declarative shingles3 ∘ tokens composition). */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def docShingles(s: SparkSession, d: String): DataFrame =
     docsClean(s, d).select(col("doc_id"),
       graft.functions.WordShingles3.shingles3(col("c")).as("shs"))
   private val docShinglesSql =
@@ -120,7 +120,7 @@ object Dedup {
   /** LSH-verified pairs from an ALREADY-MATERIALIZED shingle table — the
     * seam dd14 threads a shared corpus pass through (its containment edge
     * generator reads the same table). */
-  private def lshPairsFrom(sh: DataFrame): DataFrame = {
+  private[graft] def lshPairsFrom(sh: DataFrame): DataFrame = {
     val sig = sh.select(col("doc_id"), minhashSig(col("shs")).as("sig"))
     val bands = sig.select(col("doc_id"),
       explode(array(bandKeys(col("sig")): _*)).as("bk"))
@@ -318,18 +318,21 @@ object Dedup {
       |FROM labels""".stripMargin)(clusters)
 
   // ---------------------------------------------------------------- B3
-  /** Pigeonhole candidate generation for SimHash: split the 24 fingerprint
-    * bits into 5 disjoint blocks (5+5+5+5+4). A pair with hamming <= 4 has
+  /** Pigeonhole candidate generation for SimHash: split the 60 fingerprint
+    * bits into 5 disjoint 12-bit blocks. A pair with hamming <= 4 has
     * its differing bits spread over at most 4 blocks, so AT LEAST one block
     * is bit-identical — indexing every doc under its 5 (block-id, block-value)
     * keys and equi-joining guarantees 100% recall (Gurmeet/Manku et al.,
     * "Detecting Near-Duplicates for Web Crawling", WWW'07 §3). Factored out
     * so SimhashRecallSpec can prove recall against brute-force hamming.
     * Scale: 5× index fan-out, candidates bounded by per-block bucket size —
-    * never all-pairs. */
+    * never all-pairs. Block width is the scale lever: 12-bit keys give a
+    * 4096-value space per block index, so random (non-near-dup) bucket
+    * collisions are 2^7× rarer than the earlier 24-bit/5-bit-block scheme
+    * whose ~144 corpus-wide buckets went quadratic at sf1 (SCALING.md). */
   private[graft] def simhashPairs(fp: DataFrame): DataFrame = {
     def blockVal(c: Column, j: Int): Column =
-      if (j < 4) shiftright(c, 5 * j) % 32 else shiftright(c, 20)
+      shiftright(c, 12 * j) % 4096
     val blocks = fp.select(col("doc_id"), col("fingerprint"),
       posexplode(array((0 until 5).map(j => blockVal(col("fingerprint"), j)): _*))
         .as(Seq("bi", "bv")))
@@ -352,16 +355,19 @@ object Dedup {
       .select("id_a", "id_b", "fp_a", "fp_b", "hamming")
   }
 
-  /** SimHash: 24-bit weighted-bit fingerprint over token hashes; pigeonhole
-    * 5-block candidate generation (see [[simhashPairs]]); near-dup when
-    * hamming <= 4 — full recall at that radius by construction. */
+  /** SimHash: 60-bit weighted-bit fingerprint over token hashes (two
+    * independent 30-bit folds per token — see
+    * [[graft.functions.SimHash60]]); pigeonhole 5×12-bit-block candidate
+    * generation (see [[simhashPairs]]); near-dup when hamming <= 4 — full
+    * recall at that radius by construction. */
   val dd03 = Q(
     "dd03_simhash",
     s"""WITH doc AS ($docsCleanSql),
       |tok AS (SELECT doc_id, unnest(string_split(c, ' ')) AS t FROM doc),
       |tc AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY doc_id, t),
-      |th AS (SELECT doc_id, cnt, ${charHashSql("t")} AS h FROM tc),
-      |bits AS (SELECT doc_id, unnest(range(0, 24)) AS b, cnt, h FROM th),
+      |th AS (SELECT doc_id, cnt,
+      |  ${charHashSql("t")} + ${charHash2Sql("t")} * 1073741824 AS h FROM tc),
+      |bits AS (SELECT doc_id, unnest(range(0, 60)) AS b, cnt, h FROM th),
       |contrib AS (SELECT doc_id, b,
       |  SUM(CASE WHEN (h // CAST(power(2, b) AS BIGINT)) % 2 = 1 THEN cnt ELSE -cnt END) AS w
       |FROM bits GROUP BY doc_id, b),
@@ -370,8 +376,9 @@ object Dedup {
       |FROM contrib GROUP BY doc_id),
       |blocks AS (SELECT doc_id, fingerprint,
       |  unnest([0, 1, 2, 3, 4]) AS bi,
-      |  unnest([fingerprint % 32, (fingerprint // 32) % 32, (fingerprint // 1024) % 32,
-      |          (fingerprint // 32768) % 32, fingerprint // 1048576]) AS bv
+      |  unnest([fingerprint % 4096, (fingerprint // 4096) % 4096,
+      |          (fingerprint // 16777216) % 4096, (fingerprint // 68719476736) % 4096,
+      |          fingerprint // 281474976710656]) AS bv
       |FROM fp),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fingerprint AS fp_a, b.fingerprint AS fp_b
       |         FROM blocks a JOIN blocks b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
@@ -382,12 +389,12 @@ object Dedup {
     // sum of count×(±1) over distinct tokens equals a sum of ±1 over raw
     // token OCCURRENCES, so the engine computes the whole fingerprint as
     // ONE scalar codegen pass over each document ([[graft.functions
-    // .SimHash24]]): no token explode, no (doc, 24-sums) aggregate — the
+    // .SimHash60]]): no token explode, no (doc, 60-sums) aggregate — the
     // fingerprint stage is now shuffle-free and the first exchange in the
     // plan is the (already one-row-per-doc) pigeonhole candidate join. The
-    // oracle's unnest(range(0,24)) row explosion stays the independent spec.
+    // oracle's unnest(range(0,60)) row explosion stays the independent spec.
     val fp = docsClean(s, d).select(col("doc_id"),
-      graft.functions.SimHash24.simhash24(col("c")).as("fingerprint"))
+      graft.functions.SimHash60.simhash60(col("c")).as("fingerprint"))
     simhashPairs(fp).select("id_a", "id_b", "fp_a", "fp_b", "hamming")
   }
 

@@ -23,17 +23,24 @@ import org.apache.spark.sql.functions._
   *     copies, each vector cyclically rotated by a per-copy offset: intra-
   *     copy dot products are EXACTLY preserved (both sides rotate), norms
   *     unchanged, cross-copy similarity decorrelated;
-  *   - `documents.text` in copy k>0 gets a content-independent per-(k, n)
-  *     word-POSITION permutation: word at position i moves to the slot
-  *     ranked by xxhash64(i, k, n). A bijection on positions preserves the
-  *     word multiset (length, vocab, stopword and char stats identical),
-  *     identical texts permute identically (intra-copy exact-dup classes
-  *     preserved), near-dups aligned position-wise stay aligned (near-dup
-  *     classes approximately preserved) — while the SAME text in two
-  *     different copies shares only chance trigram overlap, so copies do
-  *     not interact in candidate generation. That is the defining property
-  *     of a real 10× corpus (constant dup rate, 10× classes) and the one a
-  *     naive union would violate quadratically.
+  *   - `documents.text` in copy k>0 gets a content-independent per-copy
+  *     word RENAMING: every word w (at any position) becomes the length-|w|
+  *     base-36 rendering of xxhash64(w, k). A function of the word alone
+  *     maps equal texts to equal texts (exact-dup classes preserved) and
+  *     maps each copy's shingle/token sets bijectively-in-distribution
+  *     (intra-copy Jaccard EXACTLY preserved, token-hash signatures
+  *     relabeled uniformly, Zipf shape and word-length profile preserved) —
+  *     while the SAME text in two different copies shares neither shingles
+  *     NOR token multisets, so copies do not interact in candidate
+  *     generation for ANY signature family. The earlier word-POSITION
+  *     permutation construction had exactly that flaw for order-INVARIANT
+  *     signatures: SimHash sees the token multiset, which a position
+  *     permutation preserves, so every doc's 10 copies were fingerprint-
+  *     identical — dup classes grew 10× instead of staying constant-size,
+  *     and dd03's measured growth was the synthetic corpus's, not the
+  *     engine's. Constant dup rate with 10× classes is the defining
+  *     property of a real 10× corpus; renaming delivers it for both
+  *     order-sensitive and order-invariant signatures.
   *
   * Usage: ScaleSynth <srcDir> <outDir> <copies>
   */
@@ -57,18 +64,21 @@ object ScaleSynth {
       d.withColumn(c, col(c) + lit(k * KeyStride))
     }
 
-  /** Deterministic position-permutation of whitespace-separated words;
-    * identity for k = 0. */
-  private def permuteWords(textCol: String, k: Int): org.apache.spark.sql.Column =
+  /** Deterministic per-copy word renaming: every word becomes the
+    * length-preserving base-36 rendering of its (word, copy)-hash, so
+    * copies share no tokens while each copy's internal dup structure is an
+    * exact relabeling of the original's. Identity for k = 0. Two hash
+    * draws cover words longer than one base-36 long (~12 chars). */
+  private def renameWords(textCol: String, k: Int): org.apache.spark.sql.Column =
     if (k == 0) col(textCol)
     else expr(
       s"""array_join(
-         |  transform(
-         |    array_sort(
-         |      transform(split($textCol, ' '),
-         |        (w, i) -> struct(xxhash64(i, $k, size(split($textCol, ' '))) AS h,
-         |                         i AS i, w AS w))),
-         |    s -> s.w),
+         |  transform(split($textCol, ' '),
+         |    w -> substring(
+         |           rpad(concat(lower(conv(cast(abs(xxhash64(w, $k)) as string), 10, 36)),
+         |                       lower(conv(cast(abs(xxhash64(w, $k + 7919)) as string), 10, 36))),
+         |                length(w), '0'),
+         |           1, length(w))),
          |  ' ')""".stripMargin)
 
   /** Cyclic rotation of a float vector by r positions; identity for r = 0. */
@@ -90,10 +100,10 @@ object ScaleSynth {
       write((0 until copies).map(k => shiftKeys(base, n, k)).reduce(_ unionAll _), n)
     }
 
-    // documents: key shift + per-copy position permutation of the text
+    // documents: key shift + per-copy word renaming of the text
     val docs = src("documents")
     write((0 until copies).map { k =>
-      shiftKeys(docs, "documents", k).withColumn("text", permuteWords("text", k))
+      shiftKeys(docs, "documents", k).withColumn("text", renameWords("text", k))
     }.reduce(_ unionAll _), "documents")
 
     // embeddings: ×4 per decade (generator's own law), rotated per copy

@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
-import graft.functions.{DotProduct, MinHashSig8, PolyHash31, SimHash24}
+import graft.functions.{DotProduct, MinHashSig8, PolyHash31, SimHash60}
 
 /** Property tests for the native expressions, driven through Catalyst
   * interpreted eval (no Spark jobs — hundreds of cases run in ms). The
@@ -62,23 +62,30 @@ object ExpressionProperties extends Properties("graft.expressions") {
       .eval(null) == null
   }
 
+  /** Second reference fold (base 131 mod 998244353) — SimHash60's bits
+    * 30-59. */
+  private def refHash2(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 998244353L)
+
   /** Reference SimHash: split(" ", -1) token semantics (trailing/consecutive
-    * empties kept — Spark's split default), per-occurrence ±1 bit weights. */
+    * empties kept — Spark's split default), per-occurrence ±1 bit weights
+    * over the 60-bit combined token hash h31 | (h131 << 30). */
   private def refSimhash(s: String): Long = {
-    val counts = new Array[Int](24)
-    for (t <- s.split(" ", -1); b <- 0 until 24) {
-      if (((refHash(t) >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+    val counts = new Array[Int](60)
+    for (t <- s.split(" ", -1); b <- 0 until 60) {
+      val h = refHash(t) | (refHash2(t) << 30)
+      if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
     }
-    (0 until 24).map(b => if (counts(b) > 0) 1L << b else 0L).sum
+    (0 until 60).map(b => if (counts(b) > 0) 1L << b else 0L).sum
   }
 
-  property("simHash24 == tokenize∘hash∘weight composition, any ASCII input") =
+  property("simHash60 == tokenize∘hash∘weight composition, any ASCII input") =
     forAll(asciiString) { s =>
-      SimHash24(Literal(s)).eval(null) == refSimhash(s)
+      SimHash60(Literal(s)).eval(null) == refSimhash(s)
     }
 
-  property("simHash24 of null is null") = Prop {
-    SimHash24(Literal.create(null, StringType)).eval(null) == null
+  property("simHash60 of null is null") = Prop {
+    SimHash60(Literal.create(null, StringType)).eval(null) == null
   }
 
   property("minHashSig8 == per-permutation min over hashed shingles") =

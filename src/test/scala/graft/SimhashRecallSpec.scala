@@ -11,15 +11,15 @@ import scala.util.Random
   */
 class SimhashRecallSpec extends SparkSpec {
 
-  /** n random 24-bit fingerprints plus planted near-dups: for every third
+  /** n random 60-bit fingerprints plus planted near-dups: for every third
     * fingerprint, a copy with k in 1..4 RANDOM bit positions flipped —
     * including high bits, the case the old single-prefix blocking missed. */
   private def corpus(seed: Int, n: Int): Seq[(Long, Long)] = {
     val rnd = new Random(seed)
-    val bases = Seq.fill(n)(rnd.nextInt(1 << 24).toLong)
+    val bases = Seq.fill(n)(rnd.nextLong() & ((1L << 60) - 1))
     val planted = bases.zipWithIndex.collect { case (fp, i) if i % 3 == 0 =>
       val k = 1 + rnd.nextInt(4)
-      val flipped = (1 to k).foldLeft(fp)((f, _) => f ^ (1L << rnd.nextInt(24)))
+      val flipped = (1 to k).foldLeft(fp)((f, _) => f ^ (1L << rnd.nextInt(60)))
       flipped
     }
     (bases ++ planted).zipWithIndex.map { case (fp, i) => (i.toLong, fp) }
@@ -50,7 +50,7 @@ class SimhashRecallSpec extends SparkSpec {
       // old `fingerprint // 16` single-block scheme could never recall.
       val fps = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val highBitPair = brute.exists { case (a, b, _) =>
-        ((fps(a) ^ fps(b)) >> 20) != 0L
+        ((fps(a) ^ fps(b)) >> 48) != 0L
       }
       assert(highBitPair, "corpus must include a pair differing in a high bit")
       assert(fast == brute)
