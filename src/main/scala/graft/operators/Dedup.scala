@@ -423,12 +423,19 @@ object Dedup {
     *
     * Both prune with the lossless size-ratio bound (J>=0.5 ⇒ min>=max/2). */
   private[graft] def ngramJaccardPairs(s: SparkSession, d: String,
+      prefixFilter: Boolean): DataFrame =
+    ngramJaccardPairsFrom(docShingles(s, d), prefixFilter)
+
+  /** Same, over an ALREADY-BUILT (doc_id, shs) shingle table — the seam the
+    * hot-shingle stress harness (tools.StressDd04) feeds synthetic corpora
+    * through without a parquet round-trip. */
+  private[graft] def ngramJaccardPairsFrom(sh: DataFrame,
       prefixFilter: Boolean): DataFrame = {
     // explode_outer: plain explode pushes a `size(shs)>0` filter below the
     // projection chain, recomputing the regex+shingle expression per row;
     // shingle arrays are never empty (shingles3 falls back to [c]), so the
     // outer variant is semantics-identical and keeps the pipeline single-pass.
-    val shx = docShingles(s, d).withColumn("sz", size(col("shs")))
+    val shx = sh.withColumn("sz", size(col("shs")))
       .select(col("doc_id"), col("sz"), explode_outer(col("shs")).as("tok"))
     def score(pairs: DataFrame): DataFrame = pairs
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
@@ -465,8 +472,51 @@ object Dedup {
     }
   }
 
+  /** Hot-shingle plan selection, measured (tools.StressDd04, synth-sf1
+    * 50 k docs, local[32]): the default shuffle-count plan costs
+    * ~Σ df²/1.5e7 s and beats the prefix plan 2.5–7× on bounded-df corpora
+    * (0% boilerplate: 2.5 s vs 18 s), but explodes when boilerplate makes
+    * df ∝ N (30% stressed docs: Σ df² = 2.3e9 → 134 s vs the prefix
+    * plan's FLAT 9 s). The two cost models cross where Σ df² ≈ 8× the
+    * exploded row count E = Σ df (measured: ratio 1.07 → default wins big;
+    * 10.7 → prefix edges ahead; 87 → prefix wins 14.5×). The ratio alone
+    * is asymptotic — the prefix plan's fixed multi-stage overhead
+    * dominates at toy scale (at sf0.1, ratio 10.7 but default still wins
+    * 4×) — so the chooser also requires the join volume to be absolutely
+    * expensive before paying for the prefix machinery. */
+  private[graft] val HotShingleRatio = 8L
+  private[graft] val HotShingleFloor = 100000000L // Σ df² below this: join is cheap either way
+
+  /** Hot-shingle decision: true ⇒ the prefix (PPJoin) plan, when the
+    * candidate volume Σ df² is both ratio-dominated (> 8× E) AND
+    * absolutely large (> 1e8). One hash aggregate over the exploded
+    * shingle table — at 100 TB this statistic is noise next to either
+    * plan, and it is exactly the quantity that separates them. */
+  private[graft] def chooseNgramPrefix(sh: DataFrame,
+      ratio: Long = HotShingleRatio, floor: Long = HotShingleFloor): Boolean = {
+    val r = sh.select(explode(col("shs")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df")).as("j"), sum(col("df")).as("e"))
+      .head()
+    r.getLong(0) > ratio * r.getLong(1) && r.getLong(0) > floor
+  }
+
+  /** Deployment entry for n-gram Jaccard: materializes the shingle pass
+    * once, measures the hot-shingle statistic, and runs whichever
+    * candidate plan that corpus actually wants. DedupEquivalenceSpec
+    * proves both branches equal brute force; AdaptiveNgramSpec pins the
+    * branch decision on clean vs boilerplate corpora. */
+  def ngramJaccardPairsAuto(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d).localCheckpoint()
+    ngramJaccardPairsFrom(sh, prefixFilter = chooseNgramPrefix(sh))
+  }
+
   /** See [[ngramJaccardPairs]]. The DuckDB oracle is the naive O(n²) cross
-    * join with true list_intersect — an independent spec of the semantics. */
+    * join with true list_intersect — an independent spec of the semantics.
+    * The REGISTERED plan is the static default — the choice
+    * [[chooseNgramPrefix]] itself makes for this corpus (Σ df² = 2.8e6 at
+    * sf0.1, far under the volume floor); [[ngramJaccardPairsAuto]] is the
+    * deployment entry that re-derives that choice per corpus. */
   val dd04 = Q(
     "dd04_ngram_jaccard",
     s"""WITH $docShinglesSql,
