@@ -32,11 +32,23 @@ object Tables {
     "embeddings" -> Seq("vec_id", "embedding", "label"))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default;
-    // read it as a raw nanosecond Long (epoch) and derive seconds downstream.
-    if (name == "events")
+    // events.ts contract: downstream code always sees a raw epoch-NANOSECOND
+    // Long. Generators have shipped the column as INT64 TIMESTAMP(NANOS)
+    // (which Spark rejects unless read as a long) and as TIMESTAMP(MICROS)
+    // (which Spark reads as a timestamp type); normalize both to the same
+    // ns long here so every downstream `ts div 1e9` stays valid.
+    if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+      // micros files are naive (isAdjustedToUTC=false): read as TimestampType,
+      // not NTZ, so unix_micros applies; session tz is UTC in every entry point.
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    }
+    val df0 = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events" && df0.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+        df0.withColumn("ts", org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
+      else df0
     val missing = required.getOrElse(name, Nil).filterNot(df.columns.contains)
     require(missing.isEmpty, s"table $name missing columns: ${missing.mkString(",")}")
     df

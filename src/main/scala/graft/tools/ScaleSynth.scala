@@ -87,7 +87,10 @@ object ScaleSynth {
     else expr(s"concat(slice($vecCol, ${r + 1}, size($vecCol) - $r), slice($vecCol, 1, $r))")
 
   def synthesize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
-    def src(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
+    // Tables.load normalizes events.ts to the epoch-ns Long contract, so the
+    // synthesized dir carries the normalized type no matter which generator
+    // vintage (ns/micros) produced the source.
+    def src(name: String): DataFrame = graft.Tables.load(spark, srcDir, name)
     def write(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
 
