@@ -501,5 +501,106 @@ object RelationalCore {
         round(col("sum_qty").cast("double") / col("n_rows"), 4).as("avg_qty"))
   }
 
-  val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q26, q47, q54)
+  // ---------------------------------------------------------------- A57
+  /** Declarative data-quality EXPECTATIONS audit — the contract gate in
+    * front of every load (the reference enforces dtypes via its dtype_spec
+    * dict at read time; this is the row-content half of that contract,
+    * Deequ/Great-Expectations shape): each check is a named rule
+    * (completeness, key uniqueness, value range, domain membership,
+    * referential integrity) and the output is one row per check with rows
+    * scanned, violation count, and pass/fail — the relation a CI gate or
+    * G8's write-audit-publish audit step consumes.
+    *
+    * The corpus makes the audit honest: the naive (l_orderkey,
+    * l_linenumber) PK expectation FAILS (14k dup pairs at sf0.01 — the
+    * composite is genuinely not a key in this generator) and 257 orders
+    * have no lineitems, while the other seven checks pass — both findings
+    * q47's reconcile surfaced are now pinned as named expectations.
+    *
+    * Scale: ALL single-table checks per table fold into ONE aggregate pass
+    * (conditional sums + count-distinct share the scan — Deequ's core
+    * trick), then fan out to check rows via an explode of a literal struct
+    * array over the 1-row aggregate (no re-scan per check). The two
+    * referential checks are each one left join onto the DISTINCT key set
+    * of the other side (broadcast-sized after the distinct) + the same
+    * shared-scan aggregate. Nothing is ever row-materialized. */
+  val q57 = Q(
+    "q57_expectations",
+    """WITH o AS (SELECT
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+      |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_dom
+      |  FROM orders),
+      |l AS (SELECT
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS v_pk,
+      |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+      |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+      |  FROM lineitem),
+      |orph AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+      |  FROM lineitem li LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      |    ON li.l_orderkey = o.o_orderkey),
+      |chl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN lk.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+      |  FROM orders o LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) lk
+      |    ON o.o_orderkey = lk.l_orderkey)
+      |SELECT check_name, scanned, violations,
+      |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      |FROM (
+      |  SELECT 'orders.o_orderkey.unique' AS check_name, n AS scanned, v_uniq AS violations FROM o
+      |  UNION ALL SELECT 'orders.o_custkey.complete', n, v_null FROM o
+      |  UNION ALL SELECT 'orders.o_totalprice.positive', n, v_price FROM o
+      |  UNION ALL SELECT 'orders.o_orderstatus.domain', n, v_dom FROM o
+      |  UNION ALL SELECT 'lineitem.pk.unique', n, v_pk FROM l
+      |  UNION ALL SELECT 'lineitem.l_quantity.range', n, v_qty FROM l
+      |  UNION ALL SELECT 'lineitem.l_discount.range', n, v_disc FROM l
+      |  UNION ALL SELECT 'lineitem.l_orderkey.ref_orders', n, v FROM orph
+      |  UNION ALL SELECT 'orders.has_lineitems', n, v FROM chl)""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    def zeroOne(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    // every check over a table shares ONE aggregate scan, then explodes into
+    // its named check rows — the relation stays 1-row until the final fan-out
+    def fanOut(agg: org.apache.spark.sql.DataFrame,
+        checks: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+      agg.select(explode(array(checks.map { case (name, v) =>
+          struct(lit(name).as("check_name"), col("n").as("scanned"), col(v).as("violations"))
+        }: _*)).as("c"))
+        .select(col("c.check_name").as("check_name"), col("c.scanned").as("scanned"),
+          col("c.violations").as("violations"))
+    val oChecks = fanOut(
+      o.agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"),
+        zeroOne(col("o_custkey").isNull).as("v_null"),
+        zeroOne(col("o_totalprice") <= 0).as("v_price"),
+        zeroOne(!col("o_orderstatus").isin("O", "F", "P")).as("v_dom")),
+      Seq("orders.o_orderkey.unique" -> "v_uniq", "orders.o_custkey.complete" -> "v_null",
+        "orders.o_totalprice.positive" -> "v_price", "orders.o_orderstatus.domain" -> "v_dom"))
+    val lChecks = fanOut(
+      li.agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_pk"),
+        zeroOne(col("l_quantity") < 1 || col("l_quantity") > 50).as("v_qty"),
+        zeroOne(col("l_discount") < 0 || col("l_discount") > 0.1).as("v_disc")),
+      Seq("lineitem.pk.unique" -> "v_pk", "lineitem.l_quantity.range" -> "v_qty",
+        "lineitem.l_discount.range" -> "v_disc"))
+    // referential checks: one left join each onto the other side's distinct
+    // key set; scanned and violations come from the same joined aggregate
+    val orphans = fanOut(
+      li.select(col("l_orderkey"))
+        .join(o.select(col("o_orderkey")).distinct(), col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n"), zeroOne(col("o_orderkey").isNull).as("v")),
+      Seq("lineitem.l_orderkey.ref_orders" -> "v"))
+    val childless = fanOut(
+      o.select(col("o_orderkey"))
+        .join(li.select(col("l_orderkey")).distinct(), col("o_orderkey") === col("l_orderkey"), "left")
+        .agg(count(lit(1)).as("n"), zeroOne(col("l_orderkey").isNull).as("v")),
+      Seq("orders.has_lineitems" -> "v"))
+    oChecks.unionByName(lChecks).unionByName(orphans).unionByName(childless)
+      .withColumn("status", when(col("violations") === 0, "pass").otherwise("fail"))
+  }
+
+  val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q26, q47, q54, q57)
 }

@@ -457,5 +457,50 @@ object Multimodal {
         (col("last_loud") - col("first_loud") + 1).as("kept_span"))
   }
 
-  val queries: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09)
+  // ---------------------------------------------------------------- E10
+  /** SHARD-PACKING manifest (WebDataset/tar-shard shape) — the layout step
+    * between a curated multimodal corpus and a dataloader: payloads stream
+    * per source in doc_id order and are packed WHOLE (no payload straddles
+    * a shard — the tar contract) into ~8 KiB shards by the deterministic
+    * rule `shard = floor(bytes_before_payload / 8192)`: a shard absorbs
+    * the payload that crosses its byte budget and then closes, so every
+    * shard is ≥ the budget except the last and assignment is a pure
+    * prefix-sum — no sequential "close the shard" scan. Output is the
+    * shard MANIFEST (payload count, exact bytes, doc-id span) the reader
+    * uses to plan fetches — mm01's metadata relation aggregated to the
+    * storage unit the trainer actually opens.
+    *
+    * Scale: tx14's argument byte-for-byte — ONE prefix-sum window per
+    * source over payload-count rows (sizes are a codegen scalar; payload
+    * BYTES never enter the shuffle), one hash aggregate to the manifest
+    * grain. At 100 TB the window key grows the same deterministic hash
+    * shard as tx14's packing grid. */
+  val mm10 = Q(
+    "mm10_shard_pack",
+    """WITH sized AS (SELECT doc_id, source,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+      |cum AS (SELECT doc_id, source, n_bytes,
+      |  SUM(n_bytes) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cume
+      |FROM sized)
+      |SELECT source, CAST((cume - n_bytes) // 8192 AS BIGINT) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_payloads,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+      |FROM cum GROUP BY source, (cume - n_bytes) // 8192""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .withColumn("cume", sum(col("n_bytes")).over(w))
+      .withColumn("shard_id", expr("(cume - n_bytes) div 8192"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_payloads"), sum(col("n_bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .select(col("source"), col("shard_id"), col("n_payloads"), col("shard_bytes"),
+        col("first_doc"), col("last_doc"))
+  }
+
+  val queries: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09, mm10)
 }

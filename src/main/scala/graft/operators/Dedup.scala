@@ -1169,7 +1169,72 @@ object Dedup {
           .as("removed_ppm"))
   }
 
+  // ---------------------------------------------------------------- B17
+  /** Paragraph-dedup APPLY — dd10's decision turned into the cleaned
+    * corpus a trainer actually reads: duplicated paragraphs (first
+    * occurrence kept, every later copy dropped) are removed and each
+    * document's surviving windows are stitched back, in position order,
+    * into its cleaned text. dd10 reports the damage; this ships the
+    * repaired documents — the pair every stats-vs-apply family here keeps
+    * (dd06→dd07, q55→q39). Same synthesized 20-token segmentation, same
+    * min(struct(doc_id, p)) first-occurrence rule, so the two operators
+    * cannot drift.
+    *
+    * A document that loses every window (all its paragraphs seen earlier)
+    * survives as an EMPTY string — the row is the audit trail; dropping it
+    * is tx08's call, not dedup's.
+    *
+    * Scale: unlike dd10 (which moves only hashes), apply must move the
+    * window STRINGS once — that is inherent to materializing output text.
+    * The keeper table stays hash-keyed and the rebuild is one corpus-sized
+    * equi-join on the window hash + one doc-keyed aggregate whose
+    * collect_list is bounded by the document's own window count (never
+    * cross-document). */
+  val dd17 = Q(
+    "dd17_paragraph_apply",
+    s"""WITH doc AS ($docsCleanSql),
+      |t AS (SELECT doc_id, string_split(c, ' ') AS t FROM doc),
+      |ch AS (SELECT doc_id,
+      |  list_transform(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT)), i -> i) AS ps,
+      |  list_transform(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT)),
+      |                 i -> array_to_string(t[i*20+1:i*20+20], ' ')) AS ws
+      |FROM t),
+      |para AS (SELECT doc_id, unnest(ps) AS p, unnest(ws) AS w FROM ch),
+      |ph AS (SELECT doc_id, p, w, md5(w) AS h FROM para),
+      |k1 AS (SELECT h, MIN(doc_id) AS kd FROM ph GROUP BY h),
+      |k2 AS (SELECT p.h, p.doc_id AS kd, MIN(p.p) AS kp
+      |       FROM ph p JOIN k1 ON p.h = k1.h AND p.doc_id = k1.kd
+      |       GROUP BY p.h, p.doc_id),
+      |flag AS (SELECT p.doc_id, p.p, p.w,
+      |  CASE WHEN p.doc_id = k2.kd AND p.p = k2.kp THEN 1 ELSE 0 END AS kept
+      |  FROM ph p JOIN k2 ON p.h = k2.h)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+      |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |  COALESCE(string_agg(w, ' ' ORDER BY p) FILTER (WHERE kept = 1), '') AS clean_text
+      |FROM flag GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val para = docsClean(s, d)
+      .select(col("doc_id"), split(col("c"), " ").as("t"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), (ceil(size(col("t")) / lit(20.0)) - 1).cast("int")),
+        i => array_join(slice(col("t"), i * 20 + 1, lit(20)), " ")))
+        .as(Seq("p", "w")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("w"), md5(col("w")).as("h"))
+      .localCheckpoint() // feeds the keeper aggregate AND the rebuild join
+    val keep = para.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("p"))).as("k"))
+      .select(col("h"), col("k.doc_id").as("kd"), col("k.p").as("kp"))
+    para.join(keep, "h")
+      .withColumn("kept", col("doc_id") === col("kd") && col("p") === col("kp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("kept"), struct(col("p"), col("w"))))),
+          x => x.getField("w")), " ").as("clean_text"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"), col("clean_text"))
+  }
+
   val queries: Seq[Q] =
     Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12, dd13, dd14,
-      dd15, dd16)
+      dd15, dd16, dd17)
 }
