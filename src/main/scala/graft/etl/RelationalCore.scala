@@ -561,45 +561,32 @@ object RelationalCore {
       |  UNION ALL SELECT 'orders.has_lineitems', n, v FROM chl)""".stripMargin) { (s, d) =>
     val o = Tables.orders(s, d)
     val li = Tables.lineitem(s, d)
-    def zeroOne(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
-    // every check over a table shares ONE aggregate scan, then explodes into
-    // its named check rows — the relation stays 1-row until the final fan-out
-    def fanOut(agg: org.apache.spark.sql.DataFrame,
-        checks: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
-      agg.select(explode(array(checks.map { case (name, v) =>
-          struct(lit(name).as("check_name"), col("n").as("scanned"), col(v).as("violations"))
-        }: _*)).as("c"))
-        .select(col("c.check_name").as("check_name"), col("c.scanned").as("scanned"),
-          col("c.violations").as("violations"))
-    val oChecks = fanOut(
-      o.agg(count(lit(1)).as("n"),
-        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"),
-        zeroOne(col("o_custkey").isNull).as("v_null"),
-        zeroOne(col("o_totalprice") <= 0).as("v_price"),
-        zeroOne(!col("o_orderstatus").isin("O", "F", "P")).as("v_dom")),
-      Seq("orders.o_orderkey.unique" -> "v_uniq", "orders.o_custkey.complete" -> "v_null",
-        "orders.o_totalprice.positive" -> "v_price", "orders.o_orderstatus.domain" -> "v_dom"))
-    val lChecks = fanOut(
-      li.agg(count(lit(1)).as("n"),
-        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_pk"),
-        zeroOne(col("l_quantity") < 1 || col("l_quantity") > 50).as("v_qty"),
-        zeroOne(col("l_discount") < 0 || col("l_discount") > 0.1).as("v_disc")),
-      Seq("lineitem.pk.unique" -> "v_pk", "lineitem.l_quantity.range" -> "v_qty",
-        "lineitem.l_discount.range" -> "v_disc"))
+    // single-table checks: the shared one-scan audit core (also the
+    // streaming gate's spelling — see streaming.AuditStream)
+    val oChecks = Expectations.audit(o,
+      predicates = Seq(
+        "orders.o_custkey.complete" -> col("o_custkey").isNull,
+        "orders.o_totalprice.positive" -> (col("o_totalprice") <= 0),
+        "orders.o_orderstatus.domain" -> !col("o_orderstatus").isin("O", "F", "P")),
+      uniqueKeys = Seq("orders.o_orderkey.unique" -> Seq("o_orderkey")))
+    val lChecks = Expectations.audit(li,
+      predicates = Seq(
+        "lineitem.l_quantity.range" -> (col("l_quantity") < 1 || col("l_quantity") > 50),
+        "lineitem.l_discount.range" -> (col("l_discount") < 0 || col("l_discount") > 0.1)),
+      uniqueKeys = Seq("lineitem.pk.unique" -> Seq("l_orderkey", "l_linenumber")))
     // referential checks: one left join each onto the other side's distinct
     // key set; scanned and violations come from the same joined aggregate
-    val orphans = fanOut(
-      li.select(col("l_orderkey"))
-        .join(o.select(col("o_orderkey")).distinct(), col("l_orderkey") === col("o_orderkey"), "left")
-        .agg(count(lit(1)).as("n"), zeroOne(col("o_orderkey").isNull).as("v")),
-      Seq("lineitem.l_orderkey.ref_orders" -> "v"))
-    val childless = fanOut(
-      o.select(col("o_orderkey"))
-        .join(li.select(col("l_orderkey")).distinct(), col("o_orderkey") === col("l_orderkey"), "left")
-        .agg(count(lit(1)).as("n"), zeroOne(col("l_orderkey").isNull).as("v")),
-      Seq("orders.has_lineitems" -> "v"))
-    oChecks.unionByName(lChecks).unionByName(orphans).unionByName(childless)
-      .withColumn("status", when(col("violations") === 0, "pass").otherwise("fail"))
+    def refCheck(name: String, left: org.apache.spark.sql.DataFrame, leftKey: String,
+        right: org.apache.spark.sql.DataFrame, rightKey: String) =
+      left.select(col(leftKey))
+        .join(right.select(col(rightKey)).distinct(), col(leftKey) === col(rightKey), "left")
+        .agg(count(lit(1)).as("scanned"),
+          sum(when(col(rightKey).isNull, 1L).otherwise(0L)).as("violations"))
+        .select(lit(name).as("check_name"), col("scanned"), col("violations"),
+          when(col("violations") === 0, "pass").otherwise("fail").as("status"))
+    oChecks.unionByName(lChecks)
+      .unionByName(refCheck("lineitem.l_orderkey.ref_orders", li, "l_orderkey", o, "o_orderkey"))
+      .unionByName(refCheck("orders.has_lineitems", o, "o_orderkey", li, "l_orderkey"))
   }
 
   val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q26, q47, q54, q57)
