@@ -379,5 +379,76 @@ object Reporting {
         |  (o_orderpriority), (o_orderstatus), ())""".stripMargin)
   }
 
-  val queries: Seq[Q] = Seq(q12, q15, q16, q17, q27, q28, q40, q42, q48, q49, q50, q56)
+  // ---------------------------------------------------------------- A58
+  /** EXISTS correlated subquery — the first shape a SQL migrator writes
+    * (TPC-H Q4's skeleton: orders with any late-shipped line, counted by
+    * priority) declared EXACTLY as the user would type it, through
+    * spark.sql over registered views. The point is the PLAN: Catalyst
+    * decorrelates the EXISTS into one LEFT SEMI hash join on l_orderkey
+    * with the date comparison as a residual condition — never a per-row
+    * subquery execution, never a nested loop (PlanShape-asserted in the
+    * spec). The oracle runs the identical correlated spelling in DuckDB.
+    *
+    * Scale: semi join shuffles both sides on the order key once;
+    * the date filter on orders pushes to the scan. */
+  val q58 = Q(
+    "q58_exists_subquery",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders_q58")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q58")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_late
+        |FROM orders_q58 o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem_q58 l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- A59
+  /** Scalar CORRELATED subquery (TPC-H Q17's skeleton: lines under 20% of
+    * their part's average quantity — the "small orders" revenue screen),
+    * again typed as the migrating user would. Catalyst decorrelates the
+    * per-part average into ONE grouped aggregate over lineitem joined back
+    * on l_partkey — the manual rewrite, derived automatically; the spec
+    * asserts no nested-loop join survives in the physical plan.
+    *
+    * Cross-engine float note: l_quantity is integer-valued, so SUM as
+    * double is EXACT below 2^53 in any partition order and AVG = sum/count
+    * is the same IEEE division in both engines — the 0.2·avg comparison is
+    * deterministic, no rounding quantum needed. Money still flows as
+    * integer cents.
+    *
+    * Scale: one extra aggregate pass over lineitem keyed on l_partkey
+    * (partial-agg friendly), then two hash joins; nothing per-row. */
+  val q59 = Q(
+    "q59_scalar_subquery",
+    """SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_small,
+      |  CAST(SUM(CAST(ROUND(l1.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM lineitem l1 JOIN part p ON p.p_partkey = l1.l_partkey
+      |WHERE l1.l_quantity < (SELECT 0.2*AVG(l2.l_quantity) FROM lineitem l2
+      |                       WHERE l2.l_partkey = l1.l_partkey)
+      |GROUP BY p.p_brand""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q59")
+    Tables.part(s, d).createOrReplaceTempView("part_q59")
+    s.sql(
+      """SELECT p.p_brand, COUNT(*) AS n_small,
+        |  SUM(CAST(ROUND(l1.l_extendedprice*100) AS BIGINT)) AS rev_cents
+        |FROM lineitem_q59 l1 JOIN part_q59 p ON p.p_partkey = l1.l_partkey
+        |WHERE l1.l_quantity < (SELECT 0.2*AVG(l2.l_quantity) FROM lineitem_q59 l2
+        |                       WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY p.p_brand""".stripMargin)
+  }
+
+  val queries: Seq[Q] = Seq(q12, q15, q16, q17, q27, q28, q40, q42, q48, q49, q50, q56,
+    q58, q59)
 }

@@ -103,6 +103,53 @@ object Versioned {
     }
   }
 
+  /** G17: CHANGE DATA FEED between two retained snapshots — the Delta
+    * `table_changes` / Iceberg incremental-read analog on G11's layout:
+    * every key is classified by comparing the two versions once, and the
+    * result is the row-level delta a downstream incremental consumer
+    * (q54's summary merge, a dd15-style index refresh, a replicator)
+    * applies instead of re-reading the whole table. Rows carry the table's
+    * own columns plus `_change_type` ∈ insert / delete / update_pre /
+    * update_post (Delta's vocabulary; update emits both images).
+    *
+    * Keys must identify rows in both versions; schemas must match (G6's
+    * loud-failure contract — a drifted snapshot pair is a pipeline bug,
+    * not something to reconcile silently here).
+    *
+    * Scale: ONE full-outer equi-join on the key between the two snapshot
+    * scans, payload equality as a null-safe struct compare in the
+    * projection, unchanged keys emit nothing (explode of NULL). This is
+    * the diff-by-state fallback; a format with a commit log derives the
+    * same feed from per-commit files without reading either snapshot —
+    * that is the ADR-001 seam, and this is the code it replaces. */
+  def changesBetween(spark: SparkSession, root: String, keys: Seq[String],
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = readVersion(spark, root, fromVersion)
+    val b = readVersion(spark, root, toVersion)
+    require(a.schema == b.schema,
+      s"snapshot schemas drifted between v$fromVersion and v$toVersion: ${a.schema} vs ${b.schema}")
+    val payload = a.columns.filterNot(keys.contains).toSeq
+    val aP = a.select(a.columns.map(c => col(c).as(s"_a_$c")).toSeq: _*)
+    val bP = b.select(b.columns.map(c => col(c).as(s"_b_$c")).toSeq: _*)
+    val keyEq = keys.map(k => col(s"_a_$k") <=> col(s"_b_$k")).reduce(_ && _)
+    def img(prefix: String, tag: String) = struct(
+      lit(tag).as("_change_type") +:
+        a.columns.toSeq.map(c => col(s"$prefix$c").as(c)): _*)
+    val aPayload = struct(payload.map(c => col(s"_a_$c")): _*)
+    val bPayload = struct(payload.map(c => col(s"_b_$c")): _*)
+    aP.join(bP, keyEq, "full_outer")
+      .select(explode(
+        when(keys.map(k => col(s"_a_$k").isNull).reduce(_ && _),
+          array(img("_b_", "insert")))
+        .when(keys.map(k => col(s"_b_$k").isNull).reduce(_ && _),
+          array(img("_a_", "delete")))
+        .when(!(aPayload <=> bPayload),
+          array(img("_a_", "update_pre"), img("_b_", "update_post")))
+        .otherwise(lit(null))).as("c"))
+      .select(col("c.*"))
+  }
+
   /** Drop every retained snapshot older than the newest `keep` (the current
     * version is always kept). Readers of dropped versions fail loudly on
     * their NEXT plan — never with silently changed data. */

@@ -278,4 +278,18 @@ class PlanShapeSpec extends SparkSpec {
     assert("Expand".r.findAllIn(p).length == 1 && !p.contains("Union"),
       s"grouping sets must be exactly one Expand, not a union of aggregates; plan:\n$p")
   }
+
+  test("q58's EXISTS decorrelates to one semi join — never a per-row subquery or nested loop") {
+    val p = plan("q58_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a left semi join; plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"decorrelation must not fall back to a nested loop; plan:\n$p")
+  }
+
+  test("q59's scalar subquery decorrelates to one grouped aggregate joined back") {
+    val p = plan("q59_scalar_subquery")
+    assert(p.contains("avg("), s"per-part average must be a grouped aggregate; plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"decorrelation must not fall back to a nested loop; plan:\n$p")
+  }
 }

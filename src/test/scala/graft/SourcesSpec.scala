@@ -264,4 +264,44 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Versioned.readVersion(spark, root, 1L))
     assert(Versioned.read(spark, root).count() == v2Data.count())
   }
+
+  test("G17 change feed classifies every key; applying the diff reproduces the snapshot") {
+    import graft.sources.Versioned
+    import org.apache.spark.sql.functions._
+    val root = tmp("versioned-cdf")
+    val base = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_acctbal")
+    // v2: drop key 1, rewrite key 2's balance, add a fresh key
+    val v2 = base.filter(col("c_custkey") =!= 1)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") === 2, col("c_acctbal") + 100).otherwise(col("c_acctbal")))
+      .unionByName(base.filter(col("c_custkey") === 3)
+        .withColumn("c_custkey", lit(999999L)))
+    Versioned.publish(base, root)
+    Versioned.publish(v2, root)
+
+    val cdf = Versioned.changesBetween(spark, root, Seq("c_custkey"), 1L, 2L).cache()
+    // exactly the planted changes, with Delta's change vocabulary
+    val byType = cdf.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 1L, "delete" -> 1L,
+      "update_pre" -> 1L, "update_post" -> 1L))
+    assert(cdf.filter(col("_change_type") === "delete")
+      .select("c_custkey").head().getLong(0) == 1L)
+    assert(cdf.filter(col("_change_type") === "insert")
+      .select("c_custkey").head().getLong(0) == 999999L)
+    assert(cdf.filter(col("_change_type").startsWith("update"))
+      .select("c_custkey").distinct().head().getLong(0) == 2L)
+    // self-diff is empty; applying the feed to v1 reproduces v2 exactly
+    assert(Versioned.changesBetween(spark, root, Seq("c_custkey"), 2L, 2L).isEmpty)
+    val v1 = Versioned.readVersion(spark, root, 1L)
+    val removedKeys = cdf.filter(col("_change_type").isin("delete", "update_pre"))
+      .select("c_custkey")
+    val applied = v1.join(removedKeys, Seq("c_custkey"), "left_anti")
+      .unionByName(cdf.filter(col("_change_type").isin("insert", "update_post"))
+        .drop("_change_type"))
+    val v2Read = Versioned.readVersion(spark, root, 2L)
+    assert(applied.exceptAll(v2Read).isEmpty && v2Read.exceptAll(applied).isEmpty)
+    cdf.unpersist()
+  }
 }
