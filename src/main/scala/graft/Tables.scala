@@ -37,18 +37,40 @@ object Tables {
     // (which Spark rejects unless read as a long) and as TIMESTAMP(MICROS)
     // (which Spark reads as a timestamp type); normalize both to the same
     // ns long here so every downstream `ts div 1e9` stays valid.
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // micros files are naive (isAdjustedToUTC=false): read as TimestampType,
-      // not NTZ, so unix_micros applies; session tz is UTC in every entry point.
-      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    }
-    val df0 = spark.read.parquet(s"$dir/$name.parquet")
+    val df0 =
+      if (name == "events") {
+        // nanosAsLong: consulted by the parquet reader at BOTH schema
+        // conversion and page decode, so it cannot be save/restored around
+        // this call — it stays set for the session. That is safe by contract:
+        // it only affects INT64 TIMESTAMP(NANOS) columns, and this library's
+        // contract for those is "raw ns long" everywhere.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // inferTimestampNTZ is schema-inference-time only (the footer is read
+        // eagerly inside spark.read.parquet), so scope it to this one read:
+        // a future table with intentional NTZ columns must not be silently
+        // widened to TimestampType because events was loaded earlier.
+        // Micros event files are naive (isAdjustedToUTC=false) and must come
+        // back as TimestampType, not NTZ, so unix_micros applies below.
+        val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+        val saved = spark.conf.getOption(key)
+        spark.conf.set(key, "false")
+        try spark.read.parquet(s"$dir/$name.parquet")
+        finally saved match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      } else spark.read.parquet(s"$dir/$name.parquet")
     val df =
-      if (name == "events" && df0.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      if (name == "events" && df0.schema("ts").dataType != org.apache.spark.sql.types.LongType) {
+        // The micros→ns normalization reads the internal epoch-micros value;
+        // guard the session tz contract so a non-UTC session can't silently
+        // shift any downstream wall-clock derivation (to_date, window()).
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts normalization requires spark.sql.session.timeZone=UTC " +
+            s"(got ${spark.conf.get("spark.sql.session.timeZone")})")
         df0.withColumn("ts", org.apache.spark.sql.functions.unix_micros(
           org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
-      else df0
+      } else df0
     val missing = required.getOrElse(name, Nil).filterNot(df.columns.contains)
     require(missing.isEmpty, s"table $name missing columns: ${missing.mkString(",")}")
     df

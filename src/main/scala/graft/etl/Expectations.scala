@@ -30,11 +30,27 @@ object Expectations {
       df: DataFrame,
       predicates: Seq[(String, Column)],
       uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    // coalesce: SUM over ZERO rows is NULL, and the status derivation below
+    // would turn that NULL into a spurious 'fail'. Batch callers never see an
+    // empty relation, but AuditStream runs this per micro-batch and empty
+    // batches (zero-data trigger, recovery replay) are routine — an audit of
+    // nothing has zero violations, by definition.
     val pv = predicates.zipWithIndex.map { case ((_, p), i) =>
-      sum(when(p, 1L).otherwise(0L)).as(s"vp$i")
+      coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L)).as(s"vp$i")
     }
+    // Multi-column uniqueness counts distinct KEY TUPLES (null fields
+    // included) via a struct: Spark's countDistinct(k1, k2) silently skips
+    // any tuple containing a null, while the audit's oracle spelling
+    // COUNT(DISTINCT (k1, k2)) counts them — on null-keyed data the two
+    // would diverge. A struct value is non-null even when its fields are
+    // null, so both engines see the same tuple count. Single-column keys
+    // keep plain countDistinct: there both engines already agree (null keys
+    // are excluded from the distinct count, i.e. they count as violations).
     val uv = uniqueKeys.zipWithIndex.map { case ((_, ks), i) =>
-      (count(lit(1)) - countDistinct(ks.head, ks.tail: _*)).as(s"vu$i")
+      val distinctKeys =
+        if (ks.length == 1) countDistinct(col(ks.head))
+        else countDistinct(struct(ks.map(col): _*))
+      (count(lit(1)) - distinctKeys).as(s"vu$i")
     }
     val aggCols = count(lit(1)).as("n") +: (pv ++ uv)
     val agg = df.agg(aggCols.head, aggCols.tail: _*)

@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.operators.BroadcastGuard.dimBroadcast
 import graft.functions.Exact._
 
 /** A-series §2: the reference's relational surface re-expressed Spark-first
@@ -123,7 +124,8 @@ object RelationalCore {
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      // part grows with SF: size-guarded hint, not an unconditional override
+      .join(dimBroadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
       .groupBy(
         col("p_brand").as("brand"),
         col("p_type").as("book_type"),
@@ -164,7 +166,7 @@ object RelationalCore {
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(dimBroadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(
         year(col("o_orderdate")).cast("long").as("year"),
@@ -192,7 +194,7 @@ object RelationalCore {
       |GROUP BY s_suppkey, s_name""".stripMargin) { (s, d) =>
     val net = col("l_extendedprice") * (lit(1) - col("l_discount"))
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(dimBroadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_suppkey").as("supp_key"), col("s_name"))
       .agg((sum(micros(net)) / 1e6).as("revenue"))
       .withColumn("split_payee",

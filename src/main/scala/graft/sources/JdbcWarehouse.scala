@@ -53,4 +53,80 @@ object JdbcWarehouse {
   def loadPartitioned(spark: SparkSession, url: String, table: String,
       partCol: String, lower: Long, upper: Long, numPartitions: Int): DataFrame =
     spark.read.jdbc(url, table, partCol, lower, upper, numPartitions, new Properties)
+
+  // ---- config-object entry points: endpoint + credentials arrive through
+  // ---- ONE injected seam instead of bare strings at every call site.
+
+  def save(df: DataFrame, cfg: WarehouseConfig, table: String): Unit =
+    save(df, cfg, table, SaveMode.Overwrite)
+
+  def save(df: DataFrame, cfg: WarehouseConfig, table: String, mode: SaveMode): Unit = {
+    val w = df.write.mode(mode)
+    cfg.columnTypes.foldLeft(w)((w, t) => w.option("createTableColumnTypes", t))
+      .jdbc(cfg.url, table, cfg.connectionProperties)
+  }
+
+  def load(spark: SparkSession, cfg: WarehouseConfig, table: String): DataFrame =
+    spark.read.jdbc(cfg.url, table, cfg.connectionProperties)
+
+  def loadPartitioned(spark: SparkSession, cfg: WarehouseConfig, table: String,
+      partCol: String, lower: Long, upper: Long, numPartitions: Int): DataFrame =
+    spark.read.jdbc(cfg.url, table, partCol, lower, upper, numPartitions,
+      cfg.connectionProperties)
+}
+
+/** Warehouse endpoint configuration — the engine-side analog of the
+  * reference's centralized secret fetch (gcp_getsecrets.py: every notebook
+  * calls one helper that returns credentials by name; none embeds them).
+  * Here the names come from the process environment or a Properties bag —
+  * standard JVM configuration surfaces, no proprietary secret-manager API —
+  * and the rest of G15 takes the config OBJECT, so a deployment swaps
+  * endpoints/credentials without touching any call site.
+  *
+  * @param url         JDBC URL of the warehouse endpoint
+  * @param props       connection properties (user, password, ssl, …)
+  * @param columnTypes `createTableColumnTypes` writer override (engine
+  *                    dialect quirks — see [[JdbcWarehouse.save]])
+  */
+final case class WarehouseConfig(
+    url: String,
+    props: Map[String, String] = Map.empty,
+    columnTypes: Option[String] = None) {
+  def connectionProperties: Properties = {
+    val p = new Properties
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+}
+
+object WarehouseConfig {
+  /** Environment-variable names (the container-orchestration surface):
+    * `GRAFT_WAREHOUSE_URL` (required), `GRAFT_WAREHOUSE_COLUMN_TYPES`
+    * (optional), and `GRAFT_WAREHOUSE_PROP_<NAME>` for each connection
+    * property — `<NAME>` is lowercased (JDBC property names `user`,
+    * `password`, …). Pass a map in tests; defaults to the real env. */
+  def fromEnv(env: Map[String, String] = sys.env): WarehouseConfig = {
+    val url = env.getOrElse("GRAFT_WAREHOUSE_URL",
+      throw new IllegalArgumentException("GRAFT_WAREHOUSE_URL is not set"))
+    val propPrefix = "GRAFT_WAREHOUSE_PROP_"
+    val props = env.collect {
+      case (k, v) if k.startsWith(propPrefix) =>
+        k.stripPrefix(propPrefix).toLowerCase -> v
+    }
+    WarehouseConfig(url, props, env.get("GRAFT_WAREHOUSE_COLUMN_TYPES"))
+  }
+
+  /** Properties-file surface (`-D`/`.properties` deployments): keys
+    * `warehouse.url`, `warehouse.columnTypes`, `warehouse.prop.<name>`. */
+  def fromProperties(p: Properties): WarehouseConfig = {
+    val url = Option(p.getProperty("warehouse.url")).getOrElse(
+      throw new IllegalArgumentException("warehouse.url is not set"))
+    import scala.jdk.CollectionConverters._
+    val propPrefix = "warehouse.prop."
+    val props = p.stringPropertyNames.asScala.collect {
+      case k if k.startsWith(propPrefix) =>
+        k.stripPrefix(propPrefix) -> p.getProperty(k)
+    }.toMap
+    WarehouseConfig(url, props, Option(p.getProperty("warehouse.columnTypes")))
+  }
 }

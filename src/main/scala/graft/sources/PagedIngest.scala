@@ -118,6 +118,53 @@ object PagedIngest {
     (1 to totalPages).filterNot(committed)
   }
 
+  /** End-to-end pull: the reference's `while page_ct < page_max` fetch loop
+    * (dw2_wc_increment.py:152-189) with the HTTP client injected at the one
+    * seam this sandbox cannot exercise — `fetchPage` is the
+    * `requests.get(page=n)` call, everything around it is real and durable.
+    *
+    * Drives [[missingPages]] → fetch → [[landPage]] with bounded per-page
+    * retries: a fetch (or landing) failure is retried up to `maxAttempts`
+    * times with a fresh attempt number; a page still missing after that
+    * fails the pull loudly, naming the page. Because the worklist comes from
+    * [[missingPages]], a resumed pull (previous run crashed mid-window)
+    * refetches ONLY what never committed, and the assembled result is
+    * identical to one uninterrupted pull (per-page idempotence + latest-
+    * attempt wins — spec-pinned against a flaky fetcher).
+    *
+    * Contract-violation errors (a page without `fetch_seq`) are NOT retried:
+    * that is a caller bug, not transience.
+    */
+  def fetchAndLand(spark: SparkSession, dir: String, totalPages: Int,
+      keyCol: String, fetchPage: Int => DataFrame, maxAttempts: Int = 3): DataFrame = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    // Land every page that will land before failing: a dead page must not
+    // block the others from committing, so the NEXT run's missingPages
+    // worklist is exactly the still-dead pages, nothing more.
+    val failed = Seq.newBuilder[(Int, Throwable)]
+    missingPages(dir, totalPages).foreach { pageNo =>
+      var attempt = 1
+      var landed = false
+      var lastErr: Throwable = null
+      while (!landed && attempt <= maxAttempts) {
+        try {
+          landPage(fetchPage(pageNo), dir, pageNo, attempt)
+          landed = true
+        } catch {
+          case e: IllegalArgumentException => throw e // contract bug — no retry
+          case scala.util.control.NonFatal(e) => lastErr = e; attempt += 1
+        }
+      }
+      if (!landed) failed += ((pageNo, lastErr))
+    }
+    val dead = failed.result()
+    if (dead.nonEmpty)
+      throw new IllegalStateException(
+        dead.map { case (p, _) => s"page $p failed after $maxAttempts attempts" }
+          .mkString("; "), dead.head._2)
+    assemble(spark, dir, totalPages, keyCol)
+  }
+
   /** Assemble the exactly-once, pull-ordered increment from a complete
     * landing. Fails fast — naming the retry worklist — if any page never
     * committed; fails if a winning page's bytes disagree with its marker.

@@ -161,26 +161,26 @@ object Sources {
       .write.mode(SaveMode.Overwrite).parquet(path + "_zonemap")
   }
 
-  /** The manifest-pruned file list for a [lo, hi] range — driver-side
-    * planning over one row per file, the same bounded metadata pass every
-    * table format's planner runs. Exposed so callers (and the spec) can
-    * observe how many files a query actually admits. */
+  /** The manifest-pruned file list for a [lo, hi] range — OBSERVATION API
+    * (specs count admitted files with it); the query path does not call it.
+    * Driver-side planning over one row per file, the same bounded metadata
+    * pass every table format's planner runs. */
   def zonedFiles(spark: SparkSession, path: String, lo: Any, hi: Any): Seq[String] =
     spark.read.parquet(path + "_zonemap")
       .filter(col("zmax") >= lit(lo) && col("zmin") <= lit(hi))
       .select("file").collect().map(_.getString(0)).toSeq
 
-  /** G9 read: open ONLY the manifest-admitted files, then re-apply the
-    * exact range predicate (zone bounds are necessary, not sufficient).
-    * An empty admission returns an empty frame with the table's schema. */
+  /** G9 read: a relation whose SCAN plans through [[ZoneMapFileIndex]] —
+    * the range predicate is pushed as an ordinary dataFilter, the planner
+    * translates it against the manifest relation, and only admitted files
+    * are opened (or even materialized driver-side). The exact predicate is
+    * re-applied to rows (zone bounds are necessary, not sufficient). An
+    * empty admission returns an empty frame with the table's schema. */
   def readFactZoned(spark: SparkSession, path: String, keyCol: String,
-      lo: Any, hi: Any): DataFrame = {
-    val files = zonedFiles(spark, path, lo, hi)
-    val base =
-      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
-      else spark.read.parquet(files: _*)
-    base.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
-  }
+      lo: Any, hi: Any): DataFrame =
+    ZoneMapFileIndex.relation(spark, path, path + "_zonemap",
+        Seq(ZoneDim(keyCol, "zmin", "zmax")))
+      .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
 
   /** G10: corrupt-record QUARANTINE for a JSON landing — the third contract
     * after FAILFAST (G2: any drift kills the job) and mergeSchema (G6:
@@ -300,9 +300,10 @@ object Sources {
       .write.mode(SaveMode.Overwrite).parquet(path + "_zonemap2")
   }
 
-  /** Manifest-pruned file list for a box predicate — per-dimension interval
-    * intersection over one row per file (G9's planning pass, twice). Pass
-    * `None` for a dimension to leave it unconstrained. */
+  /** Manifest-pruned file list for a box predicate — OBSERVATION API (specs
+    * count admitted files); the query path plans through the index instead.
+    * Per-dimension interval intersection over one row per file. Pass `None`
+    * for a dimension to leave it unconstrained. */
   def zoned2Files(spark: SparkSession, path: String,
       a: Option[(Any, Any)], b: Option[(Any, Any)]): Seq[String] = {
     val m = spark.read.parquet(path + "_zonemap2")
@@ -313,20 +314,21 @@ object Sources {
     m.filter(fa && fb).select("file").collect().map(_.getString(0)).toSeq
   }
 
-  /** G12 read: open ONLY the manifest-admitted files, then re-apply the
-    * exact box predicate (zone bounds are necessary, not sufficient). */
+  /** G12 read: the box predicate rides as dataFilters into a
+    * [[ZoneMapFileIndex]] scan over BOTH natural dimensions — per-dimension
+    * interval intersection happens against the manifest relation at
+    * planning time, and the exact predicate is re-applied to rows (zone
+    * bounds are necessary, not sufficient). */
   def readFactZOrdered(spark: SparkSession, path: String,
       colA: String, colB: String,
       a: Option[(Any, Any)], b: Option[(Any, Any)]): DataFrame = {
-    val files = zoned2Files(spark, path, a, b)
-    val base =
-      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
-      else spark.read.parquet(files: _*)
+    val rel = ZoneMapFileIndex.relation(spark, path, path + "_zonemap2",
+      Seq(ZoneDim(colA, "amin", "amax"), ZoneDim(colB, "bmin", "bmax")))
     val pa = a.map { case (lo, hi) => col(colA) >= lit(lo) && col(colA) <= lit(hi) }
       .getOrElse(lit(true))
     val pb = b.map { case (lo, hi) => col(colB) >= lit(lo) && col(colB) <= lit(hi) }
       .getOrElse(lit(true))
-    base.filter(pa && pb)
+    rel.filter(pa && pb)
   }
 
   // ------------------------------------------------------------------ G13

@@ -130,8 +130,16 @@ object Versioned {
     require(a.schema == b.schema,
       s"snapshot schemas drifted between v$fromVersion and v$toVersion: ${a.schema} vs ${b.schema}")
     val payload = a.columns.filterNot(keys.contains).toSeq
-    val aP = a.select(a.columns.map(c => col(c).as(s"_a_$c")).toSeq: _*)
-    val bP = b.select(b.columns.map(c => col(c).as(s"_b_$c")).toSeq: _*)
+    // Presence markers, not key-nullness: the join below is null-safe (<=>),
+    // so a row whose key is genuinely NULL in both snapshots MATCHES — and a
+    // key-nullness test would then misclassify the matched pair as an
+    // 'insert' (silently, forever hiding its delete/update). A lit(true)
+    // tagged on each side before the join is NULL after full_outer exactly
+    // when that side's row is absent, independent of key values.
+    val aP = a.select(lit(true).as("_a_present") +:
+      a.columns.toSeq.map(c => col(c).as(s"_a_$c")): _*)
+    val bP = b.select(lit(true).as("_b_present") +:
+      b.columns.toSeq.map(c => col(c).as(s"_b_$c")): _*)
     val keyEq = keys.map(k => col(s"_a_$k") <=> col(s"_b_$k")).reduce(_ && _)
     def img(prefix: String, tag: String) = struct(
       lit(tag).as("_change_type") +:
@@ -140,10 +148,8 @@ object Versioned {
     val bPayload = struct(payload.map(c => col(s"_b_$c")): _*)
     aP.join(bP, keyEq, "full_outer")
       .select(explode(
-        when(keys.map(k => col(s"_a_$k").isNull).reduce(_ && _),
-          array(img("_b_", "insert")))
-        .when(keys.map(k => col(s"_b_$k").isNull).reduce(_ && _),
-          array(img("_a_", "delete")))
+        when(col("_a_present").isNull, array(img("_b_", "insert")))
+        .when(col("_b_present").isNull, array(img("_a_", "delete")))
         .when(!(aPayload <=> bPayload),
           array(img("_a_", "update_pre"), img("_b_", "update_post")))
         .otherwise(lit(null))).as("c"))

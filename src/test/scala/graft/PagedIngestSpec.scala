@@ -101,6 +101,45 @@ class PagedIngestSpec extends SparkSpec {
     assert(ex.getMessage.contains("disagree with marker"))
   }
 
+  test("G14 fetchAndLand with a flaky fetcher assembles == one clean pull") {
+    val dir = Files.createTempDirectory("graft-paged-fetch").toString
+    val total = pull.count()
+    val nPages = PagedIngest.pageCount(total, perPage)
+    // the injected "HTTP client": page 3 times out twice, then succeeds
+    val calls = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+    def flaky(n: Int): DataFrame = {
+      calls(n) += 1
+      if (n == 3 && calls(n) <= 2) throw new RuntimeException(s"socket timeout on page $n")
+      page(n)
+    }
+    val got = PagedIngest.fetchAndLand(spark, dir, nPages, "o_orderkey", flaky, maxAttempts = 3)
+    assert(calls(3) == 3, s"page 3 must be fetched 3 times, got ${calls(3)}")
+    assert((1 to nPages).filterNot(_ == 3).forall(calls(_) == 1),
+      "healthy pages must be fetched exactly once")
+    assert(got.count() == total)
+    val dataCols = got.columns.filterNot(Set("page_no", "fetch_seq")).map(col).toSeq
+    assert(got.select(dataCols: _*).exceptAll(pull.select(dataCols: _*)).isEmpty)
+    assert(pull.select(dataCols: _*).exceptAll(got.select(dataCols: _*)).isEmpty)
+    // resume is a no-op: everything committed, the fetcher is never called
+    val got2 = PagedIngest.fetchAndLand(spark, dir, nPages, "o_orderkey",
+      n => throw new AssertionError(s"unexpected refetch of page $n"))
+    assert(got2.count() == total)
+  }
+
+  test("G14 fetchAndLand fails loudly when a page exhausts its attempts") {
+    val dir = Files.createTempDirectory("graft-paged-dead").toString
+    val nPages = PagedIngest.pageCount(pull.count(), perPage)
+    def dead(n: Int): DataFrame =
+      if (n == 2) throw new RuntimeException("connection refused") else page(n)
+    val ex = intercept[IllegalStateException] {
+      PagedIngest.fetchAndLand(spark, dir, nPages, "o_orderkey", dead, maxAttempts = 2)
+    }
+    assert(ex.getMessage.contains("page 2 failed after 2 attempts"))
+    assert(ex.getCause.getMessage.contains("connection refused"))
+    // the healthy pages DID land durably — the resume worklist is page 2 only
+    assert(PagedIngest.missingPages(dir, nPages) == Seq(2))
+  }
+
   test("G14 assembled increment drives the q06-shape merge") {
     // the landing's output IS the `inc` side of the incremental merge:
     // base rows not in the increment survive, increment rows replace.

@@ -204,6 +204,17 @@ class SourcesSpec extends SparkSpec {
     val want = li.filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
     assert(got.count() == want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // planner-integrated skipping (r8): the SCAN's own file listing — the
+    // range predicate pushed as dataFilters through ZoneMapFileIndex — must
+    // open exactly the manifest-admitted subset, no pre-collected path list.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = got.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    val opened = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).flatMap(_.files).length
+    assert(opened == admitted.size,
+      s"scan opened $opened files, manifest admits ${admitted.size}")
   }
 
   test("G9 zoned read of an empty key range returns zero rows with the table schema") {

@@ -45,6 +45,15 @@ class ZOrderSpec extends SparkSpec {
     val all = Sources.zoned2Files(spark, out, None, None)
     assert(all.size == nFiles)
     assert(admitted.size < all.size, s"box admitted ${admitted.size}/${all.size}")
+    // planner-integrated skipping (r8): the scan itself opens exactly the
+    // admitted files — both dims' intervals travel as pushed dataFilters.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = got.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    val opened = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).flatMap(_.files).length
+    assert(opened == admitted.size,
+      s"scan opened $opened files, manifest admits ${admitted.size}")
   }
 
   test("G12 empty input: write succeeds and the reader sees zero rows") {
