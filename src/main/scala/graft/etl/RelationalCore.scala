@@ -591,5 +591,72 @@ object RelationalCore {
       .unionByName(refCheck("orders.has_lineitems", o, "o_orderkey", li, "l_orderkey"))
   }
 
-  val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q26, q47, q54, q57)
+  // ---------------------------------------------------------------- A60
+  /** PRINTABLE royalty report — the reference's presentation layer, the one
+    * reference workflow stage q04 reproduced numerically but not visually.
+    * fr4 (dw5_order_royalty_fact.py:779-810) regroups the royalty fact at
+    * payee × quarter × month × title × type × rate grain and RENAMES the
+    * measure columns to the human report vocabulary (Total_Qty,
+    * Total_Item_USD, …, Payout), sorted by the payee name
+    * (`.sort_values('Royalty_Author_Name')`, :800). Same here: finer grain
+    * than q04's summary, human-cased presentation names, deterministic
+    * payee-first ordering. [[graft.sources.ReportExport.writeCsv]] is the
+    * `save_bucket(fr4, …)` analog (dw5_order_royalty_fact.py:845-859) that
+    * delivers it as a single ordered CSV.
+    *
+    * Scale: the aggregate is the same partial-agg join tree as q03/q04; the
+    * ORDER BY is one extra shuffle over REPORT-grain rows (bounded by the
+    * dimension cross product, not the fact), which is what makes a global
+    * sort admissible here and nowhere else. */
+  val q60 = Q(
+    "q60_printable_report",
+    s"""SELECT CAST(year(o.o_orderdate) AS VARCHAR) || 'Q' || CAST(quarter(o.o_orderdate) AS VARCHAR) AS "Quarter",
+      |  n.n_name AS "Payee",
+      |  strftime(o.o_orderdate, '%Y-%m') AS "Month",
+      |  p.p_brand AS "Title",
+      |  p.p_type AS "Book_Type",
+      |  $rateSql AS "Royalty_Rate",
+      |  CAST(SUM(CASE WHEN ($rateSql) > 0 AND c.c_mktsegment<>'BUILDING' AND l.l_returnflag<>'R' THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS "Total_Qty",
+      |  CAST(SUM(CASE WHEN ($rateSql) > 0 AND c.c_mktsegment<>'BUILDING' AND l.l_returnflag<>'R' THEN CAST(ROUND((l_extendedprice*(1-l_discount))*1000000) AS BIGINT) ELSE 0 END) AS BIGINT)/1000000.0 AS "Total_Item_USD",
+      |  CAST(SUM(CASE WHEN c.c_mktsegment<>'BUILDING' AND l.l_returnflag<>'R' THEN CAST(ROUND((l_extendedprice*(1-l_discount))*1000000) AS BIGINT) ELSE 0 END) AS BIGINT)/1000000.0 AS "Retail_Sales_USD",
+      |  CAST(SUM(CASE WHEN l.l_returnflag='R' THEN CAST(ROUND((l_extendedprice*(1-l_discount))*1000000) AS BIGINT) ELSE 0 END) AS BIGINT)/1000000.0 AS "Returns_USD",
+      |  CAST(SUM(CASE WHEN c.c_mktsegment='BUILDING' THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS "Wholesale_Quantity",
+      |  CAST(SUM(CASE WHEN c.c_mktsegment<>'BUILDING' AND l.l_returnflag<>'R' THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS "Retail_Quantity",
+      |  CAST(SUM(CASE WHEN ($rateSql) > 0 AND c.c_mktsegment<>'BUILDING' AND l.l_returnflag<>'R' THEN CAST(ROUND(((l_extendedprice*(1-l_discount))*($rateSql))*1000000) AS BIGINT) ELSE 0 END) AS BIGINT)/1000000.0 AS "Payout"
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin) { (s, d) =>
+    val net = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val qty = round(col("l_quantity")).cast("long")
+    val retail = col("c_mktsegment") =!= "BUILDING" && col("l_returnflag") =!= "R"
+    val qualified = rateCol > 0 && retail
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(dimBroadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(
+        concat(year(col("o_orderdate")).cast("string"), lit("Q"),
+          quarter(col("o_orderdate")).cast("string")).as("Quarter"),
+        col("n_name").as("Payee"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("Month"),
+        col("p_brand").as("Title"),
+        col("p_type").as("Book_Type"),
+        rateCol.as("Royalty_Rate"))
+      .agg(
+        sum(when(qualified, qty).otherwise(0L)).as("Total_Qty"),
+        (sum(when(qualified, micros(net)).otherwise(0L)) / 1e6).as("Total_Item_USD"),
+        (sum(when(retail, micros(net)).otherwise(0L)) / 1e6).as("Retail_Sales_USD"),
+        (sum(when(col("l_returnflag") === "R", micros(net)).otherwise(0L)) / 1e6).as("Returns_USD"),
+        sum(when(col("c_mktsegment") === "BUILDING", qty).otherwise(0L)).as("Wholesale_Quantity"),
+        sum(when(retail, qty).otherwise(0L)).as("Retail_Quantity"),
+        (sum(when(qualified, micros(net * rateCol)).otherwise(0L)) / 1e6).as("Payout"))
+      .orderBy(col("Payee"), col("Quarter"), col("Month"), col("Title"), col("Book_Type"))
+  }
+
+  val queries: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q26, q47, q54,
+    q57, q60)
 }

@@ -903,7 +903,10 @@ object Dedup {
       shTable: DataFrame, maxDf: Int = containmentMaxDf): DataFrame = {
     val shx = shTable.withColumn("sz", size(col("shs")))
       .select(col("doc_id"), col("sz"), explode_outer(col("shs")).as("tok"))
-    val capped = shx
+    // maxDf = Int.MaxValue means UNCAPPED: skip the df window pass entirely
+    // (StressDd13's baseline arm — the cap's overhead must not be charged
+    // to the plan that doesn't use it).
+    val capped = if (maxDf == Int.MaxValue) shx else shx
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .filter(col("df") <= maxDf)
       .drop("df")

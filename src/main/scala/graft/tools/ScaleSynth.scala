@@ -86,7 +86,8 @@ object ScaleSynth {
     if (r == 0) col(vecCol)
     else expr(s"concat(slice($vecCol, ${r + 1}, size($vecCol) - $r), slice($vecCol, 1, $r))")
 
-  def synthesize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String, copies: Int,
+                 tables: Set[String] = graft.Tables.all.toSet): Unit = {
     // Tables.load normalizes events.ts to the epoch-ns Long contract, so the
     // synthesized dir carries the normalized type no matter which generator
     // vintage (ns/micros) produced the source.
@@ -95,28 +96,36 @@ object ScaleSynth {
       df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
 
     // fixed dims: single copy
-    Seq("region", "nation").foreach(n => write(src(n), n))
+    Seq("region", "nation").filter(tables).foreach(n => write(src(n), n))
 
     // 10×-per-decade tables: `copies` key-shifted copies
-    Seq("customer", "supplier", "part", "orders", "lineitem", "events").foreach { n =>
+    Seq("customer", "supplier", "part", "orders", "lineitem", "events")
+      .filter(tables).foreach { n =>
       val base = src(n)
       write((0 until copies).map(k => shiftKeys(base, n, k)).reduce(_ unionAll _), n)
     }
 
     // documents: key shift + per-copy word renaming of the text
-    val docs = src("documents")
-    write((0 until copies).map { k =>
-      shiftKeys(docs, "documents", k).withColumn("text", renameWords("text", k))
-    }.reduce(_ unionAll _), "documents")
+    if (tables("documents")) {
+      val docs = src("documents")
+      write((0 until copies).map { k =>
+        shiftKeys(docs, "documents", k).withColumn("text", renameWords("text", k))
+      }.reduce(_ unionAll _), "documents")
+    }
 
-    // embeddings: ×4 per decade (generator's own law), rotated per copy
-    val embCopies = math.max(1, math.ceil(copies * 4.0 / 10.0).toInt)
-    val emb = src("embeddings")
-    val dim = emb.selectExpr("max(size(embedding))").head().getInt(0)
-    write((0 until embCopies).map { k =>
-      shiftKeys(emb, "embeddings", k)
-        .withColumn("embedding", rotateVec("embedding", k * (dim / math.max(embCopies, 1))))
-    }.reduce(_ unionAll _), "embeddings")
+    // embeddings: ×4 per decade (generator's own law: 500 → 2000 measured on
+    // the 10× step), i.e. copies^log10(4) for a copies× step — 10 → 4,
+    // 100 → 16. (The earlier `copies·4/10` spelling agrees at one decade but
+    // overstates two: 40 vs the law's 16.)
+    if (tables("embeddings")) {
+      val embCopies = math.max(1, math.round(math.pow(copies, math.log10(4.0))).toInt)
+      val emb = src("embeddings")
+      val dim = emb.selectExpr("max(size(embedding))").head().getInt(0)
+      write((0 until embCopies).map { k =>
+        shiftKeys(emb, "embeddings", k)
+          .withColumn("embedding", rotateVec("embedding", k * (dim / math.max(embCopies, 1))))
+      }.reduce(_ unionAll _), "embeddings")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -130,8 +139,13 @@ object ScaleSynth {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    synthesize(spark, srcDir, outDir, copiesStr.toInt)
-    graft.Tables.all.foreach { n =>
+    // Optional 4th arg: comma-separated table subset (default: all) — the
+    // decade-2 campaign only re-measures the volume-bound text/dedup
+    // queries, which read `documents` alone.
+    val tables: Set[String] =
+      if (args.length > 3) args(3).split(',').toSet else graft.Tables.all.toSet
+    synthesize(spark, srcDir, outDir, copiesStr.toInt, tables)
+    graft.Tables.all.filter(tables).foreach { n =>
       val c = spark.read.parquet(s"$outDir/$n.parquet").count()
       println(s"[synth] $n: $c rows")
     }
