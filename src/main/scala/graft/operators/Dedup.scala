@@ -115,7 +115,101 @@ object Dedup {
     * the row already had locally. Same arithmetic, same values — the
     * oracle's exploded GROUP BY remains the independent spec. */
   private def lshPairs(s: SparkSession, d: String): DataFrame =
-    lshPairsFrom(docShingles(s, d).localCheckpoint())
+    lshPairsAuto(docShingles(s, d).localCheckpoint())
+
+  /** Routing threshold for [[lshPairsAuto]]: total intra-class pairs above
+    * which the exact-collapse-first plan wins. Below it, duplicate classes
+    * are small enough that the default plan's band join absorbs them and
+    * the classed plan's extra array-keyed groupBy is pure overhead; above
+    * it, the default plan pays Σ 4m² band rows PLUS m(m-1)/2 verify rows
+    * carrying BOTH full shingle arrays per pair, while the classed plan
+    * verifies each class pair once. Measured by [[graft.tools.StressDd02]]
+    * on synth-sf1 (SCALING.md): parity at ~2.5e5 intra pairs (4.2 vs
+    * 4.4 s), default 10.5× behind at 2.2e6 (36.0 vs 3.4 s). The threshold
+    * sits BELOW parity because the risk is asymmetric: routing classed
+    * early costs at most the bounded collapse overhead (≤ 1.5×, flat in
+    * the dup fraction), while routing default late costs quadratically in
+    * the class sizes. */
+  private[graft] val lshClassedMinIntraPairs = 50000L
+
+  /** LSH pairs with EXACT-COLLAPSE-FIRST candidate generation — the defense
+    * for the regime [[lshPairsFrom]] cannot bound: mass-duplicate classes.
+    * A real web corpus has classes of THOUSANDS of byte-identical documents
+    * (empty pages, license boilerplate, error pages); each class of size m
+    * shares every band key, so the default band self-join forms 4·m²
+    * candidate rows and then verifies m(m-1)/2 pairs with full shingle
+    * arrays — quadratic in the class size, per class. Production pipelines
+    * collapse exact duplicates BEFORE near-dup detection for exactly this
+    * reason (dd16 already does it at the report level; this pushes it into
+    * the pair generator itself).
+    *
+    * Exactness: the minhash signature, the band keys, and the verify
+    * jaccard are all functions of the shingle SET alone, so classing by
+    * `array_sort(shs)` partitions docs into equivalence classes that the
+    * whole pipeline cannot distinguish. Cross-class pairs are computed once
+    * per class pair on representatives ([[lshPairsFrom]] unchanged) and
+    * expanded to members (same jaccard, bands collide iff the reps'
+    * did); intra-class pairs are jaccard 1.0 by definition (identical
+    * nonempty sets — what the default verify computes for equal arrays),
+    * with empty-set classes excluded because the default plan's NULL
+    * signature (MinHashSig8 contract) never lets an empty doc pair.
+    * DedupEquivalenceSpec proves classed == default row-for-row on planted
+    * mass-dup corpora including empty and order-permuted documents.
+    *
+    * Scale shape: one array-keyed hash aggregate (the collapse) + the
+    * default plan on CLASS REPRESENTATIVES + two long-keyed expansion
+    * joins. A class of m docs costs m rows through the collapse and its
+    * m(m-1)/2 OUTPUT rows — never m² band-join rows, never m² array
+    * verifies. The intra expansion is skewed by construction (one hot rep
+    * key per giant class) but carries only (long, long, double) rows — the
+    * output contract itself is quadratic in m, which is dd06/dd16's
+    * argument for clustering instead of pair-listing at deployment. */
+  private[graft] def lshPairsClassed(sh: DataFrame): DataFrame = {
+    val classes = sh
+      .select(col("doc_id"), array_sort(col("shs")).as("key"))
+      .groupBy(col("key"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("ids"))
+      .localCheckpoint() // feeds reps, the member map, and intra expansion
+    val repSh = classes.select(col("rep").as("doc_id"), col("key").as("shs"))
+    val memberMap = classes.select(col("rep"), explode(col("ids")).as("member"))
+    // cross-class pairs: the unchanged default plan, on representatives
+    val repPairs = lshPairsFrom(repSh)
+    val cross = repPairs
+      .join(memberMap.select(col("rep").as("id_a"), col("member").as("ma")), Seq("id_a"))
+      .join(memberMap.select(col("rep").as("id_b"), col("member").as("mb")), Seq("id_b"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    // intra-class pairs: identical NONEMPTY sets are jaccard 1.0 by
+    // definition — exactly what the default plan's verify computes for two
+    // equal arrays. Empty-set classes are excluded outright: the default
+    // plan gives an empty doc a NULL signature (MinHashSig8's contract),
+    // so it never pairs there, and Spark's NaN-sorts-greatest semantics
+    // would otherwise let a jaccard(∅,∅) = NaN row PASS a ≥ 0.5 filter.
+    val intra = classes
+      .filter(size(col("ids")) > 1 && size(col("key")) > 0)
+      .select(col("rep"), lit(1.0).as("jaccard"))
+      .join(memberMap.select(col("rep"), col("member").as("ma")), Seq("rep"))
+      .join(memberMap.select(col("rep"), col("member").as("mb")), Seq("rep"))
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("id_a"), col("mb").as("id_b"), col("jaccard"))
+    cross.unionByName(intra)
+  }
+
+  /** Measured router between [[lshPairsFrom]] and [[lshPairsClassed]] —
+    * dd04's adaptive-router pattern applied to the mass-duplicate hazard.
+    * The separating statistic is the corpus's total intra-class pair count
+    * Σ m(m-1)/2, probed with an 8-BYTE HASH of the class key so the probe
+    * shuffles longs, not shingle arrays; a hash collision can only inflate
+    * the statistic and route to the classed plan, which re-keys on the
+    * exact array — never a correctness risk. The router cannot change
+    * results, only cost. */
+  private[graft] def lshPairsAuto(sh: DataFrame): DataFrame = {
+    val probe = sh
+      .select(xxhash64(array_sort(col("shs"))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L))).head().getLong(0)
+    if (probe > lshClassedMinIntraPairs) lshPairsClassed(sh) else lshPairsFrom(sh)
+  }
 
   /** LSH-verified pairs from an ALREADY-MATERIALIZED shingle table — the
     * seam dd14 threads a shared corpus pass through (its containment edge
@@ -977,7 +1071,7 @@ object Dedup {
       |FROM labels l JOIN sized z ON l.comp = z.comp
       |JOIN csig c ON l.comp = c.comp""".stripMargin) { (s, d) =>
     val sh = docShingles(s, d).localCheckpoint() // ONE corpus pass, both generators
-    val sigedges = lshPairsFrom(sh).select(col("id_a"), col("id_b"), lit("lsh").as("sig"))
+    val sigedges = lshPairsAuto(sh).select(col("id_a"), col("id_b"), lit("lsh").as("sig"))
       .unionByName(containmentPairs(sh).select(col("id_a"), col("id_b"),
         lit("containment").as("sig")))
       .localCheckpoint() // feeds CC AND the per-cluster signal rollup
