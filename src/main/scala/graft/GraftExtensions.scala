@@ -64,5 +64,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => CdcChunks(arity("cdc_chunks", 1)(args).head)),
     (FunctionIdentifier("ahash64"),
       new ExpressionInfo(classOf[AHash64].getName, "ahash64"),
-      (args: Seq[Expression]) => AHash64(arity("ahash64", 1)(args).head)))
+      (args: Seq[Expression]) => AHash64(arity("ahash64", 1)(args).head)),
+    (FunctionIdentifier("bloom_might_contain_long"),
+      new ExpressionInfo(classOf[graft.functions.BloomMightContainLong].getName,
+        "bloom_might_contain_long"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bloom_might_contain_long(key, sketch) takes 2 arguments")
+        require(args(1).foldable, "bloom_might_contain_long: sketch must be a BINARY literal")
+        val bytes = args(1).eval() match {
+          case b: Array[Byte] => b
+          case other => throw new IllegalArgumentException(
+            s"bloom_might_contain_long: sketch must be BINARY, got $other")
+        }
+        graft.functions.BloomMightContainLong(args(0), bytes)
+      }))
 }

@@ -733,8 +733,11 @@ object Dedup {
     * small-vs-huge equi-join that broadcasts at real scale. The gram table
     * is localCheckpoint'ed once and feeds eval/train/count uses without
     * re-scanning the corpus. */
-  val dd09 = Q(
-    "dd09_decontaminate",
+  /** dd09/dd18 shared oracle: 8-gram membership of the train split against
+    * the eval split's distinct gram-hash set. dd18 computes the SAME relation
+    * through a Bloom-prefiltered plan (no false negatives + exact verify ⇒
+    * identical output), so both queries pin to one SQL spelling. */
+  private val decontamSql =
     s"""WITH doc AS ($docsCleanSql),
       |toks AS (SELECT doc_id, string_split(c, ' ') AS t, c FROM doc),
       |g0 AS (SELECT doc_id, CASE WHEN len(t) >= 8 THEN list_distinct(list_transform(range(0, len(t)-7), i -> array_to_string(t[i+1:i+8], ' '))) ELSE [c] END AS gs FROM toks),
@@ -745,16 +748,52 @@ object Dedup {
       |hits AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared FROM tr t JOIN ev e ON t.gh = e.gh GROUP BY t.doc_id)
       |SELECT h.doc_id, h.n_shared, n.n_grams,
       |  ROUND(CAST(h.n_shared AS DOUBLE) / CAST(n.n_grams AS DOUBLE), 6) AS shared_frac
-      |FROM hits h JOIN ng n ON h.doc_id = n.doc_id""".stripMargin) { (s, d) =>
-    val g = docsClean(s, d)
+      |FROM hits h JOIN ng n ON h.doc_id = n.doc_id""".stripMargin
+
+  /** doc_id → 8-gram hash, one row per (doc, distinct gram); the shared
+    * front half of dd09/dd18. Checkpointed once: eval distinct, train
+    * denominator, and the hit join all read it without re-scanning docs. */
+  private def decontamGrams(s: SparkSession, d: String): DataFrame =
+    docsClean(s, d)
       .select(col("doc_id"),
         explode(graft.functions.WordShinglesN.shinglesN(col("c"), 8)).as("gram"))
       .select(col("doc_id"), charHash(col("gram")).as("gh"))
       .localCheckpoint()
+
+  val dd09 = Q("dd09_decontaminate", decontamSql) { (s, d) =>
+    val g = decontamGrams(s, d)
     val ev = g.filter(col("doc_id") % 17 === 0).select("gh").distinct()
     val tr = g.filter(col("doc_id") % 17 =!= 0)
     val ng = tr.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val hits = tr.join(ev, "gh").groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    hits.join(ng, "doc_id")
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        round(col("n_shared").cast("double") / col("n_grams").cast("double"), 6).as("shared_frac"))
+  }
+
+  // ---------------------------------------------------------------- B18
+  /** dd09's semantics through the 100 TB plan shape: the eval gram set is
+    * collapsed into a fixed-size Bloom sketch (distributed treeAggregate
+    * build — the driver holds the bitset, never the key set), shipped to
+    * every train-side scan task as a plan-embedded codegen expression
+    * ([[graft.functions.BloomMightContainLong]]), and only grams the sketch
+    * admits reach the exchange + exact verify join. No false negatives +
+    * exact verify ⇒ output is bit-identical to dd09 (same oracle SQL; the
+    * spec also asserts frame equality directly), but the big-side exchange
+    * now carries hits + ~1% fpp instead of the whole corpus: at a
+    * sub-percent contamination rate that is a ~50-100× shuffle-volume cut,
+    * and the sketch itself is ~9.6 bits/key where an exact broadcast hash
+    * relation needs ~64+. The per-doc gram denominator still counts the
+    * UNFILTERED train side — the sketch prunes the join input, not the
+    * statistics. */
+  val dd18 = Q("dd18_bloom_decontaminate", decontamSql) { (s, d) =>
+    val g = decontamGrams(s, d)
+    val ev = g.filter(col("doc_id") % 17 === 0).select("gh").distinct().localCheckpoint()
+    val bf = graft.functions.BloomFilters.buildLong(ev, "gh", ev.count(), 0.01)
+    val tr = g.filter(col("doc_id") % 17 =!= 0)
+    val ng = tr.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val candidates = tr.filter(graft.functions.BloomFilters.mightContainLong(col("gh"), bf))
+    val hits = candidates.join(ev, "gh").groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     hits.join(ng, "doc_id")
       .select(col("doc_id"), col("n_shared"), col("n_grams"),
         round(col("n_shared").cast("double") / col("n_grams").cast("double"), 6).as("shared_frac"))
@@ -1333,5 +1372,5 @@ object Dedup {
 
   val queries: Seq[Q] =
     Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12, dd13, dd14,
-      dd15, dd16, dd17)
+      dd15, dd16, dd17, dd18)
 }

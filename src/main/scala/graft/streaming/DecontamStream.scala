@@ -64,6 +64,40 @@ object DecontamStream {
       .withColumn("contaminated", col("n_shared") > 0)
   }
 
+  /** [[flags]] through the dd18 plan shape, for the regime where the eval
+    * gram set outgrows the broadcast-hash budget: the ENTIRE eval relation
+    * never ships — only its fixed-size Bloom sketch rides the plan
+    * ([[graft.functions.BloomMightContainLong]], ~9.6 bits/key at 1% fpp
+    * vs 64+ for an exact hash relation), and the per-batch equi-join
+    * (which removes the sketch's false positives, preserving
+    * flags-equality bit-for-bit — DecontamStreamSpec asserts it) probes
+    * only the grams the sketch admits: hit-rate + fpp of the batch, not
+    * the batch. Same zero-state / idempotent-replay properties as
+    * [[flags]]: the sketch is a pure function of the eval release, built
+    * once, closed over by every micro-batch plan. */
+  def flagsBloom(docs: DataFrame, evalHashes: DataFrame,
+      bf: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val g = docs
+      .select(col("doc_id"),
+        explode(WordShinglesN.shinglesN(TextPrep.clean(col("text")), 8)).as("gram"))
+      .select(col("doc_id"), TextPrep.charHash(col("gram")).as("gh"))
+    val ng = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = g.filter(graft.functions.BloomFilters.mightContainLong(col("gh"), bf))
+      .join(broadcast(evalHashes), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    ng.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_grams"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double")
+          / col("n_grams").cast("double"), 6).as("shared_frac"))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
+
+  /** Sketch for [[flagsBloom]], built from the same evalGrams relation. */
+  def evalBloom(evalHashes: DataFrame, fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    graft.functions.BloomFilters.buildLong(evalHashes, "gh", evalHashes.count(), fpp)
+
   /** Start the ingest-time gate: each micro-batch's flags append to the
     * decision log at `tableDir`. Decisions are deterministic, so an
     * at-least-once replay appends exact duplicate rows — removable by key

@@ -59,6 +59,20 @@ class DecontamStreamSpec extends SparkSpec {
     assert(byId(2L) && byId(4L))            // partial leak and full copy both flagged
   }
 
+  test("F11 bloom-gated flags equal plain flags bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val eval = mkEval
+    val bf = DecontamStream.evalBloom(eval)
+    val rows = Seq(TrainDoc(20, cleanText), TrainDoc(21, leakedText),
+      TrainDoc(22, evalText), TrainDoc(23, cleanText + " trailing variance")).toDF("doc_id", "text")
+    val plain = DecontamStream.flags(rows, eval)
+    val gated = DecontamStream.flagsBloom(rows, eval, bf)
+    assert(plain.exceptAll(gated).isEmpty && gated.exceptAll(plain).isEmpty,
+      "bloom gate changed the decontamination verdicts")
+    assert(plain.count() == 4)
+  }
+
   test("F11 replayed batch appends exact duplicates only — no verdict flips") {
     val s = spark
     import s.implicits._
