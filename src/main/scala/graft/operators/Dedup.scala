@@ -799,6 +799,88 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_grams").cast("double"), 6).as("shared_frac"))
   }
 
+  // ---------------------------------------------------------------- B19
+  /** EXACT REPEATED-SPAN detection — the "exact substring dedup" modality
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"; RedPajama/Dolma run it suffix-array-based): find maximal
+    * verbatim token spans ≥ [[spanMinTokens]] shared between document
+    * PAIRS. Distinct from dd10, which dedups FIXED tumbling windows — a
+    * long verbatim overlap that straddles window boundaries, or sits at a
+    * different token offset in each doc, is invisible to dd10's keys but is
+    * exactly what this operator emits (with per-doc start offsets, so a
+    * trim/redact step can act on the span, not the whole doc).
+    *
+    * Plan shape (the suffix array re-expressed relationally): stride-1
+    * sliding windows of [[spanWindow]] tokens are position-tagged and
+    * hashed INSIDE a per-doc `transform` (one codegen pass; window strings
+    * never leave the expression — only (pos, hash64-ish) longs explode);
+    * boilerplate windows are df-capped (≤ [[spanMaxDf]], dd13's defense —
+    * a window in k docs fans out to ≤ k² pairs, so the cap bounds the
+    * self-join exactly as containmentMaxDf does); the window-hash self-join
+    * yields (pair, pa, pb) match points, and maximal runs fall out of the
+    * classic gaps-and-islands collapse on each pair's DIAGONAL
+    * (pb − pa constant, pa consecutive): group by (pair, diag,
+    * pa − row_number), one hash aggregate, span = run + W − 1. Everything
+    * after the capped join is equi-keyed aggregation — no per-pair arrays,
+    * no quadratic corpus step.
+    *
+    * Hash note: polyHash31's 30-bit space means cross-window collisions
+    * exist at corpus scale, but both engines fold the identical hash, so
+    * output stays oracle-identical; a spurious collision match forms a
+    * span of exactly W < spanMinTokens and is filtered — only a collision
+    * landing precisely in a same-diagonal gap could bridge runs, in both
+    * engines alike. Production knob: swap in the 60-bit charHash+charHash2
+    * combo (dd03's spelling) — one expression change on each side. */
+  private val spanWindow = 10
+  private val spanMaxDf = 16
+  private val spanMinTokens = 20
+
+  val dd19 = Q(
+    "dd19_repeated_spans",
+    s"""WITH doc AS ($docsCleanSql),
+      |tk AS (SELECT doc_id, string_split(c, ' ') AS t FROM doc WHERE len(string_split(c, ' ')) >= $spanWindow),
+      |w AS (SELECT doc_id,
+      |  unnest(list_transform(range(0, len(t)-$spanWindow+1), p -> p)) AS pos,
+      |  unnest(list_transform(range(0, len(t)-$spanWindow+1), p -> ${charHashSql(s"array_to_string(t[p+1:p+$spanWindow], ' ')")})) AS wh
+      |FROM tk),
+      |dfc AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) <= $spanMaxDf),
+      |wf AS (SELECT w.doc_id, w.pos, w.wh FROM w JOIN dfc USING (wh)),
+      |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+      |      FROM wf a JOIN wf b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+      |d AS (SELECT *, pb - pa AS diag,
+      |        pa - row_number() OVER (PARTITION BY id_a, id_b, pb - pa ORDER BY pa) AS isl
+      |      FROM m),
+      |runs AS (SELECT id_a, id_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+      |         COUNT(*) + $spanWindow - 1 AS span_tokens
+      |         FROM d GROUP BY id_a, id_b, diag, isl)
+      |SELECT id_a, id_b, start_a, start_b, CAST(span_tokens AS BIGINT) AS span_tokens
+      |FROM runs WHERE span_tokens >= $spanMinTokens""".stripMargin) { (s, d) =>
+    val w = spanWindow
+    val toks = docsClean(s, d)
+      .select(col("doc_id"), split(col("c"), " ").as("t"))
+      .filter(size(col("t")) >= w)
+    val wins = toks
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("t")) - w),
+        i => charHash(array_join(slice(col("t"), i + lit(1), lit(w)), " ")))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("wh"))
+    val dfc = wins.groupBy("wh").agg(count(lit(1)).as("dfw"))
+      .filter(col("dfw") <= spanMaxDf).select("wh")
+    val wf = wins.join(dfc, "wh")
+    val m = wf.as("a").join(wf.as("b"),
+        col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val diag = m.withColumn("diag", col("pb") - col("pa"))
+      .withColumn("isl", col("pa") - row_number().over(
+        Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")))
+    diag.groupBy("id_a", "id_b", "diag", "isl")
+      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+        (count(lit(1)) + (w - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= spanMinTokens)
+      .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+  }
+
   // ---------------------------------------------------------------- B10
   /** PARAGRAPH-level exact dedup — the sub-document granularity between dd01
     * (whole-doc) and dd02 (fuzzy): boilerplate that repeats across documents
@@ -1372,5 +1454,5 @@ object Dedup {
 
   val queries: Seq[Q] =
     Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12, dd13, dd14,
-      dd15, dd16, dd17, dd18)
+      dd15, dd16, dd17, dd18, dd19)
 }
