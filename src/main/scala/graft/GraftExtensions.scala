@@ -15,8 +15,14 @@ import graft.functions.{AHash64, CdcChunks, DotProduct, MinHashSig8, PolyHash31,
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // MERGE INTO on graft.sources.Versioned tables (graft.plans.GraftMerge):
+    // rule lowers upsert-shaped MergeIntoTable on registered names; strategy
+    // plans the command; unregistered targets pass through untouched.
+    ext.injectResolutionRule(session => new graft.plans.GraftMergeRule(session))
+    ext.injectPlannerStrategy(_ => graft.plans.GraftMergeStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -65,6 +71,21 @@ object GraftExtensions {
     (FunctionIdentifier("ahash64"),
       new ExpressionInfo(classOf[AHash64].getName, "ahash64"),
       (args: Seq[Expression]) => AHash64(arity("ahash64", 1)(args).head)),
+    (FunctionIdentifier("word_window_hashes"),
+      new ExpressionInfo(classOf[graft.functions.WordWindowHashes].getName, "word_window_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_window_hashes(text, w) takes 2 arguments")
+        require(args(1).foldable, "word_window_hashes: w must be a literal")
+        val w = args(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_window_hashes: w must be integral, got $other")
+        }
+        graft.functions.WordWindowHashes(args(0), w)
+      }),
     (FunctionIdentifier("bloom_might_contain_long"),
       new ExpressionInfo(classOf[graft.functions.BloomMightContainLong].getName,
         "bloom_might_contain_long"),

@@ -856,13 +856,13 @@ object Dedup {
       |SELECT id_a, id_b, start_a, start_b, CAST(span_tokens AS BIGINT) AS span_tokens
       |FROM runs WHERE span_tokens >= $spanMinTokens""".stripMargin) { (s, d) =>
     val w = spanWindow
-    val toks = docsClean(s, d)
-      .select(col("doc_id"), split(col("c"), " ").as("t"))
-      .filter(size(col("t")) >= w)
-    val wins = toks
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("t")) - w),
-        i => charHash(array_join(slice(col("t"), i + lit(1), lit(w)), " ")))))
+    // One codegen pass per doc: (pos, windowHash) longs are all that
+    // explode — WindowHashProperties pins the expression equal to the
+    // transform∘slice∘array_join∘polyHash31 composition the oracle spells;
+    // sub-window docs yield an empty array (≡ the oracle's WHERE len ≥ w).
+    val wins = docsClean(s, d)
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordWindowHashes.windowHashes(col("c"), w)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("wh"))
     val dfc = wins.groupBy("wh").agg(count(lit(1)).as("dfw"))
       .filter(col("dfw") <= spanMaxDf).select("wh")

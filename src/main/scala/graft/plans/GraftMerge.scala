@@ -1,0 +1,170 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
+import org.apache.spark.sql.functions.{col, count, lit}
+
+import graft.sources.Versioned
+
+/** `MERGE INTO` over [[graft.sources.Versioned]] snapshot tables — the
+  * reference's incremental merge (dw3_merge_inc.py:109-118) as REAL Spark
+  * SQL, built from the three public extension points the ADR-001 gap left
+  * unexercised while the ACID formats stay offline-absent:
+  *
+  *  - a resolution [[Rule]] ([[GraftMergeRule]]) intercepts the parser's
+  *    `MergeIntoTable` when the target names a registered graft table and
+  *    lowers it to [[GraftMergeCommand]];
+  *  - a [[org.apache.spark.sql.execution.SparkStrategy]]
+  *    ([[GraftMergeStrategy]]) plans the command;
+  *  - a physical [[GraftMergeExec]] runs the upsert and publishes the
+  *    result as the next immutable snapshot (so every MERGE is time-
+  *    travelable and CDF-diffable through the existing G11/G17 machinery —
+  *    the same commit model Delta gives MERGE, at this layout's scale).
+  *
+  * SUPPORTED SHAPE (the reference's, checked loudly, everything else falls
+  * through untouched so real formats keep owning their tables):
+  * `ON` a conjunction of same-name column equalities, `WHEN MATCHED THEN
+  * UPDATE SET *`, `WHEN NOT MATCHED THEN INSERT *`, optional `WHEN NOT
+  * MATCHED BY SOURCE THEN DELETE`. Duplicate source keys are rejected
+  * (Delta's multiple-matches error) — a nondeterministic last-writer merge
+  * must fail, not pick.
+  *
+  * Scale: the rewrite is source ∪ (current ⟕anti source) on the key — one
+  * equi-join, broadcastable when the increment is small (the common case),
+  * and the snapshot write is the same full-copy publish the format's
+  * copy-on-write path performs; a file-level format narrows the copy to
+  * touched files, which is exactly the ADR-001 seam.
+  */
+object GraftTables {
+
+  private val tables = new ConcurrentHashMap[String, String]()
+
+  /** Register `name` as a MERGE-able versioned table rooted at `root`. */
+  def register(name: String, root: String): Unit = tables.put(normalize(name), root)
+  def unregister(name: String): Unit = tables.remove(normalize(name))
+  def rootOf(name: String): Option[String] = Option(tables.get(normalize(name)))
+
+  private def normalize(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
+
+  /** Multipart identifier → registry key (single-part names only: graft
+    * tables live in the registry, not a catalog namespace). */
+  def keyFor(multipart: Seq[String]): Option[String] =
+    if (multipart.length == 1) Some(normalize(multipart.head)) else None
+}
+
+/** Lowers upsert-shaped [[MergeIntoTable]] on registered graft tables. */
+class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource, _) =>
+      targetName(target).flatMap(n => GraftTables.keyFor(n).flatMap(k =>
+        GraftTables.rootOf(k).map((k, _)))) match {
+        case Some((name, root)) =>
+          val keys = equalityKeys(cond).getOrElse(fail(
+            s"graft MERGE INTO $name: ON must be a conjunction of t.col = s.col equalities with matching column names"))
+          val deleteUnmatched = bySource match {
+            case Seq() => false
+            case Seq(DeleteAction(None)) => true
+            case other => fail(s"graft MERGE INTO $name: unsupported NOT MATCHED BY SOURCE actions: $other")
+          }
+          (matched, notMatched) match {
+            case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) => ()
+            case other => fail(s"graft MERGE INTO $name: only WHEN MATCHED THEN UPDATE SET * " +
+              s"+ WHEN NOT MATCHED THEN INSERT * is supported, got: $other")
+          }
+          GraftMergeCommand(name, root, keys, deleteUnmatched, source)
+        case None => m // not ours — leave for DSv2 resolution
+      }
+  }
+
+  private def fail(msg: String): Nothing = sys.error(msg)
+
+  private def targetName(plan: LogicalPlan): Option[Seq[String]] = plan match {
+    case u: UnresolvedRelation => Some(u.multipartIdentifier)
+    case SubqueryAlias(_, child) => targetName(child)
+    case _ => None
+  }
+
+  /** ON t.k1 = s.k1 AND t.k2 = s.k2 → Seq(k1, k2); None if any conjunct is
+    * not a same-name attribute equality. */
+  private def equalityKeys(cond: Expression): Option[Seq[String]] = cond match {
+    case And(l, r) => for (a <- equalityKeys(l); b <- equalityKeys(r)) yield a ++ b
+    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+        if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+      Some(Seq(a.nameParts.last))
+    case _ => None
+  }
+}
+
+/** Resolved logical MERGE on a graft table; child = the source relation. */
+case class GraftMergeCommand(
+    table: String,
+    root: String,
+    keys: Seq[String],
+    deleteUnmatched: Boolean,
+    source: LogicalPlan) extends UnaryNode with Command {
+  override def child: LogicalPlan = source
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftMergeCommand =
+    copy(source = newChild)
+}
+
+/** Plans [[GraftMergeCommand]]; everything else declined. */
+object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case c: GraftMergeCommand => GraftMergeExec(c) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Runs the upsert and publishes the next snapshot. Runs ONCE per command
+  * instance (commands are eagerly executed by the session; a re-collect of
+  * the returned frame must not publish twice). */
+case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Nil
+
+  private lazy val done: Unit = run()
+
+  private def run(): Unit = {
+    val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val src = GraftBridge.ofRows(spark, cmd.source)
+
+    val dups = src.groupBy(cmd.keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+    require(dups == 0,
+      s"graft MERGE INTO ${cmd.table}: duplicate source rows on key (${cmd.keys.mkString(", ")}) — " +
+        "a multi-match merge is nondeterministic (same contract as Delta's multiple-matches error)")
+
+    val version = Versioned.currentVersion(cmd.root)
+    val merged =
+      if (version == 0) src
+      else {
+        val current = Versioned.read(spark, cmd.root)
+        require(current.columns.sorted.sameElements(src.columns.sorted),
+          s"graft MERGE INTO ${cmd.table}: source columns ${src.columns.mkString(",")} " +
+            s"must match table columns ${current.columns.mkString(",")} (UPDATE/INSERT *)")
+        if (cmd.deleteUnmatched) src
+        else src.unionByName(current.join(src.select(cmd.keys.map(col): _*), cmd.keys, "left_anti"))
+      }
+    Versioned.publish(merged, cmd.root)
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    done
+    sparkContext.emptyRDD
+  }
+
+  override def executeCollect(): Array[InternalRow] = {
+    done
+    Array.empty
+  }
+}

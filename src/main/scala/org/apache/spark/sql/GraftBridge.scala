@@ -14,6 +14,13 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over an analyzed/analyzable logical plan — the hop a custom
+    * physical command needs to run its child relation (classic
+    * `Dataset.ofRows` is `private[sql]`). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register graft's SQL functions on an ALREADY-BUILT session (e.g. one
     * handed over by a driver that did not pass spark.sql.extensions). */
   def registerFunctions(

@@ -98,4 +98,25 @@ object ExpressionProperties extends Properties("graft.expressions") {
       }
       got == want
     }
+
+  /** Reference for [[graft.functions.WordWindowHashes]]: the declarative
+    * slice∘join∘hash composition it replaces in dd19 (split(" ", -1)
+    * token semantics; docs shorter than one window yield no windows). */
+  private def refWindowHashes(s: String, w: Int): Seq[Long] = {
+    val t = s.split(" ", -1)
+    if (t.length < w) Seq.empty
+    else (0 to t.length - w).map(i => refHash(t.slice(i, i + w).mkString(" ")))
+  }
+
+  property("wordWindowHashes == slice∘join∘hash composition, any ASCII input") =
+    forAll(asciiString, Gen.choose(1, 12)) { (s, w) =>
+      val got = graft.functions.WordWindowHashes(Literal(s), w)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      got == refWindowHashes(s, w)
+    }
+
+  property("wordWindowHashes of null is null") = Prop {
+    graft.functions.WordWindowHashes(Literal.create(null, StringType), 5).eval(null) == null
+  }
 }

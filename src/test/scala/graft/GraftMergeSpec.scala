@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftTables
+import graft.sources.Versioned
+
+/** G18: `MERGE INTO` as real Spark SQL over Versioned snapshot tables —
+  * the resolution-rule + strategy + physical-exec stack registered by
+  * GraftExtensions (SparkSpec's session carries
+  * spark.sql.extensions=graft.GraftExtensions, the deployment conf).
+  */
+class GraftMergeSpec extends SparkSpec {
+
+  private def freshTable(name: String): String = {
+    val root = Files.createTempDirectory(s"graft-merge-$name").toString
+    GraftTables.register(name, root)
+    root
+  }
+
+  test("G18 MERGE upserts: updates matched keys, inserts new, snapshots advance") {
+    val s = spark
+    import s.implicits._
+    val root = freshTable("orders_v")
+
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "amt").createOrReplaceTempView("merge_base")
+    spark.sql("MERGE INTO orders_v t USING merge_base s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(Versioned.currentVersion(root) == 1L)
+
+    Seq((2L, "b2", 25.0), (4L, "d", 40.0))
+      .toDF("k", "name", "amt").createOrReplaceTempView("merge_inc")
+    spark.sql("MERGE INTO orders_v t USING merge_inc s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(Versioned.currentVersion(root) == 2L)
+
+    val got = Versioned.read(spark, root).as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+
+    // time travel: the pre-merge snapshot is untouched
+    val v1 = Versioned.readVersion(spark, root, 1L).as[(Long, String, Double)].collect().toSet
+    assert(v1 == Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+
+    // CDF across the merge commit sees exactly the update + the insert
+    val changes = Versioned.changesBetween(spark, root, Seq("k"), 1L, 2L)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(changes == Set((2L, "update_pre"), (2L, "update_post"), (4L, "insert")))
+  }
+
+  test("G18 WHEN NOT MATCHED BY SOURCE THEN DELETE makes the table the source") {
+    val s = spark
+    import s.implicits._
+    val root = freshTable("sync_v")
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v").createOrReplaceTempView("sync_b")
+    spark.sql("MERGE INTO sync_v t USING sync_b s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    Seq((2L, "y2"), (3L, "z")).toDF("k", "v").createOrReplaceTempView("sync_i")
+    spark.sql("MERGE INTO sync_v t USING sync_i s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    val got = Versioned.read(spark, root).as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "y2"), (3L, "z"))) // key 1 deleted
+  }
+
+  test("G18 duplicate source keys are rejected (multiple-matches contract)") {
+    val s = spark
+    import s.implicits._
+    val root = freshTable("dup_v")
+    Seq((1L, "a"), (1L, "b")).toDF("k", "v").createOrReplaceTempView("dup_src")
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO dup_v t USING dup_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.contains("duplicate source rows"))
+    assert(Versioned.currentVersion(root) == 0L) // nothing published
+  }
+
+  test("G18 unsupported shapes fail loudly; non-equality ON rejected") {
+    val s = spark
+    import s.implicits._
+    freshTable("shape_v")
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("shape_src")
+    val e1 = intercept[Exception] {
+      spark.sql("MERGE INTO shape_v t USING shape_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(e1.getMessage.contains("UPDATE SET *"))
+    val e2 = intercept[Exception] {
+      spark.sql("MERGE INTO shape_v t USING shape_src s ON t.k > s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e2.getMessage.contains("conjunction"))
+  }
+
+  test("G18 unregistered targets pass through to normal resolution") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("pt_src")
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO never_registered t USING pt_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    // fails as a missing table / non-row-level-op table, NOT via graft's rule
+    assert(!e.getMessage.contains("graft MERGE"))
+  }
+
+  test("G18 schema mismatch between source and table fails loudly") {
+    val s = spark
+    import s.implicits._
+    val root = freshTable("schema_v")
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("schema_b")
+    spark.sql("MERGE INTO schema_v t USING schema_b s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    Seq((2L, "b", 1.0)).toDF("k", "v", "extra").createOrReplaceTempView("schema_i")
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO schema_v t USING schema_i s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.contains("must match table columns"))
+    assert(Versioned.currentVersion(root) == 1L)
+  }
+
+  test("G18 merge result equals the q06-style anti-join+union reference") {
+    val s = spark
+    import s.implicits._
+    val root = freshTable("ref_v")
+    val base = Seq((1L, 5.0), (2L, 6.0), (3L, 7.0)).toDF("k", "amt")
+    val inc = Seq((3L, 70.0), (4L, 80.0)).toDF("k", "amt")
+    base.createOrReplaceTempView("ref_b"); inc.createOrReplaceTempView("ref_i")
+    spark.sql("MERGE INTO ref_v t USING ref_b s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    spark.sql("MERGE INTO ref_v t USING ref_i s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val expected = inc.unionByName(base.join(inc.select("k"), Seq("k"), "left_anti"))
+    val got = Versioned.read(spark, root)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+}
