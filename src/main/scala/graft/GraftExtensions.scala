@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plans the command; unregistered targets pass through untouched.
     ext.injectResolutionRule(session => new graft.plans.GraftMergeRule(session))
     ext.injectPlannerStrategy(_ => graft.plans.GraftMergeStrategy)
+    // VACUUM <t> RETAIN <n> VERSIONS; all other statements delegate verbatim.
+    ext.injectParser((session, delegate) => new graft.plans.GraftSqlParser(session, delegate))
   }
 }
 

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expre
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 
 import graft.sources.Versioned
 
@@ -60,10 +60,21 @@ object GraftTables {
     if (multipart.length == 1) Some(normalize(multipart.head)) else None
 }
 
-/** Lowers upsert-shaped [[MergeIntoTable]] on registered graft tables. */
+/** Non-Expression holder: DML conditions/assignments captured at parse
+  * time reference table columns that resolve only against the snapshot
+  * read at EXECUTION time, so they must ride the command without being
+  * walked by `TreeNode.expressions` (an unresolved expression field would
+  * fail CheckAnalysis before our exec ever runs). */
+final case class ExprHolder(e: Expression)
+final case class AssignHolder(column: String, value: Expression)
+
+/** Lowers upsert-shaped [[MergeIntoTable]], single-table DELETE/UPDATE,
+  * bare SELECT, and `VERSION AS OF` time travel on registered graft
+  * tables. Top-down ([[LogicalPlan.resolveOperatorsDown]]) so a DML
+  * node claims its target relation before the bare-relation case would. */
 class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource, _) =>
       targetName(target).flatMap(n => GraftTables.keyFor(n).flatMap(k =>
         GraftTables.rootOf(k).map((k, _)))) match {
@@ -83,6 +94,60 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           GraftMergeCommand(name, root, keys, deleteUnmatched, source)
         case None => m // not ours — leave for DSv2 resolution
       }
+
+    case d @ DeleteFromTable(target, cond) =>
+      registered(target) match {
+        case Some((name, root)) =>
+          GraftDeleteCommand(name, root, ExprHolder(stripQualifiers(cond)))
+        case None => d
+      }
+
+    case u @ UpdateTable(target, assignments, cond) =>
+      registered(target) match {
+        case Some((name, root)) =>
+          val assigns = assignments.map {
+            case Assignment(k: UnresolvedAttribute, v) =>
+              AssignHolder(k.nameParts.last, stripQualifiers(v))
+            case other => fail(s"graft UPDATE $name: unsupported assignment target: $other")
+          }
+          GraftUpdateCommand(name, root, assigns, cond.map(c => ExprHolder(stripQualifiers(c))))
+        case None => u
+      }
+
+    case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+        rel: UnresolvedRelation, ts, version) =>
+      GraftTables.keyFor(rel.multipartIdentifier).flatMap(k =>
+        GraftTables.rootOf(k).map((k, _))) match {
+        case Some((name, root)) =>
+          if (ts.nonEmpty) fail(s"graft time travel on $name: only VERSION AS OF is supported")
+          val v = version.getOrElse(fail(s"graft time travel on $name: version missing")).toLong
+          snapshotPlan(Versioned.readVersion(spark, root, v))
+        case None => tt
+      }
+
+    case rel: UnresolvedRelation =>
+      GraftTables.keyFor(rel.multipartIdentifier).flatMap(k =>
+        GraftTables.rootOf(k).map((k, _))) match {
+        case Some((_, root)) if Versioned.currentVersion(root) > 0 =>
+          snapshotPlan(Versioned.read(spark, root))
+        case _ => rel // unregistered, or registered-but-empty (no snapshot to scan)
+      }
+  }
+
+  /** Current/travel snapshot as an analyzed scan plan (pointer resolved at
+    * plan time — the same read-committed semantics as Versioned.read). */
+  private def snapshotPlan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+
+  private def registered(target: LogicalPlan): Option[(String, String)] =
+    targetName(target).flatMap(n => GraftTables.keyFor(n).flatMap(k =>
+      GraftTables.rootOf(k).map((k, _))))
+
+  /** `t.k` → `k`: single-table DML conditions resolve against the snapshot
+    * frame, which does not carry the statement's alias. */
+  private def stripQualifiers(e: Expression): Expression = e.transform {
+    case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+      UnresolvedAttribute(Seq(a.nameParts.last))
   }
 
   private def fail(msg: String): Nothing = sys.error(msg)
@@ -117,12 +182,62 @@ case class GraftMergeCommand(
     copy(source = newChild)
 }
 
-/** Plans [[GraftMergeCommand]]; everything else declined. */
+/** `DELETE FROM t WHERE cond` on a graft table: publish current ⊖ cond. */
+case class GraftDeleteCommand(table: String, root: String, cond: ExprHolder)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `UPDATE t SET col = v, … [WHERE cond]` on a graft table. */
+case class GraftUpdateCommand(
+    table: String,
+    root: String,
+    assignments: Seq[AssignHolder],
+    cond: Option[ExprHolder]) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** Plans the graft DML commands; everything else declined. */
 object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case c: GraftMergeCommand => GraftMergeExec(c) :: Nil
+    case c: GraftDeleteCommand => GraftDmlExec(c.table, c.root, { (spark, current) =>
+      current.filter(!GraftBridge.column(c.cond.e))
+    }) :: Nil
+    case c: GraftVacuumCommand => GraftVacuumExec(c) :: Nil
+    case c: GraftUpdateCommand => GraftDmlExec(c.table, c.root, { (spark, current) =>
+      val assigned = c.assignments.map(a => a.column.toLowerCase -> a.value).toMap
+      val gate = c.cond.map(h => GraftBridge.column(h.e)).getOrElse(lit(true))
+      current.select(current.columns.toSeq.map { name =>
+        assigned.get(name.toLowerCase) match {
+          case Some(v) => when(gate, GraftBridge.column(v)).otherwise(col(name)).as(name)
+          case None => col(name)
+        }
+      }: _*)
+    }) :: Nil
     case _ => Nil
   }
+}
+
+/** Shared physical node for snapshot-rewriting DML: reads the current
+  * snapshot, applies `rewrite`, publishes the next version. Runs once. */
+case class GraftDmlExec(
+    table: String,
+    root: String,
+    rewrite: (SparkSession, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)
+    extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Nil
+
+  private lazy val done: Unit = {
+    require(Versioned.currentVersion(root) > 0,
+      s"graft DML on $table: table has no published snapshot")
+    val spark = session
+    Versioned.publish(rewrite(spark, Versioned.read(spark, root)), root)
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = { done; sparkContext.emptyRDD }
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
 }
 
 /** Runs the upsert and publishes the next snapshot. Runs ONCE per command

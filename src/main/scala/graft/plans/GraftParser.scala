@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LeafNode, LogicalPlan}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.sources.Versioned
+
+/** Parser extension for the one statement Spark's grammar cannot carry for
+  * us: `VACUUM <table> RETAIN <n> VERSIONS` — snapshot retention on graft
+  * tables (the Delta VACUUM / Iceberg expire_snapshots analog; ours
+  * retains a snapshot COUNT because Versioned's unit of garbage is the
+  * immutable snapshot dir). Registered via
+  * `SparkSessionExtensions.injectParser`; every other statement — and
+  * every non-plan parse path — delegates verbatim to the session's parser,
+  * so the extension is invisible outside its one prefix.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Vacuum(name, n) =>
+      GraftTables.rootOf(name) match {
+        case Some(root) => GraftVacuumCommand(name, root, n.toInt)
+        case None => sys.error(s"VACUUM: '$name' is not a registered graft table")
+      }
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+}
+
+/** `VACUUM t RETAIN n VERSIONS` — planned by [[GraftMergeStrategy]]. */
+case class GraftVacuumCommand(table: String, root: String, retainLast: Int)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** Runs the retention cleanup once. */
+case class GraftVacuumExec(cmd: GraftVacuumCommand) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  private lazy val done: Unit = { Versioned.vacuum(cmd.root, cmd.retainLast); () }
+  protected override def doExecute(): RDD[InternalRow] = { done; sparkContext.emptyRDD }
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+}

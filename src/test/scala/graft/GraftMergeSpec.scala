@@ -123,6 +123,86 @@ class GraftMergeSpec extends SparkSpec {
     assert(Versioned.currentVersion(root) == 1L)
   }
 
+  test("G18 SELECT and VERSION AS OF resolve registered tables in plain SQL") {
+    val s = spark
+    import s.implicits._
+    val root = freshTable("sel_v")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("sel_b")
+    spark.sql("MERGE INTO sel_v t USING sel_b s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    Seq((2L, "b2"), (3L, "c")).toDF("k", "v").createOrReplaceTempView("sel_i")
+    spark.sql("MERGE INTO sel_v t USING sel_i s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+
+    val now = spark.sql("SELECT k, v FROM sel_v ORDER BY k").as[(Long, String)].collect().toSeq
+    assert(now == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    val v1 = spark.sql("SELECT k, v FROM sel_v VERSION AS OF 1 ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(v1 == Seq((1L, "a"), (2L, "b")))
+    // joins/aggregates over the resolved relation work like any table
+    val cnt = spark.sql("SELECT COUNT(*) FROM sel_v WHERE k >= 2").as[Long].head()
+    assert(cnt == 2L)
+    assert(Versioned.currentVersion(root) == 2L)
+  }
+
+  test("G18 DELETE FROM publishes a snapshot without the matching rows") {
+    val s = spark
+    import s.implicits._
+    val root = freshTable("del_v")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "amt")
+      .createOrReplaceTempView("del_b")
+    spark.sql("MERGE INTO del_v t USING del_b s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    spark.sql("DELETE FROM del_v t WHERE t.amt > 15.0")
+    val got = spark.sql("SELECT k FROM del_v").as[Long].collect().toSet
+    assert(got == Set(1L))
+    assert(Versioned.currentVersion(root) == 2L)
+    // pre-delete snapshot intact
+    assert(Versioned.readVersion(spark, root, 1L).count() == 3L)
+  }
+
+  test("G18 UPDATE SET rewrites only matching rows; unconditional UPDATE all") {
+    val s = spark
+    import s.implicits._
+    val root = freshTable("upd_v")
+    Seq((1L, 10.0, "x"), (2L, 20.0, "y")).toDF("k", "amt", "tag")
+      .createOrReplaceTempView("upd_b")
+    spark.sql("MERGE INTO upd_v t USING upd_b s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    spark.sql("UPDATE upd_v SET amt = amt * 2 WHERE k = 2")
+    val got = spark.sql("SELECT k, amt, tag FROM upd_v ORDER BY k")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(got == Seq((1L, 10.0, "x"), (2L, 40.0, "y")))
+    spark.sql("UPDATE upd_v SET tag = 'z'")
+    val tags = spark.sql("SELECT DISTINCT tag FROM upd_v").as[String].collect().toSet
+    assert(tags == Set("z"))
+    assert(Versioned.currentVersion(root) == 3L)
+  }
+
+  test("G18 VACUUM retains the newest n snapshots, keeps reads working") {
+    val s = spark
+    import s.implicits._
+    val root = freshTable("vac_v")
+    for (i <- 1 to 4) {
+      Seq((i.toLong, s"r$i")).toDF("k", "v").createOrReplaceTempView(s"vac_$i")
+      spark.sql(s"MERGE INTO vac_v t USING vac_$i s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(Versioned.versions(root) == Seq(1L, 2L, 3L, 4L))
+    spark.sql("VACUUM vac_v RETAIN 2 VERSIONS")
+    assert(Versioned.versions(root) == Seq(3L, 4L))
+    // current reads + retained time travel still work; expired fails loudly
+    assert(spark.sql("SELECT COUNT(*) FROM vac_v").as[Long].head() == 4L)
+    assert(spark.sql("SELECT COUNT(*) FROM vac_v VERSION AS OF 3").as[Long].head() == 3L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM vac_v VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("not retained"))
+    // unregistered table name fails loudly at parse time
+    val e2 = intercept[Exception] { spark.sql("VACUUM nope_v RETAIN 2 VERSIONS") }
+    assert(e2.getMessage.contains("not a registered graft table"))
+  }
+
   test("G18 merge result equals the q06-style anti-join+union reference") {
     val s = spark
     import s.implicits._
