@@ -233,11 +233,43 @@ case class GraftDmlExec(
     require(Versioned.currentVersion(root) > 0,
       s"graft DML on $table: table has no published snapshot")
     val spark = session
-    Versioned.publish(rewrite(spark, Versioned.read(spark, root)), root)
+    GraftCommit.retrying(root, s"graft DML on $table") { version =>
+      rewrite(spark, Versioned.readVersion(spark, root, version))
+    }
+    ()
   }
 
   protected override def doExecute(): RDD[InternalRow] = { done; sparkContext.emptyRDD }
   override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+}
+
+/** The optimistic-concurrency commit loop shared by every snapshot-writing
+  * command: read the current version, derive the next snapshot FROM THAT
+  * VERSION, CAS-publish; on [[graft.sources.ConcurrentPublishException]]
+  * re-derive against the winner's version and retry (bounded — livelock
+  * means something is systematically wrong, fail loudly). Correct because
+  * each DML's `derive` is a pure function of the base snapshot: re-running
+  * it on the newer base applies both writers' intents exactly once. */
+object GraftCommit {
+  private val MaxAttempts = 8
+
+  def retrying(root: String, what: String)(
+      derive: Long => org.apache.spark.sql.DataFrame): Long = {
+    var attempt = 0
+    while (true) {
+      val version = Versioned.currentVersion(root)
+      try {
+        return Versioned.publishIf(derive(version), root, version)
+      } catch {
+        case e: graft.sources.ConcurrentPublishException =>
+          attempt += 1
+          if (attempt >= MaxAttempts)
+            throw new IllegalStateException(
+              s"$what: lost the commit race $MaxAttempts times — giving up", e)
+      }
+    }
+    -1L // unreachable
+  }
 }
 
 /** Runs the upsert and publishes the next snapshot. Runs ONCE per command
@@ -259,18 +291,21 @@ case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
       s"graft MERGE INTO ${cmd.table}: duplicate source rows on key (${cmd.keys.mkString(", ")}) — " +
         "a multi-match merge is nondeterministic (same contract as Delta's multiple-matches error)")
 
-    val version = Versioned.currentVersion(cmd.root)
-    val merged =
+    // Conflict-retry commit (the Delta/Iceberg loop): compute the merge
+    // against the CURRENT version, CAS-publish; a concurrent winner means
+    // recompute against its result and try again — an upsert re-derived
+    // from the newer base applies both writers' rows exactly once.
+    GraftCommit.retrying(cmd.root, s"graft MERGE INTO ${cmd.table}") { version =>
       if (version == 0) src
       else {
-        val current = Versioned.read(spark, cmd.root)
+        val current = Versioned.readVersion(spark, cmd.root, version)
         require(current.columns.sorted.sameElements(src.columns.sorted),
           s"graft MERGE INTO ${cmd.table}: source columns ${src.columns.mkString(",")} " +
             s"must match table columns ${current.columns.mkString(",")} (UPDATE/INSERT *)")
         if (cmd.deleteUnmatched) src
         else src.unionByName(current.join(src.select(cmd.keys.map(col): _*), cmd.keys, "left_anti"))
       }
-    Versioned.publish(merged, cmd.root)
+    }
   }
 
   protected override def doExecute(): RDD[InternalRow] = {

@@ -84,6 +84,54 @@ object Versioned {
     spark.read.parquet(snap.toString)
   }
 
+  /** OPTIMISTIC-CONCURRENCY publish: commit `df` as the next snapshot only
+    * if the table is still at `expectedVersion` — the compare-and-swap the
+    * plain [[publish]]'s single-writer contract lacks. The version check
+    * and pointer swap happen under an exclusive advisory file lock
+    * (`_commit.lock`, FileChannel), so two writers cannot both pass the
+    * check: the loser observes the winner's version and gets
+    * [[ConcurrentPublishException]] — its caller re-reads the new current,
+    * recomputes, retries (the Delta/Iceberg conflict-retry loop;
+    * [[graft.plans.GraftMergeExec]] does exactly this). The snapshot WRITE
+    * (the expensive part) stays outside the lock — only the re-check and
+    * two renames are serialized.
+    *
+    * Scope honesty: a JVM-local/NFS advisory lock is the sandbox analog of
+    * the conditional-put / lock-service commit an object-store deployment
+    * needs — the swap body is the seam (ADR-001), the retry protocol
+    * around it is the part that carries over unchanged. */
+  def publishIf(df: DataFrame, root: String, expectedVersion: Long): Long = {
+    val next = expectedVersion + 1
+    val snap = versionsDir(root).resolve(s"v$next")
+    // Stage under a writer-unique name: two contenders must not collide on
+    // the staging path even before the lock decides the commit.
+    val staging = versionsDir(root).resolve(
+      s"v$next.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    deleteTree(staging)
+    df.write.parquet(staging.toString)
+    Files.createDirectories(Paths.get(root))
+    val lockPath = Paths.get(root, "_commit.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        val cur = currentVersion(root)
+        if (cur != expectedVersion) {
+          deleteTree(staging)
+          throw new ConcurrentPublishException(root, expectedVersion, cur)
+        }
+        deleteTree(snap) // orphan from a crashed attempt (provably unpublished)
+        Files.move(staging, snap, StandardCopyOption.ATOMIC_MOVE)
+        val tmp = pointer(root).resolveSibling("_current.tmp")
+        Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, pointer(root), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        next
+      } finally lock.release()
+    } finally ch.close()
+  }
+
   /** Retained version numbers, ascending (staging/orphan dirs excluded). */
   def versions(root: String): Seq[Long] = {
     val dir = versionsDir(root)
@@ -166,3 +214,10 @@ object Versioned {
     drop
   }
 }
+
+/** Thrown by [[Versioned.publishIf]] when the CAS check fails: the table
+  * advanced past `expected` (to `actual`) between the caller's read and
+  * its commit. Catch → re-read → recompute → retry. */
+class ConcurrentPublishException(root: String, expected: Long, actual: Long)
+    extends RuntimeException(
+      s"concurrent publish on $root: expected version $expected but table is at $actual")

@@ -203,6 +203,51 @@ class GraftMergeSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a registered graft table"))
   }
 
+  test("G18 optimistic concurrency: racing merges both land exactly once") {
+    val s = spark
+    import s.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = freshTable("race_v")
+    Seq((0L, "base")).toDF("k", "v").createOrReplaceTempView("race_b")
+    spark.sql("MERGE INTO race_v t USING race_b s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+
+    // two writers, disjoint keys, racing the same base version
+    Seq((1L, "w1")).toDF("k", "v").createOrReplaceTempView("race_1")
+    Seq((2L, "w2")).toDF("k", "v").createOrReplaceTempView("race_2")
+    val fs = Seq("race_1", "race_2").map { v =>
+      Future {
+        spark.sql(s"MERGE INTO race_v t USING $v s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      }
+    }
+    fs.foreach(Await.result(_, 120.seconds))
+
+    val got = Versioned.read(spark, root).as[(Long, String)].collect().toSet
+    assert(got == Set((0L, "base"), (1L, "w1"), (2L, "w2")),
+      s"lost an update in the race: $got")
+    // exactly one commit per writer: base + 2 = version 3, no gaps
+    assert(Versioned.currentVersion(root) == 3L)
+    assert(Versioned.versions(root) == Seq(1L, 2L, 3L))
+  }
+
+  test("G18 publishIf rejects a stale expected version without committing") {
+    val s = spark
+    import s.implicits._
+    val root = freshTable("cas_v")
+    val df = Seq((1L, "a")).toDF("k", "v")
+    Versioned.publishIf(df, root, 0L)
+    assert(Versioned.currentVersion(root) == 1L)
+    val e = intercept[graft.sources.ConcurrentPublishException] {
+      Versioned.publishIf(df, root, 0L) // stale: table moved to 1
+    }
+    assert(e.getMessage.contains("expected version 0"))
+    assert(Versioned.currentVersion(root) == 1L)
+    assert(Versioned.versions(root) == Seq(1L)) // no orphan snapshot published
+  }
+
   test("G18 merge result equals the q06-style anti-join+union reference") {
     val s = spark
     import s.implicits._
