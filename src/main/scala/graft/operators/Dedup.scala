@@ -835,9 +835,10 @@ object Dedup {
   private val spanMaxDf = 16
   private val spanMinTokens = 20
 
-  val dd19 = Q(
-    "dd19_repeated_spans",
-    s"""WITH doc AS ($docsCleanSql),
+  /** dd19/dd20 shared oracle chain: `doc` through qualifying `spans`
+    * (id_a, id_b, start_a, start_b, span_tokens ≥ threshold). */
+  private val spanChainSql =
+    s"""doc AS ($docsCleanSql),
       |tk AS (SELECT doc_id, string_split(c, ' ') AS t FROM doc WHERE len(string_split(c, ' ')) >= $spanWindow),
       |w AS (SELECT doc_id,
       |  unnest(list_transform(range(0, len(t)-$spanWindow+1), p -> p)) AS pos,
@@ -852,9 +853,12 @@ object Dedup {
       |      FROM m),
       |runs AS (SELECT id_a, id_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
       |         COUNT(*) + $spanWindow - 1 AS span_tokens
-      |         FROM d GROUP BY id_a, id_b, diag, isl)
-      |SELECT id_a, id_b, start_a, start_b, CAST(span_tokens AS BIGINT) AS span_tokens
-      |FROM runs WHERE span_tokens >= $spanMinTokens""".stripMargin) { (s, d) =>
+      |         FROM d GROUP BY id_a, id_b, diag, isl),
+      |spans AS (SELECT id_a, id_b, start_a, start_b, CAST(span_tokens AS BIGINT) AS span_tokens
+      |          FROM runs WHERE span_tokens >= $spanMinTokens)""".stripMargin
+
+  /** Qualifying repeated spans — dd19's relation, shared with dd20's apply. */
+  private def repeatedSpans(s: SparkSession, d: String): DataFrame = {
     val w = spanWindow
     // One codegen pass per doc: (pos, windowHash) longs are all that
     // explode — WindowHashProperties pins the expression equal to the
@@ -879,6 +883,68 @@ object Dedup {
         (count(lit(1)) + (w - 1)).as("span_tokens"))
       .filter(col("span_tokens") >= spanMinTokens)
       .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+  }
+
+  val dd19 = Q(
+    "dd19_repeated_spans",
+    s"""WITH $spanChainSql
+      |SELECT id_a, id_b, start_a, start_b, span_tokens FROM spans""".stripMargin)(
+    repeatedSpans(_, _))
+
+  // ---------------------------------------------------------------- B20
+  /** Repeated-span APPLY — dd19's decision materialized as the trimmed
+    * corpus (the second half of Lee et al. 2022's exact substring dedup,
+    * as dd17 is dd10's): every LATER occurrence of a qualifying shared
+    * span is removed token-by-token (keep-first = the lower-doc_id side
+    * survives, dd01's rule at span granularity), overlapping spans union
+    * into one removal mask, untouched docs pass through byte-equal, and a
+    * fully-covered doc (the exact-dup b-side) survives as an empty string
+    * with the count trail to show why.
+    *
+    * Scale: the mask is an explode of span POSITIONS (span-volume-sized,
+    * not corpus-sized), removal is one (doc, pos) anti-join, and the
+    * rebuild is dd17's stitch — token strings move once, inherent to
+    * emitting text. */
+  val dd20 = Q(
+    "dd20_span_trim",
+    s"""WITH $spanChainSql,
+      |rem AS (SELECT DISTINCT doc_id, p FROM (
+      |  SELECT id_b AS doc_id, unnest(range(start_b, start_b + span_tokens)) AS p FROM spans)),
+      |toks AS (SELECT doc_id,
+      |  unnest(list_transform(range(0, len(t)), i -> i)) AS p,
+      |  unnest(t) AS tok
+      |FROM (SELECT doc_id, string_split(c, ' ') AS t FROM doc)),
+      |kept AS (SELECT k.doc_id, k.p, k.tok FROM toks k
+      |         LEFT JOIN rem r ON k.doc_id = r.doc_id AND k.p = r.p
+      |         WHERE r.p IS NULL),
+      |rebuilt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |            string_agg(tok, ' ' ORDER BY p) AS clean_text
+      |            FROM kept GROUP BY doc_id),
+      |nrem AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed FROM rem GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(len(string_split(d.c, ' ')) AS BIGINT) AS n_tokens,
+      |  COALESCE(n.n_removed, 0) AS n_removed,
+      |  COALESCE(r.clean_text, '') AS clean_text
+      |FROM doc d LEFT JOIN nrem n ON d.doc_id = n.doc_id
+      |           LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin) { (s, d) =>
+    val spans = repeatedSpans(s, d)
+    val rem = spans.select(col("id_b").as("doc_id"),
+        explode(sequence(col("start_b"), col("start_b") + col("span_tokens") - 1)).as("p"))
+      .distinct()
+    val toks = docsClean(s, d)
+      .select(col("doc_id"), posexplode(split(col("c"), " ")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("tok"))
+    val kept = toks.join(rem, Seq("doc_id", "p"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x.getField("tok")), " ").as("clean_text"))
+    val nrem = rem.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    docsClean(s, d)
+      .select(col("doc_id"), size(split(col("c"), " ")).cast("long").as("n_tokens"))
+      .join(nrem, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   // ---------------------------------------------------------------- B10
@@ -1454,5 +1520,5 @@ object Dedup {
 
   val queries: Seq[Q] =
     Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12, dd13, dd14,
-      dd15, dd16, dd17, dd18, dd19)
+      dd15, dd16, dd17, dd18, dd19, dd20)
 }

@@ -117,6 +117,45 @@ class RepeatedSpansSpec extends SparkSpec {
     }
   }
 
+  test("dd20 trims later occurrences, unions overlapping masks, keeps first") {
+    // Y (latest id) shares [0,30) with A and [20,50) with B: overlapping
+    // masks must UNION to [0,50) — 50 removed, not 60 — and the first
+    // occurrences (A, B in full) survive untouched. A∩B is 10 tokens,
+    // below the span threshold, so no spurious pair.
+    val y = (0 until 60).map(i => s"y$i")
+    val a = y.slice(0, 30)
+    val b = y.slice(20, 50)
+    val dir = writeDocs(Seq(1L -> a.mkString(" "), 2L -> b.mkString(" "), 3L -> y.mkString(" ")))
+    val s = spark
+    import s.implicits._
+    val got = graft.operators.Dedup.dd20.build(spark, dir)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 30L, 0L, a.mkString(" "))))  // first occurrence intact
+    assert(got(2L) == ((2L, 30L, 0L, b.mkString(" "))))  // 10-token overlap: untouched
+    assert(got(3L) == ((3L, 60L, 50L, y.slice(50, 60).mkString(" "))))
+  }
+
+  test("dd20 exact-dup later copy trims to empty; token conservation holds") {
+    val rnd = new Random(17)
+    val base = (0 until 40).map(i => s"b$i")
+    val other = (0 until 35).map(i => s"o${rnd.nextInt(1 << 20)}x$i")
+    val dir = writeDocs(Seq(5L -> base.mkString(" "), 6L -> other.mkString(" "),
+      7L -> base.mkString(" "))) // 7 is a byte-identical later copy of 5
+    val s = spark
+    import s.implicits._
+    val rows = graft.operators.Dedup.dd20.build(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(7L)._3 == 40L && byId(7L)._4 == "")  // fully covered → empty
+    assert(byId(5L)._4 == base.mkString(" "))        // keeper intact
+    assert(byId(6L)._3 == 0L)
+    // conservation: kept tokens + removed == original, every doc
+    rows.foreach { case (id, nTok, nRem, text) =>
+      val kept = if (text.isEmpty) 0 else text.split(" ").length
+      assert(kept + nRem == nTok, s"doc $id: $kept + $nRem != $nTok")
+    }
+  }
+
   test("df-cap bounds boilerplate: a window shared by 20 docs yields no spans") {
     // 20 docs, each = unique prefix ++ the SAME 25 boilerplate tokens:
     // every boilerplate window has df = 20 > 16, so all are capped and no
