@@ -857,20 +857,25 @@ object Dedup {
       |spans AS (SELECT id_a, id_b, start_a, start_b, CAST(span_tokens AS BIGINT) AS span_tokens
       |          FROM runs WHERE span_tokens >= $spanMinTokens)""".stripMargin
 
-  /** Qualifying repeated spans — dd19's relation, shared with dd20's apply. */
-  private def repeatedSpans(s: SparkSession, d: String): DataFrame = {
+  /** Qualifying repeated spans over any (doc_id, c) relation, df-cap as a
+    * parameter — dd19/dd20's shared core and StressDd19's subject
+    * (`maxDf = Int.MaxValue` skips the cap pass entirely, charging the
+    * cap's own window-df aggregate to the capped arm only). */
+  private[graft] def repeatedSpansFrom(docs: DataFrame, maxDf: Int = spanMaxDf): DataFrame = {
     val w = spanWindow
     // One codegen pass per doc: (pos, windowHash) longs are all that
     // explode — WindowHashProperties pins the expression equal to the
     // transform∘slice∘array_join∘polyHash31 composition the oracle spells;
     // sub-window docs yield an empty array (≡ the oracle's WHERE len ≥ w).
-    val wins = docsClean(s, d)
+    val wins = docs
       .select(col("doc_id"),
         posexplode(graft.functions.WordWindowHashes.windowHashes(col("c"), w)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("wh"))
-    val dfc = wins.groupBy("wh").agg(count(lit(1)).as("dfw"))
-      .filter(col("dfw") <= spanMaxDf).select("wh")
-    val wf = wins.join(dfc, "wh")
+    val wf =
+      if (maxDf == Int.MaxValue) wins
+      else wins.join(
+        wins.groupBy("wh").agg(count(lit(1)).as("dfw"))
+          .filter(col("dfw") <= maxDf).select("wh"), "wh")
     val m = wf.as("a").join(wf.as("b"),
         col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -884,6 +889,10 @@ object Dedup {
       .filter(col("span_tokens") >= spanMinTokens)
       .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
   }
+
+  /** Qualifying repeated spans — dd19's relation, shared with dd20's apply. */
+  private def repeatedSpans(s: SparkSession, d: String): DataFrame =
+    repeatedSpansFrom(docsClean(s, d))
 
   val dd19 = Q(
     "dd19_repeated_spans",
