@@ -194,5 +194,49 @@ object Dimensional {
         col("attr").as("priority_at_order"), col("version"), col("total_price"))
   }
 
-  val queries: Seq[Q] = Seq(q36, q37, q38)
+  // ---------------------------------------------------------------- A59
+  /** HIERARCHY CLOSURE by path doubling — the recursive-CTE workload
+    * (BOM explosion, org-chart rollup, category trees) Spark cannot spell
+    * as SQL (no WITH RECURSIVE), re-expressed as a LOG-DEPTH sequence of
+    * self-joins: C₂ₙ = Cₙ ∪ (rows at exactly n steps) ∘ Cₙ. Because every
+    * node has at most ONE parent, path composition is unique — the
+    * exactly-n prefix join emits lengths n+1..2n with no overlap against
+    * Cₙ's 1..n, so NO distinct/dedup shuffle is ever needed.
+    *
+    * The hierarchy is synthesized deterministically from the part table
+    * (parent(k) = k div 10, roots below 10): ~3 levels at sf0.01, and the
+    * SAME three doublings cover depth ≤ 8, i.e. 10⁸ keys — the doubling
+    * count grows with log(depth), not depth, which is the 100 TB argument:
+    * a step-at-a-time loop over a 20-deep corporate BOM is 20 shuffle
+    * rounds; doubling is 5. Each round is one equi-join on the frontier
+    * node id + a union; intermediate size is bounded by the closure itself
+    * (Σ depth(k), the output's own size).
+    *
+    * Oracle: DuckDB's native WITH RECURSIVE — cross-engine equality proves
+    * the doubling rewrite IS the recursion. */
+  val q61 = Q(
+    "q61_hierarchy_closure",
+    """WITH RECURSIVE anc(part_key, ancestor_key, steps) AS (
+      |  SELECT p_partkey, p_partkey // 10, CAST(1 AS BIGINT) FROM part WHERE p_partkey >= 10
+      |  UNION ALL
+      |  SELECT a.part_key, a.ancestor_key // 10, a.steps + 1
+      |  FROM anc a WHERE a.ancestor_key >= 10
+      |)
+      |SELECT part_key, ancestor_key, steps FROM anc""".stripMargin) { (s, d) =>
+    val edges = Tables.part(s, d).select(col("p_partkey").as("part_key"))
+      .filter(col("part_key") >= 10)
+      .select(col("part_key"), expr("part_key div 10").as("ancestor_key"),
+        lit(1L).as("steps"))
+    def double(c: DataFrame, n: Int): DataFrame = {
+      val prefix = c.filter(col("steps") === n)
+        .select(col("part_key"), col("ancestor_key").as("mid"), col("steps").as("s1"))
+      val suffix = c.select(col("part_key").as("mid"), col("ancestor_key"),
+        col("steps").as("s2"))
+      c.unionByName(prefix.join(suffix, "mid")
+        .select(col("part_key"), col("ancestor_key"), (col("s1") + col("s2")).as("steps")))
+    }
+    double(double(double(edges, 1), 2), 4) // depth ≤ 8 ⇔ 10⁸ keys
+  }
+
+  val queries: Seq[Q] = Seq(q36, q37, q38, q61)
 }

@@ -1185,7 +1185,122 @@ object SimilaritySearch {
         expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
   }
 
+  // ---------------------------------------------------------------- C18
+  /** GRAPH-WALK search (beam search over the kNN graph) — how the graph
+    * index family (HNSW layer-0, NSG, Vamana) ANSWERS queries, closing the
+    * gap ann11 opened: ann11 builds the neighbor graph, ann18 serves from
+    * it. From one fixed entry point, each round expands the current beam's
+    * out-edges, scores ONLY the newly reached nodes against the query, and
+    * keeps the best `beam` candidates; after `rounds` hops the top-3
+    * survivors are the answer.
+    *
+    * Why this exists next to IVF (ann02/04): a cell probe scans
+    * O(corpus/cells) vectors per query regardless of how good the cell is;
+    * the graph walk touches O(rounds × beam × degree) — independent of
+    * corpus size, the property that makes graph serving the
+    * state-of-the-art at billion-vector scale. Rounds is the recall knob
+    * (HNSW's ef), and the whole walk is data-parallel across queries.
+    *
+    * Plan shape per round: frontier ⋈ edges on the node id (frontier is
+    * queries×beam rows — tiny), score join against the corpus on the
+    * reached node id (equi), query vectors broadcast; a union + distinct
+    * dedupes re-reached nodes (same rounded score both times, so distinct
+    * is exact). Nothing anywhere scans a cell or the corpus.
+    *
+    * Oracle: the identical unrolled recursion as DuckDB CTEs — set-UNION
+    * there ≡ union+distinct here. */
+  val ann18 = {
+    val Beam = 4; val Rounds = 3
+    def roundSql(r: Int): String =
+      s"""cand$r AS (SELECT query_id, node, sc FROM f${r - 1}
+        |  UNION
+        |  SELECT f.query_id, e.dst_id AS node,
+        |    ROUND(${dotSql("q.qv", "c.v")} / (q.qn * c.nrm), 6) AS sc
+        |  FROM f${r - 1} f JOIN e ON f.node = e.src_id
+        |  JOIN c ON c.vec_id = e.dst_id JOIN q ON q.query_id = f.query_id),
+        |f$r AS (SELECT query_id, node, sc FROM (
+        |  SELECT query_id, node, sc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, node) AS rk
+        |  FROM cand$r) WHERE rk <= $Beam)""".stripMargin
+    Q(
+      "ann18_graph_search",
+      s"""WITH n AS ($vecsSql),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 20 = 0),
+        |c AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 20 <> 0),
+        |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM c WHERE vec_id % 50 = 0),
+        |asg0 AS (
+        |  SELECT c.vec_id, c.v, c.nrm, cent.cent_id,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY ROUND(${dotSql("c.v", "cent.cv")} / (c.nrm * cent.cn), 6) DESC,
+        |               cent.cent_id) AS rn
+        |  FROM c CROSS JOIN cent),
+        |assigned AS (SELECT vec_id, v, nrm, cent_id AS cell FROM asg0 WHERE rn = 1),
+        |escored AS (
+        |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+        |    ROUND(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+        |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |e AS (SELECT src_id, dst_id FROM (
+        |  SELECT src_id, dst_id,
+        |    row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS rk
+        |  FROM escored) WHERE rk <= 3),
+        |entry AS (SELECT min(vec_id) AS node FROM c),
+        |f0 AS (
+        |  SELECT q.query_id, entry.node,
+        |    ROUND(${dotSql("q.qv", "c.v")} / (q.qn * c.nrm), 6) AS sc
+        |  FROM q CROSS JOIN entry JOIN c ON c.vec_id = entry.node),
+        |${(1 to Rounds).map(roundSql).mkString(",\n")}
+        |SELECT query_id, node AS neighbor_id, sc AS cos_sim, rank FROM (
+        |  SELECT query_id, node, sc,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, node) AS BIGINT) AS rank
+        |  FROM f$Rounds) WHERE rank <= 3""".stripMargin) { (s, d) =>
+      val n = vecs(s, d)
+      val q = n.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = n.filter(col("vec_id") % 20 =!= 0)
+        .select(col("vec_id"), col("v"), col("nrm"))
+      val cent = c.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val assigned = c.crossJoin(broadcast(cent))
+        .withColumn("cos_c", cosine(col("v"), col("nrm"), col("cv"), col("cn")))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("cent_id"), col("v"), col("nrm")),
+          struct(col("cos_c"), (-col("cent_id")).as("tie"))).as("best"))
+        .select(col("vec_id"), col("best.v").as("v"),
+          col("best.nrm").as("nrm"), col("best.cent_id").as("cell"))
+      val wSrc = Window.partitionBy(col("src_id")).orderBy(col("cos_sim").desc, col("dst_id"))
+      val edges = assigned
+        .select(col("vec_id").as("src_id"), col("v").as("av"), col("nrm").as("an"), col("cell"))
+        .join(assigned.select(col("vec_id").as("dst_id"), col("v").as("bv"),
+          col("nrm").as("bn"), col("cell")), Seq("cell"))
+        .filter(col("src_id") =!= col("dst_id"))
+        .withColumn("cos_sim", cosine(col("av"), col("an"), col("bv"), col("bn")))
+        .withColumn("rk", row_number().over(wSrc))
+        .filter(col("rk") <= 3)
+        .select("src_id", "dst_id")
+        .localCheckpoint() // one edge build feeds every round
+      // score (query_id, node) rows: corpus vector by node id, query broadcast
+      def score(f: DataFrame): DataFrame = f
+        .join(c.select(col("vec_id").as("node"), col("v"), col("nrm")), Seq("node"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("sc"))
+      val entry = c.agg(min(col("vec_id")).as("node"))
+      val f0 = score(broadcast(q.select(col("query_id"))).crossJoin(entry))
+      val wBeam = Window.partitionBy(col("query_id")).orderBy(col("sc").desc, col("node"))
+      val fR = (1 to Rounds).foldLeft(f0) { (f, _) =>
+        val reached = f.join(edges, f("node") === edges("src_id"))
+          .select(col("query_id"), col("dst_id").as("node")).distinct()
+        f.unionByName(score(reached)).distinct()
+          .withColumn("rk", row_number().over(wBeam)).filter(col("rk") <= Beam)
+          .select("query_id", "node", "sc")
+      }
+      fR.withColumn("rank", row_number().over(wBeam).cast("long")).filter(col("rank") <= 3)
+        .select(col("query_id"), col("node").as("neighbor_id"), col("sc").as("cos_sim"),
+          col("rank"))
+    }
+  }
+
   val queries: Seq[Q] =
     Seq(ann01, ann02, ann03, ann04, ann05, ann06, ann07, ann08, ann09, ann10,
-      ann11, ann12, ann13, ann14, ann15, ann16, ann17)
+      ann11, ann12, ann13, ann14, ann15, ann16, ann17, ann18)
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
 import org.apache.spark.sql.functions.{col, count, lit, when}
 
-import graft.sources.Versioned
+import graft.sources.{FileCow, Versioned}
 
 /** `MERGE INTO` over [[graft.sources.Versioned]] snapshot tables — the
   * reference's incremental merge (dw3_merge_inc.py:109-118) as REAL Spark
@@ -45,12 +45,25 @@ import graft.sources.Versioned
   */
 object GraftTables {
 
-  private val tables = new ConcurrentHashMap[String, String]()
+  /** root + layout kind: `cow = false` → [[graft.sources.Versioned]]
+    * snapshot-level COW; `cow = true` → [[graft.sources.FileCow]]
+    * file-level COW (same SQL surface, commit cost O(touched files)). */
+  final case class Entry(root: String, cow: Boolean)
+
+  private val tables = new ConcurrentHashMap[String, Entry]()
 
   /** Register `name` as a MERGE-able versioned table rooted at `root`. */
-  def register(name: String, root: String): Unit = tables.put(normalize(name), root)
+  def register(name: String, root: String): Unit =
+    tables.put(normalize(name), Entry(root, cow = false))
+
+  /** Register `name` as a FILE-LEVEL COW table rooted at `root` (a
+    * [[graft.sources.FileCow]] layout — created via `FileCow.create`). */
+  def registerCow(name: String, root: String): Unit =
+    tables.put(normalize(name), Entry(root, cow = true))
+
   def unregister(name: String): Unit = tables.remove(normalize(name))
-  def rootOf(name: String): Option[String] = Option(tables.get(normalize(name)))
+  def rootOf(name: String): Option[String] = entryOf(name).map(_.root)
+  def entryOf(name: String): Option[Entry] = Option(tables.get(normalize(name)))
 
   private def normalize(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
 
@@ -77,8 +90,8 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource, _) =>
       targetName(target).flatMap(n => GraftTables.keyFor(n).flatMap(k =>
-        GraftTables.rootOf(k).map((k, _)))) match {
-        case Some((name, root)) =>
+        GraftTables.entryOf(k).map((k, _)))) match {
+        case Some((name, entry)) =>
           val keys = equalityKeys(cond).getOrElse(fail(
             s"graft MERGE INTO $name: ON must be a conjunction of t.col = s.col equalities with matching column names"))
           val deleteUnmatched = bySource match {
@@ -91,45 +104,49 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case other => fail(s"graft MERGE INTO $name: only WHEN MATCHED THEN UPDATE SET * " +
               s"+ WHEN NOT MATCHED THEN INSERT * is supported, got: $other")
           }
-          GraftMergeCommand(name, root, keys, deleteUnmatched, source)
+          GraftMergeCommand(name, entry.root, keys, deleteUnmatched, source, entry.cow)
         case None => m // not ours — leave for DSv2 resolution
       }
 
     case d @ DeleteFromTable(target, cond) =>
       registered(target) match {
-        case Some((name, root)) =>
-          GraftDeleteCommand(name, root, ExprHolder(stripQualifiers(cond)))
+        case Some((name, entry)) =>
+          GraftDeleteCommand(name, entry.root, ExprHolder(stripQualifiers(cond)), entry.cow)
         case None => d
       }
 
     case u @ UpdateTable(target, assignments, cond) =>
       registered(target) match {
-        case Some((name, root)) =>
+        case Some((name, entry)) =>
           val assigns = assignments.map {
             case Assignment(k: UnresolvedAttribute, v) =>
               AssignHolder(k.nameParts.last, stripQualifiers(v))
             case other => fail(s"graft UPDATE $name: unsupported assignment target: $other")
           }
-          GraftUpdateCommand(name, root, assigns, cond.map(c => ExprHolder(stripQualifiers(c))))
+          GraftUpdateCommand(name, entry.root, assigns,
+            cond.map(c => ExprHolder(stripQualifiers(c))), entry.cow)
         case None => u
       }
 
     case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
         rel: UnresolvedRelation, ts, version) =>
       GraftTables.keyFor(rel.multipartIdentifier).flatMap(k =>
-        GraftTables.rootOf(k).map((k, _))) match {
-        case Some((name, root)) =>
+        GraftTables.entryOf(k).map((k, _))) match {
+        case Some((name, entry)) =>
           if (ts.nonEmpty) fail(s"graft time travel on $name: only VERSION AS OF is supported")
           val v = version.getOrElse(fail(s"graft time travel on $name: version missing")).toLong
-          snapshotPlan(Versioned.readVersion(spark, root, v))
+          if (entry.cow) snapshotPlan(FileCow.readVersion(spark, entry.root, v))
+          else snapshotPlan(Versioned.readVersion(spark, entry.root, v))
         case None => tt
       }
 
     case rel: UnresolvedRelation =>
       GraftTables.keyFor(rel.multipartIdentifier).flatMap(k =>
-        GraftTables.rootOf(k).map((k, _))) match {
-        case Some((_, root)) if Versioned.currentVersion(root) > 0 =>
-          snapshotPlan(Versioned.read(spark, root))
+        GraftTables.entryOf(k).map((k, _))) match {
+        case Some((_, entry)) if entry.cow && FileCow.currentVersion(entry.root) > 0 =>
+          snapshotPlan(FileCow.read(spark, entry.root))
+        case Some((_, entry)) if !entry.cow && Versioned.currentVersion(entry.root) > 0 =>
+          snapshotPlan(Versioned.read(spark, entry.root))
         case _ => rel // unregistered, or registered-but-empty (no snapshot to scan)
       }
   }
@@ -139,9 +156,9 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def snapshotPlan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
-  private def registered(target: LogicalPlan): Option[(String, String)] =
+  private def registered(target: LogicalPlan): Option[(String, GraftTables.Entry)] =
     targetName(target).flatMap(n => GraftTables.keyFor(n).flatMap(k =>
-      GraftTables.rootOf(k).map((k, _))))
+      GraftTables.entryOf(k).map((k, _))))
 
   /** `t.k` → `k`: single-table DML conditions resolve against the snapshot
     * frame, which does not carry the statement's alias. */
@@ -175,7 +192,8 @@ case class GraftMergeCommand(
     root: String,
     keys: Seq[String],
     deleteUnmatched: Boolean,
-    source: LogicalPlan) extends UnaryNode with Command {
+    source: LogicalPlan,
+    cow: Boolean = false) extends UnaryNode with Command {
   override def child: LogicalPlan = source
   override def output: Seq[Attribute] = Nil
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftMergeCommand =
@@ -183,8 +201,8 @@ case class GraftMergeCommand(
 }
 
 /** `DELETE FROM t WHERE cond` on a graft table: publish current ⊖ cond. */
-case class GraftDeleteCommand(table: String, root: String, cond: ExprHolder)
-    extends LeafNode with Command {
+case class GraftDeleteCommand(table: String, root: String, cond: ExprHolder,
+    cow: Boolean = false) extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 
@@ -193,7 +211,8 @@ case class GraftUpdateCommand(
     table: String,
     root: String,
     assignments: Seq[AssignHolder],
-    cond: Option[ExprHolder]) extends LeafNode with Command {
+    cond: Option[ExprHolder],
+    cow: Boolean = false) extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 
@@ -201,10 +220,19 @@ case class GraftUpdateCommand(
 object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case c: GraftMergeCommand => GraftMergeExec(c) :: Nil
+    case c: GraftDeleteCommand if c.cow => GraftCowExec(c.table, { spark =>
+      FileCow.delete(spark, c.root, GraftBridge.column(c.cond.e)); ()
+    }) :: Nil
     case c: GraftDeleteCommand => GraftDmlExec(c.table, c.root, { (spark, current) =>
       current.filter(!GraftBridge.column(c.cond.e))
     }) :: Nil
     case c: GraftVacuumCommand => GraftVacuumExec(c) :: Nil
+    case c: GraftUpdateCommand if c.cow => GraftCowExec(c.table, { spark =>
+      FileCow.update(spark, c.root,
+        set = c.assignments.map(a => a.column -> GraftBridge.column(a.value)),
+        cond = c.cond.map(h => GraftBridge.column(h.e)).getOrElse(lit(true)))
+      ()
+    }) :: Nil
     case c: GraftUpdateCommand => GraftDmlExec(c.table, c.root, { (spark, current) =>
       val assigned = c.assignments.map(a => a.column.toLowerCase -> a.value).toMap
       val gate = c.cond.map(h => GraftBridge.column(h.e)).getOrElse(lit(true))
@@ -217,6 +245,15 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     }) :: Nil
     case _ => Nil
   }
+}
+
+/** Physical node for FILE-COW DML: [[graft.sources.FileCow]] owns the COW
+  * file scoping and the CAS+retry commit; the exec just runs it once. */
+case class GraftCowExec(table: String, run: SparkSession => Unit) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  private lazy val done: Unit = run(session)
+  protected override def doExecute(): RDD[InternalRow] = { done; sparkContext.emptyRDD }
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
 }
 
 /** Shared physical node for snapshot-rewriting DML: reads the current
@@ -290,6 +327,25 @@ case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
     require(dups == 0,
       s"graft MERGE INTO ${cmd.table}: duplicate source rows on key (${cmd.keys.mkString(", ")}) — " +
         "a multi-match merge is nondeterministic (same contract as Delta's multiple-matches error)")
+
+    if (cmd.cow) {
+      // FILE-COW path: FileCow owns the touched-file scoping and the
+      // CAS+retry commit — O(touched files), not O(table).
+      if (FileCow.currentVersion(cmd.root) == 0L) {
+        // first merge into an empty table: becomes CREATE, stats on the keys
+        FileCow.create(spark, cmd.root, src, statsCols = cmd.keys)
+        return
+      }
+      val schema = graft.sources.FileCow.schemaOf(cmd.root,
+        graft.sources.FileCow.currentVersion(cmd.root))
+      require(src.columns.sorted.sameElements(schema.map(_.name).sorted),
+        s"graft MERGE INTO ${cmd.table}: source columns ${src.columns.mkString(",")} " +
+          s"must match table columns ${schema.map(_.name).mkString(",")} (UPDATE/INSERT *)")
+      val aligned = src.select(schema.map(f => col(f.name)): _*)
+      if (cmd.deleteUnmatched) graft.sources.FileCow.overwrite(spark, cmd.root, aligned)
+      else graft.sources.FileCow.merge(spark, cmd.root, aligned, cmd.keys)
+      return
+    }
 
     // Conflict-retry commit (the Delta/Iceberg loop): compute the merge
     // against the CURRENT version, CAS-publish; a concurrent winner means

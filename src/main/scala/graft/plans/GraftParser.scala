@@ -28,8 +28,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(name, n) =>
-      GraftTables.rootOf(name) match {
-        case Some(root) => GraftVacuumCommand(name, root, n.toInt)
+      GraftTables.entryOf(name) match {
+        case Some(e) => GraftVacuumCommand(name, e.root, n.toInt, e.cow)
         case None => sys.error(s"VACUUM: '$name' is not a registered graft table")
       }
     case _ => delegate.parsePlan(sqlText)
@@ -49,15 +49,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 }
 
 /** `VACUUM t RETAIN n VERSIONS` — planned by [[GraftMergeStrategy]]. */
-case class GraftVacuumCommand(table: String, root: String, retainLast: Int)
-    extends LeafNode with Command {
+case class GraftVacuumCommand(table: String, root: String, retainLast: Int,
+    cow: Boolean = false) extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 
 /** Runs the retention cleanup once. */
 case class GraftVacuumExec(cmd: GraftVacuumCommand) extends LeafExecNode {
   override def output: Seq[Attribute] = Nil
-  private lazy val done: Unit = { Versioned.vacuum(cmd.root, cmd.retainLast); () }
+  private lazy val done: Unit = {
+    if (cmd.cow) graft.sources.FileCow.vacuum(session, cmd.root, cmd.retainLast)
+    else Versioned.vacuum(cmd.root, cmd.retainLast)
+    ()
+  }
   protected override def doExecute(): RDD[InternalRow] = { done; sparkContext.emptyRDD }
   override def executeCollect(): Array[InternalRow] = { done; Array.empty }
 }

@@ -1,0 +1,491 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path => NioPath, Paths, StandardCopyOption}
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** G19: FILE-LEVEL copy-on-write table — the half of the ACID-format story
+  * G11/G18's snapshot tables deliberately defer (ADR-001, "file-level vs
+  * snapshot-level copy-on-write"), built from the same public seams.
+  *
+  * [[Versioned]] rewrites the WHOLE table per publish: correct, but a 100 TB
+  * table cannot pay O(table) for a 0.1% upsert. Here a snapshot is a
+  * MANIFEST — one row per immutable data file with its row count, byte size,
+  * and per-column [min, max] stats (Delta's per-file stats / Iceberg's
+  * manifest entries):
+  *
+  * {{{
+  *   root/_data/f-<uuid>.parquet    immutable data files, SHARED across snapshots
+  *   root/_manifests/m<n>/          snapshot n's manifest (parquet relation)
+  *   root/_manifests/m<n>.schema.json  snapshot n's declared schema
+  *   root/_current                  version pointer ([[TablePointer]])
+  * }}}
+  *
+  * DML (merge / delete / update) rewrites ONLY the files whose stats cannot
+  * rule out a touched row — the new manifest carries the untouched files
+  * UNCHANGED (by path) plus the rewritten ones, so commit cost is
+  * O(touched data + file count), never O(table). Data files are written
+  * BEFORE the commit and are invisible until a manifest references them
+  * (the object-store "write data, then commit metadata" discipline); a lost
+  * CAS race leaves orphan files that [[vacuum]] reclaims, never a torn
+  * table. Commits share [[TablePointer]]'s lock + pointer-swap seam and
+  * [[ConcurrentPublishException]]'s retry protocol with G18's SQL DML.
+  *
+  * The payoff compounds downstream:
+  *   - **reads prune by manifest**: [[readVersion]] plans through a
+  *     [[FileIndex]] whose `listFiles` is a filtered scan of the manifest
+  *     relation ([[StatAdmission]]'s translation — the [[ZoneMapFileIndex]]
+  *     machinery, now fed by automatically-maintained per-file stats);
+  *   - **CDF is incremental**: two snapshots SHARE unchanged files by path,
+  *     so [[changesBetween]] diffs only each side's unshared files —
+  *     cost ∝ changed data, not table size (Iceberg incremental read);
+  *   - **vacuum is reference-counted**: a data file dies only when no
+  *     retained manifest names it.
+  *
+  * Contract: keys identify rows within every version (merge enforces
+  * source-side uniqueness, Delta's multiple-matches rule). Single writer
+  * per attempt; concurrent writers are serialized by the CAS + retry.
+  */
+object FileCow {
+
+  /** What a commit did, for observability and specs: how many files the new
+    * manifest kept by reference vs rewrote vs added. */
+  final case class Commit(version: Long, filesKept: Long, filesRewritten: Long,
+      filesAdded: Long)
+
+  private def dataDir(root: String): NioPath = Paths.get(root, "_data")
+  private def manifestsDir(root: String): NioPath = Paths.get(root, "_manifests")
+  private[sources] def manifestDir(root: String, v: Long): NioPath =
+    manifestsDir(root).resolve(s"m$v")
+  private def schemaFile(root: String, v: Long): NioPath =
+    manifestsDir(root).resolve(s"m$v.schema.json")
+
+  def currentVersion(root: String): Long = TablePointer.current(root)
+
+  /** Retained version numbers, ascending. */
+  def versions(root: String): Seq[Long] = {
+    val dir = manifestsDir(root)
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val list = Files.list(dir)
+      try {
+        val it = list.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (it.hasNext) {
+          val name = it.next().getFileName.toString
+          if (name.startsWith("m") && name.drop(1).forall(_.isDigit))
+            buf += name.drop(1).toLong
+        }
+        buf.sorted.toSeq
+      } finally list.close()
+    }
+  }
+
+  /** Snapshot `v`'s manifest AS A RELATION: file, bytes, mtime, rows, and
+    * min_/max_ per stat column — the table's metadata is itself queryable
+    * (Delta's `describe detail` / Iceberg's `.files` metadata table). */
+  def manifest(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val dir = manifestDir(root, v)
+    require(Files.exists(dir), s"version $v is not retained under $root")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Declared schema of snapshot `v` (survives even an all-rows-deleted
+    * snapshot, which has zero data files to infer from). */
+  def schemaOf(root: String, v: Long): StructType =
+    DataType.fromJson(new String(Files.readAllBytes(schemaFile(root, v)),
+      StandardCharsets.UTF_8)).asInstanceOf[StructType]
+
+  /** Create the table: `df` becomes version 1. `statsCols` are the columns
+    * whose per-file [min, max] the manifest tracks (prune keys — at minimum
+    * the merge key). File layout follows `df`'s partitioning: repartition
+    * by range on the key upstream for disjoint per-file key ranges. */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String], maxRecordsPerFile: Long = 0L): Commit = {
+    require(currentVersion(root) == 0L && versions(root).isEmpty,
+      s"table already exists at $root")
+    require(statsCols.nonEmpty && statsCols.forall(df.columns.contains),
+      s"statsCols ${statsCols.mkString(",")} must exist in the frame")
+    val added = writeDataFiles(spark, root, df, statsCols, maxRecordsPerFile)
+    commit(spark, root, expected = 0L, newManifest = added, schema = df.schema)
+    Commit(1L, filesKept = 0L, filesRewritten = 0L, filesAdded = added.count())
+  }
+
+  /** Read the current snapshot. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root, currentVersion(root))
+
+  /** Time travel: snapshot `version`, planned through the manifest — pushed
+    * filters on stat columns prune data files at `listFiles` time. */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    require(Files.exists(manifestDir(root, version)),
+      s"version $version is not retained under $root")
+    val dataSchema = schemaOf(root, version)
+    val dims = statsColsOf(spark, root, version)
+      .map(c => ZoneDim(c, s"min_$c", s"max_$c"))
+    val index = new CowFileIndex(spark, root, version, dims.map(d => d.column -> d).toMap)
+    val rel = HadoopFsRelation(index, new StructType(), dataSchema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(rel)
+  }
+
+  /** UPSERT `source` by `keys` (q06 / MERGE INTO semantics: matched rows
+    * replaced whole, unmatched inserted), rewriting only the data files
+    * whose key stats admit a source key. Conflict-retried CAS commit.
+    *
+    * `combine(affectedBaseRows, source)` produces the replacement rows for
+    * the touched files plus the inserts; the default is source-wins upsert.
+    * A caller with an ordering rule (streaming latest-by-timestamp —
+    * [[graft.streaming.CowUpsertSink]]) swaps in its own resolution; the
+    * COW file scoping is identical either way, because untouched files
+    * provably contain no source key. */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String], maxRecordsPerFile: Long = 0L,
+      combine: (DataFrame, DataFrame) => DataFrame = null): Commit =
+    retrying(root, "FileCow.merge") { version =>
+      val schema = schemaOf(root, version)
+      require(source.schema.map(f => (f.name, f.dataType)) ==
+          schema.map(f => (f.name, f.dataType)),
+        s"merge source schema drifted from table schema: ${source.schema} vs $schema")
+      val dups = source.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+      require(dups == 0, s"FileCow.merge: duplicate source rows on key " +
+        s"(${keys.mkString(", ")}) — multi-match merge is nondeterministic")
+      val man = manifest(spark, root, version)
+      val statsCols = statsColsOf(spark, root, version)
+      val pruneKey = keys.find(statsCols.contains).getOrElse(
+        sys.error(s"merge keys ${keys.mkString(",")} have no stats column " +
+          s"(tracked: ${statsCols.mkString(",")}) — every file would rewrite"))
+      // Affected files: any file whose [min, max] on the prune key admits a
+      // source key. The manifest side is file-count-sized — broadcast it
+      // against the source keys, then reduce to the distinct file list.
+      val affected = source.select(col(pruneKey)).distinct()
+        .join(broadcast(man),
+          col(pruneKey) >= col(s"min_$pruneKey") && col(pruneKey) <= col(s"max_$pruneKey"))
+        .select("file").distinct()
+        .collect().map(_.getString(0)) // touched-file-count metadata, driver-ok
+      import spark.implicits._
+      val untouched = man.join(affected.toSeq.toDF("file"), Seq("file"), "left_anti")
+      val base =
+        if (affected.nonEmpty) spark.read.schema(schema).parquet(affected.toSeq: _*)
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      val newData =
+        if (combine != null) combine(base, source)
+        else source.unionByName(
+          base.join(source.select(keys.map(col): _*), keys, "left_anti"))
+      val added = writeDataFiles(spark, root, newData, statsCols, maxRecordsPerFile)
+      val newManifest = untouched.select(man.columns.map(col): _*)
+        .unionByName(added.select(man.columns.map(col): _*))
+      commit(spark, root, version, newManifest, schema)
+      Commit(version + 1, untouched.count(), affected.length.toLong, added.count())
+    }
+
+  /** DELETE rows where `cond` is true, rewriting only files whose stats
+    * admit the condition ([[StatAdmission]] translation; unrecognized
+    * shapes rewrite everything — sound, never wrong). */
+  def delete(spark: SparkSession, root: String, cond: Column,
+      maxRecordsPerFile: Long = 0L): Commit =
+    rewriteWhere(spark, root, cond, maxRecordsPerFile, "FileCow.delete") {
+      (rows, condTrue) => rows.filter(!condTrue)
+    }
+
+  /** UPDATE `set` columns where `cond` is true — same COW file scoping as
+    * [[delete]]; assignments cast to the column's declared type so the
+    * schema cannot drift through an update. */
+  def update(spark: SparkSession, root: String, set: Seq[(String, Column)],
+      cond: Column, maxRecordsPerFile: Long = 0L): Commit =
+    rewriteWhere(spark, root, cond, maxRecordsPerFile, "FileCow.update") {
+      (rows, condTrue) =>
+        // case-insensitive resolution: the SQL path (`UPDATE t SET Col = …`)
+        // spells columns however the statement did
+        val byName = set.map { case (k, v) => k.toLowerCase -> v }.toMap
+        val hit = rows.columns.map(_.toLowerCase).toSet
+        val miss = byName.keySet.diff(hit)
+        require(miss.isEmpty, s"update assigns unknown columns: ${miss.mkString(",")}")
+        rows.select(rows.columns.map { c =>
+          byName.get(c.toLowerCase) match {
+            case Some(v) =>
+              when(condTrue, v.cast(rows.schema(c).dataType)).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+    }
+
+  /** Replace the table's contents with `df` in ONE commit (the `MERGE …
+    * WHEN NOT MATCHED BY SOURCE THEN DELETE` full-replace shape): every
+    * current file retires, `df`'s files are the new manifest. */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame,
+      maxRecordsPerFile: Long = 0L): Commit =
+    retrying(root, "FileCow.overwrite") { version =>
+      val schema = schemaOf(root, version)
+      require(df.schema.map(f => (f.name, f.dataType)) ==
+          schema.map(f => (f.name, f.dataType)),
+        s"overwrite schema drifted from table schema: ${df.schema} vs $schema")
+      val retired = manifest(spark, root, version).count()
+      val added = writeDataFiles(spark, root, df, statsColsOf(spark, root, version),
+        maxRecordsPerFile)
+      commit(spark, root, version, added, schema)
+      Commit(version + 1, filesKept = 0L, filesRewritten = retired, added.count())
+    }
+
+  private def rewriteWhere(spark: SparkSession, root: String, cond: Column,
+      maxRecordsPerFile: Long, what: String)(
+      rewrite: (DataFrame, Column) => DataFrame): Commit =
+    retrying(root, what) { version =>
+      val schema = schemaOf(root, version)
+      val man = manifest(spark, root, version)
+      val statsCols = statsColsOf(spark, root, version)
+      val dims = statsCols.map(c => c -> ZoneDim(c, s"min_$c", s"max_$c")).toMap
+      // Resolve the caller's Column against the table relation and prune on
+      // the OPTIMIZED filter predicate (resolved attributes, folded casts —
+      // a Spark 4 Column is a lazy ColumnNode tree, not Catalyst). A folded-
+      // away filter (lit(true)) falls back to admit-everything: sound.
+      val condExpr = readVersion(spark, root, version).filter(cond)
+        .queryExecution.optimizedPlan.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+      val admission = StatAdmission.admission(condExpr.toSeq, dims)
+      val affected = man.filter(admission).select("file")
+        .collect().map(_.getString(0))
+      import spark.implicits._
+      val untouched = man.join(affected.toSeq.toDF("file"), Seq("file"), "left_anti")
+      // cond NULL means "not matched" on both branches (SQL WHERE semantics).
+      val condTrue = coalesce(cond, lit(false))
+      val base =
+        if (affected.nonEmpty) spark.read.schema(schema).parquet(affected.toSeq: _*)
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      val newData = rewrite(base, condTrue)
+      val added = writeDataFiles(spark, root, newData, statsCols, maxRecordsPerFile)
+      val newManifest = untouched.select(man.columns.map(col): _*)
+        .unionByName(added.select(man.columns.map(col): _*))
+      commit(spark, root, version, newManifest, schema)
+      Commit(version + 1, untouched.count(), affected.length.toLong, added.count())
+    }
+
+  /** G17's change data feed, INCREMENTALLY: snapshots share unchanged files
+    * by path, and a key in a shared file is (by key-uniqueness) identical in
+    * both versions — so the diff only scans each side's UNSHARED files.
+    * Cost ∝ changed data + file count, never table size; the emitted rows
+    * are bit-identical to [[Versioned.changesBetween]]'s full-diff contract
+    * (same shared [[Versioned.diff]] core). */
+  def changesBetween(spark: SparkSession, root: String, keys: Seq[String],
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val sa = schemaOf(root, fromVersion)
+    val sb = schemaOf(root, toVersion)
+    require(sa == sb,
+      s"snapshot schemas drifted between v$fromVersion and v$toVersion: $sa vs $sb")
+    val manA = manifest(spark, root, fromVersion).select("file")
+    val manB = manifest(spark, root, toVersion).select("file")
+    val onlyA = manA.join(manB, Seq("file"), "left_anti").collect().map(_.getString(0))
+    val onlyB = manB.join(manA, Seq("file"), "left_anti").collect().map(_.getString(0))
+    def readFiles(fs: Array[String]): DataFrame =
+      if (fs.nonEmpty) spark.read.schema(sa).parquet(fs.toSeq: _*)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sa)
+    Versioned.diff(readFiles(onlyA), readFiles(onlyB), keys)
+  }
+
+  /** Reference-counted vacuum: drop manifests older than the newest `keep`,
+    * then delete every `_data` file no RETAINED manifest names — which also
+    * reclaims orphans from lost commit races. Returns deleted file paths. */
+  def vacuum(spark: SparkSession, root: String, keep: Int): Seq[String] = {
+    val all = versions(root)
+    val retained = all.takeRight(math.max(keep, 1))
+    val dropped = all.filterNot(retained.contains)
+    dropped.foreach { v =>
+      deleteTree(manifestDir(root, v))
+      Files.deleteIfExists(schemaFile(root, v))
+    }
+    val referenced: Set[String] =
+      if (retained.isEmpty) Set.empty
+      else retained.map(v => manifest(spark, root, v).select("file"))
+        .reduce(_ unionByName _).distinct()
+        .collect().map(_.getString(0)).toSet // file-count metadata, driver-ok
+    val dir = dataDir(root)
+    if (!Files.exists(dir)) return Seq.empty
+    val list = Files.list(dir)
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val it = list.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (!referenced.contains(p.toString)) {
+          Files.delete(p)
+          removed += p.toString
+        }
+      }
+    } finally list.close()
+    removed.toSeq
+  }
+
+  // ---------------------------------------------------------------- internals
+
+  /** Write `df` as new immutable `_data` files and return their manifest
+    * rows. Files land BEFORE any commit references them — invisible until a
+    * manifest wins the CAS; orphans from lost races are vacuum's job. The
+    * stats pass scans only the NEW files (one extra read of the increment,
+    * the price of per-file stats without a custom committer). */
+  private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String], maxRecordsPerFile: Long): DataFrame = {
+    val staging = Paths.get(root, s"_staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    val writer = df.write.mode("overwrite")
+    (if (maxRecordsPerFile > 0)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+     else writer).parquet(staging.toString)
+    Files.createDirectories(dataDir(root))
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val list = Files.list(staging)
+    try {
+      val it = list.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.startsWith("part-") && name.endsWith(".parquet") && Files.size(p) > 0) {
+          val dest = dataDir(root).resolve(
+            s"f-${java.util.UUID.randomUUID().toString.take(12)}.parquet")
+          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+          moved += ((dest.toString, Files.size(dest),
+            Files.getLastModifiedTime(dest).toMillis))
+        }
+      }
+    } finally list.close()
+    deleteTree(staging)
+    import spark.implicits._
+    val statColNames = Seq("file", "bytes", "mtime", "rows") ++
+      statsCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    val statAggs = count(lit(1)).as("rows") +:
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    if (moved.isEmpty) {
+      // Zero data files (everything deleted / empty source): an empty
+      // manifest slice with the full stats schema.
+      val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], df.schema)
+      return empty.groupBy(lit("").as("file")).agg(statAggs.head, statAggs.tail: _*)
+        .withColumn("bytes", lit(0L)).withColumn("mtime", lit(0L))
+        .select(statColNames.map(col): _*)
+    }
+    // Per-file stats: ONE scan of the new files, grouped by provenance; the
+    // rows are file-count-sized metadata, so they materialize to the driver
+    // once (a local relation) instead of re-running the scan per consumer.
+    val fileMeta = moved.toSeq.toDF("file", "bytes", "mtime")
+    val stats = spark.read.parquet(moved.map(_._1).toSeq: _*)
+      .groupBy(regexp_replace(input_file_name(), "^file:/+", "/").as("file"))
+      .agg(statAggs.head, statAggs.tail: _*)
+    val joined = fileMeta.join(stats, Seq("file")).select(statColNames.map(col): _*)
+    val rows = joined.collect().toSeq
+    // A part file can carry ZERO rows (Spark writes one to preserve schema
+    // for an empty frame / empty partition): it gets no stats group, must
+    // not enter the manifest, and is deleted here rather than left for
+    // vacuum. Anything else missing a stats row is a real fault.
+    val statFiles = rows.map(_.getString(0)).toSet
+    moved.filterNot(m => statFiles.contains(m._1)).foreach { m =>
+      val empty = spark.read.parquet(m._1).isEmpty
+      require(empty, s"per-file stats pass lost non-empty file ${m._1}")
+      Files.deleteIfExists(Paths.get(m._1))
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, joined.schema)
+  }
+
+  /** Stage the manifest, then CAS-commit it under the table lock (the same
+    * [[TablePointer]] seam as [[Versioned.publishIf]]). */
+  private def commit(spark: SparkSession, root: String, expected: Long,
+      newManifest: DataFrame, schema: StructType): Long = {
+    val next = expected + 1
+    Files.createDirectories(manifestsDir(root))
+    val staging = manifestsDir(root).resolve(
+      s"m$next.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    newManifest.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val schemaTmp = manifestsDir(root).resolve(
+      s"m$next.schema.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(schemaTmp, schema.json.getBytes(StandardCharsets.UTF_8))
+    TablePointer.withCommitLock(root) {
+      val cur = currentVersion(root)
+      if (cur != expected) {
+        deleteTree(staging)
+        Files.deleteIfExists(schemaTmp)
+        throw new ConcurrentPublishException(root, expected, cur)
+      }
+      val dest = manifestDir(root, next)
+      deleteTree(dest) // orphan from a crashed attempt (provably unpublished)
+      Files.move(staging, dest, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(schemaTmp, schemaFile(root, next), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      TablePointer.swap(root, next)
+      next
+    }
+  }
+
+  /** The conflict-retry loop ([[graft.plans.GraftCommit]]'s protocol): on a
+    * lost CAS, re-derive against the winner's version. */
+  private def retrying(root: String, what: String)(body: Long => Commit): Commit = {
+    val MaxAttempts = 8
+    var attempt = 0
+    while (true) {
+      val version = currentVersion(root)
+      try return body(version)
+      catch {
+        case e: ConcurrentPublishException =>
+          attempt += 1
+          if (attempt >= MaxAttempts)
+            throw new IllegalStateException(
+              s"$what: lost the commit race $MaxAttempts times — giving up", e)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def statsColsOf(spark: SparkSession, root: String, v: Long): Seq[String] =
+    manifest(spark, root, v).columns.toSeq
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+
+  private def deleteTree(p: NioPath): Unit = if (Files.exists(p)) {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+    finally walk.close()
+  }
+}
+
+/** [[FileIndex]] over a [[FileCow]] manifest: the scan's file list IS the
+  * manifest (no directory listing — `_data` holds every version's files),
+  * and pushed data filters on stat columns prune files via the same
+  * [[StatAdmission]] translation as [[ZoneMapFileIndex]]. The driver
+  * materializes only admitted manifest rows — the same adjudicated
+  * metadata bound as Spark's own `InMemoryFileIndex`. */
+private[sources] class CowFileIndex(
+    spark: SparkSession,
+    root: String,
+    version: Long,
+    byColumn: Map[String, ZoneDim]) extends FileIndex {
+
+  private def man: DataFrame = FileCow.manifest(spark, root, version)
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root, "_data"))
+  override def partitionSchema: StructType = new StructType()
+  override def refresh(): Unit = ()
+
+  override lazy val inputFiles: Array[String] =
+    man.select("file").collect().map(_.getString(0))
+
+  override lazy val sizeInBytes: Long =
+    man.agg(coalesce(sum("bytes"), lit(0L))).collect()(0).getLong(0)
+
+  override def listFiles(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[PartitionDirectory] = {
+    val admission = StatAdmission.admission(dataFilters, byColumn)
+    val statuses = man.filter(admission).select("file", "bytes", "mtime")
+      .collect()
+      .map(r => new FileStatus(r.getLong(1), false, 1, 128L * 1024 * 1024,
+        r.getLong(2), new Path(r.getString(0))))
+    Seq(PartitionDirectory(InternalRow.empty, statuses))
+  }
+}

@@ -29,16 +29,63 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * retired dirs. Nothing here grows with data volume except the snapshots
   * themselves.
   */
-object Versioned {
+/** The version-pointer commit seam shared by every graft table layout
+  * ([[Versioned]] snapshot tables, [[FileCow]] file-level-COW tables):
+  * `root/_current` names the live version, swaps are write-aside +
+  * ATOMIC_MOVE (readers see old or new, never torn), and the optimistic
+  * CAS check runs under an exclusive advisory file lock (`_commit.lock`).
+  * One definition so the two layouts cannot drift on the one protocol an
+  * ACID format replaces (ADR-001). */
+private[sources] object TablePointer {
+  def pointer(root: String): Path = Paths.get(root, "_current")
 
-  private def versionsDir(root: String): Path = Paths.get(root, "_versions")
-  private def pointer(root: String): Path = Paths.get(root, "_current")
-
-  /** Highest published version, 0 if none. */
-  def currentVersion(root: String): Long =
+  def current(root: String): Long =
     if (Files.exists(pointer(root)))
       new String(Files.readAllBytes(pointer(root)), StandardCharsets.UTF_8).trim.toLong
     else 0L
+
+  /** Atomically advance the pointer to `next` (write aside + ATOMIC_MOVE). */
+  def swap(root: String, next: Long): Unit = {
+    val tmp = pointer(root).resolveSibling("_current.tmp")
+    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointer(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** One monitor per table root: JVM file locks don't nest — a second
+    * thread's `FileChannel.lock()` on a file this JVM already holds throws
+    * `OverlappingFileLockException` instead of blocking, so same-JVM
+    * committers (a streaming sink + a batch MERGE) must serialize BEFORE
+    * reaching for the file lock. Cross-process committers are still
+    * serialized by the file lock itself. */
+  private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `body` under the table's exclusive commit lock. The lock serializes
+    * only the version re-check and the renames — snapshot/manifest WRITES
+    * stay outside it by construction (callers stage first). */
+  def withCommitLock[T](root: String)(body: => T): T = {
+    val monitor = jvmLocks.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      Files.createDirectories(Paths.get(root))
+      val lockPath = Paths.get(root, "_commit.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body finally lock.release()
+      } finally ch.close()
+    }
+  }
+}
+
+object Versioned {
+
+  private def versionsDir(root: String): Path = Paths.get(root, "_versions")
+  private def pointer(root: String): Path = TablePointer.pointer(root)
+
+  /** Highest published version, 0 if none. */
+  def currentVersion(root: String): Long = TablePointer.current(root)
 
   /** Publish `df` as the next snapshot and atomically advance the pointer.
     * Returns the new version number.
@@ -59,11 +106,7 @@ object Versioned {
     deleteTree(snap)    // orphan snapshot: pointer < next, so never published
     df.write.parquet(staging.toString)
     Files.move(staging, snap, StandardCopyOption.ATOMIC_MOVE)
-    // Pointer swap: write aside, then ATOMIC_MOVE over the live pointer.
-    val tmp = pointer(root).resolveSibling("_current.tmp")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointer(root), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    TablePointer.swap(root, next)
     next
   }
 
@@ -109,27 +152,17 @@ object Versioned {
       s"v$next.staging-${java.util.UUID.randomUUID().toString.take(8)}")
     deleteTree(staging)
     df.write.parquet(staging.toString)
-    Files.createDirectories(Paths.get(root))
-    val lockPath = Paths.get(root, "_commit.lock")
-    val ch = java.nio.channels.FileChannel.open(lockPath,
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val lock = ch.lock()
-      try {
-        val cur = currentVersion(root)
-        if (cur != expectedVersion) {
-          deleteTree(staging)
-          throw new ConcurrentPublishException(root, expectedVersion, cur)
-        }
-        deleteTree(snap) // orphan from a crashed attempt (provably unpublished)
-        Files.move(staging, snap, StandardCopyOption.ATOMIC_MOVE)
-        val tmp = pointer(root).resolveSibling("_current.tmp")
-        Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, pointer(root), StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-        next
-      } finally lock.release()
-    } finally ch.close()
+    TablePointer.withCommitLock(root) {
+      val cur = currentVersion(root)
+      if (cur != expectedVersion) {
+        deleteTree(staging)
+        throw new ConcurrentPublishException(root, expectedVersion, cur)
+      }
+      deleteTree(snap) // orphan from a crashed attempt (provably unpublished)
+      Files.move(staging, snap, StandardCopyOption.ATOMIC_MOVE)
+      TablePointer.swap(root, next)
+      next
+    }
   }
 
   /** Retained version numbers, ascending (staging/orphan dirs excluded). */
@@ -172,11 +205,18 @@ object Versioned {
     * that is the ADR-001 seam, and this is the code it replaces. */
   def changesBetween(spark: SparkSession, root: String, keys: Seq[String],
       fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions._
     val a = readVersion(spark, root, fromVersion)
     val b = readVersion(spark, root, toVersion)
     require(a.schema == b.schema,
       s"snapshot schemas drifted between v$fromVersion and v$toVersion: ${a.schema} vs ${b.schema}")
+    diff(a, b, keys)
+  }
+
+  /** The state-diff core of [[changesBetween]], over two arbitrary frames of
+    * the same schema — shared with [[FileCow.changesBetween]], whose manifest
+    * diff feeds it only the files the versions do NOT share. */
+  private[sources] def diff(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
     val payload = a.columns.filterNot(keys.contains).toSeq
     // Presence markers, not key-nullness: the join below is null-safe (<=>),
     // so a row whose key is genuinely NULL in both snapshots MATCHES — and a

@@ -70,7 +70,7 @@ class ZoneMapFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val admission = dataFilters.map(mayMatch).reduceOption(_ && _).getOrElse(lit(true))
+    val admission = StatAdmission.admission(dataFilters, byColumn)
     // The admission pass: ONE filtered scan of the manifest relation; only
     // the surviving file names reach the driver.
     val admitted = spark.read.parquet(manifestPath)
@@ -85,37 +85,52 @@ class ZoneMapFileIndex(
     }
   }
 
-  /** "Might file F contain a row satisfying `e`?" as a predicate over F's
-    * manifest row. Sound by construction: every case either reasons from a
-    * dimension's [min, max] or returns `true`. */
-  private def mayMatch(e: Expression): Column = e match {
-    case CAnd(l, r) => mayMatch(l) && mayMatch(r)
-    case COr(l, r)  => mayMatch(l) || mayMatch(r)
-    case GreaterThanOrEqual(Dim(d), Lit(v)) => col(d.maxCol) >= v
-    case GreaterThan(Dim(d), Lit(v))        => col(d.maxCol) > v
-    case LessThanOrEqual(Dim(d), Lit(v))    => col(d.minCol) <= v
-    case LessThan(Dim(d), Lit(v))           => col(d.minCol) < v
-    case EqualTo(Dim(d), Lit(v))            => col(d.minCol) <= v && col(d.maxCol) >= v
-    // flipped literal-first spellings
-    case GreaterThanOrEqual(Lit(v), Dim(d)) => col(d.minCol) <= v
-    case GreaterThan(Lit(v), Dim(d))        => col(d.minCol) < v
-    case LessThanOrEqual(Lit(v), Dim(d))    => col(d.maxCol) >= v
-    case LessThan(Lit(v), Dim(d))           => col(d.maxCol) > v
-    case EqualTo(Lit(v), Dim(d))            => col(d.minCol) <= v && col(d.maxCol) >= v
-    case In(Dim(d), vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.flatMap { case l: Literal => external(l).toSeq }
-        .map(v => col(d.minCol) <= lit(v) && col(d.maxCol) >= lit(v))
-        .reduceOption(_ || _).getOrElse(lit(true))
-    case IsNotNull(_) => lit(true)
-    case _ => lit(true) // unrecognized shape: admit — never skip on a guess
-  }
+}
 
-  /** Matches an attribute that is one of this index's zoned dimensions. */
-  private object Dim {
-    def unapply(e: Expression): Option[ZoneDim] = e match {
-      case a: AttributeReference => byColumn.get(a.name)
-      case _ => None
+/** The sound-over-admitting predicate translation shared by
+  * [[ZoneMapFileIndex]] (pushed scan filters) and [[FileCow]] (DML
+  * condition pruning): "might a file with these per-column [min, max]
+  * bounds contain a row satisfying the expression?" spelled as a predicate
+  * over the file's manifest row. Every unrecognized shape admits — skipping
+  * is an optimization, row-level re-evaluation is the correctness story. */
+private[sources] object StatAdmission {
+
+  def admission(filters: Seq[Expression], byColumn: Map[String, ZoneDim]): Column =
+    filters.map(mayMatch(_, byColumn)).reduceOption(_ && _).getOrElse(lit(true))
+
+  private def mayMatch(e: Expression, byColumn: Map[String, ZoneDim]): Column = {
+    object Dim {
+      def unapply(e: Expression): Option[ZoneDim] = e match {
+        case a: AttributeReference => byColumn.get(a.name)
+        // Unresolved spellings reach here when the condition is a caller's
+        // `Column` never analyzed against a plan (FileCow DML pruning).
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 1 => byColumn.get(a.name)
+        case _ => None
+      }
     }
+    def walk(e: Expression): Column = e match {
+      case CAnd(l, r) => walk(l) && walk(r)
+      case COr(l, r)  => walk(l) || walk(r)
+      case GreaterThanOrEqual(Dim(d), Lit(v)) => col(d.maxCol) >= v
+      case GreaterThan(Dim(d), Lit(v))        => col(d.maxCol) > v
+      case LessThanOrEqual(Dim(d), Lit(v))    => col(d.minCol) <= v
+      case LessThan(Dim(d), Lit(v))           => col(d.minCol) < v
+      case EqualTo(Dim(d), Lit(v))            => col(d.minCol) <= v && col(d.maxCol) >= v
+      // flipped literal-first spellings
+      case GreaterThanOrEqual(Lit(v), Dim(d)) => col(d.minCol) <= v
+      case GreaterThan(Lit(v), Dim(d))        => col(d.minCol) < v
+      case LessThanOrEqual(Lit(v), Dim(d))    => col(d.maxCol) >= v
+      case LessThan(Lit(v), Dim(d))           => col(d.maxCol) > v
+      case EqualTo(Lit(v), Dim(d))            => col(d.minCol) <= v && col(d.maxCol) >= v
+      case In(Dim(d), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.flatMap { case l: Literal => external(l).toSeq }
+          .map(v => col(d.minCol) <= lit(v) && col(d.maxCol) >= lit(v))
+          .reduceOption(_ || _).getOrElse(lit(true))
+      case IsNotNull(_) => lit(true)
+      case _ => lit(true) // unrecognized shape: admit — never skip on a guess
+    }
+    walk(e)
   }
 
   /** Matches a foldable literal, yielding the EXTERNAL value a `lit()`

@@ -35,7 +35,11 @@ import graft.sources.Versioned
   * equi-join (broadcastable batch side) — the q06/dd15 increment shape at
   * streaming cadence.
   */
-object VersionedUpsertSink {
+/** The Delta `txnAppId/txnVersion` idempotent-writes marker, shared by the
+  * versioned (F17) and file-COW (F18) streaming sinks: `root/_txn/<appId>`
+  * stores the last committed batch id, written AFTER the table commit, so a
+  * recovering stream re-offering batch ≤ marker is skipped. */
+private[streaming] object TxnMarker {
 
   private def txnPath(root: String, appId: String) =
     Paths.get(root, "_txn", appId)
@@ -48,13 +52,23 @@ object VersionedUpsertSink {
     else -1L
   }
 
-  private def writeMarker(root: String, appId: String, batchId: Long): Unit = {
+  def write(root: String, appId: String, batchId: Long): Unit = {
     val p = txnPath(root, appId)
     Files.createDirectories(p.getParent)
     val tmp = p.resolveSibling(s"${appId}.tmp")
     Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
+}
+
+object VersionedUpsertSink {
+
+  /** Last batch id committed by `appId` into `root`, −1 if none. */
+  def lastCommitted(root: String, appId: String): Long =
+    TxnMarker.lastCommitted(root, appId)
+
+  private def writeMarker(root: String, appId: String, batchId: Long): Unit =
+    TxnMarker.write(root, appId, batchId)
 
   /** Fold one micro-batch into the table (skip if `batchId` already
     * committed by this `appId`). Public so the spec can drive replays. */

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftTables
+import graft.sources.FileCow
+
+/** G19 × G18: the full SQL DML surface (MERGE / DELETE / UPDATE / SELECT /
+  * VERSION AS OF / VACUUM) over a FILE-LEVEL COW table — same statements,
+  * same rule/strategy/exec stack as the versioned tables, but commits
+  * rewrite only the files the statement touches. The spec pins both halves:
+  * SQL-visible semantics AND the manifest-level file sharing.
+  */
+class GraftCowSqlSpec extends SparkSpec {
+
+  private def freshCow(name: String): String = {
+    val root = Files.createTempDirectory(s"graft-cow-$name").toString
+    GraftTables.registerCow(name, root)
+    root
+  }
+
+  private def fileSet(root: String, v: Long): Set[String] =
+    FileCow.manifest(spark, root, v).select("file").collect().map(_.getString(0)).toSet
+
+  test("SQL MERGE on a cow table: first merge creates, second rewrites only touched files") {
+    val s = spark
+    import s.implicits._
+    val root = freshCow("cow_orders")
+
+    // 1000 keys in 8 range files
+    spark.range(1, 1001).select(col("id").as("k"),
+        concat(lit("n"), col("id")).as("name"), (col("id") * 1.0).as("amt"))
+      .repartitionByRange(8, col("k"))
+      .createOrReplaceTempView("cow_base")
+    spark.sql("MERGE INTO cow_orders t USING cow_base s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(FileCow.currentVersion(root) == 1L)
+    assert(fileSet(root, 1L).size == 8)
+
+    Seq((5L, "upd", 5.5), (2001L, "new", 0.0))
+      .toDF("k", "name", "amt").createOrReplaceTempView("cow_inc")
+    spark.sql("MERGE INTO cow_orders t USING cow_inc s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(FileCow.currentVersion(root) == 2L)
+    // COW: 7 of the 8 base files survive by reference
+    assert((fileSet(root, 1L) intersect fileSet(root, 2L)).size == 7)
+
+    val got = spark.sql("SELECT name, amt FROM cow_orders WHERE k IN (5, 6, 2001)")
+      .as[(String, Double)].collect().toSet
+    assert(got == Set(("upd", 5.5), ("n6", 6.0), ("new", 0.0)))
+    assert(spark.sql("SELECT count(*) c FROM cow_orders").as[Long].head() == 1001L)
+
+    // time travel reads the pre-merge snapshot
+    assert(spark.sql("SELECT name FROM cow_orders VERSION AS OF 1 WHERE k = 5")
+      .as[String].head() == "n5")
+  }
+
+  test("SQL DELETE and UPDATE on a cow table share untouched files and hit SQL semantics") {
+    val s = spark
+    import s.implicits._
+    val root = freshCow("cow_del")
+    spark.range(1, 1001).select(col("id").as("k"), (col("id") % 10).as("g"))
+      .repartitionByRange(8, col("k")).createOrReplaceTempView("cow_del_b")
+    spark.sql("MERGE INTO cow_del t USING cow_del_b s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+
+    spark.sql("DELETE FROM cow_del WHERE k <= 100")
+    assert(spark.sql("SELECT count(*) c FROM cow_del").as[Long].head() == 900L)
+    assert((fileSet(root, 1L) intersect fileSet(root, 2L)).size == 7,
+      "k<=100 lives in 1 of 8 range files")
+
+    spark.sql("UPDATE cow_del SET g = -1 WHERE k > 990")
+    assert(spark.sql("SELECT count(*) c FROM cow_del WHERE g = -1").as[Long].head() == 10L)
+    assert(spark.sql("SELECT g FROM cow_del WHERE k = 500").as[Long].head() == 0L)
+    assert((fileSet(root, 2L) intersect fileSet(root, 3L)).size >= 6)
+  }
+
+  test("SQL MERGE … NOT MATCHED BY SOURCE DELETE makes the cow table the source") {
+    val s = spark
+    import s.implicits._
+    val root = freshCow("cow_sync")
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v").createOrReplaceTempView("cow_sync_b")
+    spark.sql("MERGE INTO cow_sync t USING cow_sync_b s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    Seq((2L, "y2"), (3L, "z")).toDF("k", "v").createOrReplaceTempView("cow_sync_i")
+    spark.sql("MERGE INTO cow_sync t USING cow_sync_i s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    val got = spark.sql("SELECT k, v FROM cow_sync").as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "y2"), (3L, "z")))
+    assert(FileCow.currentVersion(root) == 2L)
+  }
+
+  test("SQL VACUUM on a cow table drops old versions and unreferenced files") {
+    val s = spark
+    import s.implicits._
+    val root = freshCow("cow_vac")
+    spark.range(1, 101).select(col("id").as("k"), col("id").as("v"))
+      .repartitionByRange(4, col("k")).createOrReplaceTempView("cow_vac_b")
+    spark.sql("MERGE INTO cow_vac t USING cow_vac_b s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    spark.sql("DELETE FROM cow_vac WHERE k <= 50")
+    assert(FileCow.versions(root) == Seq(1L, 2L))
+    spark.sql("VACUUM cow_vac RETAIN 1 VERSIONS")
+    assert(FileCow.versions(root) == Seq(2L))
+    intercept[IllegalArgumentException] { FileCow.readVersion(spark, root, 1L) }
+    assert(spark.sql("SELECT count(*) c FROM cow_vac").as[Long].head() == 50L)
+  }
+
+  test("cow CDF across SQL commits: incremental feed equals the applied delta") {
+    val s = spark
+    import s.implicits._
+    val root = freshCow("cow_cdf")
+    spark.range(1, 101).select(col("id").as("k"), col("id").as("v"))
+      .repartitionByRange(4, col("k")).createOrReplaceTempView("cow_cdf_b")
+    spark.sql("MERGE INTO cow_cdf t USING cow_cdf_b s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    Seq((7L, -7L), (200L, 200L)).toDF("k", "v").createOrReplaceTempView("cow_cdf_i")
+    spark.sql("MERGE INTO cow_cdf t USING cow_cdf_i s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val changes = FileCow.changesBetween(spark, root, Seq("k"), 1L, 2L)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(changes == Set((7L, "update_pre"), (7L, "update_post"), (200L, "insert")))
+  }
+}
