@@ -227,6 +227,9 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
       current.filter(!GraftBridge.column(c.cond.e))
     }) :: Nil
     case c: GraftVacuumCommand => GraftVacuumExec(c) :: Nil
+    case c: GraftOptimizeCommand => GraftCowExec(c.table, { spark =>
+      FileCow.compact(spark, c.root, c.targetFiles); ()
+    }) :: Nil
     case c: GraftUpdateCommand if c.cow => GraftCowExec(c.table, { spark =>
       FileCow.update(spark, c.root,
         set = c.assignments.map(a => a.column -> GraftBridge.column(a.value)),

@@ -26,11 +26,21 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Vacuum =
     """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
 
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s+INTO\s+(\d+)\s+FILES\s*;?\s*""".r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(name, n) =>
       GraftTables.entryOf(name) match {
         case Some(e) => GraftVacuumCommand(name, e.root, n.toInt, e.cow)
         case None => sys.error(s"VACUUM: '$name' is not a registered graft table")
+      }
+    case Optimize(name, n) =>
+      GraftTables.entryOf(name) match {
+        case Some(e) if e.cow => GraftOptimizeCommand(name, e.root, n.toInt)
+        case Some(_) => sys.error(s"OPTIMIZE: '$name' is a snapshot-level table — " +
+          "every publish already rewrites it; OPTIMIZE applies to cow tables")
+        case None => sys.error(s"OPTIMIZE: '$name' is not a registered graft table")
       }
     case _ => delegate.parsePlan(sqlText)
   }
@@ -64,4 +74,12 @@ case class GraftVacuumExec(cmd: GraftVacuumCommand) extends LeafExecNode {
   }
   protected override def doExecute(): RDD[InternalRow] = { done; sparkContext.emptyRDD }
   override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+}
+
+/** `OPTIMIZE t INTO n FILES` — file-level compaction on a cow table (the
+  * Delta OPTIMIZE analog; layout-only commit, planned by
+  * [[GraftMergeStrategy]], mechanism = [[graft.sources.FileCow.compact]]). */
+case class GraftOptimizeCommand(table: String, root: String, targetFiles: Int)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
 }

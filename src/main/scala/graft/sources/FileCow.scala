@@ -182,7 +182,13 @@ object FileCow {
         if (combine != null) combine(base, source)
         else source.unionByName(
           base.join(source.select(keys.map(col): _*), keys, "left_anti"))
-      val added = writeDataFiles(spark, root, newData, statsCols, maxRecordsPerFile)
+      // Range-partition the rewrite on the prune key: (a) output file count
+      // tracks the TOUCHED file count instead of spark.sql.shuffle.partitions
+      // (a 1-file rewrite must not fragment into 32), (b) new files keep
+      // DISJOINT key ranges, so the next merge's stat pruning stays tight.
+      val ranged = newData.repartitionByRange(
+        math.max(1, affected.length), col(pruneKey))
+      val added = writeDataFiles(spark, root, ranged, statsCols, maxRecordsPerFile)
       val newManifest = untouched.select(man.columns.map(col): _*)
         .unionByName(added.select(man.columns.map(col): _*))
       commit(spark, root, version, newManifest, schema)
@@ -263,12 +269,54 @@ object FileCow {
       val base =
         if (affected.nonEmpty) spark.read.schema(schema).parquet(affected.toSeq: _*)
         else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      val newData = rewrite(base, condTrue)
+      // same layout discipline as merge: rewritten-file count tracks the
+      // touched count, ranges stay disjoint on the lead stats column
+      val newData = rewrite(base, condTrue).repartitionByRange(
+        math.max(1, affected.length), col(statsCols.head))
       val added = writeDataFiles(spark, root, newData, statsCols, maxRecordsPerFile)
       val newManifest = untouched.select(man.columns.map(col): _*)
         .unionByName(added.select(man.columns.map(col): _*))
       commit(spark, root, version, newManifest, schema)
       Commit(version + 1, untouched.count(), affected.length.toLong, added.count())
+    }
+
+  /** COMPACT the table (Delta `OPTIMIZE` / Iceberg rewrite_data_files):
+    * rewrite the current rows into `targetFiles` range-partitioned files in
+    * ONE commit — a LAYOUT-ONLY change (row set identical, proven by the
+    * spec via an EMPTY change feed across the commit), healing the slow
+    * file growth streaming merges and out-of-range inserts accrue (G13's
+    * planner decides when; this is the mechanism). Old files retire to the
+    * manifest history; vacuum reclaims them once their versions expire. */
+  def compact(spark: SparkSession, root: String, targetFiles: Int,
+      maxRecordsPerFile: Long = 0L): Commit =
+    retrying(root, "FileCow.compact") { version =>
+      val schema = schemaOf(root, version)
+      val statsCols = statsColsOf(spark, root, version)
+      val rows = readVersion(spark, root, version)
+        .repartitionByRange(math.max(1, targetFiles), col(statsCols.head))
+      val retired = manifest(spark, root, version).count()
+      val added = writeDataFiles(spark, root, rows, statsCols, maxRecordsPerFile)
+      commit(spark, root, version, added, schema)
+      Commit(version + 1, filesKept = 0L, filesRewritten = retired, added.count())
+    }
+
+  /** SCHEMA EVOLUTION: add a column (Delta/Iceberg `ALTER TABLE ADD
+    * COLUMN`) as a METADATA-ONLY commit — no data file is touched; the new
+    * manifest carries the same files and the new schema, and readers
+    * surface the column as typed NULLs for every pre-evolution file
+    * (parquet's missing-column contract under an explicit read schema,
+    * G6's rule). Later DML writes the column for the files it rewrites. */
+  def addColumn(spark: SparkSession, root: String,
+      field: org.apache.spark.sql.types.StructField): Commit =
+    retrying(root, "FileCow.addColumn") { version =>
+      val schema = schemaOf(root, version)
+      require(!schema.fieldNames.map(_.toLowerCase).contains(field.name.toLowerCase),
+        s"column ${field.name} already exists")
+      require(field.nullable, s"added column ${field.name} must be nullable " +
+        "(existing files cannot carry values for it)")
+      val man = manifest(spark, root, version)
+      commit(spark, root, version, man, StructType(schema.fields :+ field))
+      Commit(version + 1, filesKept = man.count(), filesRewritten = 0L, filesAdded = 0L)
     }
 
   /** G17's change data feed, INCREMENTALLY: snapshots share unchanged files

@@ -22,12 +22,14 @@ import graft.sources.{ConcurrentPublishException, FileCow}
   *     in the marker window degrades to one redundant value-identical
   *     version, never wrong data.
   *
-  * `filesHint` range-partitions every commit's rows by the key, so data
-  * files carry DISJOINT key ranges — that is what makes the next batch's
-  * stat pruning bite (hash-partitioned files would all span the full key
-  * range and every merge would rewrite everything). Steady-state file
-  * growth (~filesHint per batch) is the compaction planner's job (G13) —
-  * the same maintenance loop every file-level format schedules.
+  * `filesHint` range-partitions the CREATING batch by the key, so data
+  * files carry DISJOINT key ranges from the start — that is what makes
+  * later batches' stat pruning bite (hash-partitioned files would all span
+  * the full key range and every merge would rewrite everything); merges
+  * keep the discipline themselves (FileCow range-partitions each rewrite
+  * on the key at touched-file width). Slow file growth from out-of-range
+  * inserts is the compaction planner's job (G13) — the same maintenance
+  * loop every file-level format schedules.
   */
 object CowUpsertSink {
 
@@ -54,9 +56,10 @@ object CowUpsertSink {
   }
 
   private def mergeLatest(root: String, newest: DataFrame, filesHint: Int): Unit = {
+    // merge itself range-partitions the rewrite on the key (file count
+    // tracks touched files, ranges stay disjoint) — combine only resolves
     FileCow.merge(newest.sparkSession, root, newest, keys = Seq("user_id"),
-      combine = (base, src) => UpsertSink.latestPerKey(base.unionByName(src))
-        .repartitionByRange(filesHint, col("user_id")))
+      combine = (base, src) => UpsertSink.latestPerKey(base.unionByName(src)))
     ()
   }
 

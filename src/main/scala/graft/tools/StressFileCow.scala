@@ -1,0 +1,84 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.{FileCow, Versioned}
+
+/** Measures G19's central claim — FILE-LEVEL COW makes small-DML commit
+  * cost a function of TOUCHED data, not table size — against the
+  * snapshot-level comparator (G11's model: every commit rewrites the
+  * table). Three arms per table size, same 1000-row upsert each time:
+  *
+  *  - `cow_narrow`: increment confined to one key range (the incremental
+  *    production shape — dw3's daily merge, a streaming batch). Expected:
+  *    wall time FLAT across table decades, files_rewritten ≈ 1.
+  *  - `cow_scatter`: the same 1000 keys spread uniformly across the whole
+  *    key space — the honest worst case: every file's stats admit a key,
+  *    COW degenerates to a full rewrite. Expected: grows with the table.
+  *  - `full`: snapshot-level upsert (anti-join + union + whole-table
+  *    publish — exactly what G11/G18 commit). Expected: grows with the
+  *    table; the gap to `cow_narrow` is the feature.
+  *
+  * Usage: dev/jrun.sh graft.tools.StressFileCow [rowCounts…]
+  */
+object StressFileCow {
+
+  private def rmTree(p: Path): Unit = if (Files.exists(p)) {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+    finally walk.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
+                else Seq(100000L, 1000000L, 10000000L)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = Paths.get("/tmp/stress-filecow")
+    rmTree(work)
+
+    for (n <- sizes) {
+      val root = work.resolve(s"cow-$n").toString
+      val vroot = work.resolve(s"ver-$n").toString
+      val nFiles = math.max(8L, n / 250000L).toInt
+      val base = spark.range(0L, n).select(col("id"),
+        (col("id") % 97).as("grp"), md5(col("id").cast("string")).as("payload"))
+
+      FileCow.create(spark, root, base.repartitionByRange(nFiles, col("id")),
+        statsCols = Seq("id"))
+      Versioned.publish(base, vroot)
+
+      def inc(ids: org.apache.spark.sql.DataFrame) = ids.select(col("id"),
+        lit(-1L).as("grp"), lit("UPDATED").as("payload"))
+      val narrow = inc(spark.range(0L, 1000L).select(col("id"))).localCheckpoint()
+      val stride = math.max(1L, n / 1000L)
+      val scatter = inc(spark.range(0L, 1000L).select((col("id") * stride).as("id")))
+        .localCheckpoint()
+
+      def timed[T](body: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (cNarrow, sNarrow) = timed(FileCow.merge(spark, root, narrow, Seq("id")))
+      val (cScatter, sScatter) = timed(FileCow.merge(spark, root, scatter, Seq("id")))
+      val (_, sFull) = timed {
+        val cur = Versioned.read(spark, vroot)
+        Versioned.publish(
+          narrow.unionByName(cur.join(narrow.select("id"), Seq("id"), "left_anti")), vroot)
+      }
+      println(f"""{"n":$n,"files":$nFiles,"cow_narrow_sec":$sNarrow%.2f,"cow_narrow_rewritten":${cNarrow.filesRewritten},"cow_narrow_kept":${cNarrow.filesKept},"cow_scatter_sec":$sScatter%.2f,"cow_scatter_rewritten":${cScatter.filesRewritten},"full_sec":$sFull%.2f}""")
+      rmTree(Paths.get(root)); rmTree(Paths.get(vroot))
+      System.gc()
+    }
+    spark.stop()
+  }
+}

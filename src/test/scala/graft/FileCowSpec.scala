@@ -206,6 +206,51 @@ class FileCowSpec extends SparkSpec {
     assert(onDisk == liveFiles)
   }
 
+  test("compact is layout-only: fewer files, identical rows, EMPTY change feed") {
+    val root = freshRoot()
+    createBase(root)
+    // grow the file count the way a stream does: two insert batches
+    FileCow.merge(spark, root, spark.range(2001, 2101).select(col("id"),
+      lit(0L).as("grp"), lit("a").as("payload")), Seq("id"))
+    FileCow.merge(spark, root, spark.range(3001, 3101).select(col("id"),
+      lit(0L).as("grp"), lit("b").as("payload")), Seq("id"))
+    val vPre = FileCow.currentVersion(root)
+    val before = asMap(FileCow.read(spark, root))
+    val nPre = fileSet(root, vPre).size
+    val c = FileCow.compact(spark, root, targetFiles = 4)
+    assert(c.filesAdded == 4L && c.filesRewritten == nPre.toLong)
+    assert(fileSet(root, c.version).size == 4)
+    assert(asMap(FileCow.read(spark, root)) == before)
+    // layout-only: the row-level feed across the compact commit is EMPTY
+    assert(FileCow.changesBetween(spark, root, Seq("id"), vPre, c.version).isEmpty)
+  }
+
+  test("addColumn is metadata-only; old files read the column as NULL; DML then writes it") {
+    val root = freshRoot()
+    createBase(root)
+    val c = FileCow.addColumn(spark, root,
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    assert(c.filesKept == 8L && c.filesRewritten == 0L && c.filesAdded == 0L)
+    assert(fileSet(root, 1L) == fileSet(root, 2L), "no data file was touched")
+    val got = FileCow.read(spark, root)
+    assert(got.schema.map(_.name) == Seq("id", "grp", "payload", "note"))
+    assert(got.filter(col("note").isNotNull).count() == 0L)
+    // a later UPDATE fills the column for the files it rewrites
+    FileCow.update(spark, root, Seq("note" -> lit("tagged")), col("id") <= 10)
+    assert(FileCow.read(spark, root).filter(col("note") === "tagged").count() == 10L)
+    assert(FileCow.read(spark, root).count() == 1000L)
+    // duplicates and non-nullable additions are refused
+    intercept[IllegalArgumentException] {
+      FileCow.addColumn(spark, root, org.apache.spark.sql.types.StructField(
+        "NOTE", org.apache.spark.sql.types.StringType, nullable = true))
+    }
+    intercept[IllegalArgumentException] {
+      FileCow.addColumn(spark, root, org.apache.spark.sql.types.StructField(
+        "strict", org.apache.spark.sql.types.LongType, nullable = false))
+    }
+  }
+
   test("two concurrent merges on disjoint keys: both land exactly once (CAS + retry)") {
     val root = freshRoot()
     createBase(root)

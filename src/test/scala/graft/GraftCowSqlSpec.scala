@@ -109,6 +109,30 @@ class GraftCowSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) c FROM cow_vac").as[Long].head() == 50L)
   }
 
+  test("SQL OPTIMIZE compacts a cow table's layout without changing a row") {
+    val s = spark
+    import s.implicits._
+    val root = freshCow("cow_opt")
+    spark.range(1, 501).select(col("id").as("k"), col("id").as("v"))
+      .repartitionByRange(8, col("k")).createOrReplaceTempView("cow_opt_b")
+    spark.sql("MERGE INTO cow_opt t USING cow_opt_b s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    Seq((601L, 601L), (701L, 701L)).toDF("k", "v").createOrReplaceTempView("cow_opt_i")
+    spark.sql("MERGE INTO cow_opt t USING cow_opt_i s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val vPre = FileCow.currentVersion(root)
+    val before = spark.sql("SELECT k, v FROM cow_opt").as[(Long, Long)].collect().toSet
+    spark.sql("OPTIMIZE cow_opt INTO 2 FILES")
+    assert(fileSet(root, FileCow.currentVersion(root)).size == 2)
+    assert(spark.sql("SELECT k, v FROM cow_opt").as[(Long, Long)].collect().toSet == before)
+    assert(FileCow.changesBetween(spark, root, Seq("k"), vPre, vPre + 1).isEmpty)
+    // OPTIMIZE on a snapshot-level table is refused with a reason
+    val vroot = java.nio.file.Files.createTempDirectory("graft-opt-v").toString
+    GraftTables.register("opt_snap", vroot)
+    val err = intercept[RuntimeException] { spark.sql("OPTIMIZE opt_snap INTO 2 FILES") }
+    assert(err.getMessage.contains("snapshot-level"))
+  }
+
   test("cow CDF across SQL commits: incremental feed equals the applied delta") {
     val s = spark
     import s.implicits._
