@@ -140,6 +140,23 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => tt
       }
 
+    case ac @ AddColumns(t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, cols) =>
+      GraftTables.keyFor(t.multipartIdentifier).flatMap(k =>
+        GraftTables.entryOf(k).map((k, _))) match {
+        case Some((name, entry)) if entry.cow =>
+          val fields = cols.map { c =>
+            if (c.path.nonEmpty) fail(s"graft ALTER TABLE $name: nested column paths unsupported")
+            if (c.default.nonEmpty) fail(s"graft ALTER TABLE $name: DEFAULT unsupported")
+            if (c.position.nonEmpty) fail(s"graft ALTER TABLE $name: column position unsupported")
+            org.apache.spark.sql.types.StructField(c.colName, c.dataType, c.nullable)
+          }
+          GraftAddColumnsCommand(name, entry.root, fields)
+        case Some((name, _)) =>
+          fail(s"graft ALTER TABLE $name: ADD COLUMNS is a cow-table operation " +
+            "(a snapshot table takes its schema from each publish)")
+        case None => ac
+      }
+
     case rel: UnresolvedRelation =>
       GraftTables.keyFor(rel.multipartIdentifier).flatMap(k =>
         GraftTables.entryOf(k).map((k, _))) match {
@@ -206,6 +223,14 @@ case class GraftDeleteCommand(table: String, root: String, cond: ExprHolder,
   override def output: Seq[Attribute] = Nil
 }
 
+/** `ALTER TABLE t ADD COLUMNS (…)` on a cow table: ONE metadata-only
+  * commit ([[graft.sources.FileCow.addColumns]]). */
+case class GraftAddColumnsCommand(table: String, root: String,
+    fields: Seq[org.apache.spark.sql.types.StructField])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 /** `UPDATE t SET col = v, … [WHERE cond]` on a graft table. */
 case class GraftUpdateCommand(
     table: String,
@@ -229,6 +254,9 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     case c: GraftVacuumCommand => GraftVacuumExec(c) :: Nil
     case c: GraftOptimizeCommand => GraftCowExec(c.table, { spark =>
       FileCow.compact(spark, c.root, c.targetFiles); ()
+    }) :: Nil
+    case c: GraftAddColumnsCommand => GraftCowExec(c.table, { spark =>
+      FileCow.addColumns(spark, c.root, c.fields); ()
     }) :: Nil
     case c: GraftUpdateCommand if c.cow => GraftCowExec(c.table, { spark =>
       FileCow.update(spark, c.root,

@@ -308,14 +308,25 @@ object FileCow {
     * G6's rule). Later DML writes the column for the files it rewrites. */
   def addColumn(spark: SparkSession, root: String,
       field: org.apache.spark.sql.types.StructField): Commit =
-    retrying(root, "FileCow.addColumn") { version =>
+    addColumns(spark, root, Seq(field))
+
+  /** Multi-column [[addColumn]] as ONE commit (one `ALTER TABLE … ADD
+    * COLUMNS` statement = one snapshot, the Delta/Iceberg contract). */
+  def addColumns(spark: SparkSession, root: String,
+      fields: Seq[org.apache.spark.sql.types.StructField]): Commit =
+    retrying(root, "FileCow.addColumns") { version =>
       val schema = schemaOf(root, version)
-      require(!schema.fieldNames.map(_.toLowerCase).contains(field.name.toLowerCase),
-        s"column ${field.name} already exists")
-      require(field.nullable, s"added column ${field.name} must be nullable " +
-        "(existing files cannot carry values for it)")
+      val existing = schema.fieldNames.map(_.toLowerCase).toSet
+      fields.foreach { f =>
+        require(!existing.contains(f.name.toLowerCase),
+          s"column ${f.name} already exists")
+        require(f.nullable, s"added column ${f.name} must be nullable " +
+          "(existing files cannot carry values for it)")
+      }
+      require(fields.map(_.name.toLowerCase).distinct.size == fields.size,
+        "duplicate column names in one ADD COLUMNS")
       val man = manifest(spark, root, version)
-      commit(spark, root, version, man, StructType(schema.fields :+ field))
+      commit(spark, root, version, man, StructType(schema.fields ++ fields))
       Commit(version + 1, filesKept = man.count(), filesRewritten = 0L, filesAdded = 0L)
     }
 
@@ -343,8 +354,17 @@ object FileCow {
 
   /** Reference-counted vacuum: drop manifests older than the newest `keep`,
     * then delete every `_data` file no RETAINED manifest names — which also
-    * reclaims orphans from lost commit races. Returns deleted file paths. */
-  def vacuum(spark: SparkSession, root: String, keep: Int): Seq[String] = {
+    * reclaims orphans from lost commit races. Returns deleted file paths.
+    *
+    * `minAgeMs` is the Delta VACUUM retention contract, and it exists for a
+    * REAL race: an in-flight commit's fresh data files are unreferenced
+    * until its manifest wins the CAS, so a concurrent vacuum with no age
+    * floor would delete them out from under the commit. With writers
+    * possibly active, pass an age comfortably above the longest in-flight
+    * commit (Delta defaults to 7 days for the same reason); 0 is safe only
+    * when the caller knows no commit is in flight. */
+  def vacuum(spark: SparkSession, root: String, keep: Int,
+      minAgeMs: Long = 0L): Seq[String] = {
     val all = versions(root)
     val retained = all.takeRight(math.max(keep, 1))
     val dropped = all.filterNot(retained.contains)
@@ -362,10 +382,12 @@ object FileCow {
     val list = Files.list(dir)
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
+      val now = System.currentTimeMillis()
       val it = list.iterator()
       while (it.hasNext) {
         val p = it.next()
-        if (!referenced.contains(p.toString)) {
+        if (!referenced.contains(p.toString) &&
+            now - Files.getLastModifiedTime(p).toMillis >= minAgeMs) {
           Files.delete(p)
           removed += p.toString
         }

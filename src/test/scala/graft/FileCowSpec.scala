@@ -204,6 +204,13 @@ class FileCowSpec extends SparkSpec {
       } finally s.close()
     }
     assert(onDisk == liveFiles)
+    // retention age: a FRESH unreferenced file (an in-flight commit's data,
+    // from vacuum's point of view) survives an aged vacuum
+    val fresh = Paths.get(root, "_data", "f-inflight-test.parquet")
+    Files.write(fresh, Array[Byte](9))
+    assert(FileCow.vacuum(spark, root, keep = 1, minAgeMs = 3600000L).isEmpty)
+    assert(Files.exists(fresh))
+    assert(FileCow.vacuum(spark, root, keep = 1).contains(fresh.toString))
   }
 
   test("compact is layout-only: fewer files, identical rows, EMPTY change feed") {

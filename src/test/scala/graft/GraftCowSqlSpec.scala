@@ -133,6 +133,32 @@ class GraftCowSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("snapshot-level"))
   }
 
+  test("SQL ALTER TABLE ADD COLUMNS: one metadata commit, NULLs on old files, DML fills it") {
+    val s = spark
+    import s.implicits._
+    val root = freshCow("cow_alter")
+    spark.range(1, 101).select(col("id").as("k"), col("id").as("v"))
+      .repartitionByRange(4, col("k")).createOrReplaceTempView("cow_alter_b")
+    spark.sql("MERGE INTO cow_alter t USING cow_alter_b s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    spark.sql("ALTER TABLE cow_alter ADD COLUMNS (note STRING, score DOUBLE)")
+    assert(FileCow.currentVersion(root) == 2L)
+    assert(fileSet(root, 1L) == fileSet(root, 2L), "metadata-only: same data files")
+    val got = spark.sql("SELECT k, v, note, score FROM cow_alter")
+    assert(got.schema.map(_.name) == Seq("k", "v", "note", "score"))
+    assert(got.filter(col("note").isNotNull || col("score").isNotNull).count() == 0L)
+    spark.sql("UPDATE cow_alter SET note = 'hot', score = 1.5 WHERE k <= 10")
+    assert(spark.sql("SELECT count(*) c FROM cow_alter WHERE note = 'hot' AND score = 1.5")
+      .as[Long].head() == 10L)
+    // snapshot-level tables refuse the statement with a reason
+    val vroot = java.nio.file.Files.createTempDirectory("graft-alter-v").toString
+    GraftTables.register("alter_snap", vroot)
+    val err = intercept[RuntimeException] {
+      spark.sql("ALTER TABLE alter_snap ADD COLUMNS (x STRING)")
+    }
+    assert(err.getMessage.contains("cow-table operation"))
+  }
+
   test("cow CDF across SQL commits: incremental feed equals the applied delta") {
     val s = spark
     import s.implicits._
