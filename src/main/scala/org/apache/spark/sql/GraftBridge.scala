@@ -21,6 +21,16 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Re-tag a batch frame's rows as a STREAMING batch — the hop a
+    * DataSource-V1 streaming [[org.apache.spark.sql.execution.streaming.Source]]
+    * needs: `MicroBatchExecution` asserts `getBatch`'s result is streaming,
+    * and the blessed spelling (`internalCreateDataFrame(…, isStreaming =
+    * true)`, what MemoryStream/FileStreamSource do) is `private[sql]`. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Register graft's SQL functions on an ALREADY-BUILT session (e.g. one
     * handed over by a driver that did not pass spark.sql.extensions). */
   def registerFunctions(
