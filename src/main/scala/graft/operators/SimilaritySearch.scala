@@ -1210,13 +1210,16 @@ object SimilaritySearch {
     * Oracle: the identical unrolled recursion as DuckDB CTEs — set-UNION
     * there ≡ union+distinct here.
     *
-    * Measured (round 8, isolated steady state): 4.5 s at sf0.1 and 3.6 s at
-    * sf0.01 — a 10× corpus shows up as ~1.2×, i.e. the wall time is the
+    * Measured (round 8, isolated steady state): 2.2 s at sf0.1 and 2.0 s at
+    * sf0.01 — a 10× corpus shows up as ~1.1×, i.e. the wall time is the
     * FIXED latency of the unrolled rounds' sequential small stages (≈2
     * shuffles per round on beam-sized data) plus one in-cell edge build,
     * not data volume. That inversion is the point: every other ANN path's
     * cost grows with the corpus; the walk's grows with rounds × beam —
-    * dd06's CC-round latency class, paid for corpus-independence. */
+    * dd06's CC-round latency class, paid for corpus-independence. (First
+    * shipped un-checkpointed at 4.5 s: the per-round beam checkpoint that
+    * kills the 2^rounds plan duplication — found by the plan guard — is
+    * the 2×.) */
   val ann18 = {
     val Beam = 4; val Rounds = 3
     def roundSql(r: Int): String =
@@ -1293,7 +1296,14 @@ object SimilaritySearch {
         .select(col("query_id"), col("node"),
           cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("sc"))
       val entry = c.agg(min(col("vec_id")).as("node"))
+      // Each beam is checkpointed: a round references its predecessor TWICE
+      // (union arm + expansion arm), so a lazy chain re-embeds the whole
+      // prior tree per reference — 2^rounds plan copies (the plan guard
+      // caught 8 duplicated entry seeds). The beam is queries × Beam rows;
+      // materializing it per round is noise, and each round's plan stays
+      // one join + one dedup + one window over a leaf.
       val f0 = score(broadcast(q.select(col("query_id"))).crossJoin(entry))
+        .localCheckpoint()
       val wBeam = Window.partitionBy(col("query_id")).orderBy(col("sc").desc, col("node"))
       val fR = (1 to Rounds).foldLeft(f0) { (f, _) =>
         val reached = f.join(edges, f("node") === edges("src_id"))
@@ -1301,6 +1311,7 @@ object SimilaritySearch {
         f.unionByName(score(reached)).distinct()
           .withColumn("rk", row_number().over(wBeam)).filter(col("rk") <= Beam)
           .select("query_id", "node", "sc")
+          .localCheckpoint()
       }
       fR.withColumn("rank", row_number().over(wBeam).cast("long")).filter(col("rank") <= 3)
         .select(col("query_id"), col("node").as("neighbor_id"), col("sc").as("cos_sim"),

@@ -133,8 +133,15 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftTables.keyFor(rel.multipartIdentifier).flatMap(k =>
         GraftTables.entryOf(k).map((k, _))) match {
         case Some((name, entry)) =>
-          if (ts.nonEmpty) fail(s"graft time travel on $name: only VERSION AS OF is supported")
-          val v = version.getOrElse(fail(s"graft time travel on $name: version missing")).toLong
+          val v = (ts, version) match {
+            case (None, Some(ver)) => ver.toLong
+            case (Some(tsExpr), None) =>
+              val ms = evalTimestampMs(tsExpr).getOrElse(fail(
+                s"graft time travel on $name: TIMESTAMP AS OF must be a literal timestamp, got $tsExpr"))
+              if (entry.cow) FileCow.versionAtTimestamp(entry.root, ms)
+              else Versioned.versionAtTimestamp(entry.root, ms)
+            case _ => fail(s"graft time travel on $name: VERSION AS OF or TIMESTAMP AS OF required")
+          }
           if (entry.cow) snapshotPlan(FileCow.readVersion(spark, entry.root, v))
           else snapshotPlan(Versioned.readVersion(spark, entry.root, v))
         case None => tt
@@ -185,6 +192,16 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def fail(msg: String): Nothing = sys.error(msg)
+
+  /** Fold a literal `TIMESTAMP AS OF` operand to epoch millis: the parser
+    * hands a string/timestamp literal; a UTC cast + eval resolves it
+    * without needing the analyzer (the expression never joins a plan). */
+  private def evalTimestampMs(e: Expression): Option[Long] = {
+    val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.TimestampType, Some("UTC"))
+    if (!e.foldable) None
+    else Option(cast.eval(null)).map(micros => micros.asInstanceOf[Long] / 1000L)
+  }
 
   private def targetName(plan: LogicalPlan): Option[Seq[String]] = plan match {
     case u: UnresolvedRelation => Some(u.multipartIdentifier)

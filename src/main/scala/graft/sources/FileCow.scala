@@ -89,6 +89,21 @@ object FileCow {
     }
   }
 
+  /** Latest version committed at or before `epochMs` — Delta's
+    * `TIMESTAMP AS OF` resolution. The commit time is the manifest's
+    * filesystem mtime (ATOMIC_MOVE preserves the staging write's time, and
+    * commits serialize under the table lock, so mtime order is commit
+    * order — the same file-time basis Delta uses); the filter-then-max
+    * spelling tolerates any residual same-millisecond ties. */
+  def versionAtTimestamp(root: String, epochMs: Long): Long = {
+    val eligible = versions(root).filter(v =>
+      Files.getLastModifiedTime(manifestDir(root, v)).toMillis <= epochMs)
+    require(eligible.nonEmpty,
+      s"no version of $root existed at or before epoch-ms $epochMs " +
+        s"(earliest retained: ${versions(root).headOption.getOrElse("none")})")
+    eligible.max
+  }
+
   /** Snapshot `v`'s manifest AS A RELATION: file, bytes, mtime, rows, and
     * min_/max_ per stat column — the table's metadata is itself queryable
     * (Delta's `describe detail` / Iceberg's `.files` metadata table). */

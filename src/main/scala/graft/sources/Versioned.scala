@@ -120,6 +120,17 @@ object Versioned {
   def read(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root, currentVersion(root))
 
+  /** Latest version committed at or before `epochMs` — `TIMESTAMP AS OF`
+    * resolution on snapshot dirs ([[FileCow.versionAtTimestamp]]'s
+    * contract; same mtime-is-commit-order basis and caveat). */
+  def versionAtTimestamp(root: String, epochMs: Long): Long = {
+    val eligible = versions(root).filter(v =>
+      Files.getLastModifiedTime(versionsDir(root).resolve(s"v$v")).toMillis <= epochMs)
+    require(eligible.nonEmpty,
+      s"no version of $root existed at or before epoch-ms $epochMs")
+    eligible.max
+  }
+
   /** Time travel: read retained snapshot `version` exactly as published. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
     val snap = versionsDir(root).resolve(s"v$version")

@@ -109,6 +109,29 @@ class GraftCowSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) c FROM cow_vac").as[Long].head() == 50L)
   }
 
+  test("SQL TIMESTAMP AS OF resolves to the version live at that instant") {
+    val s = spark
+    import s.implicits._
+    val root = freshCow("cow_ts")
+    spark.range(1, 51).select(col("id").as("k"), lit("old").as("v"))
+      .repartitionByRange(2, col("k")).createOrReplaceTempView("cow_ts_b")
+    spark.sql("MERGE INTO cow_ts t USING cow_ts_b s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    Thread.sleep(60) // separate commit mtimes on millisecond clocks
+    spark.sql("UPDATE cow_ts SET v = 'new'")
+    val t1 = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(root, "_manifests", "m1")).toMillis
+    def iso(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString.replace("T", " ").stripSuffix("Z")
+    assert(spark.sql(s"SELECT v FROM cow_ts TIMESTAMP AS OF '${iso(t1)}' WHERE k = 1")
+      .as[String].head() == "old")
+    assert(spark.sql(s"SELECT v FROM cow_ts TIMESTAMP AS OF '${iso(System.currentTimeMillis())}' WHERE k = 1")
+      .as[String].head() == "new")
+    val err = intercept[RuntimeException] {
+      spark.sql(s"SELECT v FROM cow_ts TIMESTAMP AS OF '${iso(t1 - 3600000L)}'").collect()
+    }
+    assert(err.getMessage.contains("no version"))
+  }
+
   test("SQL OPTIMIZE compacts a cow table's layout without changing a row") {
     val s = spark
     import s.implicits._

@@ -143,6 +143,13 @@ class GraftMergeSpec extends SparkSpec {
     val cnt = spark.sql("SELECT COUNT(*) FROM sel_v WHERE k >= 2").as[Long].head()
     assert(cnt == 2L)
     assert(Versioned.currentVersion(root) == 2L)
+    // TIMESTAMP AS OF: the instant of v1's commit resolves to v1
+    val t1 = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(root, "_versions", "v1")).toMillis
+    val iso = java.time.Instant.ofEpochMilli(t1).toString.replace("T", " ").stripSuffix("Z")
+    val atT1 = spark.sql(s"SELECT k, v FROM sel_v TIMESTAMP AS OF '$iso' ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(atT1 == Seq((1L, "a"), (2L, "b")))
   }
 
   test("G18 DELETE FROM publishes a snapshot without the matching rows") {

@@ -314,4 +314,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"the match join must stay an equi-join; plan:\n$p")
   }
+
+  test("q61's path doubling plans pure equi-joins with NO dedup anywhere") {
+    // the operator's central claim: single-parent paths compose uniquely,
+    // so the closure needs neither distinct nor aggregate — a regression
+    // adding one means the uniqueness argument broke
+    val p = plan("q61_hierarchy_closure")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"doubling joins must stay equi-joins; plan:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"the closure must not deduplicate — path uniqueness makes it needless; plan:\n$p")
+  }
+
+  test("ann18's walk never plans a cartesian: frontier expansion and scoring are equi-joins") {
+    val p = plan("ann18_graph_search")
+    // the ONLY permissible nested loop is the broadcast 1-row entry seed;
+    // candidate expansion (frontier x edges) and scoring (node x corpus)
+    // must be hash equi-joins, or the walk silently rescans the corpus
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    val nl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nl <= 1, s"only the 1-row entry seed may nested-loop, found $nl; plan:\n$p")
+  }
 }
