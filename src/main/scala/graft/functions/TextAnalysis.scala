@@ -962,7 +962,101 @@ object TextAnalysis {
           col("n_grams_a").cast("double"), 6).as("overlap_frac"))
   }
 
+  // ---------------------------------------------------------------- D20
+  /** SPAN-CORRUPTION preprocessing (T5/UL2 denoising objective prep): each
+    * document becomes an (input, target) pair — masked spans replaced by
+    * numbered sentinels in the input, targets carrying sentinel-prefixed
+    * span contents — the seq2seq pretraining example builder, downstream of
+    * everything the pipeline curates (q52's chain ends exactly here).
+    *
+    * The mask is DETERMINISTIC ARITHMETIC, not RNG: token i of doc d is
+    * masked iff (i + d) mod 7 < 2 (≈28.6% corruption in natural runs whose
+    * boundary lengths vary per doc) — reproducible across re-crawls,
+    * re-orders, and engines, the same determinism contract as tx06/tx17;
+    * a production rate/length change is a constant change, not a design
+    * change. Span ids come from gaps-and-islands over the mask (run start
+    * = masked with unmasked predecessor — ARITHMETIC lookback, no lag
+    * window), numbered by a per-doc running sum.
+    *
+    * Scale: one explode to token grain, ONE doc-partitioned window (the
+    * running span count — bounded by doc length, tx14's class), one hash
+    * aggregate back to docs via the dd17 stitch (sort_array + array_join);
+    * sentinels cannot collide with content (clean() strips '<'/'>').
+    * Empty-token docs survive via the documents LEFT JOIN.
+    *
+    * Oracle: the identical arithmetic + string_agg(ORDER BY) spelling. */
+  val tx20 = Q(
+    "tx20_span_corruption",
+    s"""WITH doc AS (SELECT doc_id, $cleanSql AS c FROM documents),
+      |d AS (SELECT doc_id, string_split(c, ' ') AS t FROM doc),
+      |tok0 AS (SELECT doc_id, unnest(range(0, len(t))) AS pos, t FROM d),
+      |tok AS (SELECT doc_id, pos, t[pos + 1] AS w,
+      |  ((pos + doc_id) % 7) < 2 AS masked,
+      |  pos > 0 AND ((pos - 1 + doc_id) % 7) < 2 AS prev_masked
+      |  FROM tok0),
+      |runs AS (SELECT doc_id, pos, w, masked,
+      |  (masked AND NOT prev_masked) AS run_start,
+      |  SUM(CASE WHEN masked AND NOT prev_masked THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) - 1 AS span
+      |  FROM tok),
+      |pieces AS (SELECT doc_id, pos, masked, run_start,
+      |  CASE WHEN NOT masked THEN w
+      |       WHEN run_start THEN '<extra_id_' || CAST(span AS BIGINT) || '>'
+      |       ELSE NULL END AS in_piece,
+      |  CASE WHEN NOT masked THEN NULL
+      |       WHEN run_start THEN '<extra_id_' || CAST(span AS BIGINT) || '> ' || w
+      |       ELSE w END AS tgt_piece
+      |  FROM runs),
+      |agg AS (SELECT doc_id,
+      |  COALESCE(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
+      |  COALESCE(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target_text,
+      |  CAST(SUM(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+      |  FROM pieces GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(a.input_text, '') AS input_text,
+      |  COALESCE(a.target_text, '') AS target_text,
+      |  COALESCE(a.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+      |  COALESCE(a.n_masked, CAST(0 AS BIGINT)) AS n_masked
+      |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"),
+        posexplode(split(clean(col("text")), " ")).as(Seq("pos", "w")))
+      .withColumn("masked", (col("pos") + col("doc_id")) % 7 < 2)
+      .withColumn("prev_masked",
+        col("pos") > 0 && (col("pos") - 1 + col("doc_id")) % 7 < 2)
+      .withColumn("run_start", col("masked") && !col("prev_masked"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pieces = tok
+      .withColumn("span",
+        sum(when(col("run_start"), 1L).otherwise(0L)).over(w) - 1)
+      .withColumn("sentinel",
+        concat(lit("<extra_id_"), col("span").cast("string"), lit(">")))
+      .withColumn("in_piece",
+        when(!col("masked"), col("w"))
+          .when(col("run_start"), col("sentinel")))
+      .withColumn("tgt_piece",
+        when(!col("masked"), lit(null).cast("string"))
+          .when(col("run_start"), concat(col("sentinel"), lit(" "), col("w")))
+          .otherwise(col("w")))
+    def stitch(piece: String) = array_join(transform(
+      sort_array(collect_list(when(col(piece).isNotNull,
+        struct(col("pos"), col(piece).as("s"))))), x => x("s")), " ")
+    val agg = pieces.groupBy("doc_id").agg(
+      stitch("in_piece").as("input_text"),
+      stitch("tgt_piece").as("target_text"),
+      sum(when(col("run_start"), 1L).otherwise(0L)).as("n_spans"),
+      sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("input_text"), lit("")).as("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+  }
+
   val queries: Seq[Q] =
     Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10,
-      tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19)
+      tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20)
 }
