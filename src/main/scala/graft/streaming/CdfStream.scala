@@ -57,8 +57,28 @@ class CdfSourceProvider extends StreamSourceProvider {
       params: Map[String, String]): Source = {
     val root = opt(params, "root")
     val keys = opt(params, "keys").split(",").map(_.trim).toSeq
-    val start = params.get("startingVersion").map(_.toLong)
-      .getOrElse(FileCow.currentVersion(root))
+    // The start version must be STABLE across restarts: a recovering stream
+    // re-creates the source, and a WAL-replayed first batch would otherwise
+    // re-resolve the "current version" default against a table that has
+    // moved — silently skipping the replayed interval. Pin it under the
+    // source's own checkpoint metadata dir on first creation.
+    val pinned = java.nio.file.Paths.get(metadataPath, "graft-cdf-start")
+    val start =
+      if (java.nio.file.Files.exists(pinned))
+        new String(java.nio.file.Files.readAllBytes(pinned),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      else {
+        val v = params.get("startingVersion").map(_.toLong)
+          .getOrElse(FileCow.currentVersion(root))
+        java.nio.file.Files.createDirectories(pinned.getParent)
+        val tmp = pinned.resolveSibling("graft-cdf-start.tmp")
+        java.nio.file.Files.write(tmp,
+          v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, pinned,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        v
+      }
     new CdfSource(ctx, root, keys, start)
   }
 }
@@ -75,7 +95,7 @@ object CdfSource {
 }
 
 class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
-    startVersion: Long) extends Source {
+    val startVersion: Long) extends Source {
 
   override val schema: StructType = CdfSource.feedSchema(root)
 

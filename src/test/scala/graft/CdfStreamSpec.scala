@@ -89,6 +89,26 @@ class CdfStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("F19 the birth version is pinned in checkpoint metadata: recreation cannot move it") {
+    val root = mkTable() // v1
+    val metaDir = Files.createTempDirectory("f19-meta").toString
+    val provider = new CdfSourceProvider
+    val params = Map("root" -> root, "keys" -> "id")
+    val s1 = provider.createSource(spark.sqlContext, metaDir, None, "graft-cdf", params)
+      .asInstanceOf[graft.streaming.CdfSource]
+    assert(s1.startVersion == 1L)
+    // the table moves; a WAL-replay recreation must NOT re-resolve "current"
+    FileCow.delete(spark, root, col("id") <= 5) // v2
+    val s2 = provider.createSource(spark.sqlContext, metaDir, None, "graft-cdf", params)
+      .asInstanceOf[graft.streaming.CdfSource]
+    assert(s2.startVersion == 1L, "recreated source must keep the pinned birth version")
+    // a FRESH checkpoint resolves against the moved table
+    val s3 = provider.createSource(spark.sqlContext,
+      Files.createTempDirectory("f19-meta2").toString, None, "graft-cdf", params)
+      .asInstanceOf[graft.streaming.CdfSource]
+    assert(s3.startVersion == 2L)
+  }
+
   test("F19 default start is the stream's birth version: history does not replay") {
     val root = mkTable()
     FileCow.delete(spark, root, col("id") <= 10) // v2, before the stream exists
