@@ -26,6 +26,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Vacuum =
     """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
 
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s+INTO\s+(\d+)\s+FILES\s*;?\s*""".r
 
@@ -34,6 +37,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftTables.entryOf(name) match {
         case Some(e) => GraftVacuumCommand(name, e.root, n.toInt, e.cow)
         case None => sys.error(s"VACUUM: '$name' is not a registered graft table")
+      }
+    case History(name) =>
+      GraftTables.entryOf(name) match {
+        // relation, not command: the history frame's analyzed plan drops
+        // straight in, so DESCRIBE HISTORY composes (WHERE/ORDER BY/joins)
+        case Some(e) if e.cow =>
+          graft.sources.FileCow.history(session, e.root).queryExecution.analyzed
+        case Some(e) =>
+          graft.sources.Versioned.history(session, e.root).queryExecution.analyzed
+        case None => sys.error(s"DESCRIBE HISTORY: '$name' is not a registered graft table")
       }
     case Optimize(name, n) =>
       GraftTables.entryOf(name) match {

@@ -104,6 +104,25 @@ object FileCow {
     eligible.max
   }
 
+  /** `DESCRIBE HISTORY` relation: one row per retained version — version,
+    * commit_ms, n_files, n_rows, bytes — read entirely from manifests
+    * (metadata-sized; no data file is opened). The ops surface every DML
+    * audit starts from: which commit grew the table, when the layout
+    * fragmented, what vacuum may reclaim. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val perVersion = versions(root).map { v =>
+      manifest(spark, root, v)
+        .agg(count(lit(1)).as("n_files"),
+          coalesce(sum("rows"), lit(0L)).as("n_rows"),
+          coalesce(sum("bytes"), lit(0L)).as("bytes"))
+        .select(lit(v).as("version"),
+          lit(Files.getLastModifiedTime(manifestDir(root, v)).toMillis).as("commit_ms"),
+          col("n_files"), col("n_rows"), col("bytes"))
+    }
+    require(perVersion.nonEmpty, s"no retained versions under $root")
+    perVersion.reduce(_ unionByName _)
+  }
+
   /** Snapshot `v`'s manifest AS A RELATION: file, bytes, mtime, rows, and
     * min_/max_ per stat column — the table's metadata is itself queryable
     * (Delta's `describe detail` / Iceberg's `.files` metadata table). */

@@ -131,6 +131,18 @@ object Versioned {
     eligible.max
   }
 
+  /** `DESCRIBE HISTORY` relation for snapshot tables: (version, commit_ms)
+    * from snapshot-dir mtimes — metadata only; row/byte stats would cost a
+    * scan per snapshot here, which is exactly the accounting [[FileCow]]'s
+    * manifests keep for free. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val rows = versions(root).map(v =>
+      (v, Files.getLastModifiedTime(versionsDir(root).resolve(s"v$v")).toMillis))
+    require(rows.nonEmpty, s"no retained versions under $root")
+    rows.toDF("version", "commit_ms")
+  }
+
   /** Time travel: read retained snapshot `version` exactly as published. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
     val snap = versionsDir(root).resolve(s"v$version")

@@ -182,6 +182,35 @@ class GraftCowSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("cow-table operation"))
   }
 
+  test("SQL DESCRIBE HISTORY: per-version manifest accounting, composable as a relation") {
+    val s = spark
+    import s.implicits._
+    val root = freshCow("cow_hist")
+    spark.range(1, 201).select(col("id").as("k"), col("id").as("v"))
+      .repartitionByRange(4, col("k")).createOrReplaceTempView("cow_hist_b")
+    spark.sql("MERGE INTO cow_hist t USING cow_hist_b s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    spark.sql("DELETE FROM cow_hist WHERE k <= 100")
+    val h = spark.sql("DESCRIBE HISTORY cow_hist")
+      .orderBy("version")
+      .select("version", "n_files", "n_rows")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(h.map(_._1) == Seq(1L, 2L))
+    assert(h.head._3 == 200L && h.last._3 == 100L)
+    assert(h.head._2 == 4L)
+    // composable: the statement returns a real relation, not an opaque
+    // command — aggregate it like any frame (the one-prefix parser seam
+    // can't nest it inside another statement's text; compose on the result)
+    assert(spark.sql("DESCRIBE HISTORY cow_hist").agg(max("n_rows"))
+      .as[Long].head() == 200L)
+    // snapshot tables report (version, commit_ms) from their dirs
+    val vroot = java.nio.file.Files.createTempDirectory("graft-hist-v").toString
+    GraftTables.register("hist_snap", vroot)
+    graft.sources.Versioned.publish(Seq((1L, "a")).toDF("k", "v"), vroot)
+    assert(spark.sql("DESCRIBE HISTORY hist_snap").select("version")
+      .as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("cow CDF across SQL commits: incremental feed equals the applied delta") {
     val s = spark
     import s.implicits._
