@@ -62,7 +62,12 @@ class CdfSourceProvider extends StreamSourceProvider {
     // re-resolve the "current version" default against a table that has
     // moved — silently skipping the replayed interval. Pin it under the
     // source's own checkpoint metadata dir on first creation.
-    val pinned = java.nio.file.Paths.get(metadataPath, "graft-cdf-start")
+    // metadataPath arrives as a Hadoop URI ("file:/…"); as a raw string it
+    // would resolve RELATIVE to the working dir and pin in the wrong place.
+    val metaDir = java.nio.file.Paths.get(
+      org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+        new org.apache.hadoop.fs.Path(metadataPath)).toString)
+    val pinned = metaDir.resolve("graft-cdf-start")
     val start =
       if (java.nio.file.Files.exists(pinned))
         new String(java.nio.file.Files.readAllBytes(pinned),
