@@ -108,6 +108,20 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => m // not ours — leave for DSv2 resolution
       }
 
+    case i @ InsertIntoStatement(target, partitionSpec, userCols, query,
+        overwrite, _, byName) =>
+      registered(target) match {
+        case Some((name, entry)) =>
+          if (partitionSpec.nonEmpty)
+            fail(s"graft INSERT INTO $name: PARTITION spec unsupported")
+          if (userCols.nonEmpty)
+            fail(s"graft INSERT INTO $name: explicit column lists unsupported " +
+              "(positional ANSI INSERT only)")
+          if (byName) fail(s"graft INSERT INTO $name: BY NAME unsupported")
+          GraftInsertCommand(name, entry.root, query, overwrite, entry.cow)
+        case None => i
+      }
+
     case d @ DeleteFromTable(target, cond) =>
       registered(target) match {
         case Some((name, entry)) =>
@@ -194,11 +208,15 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def fail(msg: String): Nothing = sys.error(msg)
 
   /** Fold a literal `TIMESTAMP AS OF` operand to epoch millis: the parser
-    * hands a string/timestamp literal; a UTC cast + eval resolves it
-    * without needing the analyzer (the expression never joins a plan). */
+    * hands a string/timestamp literal; a cast + eval resolves it without
+    * needing the analyzer (the expression never joins a plan). The cast's
+    * zone is the SESSION timezone — Spark/Delta resolve time-travel
+    * timestamps in `spark.sql.session.timeZone`, so a zoneless literal in a
+    * non-UTC session must not silently shift by the offset. */
   private def evalTimestampMs(e: Expression): Option[Long] = {
     val cast = org.apache.spark.sql.catalyst.expressions.Cast(
-      e, org.apache.spark.sql.types.TimestampType, Some("UTC"))
+      e, org.apache.spark.sql.types.TimestampType,
+      Some(spark.sessionState.conf.sessionLocalTimeZone))
     if (!e.foldable) None
     else Option(cast.eval(null)).map(micros => micros.asInstanceOf[Long] / 1000L)
   }
@@ -234,6 +252,34 @@ case class GraftMergeCommand(
     copy(source = newChild)
 }
 
+/** `CREATE TABLE t AS SELECT …` on a REGISTERED graft name: materialize the
+  * query as version 1 (cow: [[graft.sources.FileCow.create]] with stats on
+  * every min/max-able column, Delta's default stats discipline; snapshot:
+  * [[graft.sources.Versioned.publish]]). Fails if the table already has a
+  * version — CREATE means create. */
+case class GraftCtasCommand(table: String, root: String, query: LogicalPlan,
+    cow: Boolean = false) extends UnaryNode with Command {
+  override def child: LogicalPlan = query
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftCtasCommand =
+    copy(query = newChild)
+}
+
+/** `INSERT INTO t SELECT …` / `INSERT OVERWRITE t SELECT …` on a graft
+  * table: positional column resolution with casts to the table's declared
+  * types (ANSI INSERT), then an append-only commit (cow: new data files,
+  * every current file kept by reference — O(increment); snapshot: publish
+  * current ∪ increment) or a full replace under OVERWRITE. An INSERT into a
+  * never-created table creates it (the same bootstrap courtesy the first
+  * MERGE extends). */
+case class GraftInsertCommand(table: String, root: String, query: LogicalPlan,
+    overwrite: Boolean, cow: Boolean = false) extends UnaryNode with Command {
+  override def child: LogicalPlan = query
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildInternal(newChild: LogicalPlan): GraftInsertCommand =
+    copy(query = newChild)
+}
+
 /** `DELETE FROM t WHERE cond` on a graft table: publish current ⊖ cond. */
 case class GraftDeleteCommand(table: String, root: String, cond: ExprHolder,
     cow: Boolean = false) extends LeafNode with Command {
@@ -258,10 +304,51 @@ case class GraftUpdateCommand(
   override def output: Seq[Attribute] = Nil
 }
 
+/** Shared lowering helpers for the SQL write path (CTAS / INSERT). */
+object GraftWriteSupport {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.types.StructType
+
+  /** Columns whose per-file [min, max] the manifest can track and
+    * [[graft.sources.FileCow]]'s admission can prune on: atomic orderable
+    * types. First 32, mirroring Delta's default stats-column bound. */
+  def statsEligible(schema: StructType): Seq[String] = schema.fields.toSeq
+    .filter(_.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.BooleanType => true
+      case org.apache.spark.sql.types.DateType => true
+      case _: org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    })
+    .map(_.name).take(32)
+
+  /** ANSI positional INSERT resolution: same arity, each source column cast
+    * to the table column's declared type and renamed to it. */
+  def positional(src: DataFrame, schema: StructType): DataFrame = {
+    require(src.columns.length == schema.length,
+      s"INSERT arity mismatch: query produces ${src.columns.length} columns, " +
+        s"table has ${schema.length}")
+    // backtick-quote source names: a literal column like `2.5` must not be
+    // parsed as a field extraction
+    src.select(src.columns.zip(schema.fields).map { case (c, f) =>
+      col(s"`$c`").cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+  }
+
+  /** CTAS/bootstrap layout: range-partition on the lead stats column at the
+    * frame's own width, so data files carry disjoint lead-key ranges and
+    * later DML stat pruning bites from version 1. */
+  def ranged(df: DataFrame, statsCols: Seq[String]): DataFrame =
+    df.repartitionByRange(math.max(1, df.rdd.getNumPartitions), col(statsCols.head))
+}
+
 /** Plans the graft DML commands; everything else declined. */
 object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case c: GraftMergeCommand => GraftMergeExec(c) :: Nil
+    case c: GraftCtasCommand => GraftCtasExec(c) :: Nil
+    case c: GraftInsertCommand => GraftInsertExec(c) :: Nil
     case c: GraftDeleteCommand if c.cow => GraftCowExec(c.table, { spark =>
       FileCow.delete(spark, c.root, GraftBridge.column(c.cond.e)); ()
     }) :: Nil
@@ -355,6 +442,70 @@ object GraftCommit {
     }
     -1L // unreachable
   }
+}
+
+/** Materializes a CTAS as version 1. Runs once per command instance. */
+case class GraftCtasExec(cmd: GraftCtasCommand) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+
+  private lazy val done: Unit = {
+    val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val df = GraftBridge.ofRows(spark, cmd.query)
+    if (cmd.cow) {
+      val stats = GraftWriteSupport.statsEligible(df.schema)
+      require(stats.nonEmpty, s"graft CREATE TABLE ${cmd.table}: no column is " +
+        "stats-eligible (atomic orderable) — a cow table needs at least one " +
+        "for file pruning")
+      FileCow.create(spark, cmd.root, GraftWriteSupport.ranged(df, stats),
+        statsCols = stats)
+    } else {
+      require(Versioned.currentVersion(cmd.root) == 0L,
+        s"graft CREATE TABLE ${cmd.table}: table already exists (v" +
+          s"${Versioned.currentVersion(cmd.root)}) — INSERT or MERGE into it")
+      Versioned.publish(df, cmd.root)
+    }
+    ()
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = { done; sparkContext.emptyRDD }
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+}
+
+/** Runs the INSERT append/overwrite commit. Runs once per command instance. */
+case class GraftInsertExec(cmd: GraftInsertCommand) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+
+  private lazy val done: Unit = {
+    val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val src = GraftBridge.ofRows(spark, cmd.query)
+    if (cmd.cow) {
+      if (FileCow.currentVersion(cmd.root) == 0L) {
+        // first INSERT into a never-created table bootstraps it (the same
+        // courtesy the first MERGE extends)
+        val stats = GraftWriteSupport.statsEligible(src.schema)
+        require(stats.nonEmpty, s"graft INSERT INTO ${cmd.table}: no " +
+          "stats-eligible column to bootstrap the cow table with")
+        FileCow.create(spark, cmd.root, GraftWriteSupport.ranged(src, stats),
+          statsCols = stats)
+      } else {
+        val schema = FileCow.schemaOf(cmd.root, FileCow.currentVersion(cmd.root))
+        val aligned = GraftWriteSupport.positional(src, schema)
+        if (cmd.overwrite) FileCow.overwrite(spark, cmd.root, aligned)
+        else FileCow.append(spark, cmd.root, aligned)
+      }
+    } else {
+      if (Versioned.currentVersion(cmd.root) == 0L) Versioned.publish(src, cmd.root)
+      else GraftCommit.retrying(cmd.root, s"graft INSERT INTO ${cmd.table}") { version =>
+        val current = Versioned.readVersion(spark, cmd.root, version)
+        val aligned = GraftWriteSupport.positional(src, current.schema)
+        if (cmd.overwrite) aligned else current.unionByName(aligned)
+      }
+    }
+    ()
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = { done; sparkContext.emptyRDD }
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
 }
 
 /** Runs the upsert and publishes the next snapshot. Runs ONCE per command

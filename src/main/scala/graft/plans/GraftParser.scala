@@ -12,8 +12,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
 import graft.sources.Versioned
 
 /** Parser extension for the one statement Spark's grammar cannot carry for
-  * us: `VACUUM <table> RETAIN <n> VERSIONS` — snapshot retention on graft
-  * tables (the Delta VACUUM / Iceberg expire_snapshots analog; ours
+  * us: `VACUUM <table> RETAIN <n> VERSIONS [OLDER THAN <h> HOURS]` —
+  * snapshot retention on graft tables (the Delta VACUUM / Iceberg
+  * expire_snapshots analog; ours
   * retains a snapshot COUNT because Versioned's unit of garbage is the
   * immutable snapshot dir). Registered via
   * `SparkSessionExtensions.injectParser`; every other statement — and
@@ -24,7 +25,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   private val Vacuum =
-    """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)\s+RETAIN\s+(\d+)\s+VERSIONS(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
 
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
@@ -32,10 +33,21 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s+INTO\s+(\d+)\s+FILES\s*;?\s*""".r
 
+  /** `CREATE TABLE <registered> AS <query>` — the migrating user's first
+    * statement. The prefix claims ONLY names pre-registered via
+    * [[GraftTables]] (the catalog-lite binding of name → root, which is
+    * also where the layout kind lives); any other CREATE TABLE — and any
+    * column-list/USING/OPTIONS spelling — delegates verbatim, so real
+    * catalogs keep owning their tables. */
+  private val Ctas =
+    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+?)\s*;?\s*""".r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Vacuum(name, n) =>
+    case Vacuum(name, n, hours) =>
       GraftTables.entryOf(name) match {
-        case Some(e) => GraftVacuumCommand(name, e.root, n.toInt, e.cow)
+        case Some(e) =>
+          GraftVacuumCommand(name, e.root, n.toInt, e.cow,
+            olderThanMs = Option(hours).map(_.toLong * 3600000L))
         case None => sys.error(s"VACUUM: '$name' is not a registered graft table")
       }
     case History(name) =>
@@ -55,6 +67,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           "every publish already rewrites it; OPTIMIZE applies to cow tables")
         case None => sys.error(s"OPTIMIZE: '$name' is not a registered graft table")
       }
+    case Ctas(name, query) if GraftTables.entryOf(name).isDefined =>
+      val e = GraftTables.entryOf(name).get
+      GraftCtasCommand(name, e.root, delegate.parsePlan(query), e.cow)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -71,9 +86,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
 }
 
-/** `VACUUM t RETAIN n VERSIONS` — planned by [[GraftMergeStrategy]]. */
+/** `VACUUM t RETAIN n VERSIONS [OLDER THAN h HOURS]` — planned by
+  * [[GraftMergeStrategy]]. `olderThanMs` is the cow-table data-file age
+  * floor; when the statement omits it, [[GraftVacuumExec.DefaultAgeMs]]
+  * (7 days, Delta's default) applies — an age-0 vacuum deletes the fresh
+  * still-unreferenced data files of any commit in flight, so 0 must be
+  * asked for explicitly (`OLDER THAN 0 HOURS`), never defaulted into. */
 case class GraftVacuumCommand(table: String, root: String, retainLast: Int,
-    cow: Boolean = false) extends LeafNode with Command {
+    cow: Boolean = false, olderThanMs: Option[Long] = None)
+    extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 
@@ -81,12 +102,19 @@ case class GraftVacuumCommand(table: String, root: String, retainLast: Int,
 case class GraftVacuumExec(cmd: GraftVacuumCommand) extends LeafExecNode {
   override def output: Seq[Attribute] = Nil
   private lazy val done: Unit = {
-    if (cmd.cow) graft.sources.FileCow.vacuum(session, cmd.root, cmd.retainLast)
+    if (cmd.cow) graft.sources.FileCow.vacuum(session, cmd.root, cmd.retainLast,
+      minAgeMs = cmd.olderThanMs.getOrElse(GraftVacuumExec.DefaultAgeMs))
     else Versioned.vacuum(cmd.root, cmd.retainLast)
     ()
   }
   protected override def doExecute(): RDD[InternalRow] = { done; sparkContext.emptyRDD }
   override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+}
+
+object GraftVacuumExec {
+  /** Data-file age floor when VACUUM omits OLDER THAN: 7 days, mirroring
+    * Delta's retention default and for the same in-flight-commit race. */
+  val DefaultAgeMs: Long = 7L * 24 * 3600000L
 }
 
 /** `OPTIMIZE t INTO n FILES` — file-level compaction on a cow table (the

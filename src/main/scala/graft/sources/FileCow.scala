@@ -194,17 +194,33 @@ object FileCow {
         .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
       require(dups == 0, s"FileCow.merge: duplicate source rows on key " +
         s"(${keys.mkString(", ")}) — multi-match merge is nondeterministic")
+      // NULL merge keys are unsupported: per-file [min, max] stats ignore
+      // nulls, so the prune below could never admit a file for a NULL key —
+      // the row would always land as a fresh insert even when a NULL-keyed
+      // row already exists, silently breaking per-version key uniqueness
+      // (which Versioned.diff/changesBetween depend on). Fail loudly instead.
+      val nullKeyed = source
+        .filter(keys.map(col(_).isNull).reduce(_ || _)).limit(1).count()
+      require(nullKeyed == 0, s"FileCow.merge: NULL merge key in source " +
+        s"(keys: ${keys.mkString(", ")}) — NULL keys are unsupported (file " +
+        "stats cannot prune them; key uniqueness would silently break)")
       val man = manifest(spark, root, version)
       val statsCols = statsColsOf(spark, root, version)
-      val pruneKey = keys.find(statsCols.contains).getOrElse(
-        sys.error(s"merge keys ${keys.mkString(",")} have no stats column " +
-          s"(tracked: ${statsCols.mkString(",")}) — every file would rewrite"))
-      // Affected files: any file whose [min, max] on the prune key admits a
-      // source key. The manifest side is file-count-sized — broadcast it
-      // against the source keys, then reduce to the distinct file list.
-      val affected = source.select(col(pruneKey)).distinct()
-        .join(broadcast(man),
-          col(pruneKey) >= col(s"min_$pruneKey") && col(pruneKey) <= col(s"max_$pruneKey"))
+      val pruneKeys = keys.filter(statsCols.contains)
+      require(pruneKeys.nonEmpty,
+        s"merge keys ${keys.mkString(",")} have no stats column " +
+          s"(tracked: ${statsCols.mkString(",")}) — every file would rewrite")
+      // Affected files: any file whose [min, max] bounds admit a source key
+      // on EVERY keyed stats column (intersected admission — a compound key
+      // whose lead column has wide per-file ranges must not over-rewrite
+      // when a second keyed column excludes the file). The manifest side is
+      // file-count-sized — broadcast it against the distinct source keys,
+      // then reduce to the distinct file list.
+      val admits = pruneKeys
+        .map(k => col(k) >= col(s"min_$k") && col(k) <= col(s"max_$k"))
+        .reduce(_ && _)
+      val affected = source.select(pruneKeys.map(col): _*).distinct()
+        .join(broadcast(man), admits)
         .select("file").distinct()
         .collect().map(_.getString(0)) // touched-file-count metadata, driver-ok
       import spark.implicits._
@@ -216,17 +232,55 @@ object FileCow {
         if (combine != null) combine(base, source)
         else source.unionByName(
           base.join(source.select(keys.map(col): _*), keys, "left_anti"))
-      // Range-partition the rewrite on the prune key: (a) output file count
+      // Range-partition the rewrite on the prune keys: (a) output file count
       // tracks the TOUCHED file count instead of spark.sql.shuffle.partitions
       // (a 1-file rewrite must not fragment into 32), (b) new files keep
-      // DISJOINT key ranges, so the next merge's stat pruning stays tight.
+      // DISJOINT lexicographic key ranges, so the next merge's stat pruning
+      // stays tight on the lead key and on later keys within lead ties.
       val ranged = newData.repartitionByRange(
-        math.max(1, affected.length), col(pruneKey))
+        math.max(1, affected.length), pruneKeys.map(col): _*)
       val added = writeDataFiles(spark, root, ranged, statsCols, maxRecordsPerFile)
       val newManifest = untouched.select(man.columns.map(col): _*)
         .unionByName(added.select(man.columns.map(col): _*))
       commit(spark, root, version, newManifest, schema)
       Commit(version + 1, untouched.count(), affected.length.toLong, added.count())
+    }
+
+  /** APPEND `df` as NEW data files in one commit — `INSERT INTO` (Delta's
+    * blind append): every current file is kept by reference, commit cost is
+    * O(appended data). No key check runs (an insert has no ON clause);
+    * callers who need per-version key uniqueness (the [[changesBetween]]
+    * contract) must insert fresh keys — the same discipline every
+    * append-capable format asks of key-diffed CDF.
+    *
+    * The appended files are range-partitioned on the lead stats column at a
+    * width that tracks the table's existing rows-per-file (one small count
+    * of the increment), so stats stay tight and file size stays uniform
+    * instead of inheriting whatever partitioning the INSERT's SELECT had. */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      maxRecordsPerFile: Long = 0L): Commit =
+    retrying(root, "FileCow.append") { version =>
+      val schema = schemaOf(root, version)
+      require(df.schema.map(f => (f.name, f.dataType)) ==
+          schema.map(f => (f.name, f.dataType)),
+        s"append schema drifted from table schema: ${df.schema} vs $schema")
+      val man = manifest(spark, root, version)
+      val statsCols = statsColsOf(spark, root, version)
+      val totals = man.agg(coalesce(sum("rows"), lit(0L)).as("rows"),
+        count(lit(1)).as("files")).collect()(0)
+      val incRows = df.count()
+      val nFiles =
+        if (totals.getLong(1) == 0L) df.rdd.getNumPartitions.max(1)
+        else { // track the table's rows-per-file
+          val avgRows = math.max(1L, totals.getLong(0) / totals.getLong(1))
+          math.max(1L, (incRows + avgRows - 1) / avgRows).toInt
+        }
+      val ranged = df.repartitionByRange(nFiles, col(statsCols.head))
+      val added = writeDataFiles(spark, root, ranged, statsCols, maxRecordsPerFile)
+      val newManifest = man.unionByName(added.select(man.columns.map(col): _*))
+      commit(spark, root, version, newManifest, schema)
+      Commit(version + 1, filesKept = man.count(), filesRewritten = 0L,
+        filesAdded = added.count())
     }
 
   /** DELETE rows where `cond` is true, rewriting only files whose stats
@@ -478,11 +532,16 @@ object FileCow {
     // Per-file stats: ONE scan of the new files, grouped by provenance; the
     // rows are file-count-sized metadata, so they materialize to the driver
     // once (a local relation) instead of re-running the scan per consumer.
+    // Provenance joins on the BASENAME (`f-<uuid>.parquet` — hex + dot +
+    // dash, never percent-encoded): input_file_name() yields an URI-escaped
+    // `file:` URI, and matching its full path against raw NIO strings breaks
+    // the moment the table root contains a space or any URI-escaped char.
     val fileMeta = moved.toSeq.toDF("file", "bytes", "mtime")
+      .withColumn("basename", element_at(split(col("file"), "/"), -1))
     val stats = spark.read.parquet(moved.map(_._1).toSeq: _*)
-      .groupBy(regexp_replace(input_file_name(), "^file:/+", "/").as("file"))
+      .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("basename"))
       .agg(statAggs.head, statAggs.tail: _*)
-    val joined = fileMeta.join(stats, Seq("file")).select(statColNames.map(col): _*)
+    val joined = fileMeta.join(stats, Seq("basename")).select(statColNames.map(col): _*)
     val rows = joined.collect().toSeq
     // A part file can carry ZERO rows (Spark writes one to preserve schema
     // for an empty frame / empty partition): it gets no stats group, must

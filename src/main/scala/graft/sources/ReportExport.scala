@@ -16,16 +16,33 @@ import org.apache.spark.sql.functions.col
   */
 object ReportExport {
 
+  /** Hard ceiling on report rows: the `coalesce(1)` below funnels the whole
+    * result through one task, which is only admissible for dimension-grain
+    * report frames. A fact table pointed here must fail loudly, not quietly
+    * produce a one-task multi-gigabyte write. */
+  val MaxReportRows: Long = 1000000L
+
   /** Writes `df` as a single headered CSV under `path` (Spark directory
     * convention: one `part-*.csv` inside), columns in `columns` order, rows
     * ordered by `sortCols`. `coalesce(1)` merges the sorted partitions in
-    * partition order, so the global sort survives the collapse. */
+    * partition order, so the global sort survives the collapse.
+    *
+    * Refuses frames over `maxRows` (default [[MaxReportRows]]) — the guard
+    * costs one `limit(max+1).count()` pass, which is report-sized by the
+    * same contract that makes the collapse legitimate. */
   def writeCsv(df: DataFrame, path: String,
-               columns: Seq[String], sortCols: Seq[String]): Unit =
+               columns: Seq[String], sortCols: Seq[String],
+               maxRows: Long = MaxReportRows): Unit = {
+    val probe = df.limit((maxRows + 1).toInt).count()
+    require(probe <= maxRows,
+      s"ReportExport.writeCsv: frame exceeds $maxRows rows — this writer " +
+        "single-files dimension-grain reports; use the partitioned writers " +
+        "in Sources for fact-sized data")
     df.select(columns.map(col): _*)
       .orderBy(sortCols.map(col): _*)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite)
       .option("header", "true")
       .csv(path)
+  }
 }

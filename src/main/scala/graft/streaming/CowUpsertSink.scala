@@ -46,9 +46,17 @@ object CowUpsertSink {
       val spark = batch.sparkSession
       val ranged = newest.repartitionByRange(filesHint, col("user_id"))
       if (FileCow.currentVersion(root) == 0L) {
+        // Lost-creation races surface two ways: ConcurrentPublishException
+        // when the rival wins between our staging write and the CAS, and
+        // create's own IllegalArgumentException ("table already exists")
+        // when it wins between our version check and create's require.
+        // Both mean the same thing — the table now exists — so both fold in.
         try FileCow.create(spark, root, ranged, statsCols = Seq("user_id"))
-        catch { // lost the creation race to a concurrent writer: fold in
+        catch {
           case _: ConcurrentPublishException => mergeLatest(root, ranged, filesHint)
+          case e: IllegalArgumentException
+              if e.getMessage != null && e.getMessage.contains("already exists") =>
+            mergeLatest(root, ranged, filesHint)
         }
       } else mergeLatest(root, ranged, filesHint)
     }
