@@ -61,6 +61,44 @@ object FileCow {
   final case class Commit(version: Long, filesKept: Long, filesRewritten: Long,
       filesAdded: Long)
 
+  /** Per-commit action record — the Delta JSON-commit-log analog. Written
+    * at commit time (ADR-001's named optimization), it lets [[history]],
+    * [[changesBetween]] and the F19 stream derive "which files changed"
+    * from the log instead of diffing manifests: `added`/`removed` are the
+    * exact file-path deltas the commit applied, and since data files are
+    * write-once UUID-named, folding the records over (from, to] reproduces
+    * each side's unshared-file sets without touching either manifest. */
+  final case class CommitInfo(version: Long, kind: String, commitMs: Long,
+      nFiles: Long, nRows: Long, bytes: Long,
+      added: Seq[String], removed: Seq[String])
+
+  /** The file-path delta a commit is about to apply, handed to [[commit]]
+    * by each DML (which knows it exactly — no diff needed). */
+  private final case class CommitAction(kind: String, added: Seq[String],
+      removed: Seq[String])
+
+  private def commitInfoFile(root: String, v: Long): NioPath =
+    manifestsDir(root).resolve(s"m$v.commit.json")
+
+  /** The commit record of version `v`, or None for commits written before
+    * the log existed (every log reader falls back to the manifest diff). */
+  def commitInfo(root: String, v: Long): Option[CommitInfo] = {
+    val p = commitInfoFile(root, v)
+    if (!Files.exists(p)) None
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = om.readTree(Files.readAllBytes(p))
+      def strings(field: String): Seq[String] = {
+        val arr = n.get(field)
+        (0 until arr.size()).map(arr.get(_).asText())
+      }
+      Some(CommitInfo(n.get("version").asLong(), n.get("kind").asText(),
+        n.get("commitMs").asLong(), n.get("nFiles").asLong(),
+        n.get("nRows").asLong(), n.get("bytes").asLong(),
+        strings("added"), strings("removed")))
+    }
+  }
+
   private def dataDir(root: String): NioPath = Paths.get(root, "_data")
   private def manifestsDir(root: String): NioPath = Paths.get(root, "_manifests")
   private[sources] def manifestDir(root: String, v: Long): NioPath =
@@ -110,14 +148,23 @@ object FileCow {
     * audit starts from: which commit grew the table, when the layout
     * fragmented, what vacuum may reclaim. */
   def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
     val perVersion = versions(root).map { v =>
-      manifest(spark, root, v)
-        .agg(count(lit(1)).as("n_files"),
-          coalesce(sum("rows"), lit(0L)).as("n_rows"),
-          coalesce(sum("bytes"), lit(0L)).as("bytes"))
-        .select(lit(v).as("version"),
-          lit(Files.getLastModifiedTime(manifestDir(root, v)).toMillis).as("commit_ms"),
-          col("n_files"), col("n_rows"), col("bytes"))
+      val commitMs = Files.getLastModifiedTime(manifestDir(root, v)).toMillis
+      commitInfo(root, v) match {
+        // commit-log fast path: the totals were recorded at commit time —
+        // no manifest parquet is opened for the version
+        case Some(ci) =>
+          Seq((v, commitMs, ci.nFiles, ci.nRows, ci.bytes))
+            .toDF("version", "commit_ms", "n_files", "n_rows", "bytes")
+        case None => // pre-log version: aggregate its manifest
+          manifest(spark, root, v)
+            .agg(count(lit(1)).as("n_files"),
+              coalesce(sum("rows"), lit(0L)).as("n_rows"),
+              coalesce(sum("bytes"), lit(0L)).as("bytes"))
+            .select(lit(v).as("version"), lit(commitMs).as("commit_ms"),
+              col("n_files"), col("n_rows"), col("bytes"))
+      }
     }
     require(perVersion.nonEmpty, s"no retained versions under $root")
     perVersion.reduce(_ unionByName _)
@@ -125,11 +172,21 @@ object FileCow {
 
   /** Snapshot `v`'s manifest AS A RELATION: file, bytes, mtime, rows, and
     * min_/max_ per stat column — the table's metadata is itself queryable
-    * (Delta's `describe detail` / Iceberg's `.files` metadata table). */
+    * (Delta's `describe detail` / Iceberg's `.files` metadata table).
+    *
+    * Served from [[CowManifestCache]] for PUBLISHED versions: a published
+    * (root, version) manifest is immutable, so its file-count-sized rows
+    * load once per JVM and every later consumer — most importantly the
+    * planning-time [[CowFileIndex]] — gets a driver-local relation whose
+    * filter + collect never submits a Spark job (Catalyst folds
+    * Filter-over-LocalRelation on the driver). An UNPUBLISHED version dir
+    * (a crashed commit's orphan, replaceable until a commit wins the CAS)
+    * is read directly and never cached. */
   def manifest(spark: SparkSession, root: String, v: Long): DataFrame = {
     val dir = manifestDir(root, v)
     require(Files.exists(dir), s"version $v is not retained under $root")
-    spark.read.parquet(dir.toString)
+    if (v <= currentVersion(root)) CowManifestCache.relation(spark, root, v)
+    else spark.read.parquet(dir.toString)
   }
 
   /** Declared schema of snapshot `v` (survives even an all-rows-deleted
@@ -149,7 +206,8 @@ object FileCow {
     require(statsCols.nonEmpty && statsCols.forall(df.columns.contains),
       s"statsCols ${statsCols.mkString(",")} must exist in the frame")
     val added = writeDataFiles(spark, root, df, statsCols, maxRecordsPerFile)
-    commit(spark, root, expected = 0L, newManifest = added, schema = df.schema)
+    commit(spark, root, expected = 0L, newManifest = added, schema = df.schema,
+      CommitAction("create", filePaths(added), Nil))
     Commit(1L, filesKept = 0L, filesRewritten = 0L, filesAdded = added.count())
   }
 
@@ -242,7 +300,8 @@ object FileCow {
       val added = writeDataFiles(spark, root, ranged, statsCols, maxRecordsPerFile)
       val newManifest = untouched.select(man.columns.map(col): _*)
         .unionByName(added.select(man.columns.map(col): _*))
-      commit(spark, root, version, newManifest, schema)
+      commit(spark, root, version, newManifest, schema,
+        CommitAction("merge", filePaths(added), affected.toSeq))
       Commit(version + 1, untouched.count(), affected.length.toLong, added.count())
     }
 
@@ -278,7 +337,8 @@ object FileCow {
       val ranged = df.repartitionByRange(nFiles, col(statsCols.head))
       val added = writeDataFiles(spark, root, ranged, statsCols, maxRecordsPerFile)
       val newManifest = man.unionByName(added.select(man.columns.map(col): _*))
-      commit(spark, root, version, newManifest, schema)
+      commit(spark, root, version, newManifest, schema,
+        CommitAction("append", filePaths(added), Nil))
       Commit(version + 1, filesKept = man.count(), filesRewritten = 0L,
         filesAdded = added.count())
     }
@@ -324,11 +384,13 @@ object FileCow {
       require(df.schema.map(f => (f.name, f.dataType)) ==
           schema.map(f => (f.name, f.dataType)),
         s"overwrite schema drifted from table schema: ${df.schema} vs $schema")
-      val retired = manifest(spark, root, version).count()
+      val retired = filePaths(manifest(spark, root, version))
       val added = writeDataFiles(spark, root, df, statsColsOf(spark, root, version),
         maxRecordsPerFile)
-      commit(spark, root, version, added, schema)
-      Commit(version + 1, filesKept = 0L, filesRewritten = retired, added.count())
+      commit(spark, root, version, added, schema,
+        CommitAction("overwrite", filePaths(added), retired))
+      Commit(version + 1, filesKept = 0L, filesRewritten = retired.size.toLong,
+        added.count())
     }
 
   private def rewriteWhere(spark: SparkSession, root: String, cond: Column,
@@ -364,7 +426,8 @@ object FileCow {
       val added = writeDataFiles(spark, root, newData, statsCols, maxRecordsPerFile)
       val newManifest = untouched.select(man.columns.map(col): _*)
         .unionByName(added.select(man.columns.map(col): _*))
-      commit(spark, root, version, newManifest, schema)
+      commit(spark, root, version, newManifest, schema,
+        CommitAction(what.stripPrefix("FileCow."), filePaths(added), affected.toSeq))
       Commit(version + 1, untouched.count(), affected.length.toLong, added.count())
     }
 
@@ -382,10 +445,12 @@ object FileCow {
       val statsCols = statsColsOf(spark, root, version)
       val rows = readVersion(spark, root, version)
         .repartitionByRange(math.max(1, targetFiles), col(statsCols.head))
-      val retired = manifest(spark, root, version).count()
+      val retired = filePaths(manifest(spark, root, version))
       val added = writeDataFiles(spark, root, rows, statsCols, maxRecordsPerFile)
-      commit(spark, root, version, added, schema)
-      Commit(version + 1, filesKept = 0L, filesRewritten = retired, added.count())
+      commit(spark, root, version, added, schema,
+        CommitAction("compact", filePaths(added), retired))
+      Commit(version + 1, filesKept = 0L, filesRewritten = retired.size.toLong,
+        added.count())
     }
 
   /** SCHEMA EVOLUTION: add a column (Delta/Iceberg `ALTER TABLE ADD
@@ -414,7 +479,8 @@ object FileCow {
       require(fields.map(_.name.toLowerCase).distinct.size == fields.size,
         "duplicate column names in one ADD COLUMNS")
       val man = manifest(spark, root, version)
-      commit(spark, root, version, man, StructType(schema.fields ++ fields))
+      commit(spark, root, version, man, StructType(schema.fields ++ fields),
+        CommitAction("add_columns", Nil, Nil))
       Commit(version + 1, filesKept = man.count(), filesRewritten = 0L, filesAdded = 0L)
     }
 
@@ -430,14 +496,33 @@ object FileCow {
     val sb = schemaOf(root, toVersion)
     require(sa == sb,
       s"snapshot schemas drifted between v$fromVersion and v$toVersion: $sa vs $sb")
-    val manA = manifest(spark, root, fromVersion).select("file")
-    val manB = manifest(spark, root, toVersion).select("file")
-    val onlyA = manA.join(manB, Seq("file"), "left_anti").collect().map(_.getString(0))
-    val onlyB = manB.join(manA, Seq("file"), "left_anti").collect().map(_.getString(0))
-    def readFiles(fs: Array[String]): DataFrame =
-      if (fs.nonEmpty) spark.read.schema(sa).parquet(fs.toSeq: _*)
+    val (onlyA, onlyB) = unsharedFiles(spark, root, fromVersion, toVersion)
+    def readFiles(fs: Seq[String]): DataFrame =
+      if (fs.nonEmpty) spark.read.schema(sa).parquet(fs: _*)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sa)
     Versioned.diff(readFiles(onlyA), readFiles(onlyB), keys)
+  }
+
+  /** Each side's files the versions do NOT share — preferably by FOLDING
+    * the commit log over (from, to] (no manifest is opened): data files are
+    * write-once UUID-named, so a path added within the interval and later
+    * removed within it is in neither endpoint, a removed-never-(re)added
+    * path was present at `from`, and an added-never-removed path is present
+    * at `to`. Any missing record (pre-log table) falls back to the
+    * manifest anti-join — the state-diff answer is always available. */
+  private def unsharedFiles(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): (Seq[String], Seq[String]) = {
+    val infos = ((fromVersion + 1) to toVersion).map(v => commitInfo(root, v))
+    if (infos.nonEmpty && infos.forall(_.isDefined)) {
+      val added = infos.flatMap(_.get.added).toSet
+      val removed = infos.flatMap(_.get.removed).toSet
+      ((removed -- added).toSeq, (added -- removed).toSeq)
+    } else {
+      val manA = manifest(spark, root, fromVersion).select("file")
+      val manB = manifest(spark, root, toVersion).select("file")
+      (manA.join(manB, Seq("file"), "left_anti").collect().map(_.getString(0)).toSeq,
+        manB.join(manA, Seq("file"), "left_anti").collect().map(_.getString(0)).toSeq)
+    }
   }
 
   /** Reference-counted vacuum: drop manifests older than the newest `keep`,
@@ -459,6 +544,7 @@ object FileCow {
     dropped.foreach { v =>
       deleteTree(manifestDir(root, v))
       Files.deleteIfExists(schemaFile(root, v))
+      Files.deleteIfExists(commitInfoFile(root, v))
     }
     val referenced: Set[String] =
       if (retained.isEmpty) Set.empty
@@ -558,9 +644,13 @@ object FileCow {
   }
 
   /** Stage the manifest, then CAS-commit it under the table lock (the same
-    * [[TablePointer]] seam as [[Versioned.publishIf]]). */
+    * [[TablePointer]] seam as [[Versioned.publishIf]]). Alongside the
+    * manifest, a [[CommitInfo]] action record lands (staged + moved the
+    * same way) — the commit log every incremental reader prefers over a
+    * manifest diff. Its totals come from one agg over the staged manifest
+    * parquet (file-count-sized metadata, read back once). */
   private def commit(spark: SparkSession, root: String, expected: Long,
-      newManifest: DataFrame, schema: StructType): Long = {
+      newManifest: DataFrame, schema: StructType, action: CommitAction): Long = {
     val next = expected + 1
     Files.createDirectories(manifestsDir(root))
     val staging = manifestsDir(root).resolve(
@@ -569,17 +659,34 @@ object FileCow {
     val schemaTmp = manifestsDir(root).resolve(
       s"m$next.schema.staging-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(schemaTmp, schema.json.getBytes(StandardCharsets.UTF_8))
+    val totals = spark.read.parquet(staging.toString)
+      .agg(count(lit(1)), coalesce(sum("rows"), lit(0L)), coalesce(sum("bytes"), lit(0L)))
+      .collect()(0)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rec = om.createObjectNode()
+    rec.put("version", next); rec.put("kind", action.kind)
+    rec.put("commitMs", System.currentTimeMillis())
+    rec.put("nFiles", totals.getLong(0))
+    rec.put("nRows", totals.getLong(1)); rec.put("bytes", totals.getLong(2))
+    val addedArr = rec.putArray("added"); action.added.foreach(addedArr.add)
+    val removedArr = rec.putArray("removed"); action.removed.foreach(removedArr.add)
+    val infoTmp = manifestsDir(root).resolve(
+      s"m$next.commit.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(infoTmp, om.writeValueAsBytes(rec))
     TablePointer.withCommitLock(root) {
       val cur = currentVersion(root)
       if (cur != expected) {
         deleteTree(staging)
         Files.deleteIfExists(schemaTmp)
+        Files.deleteIfExists(infoTmp)
         throw new ConcurrentPublishException(root, expected, cur)
       }
       val dest = manifestDir(root, next)
       deleteTree(dest) // orphan from a crashed attempt (provably unpublished)
       Files.move(staging, dest, StandardCopyOption.ATOMIC_MOVE)
       Files.move(schemaTmp, schemaFile(root, next), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.move(infoTmp, commitInfoFile(root, next), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       TablePointer.swap(root, next)
       next
@@ -605,6 +712,10 @@ object FileCow {
     sys.error("unreachable")
   }
 
+  /** File paths of a manifest (slice) — file-count-sized metadata. */
+  private def filePaths(manifestSlice: DataFrame): Seq[String] =
+    manifestSlice.select("file").collect().map(_.getString(0)).toSeq
+
   private def statsColsOf(spark: SparkSession, root: String, v: Long): Seq[String] =
     manifest(spark, root, v).columns.toSeq
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
@@ -613,6 +724,55 @@ object FileCow {
     val walk = Files.walk(p)
     try walk.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
     finally walk.close()
+  }
+}
+
+/** Driver-local cache of PUBLISHED cow manifests, keyed (root, version).
+  * A published manifest is immutable (version numbers are pointer-allocated
+  * and never reused, even across vacuum), so caching is safe forever; the
+  * value is file-count-sized metadata (the same adjudicated bound as
+  * Spark's `InMemoryFileIndex` cache). Bounded LRU so a long-lived session
+  * touching many versions cannot grow without limit. The payoff: a hot
+  * query loop against a cow table pays the manifest-parquet Spark job ONCE
+  * per version, not once per query plan ([[CowFileIndex]] previously ran
+  * one small job per `listFiles`/`sizeInBytes` call). */
+private[graft] object CowManifestCache {
+  private val MaxEntries = 64
+
+  /** Test seam: how many cache MISSES (manifest parquet loads) happened. */
+  @volatile var loads: Long = 0L
+
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long), (StructType, Seq[Row])](
+        MaxEntries, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), (StructType, Seq[Row])]): Boolean =
+        size() > MaxEntries
+    })
+
+  private[sources] def rowsOf(spark: SparkSession, root: String,
+      version: Long): (StructType, Seq[Row]) = {
+    val key = (Paths.get(root).toAbsolutePath.normalize.toString, version)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val df = spark.read.parquet(
+        FileCow.manifestDir(root, version).toString)
+      val loaded = (df.schema, df.collect().toSeq)
+      loads += 1
+      // an UNPUBLISHED version dir (crashed commit's orphan) may still be
+      // replaced by a winning commit — never cache it
+      if (version <= TablePointer.current(root)) cache.put(key, loaded)
+      loaded
+    }
+  }
+
+  /** The cached manifest as a LOCAL relation (driver-side data; filters on
+    * it fold without a Spark job). */
+  def relation(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val (schema, rows) = rowsOf(spark, root, version)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 }
 
@@ -634,11 +794,16 @@ private[sources] class CowFileIndex(
   override def partitionSchema: StructType = new StructType()
   override def refresh(): Unit = ()
 
+  // straight off the cached driver-local manifest rows — planning a query
+  // against a cow table submits NO Spark job (an aggregate over even a
+  // local relation would)
   override lazy val inputFiles: Array[String] =
-    man.select("file").collect().map(_.getString(0))
+    CowManifestCache.rowsOf(spark, root, version)._2
+      .map(_.getAs[String]("file")).toArray
 
   override lazy val sizeInBytes: Long =
-    man.agg(coalesce(sum("bytes"), lit(0L))).collect()(0).getLong(0)
+    CowManifestCache.rowsOf(spark, root, version)._2
+      .map(_.getAs[Long]("bytes")).sum
 
   override def listFiles(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
