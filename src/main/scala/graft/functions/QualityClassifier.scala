@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** tx21: TRAINED quality classifier — the published curation modality the
+  * heuristic family (tx02/tx08/tx10/tx18) feeds but does not itself cover:
+  * CCNet, GPT-3 (appendix A) and Dolma all gate documents with a trained
+  * linear/fastText classifier over exactly this kind of signal, not with
+  * the raw thresholds. Here that step is distilled end-to-end:
+  *
+  *  - [[features]] computes the signal vector (alpha ratio, stopword
+  *    ratio, token saturation — tx08's continuous signals, rounded the
+  *    same way) and the training label (tx08's gate decision: the
+  *    known-good/known-bad split every bootstrap classifier starts from);
+  *  - [[train]] fits an L2 logistic regression DETERMINISTICALLY: the
+  *    training frame is single-partition and key-sorted, so LBFGS sees an
+  *    identical gradient sequence on every run — retraining bit-reproduces
+  *    the coefficients (spec-pinned). L2 keeps the optimum bounded even
+  *    though the gate label is a deterministic function of the features
+  *    (perfectly separable data would otherwise push unregularized
+  *    weights to infinity with the iteration cap as the only stop);
+  *  - the SHIPPED model is the pinned constants below (trained by
+  *    [[train]] on the reference corpus, the way production pipelines ship
+  *    a frozen .bin); [[margin]] scores with fixed-coefficient arithmetic
+  *    in a declared operation order, so the DuckDB oracle re-applies the
+  *    identical dot product and the hash compare holds bit-for-bit.
+  *
+  * Scale: scoring is a narrow, shuffle-free, codegen-friendly projection —
+  * the 100 TB path. Training aggregates one gradient per iteration over
+  * the corpus; the single-partition determinism contract here is for
+  * reproducibility at test scale (a corpus-scale retrain would keep the
+  * natural partitioning and accept partition-order float association).
+  */
+object QualityClassifier {
+
+  /** The shipped model: coefficients from [[train]] on the sf0.01
+    * reference corpus (deterministic — see the retrain spec). Order:
+    * intercept, alpha_ratio, stop_ratio, tok_sat. */
+  val Intercept: Double = 12.5848004628528
+  val WAlpha: Double = -21.706062213404678
+  val WStop: Double = 32.09478419754671
+  val WSat: Double = 6.579400062294775
+
+  /** Signal vector + gate label for every document: doc_id, alpha_ratio,
+    * stop_ratio, tok_sat (token-count saturation at 50, the tx02 formula's
+    * own cap), label = tx08's pass gate as 0/1. */
+  def features(docs: DataFrame): DataFrame =
+    TextAnalysis.withQualitySignals(docs)
+      .withColumn("tok_sat",
+        round(least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)), 6))
+      .select(col("doc_id"), col("alpha_ratio"), col("stop_ratio"), col("tok_sat"),
+        when(col("pass"), 1.0d).otherwise(0.0d).as("label"))
+
+  /** Deterministically fit (intercept, wAlpha, wStop, wSat) on `docs`.
+    * Same corpus in ⇒ bit-identical coefficients out. */
+  def train(spark: SparkSession, docs: DataFrame): (Double, Seq[Double]) = {
+    import spark.implicits._
+    val data = features(docs)
+      .select("doc_id", "alpha_ratio", "stop_ratio", "tok_sat", "label")
+      .as[(String, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq // key-sorted, driver-local: one gradient order
+      .map { case (_, a, s, t, y) => (Vectors.dense(a, s, t), y) }
+      .toDF("features", "label").coalesce(1)
+    val lr = new LogisticRegression()
+      .setMaxIter(200).setTol(1e-9).setRegParam(0.01).setStandardization(true)
+    val m = lr.fit(data)
+    (m.interceptVector(0), m.coefficientMatrix.rowIter.next().toArray.toSeq)
+  }
+
+  /** The shipped model's decision function, in the DECLARED operation
+    * order `((intercept + wa*x1) + ws*x2) + wt*x3` that the SQL oracle
+    * mirrors literally — identical IEEE-double sequence on both engines. */
+  def margin(alphaRatio: Column, stopRatio: Column, tokSat: Column): Column =
+    round(lit(Intercept) + lit(WAlpha) * alphaRatio
+      + lit(WStop) * stopRatio + lit(WSat) * tokSat, 6)
+
+  /** The oracle spelling of [[margin]] (coefficients cast to DOUBLE —
+    * DuckDB numeric literals are DECIMAL by default). */
+  private def marginSql(a: String, s: String, t: String): String =
+    s"""ROUND(CAST($Intercept AS DOUBLE) + CAST($WAlpha AS DOUBLE) * $a
+       |  + CAST($WStop AS DOUBLE) * $s + CAST($WSat AS DOUBLE) * $t, 6)""".stripMargin
+
+  import TextAnalysis.{sqlList, stopEn}
+  import TextPrep.cleanSql
+
+  val tx21 = Q(
+    "tx21_quality_classifier",
+    s"""WITH doc AS (SELECT doc_id, text, $cleanSql AS c FROM documents),
+      |feat AS (SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_raw,
+      |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+      |  CAST(len(string_split(c, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_intersect(list_distinct(string_split(c, ' ')), ${sqlList(stopEn)})) AS BIGINT) AS stop_hits
+      |FROM doc),
+      |x AS (SELECT doc_id,
+      |  ROUND(CAST(n_alpha AS DOUBLE) / CAST(n_raw AS DOUBLE), 6) AS alpha_ratio,
+      |  ROUND(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+      |  ROUND(LEAST(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 50.0), 6) AS tok_sat
+      |FROM feat)
+      |SELECT doc_id, alpha_ratio, stop_ratio, tok_sat,
+      |  ${marginSql("alpha_ratio", "stop_ratio", "tok_sat")} AS margin,
+      |  ${marginSql("alpha_ratio", "stop_ratio", "tok_sat")} >= CAST(0.0 AS DOUBLE) AS pred
+      |FROM x""".stripMargin) { (s, d) =>
+    features(Tables.documents(s, d))
+      .select(col("doc_id"), col("alpha_ratio"), col("stop_ratio"), col("tok_sat"),
+        margin(col("alpha_ratio"), col("stop_ratio"), col("tok_sat")).as("margin"))
+      .withColumn("pred", col("margin") >= lit(0.0))
+  }
+}
