@@ -178,6 +178,21 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => ac
       }
 
+    case t @ TruncateTable(child) =>
+      commandTarget(child) match {
+        case Some((name, entry)) => GraftTruncateCommand(name, entry.root, entry.cow)
+        case None => t
+      }
+
+    case d @ DropTable(child, _, _) =>
+      commandTarget(child) match {
+        // registry-bound name: DROP is a catalog-lite operation — the
+        // binding goes away, the data dirs stay (external-table semantics:
+        // the root was caller-provided; reclaim is vacuum's job)
+        case Some((name, _)) => GraftDropTableCommand(name)
+        case None => d
+      }
+
     case rel: UnresolvedRelation =>
       GraftTables.keyFor(rel.multipartIdentifier).flatMap(k =>
         GraftTables.entryOf(k).map((k, _))) match {
@@ -197,6 +212,30 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def registered(target: LogicalPlan): Option[(String, GraftTables.Entry)] =
     targetName(target).flatMap(n => GraftTables.keyFor(n).flatMap(k =>
       GraftTables.entryOf(k).map((k, _))))
+
+  /** The registry entry a catalog-command target names — commands wrap the
+    * name in `UnresolvedTable` / `UnresolvedIdentifier` /
+    * `UnresolvedTableOrView` depending on the statement. */
+  private def commandTarget(child: LogicalPlan): Option[(String, GraftTables.Entry)] = {
+    val parts = child match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        Some(u.multipartIdentifier)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+        Some(u.nameParts)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+        Some(u.multipartIdentifier)
+      // DROP's identifier resolves eagerly (existence not required), so by
+      // the time this rule runs the name rides a ResolvedIdentifier; a bare
+      // statement name lands in the session catalog's default namespace
+      case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier
+          if r.identifier.namespace.isEmpty ||
+            r.identifier.namespace.sameElements(Array("default")) =>
+        Some(Seq(r.identifier.name))
+      case _ => None
+    }
+    parts.flatMap(n => GraftTables.keyFor(n).flatMap(k =>
+      GraftTables.entryOf(k).map((k, _))))
+  }
 
   /** `t.k` → `k`: single-table DML conditions resolve against the snapshot
     * frame, which does not carry the statement's alias. */
@@ -286,6 +325,22 @@ case class GraftDeleteCommand(table: String, root: String, cond: ExprHolder,
   override def output: Seq[Attribute] = Nil
 }
 
+/** `TRUNCATE TABLE t`: one commit that empties the table — the schema and
+  * the version history survive (time travel still reads pre-truncate
+  * snapshots; vacuum reclaims them on its own schedule). */
+case class GraftTruncateCommand(table: String, root: String,
+    cow: Boolean = false) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `DROP TABLE t` on a registry-bound name: removes the catalog-lite
+  * binding only. Data dirs remain on disk (external-table semantics — the
+  * root was the caller's path); a later `registerCow`/`register` of the
+  * same root re-attaches the full history. */
+case class GraftDropTableCommand(table: String) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 /** `ALTER TABLE t ADD COLUMNS (…)` on a cow table: ONE metadata-only
   * commit ([[graft.sources.FileCow.addColumns]]). */
 case class GraftAddColumnsCommand(table: String, root: String,
@@ -329,11 +384,13 @@ object GraftWriteSupport {
     require(src.columns.length == schema.length,
       s"INSERT arity mismatch: query produces ${src.columns.length} columns, " +
         s"table has ${schema.length}")
-    // backtick-quote source names: a literal column like `2.5` must not be
-    // parsed as a field extraction
-    src.select(src.columns.zip(schema.fields).map { case (c, f) =>
-      col(s"`$c`").cast(f.dataType).as(f.name)
-    }.toSeq: _*)
+    // rename by POSITION first: source names can collide (`SELECT 7, 7`)
+    // or contain dots (`SELECT 2.5`), so name-based selection would be
+    // ambiguous or parse as field extraction
+    src.toDF(schema.indices.map(i => s"_ins_c$i"): _*)
+      .select(schema.fields.zipWithIndex.map { case (f, i) =>
+        col(s"_ins_c$i").cast(f.dataType).as(f.name)
+      }.toSeq: _*)
   }
 
   /** CTAS/bootstrap layout: range-partition on the lead stats column at the
@@ -361,6 +418,15 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     }) :: Nil
     case c: GraftAddColumnsCommand => GraftCowExec(c.table, { spark =>
       FileCow.addColumns(spark, c.root, c.fields); ()
+    }) :: Nil
+    case c: GraftTruncateCommand if c.cow => GraftCowExec(c.table, { spark =>
+      FileCow.delete(spark, c.root, lit(true)); ()
+    }) :: Nil
+    case c: GraftTruncateCommand => GraftDmlExec(c.table, c.root, { (_, current) =>
+      current.limit(0)
+    }) :: Nil
+    case c: GraftDropTableCommand => GraftCowExec(c.table, { _ =>
+      GraftTables.unregister(c.table); ()
     }) :: Nil
     case c: GraftUpdateCommand if c.cow => GraftCowExec(c.table, { spark =>
       FileCow.update(spark, c.root,

@@ -70,12 +70,16 @@ object FileCow {
     * each side's unshared-file sets without touching either manifest. */
   final case class CommitInfo(version: Long, kind: String, commitMs: Long,
       nFiles: Long, nRows: Long, bytes: Long,
-      added: Seq[String], removed: Seq[String])
+      added: Seq[String], removed: Seq[String],
+      txn: Option[(String, Long)] = None)
 
   /** The file-path delta a commit is about to apply, handed to [[commit]]
-    * by each DML (which knows it exactly — no diff needed). */
+    * by each DML (which knows it exactly — no diff needed). `txn` is the
+    * Delta `txn`-action analog: an (appId, batchId) stamp riding INSIDE
+    * the CAS commit, so a streaming writer's idempotence check and its
+    * data land atomically — no marker window to crash in. */
   private final case class CommitAction(kind: String, added: Seq[String],
-      removed: Seq[String])
+      removed: Seq[String], txn: Option[(String, Long)] = None)
 
   private def commitInfoFile(root: String, v: Long): NioPath =
     manifestsDir(root).resolve(s"m$v.commit.json")
@@ -92,12 +96,27 @@ object FileCow {
         val arr = n.get(field)
         (0 until arr.size()).map(arr.get(_).asText())
       }
+      val txn =
+        if (n.has("txnApp")) Some((n.get("txnApp").asText(), n.get("txnBatch").asLong()))
+        else None
       Some(CommitInfo(n.get("version").asLong(), n.get("kind").asText(),
         n.get("commitMs").asLong(), n.get("nFiles").asLong(),
         n.get("nRows").asLong(), n.get("bytes").asLong(),
-        strings("added"), strings("removed")))
+        strings("added"), strings("removed"), txn))
     }
   }
+
+  /** Latest batch id `appId` stamped into a RETAINED commit, −1 if none —
+    * the Delta `txn` read side. Commits serialize, so the newest retained
+    * record for the app carries its highest batch id. Retention caveat
+    * (same as Delta's): vacuum drops records with their versions, so a
+    * replay older than the retention horizon is no longer detectable —
+    * keep retention above the stream's maximum replay window. */
+  def lastTxn(root: String, appId: String): Long =
+    versions(root).reverseIterator
+      .flatMap(v => commitInfo(root, v).flatMap(_.txn))
+      .collectFirst { case (app, batch) if app == appId => batch }
+      .getOrElse(-1L)
 
   private def dataDir(root: String): NioPath = Paths.get(root, "_data")
   private def manifestsDir(root: String): NioPath = Paths.get(root, "_manifests")
@@ -200,14 +219,15 @@ object FileCow {
     * the merge key). File layout follows `df`'s partitioning: repartition
     * by range on the key upstream for disjoint per-file key ranges. */
   def create(spark: SparkSession, root: String, df: DataFrame,
-      statsCols: Seq[String], maxRecordsPerFile: Long = 0L): Commit = {
+      statsCols: Seq[String], maxRecordsPerFile: Long = 0L,
+      txn: Option[(String, Long)] = None): Commit = {
     require(currentVersion(root) == 0L && versions(root).isEmpty,
       s"table already exists at $root")
     require(statsCols.nonEmpty && statsCols.forall(df.columns.contains),
       s"statsCols ${statsCols.mkString(",")} must exist in the frame")
     val added = writeDataFiles(spark, root, df, statsCols, maxRecordsPerFile)
     commit(spark, root, expected = 0L, newManifest = added, schema = df.schema,
-      CommitAction("create", filePaths(added), Nil))
+      CommitAction("create", filePaths(added), Nil, txn))
     Commit(1L, filesKept = 0L, filesRewritten = 0L, filesAdded = added.count())
   }
 
@@ -317,7 +337,8 @@ object FileCow {
     * of the increment), so stats stay tight and file size stays uniform
     * instead of inheriting whatever partitioning the INSERT's SELECT had. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      maxRecordsPerFile: Long = 0L): Commit =
+      maxRecordsPerFile: Long = 0L,
+      txn: Option[(String, Long)] = None): Commit =
     retrying(root, "FileCow.append") { version =>
       val schema = schemaOf(root, version)
       require(df.schema.map(f => (f.name, f.dataType)) ==
@@ -338,7 +359,7 @@ object FileCow {
       val added = writeDataFiles(spark, root, ranged, statsCols, maxRecordsPerFile)
       val newManifest = man.unionByName(added.select(man.columns.map(col): _*))
       commit(spark, root, version, newManifest, schema,
-        CommitAction("append", filePaths(added), Nil))
+        CommitAction("append", filePaths(added), Nil, txn))
       Commit(version + 1, filesKept = man.count(), filesRewritten = 0L,
         filesAdded = added.count())
     }
@@ -670,6 +691,9 @@ object FileCow {
     rec.put("nRows", totals.getLong(1)); rec.put("bytes", totals.getLong(2))
     val addedArr = rec.putArray("added"); action.added.foreach(addedArr.add)
     val removedArr = rec.putArray("removed"); action.removed.foreach(removedArr.add)
+    action.txn.foreach { case (app, batch) =>
+      rec.put("txnApp", app); rec.put("txnBatch", batch)
+    }
     val infoTmp = manifestsDir(root).resolve(
       s"m$next.commit.staging-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(infoTmp, om.writeValueAsBytes(rec))

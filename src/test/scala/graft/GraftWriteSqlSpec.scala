@@ -129,6 +129,60 @@ class GraftWriteSqlSpec extends SparkSpec {
     GraftTables.unregister("ins_boot")
   }
 
+  test("INSERT INTO ... VALUES goes through the same positional append path") {
+    val root = Files.createTempDirectory("graft-ins-vals").toString
+    GraftTables.registerCow("ins_vals", root)
+    spark.sql("CREATE TABLE ins_vals AS SELECT CAST(1 AS BIGINT) AS k, 'a' AS v")
+    spark.sql("INSERT INTO ins_vals VALUES (2, 'b'), (3, 'c')")
+    assert(FileCow.currentVersion(root) == 2L)
+    assert(spark.sql("SELECT k, v FROM ins_vals").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    GraftTables.unregister("ins_vals")
+  }
+
+  test("TRUNCATE TABLE empties both layouts in one commit; history survives") {
+    val cowRoot = Files.createTempDirectory("graft-trunc-cow").toString
+    GraftTables.registerCow("trunc_cow", cowRoot)
+    spark.sql("CREATE TABLE trunc_cow AS SELECT id AS k, id AS v FROM range(1, 101)")
+    spark.sql("TRUNCATE TABLE trunc_cow")
+    assert(FileCow.currentVersion(cowRoot) == 2L)
+    assert(spark.sql("SELECT count(*) c FROM trunc_cow").as[Long].head() == 0L)
+    // schema survives the empty snapshot; time travel reads pre-truncate
+    assert(spark.sql("SELECT k FROM trunc_cow").schema.map(_.name) == Seq("k"))
+    assert(spark.sql("SELECT count(*) c FROM trunc_cow VERSION AS OF 1")
+      .as[Long].head() == 100L)
+    // and the table is still writable after
+    spark.sql("INSERT INTO trunc_cow SELECT 7, 7")
+    assert(spark.sql("SELECT count(*) c FROM trunc_cow").as[Long].head() == 1L)
+
+    val snapRoot = Files.createTempDirectory("graft-trunc-snap").toString
+    GraftTables.register("trunc_snap", snapRoot)
+    spark.sql("CREATE TABLE trunc_snap AS SELECT id AS k FROM range(1, 51)")
+    spark.sql("TRUNCATE TABLE trunc_snap")
+    assert(spark.sql("SELECT count(*) c FROM trunc_snap").as[Long].head() == 0L)
+    assert(Versioned.currentVersion(snapRoot) == 2L)
+    GraftTables.unregister("trunc_cow"); GraftTables.unregister("trunc_snap")
+  }
+
+  test("DROP TABLE removes the binding, keeps the data; re-register re-attaches history") {
+    val root = Files.createTempDirectory("graft-drop").toString
+    GraftTables.registerCow("drop_me", root)
+    spark.sql("CREATE TABLE drop_me AS SELECT id AS k FROM range(1, 11)")
+    spark.sql("INSERT INTO drop_me SELECT 99")
+    spark.sql("DROP TABLE drop_me")
+    assert(GraftTables.entryOf("drop_me").isEmpty)
+    // the name no longer resolves through us
+    val e = intercept[Exception] { spark.sql("SELECT * FROM drop_me").collect() }
+    assert(e.getMessage.toLowerCase.contains("drop_me"))
+    // external-table semantics: the data and history are still on disk
+    assert(FileCow.versions(root) == Seq(1L, 2L))
+    GraftTables.registerCow("drop_me", root)
+    assert(spark.sql("SELECT count(*) c FROM drop_me").as[Long].head() == 11L)
+    assert(spark.sql("SELECT count(*) c FROM drop_me VERSION AS OF 1")
+      .as[Long].head() == 10L)
+    GraftTables.unregister("drop_me")
+  }
+
   test("append keeps rows-per-file near the table's existing grain") {
     val root = Files.createTempDirectory("graft-app-grain").toString
     // 1000 rows in 4 files => ~250 rows/file
