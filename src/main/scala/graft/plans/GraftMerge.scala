@@ -414,7 +414,11 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     }) :: Nil
     case c: GraftVacuumCommand => GraftVacuumExec(c) :: Nil
     case c: GraftOptimizeCommand => GraftCowExec(c.table, { spark =>
-      FileCow.compact(spark, c.root, c.targetFiles); ()
+      c.zorder match {
+        case Some((a, b)) => FileCow.compactZOrder(spark, c.root, c.targetFiles, a, b)
+        case None => FileCow.compact(spark, c.root, c.targetFiles)
+      }
+      ()
     }) :: Nil
     case c: GraftAddColumnsCommand => GraftCowExec(c.table, { spark =>
       FileCow.addColumns(spark, c.root, c.fields); ()

@@ -31,7 +31,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
 
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s+INTO\s+(\d+)\s+FILES\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s+INTO\s+(\d+)\s+FILES(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s*;?\s*""".r
+
+  /** `DESCRIBE DETAIL t` — the cow table's FILE-LEVEL metadata as a
+    * relation (Delta `DESCRIBE DETAIL` / Iceberg `.files`): one row per
+    * current data file with bytes, rows, and per-stats-column [min, max]
+    * — the layout-inspection surface OPTIMIZE/ZORDER decisions read. */
+  private val Detail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
 
   /** `CREATE TABLE <registered> AS <query>` — the migrating user's first
     * statement. The prefix claims ONLY names pre-registered via
@@ -60,12 +67,25 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           graft.sources.Versioned.history(session, e.root).queryExecution.analyzed
         case None => sys.error(s"DESCRIBE HISTORY: '$name' is not a registered graft table")
       }
-    case Optimize(name, n) =>
+    case Optimize(name, n, za, zb) =>
       GraftTables.entryOf(name) match {
-        case Some(e) if e.cow => GraftOptimizeCommand(name, e.root, n.toInt)
+        case Some(e) if e.cow =>
+          GraftOptimizeCommand(name, e.root, n.toInt,
+            zorder = Option(za).map(a => (a, zb)))
         case Some(_) => sys.error(s"OPTIMIZE: '$name' is a snapshot-level table — " +
           "every publish already rewrites it; OPTIMIZE applies to cow tables")
         case None => sys.error(s"OPTIMIZE: '$name' is not a registered graft table")
+      }
+    case Detail(name) =>
+      GraftTables.entryOf(name) match {
+        // relation, not command (same reasoning as DESCRIBE HISTORY):
+        // composes with WHERE/ORDER BY/aggregates
+        case Some(e) if e.cow =>
+          graft.sources.FileCow.manifest(session, e.root,
+            graft.sources.FileCow.currentVersion(e.root)).queryExecution.analyzed
+        case Some(_) => sys.error(s"DESCRIBE DETAIL: '$name' is a snapshot-level " +
+          "table (no per-file manifest); use DESCRIBE HISTORY")
+        case None => sys.error(s"DESCRIBE DETAIL: '$name' is not a registered graft table")
       }
     case Ctas(name, query) if GraftTables.entryOf(name).isDefined =>
       val e = GraftTables.entryOf(name).get
@@ -117,10 +137,13 @@ object GraftVacuumExec {
   val DefaultAgeMs: Long = 7L * 24 * 3600000L
 }
 
-/** `OPTIMIZE t INTO n FILES` — file-level compaction on a cow table (the
-  * Delta OPTIMIZE analog; layout-only commit, planned by
-  * [[GraftMergeStrategy]], mechanism = [[graft.sources.FileCow.compact]]). */
-case class GraftOptimizeCommand(table: String, root: String, targetFiles: Int)
+/** `OPTIMIZE t INTO n FILES [ZORDER BY (a, b)]` — file-level compaction on
+  * a cow table (the Delta OPTIMIZE / OPTIMIZE ZORDER analog; layout-only
+  * commit, planned by [[GraftMergeStrategy]]; mechanism =
+  * [[graft.sources.FileCow.compact]] or
+  * [[graft.sources.FileCow.compactZOrder]]). */
+case class GraftOptimizeCommand(table: String, root: String, targetFiles: Int,
+    zorder: Option[(String, String)] = None)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }

@@ -474,6 +474,58 @@ object FileCow {
         added.count())
     }
 
+  /** COMPACT with Z-ORDER clustering — Delta's `OPTIMIZE … ZORDER BY` on
+    * the cow layout: rewrite the current rows ordered by the 16-bit Morton
+    * interleave of `colA`/`colB` (G12's grid) into `targetFiles` files, so
+    * each file covers a roughly-square REGION of the (a, b) plane and the
+    * manifest's per-file [min, max] — which this table ALREADY tracks for
+    * every stats column — turns tight in BOTH dimensions. After this one
+    * layout-only commit, a box predicate prunes to O(files touching the
+    * box) through the ordinary [[CowFileIndex]] admission; a linear layout
+    * prunes only its lead dimension. The Morton key never persists — it
+    * exists to order the shuffle; pruning stays the stats-column interval
+    * intersection.
+    *
+    * Both columns must be integer-valued stats columns (map dates through
+    * datediff upstream): without manifest stats the clustering would buy
+    * no pruning, which is a misuse worth failing loudly. */
+  def compactZOrder(spark: SparkSession, root: String, targetFiles: Int,
+      colA: String, colB: String, maxRecordsPerFile: Long = 0L): Commit =
+    retrying(root, "FileCow.compactZOrder") { version =>
+      val schema = schemaOf(root, version)
+      val statsCols = statsColsOf(spark, root, version)
+      Seq(colA, colB).foreach { c =>
+        require(statsCols.contains(c), s"ZORDER BY $c: not a stats column " +
+          s"(tracked: ${statsCols.mkString(",")}) — clustering without " +
+          "per-file stats cannot prune")
+        import org.apache.spark.sql.types._
+        val ok = schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType | DateType => true
+          case _ => false
+        }
+        require(ok, s"ZORDER BY $c: not an integer/date column " +
+          s"(${schema(c).dataType.simpleString}) — the Morton grid needs " +
+          "integer coordinates (map other types upstream)")
+      }
+      val rows = readVersion(spark, root, version)
+      val r = rows.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+        min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+      val ordered =
+        if (r.isNullAt(0)) rows // empty table: nothing to cluster
+        else rows.withColumn("_zkey", Sources.morton16(
+            Sources.norm16(col(colA), r.getLong(0), r.getLong(1)),
+            Sources.norm16(col(colB), r.getLong(2), r.getLong(3))))
+          .repartitionByRange(math.max(1, targetFiles), col("_zkey"))
+          .sortWithinPartitions("_zkey")
+          .drop("_zkey")
+      val retired = filePaths(manifest(spark, root, version))
+      val added = writeDataFiles(spark, root, ordered, statsCols, maxRecordsPerFile)
+      commit(spark, root, version, added, schema,
+        CommitAction("zorder", filePaths(added), retired))
+      Commit(version + 1, filesKept = 0L, filesRewritten = retired.size.toLong,
+        added.count())
+    }
+
   /** SCHEMA EVOLUTION: add a column (Delta/Iceberg `ALTER TABLE ADD
     * COLUMN`) as a METADATA-ONLY commit — no data file is touched; the new
     * manifest carries the same files and the new schema, and readers

@@ -233,8 +233,9 @@ object Sources {
         shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
 
-  /** Affine map of an integer column onto the 16-bit Morton grid. */
-  private def norm16(c: Column, mn: Long, mx: Long): Column =
+  /** Affine map of an integer column onto the 16-bit Morton grid.
+    * private[graft]: [[FileCow.compactZOrder]] shares the grid. */
+  private[graft] def norm16(c: Column, mn: Long, mx: Long): Column =
     if (mx == mn) lit(0L)
     else ((c.cast("long") - mn) * 65535L / (mx - mn)).cast("long")
 

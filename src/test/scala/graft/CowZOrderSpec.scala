@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftTables
+import graft.sources.FileCow
+
+/** `OPTIMIZE … ZORDER BY` on a cow table (Delta's OPTIMIZE ZORDER): one
+  * layout-only commit that re-clusters the rows in Morton order so the
+  * manifest's EXISTING per-file stats become tight in both dimensions.
+  * Claims:
+  *
+  *   1. identical rows before/after (empty change feed — layout-only);
+  *   2. a secondary-dimension predicate that admitted EVERY file under the
+  *      linear layout admits a strict subset after Z-ordering — the
+  *      pruning G12 proves for plain parquet, now through the cow
+  *      manifest + CowFileIndex with zero new metadata;
+  *   3. ZORDER BY a non-stats column fails loudly (clustering without
+  *      stats cannot prune — misuse, not a silent no-op);
+  *   4. `DESCRIBE DETAIL` exposes the per-file layout the decision reads.
+  */
+class CowZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def openedFiles(q: DataFrame): Int = {
+    val scan = q.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).map(_.files.length).sum
+  }
+
+  test("ZORDER compaction: same rows, empty feed, secondary-dimension pruning appears") {
+    val root = Files.createTempDirectory("graft-zorder").toString
+    GraftTables.registerCow("zorder_t", root)
+    // 64x64 grid laid out LINEARLY on a: per file a is tight, b spans 0..63
+    val grid = spark.range(0, 4096).select(
+      (col("id") / 64).cast("long").as("a"),
+      (col("id") % 64).as("b"),
+      col("id").as("payload"))
+      .repartitionByRange(16, col("a"))
+    FileCow.create(spark, root, grid, statsCols = Seq("a", "b"))
+
+    def bSlice: DataFrame =
+      spark.sql("SELECT a, b, payload FROM zorder_t WHERE b BETWEEN 0 AND 7")
+    val before = bSlice.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(before.size == 64 * 8)
+    assert(openedFiles(bSlice) == 16, "linear layout: b-slice admits every file")
+
+    spark.sql("OPTIMIZE zorder_t INTO 16 FILES ZORDER BY (a, b)")
+    assert(FileCow.commitInfo(root, 2L).get.kind == "zorder")
+    // layout-only: identical rows, empty change feed across the commit
+    assert(FileCow.changesBetween(spark, root, Seq("a", "b"), 1L, 2L).isEmpty)
+    val after = bSlice.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before)
+    val openedAfter = openedFiles(bSlice)
+    assert(openedAfter < 16,
+      s"z-ordered regions must prune the b-slice, opened $openedAfter of 16")
+    // and the lead dimension still prunes too
+    val aSlice = spark.sql("SELECT a FROM zorder_t WHERE a BETWEEN 0 AND 7")
+    assert(openedFiles(aSlice) < 16)
+    GraftTables.unregister("zorder_t")
+  }
+
+  test("ZORDER BY a non-stats column is refused; DESCRIBE DETAIL shows the layout") {
+    val root = Files.createTempDirectory("graft-zorder2").toString
+    GraftTables.registerCow("zorder_u", root)
+    spark.sql("CREATE TABLE zorder_u AS SELECT id AS a, id % 7 AS b, " +
+      "concat('p', id) AS payload FROM range(0, 100)")
+    val e = intercept[Exception] {
+      spark.sql("OPTIMIZE zorder_u INTO 4 FILES ZORDER BY (a, payload)")
+    }
+    assert(e.getMessage.contains("ZORDER BY payload"))
+    // DESCRIBE DETAIL: one row per data file, stats columns present, composable
+    val d = spark.sql("DESCRIBE DETAIL zorder_u")
+    assert(d.columns.contains("min_a") && d.columns.contains("max_b"))
+    assert(d.count() == FileCow.manifest(spark, root, 1L).count())
+    assert(spark.sql("DESCRIBE DETAIL zorder_u").agg(sum("rows"))
+      .as[Long].head() == 100L)
+    GraftTables.unregister("zorder_u")
+  }
+}
