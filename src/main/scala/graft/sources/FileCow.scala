@@ -573,7 +573,17 @@ object FileCow {
     def readFiles(fs: Seq[String]): DataFrame =
       if (fs.nonEmpty) spark.read.schema(sa).parquet(fs: _*)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sa)
-    Versioned.diff(readFiles(onlyA), readFiles(onlyB), keys)
+    // One-sided short-circuit: an append-only interval retires no files, so
+    // under the key-uniqueness contract every row in the new files is an
+    // insert — the feed is a scan + tag, NO join, NO shuffle (ditto a pure
+    // retire interval: all deletes). This is what makes streaming an
+    // append-heavy table's feed (F19/F20) cost O(new data) with no
+    // exchange at all; the diff join remains for genuinely mixed commits.
+    def tagged(fs: Seq[String], tag: String): DataFrame =
+      readFiles(fs).select(lit(tag).as("_change_type") +: sa.map(f => col(f.name)): _*)
+    if (onlyA.isEmpty) tagged(onlyB, "insert")
+    else if (onlyB.isEmpty) tagged(onlyA, "delete")
+    else Versioned.diff(readFiles(onlyA), readFiles(onlyB), keys)
   }
 
   /** Each side's files the versions do NOT share — preferably by FOLDING

@@ -89,6 +89,29 @@ class CommitLogSpec extends SparkSpec {
     assert(FileCow.changesBetween(spark, root, Seq("k"), 5L, 6L).isEmpty)
   }
 
+  test("append-only interval: the feed is a scan + tag — no join, no shuffle") {
+    val root = Files.createTempDirectory("graft-cmtapp").toString
+    FileCow.create(spark, root,
+      spark.range(1, 101).select(col("id").as("k"), col("id").as("v"))
+        .repartitionByRange(2, col("k")), statsCols = Seq("k"))
+    FileCow.append(spark, root, Seq((500L, 500L)).toDF("k", "v"))
+    FileCow.append(spark, root, Seq((600L, 600L), (601L, 601L)).toDF("k", "v"))
+    val feed = FileCow.changesBetween(spark, root, Seq("k"), 1L, 3L)
+    assert(asSet(feed) == fullDiff(root, 1L, 3L))
+    assert(asSet(feed).forall(_._3 == "insert"))
+    // the one-sided short-circuit: the physical plan carries no exchange
+    // and no join — the feed cost is exactly the new files' scan
+    val plan = feed.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(exchanges.isEmpty && joins.isEmpty,
+      s"append-only feed must be join/shuffle-free, got ${plan.treeString.take(400)}")
+  }
+
   test("a missing commit record falls back to the manifest diff, same answer") {
     val root = buildMixedHistory()
     Files.delete(Paths.get(root, "_manifests", "m4.commit.json"))
