@@ -124,12 +124,29 @@ object MaterializedAgg {
     val to = FileCow.currentVersion(srcRoot)
     if (to == from) return (from, to)
     val feed = FileCow.changesBetween(spark, srcRoot, keys, from, to)
+    foldFeed(spark, feed, viewRoot, groupCols, sumCols, srcTo = to)
+    (from, to)
+  }
+
+  /** The ONE fold: signed contributions → delta-sized aggregate → group-key
+    * merge into the stored view → intent-protected publish. Shared by
+    * [[refresh]] (pull: feed computed from `changesBetween`) and the F21
+    * streaming sink (push: feed arrives as a CDF micro-batch) so the
+    * scheduled and the live view cannot drift on the algebra or on the
+    * exactly-once protocol. An uninitialized view (applied == 0) folds its
+    * first feed against the empty view — the streaming-genesis bootstrap. */
+  private[graft] def foldFeed(spark: SparkSession, feed: DataFrame,
+      viewRoot: String, groupCols: Seq[String], sumCols: Seq[String],
+      srcTo: Long): Unit = {
     // signed contributions: one delta-sized aggregate
     val sign = when(col("_change_type").isin("insert", "update_post"), 1L).otherwise(-1L)
     val delta = feed.groupBy(groupCols.map(col): _*)
       .agg(sum(sign).as(CountCol),
         sumCols.map(c => sum(col(c) * sign).as(s"sum_$c")): _*)
-    val stored = Versioned.read(spark, viewRoot)
+    val stored =
+      if (Versioned.currentVersion(viewRoot) > 0) Versioned.read(spark, viewRoot)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.schema)
     val merged = stored.unionByName(delta)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col(CountCol)).as(CountCol),
@@ -137,13 +154,13 @@ object MaterializedAgg {
       .filter(col(CountCol) > 0) // groups whose last row was deleted vanish
     // write-ahead intent → publish → finalize (see scaladoc)
     val tmp = intentPath(viewRoot).resolveSibling("_intent.tmp")
-    Files.write(tmp, to.toString.getBytes(StandardCharsets.UTF_8))
+    Files.createDirectories(Paths.get(viewRoot))
+    Files.write(tmp, srcTo.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, intentPath(viewRoot), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     val viewV = Versioned.publish(merged.localCheckpoint(), viewRoot)
-    writeMarker(viewRoot, to, viewV)
+    writeMarker(viewRoot, srcTo, viewV)
     Files.deleteIfExists(intentPath(viewRoot))
-    (from, to)
   }
 
   /** The view relation (current snapshot). */
