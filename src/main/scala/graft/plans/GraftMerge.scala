@@ -413,6 +413,9 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
       current.filter(!GraftBridge.column(c.cond.e))
     }) :: Nil
     case c: GraftVacuumCommand => GraftVacuumExec(c) :: Nil
+    case c: GraftRestoreCommand => GraftCowExec(c.table, { spark =>
+      FileCow.restore(spark, c.root, c.toVersion); ()
+    }) :: Nil
     case c: GraftOptimizeCommand => GraftCowExec(c.table, { spark =>
       c.zorder match {
         case Some((a, b)) => FileCow.compactZOrder(spark, c.root, c.targetFiles, a, b)

@@ -33,6 +33,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s+INTO\s+(\d+)\s+FILES(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s*;?\s*""".r
 
+  private val Restore =
+    """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+
   /** `DESCRIBE DETAIL t` — the cow table's FILE-LEVEL metadata as a
     * relation (Delta `DESCRIBE DETAIL` / Iceberg `.files`): one row per
     * current data file with bytes, rows, and per-stats-column [min, max]
@@ -75,6 +78,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case Some(_) => sys.error(s"OPTIMIZE: '$name' is a snapshot-level table — " +
           "every publish already rewrites it; OPTIMIZE applies to cow tables")
         case None => sys.error(s"OPTIMIZE: '$name' is not a registered graft table")
+      }
+    case Restore(name, v) =>
+      GraftTables.entryOf(name) match {
+        case Some(e) if e.cow => GraftRestoreCommand(name, e.root, v.toLong)
+        case Some(_) => sys.error(s"RESTORE TABLE: '$name' is a snapshot-level " +
+          "table — re-publish the old version's frame; RESTORE applies to cow tables")
+        case None => sys.error(s"RESTORE TABLE: '$name' is not a registered graft table")
       }
     case Detail(name) =>
       GraftTables.entryOf(name) match {
@@ -129,6 +139,14 @@ case class GraftVacuumExec(cmd: GraftVacuumCommand) extends LeafExecNode {
   }
   protected override def doExecute(): RDD[InternalRow] = { done; sparkContext.emptyRDD }
   override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF n` — one shared-files commit that
+  * rewinds a cow table ([[graft.sources.FileCow.restore]]); planned by
+  * [[GraftMergeStrategy]]. */
+case class GraftRestoreCommand(table: String, root: String, toVersion: Long)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
 }
 
 object GraftVacuumExec {

@@ -84,14 +84,17 @@ object FileCow {
   private def commitInfoFile(root: String, v: Long): NioPath =
     manifestsDir(root).resolve(s"m$v.commit.json")
 
+  /** One mapper for all commit-record IO (thread-safe for read/write once
+    * configured; per-call construction is the expensive part). */
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** The commit record of version `v`, or None for commits written before
     * the log existed (every log reader falls back to the manifest diff). */
   def commitInfo(root: String, v: Long): Option[CommitInfo] = {
     val p = commitInfoFile(root, v)
     if (!Files.exists(p)) None
     else {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val n = om.readTree(Files.readAllBytes(p))
+      val n = jsonMapper.readTree(Files.readAllBytes(p))
       def strings(field: String): Seq[String] = {
         val arr = n.get(field)
         (0 until arr.size()).map(arr.get(_).asText())
@@ -348,14 +351,18 @@ object FileCow {
       val statsCols = statsColsOf(spark, root, version)
       val totals = man.agg(coalesce(sum("rows"), lit(0L)).as("rows"),
         count(lit(1)).as("files")).collect()(0)
-      val incRows = df.count()
+      // materialize the increment ONCE: the file-count sizing needs a count
+      // and the write needs the rows — without the barrier an expensive (or
+      // nondeterministic) INSERT SELECT would compute twice
+      val snap = df.localCheckpoint()
+      val incRows = snap.count()
       val nFiles =
-        if (totals.getLong(1) == 0L) df.rdd.getNumPartitions.max(1)
+        if (totals.getLong(1) == 0L) snap.rdd.getNumPartitions.max(1)
         else { // track the table's rows-per-file
           val avgRows = math.max(1L, totals.getLong(0) / totals.getLong(1))
           math.max(1L, (incRows + avgRows - 1) / avgRows).toInt
         }
-      val ranged = df.repartitionByRange(nFiles, col(statsCols.head))
+      val ranged = snap.repartitionByRange(nFiles, col(statsCols.head))
       val added = writeDataFiles(spark, root, ranged, statsCols, maxRecordsPerFile)
       val newManifest = man.unionByName(added.select(man.columns.map(col): _*))
       commit(spark, root, version, newManifest, schema,
@@ -472,6 +479,34 @@ object FileCow {
         CommitAction("compact", filePaths(added), retired))
       Commit(version + 1, filesKept = 0L, filesRewritten = retired.size.toLong,
         added.count())
+    }
+
+  /** RESTORE the table to retained `toVersion` (Delta `RESTORE TABLE`):
+    * ONE new commit whose manifest and schema are the target version's —
+    * no data file is read or written; the restored snapshot SHARES every
+    * file with the target by path, so the commit is metadata-sized and the
+    * change feed across it (log-recorded added/removed = the manifest
+    * delta) is exactly the rows the rewind undoes. History is preserved —
+    * restore moves FORWARD to a new version that happens to equal an old
+    * one, so the mistake and its correction both stay auditable (and
+    * time-travelable) until vacuum retires them. */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Commit =
+    retrying(root, "FileCow.restore") { version =>
+      require(toVersion != version,
+        s"restore target v$toVersion is already the current version")
+      require(Files.exists(manifestDir(root, toVersion)),
+        s"version $toVersion is not retained under $root — vacuumed history " +
+          "cannot be restored")
+      val target = manifest(spark, root, toVersion)
+      val current = manifest(spark, root, version)
+      val added = target.join(current, Seq("file"), "left_anti")
+      val removed = current.join(target, Seq("file"), "left_anti")
+      commit(spark, root, version, target, schemaOf(root, toVersion),
+        CommitAction("restore", filePaths(added), filePaths(removed)))
+      Commit(version + 1,
+        filesKept = target.count() - added.count(),
+        filesRewritten = removed.count(),
+        filesAdded = added.count())
     }
 
   /** COMPACT with Z-ORDER clustering — Delta's `OPTIMIZE … ZORDER BY` on
@@ -745,8 +780,7 @@ object FileCow {
     val totals = spark.read.parquet(staging.toString)
       .agg(count(lit(1)), coalesce(sum("rows"), lit(0L)), coalesce(sum("bytes"), lit(0L)))
       .collect()(0)
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val rec = om.createObjectNode()
+    val rec = jsonMapper.createObjectNode()
     rec.put("version", next); rec.put("kind", action.kind)
     rec.put("commitMs", System.currentTimeMillis())
     rec.put("nFiles", totals.getLong(0))
@@ -758,7 +792,7 @@ object FileCow {
     }
     val infoTmp = manifestsDir(root).resolve(
       s"m$next.commit.staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(infoTmp, om.writeValueAsBytes(rec))
+    Files.write(infoTmp, jsonMapper.writeValueAsBytes(rec))
     TablePointer.withCommitLock(root) {
       val cur = currentVersion(root)
       if (cur != expected) {

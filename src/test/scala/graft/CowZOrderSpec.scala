@@ -65,6 +65,39 @@ class CowZOrderSpec extends SparkSpec {
     GraftTables.unregister("zorder_t")
   }
 
+  test("RESTORE TABLE rewinds in one shared-files commit; the feed undoes the mistake") {
+    val root = Files.createTempDirectory("graft-restore").toString
+    GraftTables.registerCow("restore_t", root)
+    spark.sql("CREATE TABLE restore_t AS SELECT id AS k, id AS v FROM range(1, 101)")
+    spark.sql("DELETE FROM restore_t WHERE k <= 90") // the mistake
+    spark.sql("INSERT INTO restore_t SELECT 500, 500")
+    assert(spark.sql("SELECT count(*) c FROM restore_t").as[Long].head() == 11L)
+
+    spark.sql("RESTORE TABLE restore_t TO VERSION AS OF 1")
+    assert(FileCow.currentVersion(root) == 4L, "restore moves FORWARD")
+    assert(spark.sql("SELECT count(*) c FROM restore_t").as[Long].head() == 100L)
+    // shared files: the restored manifest IS version 1's (no data written)
+    def files(v: Long) = FileCow.manifest(spark, root, v).select("file")
+      .collect().map(_.getString(0)).toSet
+    assert(files(4L) == files(1L))
+    assert(FileCow.commitInfo(root, 4L).get.kind == "restore")
+    // the feed across the restore is exactly the rows the rewind undoes:
+    // the 90 deleted keys come back, the inserted 500 goes away
+    val feed = FileCow.changesBetween(spark, root, Seq("k"), 3L, 4L)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed == Map("insert" -> 90L, "delete" -> 1L), s"got $feed")
+    // the mistake window is still auditable via time travel
+    assert(spark.sql("SELECT count(*) c FROM restore_t VERSION AS OF 2")
+      .as[Long].head() == 10L)
+    // restoring the current version is refused
+    val e = intercept[Exception] {
+      spark.sql("RESTORE TABLE restore_t TO VERSION AS OF 4")
+    }
+    assert(e.getMessage.contains("already the current version"))
+    GraftTables.unregister("restore_t")
+  }
+
   test("ZORDER BY a non-stats column is refused; DESCRIBE DETAIL shows the layout") {
     val root = Files.createTempDirectory("graft-zorder2").toString
     GraftTables.registerCow("zorder_u", root)
