@@ -416,6 +416,9 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     case c: GraftRestoreCommand => GraftCowExec(c.table, { spark =>
       FileCow.restore(spark, c.root, c.toVersion); ()
     }) :: Nil
+    case c: GraftConvertCommand => GraftCowExec(c.table, { spark =>
+      FileCow.convert(spark, c.root, c.sourceDir, c.statsCols); ()
+    }) :: Nil
     case c: GraftOptimizeCommand => GraftCowExec(c.table, { spark =>
       c.zorder match {
         case Some((a, b)) => FileCow.compactZOrder(spark, c.root, c.targetFiles, a, b)

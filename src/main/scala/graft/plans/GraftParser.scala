@@ -36,6 +36,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Restore =
     """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
+  /** `CONVERT TO GRAFT <registered> FROM '<dir>' STATS (c, …)` — adopt an
+    * existing plain-parquet directory as the named cow table (the Delta
+    * `CONVERT TO DELTA` analog): files are renamed in, one stats scan
+    * runs, no byte is rewritten. */
+  private val Convert =
+    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'\s+STATS\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*;?\s*""".r
+
   /** `DESCRIBE DETAIL t` — the cow table's FILE-LEVEL metadata as a
     * relation (Delta `DESCRIBE DETAIL` / Iceberg `.files`): one row per
     * current data file with bytes, rows, and per-stats-column [min, max]
@@ -78,6 +85,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case Some(_) => sys.error(s"OPTIMIZE: '$name' is a snapshot-level table — " +
           "every publish already rewrites it; OPTIMIZE applies to cow tables")
         case None => sys.error(s"OPTIMIZE: '$name' is not a registered graft table")
+      }
+    case Convert(name, dir, cols) =>
+      GraftTables.entryOf(name) match {
+        case Some(e) if e.cow =>
+          GraftConvertCommand(name, e.root, dir, cols.split(",").map(_.trim).toSeq)
+        case Some(_) => sys.error(s"CONVERT TO GRAFT: '$name' is registered as a " +
+          "snapshot-level table; conversion-in-place targets cow tables")
+        case None => sys.error(s"CONVERT TO GRAFT: '$name' is not a registered graft table")
       }
     case Restore(name, v) =>
       GraftTables.entryOf(name) match {
@@ -139,6 +154,14 @@ case class GraftVacuumExec(cmd: GraftVacuumCommand) extends LeafExecNode {
   }
   protected override def doExecute(): RDD[InternalRow] = { done; sparkContext.emptyRDD }
   override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+}
+
+/** `CONVERT TO GRAFT t FROM '<dir>' STATS (c, …)` — adopt a plain-parquet
+  * directory as cow table `t` ([[graft.sources.FileCow.convert]]); planned
+  * by [[GraftMergeStrategy]]. */
+case class GraftConvertCommand(table: String, root: String, sourceDir: String,
+    statsCols: Seq[String]) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
 }
 
 /** `RESTORE TABLE t TO VERSION AS OF n` — one shared-files commit that

@@ -234,6 +234,49 @@ object FileCow {
     Commit(1L, filesKept = 0L, filesRewritten = 0L, filesAdded = added.count())
   }
 
+  /** CONVERT an existing plain-parquet directory into a cow table — the
+    * Delta `CONVERT TO DELTA` analog and the migration entry point: the
+    * data files are ADOPTED (renamed into `root/_data`, a metadata
+    * operation — no row is read except for the one stats scan, no byte is
+    * rewritten), so converting a 100 TB landing costs one stats pass, not
+    * a rewrite. Conversion takes ownership of the files (Delta's contract
+    * too): the source directory's parquet parts move out of it.
+    *
+    * The stats scan is the same one every commit runs on its new files;
+    * after conversion the table is a first-class cow table — DML, time
+    * travel, CDF, vacuum, OPTIMIZE, the full SQL surface. */
+  def convert(spark: SparkSession, root: String, sourceDir: String,
+      statsCols: Seq[String]): Commit = {
+    require(currentVersion(root) == 0L && versions(root).isEmpty,
+      s"table already exists at $root")
+    val schema = spark.read.parquet(sourceDir).schema
+    require(statsCols.nonEmpty &&
+        statsCols.forall(schema.fieldNames.contains),
+      s"statsCols ${statsCols.mkString(",")} must exist in the source data")
+    Files.createDirectories(dataDir(root))
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val list = Files.list(Paths.get(sourceDir))
+    try {
+      val it = list.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.endsWith(".parquet") && !name.startsWith(".") && Files.size(p) > 0) {
+          val dest = dataDir(root).resolve(
+            s"f-${java.util.UUID.randomUUID().toString.take(12)}.parquet")
+          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+          moved += ((dest.toString, Files.size(dest),
+            Files.getLastModifiedTime(dest).toMillis))
+        }
+      }
+    } finally list.close()
+    require(moved.nonEmpty, s"no parquet files to convert under $sourceDir")
+    val slice = statsSlice(spark, moved.toSeq, statsCols)
+    commit(spark, root, expected = 0L, newManifest = slice, schema = schema,
+      CommitAction("convert", filePaths(slice), Nil))
+    Commit(1L, filesKept = 0L, filesRewritten = 0L, filesAdded = slice.count())
+  }
+
   /** Read the current snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root, currentVersion(root))
@@ -733,24 +776,35 @@ object FileCow {
         .withColumn("bytes", lit(0L)).withColumn("mtime", lit(0L))
         .select(statColNames.map(col): _*)
     }
-    // Per-file stats: ONE scan of the new files, grouped by provenance; the
-    // rows are file-count-sized metadata, so they materialize to the driver
-    // once (a local relation) instead of re-running the scan per consumer.
-    // Provenance joins on the BASENAME (`f-<uuid>.parquet` — hex + dot +
-    // dash, never percent-encoded): input_file_name() yields an URI-escaped
-    // `file:` URI, and matching its full path against raw NIO strings breaks
-    // the moment the table root contains a space or any URI-escaped char.
-    val fileMeta = moved.toSeq.toDF("file", "bytes", "mtime")
+    statsSlice(spark, moved.toSeq, statsCols)
+  }
+
+  /** Per-file stats for `moved` (path, bytes, mtime) files: ONE scan
+    * grouped by provenance; the rows are file-count-sized metadata, so
+    * they materialize to the driver once (a local relation) instead of
+    * re-running the scan per consumer. Provenance joins on the BASENAME
+    * (never percent-encoded): input_file_name() yields a URI-escaped
+    * `file:` URI, and matching its full path against raw NIO strings
+    * breaks the moment the table root contains a space or any URI-escaped
+    * char. Zero-row part files (Spark writes one to preserve schema for an
+    * empty frame/partition) get no stats group, must not enter the
+    * manifest, and are deleted here rather than left for vacuum; anything
+    * else missing a stats row is a real fault. Shared by [[writeDataFiles]]
+    * (fresh files) and [[convert]] (adopted files). */
+  private def statsSlice(spark: SparkSession,
+      moved: Seq[(String, Long, Long)], statsCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val statColNames = Seq("file", "bytes", "mtime", "rows") ++
+      statsCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    val statAggs = count(lit(1)).as("rows") +:
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val fileMeta = moved.toDF("file", "bytes", "mtime")
       .withColumn("basename", element_at(split(col("file"), "/"), -1))
-    val stats = spark.read.parquet(moved.map(_._1).toSeq: _*)
+    val stats = spark.read.parquet(moved.map(_._1): _*)
       .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("basename"))
       .agg(statAggs.head, statAggs.tail: _*)
     val joined = fileMeta.join(stats, Seq("basename")).select(statColNames.map(col): _*)
     val rows = joined.collect().toSeq
-    // A part file can carry ZERO rows (Spark writes one to preserve schema
-    // for an empty frame / empty partition): it gets no stats group, must
-    // not enter the manifest, and is deleted here rather than left for
-    // vacuum. Anything else missing a stats row is a real fault.
     val statFiles = rows.map(_.getString(0)).toSet
     moved.filterNot(m => statFiles.contains(m._1)).foreach { m =>
       val empty = spark.read.parquet(m._1).isEmpty

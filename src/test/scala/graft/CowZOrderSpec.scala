@@ -98,6 +98,49 @@ class CowZOrderSpec extends SparkSpec {
     GraftTables.unregister("restore_t")
   }
 
+  test("CONVERT TO GRAFT adopts a plain-parquet dir without rewriting a byte") {
+    val s = spark
+    import s.implicits._
+    val landing = Files.createTempDirectory("graft-convert-src").toString
+    spark.range(1, 501).select(col("id").as("k"), (col("id") % 9).as("g"))
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(landing)
+    val srcBytes = java.nio.file.Files.list(java.nio.file.Paths.get(landing))
+      .iterator()
+    var partBytes = 0L
+    while (srcBytes.hasNext) {
+      val p = srcBytes.next()
+      if (p.getFileName.toString.endsWith(".parquet")) partBytes += java.nio.file.Files.size(p)
+    }
+
+    val root = Files.createTempDirectory("graft-convert").resolve("t").toString
+    GraftTables.registerCow("conv_t", root)
+    spark.sql(s"CONVERT TO GRAFT conv_t FROM '$landing' STATS (k, g)")
+    assert(FileCow.currentVersion(root) == 1L)
+    assert(FileCow.commitInfo(root, 1L).get.kind == "convert")
+    // adopted, not rewritten: byte-total identical, source parts moved out
+    val man = FileCow.manifest(spark, root, 1L)
+    assert(man.agg(sum("bytes")).as[Long].head() == partBytes)
+    val leftover = {
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(landing)).iterator()
+      var parts = 0
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith(".")) parts += 1
+      }
+      parts
+    }
+    assert(leftover == 0, "conversion takes ownership: parquet parts moved out")
+    // a first-class cow table afterwards: pruned reads + DML + history
+    assert(spark.sql("SELECT sum(k) s FROM conv_t").as[Long].head() ==
+      (1L to 500L).sum)
+    spark.sql("DELETE FROM conv_t WHERE k <= 125")
+    assert(spark.sql("SELECT count(*) c FROM conv_t").as[Long].head() == 375L)
+    assert(FileCow.commitInfo(root, 2L).get.removed.size == 1,
+      "stats from the conversion scan prune the delete to 1 of 4 files")
+    GraftTables.unregister("conv_t")
+  }
+
   test("ZORDER BY a non-stats column is refused; DESCRIBE DETAIL shows the layout") {
     val root = Files.createTempDirectory("graft-zorder2").toString
     GraftTables.registerCow("zorder_u", root)
