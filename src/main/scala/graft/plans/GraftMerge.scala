@@ -178,6 +178,25 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => ac
       }
 
+    case dc @ DropColumns(t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable,
+        cols, _) =>
+      GraftTables.keyFor(t.multipartIdentifier).flatMap(k =>
+        GraftTables.entryOf(k).map((k, _))) match {
+        case Some((name, entry)) if entry.cow =>
+          val names = cols.map {
+            case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName =>
+              if (f.name.length != 1)
+                fail(s"graft ALTER TABLE $name: nested column paths unsupported")
+              f.name.head
+            case other => fail(s"graft ALTER TABLE $name: unsupported drop target: $other")
+          }
+          GraftDropColumnsCommand(name, entry.root, names)
+        case Some((name, _)) =>
+          fail(s"graft ALTER TABLE $name: DROP COLUMNS is a cow-table operation " +
+            "(a snapshot table takes its schema from each publish)")
+        case None => dc
+      }
+
     case t @ TruncateTable(child) =>
       commandTarget(child) match {
         case Some((name, entry)) => GraftTruncateCommand(name, entry.root, entry.cow)
@@ -349,6 +368,13 @@ case class GraftAddColumnsCommand(table: String, root: String,
   override def output: Seq[Attribute] = Nil
 }
 
+/** `ALTER TABLE t DROP COLUMNS (…)` on a cow table: ONE metadata-only
+  * commit ([[graft.sources.FileCow.dropColumns]]). */
+case class GraftDropColumnsCommand(table: String, root: String,
+    names: Seq[String]) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 /** `UPDATE t SET col = v, … [WHERE cond]` on a graft table. */
 case class GraftUpdateCommand(
     table: String,
@@ -428,6 +454,9 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     }) :: Nil
     case c: GraftAddColumnsCommand => GraftCowExec(c.table, { spark =>
       FileCow.addColumns(spark, c.root, c.fields); ()
+    }) :: Nil
+    case c: GraftDropColumnsCommand => GraftCowExec(c.table, { spark =>
+      FileCow.dropColumns(spark, c.root, c.names); ()
     }) :: Nil
     case c: GraftTruncateCommand if c.cow => GraftCowExec(c.table, { spark =>
       FileCow.delete(spark, c.root, lit(true)); ()

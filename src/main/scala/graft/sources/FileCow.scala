@@ -635,6 +635,44 @@ object FileCow {
       Commit(version + 1, filesKept = man.count(), filesRewritten = 0L, filesAdded = 0L)
     }
 
+  /** SCHEMA EVOLUTION, subtractive: drop columns in ONE metadata-only
+    * commit — no data file is touched; the new schema omits the columns,
+    * and every read (explicit read schema) simply stops projecting them
+    * from old files (parquet's read-by-name contract — the same mechanism
+    * that serves [[addColumns]]' typed NULLs, in reverse). Later DML
+    * rewrites its touched files without the columns; pre-drop versions
+    * still time-travel with them.
+    *
+    * A dropped STATS column also leaves the manifest (its min/max columns
+    * are projected out — manifests are file-count-sized, so the rewrite is
+    * metadata-cost); at least one stats column must survive, because every
+    * rewrite range-partitions on the lead stats column. */
+  def dropColumns(spark: SparkSession, root: String, names: Seq[String]): Commit =
+    retrying(root, "FileCow.dropColumns") { version =>
+      val schema = schemaOf(root, version)
+      val byLower = schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+      val resolved = names.map { n =>
+        byLower.getOrElse(n.toLowerCase,
+          sys.error(s"drop column $n: no such column " +
+            s"(have: ${schema.fieldNames.mkString(",")})"))
+      }
+      require(resolved.distinct.size == resolved.size,
+        "duplicate column names in one DROP COLUMNS")
+      require(resolved.size < schema.size, "cannot drop every column")
+      val statsCols = statsColsOf(spark, root, version)
+      val remainingStats = statsCols.filterNot(resolved.contains)
+      require(remainingStats.nonEmpty,
+        s"dropping ${resolved.mkString(",")} would leave no stats column — " +
+          "every DML rewrite range-partitions on the lead stats column")
+      val man = manifest(spark, root, version)
+      val keepManCols = man.columns.filterNot(c =>
+        resolved.exists(r => c == s"min_$r" || c == s"max_$r"))
+      val newSchema = StructType(schema.fields.filterNot(f => resolved.contains(f.name)))
+      commit(spark, root, version, man.select(keepManCols.map(col): _*), newSchema,
+        CommitAction("drop_columns", Nil, Nil))
+      Commit(version + 1, filesKept = man.count(), filesRewritten = 0L, filesAdded = 0L)
+    }
+
   /** G17's change data feed, INCREMENTALLY: snapshots share unchanged files
     * by path, and a key in a shared file is (by key-uniqueness) identical in
     * both versions — so the diff only scans each side's UNSHARED files.

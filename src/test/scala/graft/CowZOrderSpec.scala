@@ -141,6 +141,37 @@ class CowZOrderSpec extends SparkSpec {
     GraftTables.unregister("conv_t")
   }
 
+  test("ALTER TABLE DROP COLUMNS: metadata-only; old versions keep the column") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-dropcol").toString
+    GraftTables.registerCow("dropcol_t", root)
+    spark.sql("CREATE TABLE dropcol_t AS SELECT id AS k, id % 7 AS g, " +
+      "concat('p', id) AS note FROM range(1, 101)")
+    def files(v: Long) = FileCow.manifest(spark, root, v).select("file")
+      .collect().map(_.getString(0)).toSet
+
+    spark.sql("ALTER TABLE dropcol_t DROP COLUMNS (note, g)")
+    assert(FileCow.currentVersion(root) == 2L)
+    assert(files(2L) == files(1L), "metadata-only: same data files")
+    assert(spark.sql("SELECT * FROM dropcol_t").schema.map(_.name) == Seq("k"))
+    // pre-drop version still time-travels WITH the columns
+    assert(spark.sql("SELECT note FROM dropcol_t VERSION AS OF 1 WHERE k = 3")
+      .as[String].head() == "p3")
+    // dropped stats columns leave the manifest too
+    assert(!FileCow.manifest(spark, root, 2L).columns.exists(_.endsWith("_g")))
+    // later DML works against the narrowed schema and writes narrow files
+    spark.sql("INSERT INTO dropcol_t SELECT 500")
+    assert(spark.sql("SELECT count(*) c FROM dropcol_t").as[Long].head() == 101L)
+    // dropping the last stats column is refused
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE dropcol_t DROP COLUMNS (k)")
+    }
+    assert(e.getMessage.contains("no stats column") ||
+      e.getMessage.contains("cannot drop every column"))
+    GraftTables.unregister("dropcol_t")
+  }
+
   test("ZORDER BY a non-stats column is refused; DESCRIBE DETAIL shows the layout") {
     val root = Files.createTempDirectory("graft-zorder2").toString
     GraftTables.registerCow("zorder_u", root)
