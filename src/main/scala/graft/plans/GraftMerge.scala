@@ -316,7 +316,8 @@ case class GraftMergeCommand(
   * [[graft.sources.Versioned.publish]]). Fails if the table already has a
   * version — CREATE means create. */
 case class GraftCtasCommand(table: String, root: String, query: LogicalPlan,
-    cow: Boolean = false) extends UnaryNode with Command {
+    cow: Boolean = false, ifNotExists: Boolean = false)
+    extends UnaryNode with Command {
   override def child: LogicalPlan = query
   override def output: Seq[Attribute] = Nil
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftCtasCommand =
@@ -555,6 +556,11 @@ case class GraftCtasExec(cmd: GraftCtasCommand) extends LeafExecNode {
 
   private lazy val done: Unit = {
     val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val exists =
+      if (cmd.cow) FileCow.currentVersion(cmd.root) > 0L
+      else Versioned.currentVersion(cmd.root) > 0L
+    if (cmd.ifNotExists && exists) () // IF NOT EXISTS: silently keep the table
+    else {
     val df = GraftBridge.ofRows(spark, cmd.query)
     if (cmd.cow) {
       val stats = GraftWriteSupport.statsEligible(df.schema)
@@ -568,6 +574,7 @@ case class GraftCtasExec(cmd: GraftCtasCommand) extends LeafExecNode {
         s"graft CREATE TABLE ${cmd.table}: table already exists (v" +
           s"${Versioned.currentVersion(cmd.root)}) — INSERT or MERGE into it")
       Versioned.publish(df, cmd.root)
+    }
     }
     ()
   }

@@ -57,7 +57,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * column-list/USING/OPTIONS spelling — delegates verbatim, so real
     * catalogs keep owning their tables. */
   private val Ctas =
-    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+?)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(name, n, hours) =>
@@ -112,9 +112,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           "table (no per-file manifest); use DESCRIBE HISTORY")
         case None => sys.error(s"DESCRIBE DETAIL: '$name' is not a registered graft table")
       }
-    case Ctas(name, query) if GraftTables.entryOf(name).isDefined =>
+    case Ctas(ifNotExists, name, query) if GraftTables.entryOf(name).isDefined =>
       val e = GraftTables.entryOf(name).get
-      GraftCtasCommand(name, e.root, delegate.parsePlan(query), e.cow)
+      GraftCtasCommand(name, e.root, delegate.parsePlan(query), e.cow,
+        ifNotExists = ifNotExists != null)
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -174,17 +174,18 @@ object FileCow {
     val perVersion = versions(root).map { v =>
       val commitMs = Files.getLastModifiedTime(manifestDir(root, v)).toMillis
       commitInfo(root, v) match {
-        // commit-log fast path: the totals were recorded at commit time —
-        // no manifest parquet is opened for the version
+        // commit-log fast path: the totals AND the operation kind were
+        // recorded at commit time — no manifest parquet is opened
         case Some(ci) =>
-          Seq((v, commitMs, ci.nFiles, ci.nRows, ci.bytes))
-            .toDF("version", "commit_ms", "n_files", "n_rows", "bytes")
-        case None => // pre-log version: aggregate its manifest
+          Seq((v, commitMs, ci.kind, ci.nFiles, ci.nRows, ci.bytes))
+            .toDF("version", "commit_ms", "operation", "n_files", "n_rows", "bytes")
+        case None => // pre-log version: aggregate its manifest, kind unknown
           manifest(spark, root, v)
             .agg(count(lit(1)).as("n_files"),
               coalesce(sum("rows"), lit(0L)).as("n_rows"),
               coalesce(sum("bytes"), lit(0L)).as("bytes"))
             .select(lit(v).as("version"), lit(commitMs).as("commit_ms"),
+              lit(null).cast("string").as("operation"),
               col("n_files"), col("n_rows"), col("bytes"))
       }
     }
@@ -270,7 +271,9 @@ object FileCow {
         }
       }
     } finally list.close()
-    require(moved.nonEmpty, s"no parquet files to convert under $sourceDir")
+    require(moved.nonEmpty, s"no parquet files to convert under $sourceDir " +
+      "(directory-partitioned layouts are unsupported: partition values live " +
+      "in dir names, not files — read and CTAS such a landing instead)")
     val slice = statsSlice(spark, moved.toSeq, statsCols)
     commit(spark, root, expected = 0L, newManifest = slice, schema = schema,
       CommitAction("convert", filePaths(slice), Nil))

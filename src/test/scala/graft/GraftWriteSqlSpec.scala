@@ -183,6 +183,35 @@ class GraftWriteSqlSpec extends SparkSpec {
     GraftTables.unregister("drop_me")
   }
 
+  test("CREATE TABLE IF NOT EXISTS is a no-op on an existing table") {
+    val root = Files.createTempDirectory("graft-ctas-ine").toString
+    GraftTables.registerCow("ctas_ine", root)
+    spark.sql("CREATE TABLE IF NOT EXISTS ctas_ine AS SELECT id AS k FROM range(1, 11)")
+    assert(FileCow.currentVersion(root) == 1L)
+    // second IF NOT EXISTS: no new version, contents untouched
+    spark.sql("CREATE TABLE IF NOT EXISTS ctas_ine AS SELECT id AS k FROM range(1, 1001)")
+    assert(FileCow.currentVersion(root) == 1L)
+    assert(spark.sql("SELECT count(*) c FROM ctas_ine").as[Long].head() == 10L)
+    // plain CREATE still refuses
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE ctas_ine AS SELECT 1 AS k")
+    }
+    assert(e.getMessage.contains("already exists"))
+    GraftTables.unregister("ctas_ine")
+  }
+
+  test("DESCRIBE HISTORY carries the operation kind from the commit log") {
+    val root = Files.createTempDirectory("graft-hist-op").toString
+    GraftTables.registerCow("hist_op", root)
+    spark.sql("CREATE TABLE hist_op AS SELECT id AS k, id AS v FROM range(1, 101)")
+    spark.sql("INSERT INTO hist_op SELECT 500, 500")
+    spark.sql("DELETE FROM hist_op WHERE k <= 10")
+    val ops = spark.sql("DESCRIBE HISTORY hist_op").orderBy("version")
+      .select("operation").as[String].collect().toSeq
+    assert(ops == Seq("create", "append", "delete"))
+    GraftTables.unregister("hist_op")
+  }
+
   test("append keeps rows-per-file near the table's existing grain") {
     val root = Files.createTempDirectory("graft-app-grain").toString
     // 1000 rows in 4 files => ~250 rows/file

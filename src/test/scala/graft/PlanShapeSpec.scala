@@ -62,6 +62,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
   }
 
+  test("tx21's fixed-coefficient scoring is a pure projection — no shuffle, no join") {
+    val p = plan("tx21_quality_classifier")
+    assert(!p.contains("Exchange"), s"tx21 must pipeline into the scan; plan:\n$p")
+    assert(!p.contains("Join"), s"tx21 must not join; plan:\n$p")
+  }
+
   test("q31/q32 repair cascades are pure projections — no shuffle, no join") {
     for (name <- Seq("q31_book_type", "q32_rate_repair")) {
       val p = plan(name)
