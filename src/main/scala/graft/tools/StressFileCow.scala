@@ -70,12 +70,19 @@ object StressFileCow {
       }
       val (cNarrow, sNarrow) = timed(FileCow.merge(spark, root, narrow, Seq("id")))
       val (cScatter, sScatter) = timed(FileCow.merge(spark, root, scatter, Seq("id")))
+      // round-9 arms: append (fresh keys, zero rewrites — the F20/INSERT
+      // path: O(batch) regardless of table size) and restore (pure
+      // metadata — a shared-files commit, no data IO at any size)
+      val fresh = inc(spark.range(n, n + 1000L).select(col("id"))).localCheckpoint()
+      val (cAppend, sAppend) = timed(FileCow.append(spark, root, fresh))
+      val preRestore = FileCow.currentVersion(root)
+      val (_, sRestore) = timed(FileCow.restore(spark, root, preRestore - 1))
       val (_, sFull) = timed {
         val cur = Versioned.read(spark, vroot)
         Versioned.publish(
           narrow.unionByName(cur.join(narrow.select("id"), Seq("id"), "left_anti")), vroot)
       }
-      println(f"""{"n":$n,"files":$nFiles,"cow_narrow_sec":$sNarrow%.2f,"cow_narrow_rewritten":${cNarrow.filesRewritten},"cow_narrow_kept":${cNarrow.filesKept},"cow_scatter_sec":$sScatter%.2f,"cow_scatter_rewritten":${cScatter.filesRewritten},"full_sec":$sFull%.2f}""")
+      println(f"""{"n":$n,"files":$nFiles,"cow_narrow_sec":$sNarrow%.2f,"cow_narrow_rewritten":${cNarrow.filesRewritten},"cow_narrow_kept":${cNarrow.filesKept},"cow_scatter_sec":$sScatter%.2f,"cow_scatter_rewritten":${cScatter.filesRewritten},"append_sec":$sAppend%.2f,"append_added":${cAppend.filesAdded},"restore_sec":$sRestore%.2f,"full_sec":$sFull%.2f}""")
       rmTree(Paths.get(root)); rmTree(Paths.get(vroot))
       System.gc()
     }
