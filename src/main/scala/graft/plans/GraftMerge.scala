@@ -392,18 +392,10 @@ object GraftWriteSupport {
   import org.apache.spark.sql.types.StructType
 
   /** Columns whose per-file [min, max] the manifest can track and
-    * [[graft.sources.FileCow]]'s admission can prune on: atomic orderable
-    * types. First 32, mirroring Delta's default stats-column bound. */
-  def statsEligible(schema: StructType): Seq[String] = schema.fields.toSeq
-    .filter(_.dataType match {
-      case _: org.apache.spark.sql.types.NumericType => true
-      case org.apache.spark.sql.types.StringType => true
-      case org.apache.spark.sql.types.BooleanType => true
-      case org.apache.spark.sql.types.DateType => true
-      case _: org.apache.spark.sql.types.TimestampType => true
-      case _ => false
-    })
-    .map(_.name).take(32)
+    * [[graft.sources.FileCow]]'s admission can prune on — one definition,
+    * shared with the `format("graft-cow")` writer. */
+  def statsEligible(schema: StructType): Seq[String] =
+    FileCow.statsEligible(schema)
 
   /** ANSI positional INSERT resolution: same arity, each source column cast
     * to the table column's declared type and renamed to it. */
@@ -420,11 +412,9 @@ object GraftWriteSupport {
       }.toSeq: _*)
   }
 
-  /** CTAS/bootstrap layout: range-partition on the lead stats column at the
-    * frame's own width, so data files carry disjoint lead-key ranges and
-    * later DML stat pruning bites from version 1. */
+  /** CTAS/bootstrap layout — [[graft.sources.FileCow.rangedByLead]]. */
   def ranged(df: DataFrame, statsCols: Seq[String]): DataFrame =
-    df.repartitionByRange(math.max(1, df.rdd.getNumPartitions), col(statsCols.head))
+    FileCow.rangedByLead(df, statsCols)
 }
 
 /** Plans the graft DML commands; everything else declined. */

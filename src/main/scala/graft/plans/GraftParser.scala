@@ -25,7 +25,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   private val Vacuum =
-    """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)\s+RETAIN\s+(\d+)\s+VERSIONS(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)\s+RETAIN\s+(\d+)\s+VERSIONS(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
 
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
@@ -60,8 +60,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+?)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Vacuum(name, n, hours) =>
+    case Vacuum(name, n, hours, dryRun) =>
       GraftTables.entryOf(name) match {
+        case Some(e) if dryRun != null && e.cow =>
+          // DRY RUN is a RELATION (file, bytes, age_ms): what a real vacuum
+          // with these parameters would delete — composable, zero deletions
+          val age = Option(hours).map(_.toLong * 3600000L)
+            .getOrElse(GraftVacuumExec.DefaultAgeMs)
+          val rows = graft.sources.FileCow.vacuumPlan(session, e.root, n.toInt, age)
+          import session.implicits._
+          rows.toDF("file", "bytes", "age_ms").queryExecution.analyzed
+        case Some(e) if dryRun != null =>
+          sys.error(s"VACUUM DRY RUN: '$name' is a snapshot-level table — " +
+            "its vacuum drops whole version dirs; DRY RUN reports cow data files")
         case Some(e) =>
           GraftVacuumCommand(name, e.root, n.toInt, e.cow,
             olderThanMs = Option(hours).map(_.toLong * 3600000L))

@@ -286,18 +286,44 @@ object FileCow {
 
   /** Time travel: snapshot `version`, planned through the manifest — pushed
     * filters on stat columns prune data files at `listFiles` time. */
-  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relationFor(spark, root, version))
+
+  /** The manifest-pruned [[HadoopFsRelation]] behind [[readVersion]] — also
+    * what the `format("graft-cow")` batch reader hands Spark. */
+  private[graft] def relationFor(spark: SparkSession, root: String,
+      version: Long): HadoopFsRelation = {
     require(Files.exists(manifestDir(root, version)),
       s"version $version is not retained under $root")
     val dataSchema = schemaOf(root, version)
     val dims = statsColsOf(spark, root, version)
       .map(c => ZoneDim(c, s"min_$c", s"max_$c"))
     val index = new CowFileIndex(spark, root, version, dims.map(d => d.column -> d).toMap)
-    val rel = HadoopFsRelation(index, new StructType(), dataSchema, None,
+    HadoopFsRelation(index, new StructType(), dataSchema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .baseRelationToDataFrame(rel)
   }
+
+  /** Columns whose per-file [min, max] the manifest can track and the
+    * admission can prune on: atomic orderable types, first 32 (Delta's
+    * default stats-column bound). The default stats set for CTAS, the
+    * DataFrame writer, and INSERT bootstrap. */
+  def statsEligible(schema: StructType): Seq[String] = schema.fields.toSeq
+    .filter(_.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.BooleanType => true
+      case org.apache.spark.sql.types.DateType => true
+      case _: org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    })
+    .map(_.name).take(32)
+
+  /** Bootstrap layout: range-partition on the lead stats column at the
+    * frame's own width, so data files carry disjoint lead-key ranges and
+    * DML stat pruning bites from version 1. */
+  private[graft] def rangedByLead(df: DataFrame, statsCols: Seq[String]): DataFrame =
+    df.repartitionByRange(math.max(1, df.rdd.getNumPartitions), col(statsCols.head))
 
   /** UPSERT `source` by `keys` (q06 / MERGE INTO semantics: matched rows
     * replaced whole, unmatched inserted), rewriting only the data files
@@ -738,6 +764,36 @@ object FileCow {
     * possibly active, pass an age comfortably above the longest in-flight
     * commit (Delta defaults to 7 days for the same reason); 0 is safe only
     * when the caller knows no commit is in flight. */
+  /** What [[vacuum]] WOULD delete, without deleting — the `DRY RUN` ops
+    * surface: (file, bytes, age-ms) of every `_data` file that is
+    * unreferenced by the manifests a `keep`-retention vacuum would retain
+    * AND old enough to clear `minAgeMs`. Pure metadata (manifest reads +
+    * one directory listing); the table is untouched. */
+  def vacuumPlan(spark: SparkSession, root: String, keep: Int,
+      minAgeMs: Long = 0L): Seq[(String, Long, Long)] = {
+    val retained = versions(root).takeRight(math.max(keep, 1))
+    val referenced: Set[String] =
+      if (retained.isEmpty) Set.empty
+      else retained.map(v => manifest(spark, root, v).select("file"))
+        .reduce(_ unionByName _).distinct()
+        .collect().map(_.getString(0)).toSet
+    val dir = dataDir(root)
+    if (!Files.exists(dir)) return Seq.empty
+    val list = Files.list(dir)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    try {
+      val now = System.currentTimeMillis()
+      val it = list.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val age = now - Files.getLastModifiedTime(p).toMillis
+        if (!referenced.contains(p.toString) && age >= minAgeMs)
+          out += ((p.toString, Files.size(p), age))
+      }
+    } finally list.close()
+    out.toSeq
+  }
+
   def vacuum(spark: SparkSession, root: String, keep: Int,
       minAgeMs: Long = 0L): Seq[String] = {
     val all = versions(root)

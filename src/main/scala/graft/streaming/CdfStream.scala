@@ -43,7 +43,11 @@ import graft.sources.FileCow
   * streaming — is `GraftBridge.asStreaming` (the same package-bridge
   * pattern the rest of `graft.plans` uses).
   */
-class CdfSourceProvider extends StreamSourceProvider {
+class CdfSourceProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  /** `spark.readStream.format("graft-cdf")` (service-registered). */
+  override def shortName(): String = "graft-cdf"
 
   private def opt(params: Map[String, String], key: String): String =
     params.getOrElse(key, sys.error(s"graft-cdf: '$key' option is required"))
@@ -73,7 +77,16 @@ class CdfSourceProvider extends StreamSourceProvider {
         new String(java.nio.file.Files.readAllBytes(pinned),
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong
       else {
+        // startingTimestamp mirrors TIMESTAMP AS OF: the stream starts
+        // AFTER the version live at that instant (epoch-millis digits or a
+        // 'yyyy-MM-dd HH:mm:ss[.fff]' literal)
+        val fromTs = params.get("startingTimestamp").map { ts =>
+          val ms = if (ts.forall(_.isDigit)) ts.toLong
+                   else java.sql.Timestamp.valueOf(ts).getTime
+          FileCow.versionAtTimestamp(root, ms)
+        }
         val v = params.get("startingVersion").map(_.toLong)
+          .orElse(fromTs)
           .getOrElse(FileCow.currentVersion(root))
         java.nio.file.Files.createDirectories(pinned.getParent)
         val tmp = pinned.resolveSibling("graft-cdf-start.tmp")
