@@ -1,8 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
-  DataSourceRegister, RelationProvider}
+  DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 
 /** The IDIOMATIC DataFrame API surface for cow tables — the shape a Delta
   * user reaches for before any SQL:
@@ -29,9 +31,43 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
   * pruning bites from version 1.
   */
 class GraftCowDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-cow"
+
+  /** `df.writeStream.format("graft-cow")` — the F20 exactly-once append
+    * sink behind the idiomatic spelling: each micro-batch is one append
+    * commit stamped (appId, batchId) INSIDE the CAS (no marker window; a
+    * replayed batch cannot duplicate). Options: `root` (required), `appId`
+    * (required — the txn identity; keep it stable across restarts),
+    * `statsCols` (comma list for the creating batch; default = every
+    * stats-eligible column), `filesHint`. Append output mode only — keyed
+    * upserts are [[graft.streaming.CowUpsertSink]]'s latest-wins contract,
+    * which needs an ordering the generic sink cannot guess. */
+  override def createSink(ctx: SQLContext, params: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-cow sink: append output mode only, got $outputMode")
+    require(partitionColumns.isEmpty, "graft-cow sink: partitionBy unsupported " +
+      "(layout is range-partitioning on the lead stats column)")
+    val r = root(params)
+    val appId = params.getOrElse("appId",
+      sys.error("graft-cow sink: 'appId' option is required (the txn identity)"))
+    val filesHint = params.get("filesHint").map(_.toInt).getOrElse(4)
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val stats = params.get("statsCols")
+          .map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(FileCow.statsEligible(data.schema))
+        // the streaming frame cannot be written directly — re-plan its rows
+        // as a batch frame the same way foreachBatch does
+        val batch = org.apache.spark.sql.GraftBridge.asBatch(data)
+        graft.streaming.CowAppendSink.commitBatch(
+          batch, r, appId, batchId, stats, filesHint)
+      }
+      override def toString: String = s"GraftCowAppendSink[$r]"
+    }
+  }
 
   private def root(params: Map[String, String]): String =
     params.getOrElse("root", sys.error("graft-cow: 'root' option is required"))

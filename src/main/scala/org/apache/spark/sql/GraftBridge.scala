@@ -31,6 +31,17 @@ object GraftBridge {
     spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse hop for a DataSource-V1 streaming
+    * [[org.apache.spark.sql.execution.streaming.Sink]]: `addBatch` receives
+    * a frame whose logical plan still carries streaming-tagged leaves, so
+    * any new action on it trips the streaming-query checker. Re-plan the
+    * already-executed rows as a plain batch frame — exactly what Spark's
+    * own `ForeachBatchSink` does before handing the user their batch. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Register graft's SQL functions on an ALREADY-BUILT session (e.g. one
     * handed over by a driver that did not pass spark.sql.extensions). */
   def registerFunctions(
