@@ -1,10 +1,13 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
-import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
-  DataSourceRegister, RelationProvider, StreamSinkProvider}
+  DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.streaming.{CdfSource, CowTableSource}
 
 /** The IDIOMATIC DataFrame API surface for cow tables — the shape a Delta
   * user reaches for before any SQL:
@@ -31,9 +34,47 @@ import org.apache.spark.sql.streaming.OutputMode
   * pruning bites from version 1.
   */
 class GraftCowDataSource extends RelationProvider
-    with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-cow"
+
+  /** `spark.readStream.format("graft-cow")` — the table as a stream:
+    * each commit's newly appended rows arrive as a micro-batch
+    * ([[graft.streaming.CowTableSource]]; change commits fail unless
+    * `skipChangeCommits=true`). With `readChangeFeed=true` (+ `keys`)
+    * the stream is the F19 change feed instead — every commit
+    * representable, rows tagged `_change_type`/`_commit_version`.
+    * `startingVersion`/`startingTimestamp` position the start; the
+    * resolved start is pinned in checkpoint metadata across restarts. */
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, params: Map[String, String]): (String, StructType) = {
+    val r = root(params)
+    if (readsChangeFeed(params)) ("graft-cow", CdfSource.feedSchema(r))
+    else {
+      val v = FileCow.currentVersion(r)
+      require(v > 0L, s"graft-cow: no published version under $r")
+      ("graft-cow", FileCow.schemaOf(r, v))
+    }
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      params: Map[String, String]): Source = {
+    val r = root(params)
+    val start = CdfSource.pinnedStart(metadataPath, r, params)
+    if (readsChangeFeed(params)) {
+      val keys = params.getOrElse("keys", sys.error(
+        "graft-cow: readChangeFeed requires the 'keys' option (the table's " +
+        "merge keys — the change feed classifies rows by key presence)"))
+        .split(",").map(_.trim).toSeq
+      new CdfSource(ctx, r, keys, start)
+    } else new CowTableSource(ctx, r, sourceSchema(ctx, schema, providerName, params)._2,
+      start, params.get("skipChangeCommits").exists(_.toBoolean))
+  }
+
+  private def readsChangeFeed(params: Map[String, String]): Boolean =
+    params.get("readChangeFeed").exists(_.toBoolean)
 
   /** `df.writeStream.format("graft-cow")` — the F20 exactly-once append
     * sink behind the idiomatic spelling: each micro-batch is one append

@@ -61,47 +61,52 @@ class CdfSourceProvider extends StreamSourceProvider
       params: Map[String, String]): Source = {
     val root = opt(params, "root")
     val keys = opt(params, "keys").split(",").map(_.trim).toSeq
-    // The start version must be STABLE across restarts: a recovering stream
-    // re-creates the source, and a WAL-replayed first batch would otherwise
-    // re-resolve the "current version" default against a table that has
-    // moved — silently skipping the replayed interval. Pin it under the
-    // source's own checkpoint metadata dir on first creation.
+    new CdfSource(ctx, root, keys, CdfSource.pinnedStart(metadataPath, root, params))
+  }
+}
+
+object CdfSource {
+
+  /** Resolve the stream's start version ONCE and pin it under the source's
+    * checkpoint metadata dir. The start must be STABLE across restarts: a
+    * recovering stream re-creates the source, and a WAL-replayed first
+    * batch would otherwise re-resolve the "current version" default against
+    * a table that has moved — silently skipping the replayed interval.
+    * `startingVersion` wins over `startingTimestamp` (TIMESTAMP AS OF
+    * semantics: epoch-millis digits or a 'yyyy-MM-dd HH:mm:ss[.fff]'
+    * literal); the default is the version current at first creation.
+    * Shared by the CDF source and the graft-cow table stream — the pinning
+    * contract is identical. */
+  def pinnedStart(metadataPath: String, root: String,
+      params: Map[String, String]): Long = {
     // metadataPath arrives as a Hadoop URI ("file:/…"); as a raw string it
     // would resolve RELATIVE to the working dir and pin in the wrong place.
     val metaDir = java.nio.file.Paths.get(
       org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
         new org.apache.hadoop.fs.Path(metadataPath)).toString)
     val pinned = metaDir.resolve("graft-cdf-start")
-    val start =
-      if (java.nio.file.Files.exists(pinned))
-        new String(java.nio.file.Files.readAllBytes(pinned),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      else {
-        // startingTimestamp mirrors TIMESTAMP AS OF: the stream starts
-        // AFTER the version live at that instant (epoch-millis digits or a
-        // 'yyyy-MM-dd HH:mm:ss[.fff]' literal)
-        val fromTs = params.get("startingTimestamp").map { ts =>
-          val ms = if (ts.forall(_.isDigit)) ts.toLong
-                   else java.sql.Timestamp.valueOf(ts).getTime
-          FileCow.versionAtTimestamp(root, ms)
-        }
-        val v = params.get("startingVersion").map(_.toLong)
-          .orElse(fromTs)
-          .getOrElse(FileCow.currentVersion(root))
-        java.nio.file.Files.createDirectories(pinned.getParent)
-        val tmp = pinned.resolveSibling("graft-cdf-start.tmp")
-        java.nio.file.Files.write(tmp,
-          v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.move(tmp, pinned,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        v
+    if (java.nio.file.Files.exists(pinned))
+      new String(java.nio.file.Files.readAllBytes(pinned),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else {
+      val fromTs = params.get("startingTimestamp").map { ts =>
+        val ms = if (ts.forall(_.isDigit)) ts.toLong
+                 else java.sql.Timestamp.valueOf(ts).getTime
+        FileCow.versionAtTimestamp(root, ms)
       }
-    new CdfSource(ctx, root, keys, start)
+      val v = params.get("startingVersion").map(_.toLong)
+        .orElse(fromTs)
+        .getOrElse(FileCow.currentVersion(root))
+      java.nio.file.Files.createDirectories(pinned.getParent)
+      val tmp = pinned.resolveSibling("graft-cdf-start.tmp")
+      java.nio.file.Files.write(tmp,
+        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, pinned,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      v
+    }
   }
-}
-
-object CdfSource {
   /** Table schema + Delta's `_change_type` and `_commit_version`. */
   def feedSchema(root: String): StructType = {
     val v = FileCow.currentVersion(root)

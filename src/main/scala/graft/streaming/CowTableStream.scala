@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.FileCow
+
+/** A COW TABLE AS AN APPEND STREAM — Delta's
+  * `spark.readStream.format("delta")` analog on G19's layout: the table
+  * itself is the source, each commit's NEWLY ADDED rows arrive as one
+  * micro-batch slice, offsets are table versions (same contract as F19's
+  * change feed, so replay is inherited from version immutability).
+  *
+  * Commit-kind semantics (resolved from the commit log, no manifest diff):
+  *   - `create` / `convert` / `append` — the added files ARE the new rows;
+  *     the batch reads exactly those files, O(new data).
+  *   - `compact` / `zorder` / `add_columns` / `drop_columns` — layout- or
+  *     metadata-only (row set identical): skipped silently.
+  *   - `merge` / `delete` / `update` / `overwrite` / `restore` — rewrite
+  *     rows an append-only stream cannot represent: FAIL by default
+  *     (Delta's contract), or skip the whole commit when
+  *     `skipChangeCommits=true` (Delta's option of the same name). For the
+  *     full picture of such commits, stream `readChangeFeed=true` instead.
+  *
+  * The schema is pinned at stream birth; files committed under a later
+  * evolved schema are projected onto it (missing columns read as null —
+  * the parquet contract, same as batch reads across `addColumns`).
+  *
+  * Vacuum drops commit records with their versions, so retention must
+  * outlive the slowest consumer — a gap fails loudly, never silently.
+  */
+class CowTableSource(ctx: SQLContext, root: String,
+    override val schema: StructType, val startVersion: Long,
+    skipChangeCommits: Boolean) extends Source {
+
+  private val AppendKinds = Set("create", "convert", "append")
+  private val RowNeutralKinds = Set("compact", "zorder", "add_columns", "drop_columns")
+
+  override def getOffset: Option[Offset] = {
+    val v = FileCow.currentVersion(root)
+    if (v > startVersion) Some(LongOffset(v)) else None
+  }
+
+  private def version(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => sys.error(s"graft-cow stream: unexpected offset $other")
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val spark = ctx.sparkSession
+    val from = start.map(version).getOrElse(startVersion)
+    val to = version(end)
+    val addedFiles = ((from + 1) to to).flatMap { v =>
+      val info = FileCow.commitInfo(root, v).getOrElse(sys.error(
+        s"graft-cow stream: commit record for version $v of $root is gone " +
+        "(vacuumed?) — snapshot retention must outlive the slowest consumer"))
+      info.kind match {
+        case k if AppendKinds(k) => info.added
+        case k if RowNeutralKinds(k) => Nil
+        case k if skipChangeCommits => Nil
+        case k => sys.error(
+          s"graft-cow stream: version $v is a '$k' commit, which rewrites " +
+          "rows an append-only stream cannot represent. Stream the change " +
+          "feed (.option(\"readChangeFeed\", \"true\").option(\"keys\", …)) " +
+          "or skip such commits (.option(\"skipChangeCommits\", \"true\")).")
+      }
+    }
+    val batch =
+      if (addedFiles.nonEmpty) spark.read.schema(schema).parquet(addedFiles: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    org.apache.spark.sql.GraftBridge.asStreaming(batch)
+  }
+
+  override def stop(): Unit = ()
+}
