@@ -436,6 +436,9 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     case c: GraftConvertCommand => GraftCowExec(c.table, { spark =>
       FileCow.convert(spark, c.root, c.sourceDir, c.statsCols); ()
     }) :: Nil
+    case c: GraftCloneCommand => GraftCowExec(c.table, { spark =>
+      FileCow.shallowClone(spark, c.srcRoot, c.root, c.versionAsOf); ()
+    }) :: Nil
     case c: GraftOptimizeCommand => GraftCowExec(c.table, { spark =>
       c.zorder match {
         case Some((a, b)) => FileCow.compactZOrder(spark, c.root, c.targetFiles, a, b)

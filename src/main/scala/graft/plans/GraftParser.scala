@@ -59,6 +59,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Ctas =
     """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+?)\s*;?\s*""".r
 
+  /** `CREATE TABLE <tgt> SHALLOW CLONE <src> [VERSION AS OF n]` — Delta's
+    * zero-copy clone on cow tables: one metadata commit naming the
+    * source's files; see [[graft.sources.FileCow.shallowClone]]. */
+  private val Clone =
+    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SHALLOW\s+CLONE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(name, n, hours, dryRun) =>
       GraftTables.entryOf(name) match {
@@ -123,6 +129,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           "table (no per-file manifest); use DESCRIBE HISTORY")
         case None => sys.error(s"DESCRIBE DETAIL: '$name' is not a registered graft table")
       }
+    case Clone(tgt, src, v) if GraftTables.entryOf(tgt).isDefined ||
+        GraftTables.entryOf(src).isDefined =>
+      (GraftTables.entryOf(tgt), GraftTables.entryOf(src)) match {
+        case (Some(t), Some(s)) if t.cow && s.cow =>
+          GraftCloneCommand(tgt, t.root, src, s.root, Option(v).map(_.toLong))
+        case (Some(_), Some(_)) => sys.error("SHALLOW CLONE: both tables must " +
+          "be cow-layout graft tables (snapshot tables re-publish whole " +
+          "versions — copy the frame instead)")
+        case _ => sys.error(s"SHALLOW CLONE: both '$tgt' and '$src' must be " +
+          "registered graft tables")
+      }
     case Ctas(ifNotExists, name, query) if GraftTables.entryOf(name).isDefined =>
       val e = GraftTables.entryOf(name).get
       GraftCtasCommand(name, e.root, delegate.parsePlan(query), e.cow,
@@ -181,6 +198,14 @@ case class GraftConvertCommand(table: String, root: String, sourceDir: String,
   * [[GraftMergeStrategy]]. */
 case class GraftRestoreCommand(table: String, root: String, toVersion: Long)
     extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF n]` — zero-copy
+  * clone ([[graft.sources.FileCow.shallowClone]]); planned by
+  * [[GraftMergeStrategy]]. */
+case class GraftCloneCommand(table: String, root: String, srcTable: String,
+    srcRoot: String, versionAsOf: Option[Long]) extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 

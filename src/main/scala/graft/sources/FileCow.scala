@@ -280,6 +280,91 @@ object FileCow {
     Commit(1L, filesKept = 0L, filesRewritten = 0L, filesAdded = slice.count())
   }
 
+  /** ZERO-COPY SHALLOW CLONE (the Delta `CREATE TABLE … SHALLOW CLONE`
+    * analog): `tgtRoot` becomes a full cow table whose v1 manifest NAMES
+    * the source's data files as of `versionAsOf` (default: current) — no
+    * byte is copied, so cloning a 100 TB table costs one metadata commit.
+    * The clone then lives its own life: DML rewrites only touched files
+    * into the clone's own `_data`; untouched files stay shared with the
+    * source; vacuum on the clone only ever deletes files under the
+    * clone's `_data` (unshared by construction).
+    *
+    * Vacuum safety is where this is STRONGER than Delta (which documents
+    * source-side VACUUM as clone-corrupting): the clone registers itself
+    * under each owner root's `_clones/` BEFORE its manifest commits, and
+    * the owner's [[vacuum]]/[[vacuumPlan]] count files referenced by any
+    * live clone's retained manifests as referenced. A dropped clone's
+    * marker is pruned by the owner's vacuum once older than its age
+    * floor. Cloning a clone registers with every transitive owner the
+    * manifest still names (paths carry their owner). */
+  def shallowClone(spark: SparkSession, srcRoot: String, tgtRoot: String,
+      versionAsOf: Option[Long] = None): Commit = {
+    require(currentVersion(tgtRoot) == 0L && versions(tgtRoot).isEmpty,
+      s"table already exists at $tgtRoot")
+    val v = versionAsOf.getOrElse(currentVersion(srcRoot))
+    require(Files.exists(manifestDir(srcRoot, v)),
+      s"version $v is not retained under $srcRoot")
+    val man = manifest(spark, srcRoot, v)
+    val files = man.select("file").collect().map(_.getString(0)).toSeq
+    // register with every owner BEFORE the clone exists: from the moment
+    // the clone's manifest commits, no owner vacuum can have missed it
+    files.map(f => Paths.get(f).getParent)
+      .filter(_.getFileName.toString == "_data")
+      .map(_.getParent.toString).distinct
+      .filterNot(_ == tgtRoot)
+      .foreach(owner => registerClone(owner, tgtRoot))
+    commit(spark, tgtRoot, expected = 0L, newManifest = man,
+      schema = schemaOf(srcRoot, v), CommitAction("clone", files, Nil))
+    Commit(1L, filesKept = files.length.toLong, filesRewritten = 0L, filesAdded = 0L)
+  }
+
+  private def clonesDir(root: String): NioPath = Paths.get(root, "_clones")
+
+  private def registerClone(ownerRoot: String, cloneRoot: String): Unit = {
+    Files.createDirectories(clonesDir(ownerRoot))
+    val tmp = clonesDir(ownerRoot).resolve(
+      s"c-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
+    Files.write(tmp, cloneRoot.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(tmp.toString.stripSuffix(".tmp")),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Files under THIS root's `_data` still referenced by a registered live
+    * clone's retained manifests — vacuum must keep them. `pruneDead`
+    * removes markers whose clone table no longer exists (dropped), but
+    * only once the marker clears `minAgeMs`: a clone IN CREATION has a
+    * marker and no versions yet, and the age floor is exactly the window
+    * that protects in-flight commits already. */
+  private def cloneReferenced(spark: SparkSession, root: String,
+      pruneDead: Boolean, minAgeMs: Long): Set[String] = {
+    val dir = clonesDir(root)
+    if (!Files.exists(dir)) return Set.empty
+    val markers = {
+      val list = Files.list(dir)
+      try {
+        val b = scala.collection.mutable.ArrayBuffer.empty[NioPath]
+        val it = list.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (!p.getFileName.toString.endsWith(".tmp")) b += p
+        }
+        b.toSeq
+      } finally list.close()
+    }
+    val prefix = dataDir(root).toString + java.io.File.separator
+    markers.flatMap { m =>
+      val cloneRoot = new String(Files.readAllBytes(m), StandardCharsets.UTF_8).trim
+      val vs = versions(cloneRoot)
+      if (vs.isEmpty) {
+        if (pruneDead && System.currentTimeMillis() -
+            Files.getLastModifiedTime(m).toMillis >= minAgeMs)
+          Files.deleteIfExists(m)
+        Nil
+      } else vs.flatMap(cv => manifest(spark, cloneRoot, cv).select("file")
+        .collect().map(_.getString(0)).filter(_.startsWith(prefix)))
+    }.toSet
+  }
+
   /** Read the current snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root, currentVersion(root))
@@ -773,10 +858,11 @@ object FileCow {
       minAgeMs: Long = 0L): Seq[(String, Long, Long)] = {
     val retained = versions(root).takeRight(math.max(keep, 1))
     val referenced: Set[String] =
-      if (retained.isEmpty) Set.empty
-      else retained.map(v => manifest(spark, root, v).select("file"))
-        .reduce(_ unionByName _).distinct()
-        .collect().map(_.getString(0)).toSet
+      (if (retained.isEmpty) Set.empty[String]
+       else retained.map(v => manifest(spark, root, v).select("file"))
+         .reduce(_ unionByName _).distinct()
+         .collect().map(_.getString(0)).toSet) ++
+      cloneReferenced(spark, root, pruneDead = false, minAgeMs)
     val dir = dataDir(root)
     if (!Files.exists(dir)) return Seq.empty
     val list = Files.list(dir)
@@ -805,10 +891,11 @@ object FileCow {
       Files.deleteIfExists(commitInfoFile(root, v))
     }
     val referenced: Set[String] =
-      if (retained.isEmpty) Set.empty
-      else retained.map(v => manifest(spark, root, v).select("file"))
-        .reduce(_ unionByName _).distinct()
-        .collect().map(_.getString(0)).toSet // file-count metadata, driver-ok
+      (if (retained.isEmpty) Set.empty[String]
+       else retained.map(v => manifest(spark, root, v).select("file"))
+         .reduce(_ unionByName _).distinct()
+         .collect().map(_.getString(0)).toSet) ++ // file-count metadata, driver-ok
+      cloneReferenced(spark, root, pruneDead = true, minAgeMs)
     val dir = dataDir(root)
     if (!Files.exists(dir)) return Seq.empty
     val list = Files.list(dir)

@@ -35,7 +35,7 @@ class CowTableSource(ctx: SQLContext, root: String,
     override val schema: StructType, val startVersion: Long,
     skipChangeCommits: Boolean) extends Source {
 
-  private val AppendKinds = Set("create", "convert", "append")
+  private val AppendKinds = Set("create", "convert", "clone", "append")
   private val RowNeutralKinds = Set("compact", "zorder", "add_columns", "drop_columns")
 
   override def getOffset: Option[Offset] = {
