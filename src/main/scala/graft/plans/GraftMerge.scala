@@ -65,6 +65,12 @@ object GraftTables {
   def rootOf(name: String): Option[String] = entryOf(name).map(_.root)
   def entryOf(name: String): Option[Entry] = Option(tables.get(normalize(name)))
 
+  /** Every registered (name, entry), name-sorted — `SHOW GRAFT TABLES`. */
+  def all(): Seq[(String, Entry)] = {
+    import scala.jdk.CollectionConverters._
+    tables.asScala.toSeq.sortBy(_._1)
+  }
+
   private def normalize(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
 
   /** Multipart identifier → registry key (single-part names only: graft

@@ -65,6 +65,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Clone =
     """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SHALLOW\s+CLONE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
 
+  /** `SHOW GRAFT TABLES` — the catalog-lite listing as a composable
+    * relation: (name, root, layout, version). The GRAFT keyword keeps
+    * Spark's own SHOW TABLES untouched. */
+  private val ShowTables = """(?is)\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*""".r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(name, n, hours, dryRun) =>
       GraftTables.entryOf(name) match {
@@ -129,6 +134,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           "table (no per-file manifest); use DESCRIBE HISTORY")
         case None => sys.error(s"DESCRIBE DETAIL: '$name' is not a registered graft table")
       }
+    case ShowTables() =>
+      val rows = GraftTables.all().map { case (name, e) =>
+        val version =
+          if (e.cow) graft.sources.FileCow.currentVersion(e.root)
+          else Versioned.currentVersion(e.root)
+        (name, e.root, if (e.cow) "cow" else "snapshot", version)
+      }
+      import session.implicits._
+      rows.toDF("name", "root", "layout", "version").queryExecution.analyzed
     case Clone(tgt, src, v) if GraftTables.entryOf(tgt).isDefined ||
         GraftTables.entryOf(src).isDefined =>
       (GraftTables.entryOf(tgt), GraftTables.entryOf(src)) match {

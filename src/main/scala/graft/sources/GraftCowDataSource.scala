@@ -46,7 +46,12 @@ class GraftCowDataSource extends RelationProvider
     * the stream is the F19 change feed instead — every commit
     * representable, rows tagged `_change_type`/`_commit_version`.
     * `startingVersion`/`startingTimestamp` position the start; the
-    * resolved start is pinned in checkpoint metadata across restarts. */
+    * resolved start is pinned in checkpoint metadata across restarts.
+    * `maxVersionsPerTrigger` bounds each micro-batch to N commits (the
+    * Delta `maxFilesPerTrigger` analog), so a long-idle checkpoint
+    * drains its backlog in bounded batches; the delivered-to position
+    * persists in checkpoint metadata so a clean restart cannot regress
+    * below what the checkpoint committed. */
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, params: Map[String, String]): (String, StructType) = {
     val r = root(params)
@@ -63,18 +68,51 @@ class GraftCowDataSource extends RelationProvider
       params: Map[String, String]): Source = {
     val r = root(params)
     val start = CdfSource.pinnedStart(metadataPath, r, params)
+    val maxPerTrigger = params.get("maxVersionsPerTrigger").map(_.toLong)
     if (readsChangeFeed(params)) {
       val keys = params.getOrElse("keys", sys.error(
         "graft-cow: readChangeFeed requires the 'keys' option (the table's " +
         "merge keys — the change feed classifies rows by key presence)"))
         .split(",").map(_.trim).toSeq
-      new CdfSource(ctx, r, keys, start)
+      new CdfSource(ctx, r, keys, start, maxPerTrigger, Some(metadataPath))
     } else new CowTableSource(ctx, r, sourceSchema(ctx, schema, providerName, params)._2,
-      start, params.get("skipChangeCommits").exists(_.toBoolean))
+      start, params.get("skipChangeCommits").exists(_.toBoolean),
+      maxPerTrigger, Some(metadataPath))
   }
 
   private def readsChangeFeed(params: Map[String, String]): Boolean =
     params.get("readChangeFeed").exists(_.toBoolean)
+
+  /** `option("mergeSchema", "true")` on an append (Delta's writer option):
+    * the frame's NEW columns evolve the table first (a metadata-only
+    * `addColumns` commit — nullable, no file touched), then the frame is
+    * projected onto the evolved schema, with table columns the frame
+    * lacks padded null. Without the option, [[FileCow.append]]'s exact
+    * schema contract stands and drift fails loudly. */
+  private def evolveForAppend(spark: SparkSession, r: String,
+      df: DataFrame, params: Map[String, String]): DataFrame = {
+    if (!params.get("mergeSchema").exists(_.toBoolean)) return df
+    import org.apache.spark.sql.functions.{col, lit}
+    val table = FileCow.schemaOf(r, FileCow.currentVersion(r))
+    val existing = table.fieldNames.map(_.toLowerCase).toSet
+    val fresh = df.schema.fields.toSeq
+      .filterNot(f => existing(f.name.toLowerCase))
+      .map(_.copy(nullable = true))
+    if (fresh.nonEmpty) FileCow.addColumns(spark, r, fresh)
+    val evolved = FileCow.schemaOf(r, FileCow.currentVersion(r))
+    val have = df.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+    df.select(evolved.fields.toSeq.map { f =>
+      have.get(f.name.toLowerCase) match {
+        case Some(n) => col(n).cast(f.dataType).as(f.name)
+        case None =>
+          // padding NULL into a NOT NULL column would poison reads (the
+          // declared no-null contract lets the reader skip null checks)
+          require(f.nullable, s"mergeSchema append: the frame lacks table " +
+            s"column '${f.name}', which is NOT NULL — nothing to pad with")
+          lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+  }
 
   /** `df.writeStream.format("graft-cow")` — the F20 exactly-once append
     * sink behind the idiomatic spelling: each micro-batch is one append
@@ -146,7 +184,9 @@ class GraftCowDataSource extends RelationProvider
       ()
     }
     mode match {
-      case SaveMode.Append => if (exists) FileCow.append(spark, r, df) else create()
+      case SaveMode.Append =>
+        if (exists) FileCow.append(spark, r, evolveForAppend(spark, r, df, params))
+        else create()
       case SaveMode.Overwrite => if (exists) FileCow.overwrite(spark, r, df) else create()
       case SaveMode.ErrorIfExists =>
         require(!exists, s"graft-cow: table already exists at $r (mode ErrorIfExists)")

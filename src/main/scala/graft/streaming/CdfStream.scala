@@ -61,11 +61,42 @@ class CdfSourceProvider extends StreamSourceProvider
       params: Map[String, String]): Source = {
     val root = opt(params, "root")
     val keys = opt(params, "keys").split(",").map(_.trim).toSeq
-    new CdfSource(ctx, root, keys, CdfSource.pinnedStart(metadataPath, root, params))
+    new CdfSource(ctx, root, keys, CdfSource.pinnedStart(metadataPath, root, params),
+      params.get("maxVersionsPerTrigger").map(_.toLong), Some(metadataPath))
   }
 }
 
 object CdfSource {
+
+  /** Where a rate-limited source has delivered up to, persisted under the
+    * checkpoint metadata dir. `getOffset` has no access to the WAL's
+    * committed offset (the V1 API's gap), so without this a CLEAN restart
+    * would re-resolve the cap from the start version — returning an offset
+    * BELOW what the checkpoint already committed and re-delivering rows.
+    * `advance` is monotonic and runs at batch CONSTRUCTION (getBatch), so
+    * a crash-replayed batch just re-advances to the same position. */
+  private[streaming] final class RatePos(metadataPath: String, init: Long) {
+    private val file = metaDir(metadataPath).resolve("graft-rate-pos")
+    def get: Long =
+      if (java.nio.file.Files.exists(file))
+        math.max(init, new String(java.nio.file.Files.readAllBytes(file),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      else init
+    def advance(to: Long): Unit = if (to > get) {
+      java.nio.file.Files.createDirectories(file.getParent)
+      val tmp = file.resolveSibling(s"graft-rate-pos.tmp")
+      java.nio.file.Files.write(tmp,
+        to.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, file,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def metaDir(metadataPath: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+        new org.apache.hadoop.fs.Path(metadataPath)).toString)
 
   /** Resolve the stream's start version ONCE and pin it under the source's
     * checkpoint metadata dir. The start must be STABLE across restarts: a
@@ -81,10 +112,7 @@ object CdfSource {
       params: Map[String, String]): Long = {
     // metadataPath arrives as a Hadoop URI ("file:/…"); as a raw string it
     // would resolve RELATIVE to the working dir and pin in the wrong place.
-    val metaDir = java.nio.file.Paths.get(
-      org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
-        new org.apache.hadoop.fs.Path(metadataPath)).toString)
-    val pinned = metaDir.resolve("graft-cdf-start")
+    val pinned = metaDir(metadataPath).resolve("graft-cdf-start")
     if (java.nio.file.Files.exists(pinned))
       new String(java.nio.file.Files.readAllBytes(pinned),
         java.nio.charset.StandardCharsets.UTF_8).trim.toLong
@@ -118,13 +146,22 @@ object CdfSource {
 }
 
 class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
-    val startVersion: Long) extends Source {
+    val startVersion: Long,
+    maxVersionsPerTrigger: Option[Long] = None,
+    metadataPath: Option[String] = None) extends Source {
 
   override val schema: StructType = CdfSource.feedSchema(root)
 
+  // rate limiting caps each micro-batch at N commits, so a stream catching
+  // up on a long-idle checkpoint drains the backlog in bounded batches
+  // instead of one giant one (Delta's maxFilesPerTrigger motivation)
+  private val ratePos = for { m <- maxVersionsPerTrigger; p <- metadataPath }
+    yield (m, new CdfSource.RatePos(p, startVersion))
+
   override def getOffset: Option[Offset] = {
     val v = FileCow.currentVersion(root)
-    if (v > startVersion) Some(LongOffset(v)) else None
+    val capped = ratePos.fold(v) { case (m, pos) => math.min(v, pos.get + m) }
+    if (capped > startVersion) Some(LongOffset(capped)) else None
   }
 
   private def version(o: Offset): Long = o match {
@@ -148,6 +185,7 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
       feed.withColumn("_commit_version", lit(v + 1))
         .select(schema.fieldNames.map(col): _*)
     }
+    ratePos.foreach { case (_, pos) => pos.advance(to) }
     org.apache.spark.sql.GraftBridge.asStreaming(perCommit.reduce(_ unionByName _))
   }
 

@@ -33,14 +33,22 @@ import graft.sources.FileCow
   */
 class CowTableSource(ctx: SQLContext, root: String,
     override val schema: StructType, val startVersion: Long,
-    skipChangeCommits: Boolean) extends Source {
+    skipChangeCommits: Boolean,
+    maxVersionsPerTrigger: Option[Long] = None,
+    metadataPath: Option[String] = None) extends Source {
 
   private val AppendKinds = Set("create", "convert", "clone", "append")
   private val RowNeutralKinds = Set("compact", "zorder", "add_columns", "drop_columns")
 
+  // same bounded-catch-up contract as the CDF source: cap each batch at N
+  // commits, position persisted in checkpoint metadata across restarts
+  private val ratePos = for { m <- maxVersionsPerTrigger; p <- metadataPath }
+    yield (m, new CdfSource.RatePos(p, startVersion))
+
   override def getOffset: Option[Offset] = {
     val v = FileCow.currentVersion(root)
-    if (v > startVersion) Some(LongOffset(v)) else None
+    val capped = ratePos.fold(v) { case (m, pos) => math.min(v, pos.get + m) }
+    if (capped > startVersion) Some(LongOffset(capped)) else None
   }
 
   private def version(o: Offset): Long = o match {
@@ -72,6 +80,7 @@ class CowTableSource(ctx: SQLContext, root: String,
       if (addedFiles.nonEmpty) spark.read.schema(schema).parquet(addedFiles: _*)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    ratePos.foreach { case (_, pos) => pos.advance(to) }
     org.apache.spark.sql.GraftBridge.asStreaming(batch)
   }
 

@@ -67,6 +67,59 @@ class GraftCowDataSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("mergeSchema append evolves the table, pads missing columns, keeps strictness off it") {
+    val root = Files.createTempDirectory("graft-ms").resolve("t").toString
+    // v nullable: only a nullable column can be padded on later appends
+    spark.range(1, 11).select(col("id").as("k"),
+        when(col("id") > 0, col("id")).as("v"))
+      .write.format("graft-cow").option("root", root).mode("error").save()
+
+    // drifted frame: new column `w`, missing column `v`
+    val drifted = Seq((100L, 7.5)).toDF("k", "w")
+    intercept[Exception] { // without the option, the exact-schema contract stands
+      drifted.write.format("graft-cow").option("root", root).mode("append").save()
+    }
+    intercept[Exception] { // a frame missing a NOT NULL column cannot be padded
+      drifted.drop("w").write.format("graft-cow").option("root", Files
+          .createTempDirectory("graft-ms2").resolve("t2").toString)
+        .mode("error").save() // t2: k NOT NULL only
+      val t2 = Files.createTempDirectory("graft-ms3").resolve("t3").toString
+      spark.range(1, 3).select(col("id").as("k"), col("id").as("nn"))
+        .write.format("graft-cow").option("root", t2).mode("error").save()
+      Seq(9L).toDF("k").write.format("graft-cow").option("root", t2)
+        .option("mergeSchema", "true").mode("append").save()
+    }
+    drifted.write.format("graft-cow").option("root", root)
+      .option("mergeSchema", "true").mode("append").save()
+
+    val got = spark.read.format("graft-cow").option("root", root).load()
+    assert(got.columns.toSeq == Seq("k", "v", "w"))
+    val r = got.filter(col("k") === 100L).select("v", "w").collect().head
+    assert(r.isNullAt(0) && r.getDouble(1) == 7.5, "missing padded null, new kept")
+    assert(got.filter(col("k") < 100L).select("w").collect().forall(_.isNullAt(0)),
+      "old rows read null for the evolved column")
+    // evolution = one metadata commit + one append commit
+    assert(FileCow.commitInfo(root, 2L).get.kind == "add_columns")
+    assert(FileCow.commitInfo(root, 3L).get.kind == "append")
+  }
+
+  test("SHOW GRAFT TABLES lists the registry with layout and version") {
+    val root = Files.createTempDirectory("graft-show").resolve("t").toString
+    spark.range(1, 6).select(col("id").as("k"), col("id").as("v"))
+      .write.format("graft-cow").option("root", root).mode("error").save()
+    GraftTables.registerCow("show_me_cow", root)
+    val rows = spark.sql("SHOW GRAFT TABLES")
+      .filter(col("name") === "show_me_cow")
+      .select("root", "layout", "version").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == root)
+    assert(rows.head.getString(1) == "cow")
+    assert(rows.head.getLong(2) == 1L)
+    // composable: aggregates work on it
+    assert(spark.sql("SHOW GRAFT TABLES").filter(col("layout") === "cow").count() >= 1)
+    GraftTables.unregister("show_me_cow")
+  }
+
   test("VACUUM DRY RUN reports exactly what the real vacuum deletes, touching nothing") {
     val root = Files.createTempDirectory("graft-dryrun").toString
     GraftTables.registerCow("dry_t", root)

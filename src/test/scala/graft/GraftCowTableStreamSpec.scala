@@ -95,6 +95,35 @@ class GraftCowTableStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxVersionsPerTrigger drains a backlog in bounded batches") {
+    val root = mkTable()                       // v1
+    FileCow.append(spark, root, inc(400, 405)) // v2
+    FileCow.append(spark, root, inc(405, 410)) // v3
+    FileCow.append(spark, root, inc(410, 415)) // v4
+    FileCow.append(spark, root, inc(415, 420)) // v5
+    val got = mutable.Set.empty[Row3]
+    val batchSizes = mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-cow").option("root", root)
+      .option("startingVersion", "0").option("maxVersionsPerTrigger", "2")
+      .load().writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val r = rows(b)
+        got.synchronized { got ++= r; batchSizes += r.size.toLong }
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("cow-ts-rate").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(got.toSet == rows(FileCow.read(spark, root)), "backlog fully drained")
+      // 5 commits at ≤2 per trigger: at least 3 batches, none spanning >2
+      // commits' worth of rows (v1 has 50, each append 5 — a 2-commit cap
+      // bounds any batch at 55)
+      assert(batchSizes.count(_ > 0) >= 3, s"expected ≥3 bounded batches, got $batchSizes")
+      assert(batchSizes.forall(_ <= 55L), s"a batch exceeded the 2-commit cap: $batchSizes")
+    } finally q.stop()
+  }
+
   test("readChangeFeed=true streams the F19 feed with change tags") {
     val root = mkTable() // v1
     val got = mutable.Set.empty[(Long, String, Long)]
