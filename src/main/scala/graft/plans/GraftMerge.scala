@@ -445,6 +445,18 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     case c: GraftCloneCommand => GraftCowExec(c.table, { spark =>
       FileCow.shallowClone(spark, c.srcRoot, c.root, c.versionAsOf); ()
     }) :: Nil
+    case c: GraftConstraintCommand => GraftCowExec(c.table, { spark =>
+      c.check match {
+        case Some(sql) => FileCow.addConstraint(spark, c.root, c.name, sql)
+        case None => FileCow.dropConstraint(spark, c.root, c.name)
+      }
+      ()
+    }) :: Nil
+    case c: GraftPropsCommand => GraftCowExec(c.table, { spark =>
+      if (c.set.nonEmpty) FileCow.setTableProperties(spark, c.root, c.set)
+      if (c.unset.nonEmpty) FileCow.unsetTableProperties(spark, c.root, c.unset)
+      ()
+    }) :: Nil
     case c: GraftOptimizeCommand => GraftCowExec(c.table, { spark =>
       c.zorder match {
         case Some((a, b)) => FileCow.compactZOrder(spark, c.root, c.targetFiles, a, b)

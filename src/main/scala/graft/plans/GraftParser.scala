@@ -70,6 +70,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * Spark's own SHOW TABLES untouched. */
   private val ShowTables = """(?is)\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*""".r
 
+  /** CHECK constraints + table properties (cow tables): the Delta
+    * `ADD CONSTRAINT … CHECK` surface. Spark's grammar has no ADD
+    * CONSTRAINT, so these are prefix intercepts like VACUUM. */
+  private val AddConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  private val SetProps =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+  private val UnsetProps =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+UNSET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+  private val ShowProps =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+
+  /** `'k' = 'v', 'k2' = 'v2'` (Spark's TBLPROPERTIES literal list). */
+  private val PropPair = """'([^']+)'\s*=\s*'([^']*)'""".r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(name, n, hours, dryRun) =>
       GraftTables.entryOf(name) match {
@@ -134,6 +151,30 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           "table (no per-file manifest); use DESCRIBE HISTORY")
         case None => sys.error(s"DESCRIBE DETAIL: '$name' is not a registered graft table")
       }
+    case AddConstraint(name, cname, check) if GraftTables.entryOf(name).isDefined =>
+      cowOnly("ALTER TABLE ADD CONSTRAINT", name)(e =>
+        GraftConstraintCommand(name, e.root, cname, Some(check)))
+    case DropConstraint(name, cname) if GraftTables.entryOf(name).isDefined =>
+      cowOnly("ALTER TABLE DROP CONSTRAINT", name)(e =>
+        GraftConstraintCommand(name, e.root, cname, None))
+    case SetProps(name, pairs) if GraftTables.entryOf(name).isDefined =>
+      val kv = PropPair.findAllMatchIn(pairs)
+        .map(m => m.group(1) -> m.group(2)).toMap
+      require(kv.nonEmpty, s"SET TBLPROPERTIES: no 'k' = 'v' pairs in ($pairs)")
+      cowOnly("ALTER TABLE SET TBLPROPERTIES", name)(e =>
+        GraftPropsCommand(name, e.root, set = kv, unset = Nil))
+    case UnsetProps(name, keys) if GraftTables.entryOf(name).isDefined =>
+      val ks = """'([^']+)'""".r.findAllMatchIn(keys).map(_.group(1)).toSeq
+      require(ks.nonEmpty, s"UNSET TBLPROPERTIES: no 'k' keys in ($keys)")
+      cowOnly("ALTER TABLE UNSET TBLPROPERTIES", name)(e =>
+        GraftPropsCommand(name, e.root, set = Map.empty, unset = ks))
+    case ShowProps(name) if GraftTables.entryOf(name).exists(_.cow) =>
+      val e = GraftTables.entryOf(name).get
+      val rows = graft.sources.FileCow
+        .tableProps(e.root, graft.sources.FileCow.currentVersion(e.root))
+        .toSeq.sortBy(_._1)
+      import session.implicits._
+      rows.toDF("key", "value").queryExecution.analyzed
     case ShowTables() =>
       val rows = GraftTables.all().map { case (name, e) =>
         val version =
@@ -160,6 +201,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         ifNotExists = ifNotExists != null)
     case _ => delegate.parsePlan(sqlText)
   }
+
+  private def cowOnly(what: String, name: String)(
+      mk: GraftTables.Entry => LogicalPlan): LogicalPlan =
+    GraftTables.entryOf(name) match {
+      case Some(e) if e.cow => mk(e)
+      case Some(_) => sys.error(s"$what: '$name' is a snapshot-level table — " +
+        "constraints/properties are a cow-table surface")
+      case None => sys.error(s"$what: '$name' is not a registered graft table")
+    }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
@@ -220,6 +270,22 @@ case class GraftRestoreCommand(table: String, root: String, toVersion: Long)
   * [[GraftMergeStrategy]]. */
 case class GraftCloneCommand(table: String, root: String, srcTable: String,
     srcRoot: String, versionAsOf: Option[Long]) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` (`check = Some`) /
+  * `DROP CONSTRAINT name` (`check = None`) — [[graft.sources.FileCow
+  * .addConstraint]]/[[graft.sources.FileCow.dropConstraint]]; planned by
+  * [[GraftMergeStrategy]]. */
+case class GraftConstraintCommand(table: String, root: String, name: String,
+    check: Option[String]) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `ALTER TABLE t SET/UNSET TBLPROPERTIES (…)` — one metadata commit per
+  * statement; planned by [[GraftMergeStrategy]]. */
+case class GraftPropsCommand(table: String, root: String,
+    set: Map[String, String], unset: Seq[String]) extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 

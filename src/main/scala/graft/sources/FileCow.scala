@@ -84,6 +84,33 @@ object FileCow {
   private def commitInfoFile(root: String, v: Long): NioPath =
     manifestsDir(root).resolve(s"m$v.commit.json")
 
+  private def propsFile(root: String, v: Long): NioPath =
+    manifestsDir(root).resolve(s"m$v.props.json")
+
+  /** TABLE PROPERTIES at version `v` — a versioned string map carried
+    * forward by every commit (the Delta `tblproperties` analog; CHECK
+    * constraints live here under `graft.constraints.<name>`). Absent file
+    * = no properties (pre-props tables read empty, no migration). */
+  def tableProps(root: String, v: Long): Map[String, String] = {
+    val p = propsFile(root, v)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val n = jsonMapper.readTree(Files.readAllBytes(p))
+      val b = Map.newBuilder[String, String]
+      n.properties().forEach(e => b += e.getKey -> e.getValue.asText())
+      b.result()
+    }
+  }
+
+  /** The table's CHECK constraints at version `v`: name → SQL predicate. */
+  def constraintsOf(root: String, v: Long): Map[String, String] =
+    tableProps(root, v).collect {
+      case (k, sql) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> sql
+    }
+
+  private val ConstraintPrefix = "graft.constraints."
+
   /** One mapper for all commit-record IO (thread-safe for read/write once
     * configured; per-call construction is the expensive part). */
   private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -314,7 +341,8 @@ object FileCow {
       .filterNot(_ == tgtRoot)
       .foreach(owner => registerClone(owner, tgtRoot))
     commit(spark, tgtRoot, expected = 0L, newManifest = man,
-      schema = schemaOf(srcRoot, v), CommitAction("clone", files, Nil))
+      schema = schemaOf(srcRoot, v), CommitAction("clone", files, Nil),
+      props = Some(tableProps(srcRoot, v)))
     Commit(1L, filesKept = files.length.toLong, filesRewritten = 0L, filesAdded = 0L)
   }
 
@@ -749,6 +777,68 @@ object FileCow {
       Commit(version + 1, filesKept = man.count(), filesRewritten = 0L, filesAdded = 0L)
     }
 
+  /** SET TBLPROPERTIES: merge `kv` into the table's property map in ONE
+    * metadata-only commit (manifest and schema unchanged). */
+  def setTableProperties(spark: SparkSession, root: String,
+      kv: Map[String, String]): Commit =
+    retrying(root, "FileCow.setTableProperties") { version =>
+      val man = manifest(spark, root, version)
+      commit(spark, root, version, man, schemaOf(root, version),
+        CommitAction("set_properties", Nil, Nil),
+        props = Some(tableProps(root, version) ++ kv))
+      Commit(version + 1, filesKept = man.count(), 0L, 0L)
+    }
+
+  /** UNSET TBLPROPERTIES: remove `keys` in ONE metadata-only commit. */
+  def unsetTableProperties(spark: SparkSession, root: String,
+      keys: Seq[String]): Commit =
+    retrying(root, "FileCow.unsetTableProperties") { version =>
+      val man = manifest(spark, root, version)
+      commit(spark, root, version, man, schemaOf(root, version),
+        CommitAction("unset_properties", Nil, Nil),
+        props = Some(tableProps(root, version) -- keys))
+      Commit(version + 1, filesKept = man.count(), 0L, 0L)
+    }
+
+  /** ADD a CHECK constraint (Delta `ALTER TABLE … ADD CONSTRAINT name
+    * CHECK (expr)`): validates the EXISTING rows first (one scan — the
+    * Delta contract: a constraint admits no standing violation), then one
+    * metadata-only commit stores the predicate under
+    * `graft.constraints.<name>`. From that commit on, every data-writing
+    * commit enforces it on the rows it writes, folded into the per-file
+    * stats scan (zero extra passes); a violating write aborts BEFORE the
+    * CAS, leaving only orphan staging files (vacuum's job), never rows.
+    * SQL CHECK semantics: NULL passes, only FALSE violates. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      constraintSql: String): Commit =
+    retrying(root, "FileCow.addConstraint") { version =>
+      val key = ConstraintPrefix + name
+      require(!tableProps(root, version).contains(key),
+        s"constraint $name already exists")
+      val standing = readVersion(spark, root, version)
+        .filter(!coalesce(expr(constraintSql), lit(true))).count()
+      require(standing == 0L, s"cannot add CHECK constraint $name " +
+        s"($constraintSql): $standing existing row(s) violate it")
+      val man = manifest(spark, root, version)
+      commit(spark, root, version, man, schemaOf(root, version),
+        CommitAction("add_constraint", Nil, Nil),
+        props = Some(tableProps(root, version) + (key -> constraintSql)))
+      Commit(version + 1, filesKept = man.count(), 0L, 0L)
+    }
+
+  /** DROP a CHECK constraint in ONE metadata-only commit. */
+  def dropConstraint(spark: SparkSession, root: String, name: String): Commit =
+    retrying(root, "FileCow.dropConstraint") { version =>
+      val key = ConstraintPrefix + name
+      require(tableProps(root, version).contains(key),
+        s"constraint $name does not exist")
+      val man = manifest(spark, root, version)
+      commit(spark, root, version, man, schemaOf(root, version),
+        CommitAction("drop_constraint", Nil, Nil),
+        props = Some(tableProps(root, version) - key))
+      Commit(version + 1, filesKept = man.count(), 0L, 0L)
+    }
+
   /** SCHEMA EVOLUTION, subtractive: drop columns in ONE metadata-only
     * commit — no data file is touched; the new schema omits the columns,
     * and every read (explicit read schema) simply stops projecting them
@@ -778,6 +868,19 @@ object FileCow {
       require(remainingStats.nonEmpty,
         s"dropping ${resolved.mkString(",")} would leave no stats column — " +
           "every DML rewrite range-partitions on the lead stats column")
+      // a CHECK constraint over a dropped column could never be enforced
+      // again; make the dependency loud (drop the constraint first).
+      // parseExpression, not expr(): a Spark 4 Column holds the raw SQL
+      // unparsed until analysis, so its tree carries no attributes yet.
+      constraintsOf(root, version).foreach { case (cname, sql) =>
+        val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name.toLowerCase
+        }.toSet
+        val hit = resolved.filter(r => refs.contains(r.toLowerCase))
+        require(hit.isEmpty, s"cannot drop column(s) ${hit.mkString(",")}: " +
+          s"CHECK constraint $cname ($sql) references them — DROP CONSTRAINT first")
+      }
       val man = manifest(spark, root, version)
       val keepManCols = man.columns.filterNot(c =>
         resolved.exists(r => c == s"min_$r" || c == s"max_$r"))
@@ -889,6 +992,7 @@ object FileCow {
       deleteTree(manifestDir(root, v))
       Files.deleteIfExists(schemaFile(root, v))
       Files.deleteIfExists(commitInfoFile(root, v))
+      Files.deleteIfExists(propsFile(root, v))
     }
     val referenced: Set[String] =
       (if (retained.isEmpty) Set.empty[String]
@@ -960,7 +1064,8 @@ object FileCow {
         .withColumn("bytes", lit(0L)).withColumn("mtime", lit(0L))
         .select(statColNames.map(col): _*)
     }
-    statsSlice(spark, moved.toSeq, statsCols)
+    statsSlice(spark, moved.toSeq, statsCols,
+      constraintsOf(root, currentVersion(root)).toSeq.sortBy(_._1))
   }
 
   /** Per-file stats for `moved` (path, bytes, mtime) files: ONE scan
@@ -976,27 +1081,49 @@ object FileCow {
     * else missing a stats row is a real fault. Shared by [[writeDataFiles]]
     * (fresh files) and [[convert]] (adopted files). */
   private def statsSlice(spark: SparkSession,
-      moved: Seq[(String, Long, Long)], statsCols: Seq[String]): DataFrame = {
+      moved: Seq[(String, Long, Long)], statsCols: Seq[String],
+      constraints: Seq[(String, String)] = Nil): DataFrame = {
     import spark.implicits._
     val statColNames = Seq("file", "bytes", "mtime", "rows") ++
       statsCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
-    val statAggs = count(lit(1)).as("rows") +:
-      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    // CHECK-constraint violation counts ride the SAME scan as the stats
+    // (zero extra passes); SQL CHECK semantics — NULL passes, FALSE violates
+    val violNames = constraints.indices.map(i => s"_viol_$i")
+    val violAggs = constraints.zipWithIndex.map { case ((_, sql), i) =>
+      sum(when(!coalesce(expr(sql), lit(true)), 1L).otherwise(0L)).as(s"_viol_$i")
+    }
+    val statAggs = (count(lit(1)).as("rows") +:
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
+      violAggs
     val fileMeta = moved.toDF("file", "bytes", "mtime")
       .withColumn("basename", element_at(split(col("file"), "/"), -1))
     val stats = spark.read.parquet(moved.map(_._1): _*)
       .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("basename"))
       .agg(statAggs.head, statAggs.tail: _*)
-    val joined = fileMeta.join(stats, Seq("basename")).select(statColNames.map(col): _*)
-    val rows = joined.collect().toSeq
+    val joined = fileMeta.join(stats, Seq("basename"))
+      .select((statColNames ++ violNames).map(col): _*)
+    val allRows = joined.collect().toSeq
+    constraints.zipWithIndex.foreach { case ((name, sql), i) =>
+      val violations = allRows.map(_.getLong(statColNames.length + i)).sum
+      if (violations > 0L) {
+        // abort BEFORE any commit references the files: delete the staged
+        // increment so the table provably never held the bad rows
+        moved.foreach(m => Files.deleteIfExists(Paths.get(m._1)))
+        sys.error(s"CHECK constraint $name ($sql) violated by $violations " +
+          "row(s) in the written increment; nothing committed")
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val slim = spark.createDataFrame(allRows.asJava, joined.schema)
+      .select(statColNames.map(col): _*)
+    val rows = slim.collect().toSeq
     val statFiles = rows.map(_.getString(0)).toSet
     moved.filterNot(m => statFiles.contains(m._1)).foreach { m =>
       val empty = spark.read.parquet(m._1).isEmpty
       require(empty, s"per-file stats pass lost non-empty file ${m._1}")
       Files.deleteIfExists(Paths.get(m._1))
     }
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.asJava, joined.schema)
+    spark.createDataFrame(rows.asJava, slim.schema)
   }
 
   /** Stage the manifest, then CAS-commit it under the table lock (the same
@@ -1006,9 +1133,22 @@ object FileCow {
     * manifest diff. Its totals come from one agg over the staged manifest
     * parquet (file-count-sized metadata, read back once). */
   private def commit(spark: SparkSession, root: String, expected: Long,
-      newManifest: DataFrame, schema: StructType, action: CommitAction): Long = {
+      newManifest: DataFrame, schema: StructType, action: CommitAction,
+      props: Option[Map[String, String]] = None): Long = {
     val next = expected + 1
     Files.createDirectories(manifestsDir(root))
+    // properties carry forward unless the commit overrides them
+    val nextProps = props.getOrElse(tableProps(root, expected))
+    val propsTmp =
+      if (nextProps.isEmpty) None
+      else {
+        val n = jsonMapper.createObjectNode()
+        nextProps.toSeq.sortBy(_._1).foreach { case (k, v) => n.put(k, v) }
+        val t = manifestsDir(root).resolve(
+          s"m$next.props.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+        Files.write(t, jsonMapper.writeValueAsBytes(n))
+        Some(t)
+      }
     val staging = manifestsDir(root).resolve(
       s"m$next.staging-${java.util.UUID.randomUUID().toString.take(8)}")
     newManifest.coalesce(1).write.mode("overwrite").parquet(staging.toString)
@@ -1037,6 +1177,7 @@ object FileCow {
         deleteTree(staging)
         Files.deleteIfExists(schemaTmp)
         Files.deleteIfExists(infoTmp)
+        propsTmp.foreach(Files.deleteIfExists(_))
         throw new ConcurrentPublishException(root, expected, cur)
       }
       val dest = manifestDir(root, next)
@@ -1046,6 +1187,11 @@ object FileCow {
         StandardCopyOption.REPLACE_EXISTING)
       Files.move(infoTmp, commitInfoFile(root, next), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      propsTmp match {
+        case Some(t) => Files.move(t, propsFile(root, next),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        case None => Files.deleteIfExists(propsFile(root, next)) // crashed orphan
+      }
       TablePointer.swap(root, next)
       next
     }
