@@ -457,6 +457,9 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
       if (c.unset.nonEmpty) FileCow.unsetTableProperties(spark, c.root, c.unset)
       ()
     }) :: Nil
+    case c: GraftRenameColumnCommand => GraftCowExec(c.table, { spark =>
+      FileCow.renameColumn(spark, c.root, c.from, c.to); ()
+    }) :: Nil
     case c: GraftOptimizeCommand => GraftCowExec(c.table, { spark =>
       c.zorder match {
         case Some((a, b)) => FileCow.compactZOrder(spark, c.root, c.targetFiles, a, b)

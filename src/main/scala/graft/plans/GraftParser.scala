@@ -87,6 +87,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   /** `'k' = 'v', 'k2' = 'v2'` (Spark's TBLPROPERTIES literal list). */
   private val PropPair = """'([^']+)'\s*=\s*'([^']*)'""".r
 
+  /** `ALTER TABLE t RENAME COLUMN a TO b` — on a graft cow table this is
+    * a full-rewrite commit (read-by-name layout, no column-mapping ids);
+    * unregistered names delegate to Spark's own RENAME COLUMN. */
+  private val RenameCol =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(name, n, hours, dryRun) =>
       GraftTables.entryOf(name) match {
@@ -168,6 +174,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       require(ks.nonEmpty, s"UNSET TBLPROPERTIES: no 'k' keys in ($keys)")
       cowOnly("ALTER TABLE UNSET TBLPROPERTIES", name)(e =>
         GraftPropsCommand(name, e.root, set = Map.empty, unset = ks))
+    case RenameCol(name, from, to) if GraftTables.entryOf(name).isDefined =>
+      cowOnly("ALTER TABLE RENAME COLUMN", name)(e =>
+        GraftRenameColumnCommand(name, e.root, from, to))
     case ShowProps(name) if GraftTables.entryOf(name).exists(_.cow) =>
       val e = GraftTables.entryOf(name).get
       val rows = graft.sources.FileCow
@@ -286,6 +295,14 @@ case class GraftConstraintCommand(table: String, root: String, name: String,
   * statement; planned by [[GraftMergeStrategy]]. */
 case class GraftPropsCommand(table: String, root: String,
     set: Map[String, String], unset: Seq[String]) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` — a full-rewrite commit
+  * ([[graft.sources.FileCow.renameColumn]]); planned by
+  * [[GraftMergeStrategy]]. */
+case class GraftRenameColumnCommand(table: String, root: String,
+    from: String, to: String) extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 

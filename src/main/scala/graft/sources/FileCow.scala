@@ -666,6 +666,48 @@ object FileCow {
         added.count())
     }
 
+  /** RENAME a column — honest about the cost: this layout reads parquet
+    * BY NAME (no column-mapping ids), so a rename REWRITES every file in
+    * one commit — the same contract as Delta WITHOUT column mapping, where
+    * RENAME also demands a rewrite. At 100 TB that is a full-table pass;
+    * the scaladoc is the warning label. Stats columns follow the rename
+    * (the manifest's min_/max_ names track the new name); a column a
+    * CHECK constraint references cannot be renamed (drop it first — the
+    * stored predicate text would silently stop matching). */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+      to: String, maxRecordsPerFile: Long = 0L): Commit =
+    retrying(root, "FileCow.renameColumn") { version =>
+      val schema = schemaOf(root, version)
+      val byLower = schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+      val resolved = byLower.getOrElse(from.toLowerCase,
+        sys.error(s"rename column $from: no such column " +
+          s"(have: ${schema.fieldNames.mkString(",")})"))
+      require(!byLower.contains(to.toLowerCase), s"column $to already exists")
+      constraintsOf(root, version).foreach { case (cname, sql) =>
+        val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name.toLowerCase
+        }.toSet
+        require(!refs.contains(resolved.toLowerCase),
+          s"cannot rename $resolved: CHECK constraint $cname ($sql) " +
+            "references it — DROP CONSTRAINT first")
+      }
+      val statsCols = statsColsOf(spark, root, version)
+        .map(c => if (c == resolved) to else c)
+      val nFiles = manifest(spark, root, version).count().toInt
+      val rows = readVersion(spark, root, version)
+        .withColumnRenamed(resolved, to)
+        .repartitionByRange(math.max(1, nFiles), col(statsCols.head))
+      val retired = filePaths(manifest(spark, root, version))
+      val added = writeDataFiles(spark, root, rows, statsCols, maxRecordsPerFile)
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == resolved) f.copy(name = to) else f))
+      commit(spark, root, version, added, newSchema,
+        CommitAction("rename_column", filePaths(added), retired))
+      Commit(version + 1, filesKept = 0L, filesRewritten = retired.size.toLong,
+        added.count())
+    }
+
   /** RESTORE the table to retained `toVersion` (Delta `RESTORE TABLE`):
     * ONE new commit whose manifest and schema are the target version's —
     * no data file is read or written; the restored snapshot SHARES every

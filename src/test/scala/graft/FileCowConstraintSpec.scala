@@ -89,6 +89,36 @@ class FileCowConstraintSpec extends SparkSpec {
     assert(FileCow.tableProps(root, v)("tier") == "gold")
   }
 
+  test("RENAME COLUMN rewrites, tracks stats names, and respects constraints") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("cow-ren").toString
+    GraftTables.registerCow("ren_t", root)
+    spark.range(1, 41).select(col("id").as("k"), (col("id") * 2).as("amount"))
+      .createOrReplaceTempView("ren_base")
+    spark.sql("CREATE TABLE ren_t AS SELECT * FROM ren_base") // v1
+
+    spark.sql("ALTER TABLE ren_t ADD CONSTRAINT amt_pos CHECK (amount > 0)") // v2
+    val guard = intercept[Exception] {
+      spark.sql("ALTER TABLE ren_t RENAME COLUMN amount TO amt")
+    }
+    assert(guard.getMessage.contains("amt_pos"))
+    spark.sql("ALTER TABLE ren_t DROP CONSTRAINT amt_pos") // v3
+
+    spark.sql("ALTER TABLE ren_t RENAME COLUMN amount TO amt") // v4: rewrite
+    assert(FileCow.commitInfo(root, 4L).get.kind == "rename_column")
+    assert(FileCow.schemaOf(root, 4L).fieldNames.toSeq == Seq("k", "amt"))
+    assert(spark.sql("SELECT sum(amt) s FROM ren_t").as[Long].head() ==
+      (1L until 41L).map(_ * 2).sum)
+    // pre-rename versions still time-travel under the old name
+    assert(spark.sql("SELECT sum(amount) s FROM ren_t VERSION AS OF 1")
+      .as[Long].head() == (1L until 41L).map(_ * 2).sum)
+    // a renamed STATS column keeps pruning: manifest tracks the new name
+    val manCols = FileCow.manifest(spark, root, 4L).columns.toSet
+    assert(!manCols.contains("min_amount"))
+    GraftTables.unregister("ren_t")
+  }
+
   test("SQL: ADD/DROP CONSTRAINT and SET/UNSET/SHOW TBLPROPERTIES") {
     val s = spark
     import s.implicits._
