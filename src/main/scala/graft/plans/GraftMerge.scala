@@ -460,6 +460,9 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     case c: GraftRenameColumnCommand => GraftCowExec(c.table, { spark =>
       FileCow.renameColumn(spark, c.root, c.from, c.to); ()
     }) :: Nil
+    case c: GraftCopyIntoCommand => GraftCowExec(c.table, { spark =>
+      FileCow.copyInto(spark, c.root, c.sourceDir); ()
+    }) :: Nil
     case c: GraftOptimizeCommand => GraftCowExec(c.table, { spark =>
       c.zorder match {
         case Some((a, b)) => FileCow.compactZOrder(spark, c.root, c.targetFiles, a, b)

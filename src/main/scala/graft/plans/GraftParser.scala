@@ -87,6 +87,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   /** `'k' = 'v', 'k2' = 'v2'` (Spark's TBLPROPERTIES literal list). */
   private val PropPair = """'([^']+)'\s*=\s*'([^']*)'""".r
 
+  /** `COPY INTO t FROM '<dir>'` — Delta's idempotent landing-zone loader
+    * on cow tables: each run appends only the directory's parquet files
+    * not already recorded in a prior copy_into commit. */
+  private val CopyInto =
+    """(?is)\s*COPY\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'\s*;?\s*""".r
+
   /** `ALTER TABLE t RENAME COLUMN a TO b` — on a graft cow table this is
     * a full-rewrite commit (read-by-name layout, no column-mapping ids);
     * unregistered names delegate to Spark's own RENAME COLUMN. */
@@ -174,6 +180,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       require(ks.nonEmpty, s"UNSET TBLPROPERTIES: no 'k' keys in ($keys)")
       cowOnly("ALTER TABLE UNSET TBLPROPERTIES", name)(e =>
         GraftPropsCommand(name, e.root, set = Map.empty, unset = ks))
+    case CopyInto(name, dir) =>
+      cowOnly("COPY INTO", name)(e => GraftCopyIntoCommand(name, e.root, dir))
     case RenameCol(name, from, to) if GraftTables.entryOf(name).isDefined =>
       cowOnly("ALTER TABLE RENAME COLUMN", name)(e =>
         GraftRenameColumnCommand(name, e.root, from, to))
@@ -303,6 +311,14 @@ case class GraftPropsCommand(table: String, root: String,
   * [[GraftMergeStrategy]]. */
 case class GraftRenameColumnCommand(table: String, root: String,
     from: String, to: String) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `COPY INTO t FROM '<dir>'` — idempotent landing-zone load
+  * ([[graft.sources.FileCow.copyInto]]); planned by
+  * [[GraftMergeStrategy]]. */
+case class GraftCopyIntoCommand(table: String, root: String,
+    sourceDir: String) extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 

@@ -71,15 +71,19 @@ object FileCow {
   final case class CommitInfo(version: Long, kind: String, commitMs: Long,
       nFiles: Long, nRows: Long, bytes: Long,
       added: Seq[String], removed: Seq[String],
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      copied: Seq[String] = Nil)
 
   /** The file-path delta a commit is about to apply, handed to [[commit]]
     * by each DML (which knows it exactly — no diff needed). `txn` is the
     * Delta `txn`-action analog: an (appId, batchId) stamp riding INSIDE
     * the CAS commit, so a streaming writer's idempotence check and its
-    * data land atomically — no marker window to crash in. */
+    * data land atomically — no marker window to crash in. `copied` is
+    * COPY INTO's idempotence ledger: the source-file identities this
+    * commit ingested, so a re-run skips them (riding the CAS, like txn). */
   private final case class CommitAction(kind: String, added: Seq[String],
-      removed: Seq[String], txn: Option[(String, Long)] = None)
+      removed: Seq[String], txn: Option[(String, Long)] = None,
+      copied: Seq[String] = Nil)
 
   private def commitInfoFile(root: String, v: Long): NioPath =
     manifestsDir(root).resolve(s"m$v.commit.json")
@@ -129,10 +133,11 @@ object FileCow {
       val txn =
         if (n.has("txnApp")) Some((n.get("txnApp").asText(), n.get("txnBatch").asLong()))
         else None
+      val copied = if (n.has("copied")) strings("copied") else Nil
       Some(CommitInfo(n.get("version").asLong(), n.get("kind").asText(),
         n.get("commitMs").asLong(), n.get("nFiles").asLong(),
         n.get("nRows").asLong(), n.get("bytes").asLong(),
-        strings("added"), strings("removed"), txn))
+        strings("added"), strings("removed"), txn, copied))
     }
   }
 
@@ -664,6 +669,68 @@ object FileCow {
         CommitAction("compact", filePaths(added), retired))
       Commit(version + 1, filesKept = 0L, filesRewritten = retired.size.toLong,
         added.count())
+    }
+
+  /** COPY INTO (Delta's idempotent landing-zone loader): ingest the
+    * parquet files under `sourceDir` that have NOT been copied before —
+    * each run appends only the directory's NEW files, so a scheduled
+    * `COPY INTO` over a landing zone is exactly-once per file with no
+    * bookkeeping by the caller. The ledger is the commit log: each
+    * copy_into commit records the source identities (path:size) it
+    * ingested, riding the CAS like the streaming txn stamp; a re-run
+    * folds the retained log and skips. Unlike [[convert]] (which ADOPTS
+    * files in place, once, as the table's creation), COPY INTO reads and
+    * REWRITES into the table's layout — repeatable, stats-tight, and the
+    * landing files stay where they are.
+    *
+    * Retention caveat (Delta's too): vacuum drops commit records with
+    * their versions, so keep retention above the landing zone's
+    * reprocessing window or already-loaded files can reload. */
+  def copyInto(spark: SparkSession, root: String, sourceDir: String,
+      maxRecordsPerFile: Long = 0L): Commit =
+    retrying(root, "FileCow.copyInto") { version =>
+      val schema = schemaOf(root, version)
+      val already: Set[String] = versions(root)
+        .flatMap(v => commitInfo(root, v)).flatMap(_.copied).toSet
+      val candidates = {
+        val dir = Paths.get(sourceDir)
+        require(Files.exists(dir), s"COPY INTO: no such directory $sourceDir")
+        val list = Files.list(dir)
+        try {
+          val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          val it = list.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            val name = p.getFileName.toString
+            if (name.endsWith(".parquet") && !name.startsWith(".") && Files.size(p) > 0)
+              b += ((p.toString, s"$p:${Files.size(p)}"))
+          }
+          b.toSeq
+        } finally list.close()
+      }
+      val fresh = candidates.filterNot { case (_, id) => already(id) }
+      if (fresh.isEmpty) {
+        // nothing new landed: a pure no-op, no version published
+        Commit(version, filesKept = manifest(spark, root, version).count(),
+          filesRewritten = 0L, filesAdded = 0L)
+      } else {
+        val incoming = spark.read.parquet(fresh.map(_._1): _*)
+        require(incoming.schema.map(f => (f.name, f.dataType)) ==
+            schema.map(f => (f.name, f.dataType)),
+          s"COPY INTO: source schema ${incoming.schema.simpleString} does not " +
+            s"match table schema ${schema.simpleString}")
+        val statsCols = statsColsOf(spark, root, version)
+        val man = manifest(spark, root, version)
+        val ranged = incoming.repartitionByRange(
+          math.max(1, fresh.size), col(statsCols.head))
+        val added = writeDataFiles(spark, root, ranged, statsCols, maxRecordsPerFile)
+        val newManifest = man.unionByName(added.select(man.columns.map(col): _*))
+        commit(spark, root, version, newManifest, schema,
+          CommitAction("copy_into", filePaths(added), Nil,
+            copied = fresh.map(_._2)))
+        Commit(version + 1, filesKept = man.count(), filesRewritten = 0L,
+          filesAdded = added.count())
+      }
     }
 
   /** RENAME a column — honest about the cost: this layout reads parquet
@@ -1209,6 +1276,9 @@ object FileCow {
     val removedArr = rec.putArray("removed"); action.removed.foreach(removedArr.add)
     action.txn.foreach { case (app, batch) =>
       rec.put("txnApp", app); rec.put("txnBatch", batch)
+    }
+    if (action.copied.nonEmpty) {
+      val copiedArr = rec.putArray("copied"); action.copied.foreach(copiedArr.add)
     }
     val infoTmp = manifestsDir(root).resolve(
       s"m$next.commit.staging-${java.util.UUID.randomUUID().toString.take(8)}")
