@@ -87,6 +87,21 @@ object GraftTables {
 final case class ExprHolder(e: Expression)
 final case class AssignHolder(column: String, value: Expression)
 
+/** The full Delta-style MERGE clause surface, captured as opaque holders
+  * (same CheckAnalysis-dodging contract as [[ExprHolder]]): matched
+  * clauses apply FIRST-MATCH-WINS per row; a matched row no clause claims
+  * stays unchanged; an unmatched source row no insert clause claims is
+  * dropped. */
+sealed trait MergeMatched { def cond: Option[ExprHolder] }
+final case class MUpdateStar(cond: Option[ExprHolder]) extends MergeMatched
+final case class MUpdate(cond: Option[ExprHolder],
+    assigns: Seq[AssignHolder]) extends MergeMatched
+final case class MDelete(cond: Option[ExprHolder]) extends MergeMatched
+sealed trait MergeNotMatched { def cond: Option[ExprHolder] }
+final case class MInsertStar(cond: Option[ExprHolder]) extends MergeNotMatched
+final case class MInsert(cond: Option[ExprHolder],
+    assigns: Seq[AssignHolder]) extends MergeNotMatched
+
 /** Lowers upsert-shaped [[MergeIntoTable]], single-table DELETE/UPDATE,
   * bare SELECT, and `VERSION AS OF` time travel on registered graft
   * tables. Top-down ([[LogicalPlan.resolveOperatorsDown]]) so a DML
@@ -105,12 +120,28 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case Seq(DeleteAction(None)) => true
             case other => fail(s"graft MERGE INTO $name: unsupported NOT MATCHED BY SOURCE actions: $other")
           }
-          (matched, notMatched) match {
-            case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) => ()
-            case other => fail(s"graft MERGE INTO $name: only WHEN MATCHED THEN UPDATE SET * " +
-              s"+ WHEN NOT MATCHED THEN INSERT * is supported, got: $other")
+          def asgn(assignments: Seq[Assignment]): Seq[AssignHolder] =
+            assignments.map {
+              case Assignment(k: UnresolvedAttribute, v) =>
+                AssignHolder(k.nameParts.last, v)
+              case other =>
+                fail(s"graft MERGE INTO $name: unsupported assignment target: $other")
+            }
+          val matchedH: Seq[MergeMatched] = matched.map {
+            case UpdateStarAction(c) => MUpdateStar(c.map(ExprHolder))
+            case UpdateAction(c, assignments, _) =>
+              MUpdate(c.map(ExprHolder), asgn(assignments))
+            case DeleteAction(c) => MDelete(c.map(ExprHolder))
+            case other => fail(s"graft MERGE INTO $name: unsupported MATCHED action: $other")
           }
-          GraftMergeCommand(name, entry.root, keys, deleteUnmatched, source, entry.cow)
+          val notMatchedH: Seq[MergeNotMatched] = notMatched.map {
+            case InsertStarAction(c) => MInsertStar(c.map(ExprHolder))
+            case InsertAction(c, assignments) =>
+              MInsert(c.map(ExprHolder), asgn(assignments))
+            case other => fail(s"graft MERGE INTO $name: unsupported NOT MATCHED action: $other")
+          }
+          GraftMergeCommand(name, entry.root, keys, deleteUnmatched, source,
+            entry.cow, matchedH, notMatchedH, quals(target), quals(source))
         case None => m // not ours — leave for DSv2 resolution
       }
 
@@ -291,6 +322,14 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Qualifiers a clause expression may use for this side: the alias if
+    * one was written, plus the bare table name (SQL allows either). */
+  private def quals(plan: LogicalPlan): Seq[String] = plan match {
+    case SubqueryAlias(id, child) => id.name +: quals(child)
+    case u: UnresolvedRelation => Seq(u.multipartIdentifier.last)
+    case _ => Nil
+  }
+
   /** ON t.k1 = s.k1 AND t.k2 = s.k2 → Seq(k1, k2); None if any conjunct is
     * not a same-name attribute equality. */
   private def equalityKeys(cond: Expression): Option[Seq[String]] = cond match {
@@ -302,16 +341,25 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-/** Resolved logical MERGE on a graft table; child = the source relation. */
+/** Resolved logical MERGE on a graft table; child = the source relation.
+  * `matched`/`notMatched` carry the full clause list (first-match-wins);
+  * the star pair (`UPDATE SET *` + `INSERT *`, unconditioned) takes the
+  * original touched-file fast path. */
 case class GraftMergeCommand(
     table: String,
     root: String,
     keys: Seq[String],
     deleteUnmatched: Boolean,
     source: LogicalPlan,
-    cow: Boolean = false) extends UnaryNode with Command {
+    cow: Boolean = false,
+    matched: Seq[MergeMatched] = Seq(MUpdateStar(None)),
+    notMatched: Seq[MergeNotMatched] = Seq(MInsertStar(None)),
+    tQuals: Seq[String] = Nil,
+    sQuals: Seq[String] = Nil) extends UnaryNode with Command {
   override def child: LogicalPlan = source
   override def output: Seq[Attribute] = Nil
+  def starShape: Boolean = matched == Seq(MUpdateStar(None)) &&
+    notMatched == Seq(MInsertStar(None))
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftMergeCommand =
     copy(source = newChild)
 }
@@ -640,6 +688,127 @@ case class GraftInsertExec(cmd: GraftInsertCommand) extends LeafExecNode {
 /** Runs the upsert and publishes the next snapshot. Runs ONCE per command
   * instance (commands are eagerly executed by the session; a re-collect of
   * the returned frame must not publish twice). */
+/** Row-level evaluator for the general MERGE clause surface. One joined
+  * pass: target rows LEFT-join the source on the merge keys with source
+  * columns carried under a `__s_` prefix (so same-named columns never
+  * collide); each matched clause condition is rewritten against that
+  * frame (t-alias → bare column, s-alias → prefixed) and folded into a
+  * FIRST-MATCH-WINS clause index; per table column, the applicable
+  * clause's value or the unchanged column. Inserts evaluate on the
+  * anti-joined source alone (SQL scoping: INSERT values may reference
+  * only the source). Everything stays one declarative plan — Catalyst
+  * sees a join + projections, so pushdown/broadcast/AQE all apply. */
+private[plans] object GraftMergeClauses {
+
+  private def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+
+  private def fail(msg: String): Nothing = sys.error(msg)
+
+  private def rewrite(table: String, e: Expression, tSet: Set[String],
+      sSet: Set[String], tCols: Set[String], sCols: Set[String],
+      insertContext: Boolean): org.apache.spark.sql.Column =
+    GraftBridge.column(e.transform {
+      case a: UnresolvedAttribute => a.nameParts match {
+        case Seq(q, c) if sSet(lc(q)) && sCols(lc(c)) =>
+          UnresolvedAttribute(Seq(if (insertContext) c else "__s_" + c))
+        case Seq(q, c) if tSet(lc(q)) && !insertContext && tCols(lc(c)) =>
+          UnresolvedAttribute(Seq(c))
+        case Seq(q, c) if tSet(lc(q)) && insertContext =>
+          fail(s"graft MERGE INTO $table: INSERT values may reference only " +
+            s"the source, got $q.$c")
+        case Seq(c) if !insertContext && tCols(lc(c)) && sCols(lc(c)) =>
+          fail(s"graft MERGE INTO $table: ambiguous column $c in a MERGE " +
+            "clause — qualify it with the target or source alias")
+        case Seq(c) if sCols(lc(c)) =>
+          UnresolvedAttribute(Seq(if (insertContext) c else "__s_" + c))
+        case Seq(c) if !insertContext && tCols(lc(c)) => a
+        case parts =>
+          fail(s"graft MERGE INTO $table: unknown column ${parts.mkString(".")} " +
+            "in a MERGE clause")
+      }
+    })
+
+  def combine(table: String, schema: org.apache.spark.sql.types.StructType,
+      keys: Seq[String], matched: Seq[MergeMatched],
+      notMatched: Seq[MergeNotMatched], tQuals: Seq[String],
+      sQuals: Seq[String], keepUnmatchedTarget: Boolean)(
+      base: org.apache.spark.sql.DataFrame,
+      source: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.coalesce
+    val tCols = schema.fieldNames.map(lc).toSet
+    val sCols = source.columns.map(lc).toSet
+    val tSet = tQuals.map(lc).toSet
+    val sSet = sQuals.map(lc).toSet
+    def m(e: Expression) = rewrite(table, e, tSet, sSet, tCols, sCols, insertContext = false)
+    def ins(e: Expression) = rewrite(table, e, tSet, sSet, tCols, sCols, insertContext = true)
+    keys.foreach(k => require(sCols(lc(k)),
+      s"graft MERGE INTO $table: source lacks merge key $k"))
+
+    val sPref = source.select(source.columns.map(c => col(c).as("__s_" + c)): _*)
+    val joined = base.join(sPref,
+      keys.map(k => col(k) === col("__s_" + k)).reduce(_ && _), "left_outer")
+    val hasMatch = col("__s_" + keys.head).isNotNull
+    // first-match-wins clause index; -1 = no clause claims the row
+    val mIdx = matched.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), acc) =>
+      when(cl.cond.map(h => coalesce(m(h.e), lit(false))).getOrElse(lit(true)),
+        lit(i)).otherwise(acc)
+    }
+    val applied = when(hasMatch, mIdx).otherwise(lit(-1))
+    val deleteIdx = matched.zipWithIndex.collect { case (MDelete(_), i) => lit(i) }
+    val isDelete = deleteIdx.foldLeft(lit(false))((acc, i) => acc || applied === i)
+    val keep = when(!hasMatch, lit(keepUnmatchedTarget)).otherwise(!isDelete)
+
+    val outCols = schema.fields.toSeq.map { f =>
+      val perClause = matched.zipWithIndex.flatMap {
+        case (MUpdateStar(_), i) =>
+          require(sCols(lc(f.name)), s"graft MERGE INTO $table: UPDATE SET * " +
+            s"needs source column ${f.name}")
+          Seq(i -> col("__s_" + f.name))
+        case (MUpdate(_, assigns), i) =>
+          assigns.filter(a => lc(a.column) == lc(f.name))
+            .map(a => i -> m(a.value))
+        case (MDelete(_), _) => Nil
+      }
+      perClause.foldRight(col(f.name)) { case ((i, v), acc) =>
+        when(applied === lit(i), v).otherwise(acc)
+      }.cast(f.dataType).as(f.name)
+    }
+    val kept = joined.filter(keep).select(outCols: _*)
+
+    val inserts = if (notMatched.isEmpty) kept.limit(0) else {
+      val unmatchedSrc = source.join(base.select(keys.map(col): _*), keys, "left_anti")
+      val iIdx = notMatched.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), acc) =>
+        when(cl.cond.map(h => coalesce(ins(h.e), lit(false))).getOrElse(lit(true)),
+          lit(i)).otherwise(acc)
+      }
+      val insCols = schema.fields.toSeq.map { f =>
+        val perClause = notMatched.zipWithIndex.map {
+          case (MInsertStar(_), i) =>
+            require(sCols(lc(f.name)), s"graft MERGE INTO $table: INSERT * " +
+              s"needs source column ${f.name}")
+            i -> col(f.name)
+          case (MInsert(_, assigns), i) =>
+            i -> assigns.filter(a => lc(a.column) == lc(f.name))
+              .map(a => ins(a.value))
+              .headOption.getOrElse {
+                // padding NULL into a NOT NULL column would poison reads
+                // (same contract as the writer's mergeSchema pad)
+                require(f.nullable, s"graft MERGE INTO $table: INSERT omits " +
+                  s"column ${f.name}, which is NOT NULL — nothing to pad with")
+                lit(null)
+              }
+        }
+        perClause.foldRight(lit(null).cast(f.dataType): org.apache.spark.sql.Column) {
+          case ((i, v), acc) => when(col("__graft_ins") === lit(i), v).otherwise(acc)
+        }.cast(f.dataType).as(f.name)
+      }
+      unmatchedSrc.withColumn("__graft_ins", iIdx)
+        .filter(col("__graft_ins") >= 0).select(insCols: _*)
+    }
+    kept.unionByName(inserts)
+  }
+}
+
 case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
 
   override def output: Seq[Attribute] = Nil
@@ -656,22 +825,43 @@ case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
       s"graft MERGE INTO ${cmd.table}: duplicate source rows on key (${cmd.keys.mkString(", ")}) — " +
         "a multi-match merge is nondeterministic (same contract as Delta's multiple-matches error)")
 
+    def combine(schema: org.apache.spark.sql.types.StructType,
+        keepUnmatchedTarget: Boolean) =
+      GraftMergeClauses.combine(cmd.table, schema, cmd.keys, cmd.matched,
+        cmd.notMatched, cmd.tQuals, cmd.sQuals, keepUnmatchedTarget) _
+
     if (cmd.cow) {
       // FILE-COW path: FileCow owns the touched-file scoping and the
       // CAS+retry commit — O(touched files), not O(table).
       if (FileCow.currentVersion(cmd.root) == 0L) {
         // first merge into an empty table: becomes CREATE, stats on the keys
+        require(cmd.starShape, s"graft MERGE INTO ${cmd.table}: a merge that " +
+          "bootstraps a non-existent table must be UPDATE SET * / INSERT * " +
+          "(there is no table schema for clause expressions to resolve against)")
         FileCow.create(spark, cmd.root, src, statsCols = cmd.keys)
         return
       }
       val schema = graft.sources.FileCow.schemaOf(cmd.root,
         graft.sources.FileCow.currentVersion(cmd.root))
-      require(src.columns.sorted.sameElements(schema.map(_.name).sorted),
-        s"graft MERGE INTO ${cmd.table}: source columns ${src.columns.mkString(",")} " +
-          s"must match table columns ${schema.map(_.name).mkString(",")} (UPDATE/INSERT *)")
-      val aligned = src.select(schema.map(f => col(f.name)): _*)
-      if (cmd.deleteUnmatched) graft.sources.FileCow.overwrite(spark, cmd.root, aligned)
-      else graft.sources.FileCow.merge(spark, cmd.root, aligned, cmd.keys)
+      if (cmd.starShape) {
+        require(src.columns.sorted.sameElements(schema.map(_.name).sorted),
+          s"graft MERGE INTO ${cmd.table}: source columns ${src.columns.mkString(",")} " +
+            s"must match table columns ${schema.map(_.name).mkString(",")} (UPDATE/INSERT *)")
+        val aligned = src.select(schema.map(f => col(f.name)): _*)
+        if (cmd.deleteUnmatched) graft.sources.FileCow.overwrite(spark, cmd.root, aligned)
+        else graft.sources.FileCow.merge(spark, cmd.root, aligned, cmd.keys)
+      } else if (cmd.deleteUnmatched) {
+        // NOT MATCHED BY SOURCE DELETE touches every file by definition —
+        // an honest full rewrite through the clause combinator
+        val result = combine(schema, keepUnmatchedTarget = false)(
+          FileCow.read(spark, cmd.root), src)
+        graft.sources.FileCow.overwrite(spark, cmd.root, result)
+      } else {
+        // general clauses, touched-file scoped: FileCow prunes files by the
+        // source keys and hands (affected base, source) to the combinator
+        graft.sources.FileCow.merge(spark, cmd.root, src, cmd.keys,
+          combine = combine(schema, keepUnmatchedTarget = true))
+      }
       return
     }
 
@@ -680,14 +870,20 @@ case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
     // recompute against its result and try again — an upsert re-derived
     // from the newer base applies both writers' rows exactly once.
     GraftCommit.retrying(cmd.root, s"graft MERGE INTO ${cmd.table}") { version =>
-      if (version == 0) src
-      else {
+      if (version == 0) {
+        require(cmd.starShape, s"graft MERGE INTO ${cmd.table}: a merge that " +
+          "bootstraps a non-existent table must be UPDATE SET * / INSERT *")
+        src
+      } else {
         val current = Versioned.readVersion(spark, cmd.root, version)
-        require(current.columns.sorted.sameElements(src.columns.sorted),
-          s"graft MERGE INTO ${cmd.table}: source columns ${src.columns.mkString(",")} " +
-            s"must match table columns ${current.columns.mkString(",")} (UPDATE/INSERT *)")
-        if (cmd.deleteUnmatched) src
-        else src.unionByName(current.join(src.select(cmd.keys.map(col): _*), cmd.keys, "left_anti"))
+        if (cmd.starShape) {
+          require(current.columns.sorted.sameElements(src.columns.sorted),
+            s"graft MERGE INTO ${cmd.table}: source columns ${src.columns.mkString(",")} " +
+              s"must match table columns ${current.columns.mkString(",")} (UPDATE/INSERT *)")
+          if (cmd.deleteUnmatched) src
+          else src.unionByName(current.join(src.select(cmd.keys.map(col): _*), cmd.keys, "left_anti"))
+        } else combine(current.schema,
+          keepUnmatchedTarget = !cmd.deleteUnmatched)(current, src)
       }
     }
   }

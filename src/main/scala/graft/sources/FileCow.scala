@@ -458,7 +458,10 @@ object FileCow {
       combine: (DataFrame, DataFrame) => DataFrame = null): Commit =
     retrying(root, "FileCow.merge") { version =>
       val schema = schemaOf(root, version)
-      require(source.schema.map(f => (f.name, f.dataType)) ==
+      // a custom combinator (general MERGE clauses) owns the row shaping —
+      // the source then only needs the merge keys; its output is checked
+      // against the table schema below instead
+      require(combine != null || source.schema.map(f => (f.name, f.dataType)) ==
           schema.map(f => (f.name, f.dataType)),
         s"merge source schema drifted from table schema: ${source.schema} vs $schema")
       val dups = source.groupBy(keys.map(col): _*)
@@ -500,7 +503,14 @@ object FileCow {
         if (affected.nonEmpty) spark.read.schema(schema).parquet(affected.toSeq: _*)
         else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       val newData =
-        if (combine != null) combine(base, source)
+        if (combine != null) {
+          val combined = combine(base, source)
+          require(combined.schema.map(f => (f.name, f.dataType)) ==
+              schema.map(f => (f.name, f.dataType)),
+            s"merge combinator produced ${combined.schema.simpleString}, " +
+              s"table needs ${schema.simpleString}")
+          combined
+        }
         else source.unionByName(
           base.join(source.select(keys.map(col): _*), keys, "left_anti"))
       // Range-partition the rewrite on the prune keys: (a) output file count
