@@ -115,11 +115,6 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some((name, entry)) =>
           val keys = equalityKeys(cond).getOrElse(fail(
             s"graft MERGE INTO $name: ON must be a conjunction of t.col = s.col equalities with matching column names"))
-          val deleteUnmatched = bySource match {
-            case Seq() => false
-            case Seq(DeleteAction(None)) => true
-            case other => fail(s"graft MERGE INTO $name: unsupported NOT MATCHED BY SOURCE actions: $other")
-          }
           def asgn(assignments: Seq[Assignment]): Seq[AssignHolder] =
             assignments.map {
               case Assignment(k: UnresolvedAttribute, v) =>
@@ -140,7 +135,13 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
               MInsert(c.map(ExprHolder), asgn(assignments))
             case other => fail(s"graft MERGE INTO $name: unsupported NOT MATCHED action: $other")
           }
-          GraftMergeCommand(name, entry.root, keys, deleteUnmatched, source,
+          val bySourceH: Seq[MergeMatched] = bySource.map {
+            case DeleteAction(c) => MDelete(c.map(ExprHolder))
+            case UpdateAction(c, assignments, _) =>
+              MUpdate(c.map(ExprHolder), asgn(assignments))
+            case other => fail(s"graft MERGE INTO $name: unsupported NOT MATCHED BY SOURCE action: $other")
+          }
+          GraftMergeCommand(name, entry.root, keys, bySourceH, source,
             entry.cow, matchedH, notMatchedH, quals(target), quals(source))
         case None => m // not ours — leave for DSv2 resolution
       }
@@ -349,7 +350,7 @@ case class GraftMergeCommand(
     table: String,
     root: String,
     keys: Seq[String],
-    deleteUnmatched: Boolean,
+    bySource: Seq[MergeMatched],
     source: LogicalPlan,
     cow: Boolean = false,
     matched: Seq[MergeMatched] = Seq(MUpdateStar(None)),
@@ -360,6 +361,8 @@ case class GraftMergeCommand(
   override def output: Seq[Attribute] = Nil
   def starShape: Boolean = matched == Seq(MUpdateStar(None)) &&
     notMatched == Seq(MInsertStar(None))
+  /** The star fast path's bySource shape: plain unconditioned DELETE. */
+  def deleteUnmatched: Boolean = bySource == Seq(MDelete(None))
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftMergeCommand =
     copy(source = newChild)
 }
@@ -730,8 +733,8 @@ private[plans] object GraftMergeClauses {
 
   def combine(table: String, schema: org.apache.spark.sql.types.StructType,
       keys: Seq[String], matched: Seq[MergeMatched],
-      notMatched: Seq[MergeNotMatched], tQuals: Seq[String],
-      sQuals: Seq[String], keepUnmatchedTarget: Boolean)(
+      notMatched: Seq[MergeNotMatched], bySource: Seq[MergeMatched],
+      tQuals: Seq[String], sQuals: Seq[String])(
       base: org.apache.spark.sql.DataFrame,
       source: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.coalesce
@@ -741,6 +744,10 @@ private[plans] object GraftMergeClauses {
     val sSet = sQuals.map(lc).toSet
     def m(e: Expression) = rewrite(table, e, tSet, sSet, tCols, sCols, insertContext = false)
     def ins(e: Expression) = rewrite(table, e, tSet, sSet, tCols, sCols, insertContext = true)
+    // NOT MATCHED BY SOURCE scope: the source does not exist for the row,
+    // so its columns are simply unknown here (loud unknown-column error)
+    def tOnly(e: Expression) =
+      rewrite(table, e, tSet, Set.empty, tCols, Set.empty, insertContext = false)
     keys.foreach(k => require(sCols(lc(k)),
       s"graft MERGE INTO $table: source lacks merge key $k"))
 
@@ -748,29 +755,42 @@ private[plans] object GraftMergeClauses {
     val joined = base.join(sPref,
       keys.map(k => col(k) === col("__s_" + k)).reduce(_ && _), "left_outer")
     val hasMatch = col("__s_" + keys.head).isNotNull
-    // first-match-wins clause index; -1 = no clause claims the row
-    val mIdx = matched.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), acc) =>
-      when(cl.cond.map(h => coalesce(m(h.e), lit(false))).getOrElse(lit(true)),
-        lit(i)).otherwise(acc)
-    }
-    val applied = when(hasMatch, mIdx).otherwise(lit(-1))
-    val deleteIdx = matched.zipWithIndex.collect { case (MDelete(_), i) => lit(i) }
-    val isDelete = deleteIdx.foldLeft(lit(false))((acc, i) => acc || applied === i)
-    val keep = when(!hasMatch, lit(keepUnmatchedTarget)).otherwise(!isDelete)
+    // first-match-wins clause indexes; -1 = no clause claims the row.
+    // matched clauses see the joined row; by-source clauses the target only
+    def idx(clauses: Seq[MergeMatched], rw: Expression => org.apache.spark.sql.Column) =
+      clauses.zipWithIndex.foldRight(lit(-1)) { case ((cl, i), acc) =>
+        when(cl.cond.map(h => coalesce(rw(h.e), lit(false))).getOrElse(lit(true)),
+          lit(i)).otherwise(acc)
+      }
+    val appliedM = when(hasMatch, idx(matched, m)).otherwise(lit(-1))
+    val appliedB = when(!hasMatch, idx(bySource, tOnly)).otherwise(lit(-1))
+    def isDelete(clauses: Seq[MergeMatched], applied: org.apache.spark.sql.Column) =
+      clauses.zipWithIndex.collect { case (MDelete(_), i) => lit(i) }
+        .foldLeft(lit(false))((acc, i) => acc || applied === i)
+    val keep = when(hasMatch, !isDelete(matched, appliedM))
+      .otherwise(!isDelete(bySource, appliedB))
 
     val outCols = schema.fields.toSeq.map { f =>
-      val perClause = matched.zipWithIndex.flatMap {
-        case (MUpdateStar(_), i) =>
+      def branches(clauses: Seq[MergeMatched],
+          applied: org.apache.spark.sql.Column,
+          rw: Expression => org.apache.spark.sql.Column,
+          star: Boolean) = clauses.zipWithIndex.flatMap {
+        case (MUpdateStar(_), i) if star =>
           require(sCols(lc(f.name)), s"graft MERGE INTO $table: UPDATE SET * " +
             s"needs source column ${f.name}")
-          Seq(i -> col("__s_" + f.name))
+          Seq((applied === lit(i)) -> col("__s_" + f.name))
+        case (MUpdateStar(_), _) =>
+          fail(s"graft MERGE INTO $table: UPDATE SET * is meaningless " +
+            "in NOT MATCHED BY SOURCE (there is no source row)")
         case (MUpdate(_, assigns), i) =>
           assigns.filter(a => lc(a.column) == lc(f.name))
-            .map(a => i -> m(a.value))
+            .map(a => (applied === lit(i)) -> rw(a.value))
         case (MDelete(_), _) => Nil
       }
-      perClause.foldRight(col(f.name)) { case ((i, v), acc) =>
-        when(applied === lit(i), v).otherwise(acc)
+      val perClause = branches(matched, appliedM, m, star = true) ++
+        branches(bySource, appliedB, tOnly, star = false)
+      perClause.foldRight(col(f.name)) { case ((hit, v), acc) =>
+        when(hit, v).otherwise(acc)
       }.cast(f.dataType).as(f.name)
     }
     val kept = joined.filter(keep).select(outCols: _*)
@@ -825,10 +845,9 @@ case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
       s"graft MERGE INTO ${cmd.table}: duplicate source rows on key (${cmd.keys.mkString(", ")}) — " +
         "a multi-match merge is nondeterministic (same contract as Delta's multiple-matches error)")
 
-    def combine(schema: org.apache.spark.sql.types.StructType,
-        keepUnmatchedTarget: Boolean) =
+    def combine(schema: org.apache.spark.sql.types.StructType) =
       GraftMergeClauses.combine(cmd.table, schema, cmd.keys, cmd.matched,
-        cmd.notMatched, cmd.tQuals, cmd.sQuals, keepUnmatchedTarget) _
+        cmd.notMatched, cmd.bySource, cmd.tQuals, cmd.sQuals) _
 
     if (cmd.cow) {
       // FILE-COW path: FileCow owns the touched-file scoping and the
@@ -843,24 +862,23 @@ case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
       }
       val schema = graft.sources.FileCow.schemaOf(cmd.root,
         graft.sources.FileCow.currentVersion(cmd.root))
-      if (cmd.starShape) {
+      if (cmd.starShape && (cmd.bySource.isEmpty || cmd.deleteUnmatched)) {
         require(src.columns.sorted.sameElements(schema.map(_.name).sorted),
           s"graft MERGE INTO ${cmd.table}: source columns ${src.columns.mkString(",")} " +
             s"must match table columns ${schema.map(_.name).mkString(",")} (UPDATE/INSERT *)")
         val aligned = src.select(schema.map(f => col(f.name)): _*)
         if (cmd.deleteUnmatched) graft.sources.FileCow.overwrite(spark, cmd.root, aligned)
         else graft.sources.FileCow.merge(spark, cmd.root, aligned, cmd.keys)
-      } else if (cmd.deleteUnmatched) {
-        // NOT MATCHED BY SOURCE DELETE touches every file by definition —
+      } else if (cmd.bySource.nonEmpty) {
+        // NOT MATCHED BY SOURCE clauses touch every file by definition —
         // an honest full rewrite through the clause combinator
-        val result = combine(schema, keepUnmatchedTarget = false)(
-          FileCow.read(spark, cmd.root), src)
+        val result = combine(schema)(FileCow.read(spark, cmd.root), src)
         graft.sources.FileCow.overwrite(spark, cmd.root, result)
       } else {
         // general clauses, touched-file scoped: FileCow prunes files by the
         // source keys and hands (affected base, source) to the combinator
         graft.sources.FileCow.merge(spark, cmd.root, src, cmd.keys,
-          combine = combine(schema, keepUnmatchedTarget = true))
+          combine = combine(schema))
       }
       return
     }
@@ -876,14 +894,13 @@ case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
         src
       } else {
         val current = Versioned.readVersion(spark, cmd.root, version)
-        if (cmd.starShape) {
+        if (cmd.starShape && (cmd.bySource.isEmpty || cmd.deleteUnmatched)) {
           require(current.columns.sorted.sameElements(src.columns.sorted),
             s"graft MERGE INTO ${cmd.table}: source columns ${src.columns.mkString(",")} " +
               s"must match table columns ${current.columns.mkString(",")} (UPDATE/INSERT *)")
           if (cmd.deleteUnmatched) src
           else src.unionByName(current.join(src.select(cmd.keys.map(col): _*), cmd.keys, "left_anti"))
-        } else combine(current.schema,
-          keepUnmatchedTarget = !cmd.deleteUnmatched)(current, src)
+        } else combine(current.schema)(current, src)
       }
     }
   }

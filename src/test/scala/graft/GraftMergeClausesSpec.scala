@@ -116,6 +116,37 @@ class GraftMergeClausesSpec extends SparkSpec {
     GraftTables.unregister("mc_v")
   }
 
+  test("NOT MATCHED BY SOURCE UPDATE/conditional DELETE mark and prune stale targets") {
+    val s = spark
+    import s.implicits._
+    freshCow("mc_b")
+    spark.range(1, 11).select(col("id").as("k"), col("id").as("qty"),
+        when(col("id") > 0, lit("live")).as("status"))
+      .createOrReplaceTempView("mcb_base")
+    spark.sql("MERGE INTO mc_b t USING mcb_base s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+
+    Seq((1L, 100L), (2L, 200L)).toDF("k", "v").createOrReplaceTempView("mcb_inc")
+    // targets absent from the source: qty ≥ 9 deleted, the rest marked stale
+    spark.sql("""MERGE INTO mc_b t USING mcb_inc s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET qty = s.v
+      WHEN NOT MATCHED BY SOURCE AND t.qty >= 9 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'stale'""")
+    val got = spark.sql("SELECT k, qty, status FROM mc_b")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 100L, "live"), (2L, 200L, "live")) ++
+      (3L to 8L).map(k => (k, k, "stale")).toSet,
+      "matched updated and kept live; 9,10 deleted; 3-8 marked stale")
+
+    // a by-source clause referencing the source must fail loudly
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO mc_b t USING mcb_inc s ON t.k = s.k " +
+        "WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE")
+    }
+    assert(e.getMessage.contains("unknown column"))
+    GraftTables.unregister("mc_b")
+  }
+
   test("general clauses + NOT MATCHED BY SOURCE DELETE: full-rewrite semantics") {
     val s = spark
     import s.implicits._
