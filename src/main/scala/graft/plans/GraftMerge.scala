@@ -515,9 +515,11 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
       FileCow.copyInto(spark, c.root, c.sourceDir); ()
     }) :: Nil
     case c: GraftOptimizeCommand => GraftCowExec(c.table, { spark =>
-      c.zorder match {
-        case Some((a, b)) => FileCow.compactZOrder(spark, c.root, c.targetFiles, a, b)
-        case None => FileCow.compact(spark, c.root, c.targetFiles)
+      (c.zorder, c.where) match {
+        case (Some((a, b)), _) => FileCow.compactZOrder(spark, c.root, c.targetFiles, a, b)
+        case (None, Some(w)) =>
+          FileCow.compactWhere(spark, c.root, c.targetFiles, GraftBridge.column(w.e))
+        case (None, None) => FileCow.compact(spark, c.root, c.targetFiles)
       }
       ()
     }) :: Nil

@@ -31,7 +31,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
 
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s+INTO\s+(\d+)\s+FILES(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s+INTO\s+(\d+)\s+FILES(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
 
   private val Restore =
     """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
@@ -128,11 +128,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           graft.sources.Versioned.history(session, e.root).queryExecution.analyzed
         case None => sys.error(s"DESCRIBE HISTORY: '$name' is not a registered graft table")
       }
-    case Optimize(name, n, za, zb) =>
+    case Optimize(name, n, za, zb, where) =>
       GraftTables.entryOf(name) match {
         case Some(e) if e.cow =>
+          require(za == null || where == null,
+            "OPTIMIZE: ZORDER BY and WHERE cannot combine — Z-ordering " +
+              "re-clusters the whole table by construction")
           GraftOptimizeCommand(name, e.root, n.toInt,
-            zorder = Option(za).map(a => (a, zb)))
+            zorder = Option(za).map(a => (a, zb)),
+            where = Option(where).map(w =>
+              ExprHolder(delegate.parseExpression(w))))
         case Some(_) => sys.error(s"OPTIMIZE: '$name' is a snapshot-level table — " +
           "every publish already rewrites it; OPTIMIZE applies to cow tables")
         case None => sys.error(s"OPTIMIZE: '$name' is not a registered graft table")
@@ -334,7 +339,8 @@ object GraftVacuumExec {
   * [[graft.sources.FileCow.compact]] or
   * [[graft.sources.FileCow.compactZOrder]]). */
 case class GraftOptimizeCommand(table: String, root: String, targetFiles: Int,
-    zorder: Option[(String, String)] = None)
+    zorder: Option[(String, String)] = None,
+    where: Option[ExprHolder] = None)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }

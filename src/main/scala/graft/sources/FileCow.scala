@@ -785,6 +785,57 @@ object FileCow {
         added.count())
     }
 
+  /** PREDICATE-SCOPED COMPACTION (Delta `OPTIMIZE … WHERE`): rewrite only
+    * the files whose stats ADMIT `cond` into `targetFiles` files — the
+    * 100 TB shape where yesterday's hot range gets healed without
+    * touching the cold archive. The predicate scopes FILE SELECTION, not
+    * rows (Delta's contract): every row of an admitted file survives, so
+    * the commit is layout-only like [[compact]] (kind "compact" — the
+    * table stream and CDF treat it row-neutral). Mirroring Delta's
+    * partition-column restriction, every column in `cond` must be a
+    * STATS column — otherwise admission would silently degrade to
+    * rewrite-everything, and a loud error beats that. */
+  def compactWhere(spark: SparkSession, root: String, targetFiles: Int,
+      cond: Column, maxRecordsPerFile: Long = 0L): Commit =
+    retrying(root, "FileCow.compactWhere") { version =>
+      val schema = schemaOf(root, version)
+      val statsCols = statsColsOf(spark, root, version)
+      val man = manifest(spark, root, version)
+      val dims = statsCols.map(c => c -> ZoneDim(c, s"min_$c", s"max_$c")).toMap
+      val condExpr = readVersion(spark, root, version).filter(cond)
+        .queryExecution.optimizedPlan.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+      condExpr.foreach { e =>
+        val refs = e.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+        }.distinct
+        val nonStats = refs.filterNot(statsCols.contains)
+        require(nonStats.isEmpty, s"OPTIMIZE WHERE references non-stats " +
+          s"column(s) ${nonStats.mkString(",")} — admission would degrade to " +
+          s"a full rewrite (stats columns: ${statsCols.mkString(",")})")
+      }
+      val admission = StatAdmission.admission(condExpr.toSeq, dims)
+      val affected = man.filter(admission).select("file")
+        .collect().map(_.getString(0))
+      if (affected.length <= 1) {
+        // nothing to heal: zero or one file in scope — no commit
+        Commit(version, filesKept = man.count(), filesRewritten = 0L, filesAdded = 0L)
+      } else {
+        import spark.implicits._
+        val untouched = man.join(affected.toSeq.toDF("file"), Seq("file"), "left_anti")
+        val rows = spark.read.schema(schema).parquet(affected.toSeq: _*)
+          .repartitionByRange(math.max(1, targetFiles), col(statsCols.head))
+        val added = writeDataFiles(spark, root, rows, statsCols, maxRecordsPerFile)
+        val newManifest = untouched.select(man.columns.map(col): _*)
+          .unionByName(added.select(man.columns.map(col): _*))
+        commit(spark, root, version, newManifest, schema,
+          CommitAction("compact", filePaths(added), affected.toSeq))
+        Commit(version + 1, filesKept = untouched.count(),
+          filesRewritten = affected.length.toLong, filesAdded = added.count())
+      }
+    }
+
   /** RESTORE the table to retained `toVersion` (Delta `RESTORE TABLE`):
     * ONE new commit whose manifest and schema are the target version's —
     * no data file is read or written; the restored snapshot SHARES every

@@ -65,6 +65,39 @@ class CowZOrderSpec extends SparkSpec {
     GraftTables.unregister("zorder_t")
   }
 
+  test("OPTIMIZE WHERE heals only the files the predicate admits") {
+    val root = Files.createTempDirectory("opt-where").resolve("t").toString
+    GraftTables.registerCow("optw_t", root)
+    // stats on k only, so `v` is a genuine non-stats column below
+    FileCow.create(spark, root,
+      spark.range(1, 1001).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .repartitionByRange(8, col("k")), Seq("k")) // v1: 8 files
+
+    spark.sql("OPTIMIZE optw_t INTO 1 FILES WHERE k <= 250") // v2
+    val before = FileCow.manifest(spark, root, 1L).select("file")
+      .collect().map(_.getString(0)).toSet
+    val after = FileCow.manifest(spark, root, 2L).select("file")
+      .collect().map(_.getString(0)).toSet
+    val shared = before intersect after
+    assert(shared.size == 6, s"the 2 files covering k<=250 rewrite; 6 shared, got ${shared.size}")
+    assert(after.size == 7, "2 admitted files collapsed into 1")
+    assert(spark.sql("SELECT count(*) c, sum(v) s FROM optw_t").as[(Long, Long)]
+      .head() == ((1000L, (1L to 1000L).map(_ * 2).sum)), "rows identical — layout-only")
+    assert(FileCow.commitInfo(root, 2L).get.kind == "compact")
+
+    // WHERE over a non-stats column would degrade to rewrite-everything
+    val e = intercept[Exception] {
+      spark.sql("OPTIMIZE optw_t INTO 1 FILES WHERE v > 0")
+    }
+    assert(e.getMessage.contains("non-stats"))
+    // ZORDER + WHERE cannot combine
+    val z = intercept[Exception] {
+      spark.sql("OPTIMIZE optw_t INTO 2 FILES ZORDER BY (k, v) WHERE k < 10")
+    }
+    assert(z.getMessage.contains("cannot combine"))
+    GraftTables.unregister("optw_t")
+  }
+
   test("RESTORE TABLE rewinds in one shared-files commit; the feed undoes the mistake") {
     val root = Files.createTempDirectory("graft-restore").toString
     GraftTables.registerCow("restore_t", root)
