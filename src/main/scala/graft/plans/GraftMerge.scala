@@ -373,7 +373,8 @@ case class GraftMergeCommand(
   * [[graft.sources.Versioned.publish]]). Fails if the table already has a
   * version — CREATE means create. */
 case class GraftCtasCommand(table: String, root: String, query: LogicalPlan,
-    cow: Boolean = false, ifNotExists: Boolean = false)
+    cow: Boolean = false, ifNotExists: Boolean = false,
+    orReplace: Boolean = false)
     extends UnaryNode with Command {
   override def child: LogicalPlan = query
   override def output: Seq[Attribute] = Nil
@@ -632,13 +633,27 @@ case class GraftCtasExec(cmd: GraftCtasCommand) extends LeafExecNode {
     if (cmd.ifNotExists && exists) () // IF NOT EXISTS: silently keep the table
     else {
     val df = GraftBridge.ofRows(spark, cmd.query)
-    if (cmd.cow) {
+    if (cmd.cow && cmd.orReplace && exists) {
+      // OR REPLACE on an existing cow table: one replace commit — history
+      // and time travel survive (Delta's CREATE OR REPLACE contract),
+      // unlike DROP + CREATE which would orphan the version chain
+      val schema = FileCow.schemaOf(cmd.root, FileCow.currentVersion(cmd.root))
+      require(df.schema.map(f => (f.name, f.dataType)) ==
+          schema.map(f => (f.name, f.dataType)),
+        s"graft CREATE OR REPLACE ${cmd.table}: new schema " +
+          s"${df.schema.simpleString} must match ${schema.simpleString} " +
+          "(schema change goes through ALTER TABLE)")
+      FileCow.overwrite(spark, cmd.root, df)
+      ()
+    } else if (cmd.cow) {
       val stats = GraftWriteSupport.statsEligible(df.schema)
       require(stats.nonEmpty, s"graft CREATE TABLE ${cmd.table}: no column is " +
         "stats-eligible (atomic orderable) — a cow table needs at least one " +
         "for file pruning")
       FileCow.create(spark, cmd.root, GraftWriteSupport.ranged(df, stats),
         statsCols = stats)
+    } else if (cmd.orReplace && exists) {
+      Versioned.publish(df, cmd.root)
     } else {
       require(Versioned.currentVersion(cmd.root) == 0L,
         s"graft CREATE TABLE ${cmd.table}: table already exists (v" +

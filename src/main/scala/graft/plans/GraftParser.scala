@@ -57,7 +57,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * column-list/USING/OPTIONS spelling — delegates verbatim, so real
     * catalogs keep owning their tables. */
   private val Ctas =
-    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+?)\s*;?\s*""".r
 
   /** `CREATE TABLE <tgt> SHALLOW CLONE <src> [VERSION AS OF n]` — Delta's
     * zero-copy clone on cow tables: one metadata commit naming the
@@ -217,10 +217,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case _ => sys.error(s"SHALLOW CLONE: both '$tgt' and '$src' must be " +
           "registered graft tables")
       }
-    case Ctas(ifNotExists, name, query) if GraftTables.entryOf(name).isDefined =>
+    case Ctas(orReplace, ifNotExists, name, query) if GraftTables.entryOf(name).isDefined =>
+      require(orReplace == null || ifNotExists == null,
+        "CREATE OR REPLACE TABLE and IF NOT EXISTS cannot combine")
       val e = GraftTables.entryOf(name).get
       GraftCtasCommand(name, e.root, delegate.parsePlan(query), e.cow,
-        ifNotExists = ifNotExists != null)
+        ifNotExists = ifNotExists != null, orReplace = orReplace != null)
     case _ => delegate.parsePlan(sqlText)
   }
 

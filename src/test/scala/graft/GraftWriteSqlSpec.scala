@@ -212,6 +212,55 @@ class GraftWriteSqlSpec extends SparkSpec {
     GraftTables.unregister("hist_op")
   }
 
+  test("CREATE OR REPLACE TABLE: one replace commit; history and time travel survive") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-cor").toString
+    GraftTables.registerCow("cor_t", root)
+    spark.range(1, 11).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("cor_base")
+    // OR REPLACE on a nonexistent table simply creates
+    spark.sql("CREATE OR REPLACE TABLE cor_t AS SELECT * FROM cor_base") // v1
+    assert(FileCow.currentVersion(root) == 1L)
+
+    spark.range(100, 103).select(col("id").as("k"), lit(0L).as("v"))
+      .createOrReplaceTempView("cor_new")
+    spark.sql("CREATE OR REPLACE TABLE cor_t AS SELECT * FROM cor_new") // v2
+    assert(FileCow.currentVersion(root) == 2L, "replace is a COMMIT, not a reset")
+    assert(spark.sql("SELECT count(*) c FROM cor_t").as[Long].head() == 3L)
+    // the pre-replace table still time-travels — the Delta OR REPLACE contract
+    assert(spark.sql("SELECT count(*) c FROM cor_t VERSION AS OF 1")
+      .as[Long].head() == 10L)
+
+    // a schema-drifting replace fails (schema change goes through ALTER)
+    spark.range(1, 3).select(col("id").as("other")).createOrReplaceTempView("cor_bad")
+    val e = intercept[Exception] {
+      spark.sql("CREATE OR REPLACE TABLE cor_t AS SELECT * FROM cor_bad")
+    }
+    assert(e.getMessage.contains("must match"))
+    GraftTables.unregister("cor_t")
+  }
+
+  test("DELETE and UPDATE conditions take subqueries") {
+    val s = spark
+    import s.implicits._
+    GraftTables.registerCow("subq_t", Files.createTempDirectory("graft-subq").toString)
+    spark.range(1, 21).select(col("id").as("k"), (col("id") % 5).as("grp"))
+      .createOrReplaceTempView("subq_base")
+    spark.sql("CREATE TABLE subq_t AS SELECT * FROM subq_base")
+    Seq(0L, 1L).toDF("g").createOrReplaceTempView("subq_kill")
+
+    spark.sql("DELETE FROM subq_t WHERE grp IN (SELECT g FROM subq_kill)")
+    assert(spark.sql("SELECT count(*) c FROM subq_t").as[Long].head() == 12L,
+      "grp 0 and 1 rows deleted via the IN-subquery")
+
+    spark.sql("UPDATE subq_t SET grp = -1 WHERE k > (SELECT max(g) + 15 FROM subq_kill)")
+    assert(spark.sql("SELECT count(*) c FROM subq_t WHERE grp = -1")
+      .as[Long].head() == 3L,
+      "k in 17..19 updated via the scalar subquery (20 was grp 0, deleted above)")
+    GraftTables.unregister("subq_t")
+  }
+
   test("append keeps rows-per-file near the table's existing grain") {
     val root = Files.createTempDirectory("graft-app-grain").toString
     // 1000 rows in 4 files => ~250 rows/file
