@@ -109,7 +109,8 @@ final case class MInsert(cond: Option[ExprHolder],
 class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
-    case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource, _) =>
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource,
+        withSchemaEvolution) =>
       targetName(target).flatMap(n => GraftTables.keyFor(n).flatMap(k =>
         GraftTables.entryOf(k).map((k, _)))) match {
         case Some((name, entry)) =>
@@ -142,7 +143,8 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case other => fail(s"graft MERGE INTO $name: unsupported NOT MATCHED BY SOURCE action: $other")
           }
           GraftMergeCommand(name, entry.root, keys, bySourceH, source,
-            entry.cow, matchedH, notMatchedH, quals(target), quals(source))
+            entry.cow, matchedH, notMatchedH, quals(target), quals(source),
+            schemaEvolution = withSchemaEvolution)
         case None => m // not ours — leave for DSv2 resolution
       }
 
@@ -356,7 +358,8 @@ case class GraftMergeCommand(
     matched: Seq[MergeMatched] = Seq(MUpdateStar(None)),
     notMatched: Seq[MergeNotMatched] = Seq(MInsertStar(None)),
     tQuals: Seq[String] = Nil,
-    sQuals: Seq[String] = Nil) extends UnaryNode with Command {
+    sQuals: Seq[String] = Nil,
+    schemaEvolution: Boolean = false) extends UnaryNode with Command {
   override def child: LogicalPlan = source
   override def output: Seq[Attribute] = Nil
   def starShape: Boolean = matched == Seq(MUpdateStar(None)) &&
@@ -751,7 +754,7 @@ private[plans] object GraftMergeClauses {
   def combine(table: String, schema: org.apache.spark.sql.types.StructType,
       keys: Seq[String], matched: Seq[MergeMatched],
       notMatched: Seq[MergeNotMatched], bySource: Seq[MergeMatched],
-      tQuals: Seq[String], sQuals: Seq[String])(
+      tQuals: Seq[String], sQuals: Seq[String], evolution: Boolean = false)(
       base: org.apache.spark.sql.DataFrame,
       source: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.coalesce
@@ -793,9 +796,12 @@ private[plans] object GraftMergeClauses {
           rw: Expression => org.apache.spark.sql.Column,
           star: Boolean) = clauses.zipWithIndex.flatMap {
         case (MUpdateStar(_), i) if star =>
-          require(sCols(lc(f.name)), s"graft MERGE INTO $table: UPDATE SET * " +
+          // under schema evolution, UPDATE SET * sets only the columns the
+          // source HAS; a source-missing column keeps the target's value
+          if (sCols(lc(f.name))) Seq((applied === lit(i)) -> col("__s_" + f.name))
+          else if (evolution) Nil
+          else fail(s"graft MERGE INTO $table: UPDATE SET * " +
             s"needs source column ${f.name}")
-          Seq((applied === lit(i)) -> col("__s_" + f.name))
         case (MUpdateStar(_), _) =>
           fail(s"graft MERGE INTO $table: UPDATE SET * is meaningless " +
             "in NOT MATCHED BY SOURCE (there is no source row)")
@@ -820,6 +826,11 @@ private[plans] object GraftMergeClauses {
       }
       val insCols = schema.fields.toSeq.map { f =>
         val perClause = notMatched.zipWithIndex.map {
+          case (MInsertStar(_), i) if !sCols(lc(f.name)) && evolution =>
+            // evolution: INSERT * pads the source-missing column with NULL
+            require(f.nullable, s"graft MERGE INTO $table: INSERT * omits " +
+              s"column ${f.name}, which is NOT NULL — nothing to pad with")
+            i -> (lit(null): org.apache.spark.sql.Column)
           case (MInsertStar(_), i) =>
             require(sCols(lc(f.name)), s"graft MERGE INTO $table: INSERT * " +
               s"needs source column ${f.name}")
@@ -864,7 +875,14 @@ case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
 
     def combine(schema: org.apache.spark.sql.types.StructType) =
       GraftMergeClauses.combine(cmd.table, schema, cmd.keys, cmd.matched,
-        cmd.notMatched, cmd.bySource, cmd.tQuals, cmd.sQuals) _
+        cmd.notMatched, cmd.bySource, cmd.tQuals, cmd.sQuals,
+        evolution = cmd.schemaEvolution) _
+
+    def freshCols(tableCols: Seq[String]): Seq[org.apache.spark.sql.types.StructField] = {
+      val tLower = tableCols.map(_.toLowerCase).toSet
+      src.schema.fields.toSeq.filterNot(f => tLower(f.name.toLowerCase))
+        .map(_.copy(nullable = true))
+    }
 
     if (cmd.cow) {
       // FILE-COW path: FileCow owns the touched-file scoping and the
@@ -877,9 +895,19 @@ case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
         FileCow.create(spark, cmd.root, src, statsCols = cmd.keys)
         return
       }
+      // WITH SCHEMA EVOLUTION: source-only columns evolve the table first
+      // (one metadata-only commit), then the general combinator pads and
+      // projects — UPDATE SET * touches only columns the source has,
+      // INSERT * pads the rest NULL (Delta's evolution semantics)
+      if (cmd.schemaEvolution) {
+        val fresh = freshCols(graft.sources.FileCow.schemaOf(cmd.root,
+          graft.sources.FileCow.currentVersion(cmd.root)).fieldNames.toSeq)
+        if (fresh.nonEmpty) FileCow.addColumns(spark, cmd.root, fresh)
+      }
       val schema = graft.sources.FileCow.schemaOf(cmd.root,
         graft.sources.FileCow.currentVersion(cmd.root))
-      if (cmd.starShape && (cmd.bySource.isEmpty || cmd.deleteUnmatched)) {
+      if (cmd.starShape && !cmd.schemaEvolution &&
+          (cmd.bySource.isEmpty || cmd.deleteUnmatched)) {
         require(src.columns.sorted.sameElements(schema.map(_.name).sorted),
           s"graft MERGE INTO ${cmd.table}: source columns ${src.columns.mkString(",")} " +
             s"must match table columns ${schema.map(_.name).mkString(",")} (UPDATE/INSERT *)")
@@ -910,8 +938,15 @@ case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
           "bootstraps a non-existent table must be UPDATE SET * / INSERT *")
         src
       } else {
-        val current = Versioned.readVersion(spark, cmd.root, version)
-        if (cmd.starShape && (cmd.bySource.isEmpty || cmd.deleteUnmatched)) {
+        val current0 = Versioned.readVersion(spark, cmd.root, version)
+        // snapshot-layout evolution: pad the current frame with the
+        // source-only columns (NULL) — the publish carries the wider schema
+        val current =
+          if (!cmd.schemaEvolution) current0
+          else freshCols(current0.columns.toSeq).foldLeft(current0)((df, f) =>
+            df.withColumn(f.name, lit(null).cast(f.dataType)))
+        if (cmd.starShape && !cmd.schemaEvolution &&
+            (cmd.bySource.isEmpty || cmd.deleteUnmatched)) {
           require(current.columns.sorted.sameElements(src.columns.sorted),
             s"graft MERGE INTO ${cmd.table}: source columns ${src.columns.mkString(",")} " +
               s"must match table columns ${current.columns.mkString(",")} (UPDATE/INSERT *)")

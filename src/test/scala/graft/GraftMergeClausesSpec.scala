@@ -147,6 +147,37 @@ class GraftMergeClausesSpec extends SparkSpec {
     GraftTables.unregister("mc_b")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns evolve the table") {
+    val s = spark
+    import s.implicits._
+    val root = freshCow("mc_ev")
+    spark.range(1, 6).select(col("id").as("k"), col("id").as("qty"))
+      .createOrReplaceTempView("mcev_base")
+    spark.sql("MERGE INTO mc_ev t USING mcev_base s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *") // v1
+
+    Seq((2L, 20L, "hot"), (9L, 90L, "new")).toDF("k", "qty", "tag")
+      .createOrReplaceTempView("mcev_inc")
+    // without evolution, the extra source column is a loud error
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO mc_ev t USING mcev_inc s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.contains("must match table columns"))
+
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO mc_ev t USING mcev_inc s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(FileCow.schemaOf(root, FileCow.currentVersion(root))
+      .fieldNames.toSeq == Seq("k", "qty", "tag"))
+    val got = spark.sql("SELECT k, qty, tag FROM mc_ev")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(got == Set((1L, 1L, None), (2L, 20L, Some("hot")), (3L, 3L, None),
+      (4L, 4L, None), (5L, 5L, None), (9L, 90L, Some("new"))),
+      "matched row takes the new column, untouched rows read NULL, insert carries it")
+    GraftTables.unregister("mc_ev")
+  }
+
   test("general clauses + NOT MATCHED BY SOURCE DELETE: full-rewrite semantics") {
     val s = spark
     import s.implicits._
