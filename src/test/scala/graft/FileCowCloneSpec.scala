@@ -104,6 +104,28 @@ class FileCowCloneSpec extends SparkSpec {
       "dead clone marker pruned")
   }
 
+  test("clone of a clone registers with the transitive owner; vacuum respects it") {
+    val a = mkSource() // table A, v1: 4 files in A/_data
+    val b = Files.createTempDirectory("clone-b").resolve("b").toString
+    FileCow.shallowClone(spark, a, b) // B's manifest names A's files
+    val c = Files.createTempDirectory("clone-c").resolve("c").toString
+    FileCow.shallowClone(spark, b, c) // C also names A's files — owner is A
+
+    // B dies; only C still needs A's originals
+    deleteTree(Paths.get(b).getParent)
+    // A drops every original from its own retained manifests
+    FileCow.overwrite(spark, a,
+      spark.range(0, 2).select(col("id"), lit(0L).as("grp")))
+    val removed = FileCow.vacuum(spark, a, keep = 1, minAgeMs = 0L)
+    assert(removed.isEmpty,
+      s"C still references A's originals transitively — nothing to reclaim, got $removed")
+    assert(FileCow.read(spark, c).count() == 100L, "the grandchild still reads")
+
+    // C dies too: the originals finally reclaim
+    deleteTree(Paths.get(c).getParent)
+    assert(FileCow.vacuum(spark, a, keep = 1, minAgeMs = 0L).size == 4)
+  }
+
   test("SQL: CREATE TABLE t SHALLOW CLONE s VERSION AS OF n, then diverge via INSERT") {
     val s = spark
     import s.implicits._
