@@ -71,6 +71,24 @@ class FileCowConstraintSpec extends SparkSpec {
     assert(FileCow.read(spark, root).filter(col("amt") < 0).count() == 3L)
   }
 
+  test("streaming appends hit the same constraint gate as batch commits") {
+    val root = mkTable()
+    FileCow.addConstraint(spark, root, "amt_pos", "amt > 0")
+    val bad = spark.range(900, 903).select(col("id"), lit(-5L).as("amt"))
+    val before = FileCow.currentVersion(root)
+    val e = intercept[RuntimeException] {
+      graft.streaming.CowAppendSink.commitBatch(bad, root, "chk-app",
+        batchId = 0L, statsCols = Seq("id"))
+    }
+    assert(e.getMessage.contains("amt_pos"))
+    assert(FileCow.currentVersion(root) == before, "the batch never committed")
+    // a conforming batch then lands normally with the same batch id
+    graft.streaming.CowAppendSink.commitBatch(
+      spark.range(900, 903).select(col("id"), lit(5L).as("amt")),
+      root, "chk-app", batchId = 0L, statsCols = Seq("id"))
+    assert(FileCow.read(spark, root).count() == 103L)
+  }
+
   test("properties carry forward across commits and into shallow clones") {
     val root = mkTable()
     FileCow.setTableProperties(spark, root, Map("owner" -> "graft", "tier" -> "gold"))
