@@ -114,37 +114,61 @@ class GraftCowDataSource extends RelationProvider
     }: _*)
   }
 
-  /** `df.writeStream.format("graft-cow")` — the F20 exactly-once append
-    * sink behind the idiomatic spelling: each micro-batch is one append
-    * commit stamped (appId, batchId) INSIDE the CAS (no marker window; a
-    * replayed batch cannot duplicate). Options: `root` (required), `appId`
-    * (required — the txn identity; keep it stable across restarts),
-    * `statsCols` (comma list for the creating batch; default = every
-    * stats-eligible column), `filesHint`. Append output mode only — keyed
-    * upserts are [[graft.streaming.CowUpsertSink]]'s latest-wins contract,
-    * which needs an ordering the generic sink cannot guess. */
+  /** `df.writeStream.format("graft-cow")` — the streaming write surface
+    * behind the idiomatic spelling. APPEND output mode = the F20
+    * exactly-once append sink: each micro-batch is one append commit
+    * stamped (appId, batchId) INSIDE the CAS (no marker window; a
+    * replayed batch cannot duplicate). UPDATE output mode = the generic
+    * keyed latest-wins upsert ([[graft.streaming.CowKeyedUpsertSink]]):
+    * `keys` + `orderBy` options supply the facts a generic sink cannot
+    * guess, the winner per key is deterministic (total lexicographic
+    * tiebreak), each batch merges at touched-file scope, replays skip via
+    * the txn marker. Common options: `root` (required), `appId` (required
+    * — the txn identity; keep it stable across restarts), `statsCols`
+    * (comma list for the creating batch), `filesHint`. */
   override def createSink(ctx: SQLContext, params: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
-    require(outputMode == OutputMode.Append(),
-      s"graft-cow sink: append output mode only, got $outputMode")
     require(partitionColumns.isEmpty, "graft-cow sink: partitionBy unsupported " +
       "(layout is range-partitioning on the lead stats column)")
     val r = root(params)
     val appId = params.getOrElse("appId",
       sys.error("graft-cow sink: 'appId' option is required (the txn identity)"))
     val filesHint = params.get("filesHint").map(_.toInt).getOrElse(4)
-    new Sink {
-      override def addBatch(batchId: Long, data: DataFrame): Unit = {
-        val stats = params.get("statsCols")
-          .map(_.split(",").map(_.trim).toSeq)
-          .getOrElse(FileCow.statsEligible(data.schema))
-        // the streaming frame cannot be written directly — re-plan its rows
-        // as a batch frame the same way foreachBatch does
-        val batch = org.apache.spark.sql.GraftBridge.asBatch(data)
-        graft.streaming.CowAppendSink.commitBatch(
-          batch, r, appId, batchId, stats, filesHint)
+    def stats(data: DataFrame): Seq[String] = params.get("statsCols")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(FileCow.statsEligible(data.schema))
+    if (outputMode == OutputMode.Update()) {
+      // keyed latest-wins upsert: the two facts a generic sink cannot
+      // guess arrive as options — the key columns and the recency column
+      val keys = params.getOrElse("keys", sys.error("graft-cow sink: update " +
+        "output mode requires the 'keys' option (the upsert key columns)"))
+        .split(",").map(_.trim).toSeq
+      val orderBy = params.getOrElse("orderBy", sys.error("graft-cow sink: " +
+        "update output mode requires the 'orderBy' option (the recency " +
+        "column latest-wins resolves on)"))
+      new Sink {
+        override def addBatch(batchId: Long, data: DataFrame): Unit = {
+          val batch = org.apache.spark.sql.GraftBridge.asBatch(data)
+          graft.streaming.CowKeyedUpsertSink.commitBatch(
+            batch, r, appId, batchId, keys, orderBy,
+            params.get("statsCols").map(_.split(",").map(_.trim).toSeq)
+              .getOrElse(keys), filesHint)
+        }
+        override def toString: String = s"GraftCowUpsertSink[$r]"
       }
-      override def toString: String = s"GraftCowAppendSink[$r]"
+    } else {
+      require(outputMode == OutputMode.Append(),
+        s"graft-cow sink: append or update output mode, got $outputMode")
+      new Sink {
+        override def addBatch(batchId: Long, data: DataFrame): Unit = {
+          // the streaming frame cannot be written directly — re-plan its
+          // rows as a batch frame the same way foreachBatch does
+          val batch = org.apache.spark.sql.GraftBridge.asBatch(data)
+          graft.streaming.CowAppendSink.commitBatch(
+            batch, r, appId, batchId, stats(batch), filesHint)
+        }
+        override def toString: String = s"GraftCowAppendSink[$r]"
+      }
     }
   }
 
