@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expre
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
-import org.apache.spark.sql.functions.{col, count, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
 
 import graft.sources.{FileCow, Versioned}
 
@@ -488,7 +488,10 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
       FileCow.delete(spark, c.root, GraftBridge.column(c.cond.e)); ()
     }) :: Nil
     case c: GraftDeleteCommand => GraftDmlExec(c.table, c.root, { (spark, current) =>
-      current.filter(!GraftBridge.column(c.cond.e))
+      // a NULL condition must KEEP the row (SQL DELETE matches only TRUE;
+      // !NULL is NULL and filter would drop it) — same coalesce as the cow
+      // twin's rewriteWhere, so both layouts answer alike
+      current.filter(!coalesce(GraftBridge.column(c.cond.e), lit(false)))
     }) :: Nil
     case c: GraftVacuumCommand => GraftVacuumExec(c) :: Nil
     case c: GraftRestoreCommand => GraftCowExec(c.table, { spark =>
@@ -895,17 +898,23 @@ case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
         FileCow.create(spark, cmd.root, src, statsCols = cmd.keys)
         return
       }
-      // WITH SCHEMA EVOLUTION: source-only columns evolve the table first
-      // (one metadata-only commit), then the general combinator pads and
-      // projects — UPDATE SET * touches only columns the source has,
-      // INSERT * pads the rest NULL (Delta's evolution semantics)
-      if (cmd.schemaEvolution) {
-        val fresh = freshCols(graft.sources.FileCow.schemaOf(cmd.root,
-          graft.sources.FileCow.currentVersion(cmd.root)).fieldNames.toSeq)
-        if (fresh.nonEmpty) FileCow.addColumns(spark, cmd.root, fresh)
-      }
-      val schema = graft.sources.FileCow.schemaOf(cmd.root,
+      // WITH SCHEMA EVOLUTION: source-only columns widen the table schema
+      // INSIDE the merge commit itself (FileCow's evolveTo — one atomic
+      // transaction, so a merge that fails its NULL-key/constraint checks
+      // cannot leave the schema evolved behind a failed statement, matching
+      // Delta and the snapshot-layout branch below). The general combinator
+      // pads and projects — UPDATE SET * touches only columns the source
+      // has, INSERT * pads the rest NULL (Delta's evolution semantics).
+      val current = graft.sources.FileCow.schemaOf(cmd.root,
         graft.sources.FileCow.currentVersion(cmd.root))
+      val evolveTo =
+        if (!cmd.schemaEvolution) None
+        else {
+          val fresh = freshCols(current.fieldNames.toSeq)
+          if (fresh.isEmpty) None
+          else Some(org.apache.spark.sql.types.StructType(current.fields ++ fresh))
+        }
+      val schema = evolveTo.getOrElse(current)
       if (cmd.starShape && !cmd.schemaEvolution &&
           (cmd.bySource.isEmpty || cmd.deleteUnmatched)) {
         require(src.columns.sorted.sameElements(schema.map(_.name).sorted),
@@ -917,13 +926,19 @@ case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
       } else if (cmd.bySource.nonEmpty) {
         // NOT MATCHED BY SOURCE clauses touch every file by definition —
         // an honest full rewrite through the clause combinator
-        val result = combine(schema)(FileCow.read(spark, cmd.root), src)
-        graft.sources.FileCow.overwrite(spark, cmd.root, result)
+        val base = evolveTo.fold(FileCow.read(spark, cmd.root)) { _ =>
+          freshCols(current.fieldNames.toSeq).foldLeft(
+            FileCow.read(spark, cmd.root))((df, f) =>
+            df.withColumn(f.name, lit(null).cast(f.dataType)))
+        }
+        val result = combine(schema)(base, src)
+        graft.sources.FileCow.overwrite(spark, cmd.root, result,
+          evolveTo = evolveTo)
       } else {
         // general clauses, touched-file scoped: FileCow prunes files by the
         // source keys and hands (affected base, source) to the combinator
         graft.sources.FileCow.merge(spark, cmd.root, src, cmd.keys,
-          combine = combine(schema))
+          combine = combine(schema), evolveTo = evolveTo)
       }
       return
     }

@@ -266,7 +266,11 @@ case class GraftVacuumExec(cmd: GraftVacuumCommand) extends LeafExecNode {
   private lazy val done: Unit = {
     if (cmd.cow) graft.sources.FileCow.vacuum(session, cmd.root, cmd.retainLast,
       minAgeMs = cmd.olderThanMs.getOrElse(GraftVacuumExec.DefaultAgeMs))
-    else Versioned.vacuum(cmd.root, cmd.retainLast)
+    // snapshot layout: an explicit OLDER THAN is honored (time-travel
+    // window); the 7-day default is cow-only — version dirs are
+    // self-contained, there is no in-flight-commit file race to guard
+    else Versioned.vacuum(cmd.root, cmd.retainLast,
+      minAgeMs = cmd.olderThanMs.getOrElse(0L))
     ()
   }
   protected override def doExecute(): RDD[InternalRow] = { done; sparkContext.emptyRDD }

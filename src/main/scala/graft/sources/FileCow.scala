@@ -443,6 +443,24 @@ object FileCow {
   private[graft] def rangedByLead(df: DataFrame, statsCols: Seq[String]): DataFrame =
     df.repartitionByRange(math.max(1, df.rdd.getNumPartitions), col(statsCols.head))
 
+  /** The schema a DML commit will carry: `evolveTo` is `MERGE … WITH SCHEMA
+    * EVOLUTION`'s widened schema — passing it here lands the widening and
+    * the row change in ONE commit, so a merge that subsequently fails (NULL
+    * key, constraint abort) can never leave the schema evolved behind a
+    * failed statement. Must be a pure widening (current fields, in order,
+    * then fresh ones); base files read under it project missing columns to
+    * null, the parquet contract. */
+  private def evolvedSchema(root: String, version: Long,
+      evolveTo: Option[StructType]): StructType = evolveTo match {
+    case None => schemaOf(root, version)
+    case Some(s) =>
+      val current = schemaOf(root, version)
+      require(s.fields.toSeq.startsWith(current.fields.toSeq),
+        s"schema evolution must widen the current schema: $current -> $s " +
+        "(a concurrent schema change may have won — retry the statement)")
+      s
+  }
+
   /** UPSERT `source` by `keys` (q06 / MERGE INTO semantics: matched rows
     * replaced whole, unmatched inserted), rewriting only the data files
     * whose key stats admit a source key. Conflict-retried CAS commit.
@@ -455,9 +473,10 @@ object FileCow {
     * provably contain no source key. */
   def merge(spark: SparkSession, root: String, source: DataFrame,
       keys: Seq[String], maxRecordsPerFile: Long = 0L,
-      combine: (DataFrame, DataFrame) => DataFrame = null): Commit =
+      combine: (DataFrame, DataFrame) => DataFrame = null,
+      evolveTo: Option[StructType] = None): Commit =
     retrying(root, "FileCow.merge") { version =>
-      val schema = schemaOf(root, version)
+      val schema = evolvedSchema(root, version, evolveTo)
       // a custom combinator (general MERGE clauses) owns the row shaping —
       // the source then only needs the merge keys; its output is checked
       // against the table schema below instead
@@ -606,9 +625,10 @@ object FileCow {
     * WHEN NOT MATCHED BY SOURCE THEN DELETE` full-replace shape): every
     * current file retires, `df`'s files are the new manifest. */
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
-      maxRecordsPerFile: Long = 0L): Commit =
+      maxRecordsPerFile: Long = 0L,
+      evolveTo: Option[StructType] = None): Commit =
     retrying(root, "FileCow.overwrite") { version =>
-      val schema = schemaOf(root, version)
+      val schema = evolvedSchema(root, version, evolveTo)
       require(df.schema.map(f => (f.name, f.dataType)) ==
           schema.map(f => (f.name, f.dataType)),
         s"overwrite schema drifted from table schema: ${df.schema} vs $schema")
@@ -1070,12 +1090,22 @@ object FileCow {
       fromVersion: Long, toVersion: Long): DataFrame = {
     val sa = schemaOf(root, fromVersion)
     val sb = schemaOf(root, toVersion)
-    require(sa == sb,
-      s"snapshot schemas drifted between v$fromVersion and v$toVersion: $sa vs $sb")
+    // Both sides read under the END version's schema: parquet projection pads
+    // columns added since `fromVersion` with null and drops ones removed —
+    // the same contract as batch reads across addColumns/dropColumns, and it
+    // lets the feed cross a metadata-only schema-evolution commit (whose
+    // correct feed is empty) instead of failing on it. Keys must exist at
+    // both endpoints or the diff join would compare nulls.
+    keys.foreach { k =>
+      require(sa.fieldNames.contains(k) && sb.fieldNames.contains(k),
+        s"change feed key '$k' must exist at both v$fromVersion " +
+        s"(${sa.fieldNames.mkString(",")}) and v$toVersion " +
+        s"(${sb.fieldNames.mkString(",")})")
+    }
     val (onlyA, onlyB) = unsharedFiles(spark, root, fromVersion, toVersion)
     def readFiles(fs: Seq[String]): DataFrame =
-      if (fs.nonEmpty) spark.read.schema(sa).parquet(fs: _*)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sa)
+      if (fs.nonEmpty) spark.read.schema(sb).parquet(fs: _*)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sb)
     // One-sided short-circuit: an append-only interval retires no files, so
     // under the key-uniqueness contract every row in the new files is an
     // insert — the feed is a scan + tag, NO join, NO shuffle (ditto a pure
@@ -1083,26 +1113,34 @@ object FileCow {
     // append-heavy table's feed (F19/F20) cost O(new data) with no
     // exchange at all; the diff join remains for genuinely mixed commits.
     def tagged(fs: Seq[String], tag: String): DataFrame =
-      readFiles(fs).select(lit(tag).as("_change_type") +: sa.map(f => col(f.name)): _*)
+      readFiles(fs).select(lit(tag).as("_change_type") +: sb.map(f => col(f.name)): _*)
     if (onlyA.isEmpty) tagged(onlyB, "insert")
     else if (onlyB.isEmpty) tagged(onlyA, "delete")
     else Versioned.diff(readFiles(onlyA), readFiles(onlyB), keys)
   }
 
   /** Each side's files the versions do NOT share — preferably by FOLDING
-    * the commit log over (from, to] (no manifest is opened): data files are
-    * write-once UUID-named, so a path added within the interval and later
-    * removed within it is in neither endpoint, a removed-never-(re)added
-    * path was present at `from`, and an added-never-removed path is present
-    * at `to`. Any missing record (pre-log table) falls back to the
-    * manifest anti-join — the state-diff answer is always available. */
+    * the commit log over (from, to] (no manifest is opened). The fold is
+    * SEQUENTIAL per commit, not two global sets: RESTORE re-adds previously
+    * removed paths, so a path can be removed at v and re-added at v+k within
+    * one interval — order-insensitive set differences would put it in
+    * neither side and silently miss its rows. The net presence delta is
+    * exact under write-once paths: a removal cancels a pending add (the
+    * file lived and died inside the interval), a re-add cancels a pending
+    * removal (present at both endpoints with identical bytes). Any missing
+    * record (pre-log table) falls back to the manifest anti-join — the
+    * state-diff answer is always available. */
   private def unsharedFiles(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long): (Seq[String], Seq[String]) = {
     val infos = ((fromVersion + 1) to toVersion).map(v => commitInfo(root, v))
     if (infos.nonEmpty && infos.forall(_.isDefined)) {
-      val added = infos.flatMap(_.get.added).toSet
-      val removed = infos.flatMap(_.get.removed).toSet
-      ((removed -- added).toSeq, (added -- removed).toSeq)
+      val addedNet = scala.collection.mutable.LinkedHashSet.empty[String]
+      val removedNet = scala.collection.mutable.LinkedHashSet.empty[String]
+      infos.foreach { i =>
+        i.get.removed.foreach { f => if (!addedNet.remove(f)) removedNet += f }
+        i.get.added.foreach { f => if (!removedNet.remove(f)) addedNet += f }
+      }
+      (removedNet.toSeq, addedNet.toSeq)
     } else {
       val manA = manifest(spark, root, fromVersion).select("file")
       val manB = manifest(spark, root, toVersion).select("file")
@@ -1284,16 +1322,17 @@ object FileCow {
       }
     }
     import scala.jdk.CollectionConverters._
-    val slim = spark.createDataFrame(allRows.asJava, joined.schema)
-      .select(statColNames.map(col): _*)
-    val rows = slim.collect().toSeq
+    // dropping the trailing _viol_ columns is a plain local projection —
+    // allRows already holds everything, no second plan/collect round-trip
+    val rows = allRows.map(r => Row.fromSeq(r.toSeq.take(statColNames.length)))
+    val slimSchema = StructType(joined.schema.fields.take(statColNames.length))
     val statFiles = rows.map(_.getString(0)).toSet
     moved.filterNot(m => statFiles.contains(m._1)).foreach { m =>
       val empty = spark.read.parquet(m._1).isEmpty
       require(empty, s"per-file stats pass lost non-empty file ${m._1}")
       Files.deleteIfExists(Paths.get(m._1))
     }
-    spark.createDataFrame(rows.asJava, slim.schema)
+    spark.createDataFrame(rows.asJava, slimSchema)
   }
 
   /** Stage the manifest, then CAS-commit it under the table lock (the same

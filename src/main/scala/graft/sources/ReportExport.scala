@@ -33,7 +33,9 @@ object ReportExport {
   def writeCsv(df: DataFrame, path: String,
                columns: Seq[String], sortCols: Seq[String],
                maxRows: Long = MaxReportRows): Unit = {
-    val probe = df.limit((maxRows + 1).toInt).count()
+    // clamp: limit() takes an Int, and a caller-raised Long ceiling near or
+    // above Int.MaxValue must not overflow into a negative/neutered probe
+    val probe = df.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
     require(probe <= maxRows,
       s"ReportExport.writeCsv: frame exceeds $maxRows rows — this writer " +
         "single-files dimension-grain reports; use the partitioned writers " +

@@ -269,10 +269,22 @@ object Versioned {
 
   /** Drop every retained snapshot older than the newest `keep` (the current
     * version is always kept). Readers of dropped versions fail loudly on
-    * their NEXT plan — never with silently changed data. */
-  def vacuum(root: String, keep: Int): Seq[Long] = {
+    * their NEXT plan — never with silently changed data.
+    *
+    * `minAgeMs` additionally keeps any non-retained version dir younger than
+    * the floor (SQL `VACUUM … OLDER THAN h HOURS`). Unlike the cow layout —
+    * where the floor guards a real race on shared, not-yet-referenced data
+    * files — snapshot version dirs are self-contained, so the floor here
+    * only widens the time-travel window and safely defaults to 0. */
+  def vacuum(root: String, keep: Int, minAgeMs: Long = 0L): Seq[Long] = {
     val all = versions(root)
-    val drop = all.dropRight(math.max(keep, 1))
+    val now = System.currentTimeMillis()
+    val drop = all.dropRight(math.max(keep, 1)).filter { v =>
+      minAgeMs <= 0L || {
+        val dir = versionsDir(root).resolve(s"v$v")
+        now - Files.getLastModifiedTime(dir).toMillis >= minAgeMs
+      }
+    }
     drop.foreach(v => deleteTree(versionsDir(root).resolve(s"v$v")))
     drop
   }

@@ -41,14 +41,11 @@ object CowAppendSink {
     val ranged = batch.repartitionByRange(filesHint,
       org.apache.spark.sql.functions.col(statsCols.head))
     if (FileCow.currentVersion(root) == 0L) {
-      try FileCow.create(spark, root, ranged, statsCols, txn = Some((appId, batchId)))
-      catch { // lost the creation race: fold in as a plain append
-        case _: graft.sources.ConcurrentPublishException =>
-          FileCow.append(spark, root, batch, txn = Some((appId, batchId)))
-        case e: IllegalArgumentException
-            if e.getMessage != null && e.getMessage.contains("already exists") =>
-          FileCow.append(spark, root, batch, txn = Some((appId, batchId)))
-      }
+      // lost-creation races fold in as a plain append — see [[CowRace]];
+      // append re-ranges internally, so the raw batch is fine there
+      CowRace.createOrFoldIn {
+        FileCow.create(spark, root, ranged, statsCols, txn = Some((appId, batchId))); ()
+      } { FileCow.append(spark, root, batch, txn = Some((appId, batchId))); () }
     } else FileCow.append(spark, root, batch, txn = Some((appId, batchId)))
     ()
   }

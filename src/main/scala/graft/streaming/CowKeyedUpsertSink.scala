@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.sources.{ConcurrentPublishException, FileCow}
+import graft.sources.FileCow
 
 /** The GENERIC keyed streaming upsert behind
   * `writeStream.format("graft-cow").outputMode("update")` — F18's
@@ -48,14 +48,10 @@ object CowKeyedUpsertSink {
       }
       if (FileCow.currentVersion(root) == 0L) {
         val ranged = newest.repartitionByRange(filesHint, col(statsCols.head))
-        // both spellings of a lost creation race fold in (F18's contract)
-        try { FileCow.create(spark, root, ranged, statsCols); () }
-        catch {
-          case _: ConcurrentPublishException => merge()
-          case e: IllegalArgumentException
-              if e.getMessage != null && e.getMessage.contains("already exists") =>
-            merge()
-        }
+        // both spellings of a lost creation race fold in — see [[CowRace]]
+        CowRace.createOrFoldIn {
+          FileCow.create(spark, root, ranged, statsCols); ()
+        } { merge() }
       } else merge()
     }
     TxnMarker.write(root, appId, batchId)

@@ -13,16 +13,23 @@ import graft.sources.FileCow
   * micro-batch slice, offsets are table versions (same contract as F19's
   * change feed, so replay is inherited from version immutability).
   *
-  * Commit-kind semantics (resolved from the commit log, no manifest diff):
-  *   - `create` / `convert` / `append` — the added files ARE the new rows;
-  *     the batch reads exactly those files, O(new data).
-  *   - `compact` / `zorder` / `add_columns` / `drop_columns` — layout- or
-  *     metadata-only (row set identical): skipped silently.
-  *   - `merge` / `delete` / `update` / `overwrite` / `restore` — rewrite
-  *     rows an append-only stream cannot represent: FAIL by default
-  *     (Delta's contract), or skip the whole commit when
-  *     `skipChangeCommits=true` (Delta's option of the same name). For the
-  *     full picture of such commits, stream `readChangeFeed=true` instead.
+  * Commit semantics are derived from the commit record's SHAPE, not from an
+  * allowlist of kind names (so a new commit kind can never silently corrupt
+  * or needlessly kill the stream — Delta classifies the same way, by the
+  * commit's actions rather than its operation name):
+  *   - added-only (`create` / `convert` / `copy_into` / `append` / an
+  *     insert-only `merge` …) — the added files ARE the new rows; the batch
+  *     reads exactly those files, O(new data).
+  *   - no files touched (`add_columns` / `set_properties` /
+  *     `add_constraint` …) — metadata-only, row set identical: skipped.
+  *   - `compact` / `zorder` / `rename_column` — rewrite files but not rows
+  *     (the one classification shape can't see): skipped.
+  *   - anything else that removes files (`merge` / `delete` / `update` /
+  *     `overwrite` / `restore`) rewrites rows an append-only stream cannot
+  *     represent: FAIL by default (Delta's contract), or skip the whole
+  *     commit when `skipChangeCommits=true` (Delta's option of the same
+  *     name). For the full picture of such commits, stream
+  *     `readChangeFeed=true` instead.
   *
   * The schema is pinned at stream birth; files committed under a later
   * evolved schema are projected onto it (missing columns read as null —
@@ -37,8 +44,9 @@ class CowTableSource(ctx: SQLContext, root: String,
     maxVersionsPerTrigger: Option[Long] = None,
     metadataPath: Option[String] = None) extends Source {
 
-  private val AppendKinds = Set("create", "convert", "clone", "append")
-  private val RowNeutralKinds = Set("compact", "zorder", "add_columns", "drop_columns")
+  /** Kinds that add+remove files yet leave the row set identical — the one
+    * case the added/removed shape alone cannot distinguish from a rewrite. */
+  private val RowNeutralRewriteKinds = Set("compact", "zorder", "rename_column")
 
   // same bounded-catch-up contract as the CDF source: cap each batch at N
   // commits, position persisted in checkpoint metadata across restarts
@@ -66,8 +74,8 @@ class CowTableSource(ctx: SQLContext, root: String,
         s"graft-cow stream: commit record for version $v of $root is gone " +
         "(vacuumed?) — snapshot retention must outlive the slowest consumer"))
       info.kind match {
-        case k if AppendKinds(k) => info.added
-        case k if RowNeutralKinds(k) => Nil
+        case k if RowNeutralRewriteKinds(k) => Nil
+        case _ if info.removed.isEmpty => info.added // metadata-only or pure append
         case k if skipChangeCommits => Nil
         case k => sys.error(
           s"graft-cow stream: version $v is a '$k' commit, which rewrites " +

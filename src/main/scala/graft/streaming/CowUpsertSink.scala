@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.sources.{ConcurrentPublishException, FileCow}
+import graft.sources.FileCow
 
 /** F18: streaming upsert into a FILE-LEVEL COW table — F17 with the cost
   * model a 100 TB table actually needs. F17 commits one full-table snapshot
@@ -46,18 +46,10 @@ object CowUpsertSink {
       val spark = batch.sparkSession
       val ranged = newest.repartitionByRange(filesHint, col("user_id"))
       if (FileCow.currentVersion(root) == 0L) {
-        // Lost-creation races surface two ways: ConcurrentPublishException
-        // when the rival wins between our staging write and the CAS, and
-        // create's own IllegalArgumentException ("table already exists")
-        // when it wins between our version check and create's require.
-        // Both mean the same thing — the table now exists — so both fold in.
-        try FileCow.create(spark, root, ranged, statsCols = Seq("user_id"))
-        catch {
-          case _: ConcurrentPublishException => mergeLatest(root, ranged, filesHint)
-          case e: IllegalArgumentException
-              if e.getMessage != null && e.getMessage.contains("already exists") =>
-            mergeLatest(root, ranged, filesHint)
-        }
+        // lost-creation races fold in — both spellings, see [[CowRace]]
+        CowRace.createOrFoldIn {
+          FileCow.create(spark, root, ranged, statsCols = Seq("user_id")); ()
+        } { mergeLatest(root, ranged, filesHint) }
       } else mergeLatest(root, ranged, filesHint)
     }
     TxnMarker.write(root, appId, batchId)

@@ -124,6 +124,35 @@ class GraftCowTableStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classification is structural: COPY INTO and insert-only MERGE stream, metadata-only commits skip") {
+    val root = mkTable() // v1
+    val got = mutable.Set.empty[Row3]
+    val q = startStream(root, Files.createTempDirectory("cow-ts-shape").toString,
+      got, Map("startingVersion" -> "0"))
+    try {
+      q.processAllAvailable()
+      assert(got.toSet == rows(FileCow.read(spark, root)))
+      // v2: metadata-only (no files touched) — must NOT kill the stream
+      FileCow.setTableProperties(spark, root, Map("owner" -> "spec"))
+      q.processAllAvailable()
+      // v3: COPY INTO — a pure append spelled under a kind the old
+      // allowlist missed; its rows must arrive, never be silently dropped
+      val land = Files.createTempDirectory("cow-ts-land").toString
+      inc(300, 305).coalesce(1).write.mode("overwrite").parquet(land)
+      FileCow.copyInto(spark, root, land)
+      q.processAllAvailable()
+      assert(inc(300, 305).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toSet.subsetOf(got.toSet),
+        "COPY INTO rows must stream through")
+      // v4: a merge whose keys miss every file range = removed-empty commit;
+      // structurally an append, so it streams instead of failing
+      FileCow.merge(spark, root, inc(700, 703), keys = Seq("id"))
+      q.processAllAvailable()
+      assert(got.toSet == rows(FileCow.read(spark, root)),
+        "insert-only merge rows must stream through")
+    } finally q.stop()
+  }
+
   test("readChangeFeed=true streams the F19 feed with change tags") {
     val root = mkTable() // v1
     val got = mutable.Set.empty[(Long, String, Long)]
