@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.GraftMergeStrategy)
     // VACUUM <t> RETAIN <n> VERSIONS; all other statements delegate verbatim.
     ext.injectParser((session, delegate) => new graft.plans.GraftSqlParser(session, delegate))
+    // metadata-only COUNT(*)/MIN/MAX over unfiltered cow-table scans — the
+    // manifest answers from driver-cached per-file stats, zero Spark jobs
+    ext.injectOptimizerRule(_ => new graft.plans.CowMetadataAggRule)
   }
 }
 

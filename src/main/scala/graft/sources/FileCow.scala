@@ -1498,11 +1498,18 @@ private[graft] object CowManifestCache {
   * [[StatAdmission]] translation as [[ZoneMapFileIndex]]. The driver
   * materializes only admitted manifest rows — the same adjudicated
   * metadata bound as Spark's own `InMemoryFileIndex`. */
-private[sources] class CowFileIndex(
+private[graft] class CowFileIndex(
     spark: SparkSession,
     root: String,
     version: Long,
     byColumn: Map[String, ZoneDim]) extends FileIndex {
+
+  /** Exposed for [[graft.plans.CowMetadataAggRule]]: the manifest rows this
+    * scan would read, straight off the driver-local cache. */
+  private[graft] def manifestRows: Seq[Row] =
+    CowManifestCache.rowsOf(spark, root, version)._2
+  /** Columns with per-file [min, max] stats in the manifest. */
+  private[graft] def statsColumns: Set[String] = byColumn.keySet
 
   private def man: DataFrame = FileCow.manifest(spark, root, version)
 
