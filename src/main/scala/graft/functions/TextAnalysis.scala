@@ -1059,5 +1059,5 @@ object TextAnalysis {
   val queries: Seq[Q] =
     Seq(tx01, tx02, tx03, tx04, tx05, tx06, tx07, tx08, tx09, tx10,
       tx11, tx12, tx13, tx14, tx15, tx16, tx17, tx18, tx19, tx20,
-      QualityClassifier.tx21)
+      QualityClassifier.tx21, BigramLm.tx22)
 }
