@@ -253,15 +253,28 @@ object FileCow {
   /** Create the table: `df` becomes version 1. `statsCols` are the columns
     * whose per-file [min, max] the manifest tracks (prune keys — at minimum
     * the merge key). File layout follows `df`'s partitioning: repartition
-    * by range on the key upstream for disjoint per-file key ranges. */
+    * by range on the key upstream for disjoint per-file key ranges.
+    *
+    * `bloomCols` declares BLOOM-INDEXED columns (Delta's bloom-filter index
+    * analog): every data-writing commit stores a per-file Bloom sketch of
+    * the column's values in the manifest (`bloom_<c>`, riding the same
+    * stats scan), and equality/IN lookups skip files whose sketch excludes
+    * the probe — the skipping story for HIGH-CARDINALITY SCATTERED keys
+    * (UUIDs, content hashes) whose [min, max] ranges overlap every file
+    * after a few appends. Declared at create/convert; carried forward by
+    * every rewrite automatically (derived from the manifest schema). */
   def create(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], maxRecordsPerFile: Long = 0L,
-      txn: Option[(String, Long)] = None): Commit = {
+      txn: Option[(String, Long)] = None,
+      bloomCols: Seq[String] = Nil): Commit = {
     require(currentVersion(root) == 0L && versions(root).isEmpty,
       s"table already exists at $root")
     require(statsCols.nonEmpty && statsCols.forall(df.columns.contains),
       s"statsCols ${statsCols.mkString(",")} must exist in the frame")
-    val added = writeDataFiles(spark, root, df, statsCols, maxRecordsPerFile)
+    require(bloomCols.forall(df.columns.contains),
+      s"bloomCols ${bloomCols.mkString(",")} must exist in the frame")
+    val added = writeDataFiles(spark, root, df, statsCols, maxRecordsPerFile,
+      bloomColsOverride = Some(bloomCols))
     commit(spark, root, expected = 0L, newManifest = added, schema = df.schema,
       CommitAction("create", filePaths(added), Nil, txn))
     Commit(1L, filesKept = 0L, filesRewritten = 0L, filesAdded = added.count())
@@ -279,7 +292,7 @@ object FileCow {
     * after conversion the table is a first-class cow table — DML, time
     * travel, CDF, vacuum, OPTIMIZE, the full SQL surface. */
   def convert(spark: SparkSession, root: String, sourceDir: String,
-      statsCols: Seq[String]): Commit = {
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil): Commit = {
     require(currentVersion(root) == 0L && versions(root).isEmpty,
       s"table already exists at $root")
     val schema = spark.read.parquet(sourceDir).schema
@@ -306,7 +319,7 @@ object FileCow {
     require(moved.nonEmpty, s"no parquet files to convert under $sourceDir " +
       "(directory-partitioned layouts are unsupported: partition values live " +
       "in dir names, not files — read and CTAS such a landing instead)")
-    val slice = statsSlice(spark, moved.toSeq, statsCols)
+    val slice = statsSlice(spark, moved.toSeq, statsCols, bloomCols = bloomCols)
     commit(spark, root, expected = 0L, newManifest = slice, schema = schema,
       CommitAction("convert", filePaths(slice), Nil))
     Commit(1L, filesKept = 0L, filesRewritten = 0L, filesAdded = slice.count())
@@ -796,7 +809,11 @@ object FileCow {
         .withColumnRenamed(resolved, to)
         .repartitionByRange(math.max(1, nFiles), col(statsCols.head))
       val retired = filePaths(manifest(spark, root, version))
-      val added = writeDataFiles(spark, root, rows, statsCols, maxRecordsPerFile)
+      // the bloom index follows the rename, like the stats columns do
+      val blooms = manifestBloomCols(spark, root)
+        .map(c => if (c == resolved) to else c)
+      val added = writeDataFiles(spark, root, rows, statsCols, maxRecordsPerFile,
+        bloomColsOverride = Some(blooms))
       val newSchema = StructType(schema.fields.map(f =>
         if (f.name == resolved) f.copy(name = to) else f))
       commit(spark, root, version, added, newSchema,
@@ -1073,7 +1090,7 @@ object FileCow {
       }
       val man = manifest(spark, root, version)
       val keepManCols = man.columns.filterNot(c =>
-        resolved.exists(r => c == s"min_$r" || c == s"max_$r"))
+        resolved.exists(r => c == s"min_$r" || c == s"max_$r" || c == s"bloom_$r"))
       val newSchema = StructType(schema.fields.filterNot(f => resolved.contains(f.name)))
       commit(spark, root, version, man.select(keepManCols.map(col): _*), newSchema,
         CommitAction("drop_columns", Nil, Nil))
@@ -1229,13 +1246,37 @@ object FileCow {
 
   // ---------------------------------------------------------------- internals
 
+  /** Per-file Bloom sizing: ~12.5 KB of bits per file per indexed column,
+    * good for ~2-3 % false-positive rate at 100 k distinct values per file
+    * (a false positive only costs an extra file read — never wrong
+    * results). Fixed, so every engine run builds identical sketches. */
+  private val BloomItemsPerFile = 100000L
+  private val BloomNumBits = 8L * BloomItemsPerFile
+
+  /** Bloom-indexed columns of the current manifest (its `bloom_<c>`
+    * columns) — how every rewrite knows to KEEP producing the sketches the
+    * table was created with, with no per-call plumbing. */
+  private def manifestBloomCols(spark: SparkSession, root: String): Seq[String] = {
+    val v = currentVersion(root)
+    if (v < 1L) Nil
+    else CowManifestCache.rowsOf(spark, root, v)._1.fieldNames.toSeq
+      .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_"))
+  }
+
   /** Write `df` as new immutable `_data` files and return their manifest
     * rows. Files land BEFORE any commit references them — invisible until a
     * manifest wins the CAS; orphans from lost races are vacuum's job. The
     * stats pass scans only the NEW files (one extra read of the increment,
-    * the price of per-file stats without a custom committer). */
+    * the price of per-file stats without a custom committer).
+    *
+    * `bloomColsOverride`: None derives the bloom-indexed columns from the
+    * current manifest (every ordinary rewrite); create/convert pass their
+    * declaration, renameColumn passes the remapped list. */
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
-      statsCols: Seq[String], maxRecordsPerFile: Long): DataFrame = {
+      statsCols: Seq[String], maxRecordsPerFile: Long,
+      bloomColsOverride: Option[Seq[String]] = None): DataFrame = {
+    val bloomCols = bloomColsOverride.getOrElse(manifestBloomCols(spark, root))
+      .filter(df.columns.contains)
     val staging = Paths.get(root, s"_staging-${java.util.UUID.randomUUID().toString.take(8)}")
     val writer = df.write.mode("overwrite")
     (if (maxRecordsPerFile > 0)
@@ -1261,19 +1302,23 @@ object FileCow {
     deleteTree(staging)
     import spark.implicits._
     val statColNames = Seq("file", "bytes", "mtime", "rows") ++
-      statsCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+      statsCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
+      bloomCols.map(c => s"bloom_$c")
     val statAggs = count(lit(1)).as("rows") +:
       statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     if (moved.isEmpty) {
       // Zero data files (everything deleted / empty source): an empty
       // manifest slice with the full stats schema.
       val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], df.schema)
-      return empty.groupBy(lit("").as("file")).agg(statAggs.head, statAggs.tail: _*)
-        .withColumn("bytes", lit(0L)).withColumn("mtime", lit(0L))
+      return bloomCols.foldLeft(
+          empty.groupBy(lit("").as("file")).agg(statAggs.head, statAggs.tail: _*)
+            .withColumn("bytes", lit(0L)).withColumn("mtime", lit(0L))
+        )((d, c) => d.withColumn(s"bloom_$c",
+          lit(null).cast(org.apache.spark.sql.types.BinaryType)))
         .select(statColNames.map(col): _*)
     }
     statsSlice(spark, moved.toSeq, statsCols,
-      constraintsOf(root, currentVersion(root)).toSeq.sortBy(_._1))
+      constraintsOf(root, currentVersion(root)).toSeq.sortBy(_._1), bloomCols)
   }
 
   /** Per-file stats for `moved` (path, bytes, mtime) files: ONE scan
@@ -1290,18 +1335,32 @@ object FileCow {
     * (fresh files) and [[convert]] (adopted files). */
   private def statsSlice(spark: SparkSession,
       moved: Seq[(String, Long, Long)], statsCols: Seq[String],
-      constraints: Seq[(String, String)] = Nil): DataFrame = {
+      constraints: Seq[(String, String)] = Nil,
+      bloomCols: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val statColNames = Seq("file", "bytes", "mtime", "rows") ++
-      statsCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+      statsCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
+      bloomCols.map(c => s"bloom_$c")
     // CHECK-constraint violation counts ride the SAME scan as the stats
     // (zero extra passes); SQL CHECK semantics — NULL passes, FALSE violates
     val violNames = constraints.indices.map(i => s"_viol_$i")
     val violAggs = constraints.zipWithIndex.map { case ((_, sql), i) =>
       sum(when(!coalesce(expr(sql), lit(true)), 1L).otherwise(0L)).as(s"_viol_$i")
     }
+    // Bloom sketches ride the same scan too: Spark's own sketch aggregate
+    // over xxhash64 of the value (nulls skipped — an equality probe can
+    // never match NULL), so the query-side literal hashes identically.
+    val bloomAggs = bloomCols.map { c =>
+      org.apache.spark.sql.GraftBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          org.apache.spark.sql.GraftBridge.expression(xxhash64(col(c))),
+          org.apache.spark.sql.catalyst.expressions.Literal(BloomItemsPerFile),
+          org.apache.spark.sql.catalyst.expressions.Literal(BloomNumBits))
+          .toAggregateExpression()).as(s"bloom_$c")
+    }
     val statAggs = (count(lit(1)).as("rows") +:
-      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
+      (statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+        bloomAggs)) ++
       violAggs
     val fileMeta = moved.toDF("file", "bytes", "mtime")
       .withColumn("basename", element_at(split(col("file"), "/"), -1))
@@ -1533,10 +1592,62 @@ private[graft] class CowFileIndex(
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[PartitionDirectory] = {
     val admission = StatAdmission.admission(dataFilters, byColumn)
-    val statuses = man.filter(admission).select("file", "bytes", "mtime")
+    // bloom skipping: equality/IN conjuncts on bloom-indexed columns also
+    // test each stat-admitted file's sketch — the pruning path for
+    // scattered high-cardinality keys whose [min, max] admit everything
+    val bloomSet = CowManifestCache.rowsOf(spark, root, version)._1
+      .fieldNames.filter(_.startsWith("bloom_"))
+      .map(_.stripPrefix("bloom_")).toSet
+    val probes = BloomProbe.extract(dataFilters, bloomSet)
+    val probeCols = probes.map { case (c, _) => s"bloom_$c" }.distinct
+    val statuses = man.filter(admission)
+      .select(("file" +: "bytes" +: "mtime" +: probeCols).map(col): _*)
       .collect()
+      .filter(r => probes.forall { case (c, hashes) =>
+        r.getAs[Array[Byte]](s"bloom_$c") match {
+          case null => true // no sketch for this file (empty slice): sound
+          case b =>
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(b))
+            hashes.exists(bf.mightContainLong)
+        }
+      })
       .map(r => new FileStatus(r.getLong(1), false, 1, 128L * 1024 * 1024,
         r.getLong(2), new Path(r.getString(0))))
     Seq(PartitionDirectory(InternalRow.empty, statuses))
   }
+}
+
+/** Extracts the bloom-testable probes from pushed data filters: top-level
+  * equality / null-safe-equality / IN conjuncts comparing a bloom-indexed
+  * column to non-null literals. Each probe is the [[functions.xxhash64]] of
+  * the literal — the exact hash the write side sketched — and a file is
+  * admitted when ANY probe value might be contained (IN = disjunction).
+  * Anything else (casts, expressions, null literals) simply doesn't probe:
+  * skipping is only ever an optimization, never a semantics change. */
+private[sources] object BloomProbe {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualNullSafe, EqualTo, Expression, In, Literal, XxHash64}
+
+  def extract(filters: Seq[Expression],
+      bloomCols: Set[String]): Seq[(String, Seq[Long])] =
+    filters.flatMap {
+      case EqualTo(a: Attribute, l: Literal) if ok(a, l, bloomCols) =>
+        Some(a.name -> Seq(hash(l)))
+      case EqualTo(l: Literal, a: Attribute) if ok(a, l, bloomCols) =>
+        Some(a.name -> Seq(hash(l)))
+      case EqualNullSafe(a: Attribute, l: Literal) if ok(a, l, bloomCols) =>
+        Some(a.name -> Seq(hash(l)))
+      case EqualNullSafe(l: Literal, a: Attribute) if ok(a, l, bloomCols) =>
+        Some(a.name -> Seq(hash(l)))
+      case In(a: Attribute, vs) if bloomCols.contains(a.name) && vs.nonEmpty &&
+          vs.forall { case l: Literal => l.value != null; case _ => false } =>
+        Some(a.name -> vs.map { case l: Literal => hash(l) })
+      case _ => None
+    }
+
+  private def ok(a: Attribute, l: Literal, cols: Set[String]): Boolean =
+    cols.contains(a.name) && l.value != null
+
+  private def hash(l: Literal): Long =
+    new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
 }

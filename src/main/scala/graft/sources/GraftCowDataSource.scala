@@ -31,7 +31,9 @@ import graft.streaming.{CdfSource, CowTableSource}
   * .create]], `Ignore` → create-if-absent. `statsCols` (comma list)
   * overrides the default stats set ([[FileCow.statsEligible]]); the
   * creating write is range-partitioned on the lead stats column so DML
-  * pruning bites from version 1.
+  * pruning bites from version 1. `bloomCols` (comma list) declares
+  * bloom-indexed columns on the creating write (equality skipping for
+  * scattered keys; carried forward by every rewrite).
   */
 class GraftCowDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSinkProvider
@@ -204,7 +206,12 @@ class GraftCowDataSource extends RelationProvider
     def create(): Unit = {
       val s = stats
       require(s.nonEmpty, "graft-cow: no stats-eligible column to create with")
-      FileCow.create(spark, r, FileCow.rangedByLead(df, s), statsCols = s)
+      // bloomCols (comma list): per-file Bloom sketches for equality
+      // skipping on scattered keys — FileCow.create's bloom index
+      val blooms = params.get("bloomCols")
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      FileCow.create(spark, r, FileCow.rangedByLead(df, s), statsCols = s,
+        bloomCols = blooms)
       ()
     }
     mode match {

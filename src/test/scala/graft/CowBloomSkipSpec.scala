@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.FileCow
+
+/** Per-file BLOOM skipping on cow tables (Delta's bloom-filter index
+  * analog): equality/IN probes on a bloom-indexed column skip files whose
+  * sketch excludes the value — the pruning story for HIGH-CARDINALITY
+  * SCATTERED keys whose [min, max] ranges overlap every file, where range
+  * stats admit everything. The spec pins: lookups open ~1 file with the
+  * index and all 8 without it (same data, same layout — the sketch is
+  * what prunes); results stay bit-equal to the full filter; the index
+  * rides through append/delete rewrites with no caller plumbing; range
+  * predicates keep their stats pruning untouched.
+  */
+class CowBloomSkipSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def opened(df: DataFrame): Int = {
+    val scan = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files).length
+  }
+
+  /** k is the range-layout key (contiguous per file); u and s are
+    * hash-scattered, so every file's [min_u, max_u] spans the full domain
+    * and range stats can never prune a point lookup on them. */
+  private def scattered(from: Long, until: Long): DataFrame =
+    spark.range(from, until).select(
+      col("id").as("k"),
+      ((col("id") * 2654435761L) % 1000003L).as("u"),
+      md5(concat(lit("d"), col("id"))).as("s"))
+
+  private def uOf(id: Long): Long = (id * 2654435761L) % 1000003L
+
+  test("point lookup on a scattered key: 1 file with the bloom index, all 8 without") {
+    val withB = Files.createTempDirectory("graft-bloom-a").toString
+    val without = Files.createTempDirectory("graft-bloom-b").toString
+    val df = scattered(0, 1000).repartitionByRange(8, col("k"))
+    FileCow.create(spark, withB, df, statsCols = Seq("k", "u"),
+      bloomCols = Seq("u", "s"))
+    FileCow.create(spark, without, df, statsCols = Seq("k", "u"))
+
+    val probe = uOf(7L)
+    val qB = FileCow.read(spark, withB).filter(col("u") === probe)
+    val qN = FileCow.read(spark, without).filter(col("u") === probe)
+    assert(qB.select("k").as[Long].collect().toSeq == Seq(7L))
+    assert(qN.select("k").as[Long].collect().toSeq == Seq(7L))
+    assert(opened(qB) == 1,
+      s"bloom index must skip to the 1 owning file, opened ${opened(qB)}")
+    assert(opened(qN) >= 6,
+      s"without the index, overlapping [min, max] admit nearly every file " +
+      s"(got ${opened(qN)} of 8)")
+
+    // IN over the string bloom: union of probes, ≤ one file per value
+    val qIn = FileCow.read(spark, withB)
+      .filter(col("s").isin(md5Of("d3"), md5Of("d500")))
+    assert(qIn.select("k").as[Long].collect().toSet == Set(3L, 500L))
+    assert(opened(qIn) <= 2, s"IN probes admit per-value files, got ${opened(qIn)}")
+
+    // range predicates keep their ordinary stats pruning
+    val qRange = FileCow.read(spark, withB).filter(col("k").between(0, 100))
+    assert(opened(qRange) == 1)
+  }
+
+  test("the index rides through appends and rewrites with no plumbing") {
+    val root = Files.createTempDirectory("graft-bloom-dml").toString
+    FileCow.create(spark, root,
+      scattered(0, 1000).repartitionByRange(8, col("k")),
+      statsCols = Seq("k", "u"), bloomCols = Seq("u"))
+    FileCow.append(spark, root, scattered(2000, 2100)) // derives bloom_u itself
+    FileCow.delete(spark, root, col("k") === 13L)      // rewrite keeps the index
+
+    val man = FileCow.manifest(spark, root, FileCow.currentVersion(root))
+    assert(man.columns.contains("bloom_u"))
+    assert(man.filter(col("bloom_u").isNull).count() == 0L,
+      "every live file carries a sketch, including appended and rewritten ones")
+
+    val qNew = FileCow.read(spark, root).filter(col("u") === uOf(2050L))
+    assert(qNew.select("k").as[Long].collect().toSeq == Seq(2050L))
+    assert(opened(qNew) == 1, s"appended value: 1 file, got ${opened(qNew)}")
+    assert(FileCow.read(spark, root).filter(col("u") === uOf(13L)).isEmpty,
+      "deleted row stays deleted through the rewritten file's fresh sketch")
+  }
+
+  private def md5Of(sIn: String): String = {
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sIn.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+}
