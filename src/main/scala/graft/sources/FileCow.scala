@@ -525,10 +525,12 @@ object FileCow {
       val admits = pruneKeys
         .map(k => col(k) >= col(s"min_$k") && col(k) <= col(s"max_$k"))
         .reduce(_ && _)
-      val affected = source.select(pruneKeys.map(col): _*).distinct()
+      val statAffected = source.select(pruneKeys.map(col): _*).distinct()
         .join(broadcast(man), admits)
         .select("file").distinct()
         .collect().map(_.getString(0)) // touched-file-count metadata, driver-ok
+      val affected = bloomPruneMerge(spark, root, version, source,
+        pruneKeys, statAffected)
       import spark.implicits._
       val untouched = man.join(affected.toSeq.toDF("file"), Seq("file"), "left_anti")
       val base =
@@ -1252,6 +1254,55 @@ object FileCow {
     * results). Fixed, so every engine run builds identical sketches. */
   private val BloomItemsPerFile = 100000L
   private val BloomNumBits = 8L * BloomItemsPerFile
+
+  /** [[bloomPruneMerge]] skips its refinement above this many distinct
+    * source keys: a corpus-sized backfill probes nothing (stats admission
+    * stands, sound), while the streaming-upsert shape it exists for — a
+    * SMALL batch against a LARGE table — probes cheaply on the driver. */
+  private val BloomMergeProbeCap = 10000
+
+  /** Refine merge's stat-admitted touched-file set through the per-file
+    * Bloom sketches: a file rewrites only if, for EVERY bloom-indexed merge
+    * key, SOME source value might be in the file's sketch. On a scattered
+    * key (content hash, UUID) the [min, max] stats admit nearly every file
+    * for any batch; the sketches cut that to the files that actually hold
+    * a batch key (false positives only ever cost an extra rewrite, never a
+    * missed match — the same soundness direction as the read-side skip). */
+  private def bloomPruneMerge(spark: SparkSession, root: String, version: Long,
+      source: DataFrame, pruneKeys: Seq[String],
+      statAffected: Array[String]): Array[String] = {
+    if (statAffected.isEmpty) return statAffected
+    val (manSchema, manRows) = CowManifestCache.rowsOf(spark, root, version)
+    // a key only probes if the SOURCE column's type matches the table's
+    // (min_ carries it): xxhash64 is type-sensitive, and a mismatched hash
+    // would skip a file that really holds the key — never acceptable
+    val bloomKeys = pruneKeys.filter { k =>
+      manSchema.fieldNames.contains(s"bloom_$k") &&
+        source.schema.fields.find(_.name == k).map(_.dataType) ==
+          manSchema.fields.find(_.name == s"min_$k").map(_.dataType)
+    }
+    if (bloomKeys.isEmpty) return statAffected
+    val hashed = source
+      .select(bloomKeys.map(k => xxhash64(col(k)).as(k)): _*)
+      .distinct().limit(BloomMergeProbeCap + 1).collect()
+    if (hashed.length > BloomMergeProbeCap) return statAffected
+    val probes = bloomKeys.map(k =>
+      k -> hashed.map(_.getAs[Long](k)).distinct).toMap
+    val byFile = manRows.map(r => r.getAs[String]("file") -> r).toMap
+    statAffected.filter { f =>
+      byFile.get(f).forall { r =>
+        bloomKeys.forall { k =>
+          r.getAs[Array[Byte]](s"bloom_$k") match {
+            case null => true // no sketch for this file: admission stands
+            case b =>
+              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(b))
+              probes(k).exists(bf.mightContainLong)
+          }
+        }
+      }
+    }
+  }
 
   /** Bloom-indexed columns of the current manifest (its `bloom_<c>`
     * columns) — how every rewrite knows to KEEP producing the sketches the

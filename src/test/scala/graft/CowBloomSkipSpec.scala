@@ -89,6 +89,34 @@ class CowBloomSkipSpec extends SparkSpec {
       "deleted row stays deleted through the rewritten file's fresh sketch")
   }
 
+  test("merge on a scattered key rewrites only the files that actually hold a batch key") {
+    val withB = Files.createTempDirectory("graft-bloom-mrg").toString
+    val without = Files.createTempDirectory("graft-bloom-mrg2").toString
+    // u is the MERGE key and it is scattered; files are laid out on k, so
+    // every file's [min_u, max_u] spans the domain and stats admission
+    // alone must rewrite nearly everything for any batch
+    val df = scattered(0, 1000).repartitionByRange(8, col("k"))
+      .select("u", "k", "s") // u leads: merge prunes on it
+    FileCow.create(spark, withB, df, statsCols = Seq("u"), bloomCols = Seq("u"))
+    FileCow.create(spark, without, df, statsCols = Seq("u"))
+
+    // a 3-row streaming-shaped batch: updates u-keys of ids 10, 11, 12 —
+    // all living in ONE k-range file
+    val batch = scattered(10, 13).select(col("u"), col("k"), lit("upd").as("s"))
+    val cB = FileCow.merge(spark, withB, batch, keys = Seq("u"))
+    val cN = FileCow.merge(spark, without, batch, keys = Seq("u"))
+    assert(cB.filesRewritten <= 2,
+      s"bloom-pruned merge touches only holder files, rewrote ${cB.filesRewritten}")
+    assert(cB.filesRewritten < cN.filesRewritten,
+      s"stats-only merge over-rewrites (${cN.filesRewritten}) vs bloom (${cB.filesRewritten})")
+    // both tables end bit-identical
+    val a = FileCow.read(spark, withB).collect().map(_.toSeq).toSet
+    val b = FileCow.read(spark, without).collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(FileCow.read(spark, withB).filter(col("s") === "upd").count() == 3L)
+    assert(FileCow.read(spark, withB).count() == 1000L)
+  }
+
   private def md5Of(sIn: String): String = {
     java.security.MessageDigest.getInstance("MD5")
       .digest(sIn.getBytes("UTF-8")).map("%02x".format(_)).mkString
