@@ -1,0 +1,134 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** SIDECAR store for a cow table's per-file Bloom sketches — Delta's
+  * bloom-filter-index layout, and the reason the sketches scale: they live
+  * OUTSIDE the manifest, under `root/_bloom/`, as one immutable parquet
+  * slice per data-writing commit holding `(file, bloom_<c> …)` rows for
+  * that commit's NEW files only. The manifest stays slim (a 400-file
+  * table's manifest does not grow by 400 MB of sketch bytes, and a commit
+  * never rewrites old files' sketches), and reads fetch sketches LAZILY —
+  * only for the files the stats admission already shortlisted, through a
+  * bounded LRU of deserialized filters so serving workloads pay the read
+  * once.
+  *
+  * Lifecycle: the indexed column set is declared once at create/convert in
+  * `_bloom/columns` (renames/drops update it); slices referencing vacuumed
+  * files become dead weight but never wrong (sketches are only ever probed
+  * for LIVE candidate files, and a missing sketch admits — sound); DROP
+  * TABLE removes the store with the root. Slices staged by a commit that
+  * loses its CAS race are orphans of the same class as staged data files.
+  */
+private[graft] object BloomStore {
+
+  private def dir(root: String): Path = Paths.get(root, "_bloom")
+  private def markerFile(root: String): Path = dir(root).resolve("columns")
+
+  /** The declared bloom-indexed columns (empty = no index). */
+  def columns(root: String): Seq[String] =
+    if (!Files.exists(markerFile(root))) Nil
+    else new String(Files.readAllBytes(markerFile(root)), StandardCharsets.UTF_8)
+      .trim.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  def declare(root: String, cols: Seq[String]): Unit = if (cols.nonEmpty) {
+    Files.createDirectories(dir(root))
+    Files.write(markerFile(root),
+      cols.mkString(",").getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  def renameColumn(root: String, from: String, to: String): Unit = {
+    val cur = columns(root)
+    if (cur.contains(from)) declare(root, cur.map(c => if (c == from) to else c))
+  }
+
+  def dropColumns(root: String, dropped: Seq[String]): Unit = {
+    val cur = columns(root)
+    val kept = cur.filterNot(dropped.contains)
+    if (kept != cur) {
+      if (kept.isEmpty) Files.deleteIfExists(markerFile(root))
+      else declare(root, kept)
+      ()
+    }
+  }
+
+  /** A fresh slice directory for one commit's new files' sketches. */
+  def newSliceDir(root: String): Path = {
+    Files.createDirectories(dir(root))
+    dir(root).resolve(s"s-${java.util.UUID.randomUUID().toString.take(12)}")
+  }
+
+  private def sliceDirs(root: String): Seq[String] = {
+    val d = dir(root)
+    if (!Files.exists(d)) return Nil
+    val list = Files.list(d)
+    try {
+      val b = Seq.newBuilder[String]
+      val it = list.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith("s-")) b += p.toString
+      }
+      b.result()
+    } finally list.close()
+  }
+
+  // deserialized-filter LRU: ~1 MB each, bounded count — serving workloads
+  // read and inflate a file's sketch once, not per query
+  private val MaxCached = 128
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), Option[BloomFilter]](
+        MaxCached, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Option[BloomFilter]]): Boolean =
+        size() > MaxCached
+    })
+
+  /** Deserialized sketches of `colName` for exactly `files` (full paths, as
+    * the manifest names them). A file with no sketch row maps to None —
+    * the caller must ADMIT it (missing index is never an excuse to skip).
+    * Cache misses load in ONE parquet read over the slice store, filtered
+    * to the missing paths; slices written before a rename lack the renamed
+    * column and read as null (→ None → admit) under the explicit schema. */
+  def filtersFor(spark: SparkSession, root: String, colName: String,
+      files: Seq[String]): Map[String, Option[BloomFilter]] = {
+    val keyOf = (f: String) => (f, colName)
+    val hit = scala.collection.mutable.Map.empty[String, Option[BloomFilter]]
+    val misses = files.filter { f =>
+      val c = cache.get(keyOf(f))
+      if (c != null) { hit(f) = c; false } else true
+    }
+    if (misses.nonEmpty) {
+      val dirs = sliceDirs(root)
+      val loaded: Map[String, Option[BloomFilter]] =
+        if (dirs.isEmpty) Map.empty
+        else {
+          val schema = StructType(Seq(StructField("file", StringType),
+            StructField(s"bloom_$colName", BinaryType)))
+          spark.read.schema(schema).parquet(dirs: _*)
+            .filter(col("file").isin(misses: _*))
+            .collect()
+            .flatMap { r =>
+              val b = r.getAs[Array[Byte]](s"bloom_$colName")
+              if (b == null) None
+              else Some(r.getString(0) ->
+                Some(BloomFilter.readFrom(new ByteArrayInputStream(b))))
+            }.toMap
+        }
+      misses.foreach { f =>
+        val v = loaded.getOrElse(f, None)
+        cache.put(keyOf(f), v)
+        hit(f) = v
+      }
+    }
+    hit.toMap
+  }
+}

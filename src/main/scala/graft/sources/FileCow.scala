@@ -257,12 +257,13 @@ object FileCow {
     *
     * `bloomCols` declares BLOOM-INDEXED columns (Delta's bloom-filter index
     * analog): every data-writing commit stores a per-file Bloom sketch of
-    * the column's values in the manifest (`bloom_<c>`, riding the same
-    * stats scan), and equality/IN lookups skip files whose sketch excludes
-    * the probe — the skipping story for HIGH-CARDINALITY SCATTERED keys
-    * (UUIDs, content hashes) whose [min, max] ranges overlap every file
-    * after a few appends. Declared at create/convert; carried forward by
-    * every rewrite automatically (derived from the manifest schema). */
+    * the column's values in the SIDECAR [[BloomStore]] (riding the same
+    * stats scan, written distributed — sketch bytes never pass through the
+    * manifest or the driver), and equality/IN lookups skip files whose
+    * sketch excludes the probe — the skipping story for HIGH-CARDINALITY
+    * SCATTERED keys (UUIDs, content hashes) whose [min, max] ranges
+    * overlap every file after a few appends. Declared at create/convert;
+    * carried forward by every rewrite automatically. */
   def create(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], maxRecordsPerFile: Long = 0L,
       txn: Option[(String, Long)] = None,
@@ -273,6 +274,7 @@ object FileCow {
       s"statsCols ${statsCols.mkString(",")} must exist in the frame")
     require(bloomCols.forall(df.columns.contains),
       s"bloomCols ${bloomCols.mkString(",")} must exist in the frame")
+    BloomStore.declare(root, bloomCols)
     val added = writeDataFiles(spark, root, df, statsCols, maxRecordsPerFile,
       bloomColsOverride = Some(bloomCols))
     commit(spark, root, expected = 0L, newManifest = added, schema = df.schema,
@@ -319,7 +321,9 @@ object FileCow {
     require(moved.nonEmpty, s"no parquet files to convert under $sourceDir " +
       "(directory-partitioned layouts are unsupported: partition values live " +
       "in dir names, not files — read and CTAS such a landing instead)")
-    val slice = statsSlice(spark, moved.toSeq, statsCols, bloomCols = bloomCols)
+    BloomStore.declare(root, bloomCols)
+    val slice = statsSlice(spark, root, moved.toSeq, statsCols,
+      bloomCols = bloomCols)
     commit(spark, root, expected = 0L, newManifest = slice, schema = schema,
       CommitAction("convert", filePaths(slice), Nil))
     Commit(1L, filesKept = 0L, filesRewritten = 0L, filesAdded = slice.count())
@@ -811,11 +815,11 @@ object FileCow {
         .withColumnRenamed(resolved, to)
         .repartitionByRange(math.max(1, nFiles), col(statsCols.head))
       val retired = filePaths(manifest(spark, root, version))
-      // the bloom index follows the rename, like the stats columns do
-      val blooms = manifestBloomCols(spark, root)
-        .map(c => if (c == resolved) to else c)
-      val added = writeDataFiles(spark, root, rows, statsCols, maxRecordsPerFile,
-        bloomColsOverride = Some(blooms))
+      // the bloom index follows the rename, like the stats columns do:
+      // the declaration remaps FIRST, so the full rewrite below sketches
+      // under the new name (pre-rename slices read as null → admit, sound)
+      BloomStore.renameColumn(root, resolved, to)
+      val added = writeDataFiles(spark, root, rows, statsCols, maxRecordsPerFile)
       val newSchema = StructType(schema.fields.map(f =>
         if (f.name == resolved) f.copy(name = to) else f))
       commit(spark, root, version, added, newSchema,
@@ -1091,8 +1095,9 @@ object FileCow {
           s"CHECK constraint $cname ($sql) references them — DROP CONSTRAINT first")
       }
       val man = manifest(spark, root, version)
+      BloomStore.dropColumns(root, resolved)
       val keepManCols = man.columns.filterNot(c =>
-        resolved.exists(r => c == s"min_$r" || c == s"max_$r" || c == s"bloom_$r"))
+        resolved.exists(r => c == s"min_$r" || c == s"max_$r"))
       val newSchema = StructType(schema.fields.filterNot(f => resolved.contains(f.name)))
       commit(spark, root, version, man.select(keepManCols.map(col): _*), newSchema,
         CommitAction("drop_columns", Nil, Nil))
@@ -1248,11 +1253,15 @@ object FileCow {
 
   // ---------------------------------------------------------------- internals
 
-  /** Per-file Bloom sizing: ~12.5 KB of bits per file per indexed column,
-    * good for ~2-3 % false-positive rate at 100 k distinct values per file
-    * (a false positive only costs an extra file read — never wrong
-    * results). Fixed, so every engine run builds identical sketches. */
-  private val BloomItemsPerFile = 100000L
+  /** Per-file Bloom sizing — Spark's own runtime-filter defaults (1 M
+    * expected items, 8 M bits ≈ 1 MB per file per indexed column). The
+    * false-positive rate must stay far below 1/|probe batch|, because a
+    * multi-key lookup or merge admits a file when ANY probe hits: at
+    * 250 k rows/file this sizing gives ~2.5e-5 per probe, so even a
+    * 100-key batch admits a non-holder with probability ~2.5e-3. An
+    * undersized sketch silently degrades to stats-only admission (sound,
+    * never wrong — a false positive only costs an extra file read). */
+  private val BloomItemsPerFile = 1000000L
   private val BloomNumBits = 8L * BloomItemsPerFile
 
   /** [[bloomPruneMerge]] skips its refinement above this many distinct
@@ -1272,12 +1281,13 @@ object FileCow {
       source: DataFrame, pruneKeys: Seq[String],
       statAffected: Array[String]): Array[String] = {
     if (statAffected.isEmpty) return statAffected
-    val (manSchema, manRows) = CowManifestCache.rowsOf(spark, root, version)
+    val manSchema = CowManifestCache.rowsOf(spark, root, version)._1
     // a key only probes if the SOURCE column's type matches the table's
     // (min_ carries it): xxhash64 is type-sensitive, and a mismatched hash
     // would skip a file that really holds the key — never acceptable
+    val declared = BloomStore.columns(root).toSet
     val bloomKeys = pruneKeys.filter { k =>
-      manSchema.fieldNames.contains(s"bloom_$k") &&
+      declared.contains(k) &&
         source.schema.fields.find(_.name == k).map(_.dataType) ==
           manSchema.fields.find(_.name == s"min_$k").map(_.dataType)
     }
@@ -1288,30 +1298,16 @@ object FileCow {
     if (hashed.length > BloomMergeProbeCap) return statAffected
     val probes = bloomKeys.map(k =>
       k -> hashed.map(_.getAs[Long](k)).distinct).toMap
-    val byFile = manRows.map(r => r.getAs[String]("file") -> r).toMap
+    val filters = bloomKeys.map(k =>
+      k -> BloomStore.filtersFor(spark, root, k, statAffected.toSeq)).toMap
     statAffected.filter { f =>
-      byFile.get(f).forall { r =>
-        bloomKeys.forall { k =>
-          r.getAs[Array[Byte]](s"bloom_$k") match {
-            case null => true // no sketch for this file: admission stands
-            case b =>
-              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-                new java.io.ByteArrayInputStream(b))
-              probes(k).exists(bf.mightContainLong)
-          }
+      bloomKeys.forall { k =>
+        filters(k).getOrElse(f, None) match {
+          case None => true // no sketch for this file: admission stands
+          case Some(bf) => probes(k).exists(bf.mightContainLong)
         }
       }
     }
-  }
-
-  /** Bloom-indexed columns of the current manifest (its `bloom_<c>`
-    * columns) — how every rewrite knows to KEEP producing the sketches the
-    * table was created with, with no per-call plumbing. */
-  private def manifestBloomCols(spark: SparkSession, root: String): Seq[String] = {
-    val v = currentVersion(root)
-    if (v < 1L) Nil
-    else CowManifestCache.rowsOf(spark, root, v)._1.fieldNames.toSeq
-      .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_"))
   }
 
   /** Write `df` as new immutable `_data` files and return their manifest
@@ -1321,12 +1317,12 @@ object FileCow {
     * the price of per-file stats without a custom committer).
     *
     * `bloomColsOverride`: None derives the bloom-indexed columns from the
-    * current manifest (every ordinary rewrite); create/convert pass their
-    * declaration, renameColumn passes the remapped list. */
+    * table's [[BloomStore]] declaration (every ordinary rewrite);
+    * create/convert pass their declaration explicitly. */
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], maxRecordsPerFile: Long,
       bloomColsOverride: Option[Seq[String]] = None): DataFrame = {
-    val bloomCols = bloomColsOverride.getOrElse(manifestBloomCols(spark, root))
+    val bloomCols = bloomColsOverride.getOrElse(BloomStore.columns(root))
       .filter(df.columns.contains)
     val staging = Paths.get(root, s"_staging-${java.util.UUID.randomUUID().toString.take(8)}")
     val writer = df.write.mode("overwrite")
@@ -1353,22 +1349,18 @@ object FileCow {
     deleteTree(staging)
     import spark.implicits._
     val statColNames = Seq("file", "bytes", "mtime", "rows") ++
-      statsCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
-      bloomCols.map(c => s"bloom_$c")
+      statsCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
     val statAggs = count(lit(1)).as("rows") +:
       statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     if (moved.isEmpty) {
       // Zero data files (everything deleted / empty source): an empty
       // manifest slice with the full stats schema.
       val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], df.schema)
-      return bloomCols.foldLeft(
-          empty.groupBy(lit("").as("file")).agg(statAggs.head, statAggs.tail: _*)
-            .withColumn("bytes", lit(0L)).withColumn("mtime", lit(0L))
-        )((d, c) => d.withColumn(s"bloom_$c",
-          lit(null).cast(org.apache.spark.sql.types.BinaryType)))
+      return empty.groupBy(lit("").as("file")).agg(statAggs.head, statAggs.tail: _*)
+        .withColumn("bytes", lit(0L)).withColumn("mtime", lit(0L))
         .select(statColNames.map(col): _*)
     }
-    statsSlice(spark, moved.toSeq, statsCols,
+    statsSlice(spark, root, moved.toSeq, statsCols,
       constraintsOf(root, currentVersion(root)).toSeq.sortBy(_._1), bloomCols)
   }
 
@@ -1384,14 +1376,17 @@ object FileCow {
     * manifest, and are deleted here rather than left for vacuum; anything
     * else missing a stats row is a real fault. Shared by [[writeDataFiles]]
     * (fresh files) and [[convert]] (adopted files). */
-  private def statsSlice(spark: SparkSession,
+  private def statsSlice(spark: SparkSession, root: String,
       moved: Seq[(String, Long, Long)], statsCols: Seq[String],
       constraints: Seq[(String, String)] = Nil,
       bloomCols: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
+    // the manifest slice stays SLIM — sketches go to the sidecar store
+    // below, never into the manifest (a 400-file manifest must not carry
+    // 400 MB of sketch bytes through every commit's rewrite and every
+    // planner's cache)
     val statColNames = Seq("file", "bytes", "mtime", "rows") ++
-      statsCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
-      bloomCols.map(c => s"bloom_$c")
+      statsCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
     // CHECK-constraint violation counts ride the SAME scan as the stats
     // (zero extra passes); SQL CHECK semantics — NULL passes, FALSE violates
     val violNames = constraints.indices.map(i => s"_viol_$i")
@@ -1401,6 +1396,7 @@ object FileCow {
     // Bloom sketches ride the same scan too: Spark's own sketch aggregate
     // over xxhash64 of the value (nulls skipped — an equality probe can
     // never match NULL), so the query-side literal hashes identically.
+    val bloomNames = bloomCols.map(c => s"bloom_$c")
     val bloomAggs = bloomCols.map { c =>
       org.apache.spark.sql.GraftBridge.column(
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
@@ -1410,15 +1406,18 @@ object FileCow {
           .toAggregateExpression()).as(s"bloom_$c")
     }
     val statAggs = (count(lit(1)).as("rows") +:
-      (statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
-        bloomAggs)) ++
-      violAggs
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
+      bloomAggs ++ violAggs
     val fileMeta = moved.toDF("file", "bytes", "mtime")
       .withColumn("basename", element_at(split(col("file"), "/"), -1))
-    val stats = spark.read.parquet(moved.map(_._1): _*)
+    val grouped0 = spark.read.parquet(moved.map(_._1): _*)
       .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("basename"))
       .agg(statAggs.head, statAggs.tail: _*)
-    val joined = fileMeta.join(stats, Seq("basename"))
+    // with sketches in play, materialize the one scan once: the slim stats
+    // collect to the driver, the megabyte-sized sketches are written out
+    // DISTRIBUTED (they never hit driver memory)
+    val grouped = if (bloomCols.nonEmpty) grouped0.localCheckpoint() else grouped0
+    val joined = fileMeta.join(grouped.drop(bloomNames: _*), Seq("basename"))
       .select((statColNames ++ violNames).map(col): _*)
     val allRows = joined.collect().toSeq
     constraints.zipWithIndex.foreach { case ((name, sql), i) =>
@@ -1430,6 +1429,13 @@ object FileCow {
         sys.error(s"CHECK constraint $name ($sql) violated by $violations " +
           "row(s) in the written increment; nothing committed")
       }
+    }
+    if (bloomCols.nonEmpty) {
+      // constraint checks passed: land this commit's sketch slice
+      fileMeta.select((col("basename") +: col("file") +: Nil): _*)
+        .join(grouped.select((col("basename") +: bloomNames.map(col)): _*), Seq("basename"))
+        .select(("file" +: bloomNames).map(col): _*)
+        .write.parquet(BloomStore.newSliceDir(root).toString)
     }
     import scala.jdk.CollectionConverters._
     // dropping the trailing _viol_ columns is a plain local projection —
@@ -1643,26 +1649,30 @@ private[graft] class CowFileIndex(
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[PartitionDirectory] = {
     val admission = StatAdmission.admission(dataFilters, byColumn)
-    // bloom skipping: equality/IN conjuncts on bloom-indexed columns also
-    // test each stat-admitted file's sketch — the pruning path for
-    // scattered high-cardinality keys whose [min, max] admit everything
-    val bloomSet = CowManifestCache.rowsOf(spark, root, version)._1
-      .fieldNames.filter(_.startsWith("bloom_"))
-      .map(_.stripPrefix("bloom_")).toSet
-    val probes = BloomProbe.extract(dataFilters, bloomSet)
-    val probeCols = probes.map { case (c, _) => s"bloom_$c" }.distinct
-    val statuses = man.filter(admission)
-      .select(("file" +: "bytes" +: "mtime" +: probeCols).map(col): _*)
+    val admitted = man.filter(admission).select("file", "bytes", "mtime")
       .collect()
-      .filter(r => probes.forall { case (c, hashes) =>
-        r.getAs[Array[Byte]](s"bloom_$c") match {
-          case null => true // no sketch for this file (empty slice): sound
-          case b =>
-            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-              new java.io.ByteArrayInputStream(b))
-            hashes.exists(bf.mightContainLong)
+    // bloom skipping: equality/IN conjuncts on bloom-indexed columns also
+    // test each STAT-ADMITTED file's sidecar sketch — the pruning path for
+    // scattered high-cardinality keys whose [min, max] admit everything.
+    // Sketches load lazily for exactly the shortlisted files (LRU-cached
+    // deserialized), so a probe never touches more index than candidates.
+    val probes = BloomProbe.extract(dataFilters, BloomStore.columns(root).toSet)
+    val kept =
+      if (probes.isEmpty) admitted
+      else {
+        val candidates = admitted.map(_.getString(0)).toSeq
+        val filters = probes.map { case (c, _) =>
+          c -> BloomStore.filtersFor(spark, root, c, candidates) }.toMap
+        admitted.filter { r =>
+          probes.forall { case (c, hashes) =>
+            filters(c).getOrElse(r.getString(0), None) match {
+              case None => true // no sketch for this file: sound
+              case Some(bf) => hashes.exists(bf.mightContainLong)
+            }
+          }
         }
-      })
+      }
+    val statuses = kept
       .map(r => new FileStatus(r.getLong(1), false, 1, 128L * 1024 * 1024,
         r.getLong(2), new Path(r.getString(0))))
     Seq(PartitionDirectory(InternalRow.empty, statuses))

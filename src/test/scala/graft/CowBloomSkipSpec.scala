@@ -77,10 +77,11 @@ class CowBloomSkipSpec extends SparkSpec {
     FileCow.append(spark, root, scattered(2000, 2100)) // derives bloom_u itself
     FileCow.delete(spark, root, col("k") === 13L)      // rewrite keeps the index
 
+    // the manifest stays SLIM — sketches live in the sidecar store
     val man = FileCow.manifest(spark, root, FileCow.currentVersion(root))
-    assert(man.columns.contains("bloom_u"))
-    assert(man.filter(col("bloom_u").isNull).count() == 0L,
-      "every live file carries a sketch, including appended and rewritten ones")
+    assert(!man.columns.exists(_.startsWith("bloom_")),
+      "sketch bytes must never ride the manifest")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_bloom")))
 
     val qNew = FileCow.read(spark, root).filter(col("u") === uOf(2050L))
     assert(qNew.select("k").as[Long].collect().toSeq == Seq(2050L))
