@@ -500,6 +500,9 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     case c: GraftConvertCommand => GraftCowExec(c.table, { spark =>
       FileCow.convert(spark, c.root, c.sourceDir, c.statsCols); ()
     }) :: Nil
+    case c: GraftBloomIndexCommand => GraftCowExec(c.table, { spark =>
+      FileCow.buildBloomIndex(spark, c.root, c.cols)
+    }) :: Nil
     case c: GraftCloneCommand => GraftCowExec(c.table, { spark =>
       FileCow.shallowClone(spark, c.srcRoot, c.root, c.versionAsOf); ()
     }) :: Nil

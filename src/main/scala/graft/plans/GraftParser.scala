@@ -93,6 +93,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'\s*;?\s*""".r
 
+  /** `CREATE BLOOMFILTER INDEX ON [TABLE] t FOR COLUMNS (c, …)` — Delta's
+    * spelling: backfill-sketch every current data file in one scan (no
+    * rewrite) and keep sketching on every future commit. */
+  private val BloomIndex =
+    """(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+FOR\s+COLUMNS\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+
   /** `ALTER TABLE t RENAME COLUMN a TO b` — on a graft cow table this is
     * a full-rewrite commit (read-by-name layout, no column-mapping ids);
     * unregistered names delegate to Spark's own RENAME COLUMN. */
@@ -141,6 +147,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case Some(_) => sys.error(s"OPTIMIZE: '$name' is a snapshot-level table — " +
           "every publish already rewrites it; OPTIMIZE applies to cow tables")
         case None => sys.error(s"OPTIMIZE: '$name' is not a registered graft table")
+      }
+    case BloomIndex(name, cols) =>
+      GraftTables.entryOf(name) match {
+        case Some(e) if e.cow =>
+          GraftBloomIndexCommand(name, e.root,
+            cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case Some(_) => sys.error(s"CREATE BLOOMFILTER INDEX: '$name' is a " +
+          "snapshot-level table — the per-file index applies to cow tables")
+        case None => sys.error(
+          s"CREATE BLOOMFILTER INDEX: '$name' is not a registered graft table")
       }
     case Convert(name, dir, cols) =>
       GraftTables.entryOf(name) match {
@@ -282,6 +298,15 @@ case class GraftVacuumExec(cmd: GraftVacuumCommand) extends LeafExecNode {
   * by [[GraftMergeStrategy]]. */
 case class GraftConvertCommand(table: String, root: String, sourceDir: String,
     statsCols: Seq[String]) extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+/** `CREATE BLOOMFILTER INDEX ON t FOR COLUMNS (c, …)` — backfill-sketch
+  * the table's current files and declare the columns for every future
+  * commit ([[graft.sources.FileCow.buildBloomIndex]]); planned by
+  * [[GraftMergeStrategy]]. */
+case class GraftBloomIndexCommand(table: String, root: String,
+    cols: Seq[String]) extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 

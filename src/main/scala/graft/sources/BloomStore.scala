@@ -81,6 +81,30 @@ private[graft] object BloomStore {
     } finally list.close()
   }
 
+  /** Vacuum's sidecar sweep: delete every slice dir (old enough to clear
+    * `minAgeMs`, the same in-flight-commit guard as data files — a racing
+    * commit's freshly staged slice must survive until its CAS resolves)
+    * NONE of whose sketched files are still referenced. A slice with any
+    * live file stays whole. Returns deleted slice dirs. */
+  def vacuumSlices(spark: SparkSession, root: String,
+      referenced: Set[String], minAgeMs: Long): Seq[String] = {
+    val now = System.currentTimeMillis()
+    sliceDirs(root).filter { d =>
+      val p = Paths.get(d)
+      now - Files.getLastModifiedTime(p).toMillis >= minAgeMs && {
+        val schema = StructType(Seq(StructField("file", StringType)))
+        spark.read.schema(schema).parquet(d).collect()
+          .forall(r => !referenced.contains(r.getString(0)))
+      }
+    }.map { d =>
+      val walk = Files.walk(Paths.get(d))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+      d
+    }
+  }
+
   // deserialized-filter LRU: ~1 MB each, bounded count — serving workloads
   // read and inflate a file's sketch once, not per query
   private val MaxCached = 128

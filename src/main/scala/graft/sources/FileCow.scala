@@ -1248,6 +1248,10 @@ object FileCow {
         }
       }
     } finally list.close()
+    // bloom slices whose every sketched file is now dead go with them
+    // (a partially-live slice stays — its dead rows are bounded garbage
+    // until compaction retires the slice's last live file)
+    BloomStore.vacuumSlices(spark, root, referenced, minAgeMs)
     removed.toSeq
   }
 
@@ -1263,6 +1267,50 @@ object FileCow {
     * never wrong — a false positive only costs an extra file read). */
   private val BloomItemsPerFile = 1000000L
   private val BloomNumBits = 8L * BloomItemsPerFile
+
+  /** One file's Bloom sketch of `c` — Spark's own sketch aggregate over
+    * [[xxhash64]] of the value (nulls skipped — an equality probe can
+    * never match NULL), so the query-side literal hashes identically. */
+  private def bloomAggFor(c: String): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.GraftBridge.expression(xxhash64(col(c))),
+        org.apache.spark.sql.catalyst.expressions.Literal(BloomItemsPerFile),
+        org.apache.spark.sql.catalyst.expressions.Literal(BloomNumBits))
+        .toAggregateExpression()).as(s"bloom_$c")
+
+  /** Index an EXISTING table without rewriting a byte (Delta's
+    * `CREATE BLOOMFILTER INDEX` backfill): declare `cols` and sketch every
+    * CURRENT data file in ONE scan into a sidecar slice. Subsequent
+    * commits keep sketching the declared columns automatically; a file
+    * with no sketch for a probed column simply never skips (sound), so
+    * the index can be added to a live table at any time. */
+  def buildBloomIndex(spark: SparkSession, root: String,
+      cols: Seq[String]): Unit = {
+    val v = currentVersion(root)
+    require(v >= 1L, s"no cow table at $root")
+    val schema = schemaOf(root, v)
+    require(cols.nonEmpty && cols.forall(schema.fieldNames.contains),
+      s"bloom columns ${cols.mkString(",")} must exist " +
+        s"(have: ${schema.fieldNames.mkString(",")})")
+    val existing = BloomStore.columns(root)
+    val fresh = cols.filterNot(existing.contains)
+    BloomStore.declare(root, existing ++ fresh)
+    if (fresh.isEmpty) return
+    val files = CowManifestCache.rowsOf(spark, root, v)._2
+      .map(_.getAs[String]("file")).filter(_.nonEmpty)
+    if (files.isEmpty) return
+    import spark.implicits._
+    val bloomNames = fresh.map(c => s"bloom_$c")
+    val fileMeta = files.map(f => (f.substring(f.lastIndexOf('/') + 1), f))
+      .toDF("basename", "file")
+    spark.read.schema(schema).parquet(files: _*)
+      .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("basename"))
+      .agg(bloomAggFor(fresh.head), fresh.tail.map(bloomAggFor): _*)
+      .join(fileMeta, Seq("basename"))
+      .select(("file" +: bloomNames).map(col): _*)
+      .write.parquet(BloomStore.newSliceDir(root).toString)
+  }
 
   /** [[bloomPruneMerge]] skips its refinement above this many distinct
     * source keys: a corpus-sized backfill probes nothing (stats admission
@@ -1397,14 +1445,7 @@ object FileCow {
     // over xxhash64 of the value (nulls skipped — an equality probe can
     // never match NULL), so the query-side literal hashes identically.
     val bloomNames = bloomCols.map(c => s"bloom_$c")
-    val bloomAggs = bloomCols.map { c =>
-      org.apache.spark.sql.GraftBridge.column(
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          org.apache.spark.sql.GraftBridge.expression(xxhash64(col(c))),
-          org.apache.spark.sql.catalyst.expressions.Literal(BloomItemsPerFile),
-          org.apache.spark.sql.catalyst.expressions.Literal(BloomNumBits))
-          .toAggregateExpression()).as(s"bloom_$c")
-    }
+    val bloomAggs = bloomCols.map(bloomAggFor)
     val statAggs = (count(lit(1)).as("rows") +:
       statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
       bloomAggs ++ violAggs

@@ -118,6 +118,57 @@ class CowBloomSkipSpec extends SparkSpec {
     assert(FileCow.read(spark, withB).count() == 1000L)
   }
 
+  test("CREATE BLOOMFILTER INDEX backfills an existing table without a rewrite") {
+    import graft.plans.GraftTables
+    val root = Files.createTempDirectory("graft-bloom-bf").toString
+    GraftTables.registerCow("bloom_bf", root)
+    // born WITHOUT an index
+    FileCow.create(spark, root,
+      scattered(0, 1000).repartitionByRange(8, col("k")),
+      statsCols = Seq("k", "u"))
+    val probe = uOf(7L)
+    assert(opened(FileCow.read(spark, root).filter(col("u") === probe)) >= 6)
+    val filesBefore = FileCow.manifest(spark, root, FileCow.currentVersion(root))
+      .select("file").collect().map(_.getString(0)).toSet
+
+    spark.sql("CREATE BLOOMFILTER INDEX ON TABLE bloom_bf FOR COLUMNS (u)")
+    // no rewrite, no new version: pure sidecar backfill
+    assert(FileCow.currentVersion(root) == 1L)
+    assert(FileCow.manifest(spark, root, 1L)
+      .select("file").collect().map(_.getString(0)).toSet == filesBefore)
+    val q = FileCow.read(spark, root).filter(col("u") === probe)
+    assert(q.select("k").as[Long].collect().toSeq == Seq(7L))
+    assert(opened(q) == 1, s"backfilled index must skip, opened ${opened(q)}")
+    // and future commits keep sketching: an appended value skips too
+    FileCow.append(spark, root, scattered(5000, 5100))
+    val qNew = FileCow.read(spark, root).filter(col("u") === uOf(5050L))
+    assert(qNew.select("k").as[Long].collect().toSeq == Seq(5050L))
+    assert(opened(qNew) == 1)
+    GraftTables.unregister("bloom_bf")
+  }
+
+  test("vacuum reclaims bloom slices exactly when their last sketched file dies") {
+    val root = Files.createTempDirectory("graft-bloom-vac").toString
+    FileCow.create(spark, root,
+      scattered(0, 1000).repartitionByRange(8, col("k")),
+      statsCols = Seq("k", "u"), bloomCols = Seq("u"))        // slice 1: v1 files
+    FileCow.delete(spark, root, col("k") >= 0L)               // v2: all retire, slice 2 empty-ish
+    FileCow.append(spark, root, scattered(2000, 2100))        // v3: slice 3
+    val bloomDir = java.nio.file.Paths.get(root, "_bloom")
+    def slices: Long = {
+      val l = java.nio.file.Files.list(bloomDir)
+      try l.filter(p => p.getFileName.toString.startsWith("s-")).count()
+      finally l.close()
+    }
+    val before = slices
+    FileCow.vacuum(spark, root, keep = 1, minAgeMs = 0L)
+    // v1's files are all dead -> its slice goes; v3's files live -> stays
+    assert(slices < before, s"dead slice must be reclaimed ($before -> $slices)")
+    val q = FileCow.read(spark, root).filter(col("u") === uOf(2050L))
+    assert(q.select("k").as[Long].collect().toSeq == Seq(2050L))
+    assert(opened(q) == 1, "the surviving slice still skips")
+  }
+
   private def md5Of(sIn: String): String = {
     java.security.MessageDigest.getInstance("MD5")
       .digest(sIn.getBytes("UTF-8")).map("%02x".format(_)).mkString
