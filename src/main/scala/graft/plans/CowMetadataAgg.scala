@@ -62,7 +62,8 @@ class CowMetadataAggRule extends Rule[LogicalPlan] {
         case _: AttributeReference => true
         case _ => false
       } => cowIndex(child)
-    case LogicalRelation(HadoopFsRelation(idx: CowFileIndex, _, _, _, _, _), _, _, _, _) =>
+    case LogicalRelation(HadoopFsRelation(idx: CowFileIndex, _, _, _, _, _), _, _, _, _)
+        if !idx.hasDeletionVectors => // DV'd manifests over-count live rows
       Some(idx)
     case _ => None
   }

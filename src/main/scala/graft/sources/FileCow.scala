@@ -72,7 +72,8 @@ object FileCow {
       nFiles: Long, nRows: Long, bytes: Long,
       added: Seq[String], removed: Seq[String],
       txn: Option[(String, Long)] = None,
-      copied: Seq[String] = Nil)
+      copied: Seq[String] = Nil,
+      dvFiles: Seq[String] = Nil)
 
   /** The file-path delta a commit is about to apply, handed to [[commit]]
     * by each DML (which knows it exactly — no diff needed). `txn` is the
@@ -83,7 +84,8 @@ object FileCow {
     * commit ingested, so a re-run skips them (riding the CAS, like txn). */
   private final case class CommitAction(kind: String, added: Seq[String],
       removed: Seq[String], txn: Option[(String, Long)] = None,
-      copied: Seq[String] = Nil)
+      copied: Seq[String] = Nil,
+      dvFiles: Seq[String] = Nil)
 
   private def commitInfoFile(root: String, v: Long): NioPath =
     manifestsDir(root).resolve(s"m$v.commit.json")
@@ -134,10 +136,11 @@ object FileCow {
         if (n.has("txnApp")) Some((n.get("txnApp").asText(), n.get("txnBatch").asLong()))
         else None
       val copied = if (n.has("copied")) strings("copied") else Nil
+      val dvFiles = if (n.has("dvFiles")) strings("dvFiles") else Nil
       Some(CommitInfo(n.get("version").asLong(), n.get("kind").asText(),
         n.get("commitMs").asLong(), n.get("nFiles").asLong(),
         n.get("nRows").asLong(), n.get("bytes").asLong(),
-        strings("added"), strings("removed"), txn, copied))
+        strings("added"), strings("removed"), txn, copied, dvFiles))
     }
   }
 
@@ -353,6 +356,13 @@ object FileCow {
     val v = versionAsOf.getOrElse(currentVersion(srcRoot))
     require(Files.exists(manifestDir(srcRoot, v)),
       s"version $v is not retained under $srcRoot")
+    // a clone's manifest names the source's files but its vacuum-safety
+    // registration covers only DATA files — a source-side sweep of DV
+    // sidecars would silently resurrect the clone's deleted rows, so
+    // (like early Delta) a cloned version must carry no vectors
+    require(dvRegistryOf(srcRoot, v).isEmpty,
+      s"version $v of $srcRoot carries deletion vectors — materialize them " +
+        "first (OPTIMIZE / compact), then clone")
     val man = manifest(spark, srcRoot, v)
     val files = man.select("file").collect().map(_.getString(0)).toSeq
     // register with every owner BEFORE the clone exists: from the moment
@@ -420,10 +430,14 @@ object FileCow {
     readVersion(spark, root, currentVersion(root))
 
   /** Time travel: snapshot `version`, planned through the manifest — pushed
-    * filters on stat columns prune data files at `listFiles` time. */
+    * filters on stat columns prune data files at `listFiles` time. If the
+    * version carries deletion vectors, they anti-join out here, so EVERY
+    * consumer of this read (SQL SELECT, DML base reads, exports) sees only
+    * live rows. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .baseRelationToDataFrame(relationFor(spark, root, version))
+    applyDvRegistry(spark, dvRegistryOf(root, version),
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .baseRelationToDataFrame(relationFor(spark, root, version)))
 
   /** The manifest-pruned [[HadoopFsRelation]] behind [[readVersion]] — also
     * what the `format("graft-cow")` batch reader hands Spark. */
@@ -537,9 +551,7 @@ object FileCow {
         pruneKeys, statAffected)
       import spark.implicits._
       val untouched = man.join(affected.toSeq.toDF("file"), Seq("file"), "left_anti")
-      val base =
-        if (affected.nonEmpty) spark.read.schema(schema).parquet(affected.toSeq: _*)
-        else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      val base = readFilesWithDv(spark, root, version, schema, affected.toSeq)
       val newData =
         if (combine != null) {
           val combined = combine(base, source)
@@ -609,13 +621,154 @@ object FileCow {
         filesAdded = added.count())
     }
 
-  /** DELETE rows where `cond` is true, rewriting only files whose stats
-    * admit the condition ([[StatAdmission]] translation; unrecognized
-    * shapes rewrite everything — sound, never wrong). */
+  /** DELETE rows where `cond` is true. Default: rewrite only files whose
+    * stats admit the condition ([[StatAdmission]] translation; unrecognized
+    * shapes rewrite everything — sound, never wrong).
+    *
+    * With `graft.dv.enabled=true` in the table properties, the delete goes
+    * through DELETION VECTORS instead (Delta's DV feature): no data file is
+    * rewritten — the commit records the deleted rows' (file, row index)
+    * pairs in a sidecar and every reader anti-joins them out. A 10-row
+    * delete on a 100 TB table costs O(deleted rows), not O(touched files).
+    * When the standing DV row count would exceed `graft.dv.maxRows`
+    * (default [[DvMaxRowsDefault]] — the bound that keeps the reader-side
+    * anti-join a broadcast), the statement falls back to the rewrite path,
+    * which also MATERIALIZES the touched files' standing vectors (their
+    * files retire, their registry entries drop). */
   def delete(spark: SparkSession, root: String, cond: Column,
-      maxRecordsPerFile: Long = 0L): Commit =
-    rewriteWhere(spark, root, cond, maxRecordsPerFile, "FileCow.delete") {
+      maxRecordsPerFile: Long = 0L): Commit = {
+    val v = currentVersion(root)
+    val useDv = v >= 1L && tableProps(root, v).get(DvEnabledProp).contains("true")
+    def rewrite() = rewriteWhere(spark, root, cond, maxRecordsPerFile, "FileCow.delete") {
       (rows, condTrue) => rows.filter(!condTrue)
+    }
+    if (!useDv) rewrite()
+    else try dvDelete(spark, root, cond)
+    catch { case _: DvOverflow => rewrite() }
+  }
+
+  // ------------------------------------------------------ deletion vectors
+
+  private[graft] val DvEnabledProp = "graft.dv.enabled"
+  private[graft] val DvMaxRowsProp = "graft.dv.maxRows"
+  private[graft] val DvMaxRowsDefault = 200000L
+
+  private def dvDir(root: String): NioPath = Paths.get(root, "_dv")
+  private def dvRegistryFile(root: String, v: Long): NioPath =
+    manifestsDir(root).resolve(s"m$v.dv.json")
+  private val dvSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("row_idx",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The DELETION-VECTOR registry at version `v`: data-file BASENAME → the
+    * sidecar parquet holding that file's deleted (file, row_idx) rows.
+    * Versioned like the manifest (carried forward by [[commit]], entries
+    * dropping automatically when their file retires), so time travel and
+    * the change feed see each version's exact deleted-row set. Absent file
+    * = no vectors. */
+  def dvRegistryOf(root: String, v: Long): Map[String, String] = {
+    val p = dvRegistryFile(root, v)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val n = jsonMapper.readTree(Files.readAllBytes(p))
+      val b = Map.newBuilder[String, String]
+      n.properties().forEach(e => b += e.getKey -> e.getValue.asText())
+      b.result()
+    }
+  }
+
+  /** Anti-join a registry's deleted rows out of a parquet-scan frame via
+    * the hidden `_metadata` columns — how EVERY read path (snapshot reads,
+    * DML base reads, the change feed) applies deletion vectors. The DV
+    * side is registry-bounded (≤ `graft.dv.maxRows`), so the join is a
+    * broadcast; pushed filters still reach the scan through the left side
+    * of the anti-join. */
+  private def applyDvRegistry(spark: SparkSession,
+      reg: Map[String, String], df: DataFrame): DataFrame =
+    if (reg.isEmpty) df
+    else {
+      val dv = spark.read.schema(dvSchema).parquet(reg.values.toSeq.distinct: _*)
+        .select(col("file").as("_g_file"), col("row_idx").as("_g_rid"))
+      val cols = df.columns.toSeq
+      df.withColumn("_g_file", element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("_g_rid", col("_metadata.row_index"))
+        .join(broadcast(dv), Seq("_g_file", "_g_rid"), "left_anti")
+        .select(cols.map(col): _*)
+    }
+
+  /** Read specific data files under `schema` with version `v`'s deletion
+    * vectors applied — the base-read every DML shares. */
+  private def readFilesWithDv(spark: SparkSession, root: String, v: Long,
+      schema: StructType, files: Seq[String]): DataFrame =
+    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else applyDvRegistry(spark, dvRegistryOf(root, v),
+      spark.read.schema(schema).parquet(files: _*))
+
+  private class DvOverflow extends RuntimeException
+
+  /** The DV delete: stats-admit candidate files exactly like the rewrite
+    * path, find the LIVE matching rows' (basename, row index) via the
+    * hidden metadata columns, fold them into the touched files' standing
+    * vectors, and commit kind `delete_dv` with the MANIFEST UNCHANGED —
+    * no data file is written or retired. Throws [[DvOverflow]] (before
+    * committing anything) when the standing vector count would exceed the
+    * cap; [[delete]] then falls back to the materializing rewrite. */
+  private def dvDelete(spark: SparkSession, root: String, cond: Column): Commit =
+    retrying(root, "FileCow.delete") { version =>
+      val schema = schemaOf(root, version)
+      val man = manifest(spark, root, version)
+      val statsCols = statsColsOf(spark, root, version)
+      val dims = statsCols.map(c => c -> ZoneDim(c, s"min_$c", s"max_$c")).toMap
+      val condExpr = readVersion(spark, root, version).filter(cond)
+        .queryExecution.optimizedPlan.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+      val admission = StatAdmission.admission(condExpr.toSeq, dims)
+      val affected = man.filter(admission).select("file")
+        .collect().map(_.getString(0)).filter(_.nonEmpty)
+      val reg = dvRegistryOf(root, version)
+      val condTrue = coalesce(cond, lit(false))
+      if (affected.isEmpty) {
+        commit(spark, root, version, man.select(man.columns.map(col): _*),
+          schema, CommitAction("delete_dv", Nil, Nil), dvRegistry = Some(reg))
+        Commit(version + 1, filesKept = man.count(), 0L, 0L)
+      } else {
+        import spark.implicits._
+        val affectedBase = affected.map(f => f.substring(f.lastIndexOf('/') + 1))
+        val existing =
+          if (reg.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dvSchema)
+          else spark.read.schema(dvSchema).parquet(reg.values.toSeq.distinct: _*)
+        val newDel = spark.read.schema(schema).parquet(affected.toSeq: _*)
+          .withColumn("file", element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("row_idx", col("_metadata.row_index"))
+          .join(broadcast(existing), Seq("file", "row_idx"), "left_anti")
+          .filter(condTrue)
+          .select("file", "row_idx")
+        val touchedOld = existing.filter(col("file").isin(affectedBase.toSeq: _*))
+        val combined = newDel.unionByName(touchedOld).localCheckpoint()
+        val maxRows = tableProps(root, version).get(DvMaxRowsProp)
+          .map(_.toLong).getOrElse(DvMaxRowsDefault)
+        val standing = combined.count() + existing.count() - touchedOld.count()
+        if (standing > maxRows) throw new DvOverflow
+        val touchedWithRows =
+          combined.select("file").distinct().as[String].collect().toSet
+        val reg2 =
+          if (touchedWithRows.isEmpty) reg -- affectedBase
+          else {
+            Files.createDirectories(dvDir(root))
+            val out = dvDir(root).resolve(
+              s"d-${java.util.UUID.randomUUID().toString.take(12)}.parquet")
+            combined.coalesce(1).write.parquet(out.toString)
+            (reg -- affectedBase) ++ touchedWithRows.map(_ -> out.toString)
+          }
+        commit(spark, root, version, man.select(man.columns.map(col): _*),
+          schema, CommitAction("delete_dv", Nil, Nil, dvFiles = affectedBase.toSeq),
+          dvRegistry = Some(reg2))
+        Commit(version + 1, filesKept = man.count(), 0L, 0L)
+      }
     }
 
   /** UPDATE `set` columns where `cond` is true — same COW file scoping as
@@ -683,9 +836,7 @@ object FileCow {
       val untouched = man.join(affected.toSeq.toDF("file"), Seq("file"), "left_anti")
       // cond NULL means "not matched" on both branches (SQL WHERE semantics).
       val condTrue = coalesce(cond, lit(false))
-      val base =
-        if (affected.nonEmpty) spark.read.schema(schema).parquet(affected.toSeq: _*)
-        else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      val base = readFilesWithDv(spark, root, version, schema, affected.toSeq)
       // same layout discipline as merge: rewritten-file count tracks the
       // touched count, ranges stay disjoint on the lead stats column
       val newData = rewrite(base, condTrue).repartitionByRange(
@@ -867,7 +1018,7 @@ object FileCow {
       } else {
         import spark.implicits._
         val untouched = man.join(affected.toSeq.toDF("file"), Seq("file"), "left_anti")
-        val rows = spark.read.schema(schema).parquet(affected.toSeq: _*)
+        val rows = readFilesWithDv(spark, root, version, schema, affected.toSeq)
           .repartitionByRange(math.max(1, targetFiles), col(statsCols.head))
         val added = writeDataFiles(spark, root, rows, statsCols, maxRecordsPerFile)
         val newManifest = untouched.select(man.columns.map(col): _*)
@@ -899,8 +1050,11 @@ object FileCow {
       val current = manifest(spark, root, version)
       val added = target.join(current, Seq("file"), "left_anti")
       val removed = current.join(target, Seq("file"), "left_anti")
+      // a restore rewinds the DV state too: the target version's registry
+      // (its exact deleted-row set) becomes the new version's
       commit(spark, root, version, target, schemaOf(root, toVersion),
-        CommitAction("restore", filePaths(added), filePaths(removed)))
+        CommitAction("restore", filePaths(added), filePaths(removed)),
+        dvRegistry = Some(dvRegistryOf(root, toVersion)))
       Commit(version + 1,
         filesKept = target.count() - added.count(),
         filesRewritten = removed.count(),
@@ -1127,20 +1281,72 @@ object FileCow {
         s"(${sb.fieldNames.mkString(",")})")
     }
     val (onlyA, onlyB) = unsharedFiles(spark, root, fromVersion, toVersion)
-    def readFiles(fs: Seq[String]): DataFrame =
-      if (fs.nonEmpty) spark.read.schema(sb).parquet(fs: _*)
+    val regA = dvRegistryOf(root, fromVersion)
+    val regB = dvRegistryOf(root, toVersion)
+    // each side reads under ITS version's deletion vectors: a row deleted
+    // before `fromVersion` is not a delete of this interval, and a row
+    // DV-deleted in a brand-new file must not feed as an insert
+    def readFiles(fs: Seq[String], reg: Map[String, String]): DataFrame =
+      if (fs.nonEmpty) applyDvRegistry(spark, reg,
+        spark.read.schema(sb).parquet(fs: _*))
       else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sb)
+    def tagged(df: DataFrame, tag: String): DataFrame =
+      df.select(lit(tag).as("_change_type") +: sb.map(f => col(f.name)): _*)
     // One-sided short-circuit: an append-only interval retires no files, so
     // under the key-uniqueness contract every row in the new files is an
     // insert — the feed is a scan + tag, NO join, NO shuffle (ditto a pure
     // retire interval: all deletes). This is what makes streaming an
     // append-heavy table's feed (F19/F20) cost O(new data) with no
     // exchange at all; the diff join remains for genuinely mixed commits.
-    def tagged(fs: Seq[String], tag: String): DataFrame =
-      readFiles(fs).select(lit(tag).as("_change_type") +: sb.map(f => col(f.name)): _*)
-    if (onlyA.isEmpty) tagged(onlyB, "insert")
-    else if (onlyB.isEmpty) tagged(onlyA, "delete")
-    else Versioned.diff(readFiles(onlyA), readFiles(onlyB), keys)
+    val base: Option[DataFrame] =
+      if (onlyA.isEmpty && onlyB.isEmpty) None
+      else if (onlyA.isEmpty) Some(tagged(readFiles(onlyB, regB), "insert"))
+      else if (onlyB.isEmpty) Some(tagged(readFiles(onlyA, regA), "delete"))
+      else Some(Versioned.diff(readFiles(onlyA, regA), readFiles(onlyB, regB), keys))
+    // DV deltas on files SHARED by both endpoints: a file whose vector
+    // grew inside the interval feeds the newly-deleted rows as deletes
+    // (and a restore that shrank a vector feeds the re-appeared rows as
+    // inserts) — without this, a DV delete would be invisible to the feed
+    // because the file set did not change.
+    val dvParts: Seq[DataFrame] =
+      if (regA.isEmpty && regB.isEmpty) Nil
+      else {
+        val unsharedBase = (onlyA ++ onlyB)
+          .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+        val changed = (regA.keySet ++ regB.keySet)
+          .filter(b => regA.get(b) != regB.get(b))
+          .filterNot(unsharedBase)
+        if (changed.isEmpty) Nil
+        else {
+          val pathOf = CowManifestCache.rowsOf(spark, root, toVersion)._2
+            .map(_.getAs[String]("file")).filter(_.nonEmpty)
+            .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+          val paths = changed.toSeq.flatMap(pathOf.get)
+          def dvRows(reg: Map[String, String]): DataFrame = {
+            val ps = reg.filter { case (b, _) => changed(b) }.values.toSeq.distinct
+            if (ps.isEmpty)
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dvSchema)
+            else spark.read.schema(dvSchema).parquet(ps: _*)
+              .filter(col("file").isin(changed.toSeq: _*))
+          }
+          val aRows = dvRows(regA)
+          val bRows = dvRows(regB)
+          def deltaRows(side: DataFrame, other: DataFrame, tag: String): DataFrame = {
+            val delta = side.join(other, Seq("file", "row_idx"), "left_anti")
+              .select(col("file").as("_g_file"), col("row_idx").as("_g_rid"))
+            tagged(spark.read.schema(sb).parquet(paths: _*)
+              .withColumn("_g_file",
+                element_at(split(col("_metadata.file_path"), "/"), -1))
+              .withColumn("_g_rid", col("_metadata.row_index"))
+              .join(broadcast(delta), Seq("_g_file", "_g_rid"), "left_semi")
+              .select(sb.map(f => col(f.name)): _*), tag)
+          }
+          Seq(deltaRows(bRows, aRows, "delete"), deltaRows(aRows, bRows, "insert"))
+        }
+      }
+    val parts = base.toSeq ++ dvParts
+    if (parts.isEmpty) tagged(readFiles(Nil, Map.empty), "insert")
+    else parts.reduce(_ unionByName _)
   }
 
   /** Each side's files the versions do NOT share — preferably by FOLDING
@@ -1225,6 +1431,7 @@ object FileCow {
       Files.deleteIfExists(schemaFile(root, v))
       Files.deleteIfExists(commitInfoFile(root, v))
       Files.deleteIfExists(propsFile(root, v))
+      Files.deleteIfExists(dvRegistryFile(root, v))
     }
     val referenced: Set[String] =
       (if (retained.isEmpty) Set.empty[String]
@@ -1252,6 +1459,26 @@ object FileCow {
     // (a partially-live slice stays — its dead rows are bounded garbage
     // until compaction retires the slice's last live file)
     BloomStore.vacuumSlices(spark, root, referenced, minAgeMs)
+    // DV sidecars no retained registry names are reclaimed under the same
+    // age floor (a racing DV commit's freshly staged sidecar must survive
+    // until its CAS resolves)
+    locally {
+      val dvReferenced = retained.flatMap(v => dvRegistryOf(root, v).values).toSet
+      val dd = dvDir(root)
+      if (Files.exists(dd)) {
+        val l = Files.list(dd)
+        try {
+          val now = System.currentTimeMillis()
+          val it = l.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (!dvReferenced.contains(p.toString) &&
+                now - Files.getLastModifiedTime(p).toMillis >= minAgeMs)
+              deleteTree(p)
+          }
+        } finally l.close()
+      }
+    }
     removed.toSeq
   }
 
@@ -1500,7 +1727,8 @@ object FileCow {
     * parquet (file-count-sized metadata, read back once). */
   private def commit(spark: SparkSession, root: String, expected: Long,
       newManifest: DataFrame, schema: StructType, action: CommitAction,
-      props: Option[Map[String, String]] = None): Long = {
+      props: Option[Map[String, String]] = None,
+      dvRegistry: Option[Map[String, String]] = None): Long = {
     val next = expected + 1
     Files.createDirectories(manifestsDir(root))
     // properties carry forward unless the commit overrides them
@@ -1524,6 +1752,25 @@ object FileCow {
     val totals = spark.read.parquet(staging.toString)
       .agg(count(lit(1)), coalesce(sum("rows"), lit(0L)), coalesce(sum("bytes"), lit(0L)))
       .collect()(0)
+    // the DV registry carries forward like props, intersected with the new
+    // manifest's files: a retired file's vectors are MATERIALIZED by its
+    // rewrite, so its entry must drop with it (a DV-delete passes the full
+    // updated map; restore passes the target version's)
+    val manBases = spark.read.parquet(staging.toString).select("file")
+      .collect().map(_.getString(0))
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val nextDv = dvRegistry.getOrElse(dvRegistryOf(root, expected))
+      .filter { case (b, _) => manBases.contains(b) }
+    val dvTmp =
+      if (nextDv.isEmpty) None
+      else {
+        val n = jsonMapper.createObjectNode()
+        nextDv.toSeq.sortBy(_._1).foreach { case (k, v) => n.put(k, v) }
+        val t = manifestsDir(root).resolve(
+          s"m$next.dv.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+        Files.write(t, jsonMapper.writeValueAsBytes(n))
+        Some(t)
+      }
     val rec = jsonMapper.createObjectNode()
     rec.put("version", next); rec.put("kind", action.kind)
     rec.put("commitMs", System.currentTimeMillis())
@@ -1537,6 +1784,9 @@ object FileCow {
     if (action.copied.nonEmpty) {
       val copiedArr = rec.putArray("copied"); action.copied.foreach(copiedArr.add)
     }
+    if (action.dvFiles.nonEmpty) {
+      val dvArr = rec.putArray("dvFiles"); action.dvFiles.foreach(dvArr.add)
+    }
     val infoTmp = manifestsDir(root).resolve(
       s"m$next.commit.staging-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(infoTmp, jsonMapper.writeValueAsBytes(rec))
@@ -1547,6 +1797,7 @@ object FileCow {
         Files.deleteIfExists(schemaTmp)
         Files.deleteIfExists(infoTmp)
         propsTmp.foreach(Files.deleteIfExists(_))
+        dvTmp.foreach(Files.deleteIfExists(_))
         throw new ConcurrentPublishException(root, expected, cur)
       }
       val dest = manifestDir(root, next)
@@ -1560,6 +1811,11 @@ object FileCow {
         case Some(t) => Files.move(t, propsFile(root, next),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         case None => Files.deleteIfExists(propsFile(root, next)) // crashed orphan
+      }
+      dvTmp match {
+        case Some(t) => Files.move(t, dvRegistryFile(root, next),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        case None => Files.deleteIfExists(dvRegistryFile(root, next)) // crashed orphan
       }
       TablePointer.swap(root, next)
       next
@@ -1667,6 +1923,10 @@ private[graft] class CowFileIndex(
     CowManifestCache.rowsOf(spark, root, version)._2
   /** Columns with per-file [min, max] stats in the manifest. */
   private[graft] def statsColumns: Set[String] = byColumn.keySet
+  /** Deletion vectors make manifest row counts an over-count of live rows —
+    * the metadata-only aggregate rewrite must decline. */
+  private[graft] def hasDeletionVectors: Boolean =
+    FileCow.dvRegistryOf(root, version).nonEmpty
 
   private def man: DataFrame = FileCow.manifest(spark, root, version)
 

@@ -192,7 +192,15 @@ class GraftCowDataSource extends RelationProvider
     val r = root(params)
     require(FileCow.currentVersion(r) > 0L,
       s"graft-cow: no published version under $r")
-    FileCow.relationFor(ctx.sparkSession, r, resolveVersion(r, params))
+    val v = resolveVersion(r, params)
+    // a BaseRelation cannot express the deletion-vector anti-join, and
+    // returning the bare relation would RESURRECT deleted rows — refuse
+    // loudly; SQL and FileCow.read apply vectors and stay available
+    require(FileCow.dvRegistryOf(r, v).isEmpty,
+      s"graft-cow: version $v of $r carries deletion vectors, which the " +
+        "format reader cannot apply — read via SQL / FileCow.read, or " +
+        "OPTIMIZE to materialize the vectors")
+    FileCow.relationFor(ctx.sparkSession, r, v)
   }
 
   override def createRelation(ctx: SQLContext, mode: SaveMode,

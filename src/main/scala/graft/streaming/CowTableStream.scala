@@ -75,6 +75,13 @@ class CowTableSource(ctx: SQLContext, root: String,
         "(vacuumed?) — snapshot retention must outlive the slowest consumer"))
       info.kind match {
         case k if RowNeutralRewriteKinds(k) => Nil
+        // a DV delete touches no files but DOES rewrite rows — it must
+        // never classify as metadata-only and silently pass
+        case "delete_dv" if skipChangeCommits => Nil
+        case "delete_dv" => sys.error(
+          s"graft-cow stream: version $v is a deletion-vector commit, " +
+          "which deletes rows an append-only stream cannot represent. " +
+          "Stream the change feed or set skipChangeCommits.")
         case _ if info.removed.isEmpty => info.added // metadata-only or pure append
         case k if skipChangeCommits => Nil
         case k => sys.error(

@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftTables
+import graft.sources.FileCow
+
+/** DELETION VECTORS (Delta's DV feature) on cow tables: with
+  * `graft.dv.enabled=true`, DELETE records the deleted rows' (file, row
+  * index) pairs in a `_dv/` sidecar instead of rewriting files — O(deleted
+  * rows), zero files rewritten — and every reader anti-joins them out.
+  * The spec pins the whole lifecycle: reads/time travel, SQL parity,
+  * repeated deletes folding per-file vectors, the change feed seeing DV
+  * deletes on an UNCHANGED file set, merge/compaction materializing,
+  * overflow falling back to the rewrite path, restore rewinding the DV
+  * state, the append stream refusing to silently pass a DV commit, and
+  * the metadata-only COUNT rewrite declining.
+  */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDvTable(name: String): String = {
+    val root = Files.createTempDirectory(s"graft-dv-$name").toString
+    FileCow.create(spark, root,
+      spark.range(1, 1001).select(col("id").as("k"), (col("id") % 7).as("g"),
+        concat(lit("v"), col("id")).as("p")).repartitionByRange(8, col("k")),
+      statsCols = Seq("k"))                                    // v1
+    FileCow.setTableProperties(spark, root,
+      Map("graft.dv.enabled" -> "true"))                       // v2
+    root
+  }
+
+  private def files(root: String, v: Long): Set[String] =
+    FileCow.manifest(spark, root, v).select("file")
+      .collect().map(_.getString(0)).toSet
+
+  test("DV delete rewrites nothing; reads, time travel and repeat deletes are exact") {
+    val root = mkDvTable("core")
+    val c = FileCow.delete(spark, root, col("k") % 100 === 0)  // v3: 10 rows
+    assert(c.filesRewritten == 0L, "a DV delete must rewrite no file")
+    assert(files(root, 2L) == files(root, 3L), "file set unchanged")
+    assert(FileCow.dvRegistryOf(root, 3L).nonEmpty)
+
+    val got = FileCow.read(spark, root)
+    assert(got.count() == 990L)
+    assert(got.filter(col("k") % 100 === 0).isEmpty)
+    // time travel BEFORE the delete still sees the rows
+    assert(FileCow.readVersion(spark, root, 2L).count() == 1000L)
+
+    // a second delete on overlapping files folds per-file vectors
+    FileCow.delete(spark, root, col("k") % 100 === 50)         // v4: 10 more
+    assert(FileCow.read(spark, root).count() == 980L)
+    assert(FileCow.readVersion(spark, root, 3L).count() == 990L,
+      "each version keeps its exact deleted-row set")
+    // pushed filters still prune files through the DV anti-join
+    val q = FileCow.read(spark, root).filter(col("k").between(1, 100))
+    assert(q.count() == 98L)
+    val scan = q.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    val opened = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).flatMap(_.files).length
+    assert(opened == 1, s"stat pruning must survive the DV join, opened $opened")
+  }
+
+  test("SQL DELETE routes through DVs; count(*) declines metadata-only and is right") {
+    val root = mkDvTable("sql")
+    GraftTables.registerCow("dv_sql", root)
+    spark.sql("DELETE FROM dv_sql WHERE k <= 20")
+    assert(FileCow.dvRegistryOf(root, FileCow.currentVersion(root)).nonEmpty)
+    val n = spark.sql("SELECT count(*) AS n FROM dv_sql")
+    assert(!n.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "metadata-only COUNT must decline on a DV table")
+    assert(n.as[Long].head() == 980L)
+    assert(spark.sql("SELECT min(k) AS m FROM dv_sql").as[Long].head() == 21L)
+    GraftTables.unregister("dv_sql")
+  }
+
+  test("the change feed sees DV deletes on an unchanged file set; restore rewinds them") {
+    val root = mkDvTable("cdf")                                 // v2 = full
+    FileCow.delete(spark, root, col("k") <= 5)                  // v3: DV delete
+    val feed = FileCow.changesBetween(spark, root, Seq("k"), 2L, 3L)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(feed.count() == 5L, "exactly the DV-deleted rows feed")
+
+    FileCow.restore(spark, root, 2L)                            // v4: un-delete
+    assert(FileCow.read(spark, root).count() == 1000L,
+      "restore rewinds the DV state with the file state")
+    val back = FileCow.changesBetween(spark, root, Seq("k"), 3L, 4L)
+    assert(back.filter(col("_change_type") === "insert")
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 5L),
+      "the undo delta is the re-appeared rows")
+    // and across the whole interval the table is unchanged
+    assert(FileCow.changesBetween(spark, root, Seq("k"), 2L, 4L).isEmpty)
+  }
+
+  test("merge and compaction read through DVs and materialize them") {
+    val root = mkDvTable("mat")
+    FileCow.delete(spark, root, col("k") === 100L)              // v3: DV
+    // merge on the file holding k=100: base must EXCLUDE the deleted row,
+    // and the rewrite retires the file -> its vector drops
+    FileCow.merge(spark, root,
+      Seq((101L, 0L, "upd")).toDF("k", "g", "p"), keys = Seq("k"))
+    val reg = FileCow.dvRegistryOf(root, FileCow.currentVersion(root))
+    assert(reg.isEmpty, s"rewrite must materialize the touched file's vector, got $reg")
+    val got = FileCow.read(spark, root)
+    assert(got.filter(col("k") === 100L).isEmpty, "deleted row must not resurrect")
+    assert(got.filter(col("k") === 101L).select("p").as[String].head() == "upd")
+    assert(got.count() == 999L)
+
+    // compaction materializes everything
+    FileCow.delete(spark, root, col("k") === 200L)
+    assert(FileCow.dvRegistryOf(root, FileCow.currentVersion(root)).nonEmpty)
+    FileCow.compact(spark, root, targetFiles = 2)
+    assert(FileCow.dvRegistryOf(root, FileCow.currentVersion(root)).isEmpty)
+    assert(FileCow.read(spark, root).count() == 998L)
+  }
+
+  test("overflow falls back to the rewrite path; format reads and clones refuse loudly") {
+    val root = mkDvTable("cap")
+    FileCow.setTableProperties(spark, root, Map("graft.dv.maxRows" -> "3"))
+    val c = FileCow.delete(spark, root, col("k") <= 10)         // 10 > cap
+    assert(c.filesRewritten >= 1L, "over-cap delete must rewrite, not vector")
+    assert(FileCow.dvRegistryOf(root, FileCow.currentVersion(root)).isEmpty)
+    assert(FileCow.read(spark, root).count() == 990L)
+
+    // under the cap: vectors; then the format reader and clones refuse
+    val c2 = FileCow.delete(spark, root, col("k") === 500L)
+    assert(c2.filesRewritten == 0L)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-cow").option("root", root).load().count()
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    val e2 = intercept[IllegalArgumentException] {
+      FileCow.shallowClone(spark, root,
+        Files.createTempDirectory("graft-dv-clone").toString)
+    }
+    assert(e2.getMessage.contains("deletion vectors"))
+  }
+
+  test("the append stream never silently passes a DV commit; vacuum sweeps dead sidecars") {
+    val root = mkDvTable("stream")
+    FileCow.delete(spark, root, col("k") === 7L)                // DV commit
+    val got = scala.collection.mutable.Set.empty[Long]
+    val q = spark.readStream.format("graft-cow").option("root", root)
+      .option("startingVersion", "0").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized { got ++= b.select("k").collect().map(_.getLong(0)) }; ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("dv-ck").toString)
+      .start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("deletion-vector") ||
+        e.getCause.getMessage.contains("deletion-vector"))
+    } finally q.stop()
+
+    // compaction materializes; vacuum then reclaims the orphaned sidecar
+    FileCow.compact(spark, root, targetFiles = 2)
+    assert(Files.list(Paths.get(root, "_dv")).count() > 0)
+    FileCow.vacuum(spark, root, keep = 1, minAgeMs = 0L)
+    assert(Files.list(Paths.get(root, "_dv")).count() == 0,
+      "no retained registry names the sidecar: swept")
+    assert(FileCow.read(spark, root).count() == 999L)
+  }
+}
