@@ -35,6 +35,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private val Restore =
     """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  /** `RESTORE TABLE t TO TIMESTAMP AS OF '<ts>'` — the version live at
+    * that instant (same session-timezone resolution as read-side
+    * TIMESTAMP AS OF), then the ordinary restore commit. */
+  private val RestoreTs =
+    """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
 
   /** `CONVERT TO GRAFT <registered> FROM '<dir>' STATS (c, …)` — adopt an
     * existing plain-parquet directory as the named cow table (the Delta
@@ -173,12 +178,28 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           "table — re-publish the old version's frame; RESTORE applies to cow tables")
         case None => sys.error(s"RESTORE TABLE: '$name' is not a registered graft table")
       }
+    case RestoreTs(name, ts) =>
+      GraftTables.entryOf(name) match {
+        case Some(e) if e.cow =>
+          // session-timezone resolution, same contract as TIMESTAMP AS OF
+          val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(ts),
+            org.apache.spark.sql.types.TimestampType,
+            Some(session.sessionState.conf.sessionLocalTimeZone))
+          val ms = Option(cast.eval(null)).map(_.asInstanceOf[Long] / 1000L)
+            .getOrElse(sys.error(s"RESTORE TABLE: cannot parse timestamp '$ts'"))
+          GraftRestoreCommand(name, e.root,
+            graft.sources.FileCow.versionAtTimestamp(e.root, ms))
+        case Some(_) => sys.error(s"RESTORE TABLE: '$name' is a snapshot-level " +
+          "table — re-publish the old version's frame; RESTORE applies to cow tables")
+        case None => sys.error(s"RESTORE TABLE: '$name' is not a registered graft table")
+      }
     case Detail(name) =>
       GraftTables.entryOf(name) match {
         // relation, not command (same reasoning as DESCRIBE HISTORY):
         // composes with WHERE/ORDER BY/aggregates
         case Some(e) if e.cow =>
-          graft.sources.FileCow.manifest(session, e.root,
+          graft.sources.FileCow.detail(session, e.root,
             graft.sources.FileCow.currentVersion(e.root)).queryExecution.analyzed
         case Some(_) => sys.error(s"DESCRIBE DETAIL: '$name' is a snapshot-level " +
           "table (no per-file manifest); use DESCRIBE HISTORY")

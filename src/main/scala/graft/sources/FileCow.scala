@@ -433,22 +433,41 @@ object FileCow {
     * filters on stat columns prune data files at `listFiles` time. If the
     * version carries deletion vectors, they anti-join out here, so EVERY
     * consumer of this read (SQL SELECT, DML base reads, exports) sees only
-    * live rows. */
-  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
-    applyDvRegistry(spark, dvRegistryOf(root, version),
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .baseRelationToDataFrame(relationFor(spark, root, version)))
+    * live rows — and only the files that ACTUALLY carry vectors pay the
+    * per-row `_metadata` + anti-join tax: the clean files (usually almost
+    * all of them) scan through their ordinary vectorized relation and
+    * union back in. */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val reg = dvRegistryOf(root, version)
+    if (reg.isEmpty)
+      classic.baseRelationToDataFrame(relationFor(spark, root, version))
+    else {
+      val all = CowManifestCache.rowsOf(spark, root, version)._2
+        .map(_.getAs[String]("file")).filter(_.nonEmpty)
+        .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+      val dirty = reg.keySet
+      val clean = all -- dirty
+      val dirtyDf = applyDvRegistry(spark, reg, classic.baseRelationToDataFrame(
+        relationFor(spark, root, version, only = Some(dirty))))
+      if (clean.isEmpty) dirtyDf
+      else classic.baseRelationToDataFrame(
+        relationFor(spark, root, version, only = Some(clean)))
+        .unionByName(dirtyDf)
+    }
+  }
 
   /** The manifest-pruned [[HadoopFsRelation]] behind [[readVersion]] — also
     * what the `format("graft-cow")` batch reader hands Spark. */
   private[graft] def relationFor(spark: SparkSession, root: String,
-      version: Long): HadoopFsRelation = {
+      version: Long, only: Option[Set[String]] = None): HadoopFsRelation = {
     require(Files.exists(manifestDir(root, version)),
       s"version $version is not retained under $root")
     val dataSchema = schemaOf(root, version)
     val dims = statsColsOf(spark, root, version)
       .map(c => ZoneDim(c, s"min_$c", s"max_$c"))
-    val index = new CowFileIndex(spark, root, version, dims.map(d => d.column -> d).toMap)
+    val index = new CowFileIndex(spark, root, version,
+      dims.map(d => d.column -> d).toMap, only)
     HadoopFsRelation(index, new StructType(), dataSchema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
   }
@@ -692,7 +711,7 @@ object FileCow {
       val dv = spark.read.schema(dvSchema).parquet(reg.values.toSeq.distinct: _*)
         .select(col("file").as("_g_file"), col("row_idx").as("_g_rid"))
       val cols = df.columns.toSeq
-      df.withColumn("_g_file", element_at(split(col("_metadata.file_path"), "/"), -1))
+      df.withColumn("_g_file", col("_metadata.file_name"))
         .withColumn("_g_rid", col("_metadata.row_index"))
         .join(broadcast(dv), Seq("_g_file", "_g_rid"), "left_anti")
         .select(cols.map(col): _*)
@@ -705,6 +724,29 @@ object FileCow {
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else applyDvRegistry(spark, dvRegistryOf(root, v),
       spark.read.schema(schema).parquet(files: _*))
+
+  /** `DESCRIBE DETAIL`'s relation: the per-file manifest plus each file's
+    * standing deletion-vector row count (`dv_rows`, 0 when none stand) —
+    * the ops view that shows where compaction would reclaim vectors. */
+  def detail(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val man = manifest(spark, root, v)
+    val reg = dvRegistryOf(root, v)
+    if (reg.isEmpty) man.withColumn("dv_rows", lit(0L))
+    else {
+      // cross-path repeats of a file's rows dedupe by (file, row_idx): any
+      // referenced path's rows for a live file are a subset of that file's
+      // registered cumulative path (the registry invariant)
+      val counts = spark.read.schema(dvSchema).parquet(reg.values.toSeq.distinct: _*)
+        .filter(col("file").isin(reg.keySet.toSeq: _*))
+        .distinct()
+        .groupBy("file").agg(count(lit(1)).as("dv_rows"))
+        .withColumnRenamed("file", "_b")
+      man.withColumn("_b", element_at(split(col("file"), "/"), -1))
+        .join(counts, Seq("_b"), "left")
+        .withColumn("dv_rows", coalesce(col("dv_rows"), lit(0L)))
+        .drop("_b")
+    }
+  }
 
   private class DvOverflow extends RuntimeException
 
@@ -742,7 +784,7 @@ object FileCow {
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dvSchema)
           else spark.read.schema(dvSchema).parquet(reg.values.toSeq.distinct: _*)
         val newDel = spark.read.schema(schema).parquet(affected.toSeq: _*)
-          .withColumn("file", element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("file", col("_metadata.file_name"))
           .withColumn("row_idx", col("_metadata.row_index"))
           .join(broadcast(existing), Seq("file", "row_idx"), "left_anti")
           .filter(condTrue)
@@ -1335,8 +1377,7 @@ object FileCow {
             val delta = side.join(other, Seq("file", "row_idx"), "left_anti")
               .select(col("file").as("_g_file"), col("row_idx").as("_g_rid"))
             tagged(spark.read.schema(sb).parquet(paths: _*)
-              .withColumn("_g_file",
-                element_at(split(col("_metadata.file_path"), "/"), -1))
+              .withColumn("_g_file", col("_metadata.file_name"))
               .withColumn("_g_rid", col("_metadata.row_index"))
               .join(broadcast(delta), Seq("_g_file", "_g_rid"), "left_semi")
               .select(sb.map(f => col(f.name)): _*), tag)
@@ -1915,7 +1956,14 @@ private[graft] class CowFileIndex(
     spark: SparkSession,
     root: String,
     version: Long,
-    byColumn: Map[String, ZoneDim]) extends FileIndex {
+    byColumn: Map[String, ZoneDim],
+    /** When set, the scan covers only these data-file BASENAMES — how
+      * [[FileCow.readVersion]] splits a DV'd snapshot into a vectorized
+      * clean-file scan and a metadata-joined dirty-file scan. */
+    only: Option[Set[String]] = None) extends FileIndex {
+
+  private def inScope(path: String): Boolean =
+    only.forall(_.contains(path.substring(path.lastIndexOf('/') + 1)))
 
   /** Exposed for [[graft.plans.CowMetadataAggRule]]: the manifest rows this
     * scan would read, straight off the driver-local cache. */
@@ -1939,10 +1987,11 @@ private[graft] class CowFileIndex(
   // local relation would)
   override lazy val inputFiles: Array[String] =
     CowManifestCache.rowsOf(spark, root, version)._2
-      .map(_.getAs[String]("file")).toArray
+      .map(_.getAs[String]("file")).filter(inScope).toArray
 
   override lazy val sizeInBytes: Long =
     CowManifestCache.rowsOf(spark, root, version)._2
+      .filter(r => inScope(r.getAs[String]("file")))
       .map(_.getAs[Long]("bytes")).sum
 
   override def listFiles(
@@ -1974,6 +2023,7 @@ private[graft] class CowFileIndex(
         }
       }
     val statuses = kept
+      .filter(r => inScope(r.getString(0)))
       .map(r => new FileStatus(r.getLong(1), false, 1, 128L * 1024 * 1024,
         r.getLong(2), new Path(r.getString(0))))
     Seq(PartitionDirectory(InternalRow.empty, statuses))

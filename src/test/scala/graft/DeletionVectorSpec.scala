@@ -143,6 +143,25 @@ class DeletionVectorSpec extends SparkSpec {
     assert(e2.getMessage.contains("deletion vectors"))
   }
 
+  test("DESCRIBE DETAIL surfaces per-file dv_rows; RESTORE TIMESTAMP AS OF rewinds") {
+    val root = mkDvTable("detail")
+    GraftTables.registerCow("dv_detail", root)
+    val tsBefore = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    Thread.sleep(20)
+    spark.sql("DELETE FROM dv_detail WHERE k <= 3")
+    val det = spark.sql("DESCRIBE DETAIL dv_detail")
+    assert(det.columns.contains("dv_rows"))
+    assert(det.agg(sum("dv_rows")).as[Long].head() == 3L,
+      "the standing vector rows show per file")
+    assert(det.filter(col("dv_rows") === 3L).count() == 1L,
+      "all three deleted keys live in the one k-range file")
+
+    spark.sql(s"RESTORE TABLE dv_detail TO TIMESTAMP AS OF '$tsBefore'")
+    assert(spark.sql("SELECT count(*) c FROM dv_detail").as[Long].head() == 1000L,
+      "timestamp restore rewinds the DV state too")
+    GraftTables.unregister("dv_detail")
+  }
+
   test("the append stream never silently passes a DV commit; vacuum sweeps dead sidecars") {
     val root = mkDvTable("stream")
     FileCow.delete(spark, root, col("k") === 7L)                // DV commit
