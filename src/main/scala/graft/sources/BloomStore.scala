@@ -96,18 +96,14 @@ private[graft] object BloomStore {
         spark.read.schema(schema).parquet(d).collect()
           .forall(r => !referenced.contains(r.getString(0)))
       }
-    }.map { d =>
-      val walk = Files.walk(Paths.get(d))
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally walk.close()
-      d
-    }
+    }.map { d => FileCow.deleteTree(Paths.get(d)); d }
   }
 
   // deserialized-filter LRU: ~1 MB each, bounded count — serving workloads
-  // read and inflate a file's sketch once, not per query
-  private val MaxCached = 128
+  // read and inflate a file's sketch once, not per query. Sized so a
+  // point-lookup loop over a table at the feature's target scale
+  // (hundreds of candidate files) fits without thrashing; ~1 GiB worst.
+  private val MaxCached = 1024
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, String), Option[BloomFilter]](
         MaxCached, 0.75f, true) {
@@ -149,7 +145,12 @@ private[graft] object BloomStore {
         }
       misses.foreach { f =>
         val v = loaded.getOrElse(f, None)
-        cache.put(keyOf(f), v)
+        // a MISSING sketch is never cached: it may be transient (a
+        // backfill slice landing between declare and first probe), and a
+        // pinned None would silently disable the index for that file for
+        // the JVM's lifetime — re-checking costs one batched slice read
+        // per lookup only while gaps actually exist
+        if (v.isDefined) cache.put(keyOf(f), v)
         hit(f) = v
       }
     }

@@ -779,16 +779,25 @@ object FileCow {
       } else {
         import spark.implicits._
         val affectedBase = affected.map(f => f.substring(f.lastIndexOf('/') + 1))
+        // `.distinct()`: a file's entries can repeat across stale sidecar
+        // copies (each delete writes the touched files' CUMULATIVE rows
+        // into a fresh sidecar; older sidecars stay referenced by other
+        // files) — dedupe so counts are exact and sidecars never inflate
         val existing =
-          if (reg.isEmpty)
+          (if (reg.isEmpty)
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dvSchema)
-          else spark.read.schema(dvSchema).parquet(reg.values.toSeq.distinct: _*)
+          else spark.read.schema(dvSchema).parquet(reg.values.toSeq.distinct: _*))
+            .distinct()
+        // _g_-prefixed join keys, never the user's namespace: a data column
+        // named `file` must keep meaning the DATA column in the condition
+        val existingKeyed = existing.select(
+          col("file").as("_g_file"), col("row_idx").as("_g_rid"))
         val newDel = spark.read.schema(schema).parquet(affected.toSeq: _*)
-          .withColumn("file", col("_metadata.file_name"))
-          .withColumn("row_idx", col("_metadata.row_index"))
-          .join(broadcast(existing), Seq("file", "row_idx"), "left_anti")
+          .withColumn("_g_file", col("_metadata.file_name"))
+          .withColumn("_g_rid", col("_metadata.row_index"))
+          .join(broadcast(existingKeyed), Seq("_g_file", "_g_rid"), "left_anti")
           .filter(condTrue)
-          .select("file", "row_idx")
+          .select(col("_g_file").as("file"), col("_g_rid").as("row_idx"))
         val touchedOld = existing.filter(col("file").isin(affectedBase.toSeq: _*))
         val combined = newDel.unionByName(touchedOld).localCheckpoint()
         val maxRows = tableProps(root, version).get(DvMaxRowsProp)
@@ -806,8 +815,14 @@ object FileCow {
             combined.coalesce(1).write.parquet(out.toString)
             (reg -- affectedBase) ++ touchedWithRows.map(_ -> out.toString)
           }
+        // dvFiles marks the commit as ROW-CHANGING for the append stream —
+        // only when the registry actually changed (a delete matching no
+        // live row must stay stream-transparent, like its rewrite twin)
+        val dvChanged =
+          if (reg2 == reg) Nil
+          else affectedBase.toSeq.filter(b => reg.get(b) != reg2.get(b))
         commit(spark, root, version, man.select(man.columns.map(col): _*),
-          schema, CommitAction("delete_dv", Nil, Nil, dvFiles = affectedBase.toSeq),
+          schema, CommitAction("delete_dv", Nil, Nil, dvFiles = dvChanged),
           dvRegistry = Some(reg2))
         Commit(version + 1, filesKept = man.count(), 0L, 0L)
       }
@@ -1093,10 +1108,17 @@ object FileCow {
       val added = target.join(current, Seq("file"), "left_anti")
       val removed = current.join(target, Seq("file"), "left_anti")
       // a restore rewinds the DV state too: the target version's registry
-      // (its exact deleted-row set) becomes the new version's
+      // (its exact deleted-row set) becomes the new version's. dvFiles
+      // marks a DV-only rewind (identical file set, rows re-appearing) as
+      // row-changing so the append stream can never silently pass it.
+      val regCur = dvRegistryOf(root, version)
+      val regTgt = dvRegistryOf(root, toVersion)
+      val dvChanged = (regCur.keySet ++ regTgt.keySet)
+        .filter(b => regCur.get(b) != regTgt.get(b)).toSeq
       commit(spark, root, version, target, schemaOf(root, toVersion),
-        CommitAction("restore", filePaths(added), filePaths(removed)),
-        dvRegistry = Some(dvRegistryOf(root, toVersion)))
+        CommitAction("restore", filePaths(added), filePaths(removed),
+          dvFiles = dvChanged),
+        dvRegistry = Some(regTgt))
       Commit(version + 1,
         filesKept = target.count() - added.count(),
         filesRewritten = removed.count(),
@@ -1790,15 +1812,18 @@ object FileCow {
     val schemaTmp = manifestsDir(root).resolve(
       s"m$next.schema.staging-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(schemaTmp, schema.json.getBytes(StandardCharsets.UTF_8))
-    val totals = spark.read.parquet(staging.toString)
-      .agg(count(lit(1)), coalesce(sum("rows"), lit(0L)), coalesce(sum("bytes"), lit(0L)))
-      .collect()(0)
+    // ONE read of the staged manifest serves both the record totals and
+    // the DV carry-forward's file set (file-count-sized metadata)
+    val stagedRows = spark.read.parquet(staging.toString)
+      .select("file", "rows", "bytes").collect()
+    val totals = (stagedRows.length.toLong,
+      stagedRows.iterator.map(_.getLong(1)).sum,
+      stagedRows.iterator.map(_.getLong(2)).sum)
     // the DV registry carries forward like props, intersected with the new
     // manifest's files: a retired file's vectors are MATERIALIZED by its
     // rewrite, so its entry must drop with it (a DV-delete passes the full
     // updated map; restore passes the target version's)
-    val manBases = spark.read.parquet(staging.toString).select("file")
-      .collect().map(_.getString(0))
+    val manBases = stagedRows.iterator.map(_.getString(0))
       .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
     val nextDv = dvRegistry.getOrElse(dvRegistryOf(root, expected))
       .filter { case (b, _) => manBases.contains(b) }
@@ -1815,8 +1840,8 @@ object FileCow {
     val rec = jsonMapper.createObjectNode()
     rec.put("version", next); rec.put("kind", action.kind)
     rec.put("commitMs", System.currentTimeMillis())
-    rec.put("nFiles", totals.getLong(0))
-    rec.put("nRows", totals.getLong(1)); rec.put("bytes", totals.getLong(2))
+    rec.put("nFiles", totals._1)
+    rec.put("nRows", totals._2); rec.put("bytes", totals._3)
     val addedArr = rec.putArray("added"); action.added.foreach(addedArr.add)
     val removedArr = rec.putArray("removed"); action.removed.foreach(removedArr.add)
     action.txn.foreach { case (app, batch) =>
@@ -1890,7 +1915,9 @@ object FileCow {
     manifest(spark, root, v).columns.toSeq
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
 
-  private def deleteTree(p: NioPath): Unit = if (Files.exists(p)) {
+  /** Shared recursive delete ([[BloomStore]] and the stress tools reuse
+    * it — one implementation to fix if failure semantics ever change). */
+  private[graft] def deleteTree(p: NioPath): Unit = if (Files.exists(p)) {
     val walk = Files.walk(p)
     try walk.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
     finally walk.close()

@@ -217,7 +217,7 @@ class GraftCowDataSource extends RelationProvider
       // bloomCols (comma list): per-file Bloom sketches for equality
       // skipping on scattered keys — FileCow.create's bloom index
       val blooms = params.get("bloomCols")
-        .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
       FileCow.create(spark, r, FileCow.rangedByLead(df, s), statsCols = s,
         bloomCols = blooms)
       ()

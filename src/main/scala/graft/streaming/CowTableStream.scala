@@ -75,12 +75,14 @@ class CowTableSource(ctx: SQLContext, root: String,
         "(vacuumed?) — snapshot retention must outlive the slowest consumer"))
       info.kind match {
         case k if RowNeutralRewriteKinds(k) => Nil
-        // a DV delete touches no files but DOES rewrite rows — it must
-        // never classify as metadata-only and silently pass
-        case "delete_dv" if skipChangeCommits => Nil
-        case "delete_dv" => sys.error(
-          s"graft-cow stream: version $v is a deletion-vector commit, " +
-          "which deletes rows an append-only stream cannot represent. " +
+        // a deletion-vector change (delete_dv, or a restore rewinding
+        // vectors over an identical file set) touches no files but DOES
+        // change rows — it must never classify as metadata-only and pass;
+        // a no-op DV commit carries dvFiles = [] and stays transparent
+        case _ if info.dvFiles.nonEmpty && skipChangeCommits => Nil
+        case _ if info.dvFiles.nonEmpty => sys.error(
+          s"graft-cow stream: version $v changes deletion vectors, " +
+          "rewriting rows an append-only stream cannot represent. " +
           "Stream the change feed or set skipChangeCommits.")
         case _ if info.removed.isEmpty => info.added // metadata-only or pure append
         case k if skipChangeCommits => Nil

@@ -23,11 +23,7 @@ import graft.sources.FileCow
   */
 object StressBloom {
 
-  private def rmTree(p: Path): Unit = if (Files.exists(p)) {
-    val walk = Files.walk(p)
-    try walk.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
-    finally walk.close()
-  }
+  private def rmTree(p: Path): Unit = FileCow.deleteTree(p)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

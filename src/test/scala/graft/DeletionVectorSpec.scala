@@ -162,6 +162,43 @@ class DeletionVectorSpec extends SparkSpec {
     GraftTables.unregister("dv_detail")
   }
 
+  test("a data column named 'file' keeps meaning the DATA column in a DV delete") {
+    val root = Files.createTempDirectory("graft-dv-filecol").toString
+    FileCow.create(spark, root,
+      spark.range(1, 101).select(col("id").as("k"),
+        concat(lit("doc"), col("id"), lit(".csv")).as("file"),
+        col("id").as("row_idx")).repartitionByRange(4, col("k")),
+      statsCols = Seq("k"))
+    FileCow.setTableProperties(spark, root, Map("graft.dv.enabled" -> "true"))
+    FileCow.delete(spark, root, col("file") === "doc7.csv")
+    val got = FileCow.read(spark, root)
+    assert(got.count() == 99L)
+    assert(got.filter(col("file") === "doc7.csv").isEmpty,
+      "the condition must bind the user's 'file' column, not the metadata basename")
+    assert(got.filter(col("k") === 8L).count() == 1L)
+  }
+
+  test("a DV-only restore never passes the append stream as metadata-only") {
+    val root = mkDvTable("rst-stream")
+    FileCow.delete(spark, root, col("k") === 9L)              // v3: DV delete
+    val startAt = FileCow.currentVersion(root)
+    val q = spark.readStream.format("graft-cow").option("root", root)
+      .option("startingVersion", startAt.toString).load()
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) => () }
+      .option("checkpointLocation", Files.createTempDirectory("dv-rst-ck").toString)
+      .start()
+    try {
+      FileCow.restore(spark, root, 2L) // v4: SAME file set, vectors rewound
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("deletion vectors") ||
+        e.getCause.getMessage.contains("deletion vectors"),
+        "rows re-appeared with no file change: the stream must not skip it")
+    } finally q.stop()
+  }
+
   test("the append stream never silently passes a DV commit; vacuum sweeps dead sidecars") {
     val root = mkDvTable("stream")
     FileCow.delete(spark, root, col("k") === 7L)                // DV commit
@@ -178,8 +215,8 @@ class DeletionVectorSpec extends SparkSpec {
       val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
         q.processAllAvailable()
       }
-      assert(e.getMessage.contains("deletion-vector") ||
-        e.getCause.getMessage.contains("deletion-vector"))
+      assert(e.getMessage.contains("deletion vectors") ||
+        e.getCause.getMessage.contains("deletion vectors"))
     } finally q.stop()
 
     // compaction materializes; vacuum then reclaims the orphaned sidecar
