@@ -89,6 +89,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val ShowProps =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
 
+  /** `SHOW CREATE TABLE t` on a REGISTERED graft name — the migration
+    * artifact a user exports: columns + layout + location + properties
+    * (CHECK constraints ride them) + the bloom-index statement when one is
+    * declared. Spark's own SHOW CREATE TABLE keeps unregistered names. */
+  private val ShowCreate =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+
   /** `'k' = 'v', 'k2' = 'v2'` (Spark's TBLPROPERTIES literal list). */
   private val PropPair = """'([^']+)'\s*=\s*'([^']*)'""".r
 
@@ -227,6 +234,36 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case RenameCol(name, from, to) if GraftTables.entryOf(name).isDefined =>
       cowOnly("ALTER TABLE RENAME COLUMN", name)(e =>
         GraftRenameColumnCommand(name, e.root, from, to))
+    case ShowCreate(name) if GraftTables.entryOf(name).isDefined =>
+      val e = GraftTables.entryOf(name).get
+      val schema =
+        if (e.cow) graft.sources.FileCow.schemaOf(e.root,
+          graft.sources.FileCow.currentVersion(e.root))
+        else Versioned.read(session, e.root).schema
+      val cols = schema.fields.map { f =>
+        s"  ${f.name} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}"
+      }.mkString(",\n")
+      val props =
+        if (!e.cow) Map.empty[String, String]
+        else graft.sources.FileCow.tableProps(e.root,
+          graft.sources.FileCow.currentVersion(e.root))
+      val propsDdl =
+        if (props.isEmpty) ""
+        else props.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"'$k' = '$v'" }
+          .mkString("\nTBLPROPERTIES (\n  ", ",\n  ", "\n)")
+      val blooms =
+        if (!e.cow) Nil
+        else graft.sources.BloomStore.columns(e.root)
+      val bloomDdl =
+        if (blooms.isEmpty) ""
+        else s";\nCREATE BLOOMFILTER INDEX ON $name FOR COLUMNS " +
+          s"(${blooms.mkString(", ")})"
+      val using = if (e.cow) "graft-cow" else "graft"
+      val ddl = s"CREATE TABLE $name (\n$cols\n)\n" +
+        s"USING $using\nLOCATION '${e.root}'$propsDdl$bloomDdl"
+      import session.implicits._
+      Seq(ddl).toDF("createtab_stmt").queryExecution.analyzed
     case ShowProps(name) if GraftTables.entryOf(name).exists(_.cow) =>
       val e = GraftTables.entryOf(name).get
       val rows = graft.sources.FileCow
