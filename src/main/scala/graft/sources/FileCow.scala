@@ -1561,13 +1561,24 @@ object FileCow {
   /** One file's Bloom sketch of `c` — Spark's own sketch aggregate over
     * [[xxhash64]] of the value (nulls skipped — an equality probe can
     * never match NULL), so the query-side literal hashes identically. */
-  private def bloomAggFor(c: String): Column =
+  private def bloomAggFor(c: String, items: Long, bits: Long): Column =
     org.apache.spark.sql.GraftBridge.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         org.apache.spark.sql.GraftBridge.expression(xxhash64(col(c))),
-        org.apache.spark.sql.catalyst.expressions.Literal(BloomItemsPerFile),
-        org.apache.spark.sql.catalyst.expressions.Literal(BloomNumBits))
+        org.apache.spark.sql.catalyst.expressions.Literal(items),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits))
         .toAggregateExpression()).as(s"bloom_$c")
+
+  /** Per-table sketch sizing: `graft.bloom.items` / `graft.bloom.bits`
+    * table properties override the defaults (smaller files can shrink the
+    * sidecar; bigger ones keep the multi-probe false-positive rate low —
+    * a misjudged size only ever degrades to stats admission, never wrong).
+    * Sketches are self-describing, so resizing mid-life is safe. */
+  private def bloomSizing(root: String): (Long, Long) = {
+    val p = tableProps(root, currentVersion(root))
+    (p.get("graft.bloom.items").map(_.toLong).getOrElse(BloomItemsPerFile),
+     p.get("graft.bloom.bits").map(_.toLong).getOrElse(BloomNumBits))
+  }
 
   /** Index an EXISTING table without rewriting a byte (Delta's
     * `CREATE BLOOMFILTER INDEX` backfill): declare `cols` and sketch every
@@ -1591,12 +1602,14 @@ object FileCow {
       .map(_.getAs[String]("file")).filter(_.nonEmpty)
     if (files.isEmpty) return
     import spark.implicits._
+    val (items, bits) = bloomSizing(root)
     val bloomNames = fresh.map(c => s"bloom_$c")
     val fileMeta = files.map(f => (f.substring(f.lastIndexOf('/') + 1), f))
       .toDF("basename", "file")
     spark.read.schema(schema).parquet(files: _*)
       .groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("basename"))
-      .agg(bloomAggFor(fresh.head), fresh.tail.map(bloomAggFor): _*)
+      .agg(bloomAggFor(fresh.head, items, bits),
+        fresh.tail.map(bloomAggFor(_, items, bits)): _*)
       .join(fileMeta, Seq("basename"))
       .select(("file" +: bloomNames).map(col): _*)
       .write.parquet(BloomStore.newSliceDir(root).toString)
@@ -1735,7 +1748,8 @@ object FileCow {
     // over xxhash64 of the value (nulls skipped — an equality probe can
     // never match NULL), so the query-side literal hashes identically.
     val bloomNames = bloomCols.map(c => s"bloom_$c")
-    val bloomAggs = bloomCols.map(bloomAggFor)
+    val (bloomItems, bloomBits) = if (bloomCols.isEmpty) (0L, 0L) else bloomSizing(root)
+    val bloomAggs = bloomCols.map(bloomAggFor(_, bloomItems, bloomBits))
     val statAggs = (count(lit(1)).as("rows") +:
       statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))) ++
       bloomAggs ++ violAggs

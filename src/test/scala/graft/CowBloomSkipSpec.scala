@@ -118,6 +118,40 @@ class CowBloomSkipSpec extends SparkSpec {
     assert(FileCow.read(spark, withB).count() == 1000L)
   }
 
+  test("sketch sizing follows graft.bloom.items/bits properties; resized sketches stay correct") {
+    val root = Files.createTempDirectory("graft-bloom-size").toString
+    FileCow.create(spark, root,
+      scattered(0, 1000).repartitionByRange(4, col("k")),
+      statsCols = Seq("k", "u"), bloomCols = Seq("u"))
+    def sliceSizes: Seq[Long] = {
+      val d = java.nio.file.Paths.get(root, "_bloom")
+      val l = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.filter(_.getFileName.toString.startsWith("s-"))
+          .toSeq.sortBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .map { p =>
+            val w = java.nio.file.Files.walk(p)
+            try w.iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .map(java.nio.file.Files.size).sum
+            finally w.close()
+          }
+      } finally l.close()
+    }
+    val defaultSize = sliceSizes.head
+    FileCow.setTableProperties(spark, root,
+      Map("graft.bloom.items" -> "10000", "graft.bloom.bits" -> "80000"))
+    FileCow.append(spark, root, scattered(3000, 3100))
+    val resized = sliceSizes.last
+    assert(resized * 10 < defaultSize,
+      s"a 100× smaller bits budget must shrink the slice: $resized vs $defaultSize")
+    // resized sketches still skip and still answer right
+    val q = FileCow.read(spark, root).filter(col("u") === uOf(3050L))
+    assert(q.select("k").as[Long].collect().toSeq == Seq(3050L))
+    assert(opened(q) == 1)
+  }
+
   test("CREATE BLOOMFILTER INDEX backfills an existing table without a rewrite") {
     import graft.plans.GraftTables
     val root = Files.createTempDirectory("graft-bloom-bf").toString

@@ -162,6 +162,29 @@ class DeletionVectorSpec extends SparkSpec {
     GraftTables.unregister("dv_detail")
   }
 
+  test("the CDF STREAM delivers a DV delete's rows as deletes (F19 across vectors)") {
+    val root = mkDvTable("cdf-stream")
+    val got = scala.collection.mutable.Set.empty[(Long, String, Long)]
+    val q = spark.readStream.format("graft-cdf").option("root", root)
+      .option("keys", "k").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= b.select("k", "_change_type", "_commit_version").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        }
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("dv-cdf-ck").toString)
+      .start()
+    try {
+      FileCow.delete(spark, root, col("k").isin(11L, 12L))   // v3: DV delete
+      q.processAllAvailable()
+      assert(got.toSet == Set((11L, "delete", 3L), (12L, "delete", 3L)),
+        s"the stream must carry the DV-deleted rows, got $got")
+    } finally q.stop()
+  }
+
   test("a data column named 'file' keeps meaning the DATA column in a DV delete") {
     val root = Files.createTempDirectory("graft-dv-filecol").toString
     FileCow.create(spark, root,
