@@ -236,22 +236,36 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftRenameColumnCommand(name, e.root, from, to))
     case ShowCreate(name) if GraftTables.entryOf(name).isDefined =>
       val e = GraftTables.entryOf(name).get
+      // ANSI '' doubling: a CHECK predicate with a string literal must
+      // round-trip through the quoted property value, not corrupt it
+      def q(s: String): String = s.replace("'", "''")
+      val v =
+        if (e.cow) graft.sources.FileCow.currentVersion(e.root)
+        else Versioned.currentVersion(e.root)
+      if (v < 1L) sys.error(s"SHOW CREATE TABLE: '$name' is registered " +
+        s"but has no published version yet (CREATE/CTAS it first)")
       val schema =
-        if (e.cow) graft.sources.FileCow.schemaOf(e.root,
-          graft.sources.FileCow.currentVersion(e.root))
+        if (e.cow) graft.sources.FileCow.schemaOf(e.root, v)
         else Versioned.read(session, e.root).schema
       val cols = schema.fields.map { f =>
         s"  ${f.name} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}"
       }.mkString(",\n")
       val props =
         if (!e.cow) Map.empty[String, String]
-        else graft.sources.FileCow.tableProps(e.root,
-          graft.sources.FileCow.currentVersion(e.root))
+        else graft.sources.FileCow.tableProps(e.root, v)
       val propsDdl =
         if (props.isEmpty) ""
         else props.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"'$k' = '$v'" }
+          .map { case (k, value) => s"'${q(k)}' = '${q(value)}'" }
           .mkString("\nTBLPROPERTIES (\n  ", ",\n  ", "\n)")
+      // the manifest's prune columns: not re-playable DDL (CTAS collects
+      // stats itself) but essential migration information — as a comment
+      val statsDdl =
+        if (!e.cow) ""
+        else {
+          val sc = graft.sources.FileCow.statsColsOf(session, e.root, v)
+          if (sc.isEmpty) "" else s"\n-- STATS (${sc.mkString(", ")})"
+        }
       val blooms =
         if (!e.cow) Nil
         else graft.sources.BloomStore.columns(e.root)
@@ -261,7 +275,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           s"(${blooms.mkString(", ")})"
       val using = if (e.cow) "graft-cow" else "graft"
       val ddl = s"CREATE TABLE $name (\n$cols\n)\n" +
-        s"USING $using\nLOCATION '${e.root}'$propsDdl$bloomDdl"
+        s"USING $using\nLOCATION '${q(e.root)}'$propsDdl$statsDdl$bloomDdl"
       import session.implicits._
       Seq(ddl).toDF("createtab_stmt").queryExecution.analyzed
     case ShowProps(name) if GraftTables.entryOf(name).exists(_.cow) =>

@@ -800,8 +800,8 @@ object FileCow {
           .select(col("_g_file").as("file"), col("_g_rid").as("row_idx"))
         val touchedOld = existing.filter(col("file").isin(affectedBase.toSeq: _*))
         val combined = newDel.unionByName(touchedOld).localCheckpoint()
-        val maxRows = tableProps(root, version).get(DvMaxRowsProp)
-          .map(_.toLong).getOrElse(DvMaxRowsDefault)
+        val maxRows = numericProp(tableProps(root, version), DvMaxRowsProp)
+          .getOrElse(DvMaxRowsDefault)
         val standing = combined.count() + existing.count() - touchedOld.count()
         if (standing > maxRows) throw new DvOverflow
         val touchedWithRows =
@@ -1210,9 +1210,20 @@ object FileCow {
 
   /** SET TBLPROPERTIES: merge `kv` into the table's property map in ONE
     * metadata-only commit (manifest and schema unchanged). */
+  /** Keys whose values must parse as positive longs — validated HERE,
+    * loudly, so a typo'd sizing property can never brick later writes
+    * (write-time parsing additionally falls back to defaults). */
+  private val NumericProps =
+    Set("graft.bloom.items", "graft.bloom.bits", DvMaxRowsProp)
+
   def setTableProperties(spark: SparkSession, root: String,
       kv: Map[String, String]): Commit =
     retrying(root, "FileCow.setTableProperties") { version =>
+      kv.foreach { case (k, v) =>
+        if (NumericProps.contains(k))
+          require(scala.util.Try(v.trim.toLong).toOption.exists(_ > 0L),
+            s"table property $k must be a positive integer, got '$v'")
+      }
       val man = manifest(spark, root, version)
       commit(spark, root, version, man, schemaOf(root, version),
         CommitAction("set_properties", Nil, Nil),
@@ -1576,9 +1587,15 @@ object FileCow {
     * Sketches are self-describing, so resizing mid-life is safe. */
   private def bloomSizing(root: String): (Long, Long) = {
     val p = tableProps(root, currentVersion(root))
-    (p.get("graft.bloom.items").map(_.toLong).getOrElse(BloomItemsPerFile),
-     p.get("graft.bloom.bits").map(_.toLong).getOrElse(BloomNumBits))
+    (numericProp(p, "graft.bloom.items").getOrElse(BloomItemsPerFile),
+     numericProp(p, "graft.bloom.bits").getOrElse(BloomNumBits))
   }
+
+  /** A positive-long table property, or None — a value that fails to parse
+    * falls back to the default rather than bricking every write (and
+    * [[setTableProperties]] rejects bad values loudly up front). */
+  private def numericProp(p: Map[String, String], key: String): Option[Long] =
+    p.get(key).flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ > 0L)
 
   /** Index an EXISTING table without rewriting a byte (Delta's
     * `CREATE BLOOMFILTER INDEX` backfill): declare `cols` and sketch every
@@ -1925,7 +1942,7 @@ object FileCow {
   private def filePaths(manifestSlice: DataFrame): Seq[String] =
     manifestSlice.select("file").collect().map(_.getString(0)).toSeq
 
-  private def statsColsOf(spark: SparkSession, root: String, v: Long): Seq[String] =
+  private[graft] def statsColsOf(spark: SparkSession, root: String, v: Long): Seq[String] =
     manifest(spark, root, v).columns.toSeq
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
 

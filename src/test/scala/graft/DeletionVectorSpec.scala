@@ -178,6 +178,9 @@ class DeletionVectorSpec extends SparkSpec {
       .option("checkpointLocation", Files.createTempDirectory("dv-cdf-ck").toString)
       .start()
     try {
+      // drain first: the source pins its start version when it is CREATED
+      // (async after start()); deleting before that could pin past v3
+      q.processAllAvailable()
       FileCow.delete(spark, root, col("k").isin(11L, 12L))   // v3: DV delete
       q.processAllAvailable()
       assert(got.toSet == Set((11L, "delete", 3L), (12L, "delete", 3L)),

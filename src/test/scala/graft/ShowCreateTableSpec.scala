@@ -24,6 +24,8 @@ class ShowCreateTableSpec extends SparkSpec {
         .repartitionByRange(2, col("k")),
       statsCols = Seq("k"), bloomCols = Seq("h"))
     spark.sql("ALTER TABLE sc_cow ADD CONSTRAINT amt_pos CHECK (amt > 0)")
+    // a predicate with a string literal: the DDL must '' -escape it
+    spark.sql("ALTER TABLE sc_cow ADD CONSTRAINT h_ok CHECK (h <> 'bad')")
 
     val ddl = spark.sql("SHOW CREATE TABLE sc_cow").as[String].head()
     assert(ddl.contains("CREATE TABLE sc_cow ("))
@@ -33,8 +35,18 @@ class ShowCreateTableSpec extends SparkSpec {
     assert(ddl.contains("USING graft-cow"))
     assert(ddl.contains(s"LOCATION '$root'"))
     assert(ddl.contains("'graft.constraints.amt_pos' = 'amt > 0'"))
+    assert(ddl.contains("'graft.constraints.h_ok' = 'h <> ''bad'''"),
+      s"string literals must round-trip via '' doubling, got:\n$ddl")
+    assert(ddl.contains("-- STATS (k)"))
     assert(ddl.contains("CREATE BLOOMFILTER INDEX ON sc_cow FOR COLUMNS (h)"))
     GraftTables.unregister("sc_cow")
+
+    // registered but never created: a clean named error, not a raw IO crash
+    val emptyRoot = Files.createTempDirectory("graft-showcreate-empty").toString
+    GraftTables.registerCow("sc_empty", emptyRoot)
+    val e = intercept[RuntimeException] { spark.sql("SHOW CREATE TABLE sc_empty") }
+    assert(e.getMessage.contains("no published version"))
+    GraftTables.unregister("sc_empty")
 
     // an unregistered name is NOT ours: Spark's own SHOW CREATE TABLE runs
     spark.sql("CREATE TABLE sc_passthrough AS SELECT 1 AS one")
