@@ -1529,5 +1529,5 @@ object Dedup {
 
   val queries: Seq[Q] =
     Seq(dd01, dd02, dd03, dd04, dd05, dd06, dd07, dd08, dd09, dd10, dd11, dd12, dd13, dd14,
-      dd15, dd16, dd17, dd18, dd19, dd20)
+      dd15, dd16, dd17, dd18, dd19, dd20, UrlDedup.dd21)
 }
