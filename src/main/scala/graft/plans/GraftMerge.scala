@@ -928,15 +928,20 @@ case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
         else graft.sources.FileCow.merge(spark, cmd.root, aligned, cmd.keys)
       } else if (cmd.bySource.nonEmpty) {
         // NOT MATCHED BY SOURCE clauses touch every file by definition —
-        // an honest full rewrite through the clause combinator
-        val base = evolveTo.fold(FileCow.read(spark, cmd.root)) { _ =>
-          freshCols(current.fieldNames.toSeq).foldLeft(
-            FileCow.read(spark, cmd.root))((df, f) =>
-            df.withColumn(f.name, lit(null).cast(f.dataType)))
+        // an honest full rewrite through the clause combinator. The base
+        // read happens INSIDE the overwrite's retry body at the attempt's
+        // version: a commit landing between a pre-loop base read and the
+        // CAS would otherwise be silently discarded (lost update) — the
+        // retry must recompute from the winner's rows, like the star path.
+        graft.sources.FileCow.overwriteWith(spark, cmd.root,
+            evolveTo = evolveTo) { (s, version) =>
+          val base0 = FileCow.readVersion(s, cmd.root, version)
+          val base = evolveTo.fold(base0) { _ =>
+            freshCols(current.fieldNames.toSeq).foldLeft(base0)((df, f) =>
+              df.withColumn(f.name, lit(null).cast(f.dataType)))
+          }
+          combine(schema)(base, src)
         }
-        val result = combine(schema)(base, src)
-        graft.sources.FileCow.overwrite(spark, cmd.root, result,
-          evolveTo = evolveTo)
       } else {
         // general clauses, touched-file scoped: FileCow prunes files by the
         // source keys and hands (affected base, source) to the combinator

@@ -277,6 +277,9 @@ object FileCow {
       s"statsCols ${statsCols.mkString(",")} must exist in the frame")
     require(bloomCols.forall(df.columns.contains),
       s"bloomCols ${bloomCols.mkString(",")} must exist in the frame")
+    // a re-created root (deleted out-of-band, then created again in the
+    // same JVM) must not serve the previous table's cached manifests
+    CowManifestCache.invalidate(root)
     BloomStore.declare(root, bloomCols)
     val added = writeDataFiles(spark, root, df, statsCols, maxRecordsPerFile,
       bloomColsOverride = Some(bloomCols))
@@ -304,6 +307,7 @@ object FileCow {
     require(statsCols.nonEmpty &&
         statsCols.forall(schema.fieldNames.contains),
       s"statsCols ${statsCols.mkString(",")} must exist in the source data")
+    CowManifestCache.invalidate(root)
     Files.createDirectories(dataDir(root))
     val moved = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val list = Files.list(Paths.get(sourceDir))
@@ -363,6 +367,7 @@ object FileCow {
     require(dvRegistryOf(srcRoot, v).isEmpty,
       s"version $v of $srcRoot carries deletion vectors — materialize them " +
         "first (OPTIMIZE / compact), then clone")
+    CowManifestCache.invalidate(tgtRoot)
     val man = manifest(spark, srcRoot, v)
     val files = man.select("file").collect().map(_.getString(0)).toSeq
     // register with every owner BEFORE the clone exists: from the moment
@@ -800,31 +805,44 @@ object FileCow {
           .select(col("_g_file").as("file"), col("_g_rid").as("row_idx"))
         val touchedOld = existing.filter(col("file").isin(affectedBase.toSeq: _*))
         val combined = newDel.unionByName(touchedOld).localCheckpoint()
-        val maxRows = numericProp(tableProps(root, version), DvMaxRowsProp)
-          .getOrElse(DvMaxRowsDefault)
-        val standing = combined.count() + existing.count() - touchedOld.count()
-        if (standing > maxRows) throw new DvOverflow
-        val touchedWithRows =
-          combined.select("file").distinct().as[String].collect().toSet
-        val reg2 =
-          if (touchedWithRows.isEmpty) reg -- affectedBase
-          else {
+        val combinedCnt = combined.count()
+        val touchedCnt = touchedOld.count()
+        if (combinedCnt == touchedCnt) {
+          // newDel is empty (disjoint from touchedOld by the anti-join):
+          // every targeted row is already in the standing vectors — a
+          // replayed DELETE. The registry is UNCHANGED: no fresh sidecar
+          // (combined == touchedOld rewritten to a new path would mark a
+          // row-identical commit ROW-CHANGING, killing append streams and
+          // accumulating redundant sidecars), dvFiles stays empty, the
+          // commit is stream-transparent like its no-op rewrite twin.
+          commit(spark, root, version, man.select(man.columns.map(col): _*),
+            schema, CommitAction("delete_dv", Nil, Nil), dvRegistry = Some(reg))
+          Commit(version + 1, filesKept = man.count(), 0L, 0L)
+        } else {
+          val maxRows = numericProp(tableProps(root, version), DvMaxRowsProp)
+            .getOrElse(DvMaxRowsDefault)
+          val standing = combinedCnt + existing.count() - touchedCnt
+          if (standing > maxRows) throw new DvOverflow
+          val touchedWithRows =
+            combined.select("file").distinct().as[String].collect().toSet
+          val reg2 = {
             Files.createDirectories(dvDir(root))
             val out = dvDir(root).resolve(
               s"d-${java.util.UUID.randomUUID().toString.take(12)}.parquet")
             combined.coalesce(1).write.parquet(out.toString)
             (reg -- affectedBase) ++ touchedWithRows.map(_ -> out.toString)
           }
-        // dvFiles marks the commit as ROW-CHANGING for the append stream —
-        // only when the registry actually changed (a delete matching no
-        // live row must stay stream-transparent, like its rewrite twin)
-        val dvChanged =
-          if (reg2 == reg) Nil
-          else affectedBase.toSeq.filter(b => reg.get(b) != reg2.get(b))
-        commit(spark, root, version, man.select(man.columns.map(col): _*),
-          schema, CommitAction("delete_dv", Nil, Nil, dvFiles = dvChanged),
-          dvRegistry = Some(reg2))
-        Commit(version + 1, filesKept = man.count(), 0L, 0L)
+          // dvFiles marks the commit as ROW-CHANGING for the append stream —
+          // only when the registry actually changed (a delete matching no
+          // live row must stay stream-transparent, like its rewrite twin)
+          val dvChanged =
+            if (reg2 == reg) Nil
+            else affectedBase.toSeq.filter(b => reg.get(b) != reg2.get(b))
+          commit(spark, root, version, man.select(man.columns.map(col): _*),
+            schema, CommitAction("delete_dv", Nil, Nil, dvFiles = dvChanged),
+            dvRegistry = Some(reg2))
+          Commit(version + 1, filesKept = man.count(), 0L, 0L)
+        }
       }
     }
 
@@ -856,8 +874,24 @@ object FileCow {
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
       maxRecordsPerFile: Long = 0L,
       evolveTo: Option[StructType] = None): Commit =
+    overwriteWith(spark, root, maxRecordsPerFile, evolveTo)((_, _) => df)
+
+  /** [[overwrite]] with the replacement frame DERIVED PER ATTEMPT: `make`
+    * receives the attempt's version, so a caller whose replacement is
+    * computed FROM the table (MERGE … NOT MATCHED BY SOURCE reads the base
+    * and combines) re-reads the base inside the retry body. A base read
+    * taken before the loop would make a commit landing between the read
+    * and the CAS silently disappear (classic lost update) — the same
+    * reason [[merge]]/[[rewriteWhere]] re-derive inside [[retrying]]. A
+    * concurrent SCHEMA change still fails loudly (the schema checks run
+    * against the attempt's version), matching Delta's
+    * concurrent-modification error. */
+  def overwriteWith(spark: SparkSession, root: String,
+      maxRecordsPerFile: Long = 0L, evolveTo: Option[StructType] = None)(
+      make: (SparkSession, Long) => DataFrame): Commit =
     retrying(root, "FileCow.overwrite") { version =>
       val schema = evolvedSchema(root, version, evolveTo)
+      val df = make(spark, version)
       require(df.schema.map(f => (f.name, f.dataType)) ==
           schema.map(f => (f.name, f.dataType)),
         s"overwrite schema drifted from table schema: ${df.schema} vs $schema")
@@ -1343,14 +1377,41 @@ object FileCow {
       fromVersion: Long, toVersion: Long): DataFrame = {
     val sa = schemaOf(root, fromVersion)
     val sb = schemaOf(root, toVersion)
-    // Both sides read under the END version's schema: parquet projection pads
+    // A rename_column commit inside the interval is a FULL rewrite whose
+    // pre-side files carry the OLD name — reading them under the end
+    // schema would project the renamed column as NULL and report every row
+    // as an update with a NULL pre-image, while the table stream
+    // classifies rename_column row-neutral. Recover each rename's mapping
+    // from the schema pair it committed between (positional — a rename
+    // changes exactly one name, never order or count), compose over the
+    // interval, and read the A side under its OWN names before aliasing
+    // to the end schema: a pure rename then feeds EMPTY, consistent.
+    val renameSteps: Seq[Map[String, String]] = // per commit: new -> old
+      ((fromVersion + 1) to toVersion).flatMap { v =>
+        commitInfo(root, v) match {
+          case Some(ci) if ci.kind == "rename_column" =>
+            val pre = schemaOf(root, v - 1)
+            val post = schemaOf(root, v)
+            Some(post.fields.zip(pre.fields).collect {
+              case (n, o) if n.name != o.name => n.name -> o.name
+            }.toMap)
+          case _ => None
+        }
+      }
+    // end-version name -> that column's name AT fromVersion
+    val backName: Map[String, String] = sb.fieldNames.map { n =>
+      n -> renameSteps.reverseIterator.foldLeft(n)((cur, m) => m.getOrElse(cur, cur))
+    }.toMap
+    // Both sides surface the END version's schema: parquet projection pads
     // columns added since `fromVersion` with null and drops ones removed —
     // the same contract as batch reads across addColumns/dropColumns, and it
     // lets the feed cross a metadata-only schema-evolution commit (whose
     // correct feed is empty) instead of failing on it. Keys must exist at
-    // both endpoints or the diff join would compare nulls.
+    // both endpoints (under the A side's own name) or the diff join would
+    // compare nulls.
     keys.foreach { k =>
-      require(sa.fieldNames.contains(k) && sb.fieldNames.contains(k),
+      require(sb.fieldNames.contains(k) &&
+          sa.fieldNames.contains(backName.getOrElse(k, k)),
         s"change feed key '$k' must exist at both v$fromVersion " +
         s"(${sa.fieldNames.mkString(",")}) and v$toVersion " +
         s"(${sb.fieldNames.mkString(",")})")
@@ -1365,6 +1426,25 @@ object FileCow {
       if (fs.nonEmpty) applyDvRegistry(spark, reg,
         spark.read.schema(sb).parquet(fs: _*))
       else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sb)
+    // the A side, read under its version's names then aliased to the end
+    // schema (identity when the interval crosses no rename)
+    def readFilesA(fs: Seq[String]): DataFrame =
+      if (renameSteps.isEmpty) readFiles(fs, regA)
+      else if (fs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sb)
+      else {
+        val readSchema = StructType(sb.fields.toSeq.flatMap { f =>
+          sa.fields.find(_.name == backName(f.name))
+        })
+        applyDvRegistry(spark, regA,
+          spark.read.schema(readSchema).parquet(fs: _*))
+          .select(sb.map { f =>
+            val g = backName(f.name)
+            if (readSchema.fieldNames.contains(g))
+              col(g).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+      }
     def tagged(df: DataFrame, tag: String): DataFrame =
       df.select(lit(tag).as("_change_type") +: sb.map(f => col(f.name)): _*)
     // One-sided short-circuit: an append-only interval retires no files, so
@@ -1376,8 +1456,8 @@ object FileCow {
     val base: Option[DataFrame] =
       if (onlyA.isEmpty && onlyB.isEmpty) None
       else if (onlyA.isEmpty) Some(tagged(readFiles(onlyB, regB), "insert"))
-      else if (onlyB.isEmpty) Some(tagged(readFiles(onlyA, regA), "delete"))
-      else Some(Versioned.diff(readFiles(onlyA, regA), readFiles(onlyB, regB), keys))
+      else if (onlyB.isEmpty) Some(tagged(readFilesA(onlyA), "delete"))
+      else Some(Versioned.diff(readFilesA(onlyA), readFiles(onlyB, regB), keys))
     // DV deltas on files SHARED by both endpoints: a file whose vector
     // grew inside the interval feeds the newly-deleted rows as deletes
     // (and a restore that shrank a vector feeds the re-appeared rows as
@@ -1977,6 +2057,20 @@ private[graft] object CowManifestCache {
           e: java.util.Map.Entry[(String, Long), (StructType, Seq[Row])]): Boolean =
         size() > MaxEntries
     })
+
+  /** Drop every cached manifest for `root`. Version numbers are never
+    * reused within a table's lifetime, but the LIFETIME can restart: if
+    * the root directory is deleted out-of-band and a NEW table is created
+    * at the same path in the same JVM, its version 1 must not resolve to
+    * the old table's cached manifest. Every table-creating entry point
+    * ([[FileCow.create]]/[[FileCow.convert]]/[[FileCow.shallowClone]])
+    * invalidates its root first. */
+  private[sources] def invalidate(root: String): Unit = {
+    val abs = Paths.get(root).toAbsolutePath.normalize.toString
+    cache.synchronized {
+      cache.keySet().removeIf(k => k._1 == abs)
+    }
+  }
 
   private[sources] def rowsOf(spark: SparkSession, root: String,
       version: Long): (StructType, Seq[Row]) = {

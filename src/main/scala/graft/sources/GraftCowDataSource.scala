@@ -77,9 +77,18 @@ class GraftCowDataSource extends RelationProvider
         "merge keys — the change feed classifies rows by key presence)"))
         .split(",").map(_.trim).toSeq
       new CdfSource(ctx, r, keys, start, maxPerTrigger, Some(metadataPath))
-    } else new CowTableSource(ctx, r, sourceSchema(ctx, schema, providerName, params)._2,
-      start, params.get("skipChangeCommits").exists(_.toBoolean),
-      maxPerTrigger, Some(metadataPath))
+    } else {
+      // the stream's BIRTH schema is persisted like the start version: a
+      // restart adopts a pure widening (additive evolution), and fails
+      // loudly after drop/rename-column commits — never silently re-reads
+      // WAL-replayed batches under a different column set than the sink
+      // already consumed ([[CdfSource.pinnedSchema]])
+      val pinned = CdfSource.pinnedSchema(metadataPath,
+        sourceSchema(ctx, schema, providerName, params)._2)
+      new CowTableSource(ctx, r, pinned,
+        start, params.get("skipChangeCommits").exists(_.toBoolean),
+        maxPerTrigger, Some(metadataPath))
+    }
   }
 
   private def readsChangeFeed(params: Map[String, String]): Boolean =

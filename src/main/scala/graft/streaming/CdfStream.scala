@@ -135,6 +135,51 @@ object CdfSource {
       v
     }
   }
+  /** Persist the table-stream's BIRTH schema under the source's checkpoint
+    * metadata dir and GUARD restarts against incompatible drift. A restart
+    * re-creates the source, and Spark's V1 engine rebuilds the plan from
+    * the provider's CURRENT schema resolution (the provider never sees the
+    * checkpoint path at resolution time), so the source cannot simply keep
+    * emitting the birth schema — the engine would reject its batches. What
+    * it CAN do, and Delta does the same: pin the birth schema, accept a
+    * restart whose resolution is a pure WIDENING (additive evolution —
+    * replayed batches gain a null column, nothing the sink consumed
+    * changes meaning; the pin advances), and FAIL LOUDLY when a
+    * drop/rename-column commit would make WAL-replayed batches re-read
+    * under a schema that silently changes the column set the checkpointed
+    * sink already consumed. */
+  def pinnedSchema(metadataPath: String, resolved: StructType): StructType = {
+    val pinned = metaDir(metadataPath).resolve("graft-cow-schema")
+    def write(s: StructType): Unit = {
+      java.nio.file.Files.createDirectories(pinned.getParent)
+      val tmp = pinned.resolveSibling("graft-cow-schema.tmp")
+      java.nio.file.Files.write(tmp,
+        s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, pinned,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (!java.nio.file.Files.exists(pinned)) { write(resolved); resolved }
+    else {
+      val birth = org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(pinned),
+          java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+      if (birth == resolved) resolved
+      else {
+        val widening = birth.fields.forall(f => resolved.fields.exists(g =>
+          g.name == f.name && g.dataType == f.dataType))
+        if (widening) { write(resolved); resolved }
+        else sys.error("graft-cow stream: the table schema changed " +
+          s"incompatibly since this checkpoint's stream began " +
+          s"(${birth.simpleString} -> ${resolved.simpleString}). " +
+          "WAL-replayed batches would be re-read under the new schema, " +
+          "silently changing the column set the sink already consumed — " +
+          "start from a fresh checkpoint, or stream the change feed " +
+          "(readChangeFeed=true).")
+      }
+    }
+  }
+
   /** Table schema + Delta's `_change_type` and `_commit_version`. */
   def feedSchema(root: String): StructType = {
     val v = FileCow.currentVersion(root)
