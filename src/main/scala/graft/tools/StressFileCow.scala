@@ -34,7 +34,8 @@ object StressFileCow {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
+    val sweepMode = args.headOption.contains("sweep")
+    val sizes = if (args.nonEmpty && !sweepMode) args.map(_.toLong).toSeq
                 else Seq(100000L, 1000000L, 10000000L)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,6 +47,78 @@ object StressFileCow {
 
     val work = Paths.get("/tmp/stress-filecow")
     rmTree(work)
+
+    if (sweepMode) {
+      // FILE-COUNT SWEEP (round 10): fixed data size, growing file count —
+      // isolates the per-commit METADATA cost. Before delta manifests,
+      // every commit wrote + collected the full manifest: O(F) per commit,
+      // visible as commit time growing with F at constant data. After,
+      // a small commit persists only its added slice: flat in F (one
+      // amortized checkpoint every graft.checkpoint.interval commits).
+      val fileCounts =
+        if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(400, 2000, 10000)
+      val nRows = 2000000L
+      for (f <- fileCounts) {
+        val root = work.resolve(s"sweep-$f").toString
+        val base = spark.range(0L, nRows).select(col("id"),
+          (col("id") % 97).as("grp"), md5(col("id").cast("string")).as("payload"))
+        FileCow.create(spark, root, base.repartitionByRange(f, col("id")),
+          statsCols = Seq("id"))
+        def inc(ids: org.apache.spark.sql.DataFrame) = ids.select(col("id"),
+          lit(-1L).as("grp"), lit("UPDATED").as("payload"))
+        def timed[T](body: => T): (T, Double) = {
+          val t0 = System.nanoTime(); val r = body
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        // 100 fresh keys per append, three appends: the steady streaming
+        // shape whose metadata cost is the sweep's subject. Delta arm
+        // (interval high: every commit persists only its added slice) vs
+        // the checkpoint-every-commit CONTROL (interval 1: every commit
+        // writes the full F-row manifest — the r9 behavior's write cost).
+        FileCow.setTableProperties(spark, root,
+          Map(FileCow.CheckpointIntervalProp -> "1000000"))
+        val appends = (1 to 3).map { i =>
+          val fresh = inc(spark.range(nRows + i * 100L, nRows + i * 100L + 100L)
+            .select(col("id"))).localCheckpoint()
+          timed(FileCow.append(spark, root, fresh))._2
+        }
+        FileCow.setTableProperties(spark, root,
+          Map(FileCow.CheckpointIntervalProp -> "1"))
+        val appendsCkpt = (4 to 6).map { i =>
+          val fresh = inc(spark.range(nRows + i * 100L, nRows + i * 100L + 100L)
+            .select(col("id"))).localCheckpoint()
+          timed(FileCow.append(spark, root, fresh))._2
+        }
+        FileCow.setTableProperties(spark, root,
+          Map(FileCow.CheckpointIntervalProp -> "1000000"))
+        val narrow = inc(spark.range(0L, 100L).select(col("id"))).localCheckpoint()
+        val (cM, sMerge) = timed(FileCow.merge(spark, root, narrow, Seq("id")))
+        val (_, sMeta) = timed(FileCow.setTableProperties(spark, root,
+          Map("graft.sweep.tag" -> "1")))
+        val (_, sRestore) = timed(
+          FileCow.restore(spark, root, FileCow.currentVersion(root) - 1))
+        // the REMOVED r9 per-commit path, timed for the record: stage the
+        // full manifest through a Spark job (untouched left-anti join +
+        // union + coalesce(1) write) and collect it back — what every
+        // commit paid before delta manifests
+        val (_, sR9) = timed {
+          val man = FileCow.manifest(spark, root, FileCow.currentVersion(root))
+          val probe = work.resolve(s"r9probe-$f").toString
+          man.join(man.limit(1).select(col("file")), Seq("file"), "left_anti")
+            .unionByName(man.limit(1))
+            .coalesce(1).write.mode("overwrite").parquet(probe)
+          val n = spark.read.parquet(probe).select("file", "rows", "bytes")
+            .collect().length
+          rmTree(Paths.get(probe)); n
+        }
+        println(f"""{"files":$f,"rows":$nRows,"append_sec":[${appends.map(s => f"$s%.2f").mkString(",")}],"append_ckpt_sec":[${appendsCkpt.map(s => f"$s%.2f").mkString(",")}],"merge_narrow_sec":$sMerge%.2f,"merge_rewritten":${cM.filesRewritten},"meta_commit_sec":$sMeta%.2f,"restore_sec":$sRestore%.2f,"r9_manifest_path_sec":$sR9%.2f}""")
+        rmTree(Paths.get(root))
+        System.gc()
+      }
+      spark.stop()
+      return
+    }
 
     for (n <- sizes) {
       val root = work.resolve(s"cow-$n").toString

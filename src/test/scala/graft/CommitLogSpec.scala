@@ -148,11 +148,18 @@ class CommitLogSpec extends SparkSpec {
     // historical versions were cached while the DML mix ran: still no load
     FileCow.readVersion(spark, root, 2L).count()
     assert(CowManifestCache.loads == before)
-    // a genuinely new table is a miss — exactly once, then hits
+    // a fresh create SEEDS the cache at commit time (round 10: a commit
+    // resolves its manifest driver-side and hands it straight over) — the
+    // first read does ZERO manifest loads
     val root2 = Files.createTempDirectory("graft-cmtlog2").toString
     FileCow.create(spark, root2,
       Seq((1L, 1L)).toDF("k", "v").repartition(1), statsCols = Seq("k"))
     val base = CowManifestCache.loads
+    FileCow.read(spark, root2).count()
+    assert(CowManifestCache.loads == base, "commit-seeded version must not reload")
+    // a genuinely COLD table (fresh JVM simulated by invalidation) is a
+    // miss — exactly once, then hits
+    CowManifestCache.invalidate(root2)
     FileCow.read(spark, root2).count()
     assert(CowManifestCache.loads == base + 1)
     FileCow.read(spark, root2).count()
