@@ -56,12 +56,40 @@ object QualityClassifier {
       .select(col("doc_id"), col("alpha_ratio"), col("stop_ratio"), col("tok_sat"),
         when(col("pass"), 1.0d).otherwise(0.0d).as("label"))
 
+  /** Row ceiling above which [[train]] downsamples before collecting: the
+    * collect is the determinism contract's price (one key-sorted gradient
+    * order), admissible only at training-corpus grain — a fact-sized frame
+    * must never ride it to the driver (the writeCsv guard class). */
+  val MaxTrainRows: Long = 200000L
+
   /** Deterministically fit (intercept, wAlpha, wStop, wSat) on `docs`.
-    * Same corpus in ⇒ bit-identical coefficients out. */
-  def train(spark: SparkSession, docs: DataFrame): (Double, Seq[Double]) = {
+    * Same corpus in ⇒ bit-identical coefficients out.
+    *
+    * Corpora over `maxRows` are first downsampled through tx06's
+    * deterministic hash discipline — keep doc_id iff
+    * `charHash("qct:" ++ doc_id) % 10000 < rate` with the rate derived
+    * from the exact corpus count — so the sample (and therefore the
+    * coefficients) is a pure function of corpus content: independent of
+    * partitioning, run order, and engine, and bit-reproducible on
+    * retrain. The ceiling caps what reaches the driver; linear-model
+    * coefficients converge long before 2×10⁵ examples. */
+  def train(spark: SparkSession, docs: DataFrame,
+      maxRows: Long = MaxTrainRows): (Double, Seq[Double]) = {
     import spark.implicits._
-    val data = features(docs)
+    require(maxRows >= 1L, s"train: maxRows must be >= 1, got $maxRows")
+    val feats = features(docs)
       .select("doc_id", "alpha_ratio", "stop_ratio", "tok_sat", "label")
+    val n = feats.count()
+    val capped =
+      if (n <= maxRows) feats
+      else {
+        // basis-point keep rate from the EXACT count: deterministic given
+        // the corpus, expected sample size ≈ maxRows (hash-uniform)
+        val rateBp = math.max(1L, maxRows * 10000L / n)
+        feats.filter(TextPrep.charHash(
+          concat(lit("qct:"), col("doc_id").cast("string"))) % 10000L < rateBp)
+      }
+    val data = capped
       .as[(String, Double, Double, Double, Double)]
       .collect().sortBy(_._1).toSeq // key-sorted, driver-local: one gradient order
       .map { case (_, a, s, t, y) => (Vectors.dense(a, s, t), y) }

@@ -30,6 +30,30 @@ class QualityClassifierSpec extends SparkSpec {
     assert(w1.size == 3 && w1.forall(x => !x.isNaN && !x.isInfinite))
   }
 
+  test("over-ceiling corpora train on a deterministic hash sample") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val cap = 100L
+    assert(n > cap, s"spec premise: corpus ($n) must exceed the cap ($cap)")
+    // deterministic under the cap: two capped trains bit-agree
+    val (b1, w1) = QualityClassifier.train(spark, docs, cap)
+    val (b2, w2) = QualityClassifier.train(spark, docs, cap)
+    assert(b1 == b2 && w1 == w2,
+      s"nondeterministic capped training: ($b1, $w1) vs ($b2, $w2)")
+    // the cap really trips, and on exactly the documented hash sample:
+    // training the pre-filtered frame (under the default ceiling, so no
+    // second resample) reproduces the capped coefficients bit-for-bit
+    val rateBp = math.max(1L, cap * 10000L / n)
+    val kept = docs.filter(graft.functions.TextPrep.charHash(
+      concat(lit("qct:"), col("doc_id").cast("string"))) % 10000L < rateBp)
+    val keptN = kept.count()
+    assert(keptN > 0L && keptN < n,
+      s"hash sample should be a strict non-empty subset, got $keptN of $n")
+    val (b3, w3) = QualityClassifier.train(spark, kept)
+    assert(b1 == b3 && w1 == w3,
+      s"capped train is not the hash-sample train: ($b1, $w1) vs ($b3, $w3)")
+  }
+
   test("shipped model agrees with the gate on a held-out corpus") {
     val scored = QualityClassifier.tx21.build(spark, sfDir)
     val labeled = QualityClassifier.features(Tables.documents(spark, sfDir))
