@@ -1,6 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2,
+  ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions._
@@ -180,6 +182,16 @@ object CdfSource {
     }
   }
 
+  /** A version offset back out of the engine's Offset: LongOffset within a
+    * run, SerializedOffset across a restart (the WAL replays JSON). Shared
+    * by both cow sources' V1 (`getBatch`) and admission-control
+    * (`latestOffset`) entries — V1 offsets subtype the connector Offset. */
+  private[streaming] def versionOf(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => sys.error(s"graft cow stream: unexpected offset $other")
+  }
+
   /** Table schema + Delta's `_change_type` and `_commit_version`. */
   def feedSchema(root: String): StructType = {
     val v = FileCow.currentVersion(root)
@@ -193,7 +205,8 @@ object CdfSource {
 class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
     val startVersion: Long,
     maxVersionsPerTrigger: Option[Long] = None,
-    metadataPath: Option[String] = None) extends Source {
+    metadataPath: Option[String] = None) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   override val schema: StructType = CdfSource.feedSchema(root)
 
@@ -213,6 +226,28 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
     case l: LongOffset => l.offset
     case s: SerializedOffset => LongOffset(s).offset
     case other => sys.error(s"graft-cdf: unexpected offset $other")
+  }
+
+  // Trigger.AvailableNow + admission control — same contract as
+  // [[CowTableSource]]: the planned end is the version observed at prepare
+  // time, each batch bounded by maxVersionsPerTrigger, a drain stops there.
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(FileCow.currentVersion(root))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = Option(start).map(CdfSource.versionOf).getOrElse(startVersion)
+    val current = FileCow.currentVersion(root)
+    val planned = availableNowEnd.fold(current)(math.min(current, _))
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(planned, from + r.maxRows())
+      case _ => planned
+    }
+    if (capped > from) LongOffset(capped) else null
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

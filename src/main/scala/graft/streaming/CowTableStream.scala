@@ -1,6 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2,
+  ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.types.StructType
@@ -42,7 +44,8 @@ class CowTableSource(ctx: SQLContext, root: String,
     override val schema: StructType, val startVersion: Long,
     skipChangeCommits: Boolean,
     maxVersionsPerTrigger: Option[Long] = None,
-    metadataPath: Option[String] = None) extends Source {
+    metadataPath: Option[String] = None) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   /** Kinds that add+remove files yet leave the row set identical — the one
     * case the added/removed shape alone cannot distinguish from a rewrite. */
@@ -57,6 +60,35 @@ class CowTableSource(ctx: SQLContext, root: String,
     val v = FileCow.currentVersion(root)
     val capped = ratePos.fold(v) { case (m, pos) => math.min(v, pos.get + m) }
     if (capped > startVersion) Some(LongOffset(capped)) else None
+  }
+
+  // --- Trigger.AvailableNow (the FileStreamSource/Delta pattern: a V1
+  // Source that ALSO implements the admission-control seam, so the engine
+  // plans offsets through latestOffset instead of getOffset) -------------
+  // The drain's PLANNED END: the version observed when the engine prepares
+  // the run. Batches never plan past it, so a drain terminates at the
+  // start-observed version no matter what lands mid-drain — the next run
+  // (same checkpoint) picks those commits up from the committed offset.
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(FileCow.currentVersion(root))
+
+  /** Offsets are table VERSIONS, so `maxVersionsPerTrigger` maps onto the
+    * engine's max-rows limit shape (rows := versions here, the same way
+    * FileStreamSource maps maxFilesPerTrigger onto maxFiles). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = Option(start).map(CdfSource.versionOf).getOrElse(startVersion)
+    val current = FileCow.currentVersion(root)
+    val planned = availableNowEnd.fold(current)(math.min(current, _))
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(planned, from + r.maxRows())
+      case _ => planned
+    }
+    if (capped > from) LongOffset(capped) else null
   }
 
   private def version(o: Offset): Long = o match {
