@@ -12,7 +12,8 @@ object SparkEntry {
       etl.SourceRepair.queries ++ etl.Dimensional.queries ++ etl.Pipeline.queries ++
       operators.Dedup.queries ++ operators.SimilaritySearch.queries ++
       operators.Salting.queries ++
-      functions.TextAnalysis.queries ++ multimodal.Multimodal.queries
+      functions.TextAnalysis.queries ++ functions.BpeTokenizer.queries ++
+      multimodal.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
