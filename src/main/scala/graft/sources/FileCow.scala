@@ -61,6 +61,65 @@ object FileCow {
   final case class Commit(version: Long, filesKept: Long, filesRewritten: Long,
       filesAdded: Long)
 
+  // ---------------------------------------------------------------------
+  // COLUMN MAPPING (Delta's id-mode analog, on parquet's own seam): every
+  // CREATEd table's columns carry a stable field ID (`parquet.field.id`
+  // StructField metadata — the key Spark's parquet reader/writer already
+  // understand), data files are written with the IDs in their footers, and
+  // reads resolve columns BY ID (`spark.sql.parquet.fieldId.read.enabled`).
+  // The payoff: RENAME COLUMN is a metadata-only commit (the ID is the
+  // identity; the name is a label), and a DROPPED column's values can never
+  // resurrect through a later same-name ADD (the new column gets a FRESH
+  // id from a monotonic per-table high-water mark, `graft.column.maxid` —
+  // Delta's `delta.columnMapping.maxColumnId`). CONVERTed tables adopt
+  // foreign files without IDs and stay name-mapped (legacy vintage):
+  // rename there remains an honest full rewrite.
+  // ---------------------------------------------------------------------
+
+  /** Spark's parquet field-id StructField metadata key. */
+  private[graft] val FieldIdKey = "parquet.field.id"
+
+  /** Monotonic high-water mark of assigned column IDs — never reused, so
+    * a drop + same-name re-add cannot resurrect old values. */
+  private[graft] val MaxColIdProp = "graft.column.maxid"
+
+  /** A table is column-mapped iff EVERY field carries an id (create-vintage
+    * tables; convert adopts foreign files and stays name-mapped). */
+  private[graft] def isColumnMapped(schema: StructType): Boolean =
+    schema.fields.nonEmpty && schema.fields.forall(_.metadata.contains(FieldIdKey))
+
+  /** Fresh sequential IDs 1..n — the creating write's assignment. */
+  private def withFieldIds(schema: StructType): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong(FieldIdKey, i + 1L).build())
+    })
+
+  /** Attach fresh (never-reused) IDs to `fields`, continuing from the
+    * table's high-water mark; returns the stamped fields and the bumped
+    * property map to commit alongside them. */
+  private def freshFieldIds(root: String, version: Long, schema: StructType,
+      fields: Seq[org.apache.spark.sql.types.StructField])
+      : (Seq[org.apache.spark.sql.types.StructField], Map[String, String]) = {
+    val props = tableProps(root, version)
+    val high = props.get(MaxColIdProp).map(_.toLong).getOrElse(
+      schema.fields.map(f => if (f.metadata.contains(FieldIdKey))
+        f.metadata.getLong(FieldIdKey) else 0L).max)
+    val stamped = fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong(FieldIdKey, high + 1L + i).build())
+    }
+    (stamped, props + (MaxColIdProp -> (high + fields.size).toString))
+  }
+
+  /** Field-id matching is conf-gated in Spark's parquet paths; both confs
+    * are harmless for schemas that carry no IDs (everything non-graft), so
+    * the cow read/write entries just keep them on. */
+  private[graft] def ensureFieldIdConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+  }
+
   /** Per-commit action record — the Delta JSON-commit-log analog. Written
     * at commit time (ADR-001's named optimization), it lets [[history]],
     * [[changesBetween]] and the F19 stream derive "which files changed"
@@ -314,11 +373,14 @@ object FileCow {
     // same JVM) must not serve the previous table's cached manifests
     CowManifestCache.invalidate(root)
     BloomStore.declare(root, bloomCols)
+    // column mapping from birth: ids 1..n, written into the files' footers
+    val idSchema = withFieldIds(df.schema)
     val added = writeDataFiles(spark, root, df, statsCols, maxRecordsPerFile,
-      bloomColsOverride = Some(bloomCols))
+      bloomColsOverride = Some(bloomCols), declaredSchema = Some(idSchema))
     val addedPaths = filePaths(added)
-    commit(spark, root, expected = 0L, FullManifest(added), schema = df.schema,
-      CommitAction("create", addedPaths, Nil, txn))
+    commit(spark, root, expected = 0L, FullManifest(added), schema = idSchema,
+      CommitAction("create", addedPaths, Nil, txn),
+      props = Some(Map(MaxColIdProp -> idSchema.size.toString)))
     Commit(1L, filesKept = 0L, filesRewritten = 0L,
       filesAdded = addedPaths.size.toLong)
   }
@@ -506,6 +568,10 @@ object FileCow {
     require(isRetained(root, version),
       s"version $version is not retained under $root")
     val dataSchema = schemaOf(root, version)
+    // column-mapped tables resolve parquet columns BY FIELD ID (the ids
+    // ride dataSchema's field metadata): renamed columns keep reading
+    // their old physical name, dropped-then-readded names read fresh
+    if (isColumnMapped(dataSchema)) ensureFieldIdConfs(spark)
     val dims = statsColsOf(spark, root, version)
       .map(c => ZoneDim(c, s"min_$c", s"max_$c"))
     val index = new CowFileIndex(spark, root, version,
@@ -543,15 +609,29 @@ object FileCow {
     * then fresh ones); base files read under it project missing columns to
     * null, the parquet contract. */
   private def evolvedSchema(root: String, version: Long,
-      evolveTo: Option[StructType]): StructType = evolveTo match {
-    case None => schemaOf(root, version)
-    case Some(s) =>
-      val current = schemaOf(root, version)
-      require(s.fields.toSeq.startsWith(current.fields.toSeq),
-        s"schema evolution must widen the current schema: $current -> $s " +
-        "(a concurrent schema change may have won — retry the statement)")
-      s
-  }
+      evolveTo: Option[StructType]): StructType =
+    evolvedSchemaAndProps(root, version, evolveTo)._1
+
+  /** [[evolvedSchema]] plus the property override its commit must carry:
+    * on a column-mapped table the widening's fresh fields get fresh ids
+    * (and the high-water mark bumps) so the table stays uniformly mapped
+    * through MERGE … WITH SCHEMA EVOLUTION. */
+  private def evolvedSchemaAndProps(root: String, version: Long,
+      evolveTo: Option[StructType]): (StructType, Option[Map[String, String]]) =
+    evolveTo match {
+      case None => (schemaOf(root, version), None)
+      case Some(s) =>
+        val current = schemaOf(root, version)
+        require(s.fields.toSeq.startsWith(current.fields.toSeq),
+          s"schema evolution must widen the current schema: $current -> $s " +
+          "(a concurrent schema change may have won — retry the statement)")
+        if (!isColumnMapped(current)) (s, None)
+        else {
+          val tail = s.fields.toSeq.drop(current.fields.length)
+          val (stamped, props) = freshFieldIds(root, version, current, tail)
+          (StructType(current.fields.toSeq ++ stamped), Some(props))
+        }
+    }
 
   /** UPSERT `source` by `keys` (q06 / MERGE INTO semantics: matched rows
     * replaced whole, unmatched inserted), rewriting only the data files
@@ -568,7 +648,7 @@ object FileCow {
       combine: (DataFrame, DataFrame) => DataFrame = null,
       evolveTo: Option[StructType] = None): Commit =
     retrying(root, "FileCow.merge") { version =>
-      val schema = evolvedSchema(root, version, evolveTo)
+      val (schema, evolvedProps) = evolvedSchemaAndProps(root, version, evolveTo)
       // a custom combinator (general MERGE clauses) owns the row shaping —
       // the source then only needs the merge keys; its output is checked
       // against the table schema below instead
@@ -630,10 +710,11 @@ object FileCow {
       // stays tight on the lead key and on later keys within lead ties.
       val ranged = newData.repartitionByRange(
         math.max(1, affected.length), pruneKeys.map(col): _*)
-      val added = writeDataFiles(spark, root, ranged, statsCols, maxRecordsPerFile)
+      val added = writeDataFiles(spark, root, ranged, statsCols, maxRecordsPerFile,
+        declaredSchema = Some(schema))
       val addedPaths = filePaths(added)
       commit(spark, root, version, AddedSlice(added), schema,
-        CommitAction("merge", addedPaths, affected.toSeq))
+        CommitAction("merge", addedPaths, affected.toSeq), props = evolvedProps)
       Commit(version + 1, prevFiles - affected.length,
         affected.length.toLong, addedPaths.size.toLong)
     }
@@ -936,17 +1017,17 @@ object FileCow {
       maxRecordsPerFile: Long = 0L, evolveTo: Option[StructType] = None)(
       make: (SparkSession, Long) => DataFrame): Commit =
     retrying(root, "FileCow.overwrite") { version =>
-      val schema = evolvedSchema(root, version, evolveTo)
+      val (schema, evolvedProps) = evolvedSchemaAndProps(root, version, evolveTo)
       val df = make(spark, version)
       require(df.schema.map(f => (f.name, f.dataType)) ==
           schema.map(f => (f.name, f.dataType)),
         s"overwrite schema drifted from table schema: ${df.schema} vs $schema")
       val retired = filePaths(manifest(spark, root, version))
       val added = writeDataFiles(spark, root, df, statsColsOf(spark, root, version),
-        maxRecordsPerFile)
+        maxRecordsPerFile, declaredSchema = Some(schema))
       val addedPaths = filePaths(added)
       commit(spark, root, version, AddedSlice(added), schema,
-        CommitAction("overwrite", addedPaths, retired))
+        CommitAction("overwrite", addedPaths, retired), props = evolvedProps)
       Commit(version + 1, filesKept = 0L, filesRewritten = retired.size.toLong,
         addedPaths.size.toLong)
     }
@@ -1071,14 +1152,20 @@ object FileCow {
       }
     }
 
-  /** RENAME a column — honest about the cost: this layout reads parquet
-    * BY NAME (no column-mapping ids), so a rename REWRITES every file in
-    * one commit — the same contract as Delta WITHOUT column mapping, where
-    * RENAME also demands a rewrite. At 100 TB that is a full-table pass;
-    * the scaladoc is the warning label. Stats columns follow the rename
-    * (the manifest's min_/max_ names track the new name); a column a
-    * CHECK constraint references cannot be renamed (drop it first — the
-    * stored predicate text would silently stop matching). */
+  /** RENAME a column. On a COLUMN-MAPPED table (create-vintage — every
+    * field carries a parquet field id) this is a METADATA-ONLY commit:
+    * the id is the column's identity, the name is a label, reads resolve
+    * by id so no data file is touched — Delta's column-mapping contract,
+    * and what turns the old warning label ("the single most expensive
+    * statement in the SQL surface at 100 TB") into a constant-time one.
+    * The manifest's min_/max_ stat columns and the Bloom declaration
+    * follow the new name in the same commit; old versions keep
+    * time-traveling under their own names (each version's schema file is
+    * immutable). On a LEGACY table (convert-vintage — adopted files carry
+    * no ids) the honest full rewrite remains, Delta-without-mapping's
+    * contract. Either way a column a CHECK constraint references cannot
+    * be renamed (drop it first — the stored predicate text would
+    * silently stop matching). */
   def renameColumn(spark: SparkSession, root: String, from: String,
       to: String, maxRecordsPerFile: Long = 0L): Commit =
     retrying(root, "FileCow.renameColumn") { version =>
@@ -1097,27 +1184,44 @@ object FileCow {
           s"cannot rename $resolved: CHECK constraint $cname ($sql) " +
             "references it — DROP CONSTRAINT first")
       }
-      val statsCols = statsColsOf(spark, root, version)
-        .map(c => if (c == resolved) to else c)
-      val nFiles = manifest(spark, root, version).count().toInt
-      val rows = readVersion(spark, root, version)
-        .withColumnRenamed(resolved, to)
-        .repartitionByRange(math.max(1, nFiles), col(statsCols.head))
-      val retired = filePaths(manifest(spark, root, version))
-      // the bloom index follows the rename, like the stats columns do:
-      // the declaration remaps FIRST, so the full rewrite below sketches
-      // under the new name (pre-rename slices read as null → admit, sound)
-      BloomStore.renameColumn(root, resolved, to)
-      val added = writeDataFiles(spark, root, rows, statsCols, maxRecordsPerFile)
       val newSchema = StructType(schema.fields.map(f =>
         if (f.name == resolved) f.copy(name = to) else f))
-      val addedPaths = filePaths(added)
-      // the MANIFEST schema changes with the rename (min_/max_ names) —
-      // a delta fold cannot cross that, so the commit checkpoints
-      commit(spark, root, version, FullManifest(added), newSchema,
-        CommitAction("rename_column", addedPaths, retired))
-      Commit(version + 1, filesKept = 0L, filesRewritten = retired.size.toLong,
-        addedPaths.size.toLong)
+      if (isColumnMapped(schema)) {
+        // metadata-only: the files keep their footers' ids; only the label
+        // moves. Stats columns and the Bloom declaration follow the name.
+        val man = manifest(spark, root, version)
+        val nFiles = CowManifestCache.rowsOf(spark, root, version)._2.length.toLong
+        BloomStore.renameColumn(root, resolved, to)
+        val renamedMan = man
+          .withColumnRenamed(s"min_$resolved", s"min_$to")
+          .withColumnRenamed(s"max_$resolved", s"max_$to")
+        // the MANIFEST schema changes with the rename (min_/max_ names) —
+        // a delta fold cannot cross that, so the commit checkpoints
+        commit(spark, root, version, FullManifest(renamedMan), newSchema,
+          CommitAction("rename_column", Nil, Nil))
+        Commit(version + 1, filesKept = nFiles, filesRewritten = 0L,
+          filesAdded = 0L)
+      } else {
+        val statsCols = statsColsOf(spark, root, version)
+          .map(c => if (c == resolved) to else c)
+        val nFiles = manifest(spark, root, version).count().toInt
+        val rows = readVersion(spark, root, version)
+          .withColumnRenamed(resolved, to)
+          .repartitionByRange(math.max(1, nFiles), col(statsCols.head))
+        val retired = filePaths(manifest(spark, root, version))
+        // the bloom index follows the rename, like the stats columns do:
+        // the declaration remaps FIRST, so the full rewrite below sketches
+        // under the new name (pre-rename slices read as null → admit, sound)
+        BloomStore.renameColumn(root, resolved, to)
+        val added = writeDataFiles(spark, root, rows, statsCols, maxRecordsPerFile)
+        val addedPaths = filePaths(added)
+        // the MANIFEST schema changes with the rename (min_/max_ names) —
+        // a delta fold cannot cross that, so the commit checkpoints
+        commit(spark, root, version, FullManifest(added), newSchema,
+          CommitAction("rename_column", addedPaths, retired))
+        Commit(version + 1, filesKept = 0L, filesRewritten = retired.size.toLong,
+          addedPaths.size.toLong)
+      }
     }
 
   /** PREDICATE-SCOPED COMPACTION (Delta `OPTIMIZE … WHERE`): rewrite only
@@ -1160,7 +1264,8 @@ object FileCow {
         val prevFiles = CowManifestCache.rowsOf(spark, root, version)._2.length.toLong
         val rows = readFilesWithDv(spark, root, version, schema, affected.toSeq)
           .repartitionByRange(math.max(1, targetFiles), col(statsCols.head))
-        val added = writeDataFiles(spark, root, rows, statsCols, maxRecordsPerFile)
+        val added = writeDataFiles(spark, root, rows, statsCols, maxRecordsPerFile,
+          declaredSchema = Some(schema))
         val addedPaths = filePaths(added)
         commit(spark, root, version, AddedSlice(added), schema,
           CommitAction("compact", addedPaths, affected.toSeq))
@@ -1294,8 +1399,15 @@ object FileCow {
       require(fields.map(_.name.toLowerCase).distinct.size == fields.size,
         "duplicate column names in one ADD COLUMNS")
       val prevFiles = CowManifestCache.rowsOf(spark, root, version)._2.length.toLong
-      commit(spark, root, version, MetadataOnly, StructType(schema.fields ++ fields),
-        CommitAction("add_columns", Nil, Nil))
+      // column-mapped tables stamp FRESH ids from the high-water mark —
+      // a re-added name can never resolve to a dropped column's old values
+      val (stamped, props) =
+        if (isColumnMapped(schema)) {
+          val (fs, ps) = freshFieldIds(root, version, schema, fields)
+          (fs, Some(ps))
+        } else (fields, None)
+      commit(spark, root, version, MetadataOnly, StructType(schema.fields ++ stamped),
+        CommitAction("add_columns", Nil, Nil), props = props)
       Commit(version + 1, filesKept = prevFiles, filesRewritten = 0L, filesAdded = 0L)
     }
 
@@ -1853,9 +1965,27 @@ object FileCow {
     * `bloomColsOverride`: None derives the bloom-indexed columns from the
     * table's [[BloomStore]] declaration (every ordinary rewrite);
     * create/convert pass their declaration explicitly. */
-  private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
+  private def writeDataFiles(spark: SparkSession, root: String, df0: DataFrame,
       statsCols: Seq[String], maxRecordsPerFile: Long,
-      bloomColsOverride: Option[Seq[String]] = None): DataFrame = {
+      bloomColsOverride: Option[Seq[String]] = None,
+      declaredSchema: Option[StructType] = None): DataFrame = {
+    // column mapping: every data file carries the declared schema's field
+    // ids in its footer — projections/casts upstream strip column metadata,
+    // so the write re-attaches it here, by name, from the declared schema
+    // (create passes its bootstrap schema; DML resolves the table's)
+    val declared = declaredSchema.orElse {
+      val v = currentVersion(root)
+      if (v >= 1L) Some(schemaOf(root, v)) else None
+    }
+    val df = declared match {
+      case Some(s) if isColumnMapped(s) =>
+        ensureFieldIdConfs(spark)
+        val metaByName = s.fields.map(f => f.name.toLowerCase -> f.metadata).toMap
+        df0.select(df0.schema.fields.toSeq.map(f =>
+          col(f.name).as(f.name,
+            metaByName.getOrElse(f.name.toLowerCase, f.metadata))): _*)
+      case _ => df0
+    }
     val bloomCols = bloomColsOverride.getOrElse(BloomStore.columns(root))
       .filter(df.columns.contains)
     val staging = Paths.get(root, s"_staging-${java.util.UUID.randomUUID().toString.take(8)}")

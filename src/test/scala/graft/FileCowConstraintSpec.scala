@@ -95,19 +95,22 @@ class FileCowConstraintSpec extends SparkSpec {
     FileCow.delete(spark, root, col("id") > 95) // unrelated commit
     FileCow.compact(spark, root, targetFiles = 2) // another
     val v = FileCow.currentVersion(root)
-    assert(FileCow.tableProps(root, v) == Map("owner" -> "graft", "tier" -> "gold"))
+    // column mapping adds its internal high-water mark at create (round 10)
+    def user(m: Map[String, String]) = m - FileCow.MaxColIdProp
+    assert(FileCow.tableProps(root, v)(FileCow.MaxColIdProp) == "2")
+    assert(user(FileCow.tableProps(root, v)) == Map("owner" -> "graft", "tier" -> "gold"))
 
     val tgt = Files.createTempDirectory("cow-chk-clone").resolve("c").toString
     FileCow.shallowClone(spark, root, tgt)
-    assert(FileCow.tableProps(tgt, 1L) == Map("owner" -> "graft", "tier" -> "gold"))
+    assert(user(FileCow.tableProps(tgt, 1L)) == Map("owner" -> "graft", "tier" -> "gold"))
 
     FileCow.unsetTableProperties(spark, root, Seq("tier"))
-    assert(FileCow.tableProps(root, v + 1) == Map("owner" -> "graft"))
+    assert(user(FileCow.tableProps(root, v + 1)) == Map("owner" -> "graft"))
     // time travel sees the old property set
     assert(FileCow.tableProps(root, v)("tier") == "gold")
   }
 
-  test("RENAME COLUMN rewrites, tracks stats names, and respects constraints") {
+  test("RENAME COLUMN tracks stats names and respects constraints") {
     val s = spark
     import s.implicits._
     val root = Files.createTempDirectory("cow-ren").toString
@@ -123,7 +126,7 @@ class FileCowConstraintSpec extends SparkSpec {
     assert(guard.getMessage.contains("amt_pos"))
     spark.sql("ALTER TABLE ren_t DROP CONSTRAINT amt_pos") // v3
 
-    spark.sql("ALTER TABLE ren_t RENAME COLUMN amount TO amt") // v4: rewrite
+    spark.sql("ALTER TABLE ren_t RENAME COLUMN amount TO amt") // v4: metadata-only (column mapping)
     assert(FileCow.commitInfo(root, 4L).get.kind == "rename_column")
     assert(FileCow.schemaOf(root, 4L).fieldNames.toSeq == Seq("k", "amt"))
     assert(spark.sql("SELECT sum(amt) s FROM ren_t").as[Long].head() ==
@@ -165,7 +168,9 @@ class FileCowConstraintSpec extends SparkSpec {
     spark.sql("ALTER TABLE chk_t UNSET TBLPROPERTIES ('owner')")
     val props2 = spark.sql("SHOW TBLPROPERTIES chk_t")
       .as[(String, String)].collect().toMap
-    assert(props2.isEmpty)
+    // only the column-mapping high-water mark remains (internal, shown like
+    // Delta's delta.columnMapping.maxColumnId)
+    assert(props2 == Map(FileCow.MaxColIdProp -> "2"), s"got $props2")
     GraftTables.unregister("chk_t")
   }
 }
