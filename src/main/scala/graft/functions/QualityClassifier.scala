@@ -79,7 +79,10 @@ object QualityClassifier {
     require(maxRows >= 1L, s"train: maxRows must be >= 1, got $maxRows")
     val feats = features(docs)
       .select("doc_id", "alpha_ratio", "stop_ratio", "tok_sat", "label")
-    val n = feats.count()
+    // features is a 1:1 projection of docs, so the exact count comes off
+    // the raw frame (often a metadata-only parquet count) — the expensive
+    // feature computation runs once, in the collect below
+    val n = docs.count()
     val capped =
       if (n <= maxRows) feats
       else {

@@ -112,6 +112,16 @@ object FileCow {
     (stamped, props + (MaxColIdProp -> (high + fields.size).toString))
   }
 
+  /** Driver-side (lastCheckpointSeen, scannedThroughVersion) per root: the
+    * per-commit checkpoint-cadence probe scans only the versions it has
+    * never scanned — amortized O(1) per commit instead of a stat-walk over
+    * the whole delta chain (quadratic over a run when the interval is set
+    * high). Another JVM's checkpoint inside the already-scanned range is
+    * missed, which only makes THIS writer checkpoint on its own cadence —
+    * never a correctness issue (folds work from any checkpoint). */
+  private val checkpointPos =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
   /** Field-id matching is conf-gated in Spark's parquet paths; both confs
     * are harmless for schemas that carry no IDs (everything non-graft), so
     * the cow read/write entries just keep them on. */
@@ -372,6 +382,7 @@ object FileCow {
     // a re-created root (deleted out-of-band, then created again in the
     // same JVM) must not serve the previous table's cached manifests
     CowManifestCache.invalidate(root)
+    checkpointPos.remove(Paths.get(root).toAbsolutePath.normalize.toString)
     BloomStore.declare(root, bloomCols)
     // column mapping from birth: ids 1..n, written into the files' footers
     val idSchema = withFieldIds(df.schema)
@@ -405,6 +416,7 @@ object FileCow {
         statsCols.forall(schema.fieldNames.contains),
       s"statsCols ${statsCols.mkString(",")} must exist in the source data")
     CowManifestCache.invalidate(root)
+    checkpointPos.remove(Paths.get(root).toAbsolutePath.normalize.toString)
     Files.createDirectories(dataDir(root))
     val moved = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val list = Files.list(Paths.get(sourceDir))
@@ -467,6 +479,7 @@ object FileCow {
       s"version $v of $srcRoot carries deletion vectors — materialize them " +
         "first (OPTIMIZE / compact), then clone")
     CowManifestCache.invalidate(tgtRoot)
+    checkpointPos.remove(Paths.get(tgtRoot).toAbsolutePath.normalize.toString)
     val man = manifest(spark, srcRoot, v)
     val files = man.select("file").collect().map(_.getString(0)).toSeq
     // register with every owner BEFORE the clone exists: from the moment
@@ -851,10 +864,12 @@ object FileCow {
   /** Read specific data files under `schema` with version `v`'s deletion
     * vectors applied — the base-read every DML shares. */
   private def readFilesWithDv(spark: SparkSession, root: String, v: Long,
-      schema: StructType, files: Seq[String]): DataFrame =
+      schema: StructType, files: Seq[String]): DataFrame = {
+    if (isColumnMapped(schema)) ensureFieldIdConfs(spark)
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else applyDvRegistry(spark, dvRegistryOf(root, v),
       spark.read.schema(schema).parquet(files: _*))
+  }
 
   /** `DESCRIBE DETAIL`'s relation: the per-file manifest plus each file's
     * standing deletion-vector row count (`dv_rows`, 0 when none stand) —
@@ -924,6 +939,7 @@ object FileCow {
         // named `file` must keep meaning the DATA column in the condition
         val existingKeyed = existing.select(
           col("file").as("_g_file"), col("row_idx").as("_g_rid"))
+        if (isColumnMapped(schema)) ensureFieldIdConfs(spark)
         val newDel = spark.read.schema(schema).parquet(affected.toSeq: _*)
           .withColumn("_g_file", col("_metadata.file_name"))
           .withColumn("_g_rid", col("_metadata.row_index"))
@@ -1551,6 +1567,9 @@ object FileCow {
       fromVersion: Long, toVersion: Long): DataFrame = {
     val sa = schemaOf(root, fromVersion)
     val sb = schemaOf(root, toVersion)
+    // both sides' file reads must resolve by field id on mapped tables —
+    // a fresh reader-only JVM may never have planned through relationFor
+    if (isColumnMapped(sb) || isColumnMapped(sa)) ensureFieldIdConfs(spark)
     // A rename_column commit inside the interval is a FULL rewrite whose
     // pre-side files carry the OLD name — reading them under the end
     // schema would project the renamed column as NULL and report every row
@@ -1829,7 +1848,16 @@ object FileCow {
       spark.createDataFrame(rows.asJava, s)
         .coalesce(1).write.mode("overwrite").parquet(staging.toString)
       if (Files.exists(manifestDir(root, v))) deleteTree(staging)
-      else Files.move(staging, manifestDir(root, v), StandardCopyOption.ATOMIC_MOVE)
+      else try Files.move(staging, manifestDir(root, v), StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // lost the race between the exists probe and the move (two vacuums
+        // re-basing the same version): the winner's checkpoint is the same
+        // manifest — discard ours and proceed
+        case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.DirectoryNotEmptyException
+           | _: java.nio.file.FileSystemException if Files.exists(manifestDir(root, v)) =>
+          deleteTree(staging)
+      }
       // its delta slice is now redundant (reconstruction short-circuits at
       // the checkpoint); leave it for this version's own vacuum
     }
@@ -1896,6 +1924,7 @@ object FileCow {
     val files = CowManifestCache.rowsOf(spark, root, v)._2
       .map(_.getAs[String]("file")).filter(_.nonEmpty)
     if (files.isEmpty) return
+    if (isColumnMapped(schema)) ensureFieldIdConfs(spark)
     import spark.implicits._
     val (items, bits) = bloomSizing(root)
     val bloomNames = fresh.map(c => s"bloom_$c")
@@ -2200,9 +2229,16 @@ object FileCow {
       case _ =>
         val every = numericProp(nextProps, CheckpointIntervalProp)
           .getOrElse(CheckpointIntervalDefault)
-        val lastCheckpoint = (expected to 1L by -1L)
-          .find(w => Files.exists(manifestDir(root, w))).getOrElse(0L)
-        next - lastCheckpoint >= every
+        val rk = Paths.get(root).toAbsolutePath.normalize.toString
+        val (ck0, sc0) = checkpointPos.getOrDefault(rk, (0L, 0L))
+        var last = ck0
+        var w = sc0 + 1
+        while (w <= expected) {
+          if (Files.exists(manifestDir(root, w))) last = w
+          w += 1
+        }
+        checkpointPos.put(rk, (last, expected))
+        next - last >= every
     }
     import scala.jdk.CollectionConverters._
     val checkpointTmp =
@@ -2298,6 +2334,9 @@ object FileCow {
         case None => Files.deleteIfExists(dvRegistryFile(root, next)) // crashed orphan
       }
       TablePointer.swap(root, next)
+      if (checkpointTmp.isDefined)
+        checkpointPos.put(
+          Paths.get(root).toAbsolutePath.normalize.toString, (next, next))
       // seed the cache with the rows just resolved: consumers of the new
       // version (the next commit, the planner) never re-fold or re-read
       CowManifestCache.seed(root, next, manSchema, newRows)
@@ -2391,41 +2430,60 @@ private[graft] object CowManifestCache {
       version: Long): (StructType, Seq[Row]) = {
     val key = (Paths.get(root).toAbsolutePath.normalize.toString, version)
     val hit = cache.get(key)
-    if (hit != null) hit
-    else {
-      val loaded = load(spark, root, version)
-      loads += 1
-      // an UNPUBLISHED version dir (crashed commit's orphan) may still be
-      // replaced by a winning commit — never cache it
-      if (version <= TablePointer.current(root)) cache.put(key, loaded)
-      loaded
-    }
+    if (hit != null) hit else load(spark, root, version)
   }
 
   /** Resolve a version's manifest rows: a CHECKPOINT dir reads directly;
-    * a delta version folds its slice over the previous version's rows
-    * (recursive — each intermediate version caches, so a cold chain of N
-    * delta commits folds each slice exactly once per JVM, and the chain
-    * is bounded by the checkpoint interval). */
+    * a delta version folds its slice over the previous version's rows.
+    * ITERATIVE on purpose: the walk down to the nearest resolvable base
+    * (cached version or checkpoint) and the fold back up are loops, so a
+    * long delta chain (a table with `graft.checkpoint.interval` set high)
+    * can never overflow the stack — one frame regardless of chain length.
+    * Every intermediate version caches, so a cold chain of N delta
+    * commits folds each slice exactly once per JVM. */
   private def load(spark: SparkSession, root: String,
       version: Long): (StructType, Seq[Row]) = {
-    val dir = FileCow.manifestDir(root, version)
-    if (java.nio.file.Files.exists(dir)) {
-      val df = spark.read.parquet(dir.toString)
-      (df.schema, df.collect().toSeq)
-    } else {
-      require(version >= 1L, s"no manifest for version $version under $root")
-      val ci = FileCow.commitInfo(root, version).getOrElse(sys.error(
-        s"cannot reconstruct manifest v$version under $root: no checkpoint " +
+    val absKey = Paths.get(root).toAbsolutePath.normalize.toString
+    val published = TablePointer.current(root)
+    def cachePut(v: Long, e: (StructType, Seq[Row])): Unit =
+      // an UNPUBLISHED version dir (crashed commit's orphan) may still be
+      // replaced by a winning commit — never cache it
+      if (v <= published) cache.put((absKey, v), e)
+    // walk DOWN to the nearest base
+    var base: (StructType, Seq[Row]) = null
+    var v = version
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (base == null) {
+      val hit = cache.get((absKey, v))
+      if (hit != null) base = hit
+      else {
+        val dir = FileCow.manifestDir(root, v)
+        if (java.nio.file.Files.exists(dir)) {
+          val df = spark.read.parquet(dir.toString)
+          base = (df.schema, df.collect().toSeq)
+          loads += 1
+          cachePut(v, base)
+        } else {
+          require(v >= 1L, s"no manifest for version $v under $root")
+          pending += v
+          v -= 1
+        }
+      }
+    }
+    // fold the delta slices back UP, caching each version on the way
+    var acc = base
+    pending.reverseIterator.foreach { w =>
+      val ci = FileCow.commitInfo(root, w).getOrElse(sys.error(
+        s"cannot reconstruct manifest v$w under $root: no checkpoint " +
           "and no commit record (vacuumed?)"))
-      val (ps, prevRows) = rowsOf(spark, root, version - 1)
+      val (ps, prevRows) = acc
       val fIdx = ps.fieldIndex("file")
       val added: Seq[Row] =
         if (ci.added.isEmpty) Nil
         else {
-          val deltaDir = FileCow.manifestDeltaDir(root, version)
+          val deltaDir = FileCow.manifestDeltaDir(root, w)
           require(java.nio.file.Files.exists(deltaDir),
-            s"commit record v$version under $root names added files but its " +
+            s"commit record v$w under $root names added files but its " +
               "delta manifest is missing")
           // conform to the fold base's column order — delta slices never
           // cross a manifest-schema change (those commits checkpoint)
@@ -2434,8 +2492,11 @@ private[graft] object CowManifestCache {
             .collect().toSeq
         }
       val removed = ci.removed.toSet
-      (ps, prevRows.filterNot(r => removed(r.getString(fIdx))) ++ added)
+      acc = (ps, prevRows.filterNot(r => removed(r.getString(fIdx))) ++ added)
+      loads += 1
+      cachePut(w, acc)
     }
+    acc
   }
 
   /** The cached manifest as a LOCAL relation (driver-side data; filters on

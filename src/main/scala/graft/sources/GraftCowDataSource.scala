@@ -76,7 +76,11 @@ class GraftCowDataSource extends RelationProvider
         "graft-cow: readChangeFeed requires the 'keys' option (the table's " +
         "merge keys — the change feed classifies rows by key presence)"))
         .split(",").map(_.trim).toSeq
-      new CdfSource(ctx, r, keys, start, maxPerTrigger, Some(metadataPath))
+      // the feed schema pins at stream birth like the table stream's —
+      // a restart across a rename/drop commit fails loudly
+      val pinnedFeed = CdfSource.pinnedSchema(metadataPath, CdfSource.feedSchema(r))
+      new CdfSource(ctx, r, keys, start, maxPerTrigger, Some(metadataPath),
+        pinnedFeedSchema = Some(pinnedFeed))
     } else {
       // the stream's BIRTH schema is persisted like the start version: a
       // restart adopts a pure widening (additive evolution), and fails

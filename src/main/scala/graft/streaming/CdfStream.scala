@@ -63,8 +63,10 @@ class CdfSourceProvider extends StreamSourceProvider
       params: Map[String, String]): Source = {
     val root = opt(params, "root")
     val keys = opt(params, "keys").split(",").map(_.trim).toSeq
+    val pinned = CdfSource.pinnedSchema(metadataPath, CdfSource.feedSchema(root))
     new CdfSource(ctx, root, keys, CdfSource.pinnedStart(metadataPath, root, params),
-      params.get("maxVersionsPerTrigger").map(_.toLong), Some(metadataPath))
+      params.get("maxVersionsPerTrigger").map(_.toLong), Some(metadataPath),
+      pinnedFeedSchema = Some(pinned))
   }
 }
 
@@ -168,8 +170,16 @@ object CdfSource {
           java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
       if (birth == resolved) resolved
       else {
+        // name+type alone would let a DROP + same-name RE-ADD pass as a
+        // "widening" (the re-added column has a FRESH field id and reads
+        // NULL from pre-drop files) — compare ids too, so that drift
+        // fails loudly like rename does
+        def idOf(x: org.apache.spark.sql.types.StructField): Option[Long] =
+          if (x.metadata.contains(graft.sources.FileCow.FieldIdKey))
+            Some(x.metadata.getLong(graft.sources.FileCow.FieldIdKey))
+          else None
         val widening = birth.fields.forall(f => resolved.fields.exists(g =>
-          g.name == f.name && g.dataType == f.dataType))
+          g.name == f.name && g.dataType == f.dataType && idOf(g) == idOf(f)))
         if (widening) { write(resolved); resolved }
         else sys.error("graft-cow stream: the table schema changed " +
           s"incompatibly since this checkpoint's stream began " +
@@ -205,10 +215,16 @@ object CdfSource {
 class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
     val startVersion: Long,
     maxVersionsPerTrigger: Option[Long] = None,
-    metadataPath: Option[String] = None) extends Source
+    metadataPath: Option[String] = None,
+    pinnedFeedSchema: Option[StructType] = None) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  override val schema: StructType = CdfSource.feedSchema(root)
+  // the feed schema is PINNED at stream birth exactly like the table
+  // stream's ([[CdfSource.pinnedSchema]]): a restart after a rename/drop
+  // commit must fail loudly instead of silently re-reading WAL-replayed
+  // batches under a different column set than the sink already consumed
+  override val schema: StructType =
+    pinnedFeedSchema.getOrElse(CdfSource.feedSchema(root))
 
   // rate limiting caps each micro-batch at N commits, so a stream catching
   // up on a long-idle checkpoint drains the backlog in bounded batches

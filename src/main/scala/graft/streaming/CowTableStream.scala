@@ -125,6 +125,10 @@ class CowTableSource(ctx: SQLContext, root: String,
           "or skip such commits (.option(\"skipChangeCommits\", \"true\")).")
       }
     }
+    // mapped tables resolve by field id — a reader-only JVM may never have
+    // planned through relationFor, so the conf is ensured here too
+    if (graft.sources.FileCow.isColumnMapped(schema))
+      graft.sources.FileCow.ensureFieldIdConfs(spark)
     val batch =
       if (addedFiles.nonEmpty) spark.read.schema(schema).parquet(addedFiles: _*)
       else spark.createDataFrame(

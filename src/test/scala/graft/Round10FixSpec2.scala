@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.sources.FileCow
+
+/** Round-10 self-review fixes, each spec-pinned:
+  *
+  *   1. every cow data-file read path ensures the field-id read conf
+  *      itself — a fresh reader-only session (conf never set by
+  *      relationFor) reading a RENAMED mapped table through
+  *      changesBetween / DML base reads must resolve by id, not read the
+  *      renamed column as NULL;
+  *   2. the table-stream birth-schema widening check compares FIELD IDS,
+  *      so a drop + same-name re-add (fresh id — pre-drop files would
+  *      replay NULL) fails loudly instead of passing as a widening;
+  *   3. the CDF stream pins its feed schema at birth like the table
+  *      stream — a restart across a rename fails loudly instead of
+  *      silently re-reading WAL-replayed batches under new names.
+  */
+class Round10FixSpec2 extends SparkSpec {
+  import spark.implicits._
+
+  private def mkMapped(): String = {
+    val root = Files.createTempDirectory("r10b").resolve("t").toString
+    FileCow.create(spark, root,
+      spark.range(1, 21).select(col("id").as("k"), (col("id") * 10).as("v"))
+        .repartitionByRange(2, col("k")),
+      statsCols = Seq("k"))
+    root
+  }
+
+  /** Simulate a fresh reader-only JVM: the session-global field-id read
+    * conf is unset, so only the code path under test can restore it. */
+  private def unsetFieldIdConfs(): Unit = {
+    spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+    spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+  }
+
+  test("changesBetween resolves renamed columns by id without a prior plan") {
+    val root = mkMapped()                            // v1
+    FileCow.renameColumn(spark, root, "v", "w")      // v2: metadata-only
+    FileCow.delete(spark, root, col("w") === 50L)    // v3
+    unsetFieldIdConfs()
+    val feed = FileCow.changesBetween(spark, root, Seq("k"), 2L, 3L)
+      .select("_change_type", "k", "w").as[(String, Long, Long)].collect().toSet
+    assert(feed == Set(("delete", 5L, 50L)),
+      s"the pre-image must carry the real value read by field id, got $feed")
+  }
+
+  test("DML predicates on a renamed column evaluate against real values") {
+    val root = mkMapped()                            // v1
+    FileCow.renameColumn(spark, root, "v", "w")      // v2
+    unsetFieldIdConfs()
+    FileCow.delete(spark, root, col("w") > 180L)     // v3: touches ids 19, 20
+    val left = FileCow.read(spark, root).select("k").as[Long].collect().toSet
+    assert(left == (1L to 18L).toSet,
+      s"delete must remove exactly w>180 (k=19,20), left $left")
+  }
+
+  test("table-stream restart across drop + same-name re-add fails loudly") {
+    val root = mkMapped()                            // v1
+    val ckpt = Files.createTempDirectory("r10b-ck").toString
+    val got = mutable.Set.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-cow").option("root", root)
+        .option("startingVersion", "0").load()
+        .writeStream
+        .foreachBatch((b: DataFrame, _: Long) =>
+          { got.synchronized { got ++= b.select("k").as[Long].collect() }; () })
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(got.size == 20)
+    FileCow.dropColumns(spark, root, Seq("v"))       // v2
+    FileCow.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, nullable = true))) // v3: FRESH id
+    val e = intercept[Exception] { run() }
+    assert(e.getMessage.contains("incompatibly") ||
+      Option(e.getCause).exists(_.getMessage.contains("incompatibly")),
+      s"drop + re-add must fail the pinned-schema guard, got: ${e.getMessage}")
+  }
+
+  test("CDF-stream restart across a rename fails loudly (pinned feed schema)") {
+    val root = mkMapped()                            // v1
+    val ckpt = Files.createTempDirectory("r10b-ck2").toString
+    val versions = mutable.Set.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-cdf").option("root", root)
+        .option("keys", "k").option("startingVersion", "0").load()
+        .writeStream
+        .foreachBatch((b: DataFrame, _: Long) => {
+          versions.synchronized {
+            versions ++= b.select("_commit_version").as[Long].collect()
+          }
+          ()
+        })
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(versions.contains(1L))
+    FileCow.renameColumn(spark, root, "v", "w")      // v2: metadata-only
+    FileCow.append(spark, root, Seq((100L, 1000L)).toDF("k", "w")) // v3
+    val e = intercept[Exception] { run() }
+    assert(e.getMessage.contains("incompatibly") ||
+      Option(e.getCause).exists(_.getMessage.contains("incompatibly")),
+      s"a rename must fail the CDF stream's pinned feed schema, got: ${e.getMessage}")
+  }
+}
