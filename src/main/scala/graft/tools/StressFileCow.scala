@@ -98,6 +98,13 @@ object StressFileCow {
           Map("graft.sweep.tag" -> "1")))
         val (_, sRestore) = timed(
           FileCow.restore(spark, root, FileCow.currentVersion(root) - 1))
+        // RENAME under column mapping: metadata-only by construction
+        // (round 10) — timed here so the sweep records the cost class
+        // (one checkpoint write, zero data files) across file counts
+        val (cRen, sRename) = timed(
+          FileCow.renameColumn(spark, root, "payload", "body"))
+        require(cRen.filesRewritten == 0L && cRen.filesAdded == 0L,
+          s"mapped rename must be metadata-only, got $cRen")
         // the REMOVED r9 per-commit path, timed for the record: stage the
         // full manifest through a Spark job (untouched left-anti join +
         // union + coalesce(1) write) and collect it back — what every
@@ -112,7 +119,7 @@ object StressFileCow {
             .collect().length
           rmTree(Paths.get(probe)); n
         }
-        println(f"""{"files":$f,"rows":$nRows,"append_sec":[${appends.map(s => f"$s%.2f").mkString(",")}],"append_ckpt_sec":[${appendsCkpt.map(s => f"$s%.2f").mkString(",")}],"merge_narrow_sec":$sMerge%.2f,"merge_rewritten":${cM.filesRewritten},"meta_commit_sec":$sMeta%.2f,"restore_sec":$sRestore%.2f,"r9_manifest_path_sec":$sR9%.2f}""")
+        println(f"""{"files":$f,"rows":$nRows,"append_sec":[${appends.map(s => f"$s%.2f").mkString(",")}],"append_ckpt_sec":[${appendsCkpt.map(s => f"$s%.2f").mkString(",")}],"merge_narrow_sec":$sMerge%.2f,"merge_rewritten":${cM.filesRewritten},"meta_commit_sec":$sMeta%.2f,"restore_sec":$sRestore%.2f,"rename_sec":$sRename%.2f,"r9_manifest_path_sec":$sR9%.2f}""")
         rmTree(Paths.get(root))
         System.gc()
       }
