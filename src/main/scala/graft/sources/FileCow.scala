@@ -1808,6 +1808,30 @@ object FileCow {
         }
       }
     } finally list.close()
+    // crashed-attempt staging leftovers: a writer that died between
+    // staging and its CAS leaves a `_staging-*` dir under the root (data
+    // parts) or `m<v>.*.staging-*` entries under `_manifests` (manifest/
+    // schema/props/commit tmp files) that nothing references — reclaim
+    // them under the same age floor, which is what keeps an IN-FLIGHT
+    // attempt's younger staging safe
+    locally {
+      val now = System.currentTimeMillis()
+      def sweep(d: NioPath, pred: String => Boolean): Unit =
+        if (Files.exists(d)) {
+          val l = Files.list(d)
+          try {
+            val it = l.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              if (pred(p.getFileName.toString) &&
+                  now - Files.getLastModifiedTime(p).toMillis >= minAgeMs)
+                deleteTree(p)
+            }
+          } finally l.close()
+        }
+      sweep(Paths.get(root), _.startsWith("_staging-"))
+      sweep(manifestsDir(root), _.contains(".staging-"))
+    }
     // bloom slices whose every sketched file is now dead go with them
     // (a partially-live slice stays — its dead rows are bounded garbage
     // until compaction retires the slice's last live file)

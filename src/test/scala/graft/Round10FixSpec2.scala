@@ -89,6 +89,31 @@ class Round10FixSpec2 extends SparkSpec {
       s"drop + re-add must fail the pinned-schema guard, got: ${e.getMessage}")
   }
 
+  test("vacuum reclaims crashed-attempt staging orphans under the age floor") {
+    val root = mkMapped()
+    // plant what a writer crashed mid-attempt leaves behind: a data
+    // staging dir under the root and a manifest staging file
+    val st = java.nio.file.Paths.get(root, "_staging-deadbeef")
+    Files.createDirectories(st)
+    Files.write(st.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    val ms = java.nio.file.Paths.get(root, "_manifests", "m9.delta.staging-dead")
+    Files.write(ms, Array[Byte](1))
+    // a YOUNG orphan (an in-flight attempt) survives an age-floored vacuum
+    FileCow.vacuum(spark, root, keep = 10, minAgeMs = 3600000L)
+    assert(Files.exists(st) && Files.exists(ms),
+      "young staging must survive the age floor")
+    // aged past the floor, both are reclaimed
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 8L * 24 * 3600 * 1000)
+    Files.setLastModifiedTime(st, old)
+    Files.setLastModifiedTime(ms, old)
+    FileCow.vacuum(spark, root, keep = 10, minAgeMs = 0L)
+    assert(!Files.exists(st) && !Files.exists(ms),
+      "aged staging orphans must be reclaimed")
+    // the table is untouched
+    assert(FileCow.read(spark, root).count() == 20L)
+  }
+
   test("CDF-stream restart across a rename fails loudly (pinned feed schema)") {
     val root = mkMapped()                            // v1
     val ckpt = Files.createTempDirectory("r10b-ck2").toString
