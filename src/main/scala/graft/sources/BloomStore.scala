@@ -31,12 +31,49 @@ private[graft] object BloomStore {
 
   private def dir(root: String): Path = Paths.get(root, "_bloom")
   private def markerFile(root: String): Path = dir(root).resolve("columns")
+  private def aliasFile(root: String): Path = dir(root).resolve("aliases")
 
   /** The declared bloom-indexed columns (empty = no index). */
   def columns(root: String): Seq[String] =
     if (!Files.exists(markerFile(root))) Nil
     else new String(Files.readAllBytes(markerFile(root)), StandardCharsets.UTF_8)
       .trim.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** Historical slice-column names per CURRENT name (newest first) — a
+    * METADATA-ONLY rename (column mapping) leaves existing slices keyed
+    * by the old `bloom_<name>` column; the alias map lets probes keep
+    * reading them (a rename relabels, so the sketch bytes stay exact).
+    * Format: one `current=old1,old2` line per renamed column. */
+  def aliases(root: String): Map[String, Seq[String]] =
+    if (!Files.exists(aliasFile(root))) Map.empty
+    else new String(Files.readAllBytes(aliasFile(root)), StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+        line.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k.trim -> v.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          case _ => None
+        }
+      }.toMap
+
+  private def writeAliases(root: String, m: Map[String, Seq[String]]): Unit = {
+    if (m.isEmpty) { Files.deleteIfExists(aliasFile(root)); () }
+    else {
+      Files.createDirectories(dir(root))
+      Files.write(aliasFile(root),
+        m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${v.mkString(",")}" }
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      ()
+    }
+  }
+
+  /** Every name the store has EVER keyed sketches by — declared names,
+    * alias keys and alias values. A rename/backfill landing on one of
+    * these would make stale `bloom_<name>` bytes probe-reachable for the
+    * WRONG column (a wrong skip loses rows), so the callers refuse. */
+  def historicalNames(root: String): Set[String] = {
+    val a = aliases(root)
+    columns(root).toSet ++ a.keySet ++ a.values.flatten
+  }
 
   def declare(root: String, cols: Seq[String]): Unit = if (cols.nonEmpty) {
     Files.createDirectories(dir(root))
@@ -45,9 +82,16 @@ private[graft] object BloomStore {
     ()
   }
 
+  /** Remap the declaration AND the alias chain: `to` inherits `from`'s
+    * history with `from` prepended (newest alias first), so slices from
+    * every vintage stay probe-readable after chained renames. */
   def renameColumn(root: String, from: String, to: String): Unit = {
     val cur = columns(root)
-    if (cur.contains(from)) declare(root, cur.map(c => if (c == from) to else c))
+    if (cur.contains(from)) {
+      declare(root, cur.map(c => if (c == from) to else c))
+      val a = aliases(root)
+      writeAliases(root, (a - from) + (to -> (from +: a.getOrElse(from, Nil))))
+    }
   }
 
   def dropColumns(root: String, dropped: Seq[String]): Unit = {
@@ -56,6 +100,13 @@ private[graft] object BloomStore {
     if (kept != cur) {
       if (kept.isEmpty) Files.deleteIfExists(markerFile(root))
       else declare(root, kept)
+      // the dropped names become TOMBSTONES in the alias file (their
+      // existing chains stay, never-renamed names gain an empty entry):
+      // historicalNames must keep refusing a later rename/backfill onto
+      // any name whose stale bytes still sit in old slices
+      val a = aliases(root)
+      val gone = cur.filter(dropped.contains)
+      writeAliases(root, a ++ gone.filterNot(a.contains).map(_ -> Nil))
       ()
     }
   }
@@ -131,13 +182,19 @@ private[graft] object BloomStore {
       val loaded: Map[String, Option[BloomFilter]] =
         if (dirs.isEmpty) Map.empty
         else {
-          val schema = StructType(Seq(StructField("file", StringType),
-            StructField(s"bloom_$colName", BinaryType)))
+          // slices written before a METADATA-ONLY rename key the sketch by
+          // the then-current name — probe the current column FIRST, then
+          // the alias chain newest-first (a file's sketch lives in exactly
+          // one slice, so at most one of these is non-null per row)
+          val names = colName +: aliases(root).getOrElse(colName, Nil)
+          val schema = StructType(StructField("file", StringType) +:
+            names.map(n => StructField(s"bloom_$n", BinaryType)))
           spark.read.schema(schema).parquet(dirs: _*)
             .filter(col("file").isin(misses: _*))
             .collect()
             .flatMap { r =>
-              val b = r.getAs[Array[Byte]](s"bloom_$colName")
+              val b = names.iterator.map(n => r.getAs[Array[Byte]](s"bloom_$n"))
+                .find(_ != null).orNull
               if (b == null) None
               else Some(r.getString(0) ->
                 Some(BloomFilter.readFrom(new ByteArrayInputStream(b))))

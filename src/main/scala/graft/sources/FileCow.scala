@@ -1203,6 +1203,16 @@ object FileCow {
       val newSchema = StructType(schema.fields.map(f =>
         if (f.name == resolved) f.copy(name = to) else f))
       if (isColumnMapped(schema)) {
+        // a metadata-only rename keeps every data file LIVE, so stale
+        // `bloom_<to>` bytes in old slices (from a previously dropped or
+        // renamed-away column of that name) would become probe-reachable
+        // for the WRONG column — a wrong skip loses rows. Refuse loudly;
+        // the legacy rewrite path retires all sketched files, so only the
+        // mapped path carries this hazard.
+        require(!BloomStore.historicalNames(root).contains(to),
+          s"cannot rename to '$to': the Bloom index once keyed sketches " +
+            "by that name and old slices still reference live files — " +
+            "pick another name, or OPTIMIZE (rewrite) first")
         // metadata-only: the files keep their footers' ids; only the label
         // moves. Stats columns and the Bloom declaration follow the name.
         val man = manifest(spark, root, version)
@@ -1942,6 +1952,17 @@ object FileCow {
       s"bloom columns ${cols.mkString(",")} must exist " +
         s"(have: ${schema.fieldNames.mkString(",")})")
     val existing = BloomStore.columns(root)
+    // a fresh declaration may not land on a name the store ever keyed
+    // sketches by (alias chains / drop tombstones): old slices' stale
+    // bytes would probe-match the new column and wrongly skip files
+    locally {
+      val stale = cols.filterNot(existing.contains)
+        .filter(BloomStore.historicalNames(root).contains)
+      require(stale.isEmpty,
+        s"cannot bloom-index ${stale.mkString(",")}: old slices still key " +
+          "sketches by these names for live files — pick other names, or " +
+          "OPTIMIZE (rewrite) first")
+    }
     val fresh = cols.filterNot(existing.contains)
     BloomStore.declare(root, existing ++ fresh)
     if (fresh.isEmpty) return

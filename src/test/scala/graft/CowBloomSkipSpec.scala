@@ -207,4 +207,52 @@ class CowBloomSkipSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(sIn.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
+
+  test("the bloom index survives a metadata-only rename via the alias chain") {
+    val root = Files.createTempDirectory("graft-bloom-ren").toString
+    FileCow.create(spark, root,
+      scattered(0, 1000).repartitionByRange(8, col("k")),
+      statsCols = Seq("k"), bloomCols = Seq("u"))
+    val c = FileCow.renameColumn(spark, root, "u", "uid")
+    assert(c.filesRewritten == 0L, "mapped rename must stay metadata-only")
+    // PRE-rename slices (keyed bloom_u) keep skipping under the new name
+    val q = FileCow.read(spark, root).filter(col("uid") === uOf(7L))
+    assert(q.select("k").as[Long].collect().toSeq == Seq(7L))
+    assert(opened(q) == 1,
+      s"pre-rename sketches must serve via the alias, opened ${opened(q)}")
+    // POST-rename commits sketch under the new name and skip too
+    FileCow.append(spark, root,
+      scattered(2000, 2100).withColumnRenamed("u", "uid"))
+    val q2 = FileCow.read(spark, root).filter(col("uid") === uOf(2050L))
+    assert(q2.select("k").as[Long].collect().toSeq == Seq(2050L))
+    assert(opened(q2) == 1, s"post-rename sketches skip, opened ${opened(q2)}")
+  }
+
+  test("recycling a bloom-historical name is refused (stale-sketch hazard)") {
+    val root = Files.createTempDirectory("graft-bloom-rec").toString
+    FileCow.create(spark, root,
+      scattered(0, 200).repartitionByRange(4, col("k")),
+      statsCols = Seq("k"), bloomCols = Seq("u"))
+    FileCow.dropColumns(spark, root, Seq("u")) // bloom_u bytes stay in slices
+    // renaming another column ONTO the dead name would make the stale
+    // sketches probe-reachable for the wrong column — refused
+    val e1 = intercept[IllegalArgumentException] {
+      FileCow.renameColumn(spark, root, "s", "u")
+    }
+    assert(e1.getMessage.contains("Bloom index once keyed"), e1.getMessage)
+    // re-adding the column and re-indexing it is refused the same way
+    FileCow.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("u",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val e2 = intercept[IllegalArgumentException] {
+      FileCow.buildBloomIndex(spark, root, Seq("u"))
+    }
+    assert(e2.getMessage.contains("old slices still key"), e2.getMessage)
+    // an untouched name still indexes fine
+    FileCow.buildBloomIndex(spark, root, Seq("s"))
+    val probe = md5Of("d7")
+    val q = FileCow.read(spark, root).filter(col("s") === probe)
+    assert(q.select("k").as[Long].collect().toSeq == Seq(7L))
+    assert(opened(q) == 1)
+  }
 }
