@@ -140,7 +140,7 @@ private[graft] object BloomStore {
   def vacuumSlices(spark: SparkSession, root: String,
       referenced: Set[String], minAgeMs: Long): Seq[String] = {
     val now = System.currentTimeMillis()
-    sliceDirs(root).filter { d =>
+    val removed = sliceDirs(root).filter { d =>
       val p = Paths.get(d)
       now - Files.getLastModifiedTime(p).toMillis >= minAgeMs && {
         val schema = StructType(Seq(StructField("file", StringType)))
@@ -148,6 +148,29 @@ private[graft] object BloomStore {
           .forall(r => !referenced.contains(r.getString(0)))
       }
     }.map { d => FileCow.deleteTree(Paths.get(d)); d }
+    // alias/tombstone entries exist to guard STALE bloom_<name> bytes in
+    // old slices; once no surviving slice carries a name, the guard (and
+    // the rename/backfill refusal) LIFTS — this is what makes the
+    // advertised "OPTIMIZE (rewrite), then VACUUM" remediation real.
+    val a = aliases(root)
+    if (a.nonEmpty) {
+      val live: Set[String] = sliceDirs(root).flatMap { d =>
+        spark.read.parquet(d).schema.fieldNames.toSeq
+          .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_"))
+      }.toSet
+      val declared = columns(root).toSet
+      val pruned = a.flatMap { case (k, chain) =>
+        val keep = chain.filter(live.contains)
+        // a tombstone stays only while its own stale bytes survive; a
+        // CURRENT column's own slices are never stale, so an emptied
+        // chain under a declared name drops entirely
+        if (keep.nonEmpty || (live.contains(k) && !declared.contains(k)))
+          Some(k -> keep)
+        else None
+      }
+      if (pruned != a) writeAliases(root, pruned)
+    }
+    removed
   }
 
   // deserialized-filter LRU: ~1 MB each, bounded count — serving workloads

@@ -1209,15 +1209,22 @@ object FileCow {
         // for the WRONG column — a wrong skip loses rows. Refuse loudly;
         // the legacy rewrite path retires all sketched files, so only the
         // mapped path carries this hazard.
-        require(!BloomStore.historicalNames(root).contains(to),
+        // retry tolerance: a prior CAS-losing attempt of THIS rename has
+        // already remapped the Bloom declaration — recognizable because
+        // `to` is declared with `from` at the head of its alias chain —
+        // and must not trip the recycled-name refusal below
+        val bloomAlreadyRemapped = BloomStore.columns(root).contains(to) &&
+          BloomStore.aliases(root).getOrElse(to, Nil).headOption.contains(resolved)
+        require(bloomAlreadyRemapped ||
+            !BloomStore.historicalNames(root).contains(to),
           s"cannot rename to '$to': the Bloom index once keyed sketches " +
             "by that name and old slices still reference live files — " +
-            "pick another name, or OPTIMIZE (rewrite) first")
+            "pick another name, or OPTIMIZE (rewrite) then VACUUM first")
         // metadata-only: the files keep their footers' ids; only the label
         // moves. Stats columns and the Bloom declaration follow the name.
         val man = manifest(spark, root, version)
         val nFiles = CowManifestCache.rowsOf(spark, root, version)._2.length.toLong
-        BloomStore.renameColumn(root, resolved, to)
+        if (!bloomAlreadyRemapped) BloomStore.renameColumn(root, resolved, to)
         val renamedMan = man
           .withColumnRenamed(s"min_$resolved", s"min_$to")
           .withColumnRenamed(s"max_$resolved", s"max_$to")
@@ -1833,8 +1840,12 @@ object FileCow {
             val it = l.iterator()
             while (it.hasNext) {
               val p = it.next()
+              // a concurrent commit MOVES its staging between our listing
+              // and this stat — a vanished entry just needs no reclaiming
+              val age = try Some(Files.getLastModifiedTime(p).toMillis)
+                        catch { case _: java.nio.file.NoSuchFileException => None }
               if (pred(p.getFileName.toString) &&
-                  now - Files.getLastModifiedTime(p).toMillis >= minAgeMs)
+                  age.exists(now - _ >= minAgeMs))
                 deleteTree(p)
             }
           } finally l.close()
@@ -1961,7 +1972,7 @@ object FileCow {
       require(stale.isEmpty,
         s"cannot bloom-index ${stale.mkString(",")}: old slices still key " +
           "sketches by these names for live files — pick other names, or " +
-          "OPTIMIZE (rewrite) first")
+          "OPTIMIZE (rewrite) then VACUUM first")
     }
     val fresh = cols.filterNot(existing.contains)
     BloomStore.declare(root, existing ++ fresh)
@@ -2275,7 +2286,14 @@ object FileCow {
         val every = numericProp(nextProps, CheckpointIntervalProp)
           .getOrElse(CheckpointIntervalDefault)
         val rk = Paths.get(root).toAbsolutePath.normalize.toString
-        val (ck0, sc0) = checkpointPos.getOrDefault(rk, (0L, 0L))
+        // first touch per JVM seeds DOWNWARD (stops at the nearest
+        // checkpoint, ≤ interval stats) — a single-commit-per-JVM cron
+        // pattern must not stat-walk the whole history upward from v1
+        val (ck0, sc0) = Option(checkpointPos.get(rk)).getOrElse {
+          val down = (expected to 1L by -1L)
+            .find(w => Files.exists(manifestDir(root, w))).getOrElse(0L)
+          (down, expected)
+        }
         var last = ck0
         var w = sc0 + 1
         while (w <= expected) {

@@ -77,7 +77,10 @@ class GraftCowDataSource extends RelationProvider
         "merge keys — the change feed classifies rows by key presence)"))
         .split(",").map(_.trim).toSeq
       // the feed schema pins at stream birth like the table stream's —
-      // a restart across a rename/drop commit fails loudly
+      // a restart across a rename/drop commit fails loudly; the MODE pins
+      // too (a table-stream checkpoint reused as a change feed would pass
+      // the widening check and silently re-tag replayed rows)
+      CdfSource.pinnedMode(metadataPath, "cdf")
       val pinnedFeed = CdfSource.pinnedSchema(metadataPath, CdfSource.feedSchema(r))
       new CdfSource(ctx, r, keys, start, maxPerTrigger, Some(metadataPath),
         pinnedFeedSchema = Some(pinnedFeed))
@@ -87,6 +90,7 @@ class GraftCowDataSource extends RelationProvider
       // loudly after drop/rename-column commits — never silently re-reads
       // WAL-replayed batches under a different column set than the sink
       // already consumed ([[CdfSource.pinnedSchema]])
+      CdfSource.pinnedMode(metadataPath, "table")
       val pinned = CdfSource.pinnedSchema(metadataPath,
         sourceSchema(ctx, schema, providerName, params)._2)
       new CowTableSource(ctx, r, pinned,

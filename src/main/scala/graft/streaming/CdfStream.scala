@@ -63,6 +63,7 @@ class CdfSourceProvider extends StreamSourceProvider
       params: Map[String, String]): Source = {
     val root = opt(params, "root")
     val keys = opt(params, "keys").split(",").map(_.trim).toSeq
+    CdfSource.pinnedMode(metadataPath, "cdf")
     val pinned = CdfSource.pinnedSchema(metadataPath, CdfSource.feedSchema(root))
     new CdfSource(ctx, root, keys, CdfSource.pinnedStart(metadataPath, root, params),
       params.get("maxVersionsPerTrigger").map(_.toLong), Some(metadataPath),
@@ -202,6 +203,47 @@ object CdfSource {
     case other => sys.error(s"graft cow stream: unexpected offset $other")
   }
 
+  /** Project a per-commit feed onto the stream's PINNED schema, in its
+    * declared order (offset-based row decoding is order-sensitive). A
+    * restart may have ADVANCED the pin across a pure widening — a replayed
+    * pre-widening slice lacks the new column and must gain it as a typed
+    * NULL (the pin's documented contract), never crash an unresolvable
+    * select; columns the pin does not know are dropped. */
+  private[graft] def conformTo(schema: StructType, feed: DataFrame): DataFrame = {
+    val have = feed.columns.toSet
+    feed.select(schema.fields.toSeq.map { f =>
+      if (have.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Pin the source MODE (table stream vs change feed) under the
+    * checkpoint metadata dir. Reusing one checkpoint across modes would
+    * PASS the schema-widening check (the feed schema is a pure superset
+    * of the table schema: same columns + the two tag columns) and then
+    * silently change what WAL-replayed batches mean to the sink — plain
+    * appended rows re-delivered as tagged change rows, or vice versa. */
+  def pinnedMode(metadataPath: String, mode: String): Unit = {
+    val f = metaDir(metadataPath).resolve("graft-source-mode")
+    if (java.nio.file.Files.exists(f)) {
+      val prev = new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (prev != mode) sys.error(
+        s"graft-cow stream: this checkpoint was built by a '$prev' source; " +
+          s"restarting it as '$mode' would silently change what replayed " +
+          "batches mean to the sink — start from a fresh checkpoint")
+    } else {
+      java.nio.file.Files.createDirectories(f.getParent)
+      val tmp = f.resolveSibling("graft-source-mode.tmp")
+      java.nio.file.Files.write(tmp,
+        mode.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
   /** Table schema + Delta's `_change_type` and `_commit_version`. */
   def feedSchema(root: String): StructType = {
     val v = FileCow.currentVersion(root)
@@ -278,8 +320,7 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
         else FileCow.changesBetween(spark, root, keys, v, v + 1)
       // changesBetween leads with _change_type; project to the DECLARED
       // schema order (offset-based row decoding is order-sensitive)
-      feed.withColumn("_commit_version", lit(v + 1))
-        .select(schema.fieldNames.map(col): _*)
+      CdfSource.conformTo(schema, feed.withColumn("_commit_version", lit(v + 1)))
     }
     ratePos.foreach { case (_, pos) => pos.advance(to) }
     org.apache.spark.sql.GraftBridge.asStreaming(perCommit.reduce(_ unionByName _))

@@ -89,6 +89,86 @@ class Round10FixSpec2 extends SparkSpec {
       s"drop + re-add must fail the pinned-schema guard, got: ${e.getMessage}")
   }
 
+  test("a rename retry after a lost CAS attempt tolerates its own bloom remap") {
+    val root = Files.createTempDirectory("r10b-ren").resolve("t").toString
+    FileCow.create(spark, root,
+      spark.range(1, 21).select(col("id").as("k"),
+        ((col("id") * 2654435761L) % 1000003L).as("u")),
+      statsCols = Seq("k"), bloomCols = Seq("u"))
+    // simulate attempt 1: the bloom remap landed, then the CAS lost
+    graft.sources.BloomStore.renameColumn(root, "u", "uid")
+    // the retry must recognize its own remap instead of refusing
+    val c = FileCow.renameColumn(spark, root, "u", "uid")
+    assert(c.filesRewritten == 0L)
+    assert(FileCow.schemaOf(root, FileCow.currentVersion(root))
+      .fieldNames.contains("uid"))
+    assert(graft.sources.BloomStore.columns(root) == Seq("uid"))
+  }
+
+  test("OPTIMIZE + VACUUM lifts the recycled-bloom-name refusal") {
+    val root = Files.createTempDirectory("r10b-lift").resolve("t").toString
+    FileCow.create(spark, root,
+      spark.range(1, 21).select(col("id").as("k"),
+        ((col("id") * 2654435761L) % 1000003L).as("u"),
+        concat(lit("s"), col("id")).as("s")),
+      statsCols = Seq("k"), bloomCols = Seq("u"))
+    FileCow.dropColumns(spark, root, Seq("u"))
+    intercept[IllegalArgumentException] {
+      FileCow.renameColumn(spark, root, "s", "u")
+    }
+    // the advertised remediation: rewrite every sketched file, vacuum the
+    // now-dead slices — the tombstone prunes and the name frees up
+    FileCow.compact(spark, root, targetFiles = 1)
+    FileCow.vacuum(spark, root, keep = 1, minAgeMs = 0L)
+    val c = FileCow.renameColumn(spark, root, "s", "u")
+    assert(FileCow.schemaOf(root, FileCow.currentVersion(root))
+      .fieldNames.toSeq.contains("u"))
+    assert(c.filesRewritten == 0L, "post-remediation rename is metadata-only again")
+  }
+
+  test("a table-stream checkpoint cannot be restarted as a change feed") {
+    val root = mkMapped()
+    val ckpt = Files.createTempDirectory("r10b-mode").toString
+    val q = spark.readStream.format("graft-cow").option("root", root)
+      .option("startingVersion", "0").load()
+      .writeStream.foreachBatch((_: DataFrame, _: Long) => ())
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val e = intercept[Exception] {
+      val q2 = spark.readStream.format("graft-cow").option("root", root)
+        .option("readChangeFeed", "true").option("keys", "k")
+        .option("startingVersion", "0").load()
+        .writeStream.foreachBatch((_: DataFrame, _: Long) => ())
+        .option("checkpointLocation", ckpt).start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(e.getMessage.contains("replayed") ||
+      Option(e.getCause).exists(_.getMessage.contains("replayed")),
+      s"mode switch on one checkpoint must fail loudly, got: ${e.getMessage}")
+  }
+
+  test("a replayed pre-widening CDF slice null-fills against an advanced pin") {
+    val root = mkMapped()                                   // v1: (k, v)
+    FileCow.delete(spark, root, col("k") === 1L)            // v2
+    FileCow.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType, nullable = true))) // v3 widening
+    // a source whose pin ADVANCED to the widened feed schema replaying the
+    // pre-widening interval (1,2]: the slice lacks 'extra' and must gain
+    // it as typed NULL, not crash an unresolvable select — exercised via
+    // getBatch's projection (conformTo) on the exact replayed slice
+    val widePin = graft.streaming.CdfSource.feedSchema(root)
+    assert(widePin.fieldNames.contains("extra"))
+    val slice = FileCow.changesBetween(spark, root, Seq("k"), 1L, 2L)
+      .withColumn("_commit_version", lit(2L))
+    assert(!slice.columns.contains("extra"), "spec premise: pre-widening slice")
+    val batch = graft.streaming.CdfSource.conformTo(widePin, slice)
+    val rows = batch.select("_change_type", "k", "extra")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.isNullAt(2)))
+    assert(rows.toSeq == Seq(("delete", 1L, true)),
+      s"the replayed slice must null-fill the widened column, got ${rows.toSeq}")
+  }
+
   test("vacuum reclaims crashed-attempt staging orphans under the age floor") {
     val root = mkMapped()
     // plant what a writer crashed mid-attempt leaves behind: a data
