@@ -29,6 +29,16 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 private[graft] object BloomStore {
 
+  /** Per-root monitor serializing SAME-JVM alias/declaration mutations
+    * (rename/drop remaps vs vacuum's prune are read-modify-writes of one
+    * file). Cross-JVM writers remain behind the table's advisory-lock
+    * seam, the same documented boundary as [[TablePointer]]. */
+  private val rootMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def monitor(root: String): Object =
+    rootMonitors.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+
   private def dir(root: String): Path = Paths.get(root, "_bloom")
   private def markerFile(root: String): Path = dir(root).resolve("columns")
   private def aliasFile(root: String): Path = dir(root).resolve("aliases")
@@ -85,16 +95,18 @@ private[graft] object BloomStore {
   /** Remap the declaration AND the alias chain: `to` inherits `from`'s
     * history with `from` prepended (newest alias first), so slices from
     * every vintage stay probe-readable after chained renames. */
-  def renameColumn(root: String, from: String, to: String): Unit = {
-    val cur = columns(root)
-    if (cur.contains(from)) {
-      declare(root, cur.map(c => if (c == from) to else c))
-      val a = aliases(root)
-      writeAliases(root, (a - from) + (to -> (from +: a.getOrElse(from, Nil))))
+  def renameColumn(root: String, from: String, to: String): Unit =
+    monitor(root).synchronized {
+      val cur = columns(root)
+      if (cur.contains(from)) {
+        declare(root, cur.map(c => if (c == from) to else c))
+        val a = aliases(root)
+        writeAliases(root, (a - from) + (to -> (from +: a.getOrElse(from, Nil))))
+      }
     }
-  }
 
-  def dropColumns(root: String, dropped: Seq[String]): Unit = {
+  def dropColumns(root: String, dropped: Seq[String]): Unit =
+    monitor(root).synchronized {
     val cur = columns(root)
     val kept = cur.filterNot(dropped.contains)
     if (kept != cur) {
@@ -142,7 +154,10 @@ private[graft] object BloomStore {
     val now = System.currentTimeMillis()
     val removed = sliceDirs(root).filter { d =>
       val p = Paths.get(d)
-      now - Files.getLastModifiedTime(p).toMillis >= minAgeMs && {
+      // a concurrent vacuum may delete the dir between listing and stat
+      val age = try Some(Files.getLastModifiedTime(p).toMillis)
+                catch { case _: java.nio.file.NoSuchFileException => None }
+      age.exists(now - _ >= minAgeMs) && {
         val schema = StructType(Seq(StructField("file", StringType)))
         spark.read.schema(schema).parquet(d).collect()
           .forall(r => !referenced.contains(r.getString(0)))
@@ -152,23 +167,34 @@ private[graft] object BloomStore {
     // old slices; once no surviving slice carries a name, the guard (and
     // the rename/backfill refusal) LIFTS — this is what makes the
     // advertised "OPTIMIZE (rewrite), then VACUUM" remediation real.
-    val a = aliases(root)
-    if (a.nonEmpty) {
-      val live: Set[String] = sliceDirs(root).flatMap { d =>
-        spark.read.parquet(d).schema.fieldNames.toSeq
-          .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_"))
-      }.toSet
-      val declared = columns(root).toSet
-      val pruned = a.flatMap { case (k, chain) =>
-        val keep = chain.filter(live.contains)
-        // a tombstone stays only while its own stale bytes survive; a
-        // CURRENT column's own slices are never stale, so an emptied
-        // chain under a declared name drops entirely
-        if (keep.nonEmpty || (live.contains(k) && !declared.contains(k)))
-          Some(k -> keep)
-        else None
+    // Pruning only runs when THIS vacuum removed a slice (otherwise the
+    // map cannot have newly qualified), under the per-root monitor (a
+    // concurrent rename's remap must not be clobbered by a stale
+    // read-modify-write), and aborts harmlessly if any surviving dir is
+    // unreadable (a concurrent commit's mid-write slice) — keeping a
+    // prunable entry one vacuum longer is sound; dropping a live one is
+    // not.
+    if (removed.nonEmpty) monitor(root).synchronized {
+      val a = aliases(root)
+      if (a.nonEmpty) {
+        try {
+          val live: Set[String] = sliceDirs(root).flatMap { d =>
+            spark.read.parquet(d).schema.fieldNames.toSeq
+              .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_"))
+          }.toSet
+          val declared = columns(root).toSet
+          val pruned = a.flatMap { case (k, chain) =>
+            val keep = chain.filter(live.contains)
+            // a tombstone stays only while its own stale bytes survive; a
+            // CURRENT column's own slices are never stale, so an emptied
+            // chain under a declared name drops entirely
+            if (keep.nonEmpty || (live.contains(k) && !declared.contains(k)))
+              Some(k -> keep)
+            else None
+          }
+          if (pruned != a) writeAliases(root, pruned)
+        } catch { case _: org.apache.spark.sql.AnalysisException => () }
       }
-      if (pruned != a) writeAliases(root, pruned)
     }
     removed
   }

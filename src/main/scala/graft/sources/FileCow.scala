@@ -1777,9 +1777,10 @@ object FileCow {
       val it = list.iterator()
       while (it.hasNext) {
         val p = it.next()
-        val age = now - Files.getLastModifiedTime(p).toMillis
-        if (!referenced.contains(p.toString) && age >= minAgeMs)
-          out += ((p.toString, Files.size(p), age))
+        mtimeOf(p).map(now - _).foreach { age =>
+          if (!referenced.contains(p.toString) && age >= minAgeMs)
+            out += ((p.toString, Files.size(p), age))
+        }
       }
     } finally list.close()
     out.toSeq
@@ -1819,8 +1820,8 @@ object FileCow {
       while (it.hasNext) {
         val p = it.next()
         if (!referenced.contains(p.toString) &&
-            now - Files.getLastModifiedTime(p).toMillis >= minAgeMs) {
-          Files.delete(p)
+            mtimeOf(p).exists(now - _ >= minAgeMs)) {
+          Files.deleteIfExists(p)
           removed += p.toString
         }
       }
@@ -1842,10 +1843,8 @@ object FileCow {
               val p = it.next()
               // a concurrent commit MOVES its staging between our listing
               // and this stat — a vanished entry just needs no reclaiming
-              val age = try Some(Files.getLastModifiedTime(p).toMillis)
-                        catch { case _: java.nio.file.NoSuchFileException => None }
               if (pred(p.getFileName.toString) &&
-                  age.exists(now - _ >= minAgeMs))
+                  mtimeOf(p).exists(now - _ >= minAgeMs))
                 deleteTree(p)
             }
           } finally l.close()
@@ -1871,7 +1870,7 @@ object FileCow {
           while (it.hasNext) {
             val p = it.next()
             if (!dvReferenced.contains(p.toString) &&
-                now - Files.getLastModifiedTime(p).toMillis >= minAgeMs)
+                mtimeOf(p).exists(now - _ >= minAgeMs))
               deleteTree(p)
           }
         } finally l.close()
@@ -2433,6 +2432,13 @@ object FileCow {
   private[graft] def statsColsOf(spark: SparkSession, root: String, v: Long): Seq[String] =
     manifest(spark, root, v).columns.toSeq
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+
+  /** mtime of `p`, or None when a concurrent writer moved/deleted it
+    * between a directory listing and this stat — every vacuum sweep uses
+    * this so the listing-vs-stat race can never abort a run mid-way. */
+  private def mtimeOf(p: NioPath): Option[Long] =
+    try Some(Files.getLastModifiedTime(p).toMillis)
+    catch { case _: java.nio.file.NoSuchFileException => None }
 
   /** Shared recursive delete ([[BloomStore]] and the stress tools reuse
     * it — one implementation to fix if failure semantics ever change). */

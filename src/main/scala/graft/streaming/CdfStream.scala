@@ -207,13 +207,21 @@ object CdfSource {
     * declared order (offset-based row decoding is order-sensitive). A
     * restart may have ADVANCED the pin across a pure widening — a replayed
     * pre-widening slice lacks the new column and must gain it as a typed
-    * NULL (the pin's documented contract), never crash an unresolvable
-    * select; columns the pin does not know are dropped. */
-  private[graft] def conformTo(schema: StructType, feed: DataFrame): DataFrame = {
+    * NULL (the pin's documented contract). `fillable` is the disambiguator
+    * (the CURRENT table schema's columns): a legitimately-replayed missing
+    * column was ADDED later so it still exists now, while a column missing
+    * because a drop/rename landed MID-RUN no longer does — that case must
+    * FAIL LOUDLY (silently null-filling it would hand the sink real rows
+    * with a corrupted column until the restart guard finally fires). */
+  private[graft] def conformTo(schema: StructType, feed: DataFrame,
+      fillable: String => Boolean): DataFrame = {
     val have = feed.columns.toSet
     feed.select(schema.fields.toSeq.map { f =>
       if (have.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      else if (fillable(f.name)) lit(null).cast(f.dataType).as(f.name)
+      else sys.error(s"graft-cdf stream: column '${f.name}' vanished from " +
+        "the table mid-run (a drop/rename commit) — the stream cannot keep " +
+        "delivering it; restart from a fresh checkpoint")
     }: _*)
   }
 
@@ -312,6 +320,11 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
     val spark = ctx.sparkSession
     val from = start.map(version).getOrElse(startVersion)
     val to = version(end)
+    // which pinned columns may legitimately be missing from a slice: the
+    // ones that still exist NOW were added later (replay below the pin);
+    // a column gone from the current schema was dropped/renamed mid-run
+    val currentCols =
+      FileCow.schemaOf(root, FileCow.currentVersion(root)).fieldNames.toSet
     val perCommit = (from until to).map { v =>
       val feed =
         if (v == 0L) // genesis: version 1 IS the insert feed
@@ -320,7 +333,8 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
         else FileCow.changesBetween(spark, root, keys, v, v + 1)
       // changesBetween leads with _change_type; project to the DECLARED
       // schema order (offset-based row decoding is order-sensitive)
-      CdfSource.conformTo(schema, feed.withColumn("_commit_version", lit(v + 1)))
+      CdfSource.conformTo(schema,
+        feed.withColumn("_commit_version", lit(v + 1)), currentCols)
     }
     ratePos.foreach { case (_, pos) => pos.advance(to) }
     org.apache.spark.sql.GraftBridge.asStreaming(perCommit.reduce(_ unionByName _))

@@ -162,11 +162,30 @@ class Round10FixSpec2 extends SparkSpec {
     val slice = FileCow.changesBetween(spark, root, Seq("k"), 1L, 2L)
       .withColumn("_commit_version", lit(2L))
     assert(!slice.columns.contains("extra"), "spec premise: pre-widening slice")
-    val batch = graft.streaming.CdfSource.conformTo(widePin, slice)
+    val currentCols = FileCow.schemaOf(root,
+      FileCow.currentVersion(root)).fieldNames.toSet
+    val batch = graft.streaming.CdfSource.conformTo(widePin, slice, currentCols)
     val rows = batch.select("_change_type", "k", "extra")
       .collect().map(r => (r.getString(0), r.getLong(1), r.isNullAt(2)))
     assert(rows.toSeq == Seq(("delete", 1L, true)),
       s"the replayed slice must null-fill the widened column, got ${rows.toSeq}")
+  }
+
+  test("a pinned column that vanished MID-RUN fails loudly, not null-fills") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val pin = StructType(Seq(StructField("k", LongType),
+      StructField("gone", LongType, nullable = true)))
+    val feed = spark.range(1).select(col("id").as("k"))
+    // the column no longer exists in the current schema (a drop/rename
+    // landed mid-run): silently null-filling it would corrupt the sink
+    val e = intercept[RuntimeException] {
+      graft.streaming.CdfSource.conformTo(pin, feed, Set("k")).collect()
+    }
+    assert(e.getMessage.contains("vanished"), e.getMessage)
+    // the legitimate replay-below-the-pin case (column exists NOW — it was
+    // added after the replayed slice's vintage) still null-fills
+    val ok = graft.streaming.CdfSource.conformTo(pin, feed, Set("k", "gone"))
+    assert(ok.collect().head.isNullAt(1))
   }
 
   test("vacuum reclaims crashed-attempt staging orphans under the age floor") {
