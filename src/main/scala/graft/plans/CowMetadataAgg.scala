@@ -56,10 +56,15 @@ class CowMetadataAggRule extends Rule[LogicalPlan] {
   }
 
   /** The child qualifies iff it is a cow-table scan with nothing between
-    * the aggregate and the relation but an attribute-only projection. */
+    * the aggregate and the relation but value-preserving projections: bare
+    * attributes, or a SAME-NAME alias of one (the shape
+    * [[graft.sources.FileCow]]'s field-id metadata strip produces — the
+    * alias changes column METADATA only, never a value, so counts and
+    * stats-column extremes are untouched). */
   private def cowIndex(plan: LogicalPlan): Option[CowFileIndex] = plan match {
     case Project(projectList, child) if projectList.forall {
         case _: AttributeReference => true
+        case Alias(a: AttributeReference, name) => a.name == name
         case _ => false
       } => cowIndex(child)
     case LogicalRelation(HadoopFsRelation(idx: CowFileIndex, _, _, _, _, _), _, _, _, _)

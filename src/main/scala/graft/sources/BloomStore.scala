@@ -29,15 +29,18 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 private[graft] object BloomStore {
 
-  /** Per-root monitor serializing SAME-JVM alias/declaration mutations
-    * (rename/drop remaps vs vacuum's prune are read-modify-writes of one
-    * file). Cross-JVM writers remain behind the table's advisory-lock
-    * seam, the same documented boundary as [[TablePointer]]. */
-  private val rootMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def monitor(root: String): Object =
-    rootMonitors.computeIfAbsent(
-      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+  /** Serialize alias/declaration READ-MODIFY-WRITES (rename/drop remaps
+    * vs vacuum's prune) under the table's own commit lock
+    * ([[TablePointer.withCommitLock]]): the JVM monitor inside it covers
+    * same-JVM contenders, the advisory FILE lock covers a second driver
+    * process — the same one seam every commit already serializes on, so a
+    * cross-process rename and vacuum can never interleave a stale
+    * read-modify-write (raced by the multi-writer stress harness). Callers
+    * never hold the commit lock when entering (remaps run before/after the
+    * commit's own lock window, never inside it), so this cannot deadlock
+    * or nest the non-reentrant file lock. */
+  private def rmw[T](root: String)(body: => T): T =
+    TablePointer.withCommitLock(root)(body)
 
   private def dir(root: String): Path = Paths.get(root, "_bloom")
   private def markerFile(root: String): Path = dir(root).resolve("columns")
@@ -69,9 +72,16 @@ private[graft] object BloomStore {
     if (m.isEmpty) { Files.deleteIfExists(aliasFile(root)); () }
     else {
       Files.createDirectories(dir(root))
-      Files.write(aliasFile(root),
+      // write-aside + ATOMIC_MOVE: a reader in another process sees the
+      // old map or the new one, never a torn line
+      val tmp = aliasFile(root).resolveSibling(
+        s"aliases.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp,
         m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${v.mkString(",")}" }
           .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, aliasFile(root),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
     }
   }
@@ -87,8 +97,14 @@ private[graft] object BloomStore {
 
   def declare(root: String, cols: Seq[String]): Unit = if (cols.nonEmpty) {
     Files.createDirectories(dir(root))
-    Files.write(markerFile(root),
-      cols.mkString(",").getBytes(StandardCharsets.UTF_8))
+    // atomic for the same reason as the alias file: a concurrent probe's
+    // columns() read must never see a half-written declaration
+    val tmp = markerFile(root).resolveSibling(
+      s"columns.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, cols.mkString(",").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, markerFile(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
@@ -96,7 +112,7 @@ private[graft] object BloomStore {
     * history with `from` prepended (newest alias first), so slices from
     * every vintage stay probe-readable after chained renames. */
   def renameColumn(root: String, from: String, to: String): Unit =
-    monitor(root).synchronized {
+    rmw(root) {
       val cur = columns(root)
       if (cur.contains(from)) {
         declare(root, cur.map(c => if (c == from) to else c))
@@ -106,7 +122,7 @@ private[graft] object BloomStore {
     }
 
   def dropColumns(root: String, dropped: Seq[String]): Unit =
-    monitor(root).synchronized {
+    rmw(root) {
     val cur = columns(root)
     val kept = cur.filterNot(dropped.contains)
     if (kept != cur) {
@@ -168,13 +184,13 @@ private[graft] object BloomStore {
     // the rename/backfill refusal) LIFTS — this is what makes the
     // advertised "OPTIMIZE (rewrite), then VACUUM" remediation real.
     // Pruning only runs when THIS vacuum removed a slice (otherwise the
-    // map cannot have newly qualified), under the per-root monitor (a
-    // concurrent rename's remap must not be clobbered by a stale
-    // read-modify-write), and aborts harmlessly if any surviving dir is
-    // unreadable (a concurrent commit's mid-write slice) — keeping a
-    // prunable entry one vacuum longer is sound; dropping a live one is
-    // not.
-    if (removed.nonEmpty) monitor(root).synchronized {
+    // map cannot have newly qualified), under the table's commit lock (a
+    // concurrent rename's remap — same-JVM or another process — must not
+    // be clobbered by a stale read-modify-write), and aborts harmlessly if
+    // any surviving dir is unreadable (a concurrent commit's mid-write
+    // slice) — keeping a prunable entry one vacuum longer is sound;
+    // dropping a live one is not.
+    if (removed.nonEmpty) rmw(root) {
       val a = aliases(root)
       if (a.nonEmpty) {
         try {

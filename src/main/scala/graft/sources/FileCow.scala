@@ -122,13 +122,37 @@ object FileCow {
   private val checkpointPos =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
-  /** Field-id matching is conf-gated in Spark's parquet paths; both confs
-    * are harmless for schemas that carry no IDs (everything non-graft), so
-    * the cow read/write entries just keep them on. */
+  /** Field-id matching is conf-gated in Spark's parquet paths, and the
+    * gates are SESSION confs — `ParquetFileFormat` copies them from the
+    * session into the task-side hadoopConf unconditionally, so a
+    * per-relation option cannot carry them (verified against
+    * `ParquetOptions`' registered keys in 4.1). The enablement is
+    * therefore session-wide by necessity; what IS scoped is the blast
+    * radius: id-resolution only changes semantics for reads whose
+    * REQUESTED schema carries `parquet.field.id` metadata, and
+    * [[stripFieldIds]] removes that metadata from every user-facing cow
+    * read, so a frame derived from a cow table never smuggles ids into an
+    * unrelated parquet write/read round-trip. */
   private[graft] def ensureFieldIdConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
   }
+
+  /** Remove `parquet.field.id` metadata from the frame's output columns —
+    * the ids are a STORAGE concern (footer/field resolution inside this
+    * table's own read and write paths, which re-attach them from the
+    * declared schema); letting them ride user-facing outputs would write
+    * them into any plain-parquet copy of the frame and flip that copy's
+    * later reads into id-resolution. A pure-alias projection: values,
+    * names, order, and all other metadata are untouched (and the
+    * metadata-only aggregate rewrite looks through exactly this shape). */
+  private def stripFieldIds(df: DataFrame): DataFrame =
+    if (!df.schema.fields.exists(_.metadata.contains(FieldIdKey))) df
+    else df.select(df.schema.fields.toSeq.map { f =>
+      col(f.name).as(f.name,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(FieldIdKey).build())
+    }: _*)
 
   /** Per-commit action record — the Delta JSON-commit-log analog. Written
     * at commit time (ADR-001's named optimization), it lets [[history]],
@@ -255,8 +279,28 @@ object FileCow {
     Files.exists(manifestDir(root, v)) || Files.exists(commitInfoFile(root, v))
 
   /** Retained version numbers, ascending — a checkpoint dir or a commit
-    * record marks a version (a delta commit writes no manifest dir). */
+    * record marks a version (a delta commit writes no manifest dir).
+    * CAPPED at the pointer: a writer that crashed INSIDE its commit's
+    * lock body — after moving some artifacts (possibly the commit record
+    * itself) but before the pointer swap — leaves marker files at
+    * `currentVersion + 1` for a version that provably never published.
+    * Treating those as real versions is not cosmetic: [[lastTxn]] would
+    * report the crashed batch as committed (the recovering stream then
+    * SKIPS it — data loss), [[copyInto]]'s ledger would mark its source
+    * files loaded, and create/convert on a root whose only commit attempt
+    * crashed would stay bricked forever. The pointer is the single source
+    * of published truth; everything above it is a replaceable orphan
+    * ([[vacuum]] reclaims it, the next commit at that version overwrites
+    * it under the lock). */
   def versions(root: String): Seq[Long] = {
+    val cur = currentVersion(root)
+    versionMarkers(root).filter(_ <= cur)
+  }
+
+  /** Every version number with any manifest artifact on disk, UNCAPPED —
+    * exists only for orphan reclamation ([[vacuum]]'s crashed-attempt
+    * sweep); every published-truth consumer goes through [[versions]]. */
+  private def versionMarkers(root: String): Seq[Long] = {
     val dir = manifestsDir(root)
     if (!Files.exists(dir)) Seq.empty
     else {
@@ -346,7 +390,17 @@ object FileCow {
   def manifest(spark: SparkSession, root: String, v: Long): DataFrame = {
     require(isRetained(root, v), s"version $v is not retained under $root")
     if (v <= currentVersion(root)) CowManifestCache.relation(spark, root, v)
-    else spark.read.parquet(manifestDir(root, v).toString)
+    else {
+      // crashed-attempt inspection: only a checkpoint-shaped attempt left a
+      // readable manifest dir — a delta-shaped one left m<v>.delta + the
+      // commit record, and the parquet reader's raw AnalysisException on
+      // the missing dir would mask what actually happened
+      require(Files.exists(manifestDir(root, v)),
+        s"version $v under $root is not published (pointer is at " +
+          s"${currentVersion(root)}) and its crashed attempt left no full " +
+          "manifest to inspect — vacuum reclaims the orphaned artifacts")
+      spark.read.parquet(manifestDir(root, v).toString)
+    }
   }
 
   /** Declared schema of snapshot `v` (survives even an all-rows-deleted
@@ -383,7 +437,6 @@ object FileCow {
     // same JVM) must not serve the previous table's cached manifests
     CowManifestCache.invalidate(root)
     checkpointPos.remove(Paths.get(root).toAbsolutePath.normalize.toString)
-    BloomStore.declare(root, bloomCols)
     // column mapping from birth: ids 1..n, written into the files' footers
     val idSchema = withFieldIds(df.schema)
     val added = writeDataFiles(spark, root, df, statsCols, maxRecordsPerFile,
@@ -392,6 +445,11 @@ object FileCow {
     commit(spark, root, expected = 0L, FullManifest(added), schema = idSchema,
       CommitAction("create", addedPaths, Nil, txn),
       props = Some(Map(MaxColIdProp -> idSchema.size.toString)))
+    // the declaration lands only after the creating commit wins its CAS
+    // (the sketch slice itself rode the stats scan via the explicit
+    // override): two racing creates must not leave the loser's column
+    // set declared over the winner's table
+    BloomStore.declare(root, bloomCols)
     Commit(1L, filesKept = 0L, filesRewritten = 0L,
       filesAdded = addedPaths.size.toLong)
   }
@@ -437,12 +495,14 @@ object FileCow {
     require(moved.nonEmpty, s"no parquet files to convert under $sourceDir " +
       "(directory-partitioned layouts are unsupported: partition values live " +
       "in dir names, not files — read and CTAS such a landing instead)")
-    BloomStore.declare(root, bloomCols)
     val slice = statsSlice(spark, root, moved.toSeq, statsCols,
       bloomCols = bloomCols)
     val slicePaths = filePaths(slice)
     commit(spark, root, expected = 0L, FullManifest(slice), schema = schema,
       CommitAction("convert", slicePaths, Nil))
+    // post-CAS like create: a losing convert must not leave its column
+    // set declared over whatever won the root
+    BloomStore.declare(root, bloomCols)
     Commit(1L, filesKept = 0L, filesRewritten = 0L,
       filesAdded = slicePaths.size.toLong)
   }
@@ -558,7 +618,8 @@ object FileCow {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val reg = dvRegistryOf(root, version)
     if (reg.isEmpty)
-      classic.baseRelationToDataFrame(relationFor(spark, root, version))
+      stripFieldIds(
+        classic.baseRelationToDataFrame(relationFor(spark, root, version)))
     else {
       val all = CowManifestCache.rowsOf(spark, root, version)._2
         .map(_.getAs[String]("file")).filter(_.nonEmpty)
@@ -567,10 +628,11 @@ object FileCow {
       val clean = all -- dirty
       val dirtyDf = applyDvRegistry(spark, reg, classic.baseRelationToDataFrame(
         relationFor(spark, root, version, only = Some(dirty))))
-      if (clean.isEmpty) dirtyDf
-      else classic.baseRelationToDataFrame(
-        relationFor(spark, root, version, only = Some(clean)))
-        .unionByName(dirtyDf)
+      stripFieldIds(
+        if (clean.isEmpty) dirtyDf
+        else classic.baseRelationToDataFrame(
+          relationFor(spark, root, version, only = Some(clean)))
+          .unionByName(dirtyDf))
     }
   }
 
@@ -1209,22 +1271,14 @@ object FileCow {
         // for the WRONG column — a wrong skip loses rows. Refuse loudly;
         // the legacy rewrite path retires all sketched files, so only the
         // mapped path carries this hazard.
-        // retry tolerance: a prior CAS-losing attempt of THIS rename has
-        // already remapped the Bloom declaration — recognizable because
-        // `to` is declared with `from` at the head of its alias chain —
-        // and must not trip the recycled-name refusal below
-        val bloomAlreadyRemapped = BloomStore.columns(root).contains(to) &&
-          BloomStore.aliases(root).getOrElse(to, Nil).headOption.contains(resolved)
-        require(bloomAlreadyRemapped ||
-            !BloomStore.historicalNames(root).contains(to),
+        require(!BloomStore.historicalNames(root).contains(to),
           s"cannot rename to '$to': the Bloom index once keyed sketches " +
             "by that name and old slices still reference live files — " +
             "pick another name, or OPTIMIZE (rewrite) then VACUUM first")
         // metadata-only: the files keep their footers' ids; only the label
-        // moves. Stats columns and the Bloom declaration follow the name.
+        // moves. Stats columns follow the name in the same commit.
         val man = manifest(spark, root, version)
         val nFiles = CowManifestCache.rowsOf(spark, root, version)._2.length.toLong
-        if (!bloomAlreadyRemapped) BloomStore.renameColumn(root, resolved, to)
         val renamedMan = man
           .withColumnRenamed(s"min_$resolved", s"min_$to")
           .withColumnRenamed(s"max_$resolved", s"max_$to")
@@ -1232,6 +1286,14 @@ object FileCow {
         // a delta fold cannot cross that, so the commit checkpoints
         commit(spark, root, version, FullManifest(renamedMan), newSchema,
           CommitAction("rename_column", Nil, Nil))
+        // the Bloom declaration/alias remap lands only AFTER the commit
+        // wins its CAS: a losing attempt must not leave the index keyed by
+        // a name the table never adopted (probes for that name would stay
+        // silently disabled and the stale alias entries would trip
+        // spurious recycled-name refusals later). The crash window between
+        // the swap and this remap fails SAFE: the new name is undeclared,
+        // so its probes simply don't skip until a later rename/backfill.
+        BloomStore.renameColumn(root, resolved, to)
         Commit(version + 1, filesKept = nFiles, filesRewritten = 0L,
           filesAdded = 0L)
       } else {
@@ -1242,16 +1304,22 @@ object FileCow {
           .withColumnRenamed(resolved, to)
           .repartitionByRange(math.max(1, nFiles), col(statsCols.head))
         val retired = filePaths(manifest(spark, root, version))
-        // the bloom index follows the rename, like the stats columns do:
-        // the declaration remaps FIRST, so the full rewrite below sketches
-        // under the new name (pre-rename slices read as null → admit, sound)
-        BloomStore.renameColumn(root, resolved, to)
-        val added = writeDataFiles(spark, root, rows, statsCols, maxRecordsPerFile)
+        // the bloom index follows the rename, like the stats columns do.
+        // The rewrite sketches under the NEW name via the explicit
+        // override (pre-rename slices read as null → admit, sound), but
+        // the declaration itself remaps only after the commit wins its
+        // CAS — a losing attempt must not leave the store renamed ahead
+        // of a table that kept the old column.
+        val renamedBlooms = BloomStore.columns(root)
+          .map(c => if (c == resolved) to else c)
+        val added = writeDataFiles(spark, root, rows, statsCols, maxRecordsPerFile,
+          bloomColsOverride = Some(renamedBlooms))
         val addedPaths = filePaths(added)
         // the MANIFEST schema changes with the rename (min_/max_ names) —
         // a delta fold cannot cross that, so the commit checkpoints
         commit(spark, root, version, FullManifest(added), newSchema,
           CommitAction("rename_column", addedPaths, retired))
+        BloomStore.renameColumn(root, resolved, to)
         Commit(version + 1, filesKept = 0L, filesRewritten = retired.size.toLong,
           addedPaths.size.toLong)
       }
@@ -1562,7 +1630,6 @@ object FileCow {
       }
       val man = manifest(spark, root, version)
       val prevFiles = CowManifestCache.rowsOf(spark, root, version)._2.length.toLong
-      BloomStore.dropColumns(root, resolved)
       val keepManCols = man.columns.filterNot(c =>
         resolved.exists(r => c == s"min_$r" || c == s"max_$r"))
       val newSchema = StructType(schema.fields.filterNot(f => resolved.contains(f.name)))
@@ -1571,6 +1638,11 @@ object FileCow {
       commit(spark, root, version,
         FullManifest(man.select(keepManCols.map(col).toSeq: _*)), newSchema,
         CommitAction("drop_columns", Nil, Nil))
+      // the bloom declaration drops (and its tombstones land) only after
+      // the commit wins its CAS — same post-commit discipline as rename:
+      // a losing attempt must not leave the index dropped ahead of a
+      // table that kept the column
+      BloomStore.dropColumns(root, resolved)
       Commit(version + 1, filesKept = prevFiles, filesRewritten = 0L, filesAdded = 0L)
     }
 
@@ -1609,9 +1681,27 @@ object FileCow {
         }
       }
     // end-version name -> that column's name AT fromVersion
-    val backName: Map[String, String] = sb.fieldNames.map { n =>
+    val backName0: Map[String, String] = sb.fieldNames.map { n =>
       n -> renameSteps.reverseIterator.foldLeft(n)((cur, m) => m.getOrElse(cur, cur))
     }.toMap
+    // RENAME a->b then ADD COLUMNS (a) inside one interval: the RE-ADDED
+    // column maps IDENTITY onto a name another column renamed away from.
+    // It cannot have existed at fromVersion (the name then belonged to the
+    // renamed column), so keeping its mapping would read the OLD column's
+    // values as the NEW one's pre-image AND duplicate the A-side read
+    // schema (an analysis error at best, silent conflation on legacy
+    // tables). Drop identity colliders from the map — the A side then
+    // null-fills them, exactly what "absent at fromVersion" means. Two
+    // STEP-mapped names colliding would mean a non-injective rename chain,
+    // which single-column renames cannot produce — fail loudly if seen.
+    val collided: Set[String] = backName0.groupBy(_._2).valuesIterator
+      .filter(_.size > 1).flatMap { grp =>
+        val (identityMapped, stepped) = grp.keys.partition(n => backName0(n) == n)
+        require(stepped.size <= 1, s"change feed: rename chain maps " +
+          s"${stepped.mkString(",")} to one v$fromVersion column — corrupt history")
+        identityMapped
+      }.toSet
+    val backName: Map[String, String] = backName0 -- collided
     // Both sides surface the END version's schema: parquet projection pads
     // columns added since `fromVersion` with null and drops ones removed —
     // the same contract as batch reads across addColumns/dropColumns, and it
@@ -1620,6 +1710,10 @@ object FileCow {
     // both endpoints (under the A side's own name) or the diff join would
     // compare nulls.
     keys.foreach { k =>
+      require(!collided.contains(k),
+        s"change feed key '$k' was re-added inside (v$fromVersion, " +
+        s"v$toVersion] after a rename took its old identity away — the key " +
+        "has no values at the interval start; diff a narrower interval")
       require(sb.fieldNames.contains(k) &&
           sa.fieldNames.contains(backName.getOrElse(k, k)),
         s"change feed key '$k' must exist at both v$fromVersion " +
@@ -1644,15 +1738,15 @@ object FileCow {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sb)
       else {
         val readSchema = StructType(sb.fields.toSeq.flatMap { f =>
-          sa.fields.find(_.name == backName(f.name))
+          backName.get(f.name).flatMap(g => sa.fields.find(_.name == g))
         })
         applyDvRegistry(spark, regA,
           spark.read.schema(readSchema).parquet(fs: _*))
           .select(sb.map { f =>
-            val g = backName(f.name)
-            if (readSchema.fieldNames.contains(g))
-              col(g).cast(f.dataType).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
+            backName.get(f.name).filter(readSchema.fieldNames.contains) match {
+              case Some(g) => col(g).cast(f.dataType).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
           }: _*)
       }
     def tagged(df: DataFrame, tag: String): DataFrame =
@@ -1851,6 +1945,26 @@ object FileCow {
         }
       sweep(Paths.get(root), _.startsWith("_staging-"))
       sweep(manifestsDir(root), _.contains(".staging-"))
+      // a writer that crashed INSIDE its commit's lock body (after moving
+      // artifacts, before the pointer swap) leaves non-staging manifest
+      // files at versions ABOVE the pointer — [[versions]] rightly ignores
+      // them (unpublished), so the dropped-version loop never reaches
+      // them; reclaim here under the same age floor (an in-flight commit's
+      // artifacts are younger than it by construction)
+      locally {
+        val cur = currentVersion(root)
+        val now = System.currentTimeMillis()
+        versionMarkers(root).filter(_ > cur).foreach { v =>
+          val artifacts = Seq(schemaFile(root, v), commitInfoFile(root, v),
+            propsFile(root, v), dvRegistryFile(root, v))
+          val dirs = Seq(manifestDir(root, v), manifestDeltaDir(root, v))
+          val youngest = (artifacts ++ dirs).flatMap(mtimeOf).maxOption
+          if (youngest.exists(now - _ >= minAgeMs)) {
+            dirs.foreach(deleteTree)
+            artifacts.foreach(Files.deleteIfExists(_))
+          }
+        }
+      }
     }
     // bloom slices whose every sketched file is now dead go with them
     // (a partially-live slice stays — its dead rows are bounded garbage

@@ -129,6 +129,32 @@ class CowTableSource(ctx: SQLContext, root: String,
     // planned through relationFor, so the conf is ensured here too
     if (graft.sources.FileCow.isColumnMapped(schema))
       graft.sources.FileCow.ensureFieldIdConfs(spark)
+    // the same fillable/fail-loudly discipline as CdfSource.conformTo: a
+    // pinned column that no longer RESOLVES against the current table —
+    // by field id on a mapped table (a metadata-only rename keeps the id,
+    // so the pinned name keeps reading correctly), by name on a
+    // convert-vintage one — was dropped/renamed MID-RUN. Relying on
+    // parquet null-padding there would hand the sink real rows with a
+    // silently-corrupted column until the restart-time pinnedSchema guard
+    // finally fires; fail at the batch that first crosses the drift.
+    locally {
+      val cur = graft.sources.FileCow.schemaOf(
+        root, graft.sources.FileCow.currentVersion(root))
+      def idOf(f: org.apache.spark.sql.types.StructField): Option[Long] =
+        if (f.metadata.contains(graft.sources.FileCow.FieldIdKey))
+          Some(f.metadata.getLong(graft.sources.FileCow.FieldIdKey))
+        else None
+      val byId = graft.sources.FileCow.isColumnMapped(schema) &&
+        graft.sources.FileCow.isColumnMapped(cur)
+      val vanished = schema.fields.filterNot { f =>
+        if (byId) cur.fields.exists(g => idOf(g) == idOf(f))
+        else cur.fieldNames.contains(f.name)
+      }
+      if (vanished.nonEmpty) sys.error("graft-cow stream: column(s) " +
+        s"${vanished.map(_.name).mkString(",")} vanished from the table " +
+        "mid-run (a drop/rename commit) — the stream cannot keep " +
+        "delivering them; restart from a fresh checkpoint")
+    }
     val batch =
       if (addedFiles.nonEmpty) spark.read.schema(schema).parquet(addedFiles: _*)
       else spark.createDataFrame(
