@@ -1,0 +1,341 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.{BloomStore, FileCow}
+
+/** CROSS-PROCESS commit race for the cow table's one load-bearing seam:
+  * every prior concurrency proof ran same-JVM (the CAS retry, the
+  * two-writer MERGE, the Bloom alias read-modify-write), while a real
+  * deployment commits from MANY driver processes serialized only by
+  * [[graft.sources.TablePointer]]'s advisory file lock. This harness forks
+  * real OS processes (fresh JVMs — no shared monitors, no shared caches)
+  * against ONE table root and then proves, from the survivors' artifacts
+  * alone, that the protocol held:
+  *
+  *   1. **Exactly-once, gap-free versions**: every landed op produced a
+  *      distinct version; receipts cover (2..finalVersion) with no gap
+  *      and no duplicate — two processes can never both win one CAS.
+  *   2. **No lost update**: every append's unique rows are all present
+  *      exactly once, and every writer's txn stamp reads back as its last
+  *      landed batch.
+  *   3. **Serializable shared-key merges**: each merge rewrites the full
+  *      shared key set, so the final value of EVERY shared key must come
+  *      from the single highest-version merge receipt — a torn or
+  *      interleaved state (some keys from a later merge, some from an
+  *      earlier) fails the check.
+  *   4. **Sidecar integrity under racing RMWs**: bloom renames in one
+  *      process race vacuums (alias pruning) and merges (slice writes) in
+  *      the other; afterwards the declaration matches the final schema,
+  *      the alias chain holds the full rename history, and an equality
+  *      probe on the bloom column returns exact rows (no wrong skip).
+  *   5. **No torn metadata**: every commit record parses; the manifest
+  *      fold from the nearest checkpoint reproduces the final file set.
+  *
+  * Modes:
+  *   - `dev/jrun.sh graft.tools.StressMultiWriter orchestrate [opsPerWriter]`
+  *     — full sweep: create table, fork 2 writer JVMs, validate, print a
+  *     JSON verdict line.
+  *   - `… worker <root> <receiptsDir> <writerId> <nOps>` — internal.
+  *
+  * The same worker/validation core backs `CrossProcessCommitSpec` (the
+  * sbt-test entry at small op counts).
+  */
+object StressMultiWriter {
+
+  // ---------------------------------------------------------------- shared
+
+  /** The shared keys every merge rewrites in full (invariant 3). */
+  val SharedKeys: Seq[Long] = (1L to 20L)
+
+  /** One writer's private append id: unique across writers and ops. */
+  def appendId(writer: Int, seq: Int, i: Int): Long =
+    1000000000L * (writer + 1) + 10000L * seq + i
+
+  def session(cpus: Int, app: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Create the raced table: k-keyed, bloom-indexed on `u`, the shared
+    * merge keys seeded. */
+  def createTable(spark: SparkSession, root: String): Unit = {
+    import spark.implicits._
+    val seed = SharedKeys.map(k => (k, "seed", 0L)).toDF("k", "val", "u")
+    FileCow.create(spark, root, seed.repartitionByRange(2, col("k")),
+      statsCols = Seq("k"), bloomCols = Seq("u"))
+    ()
+  }
+
+  // ---------------------------------------------------------------- worker
+
+  /** One writer process: `nOps` commits against `root`, a receipt JSON per
+    * landed commit. Writer 0 interleaves metadata-only ops (bloom-column
+    * renames, property sets) and age-floored vacuums between its merges;
+    * writer 1+ interleave appends — so merges, appends, renames, and
+    * vacuums genuinely race across the process boundary. */
+  def worker(spark: SparkSession, root: String, receiptsDir: String,
+      writerId: Int, nOps: Int): Unit = {
+    import spark.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Files.createDirectories(Paths.get(receiptsDir))
+    def receipt(seq: Int, op: String, version: Long): Unit = {
+      val n = mapper.createObjectNode()
+      n.put("writer", writerId); n.put("seq", seq)
+      n.put("op", op); n.put("version", version)
+      val tmp = Paths.get(receiptsDir, s"w$writerId-$seq.tmp")
+      Files.write(tmp, mapper.writeValueAsBytes(n))
+      Files.move(tmp, Paths.get(receiptsDir, s"w$writerId-$seq.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+    /** The bloom column's CURRENT name — writer 0 renames it between
+      * generations, so every op re-resolves it from the live schema. */
+    def uName(): String = FileCow.schemaOf(root, FileCow.currentVersion(root))
+      .fieldNames.find(_.startsWith("u")).get
+    /** A statement raced by a concurrent SCHEMA change fails loudly by
+      * contract (the Delta concurrent-modification error) — the client's
+      * move is to re-derive against the new schema and retry, which is
+      * exactly what this does. Anything else propagates. */
+    def retryingSchema[T](what: String)(body: => T): T = {
+      var attempt = 0
+      while (true) {
+        try return body
+        catch {
+          // generous budget: under CAS contention one merge attempt spans
+          // seconds, so several renames can land across its retries — a
+          // real client re-derives until the schema holds still
+          case e: Exception if attempt < 12 && Option(e.getMessage).exists(m =>
+              m.contains("drifted") || m.contains("no such column") ||
+              m.contains("concurrent schema change") ||
+              m.contains("rename column")) =>
+            attempt += 1
+        }
+      }
+      sys.error(s"$what: unreachable")
+    }
+    (1 to nOps).foreach { seq =>
+      val op = (writerId, seq % 8) match {
+        case (0, 1) => "rename" // bloom-column rename: metadata + alias RMW
+        case (0, 3) | (0, 7) => "props" // metadata-only commits
+        case (0, _) => "merge"
+        case (_, 0) => "vacuum" // age-floored sweep racing the other writer
+        case (_, n) if n % 4 == 2 => "append" // unique rows + txn stamp
+        case _      => "merge"  // full shared-key rewrite
+      }
+      op match {
+        case "merge" =>
+          val value = s"w$writerId-s$seq"
+          // full shared-key rewrite: the serializability probe (invariant 3)
+          val c = retryingSchema("merge") {
+            val src = SharedKeys.map(k => (k, value, 1000L * writerId + seq))
+              .toDF("k", "val", uName())
+            FileCow.merge(spark, root, src, keys = Seq("k"))
+          }
+          receipt(seq, "merge", c.version)
+        case "append" =>
+          val c = retryingSchema("append") {
+            val rows = (0 until 50).map(i => (appendId(writerId, seq, i),
+              s"a$writerId-$seq", -1L)).toDF("k", "val", uName())
+            FileCow.append(spark, root, rows,
+              txn = Some((s"writer-$writerId", seq.toLong)))
+          }
+          receipt(seq, "append", c.version)
+        case "rename" =>
+          val c = retryingSchema("rename") {
+            val from = uName()
+            val gen = if (from == "u") 0 else from.stripPrefix("u_").toInt
+            FileCow.renameColumn(spark, root, from, s"u_${gen + 1}")
+          }
+          receipt(seq, "rename", c.version)
+        case "props" =>
+          val c = FileCow.setTableProperties(spark, root,
+            Map(s"stress.w$writerId.seq" -> seq.toString))
+          receipt(seq, "props", c.version)
+        case "vacuum" =>
+          // age floor far above any in-flight commit: the sweep must be a
+          // safe no-op for data files while racing the other process's
+          // commits and renames through the same directory listings
+          FileCow.vacuum(spark, root, keep = 1000, minAgeMs = 3600000L)
+          () // no version lands; no receipt
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ validation
+
+  final case class Receipt(writer: Int, seq: Int, op: String, version: Long)
+
+  def readReceipts(receiptsDir: String): Seq[Receipt] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = Paths.get(receiptsDir)
+    if (!Files.exists(dir)) return Nil
+    val list = Files.list(dir)
+    try list.iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
+      .map { p =>
+        val n = mapper.readTree(Files.readAllBytes(p))
+        Receipt(n.get("writer").asInt(), n.get("seq").asInt(),
+          n.get("op").asText(), n.get("version").asLong())
+      }.toSeq
+    finally list.close()
+  }
+
+  /** Prove the invariants from the table + receipts; returns the failure
+    * messages (empty = the cross-process protocol held). */
+  def validate(spark: SparkSession, root: String,
+      receipts: Seq[Receipt]): Seq[String] = {
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val finalVersion = FileCow.currentVersion(root)
+
+    // 1. exactly-once, gap-free version allocation
+    val versions = receipts.map(_.version).sorted
+    if (versions.distinct.size != versions.size)
+      errs += s"duplicate versions across receipts: ${versions.diff(versions.distinct).distinct}"
+    val expected = (2L to finalVersion)
+    if (versions != expected)
+      errs += s"receipt versions ${versions.mkString(",")} != expected " +
+        s"${expected.mkString(",")} (final=$finalVersion)"
+
+    // 5. every commit record parses and the fold reproduces the manifest
+    (1L to finalVersion).foreach { v =>
+      if (!FileCow.isRetained(root, v)) errs += s"version $v not retained"
+      else if (v > 1L && FileCow.commitInfo(root, v).isEmpty)
+        errs += s"version $v has no commit record"
+    }
+    val manFiles = FileCow.manifest(spark, root, finalVersion)
+      .select("file").collect().map(_.getString(0)).toSet
+    val missing = manFiles.filterNot(f => Files.exists(Paths.get(f)))
+    if (missing.nonEmpty) errs += s"manifest names missing files: $missing"
+
+    // 2. no lost append, no duplicate
+    val schemaNow = FileCow.schemaOf(root, finalVersion)
+    val df = FileCow.read(spark, root)
+    val appends = receipts.filter(_.op == "append")
+    val wantIds = appends.flatMap(r =>
+      (0 until 50).map(i => appendId(r.writer, r.seq, i))).toSet
+    val gotIds = df.filter(col("k") >= 1000000000L).select("k")
+      .collect().map(_.getLong(0)).toSeq
+    if (gotIds.size != gotIds.distinct.size)
+      errs += "duplicate appended rows (a batch landed twice)"
+    if (gotIds.toSet != wantIds)
+      errs += s"appended rows lost/extra: want ${wantIds.size}, got ${gotIds.distinct.size}"
+    receipts.groupBy(_.writer).foreach { case (w, rs) =>
+      val lastBatch = rs.filter(_.op == "append").map(_.seq.toLong).maxOption
+      lastBatch.foreach { b =>
+        val got = FileCow.lastTxn(root, s"writer-$w")
+        if (got != b) errs += s"writer $w lastTxn=$got, expected $b"
+      }
+    }
+
+    // 3. shared-key serializability: every shared key's final value comes
+    // from the single highest-version merge
+    val merges = receipts.filter(_.op == "merge")
+    if (merges.nonEmpty) {
+      val winner = merges.maxBy(_.version)
+      val wantVal = s"w${winner.writer}-s${winner.seq}"
+      val got = df.filter(col("k").isin(SharedKeys: _*))
+        .select("k", "val").collect().map(r => r.getLong(0) -> r.getString(1))
+      if (got.length != SharedKeys.size)
+        errs += s"shared keys: ${got.length} rows, expected ${SharedKeys.size}"
+      val offKeys = got.filter(_._2 != wantVal)
+      if (offKeys.nonEmpty)
+        errs += s"shared keys carry ${offKeys.take(3).toSeq} but the " +
+          s"highest-version merge (v${winner.version}) wrote $wantVal — " +
+          "torn/interleaved merge state"
+    }
+
+    // 4. bloom declaration/alias integrity after racing renames + vacuums
+    val bloomCol = schemaNow.fieldNames.find(_.startsWith("u")).get
+    if (BloomStore.columns(root) != Seq(bloomCol))
+      errs += s"bloom declaration ${BloomStore.columns(root)} != table column $bloomCol"
+    val renames = receipts.count(_.op == "rename")
+    if (renames > 0) {
+      val chain = BloomStore.aliases(root).getOrElse(bloomCol, Nil)
+      if (chain.length != renames)
+        errs += s"alias chain $chain does not cover $renames renames"
+    }
+    // no wrong skip: an equality probe on the bloom column finds the rows
+    // the full scan finds (probe a value a merge actually wrote)
+    receipts.filter(_.op == "merge").maxByOption(_.version).foreach { m =>
+      val probe = 1000L * m.writer + m.seq
+      val viaIndex = df.filter(col(bloomCol) === probe).count()
+      val viaScan = df.collect().count(_.getAs[Long](bloomCol) == probe)
+      if (viaIndex != viaScan.toLong)
+        errs += s"bloom probe $bloomCol=$probe: index path $viaIndex rows, scan $viaScan"
+    }
+    errs.toSeq
+  }
+
+  // -------------------------------------------------------------- forking
+
+  private val Opens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
+    "java.base/java.nio", "java.base/java.util",
+    "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+
+  /** Fork one worker JVM (the jrun.sh contract: bare java, sbt-free). */
+  def forkWorker(root: String, receiptsDir: String, writerId: Int,
+      nOps: Int, cpus: Int, heap: String = "3g"): Process = {
+    val java = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cp = sys.props("java.class.path")
+    val cmd = Seq(java) ++ Opens.flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++
+      Seq(s"-Xmx$heap", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC", "-cp", cp,
+        "graft.tools.StressMultiWriter", "worker", root, receiptsDir,
+        writerId.toString, nOps.toString, cpus.toString)
+    new ProcessBuilder(cmd.asJava)
+      .redirectOutput(ProcessBuilder.Redirect.INHERIT)
+      .redirectErrorStream(true)
+      .start()
+  }
+
+  // ----------------------------------------------------------------- mains
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("worker") =>
+      val Array(_, root, receiptsDir, writerId, nOps, cpus) = args
+      val spark = session(cpus.toInt, s"graft-mw-worker-$writerId")
+      try worker(spark, root, receiptsDir, writerId.toInt, nOps.toInt)
+      finally spark.stop()
+
+    case _ =>
+      val opsPerWriter = args.drop(1).headOption.map(_.toInt).getOrElse(16)
+      val base = Files.createTempDirectory("graft-multiwriter")
+      val root = base.resolve("t").toString
+      val receipts = base.resolve("receipts").toString
+      val spark = session(8, "graft-mw-orchestrator")
+      val t0 = System.nanoTime()
+      createTable(spark, root)
+      val ps = Seq(
+        forkWorker(root, receipts, 0, opsPerWriter, cpus = 4),
+        forkWorker(root, receipts, 1, opsPerWriter, cpus = 4))
+      val exits = ps.map(_.waitFor())
+      val rs = readReceipts(receipts)
+      val errs = (if (exits.forall(_ == 0)) Nil
+                  else Seq(s"worker exit codes: $exits")) ++
+        validate(spark, root, rs)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(s"""{"tool":"multiwriter","opsPerWriter":$opsPerWriter,""" +
+        s""""landed":${rs.size},"finalVersion":${FileCow.currentVersion(root)},""" +
+        s""""errors":${errs.size},"sec":${math.round(secs * 10) / 10.0}}""")
+      errs.foreach(e => println(s"  FAIL: $e"))
+      spark.stop()
+      if (errs.nonEmpty) sys.exit(1)
+  }
+}
