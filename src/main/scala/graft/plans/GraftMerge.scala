@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
 import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
+import org.apache.spark.sql.types.StructType
 
 import graft.sources.{FileCow, Versioned}
 
@@ -385,6 +386,21 @@ case class GraftCtasCommand(table: String, root: String, query: LogicalPlan,
     copy(query = newChild)
 }
 
+/** Plain `CREATE TABLE t (col type [NOT NULL], …)` on a registered graft
+  * name — an EMPTY table with a DECLARED schema (the front door Delta and
+  * Iceberg both treat as the migration entry; CTAS covers only the user
+  * whose first statement already has a seed query). `statsCols` empty =
+  * derive the prune columns from the schema ([[GraftWriteSupport
+  * .statsEligible]]), exactly as CTAS does. Planned by
+  * [[GraftMergeStrategy]]; mechanism = [[graft.sources.FileCow
+  * .createEmpty]] (cow) / an empty [[graft.sources.Versioned]] publish. */
+case class GraftCreateTableCommand(table: String, root: String,
+    declaredSchema: StructType, cow: Boolean, ifNotExists: Boolean,
+    statsCols: Seq[String], props: Map[String, String])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 /** `INSERT INTO t SELECT …` / `INSERT OVERWRITE t SELECT …` on a graft
   * table: positional column resolution with casts to the table's declared
   * types (ANSI INSERT), then an append-only commit (cow: new data files,
@@ -483,6 +499,7 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case c: GraftMergeCommand => GraftMergeExec(c) :: Nil
     case c: GraftCtasCommand => GraftCtasExec(c) :: Nil
+    case c: GraftCreateTableCommand => GraftCreateTableExec(c) :: Nil
     case c: GraftInsertCommand => GraftInsertExec(c) :: Nil
     case c: GraftDeleteCommand if c.cow => GraftCowExec(c.table, { spark =>
       FileCow.delete(spark, c.root, GraftBridge.column(c.cond.e)); ()
@@ -669,6 +686,51 @@ case class GraftCtasExec(cmd: GraftCtasCommand) extends LeafExecNode {
           s"${Versioned.currentVersion(cmd.root)}) — INSERT or MERGE into it")
       Versioned.publish(df, cmd.root)
     }
+    }
+    ()
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = { done; sparkContext.emptyRDD }
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+}
+
+/** Runs the declared-schema empty create once. */
+case class GraftCreateTableExec(cmd: GraftCreateTableCommand) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+
+  private lazy val done: Unit = {
+    val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val exists =
+      if (cmd.cow) FileCow.currentVersion(cmd.root) > 0L
+      else Versioned.currentVersion(cmd.root) > 0L
+    if (cmd.ifNotExists && exists) () // IF NOT EXISTS: silently keep the table
+    else {
+      require(!exists, s"graft CREATE TABLE ${cmd.table}: table already " +
+        "exists — INSERT or MERGE into it, or CREATE OR REPLACE … AS to " +
+        "replace its contents")
+      if (cmd.cow) {
+        val stats =
+          if (cmd.statsCols.nonEmpty) cmd.statsCols
+          else GraftWriteSupport.statsEligible(cmd.declaredSchema)
+        require(stats.nonEmpty, s"graft CREATE TABLE ${cmd.table}: no column " +
+          "is stats-eligible (atomic orderable) — a cow table needs at least " +
+          "one for file pruning; declare one with STATS (col, …)")
+        require(stats.forall(cmd.declaredSchema.fieldNames.contains),
+          s"graft CREATE TABLE ${cmd.table}: STATS columns " +
+            s"${stats.filterNot(cmd.declaredSchema.fieldNames.contains).mkString(",")} " +
+            "are not in the declared schema")
+        FileCow.createEmpty(spark, cmd.root, cmd.declaredSchema, stats,
+          props = cmd.props)
+        ()
+      } else {
+        require(cmd.props.isEmpty, s"graft CREATE TABLE ${cmd.table}: " +
+          "TBLPROPERTIES is a cow-table surface (snapshot-level tables " +
+          "carry no property map)")
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cmd.declaredSchema)
+        Versioned.publish(empty, cmd.root)
+        ()
+      }
     }
     ()
   }

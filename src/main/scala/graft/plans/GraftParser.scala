@@ -117,7 +117,81 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val RenameCol =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+  /** `CREATE TABLE [IF NOT EXISTS] t (col type [NOT NULL], …)` on a
+    * REGISTERED graft name — the migrating user's actual first statement:
+    * an EMPTY table with a declared schema, before any seed query exists
+    * to CTAS from. Matched by a PREFIX + balanced-paren scan (column types
+    * carry parens — `DECIMAL(10,2)`, `STRUCT<…>` — so a single regex
+    * cannot bound the column list); the column list itself parses through
+    * the delegate's own `parseTableSchema`, so every type/NOT NULL/COMMENT
+    * spelling Spark accepts is accepted here. Tail clauses, any order:
+    * `USING graft|graft-cow` (validated against the registered layout),
+    * `LOCATION '…'` (validated against the registered root — registration
+    * is the binding), `STATS (c, …)` (explicit prune columns; also
+    * accepted as the `-- STATS (…)` comment SHOW CREATE emits, so the
+    * exported DDL replays verbatim), `TBLPROPERTIES ('k' = 'v', …)`.
+    * Unregistered names fall through untouched — real catalogs keep
+    * owning their CREATE TABLE. */
+  private val CreateSchemaPrefix =
+    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
+
+  private def createSchema(sqlText: String): Option[LogicalPlan] = {
+    val m = CreateSchemaPrefix.findPrefixMatchOf(sqlText).getOrElse(return None)
+    val name = m.group(2)
+    val e = GraftTables.entryOf(name).getOrElse(return None)
+    // balanced-paren scan from the opening paren the prefix just matched
+    val open = m.end - 1
+    var depth = 0; var i = open; var close = -1
+    while (i < sqlText.length && close < 0) {
+      sqlText.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    require(close > open + 1, s"CREATE TABLE $name: empty or unbalanced column list")
+    val colList = sqlText.substring(open + 1, close)
+    var tail = sqlText.substring(close + 1)
+    if ("""(?is)^\s*AS\b""".r.findFirstIn(tail).isDefined)
+      sys.error(s"CREATE TABLE $name: a column list cannot combine with AS " +
+        "on a graft table — CREATE the declared schema, then INSERT INTO " +
+        s"$name SELECT … (or drop the column list for plain CTAS)")
+    def take(re: scala.util.matching.Regex): Option[scala.util.matching.Regex.Match] =
+      re.findFirstMatchIn(tail).map { mm =>
+        tail = tail.substring(0, mm.start) + tail.substring(mm.end); mm
+      }
+    // TBLPROPERTIES first: its quoted values could otherwise feed the
+    // simpler clause regexes below
+    val props = take("""(?is)TBLPROPERTIES\s*\(\s*(.+?)\s*\)""".r)
+      .map(mm => PropPair.findAllMatchIn(mm.group(1))
+        .map(p => p.group(1) -> p.group(2)).toMap)
+      .getOrElse(Map.empty[String, String])
+    val stats = take("""(?is)(?:--\s*)?STATS\s*\(\s*([A-Za-z0-9_\s,]*?)\s*\)""".r)
+      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    take("""(?is)USING\s+(graft(?:-cow)?)""".r).foreach { mm =>
+      val declaredCow = mm.group(1).equalsIgnoreCase("graft-cow")
+      require(declaredCow == e.cow, s"CREATE TABLE $name: USING " +
+        s"${mm.group(1)} but '$name' is registered as " +
+        s"${if (e.cow) "graft-cow (file-level)" else "graft (snapshot-level)"}")
+    }
+    take("""(?is)LOCATION\s+'([^']*)'""".r).foreach { mm =>
+      require(mm.group(1) == e.root, s"CREATE TABLE $name: LOCATION " +
+        s"'${mm.group(1)}' conflicts with the registered root '${e.root}' — " +
+        "registration is the binding; re-register the name to move it")
+    }
+    require(tail.replaceAll("[;\\s]", "").isEmpty,
+      s"CREATE TABLE $name: unrecognized trailing clause: ${tail.trim}")
+    val schema = delegate.parseTableSchema(colList)
+    Some(GraftCreateTableCommand(name, e.root, schema, e.cow,
+      ifNotExists = m.group(1) != null, statsCols = stats, props = props))
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    createSchema(sqlText).getOrElse(parsePlanRest(sqlText))
+
+  private def parsePlanRest(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(name, n, hours, dryRun) =>
       GraftTables.entryOf(name) match {
         case Some(e) if dryRun != null && e.cow =>

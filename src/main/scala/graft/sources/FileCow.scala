@@ -426,13 +426,20 @@ object FileCow {
   def create(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], maxRecordsPerFile: Long = 0L,
       txn: Option[(String, Long)] = None,
-      bloomCols: Seq[String] = Nil): Commit = {
+      bloomCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): Commit = {
     require(currentVersion(root) == 0L && versions(root).isEmpty,
       s"table already exists at $root")
     require(statsCols.nonEmpty && statsCols.forall(df.columns.contains),
       s"statsCols ${statsCols.mkString(",")} must exist in the frame")
     require(bloomCols.forall(df.columns.contains),
       s"bloomCols ${bloomCols.mkString(",")} must exist in the frame")
+    // birth properties get the same sizing-typo guard as SET TBLPROPERTIES
+    props.foreach { case (k, v) =>
+      if (NumericProps.contains(k))
+        require(scala.util.Try(v.trim.toLong).toOption.exists(_ > 0L),
+          s"table property $k must be a positive integer, got '$v'")
+    }
     // a re-created root (deleted out-of-band, then created again in the
     // same JVM) must not serve the previous table's cached manifests
     CowManifestCache.invalidate(root)
@@ -442,9 +449,11 @@ object FileCow {
     val added = writeDataFiles(spark, root, df, statsCols, maxRecordsPerFile,
       bloomColsOverride = Some(bloomCols), declaredSchema = Some(idSchema))
     val addedPaths = filePaths(added)
+    // the computed id high-water mark wins over any replayed user copy (a
+    // SHOW CREATE round-trip carries the OLD table's maxid; fresh ids are 1..n)
     commit(spark, root, expected = 0L, FullManifest(added), schema = idSchema,
       CommitAction("create", addedPaths, Nil, txn),
-      props = Some(Map(MaxColIdProp -> idSchema.size.toString)))
+      props = Some(props + (MaxColIdProp -> idSchema.size.toString)))
     // the declaration lands only after the creating commit wins its CAS
     // (the sketch slice itself rode the stats scan via the explicit
     // override): two racing creates must not leave the loser's column
@@ -452,6 +461,33 @@ object FileCow {
     BloomStore.declare(root, bloomCols)
     Commit(1L, filesKept = 0L, filesRewritten = 0L,
       filesAdded = addedPaths.size.toLong)
+  }
+
+  /** CREATE an EMPTY table from a DECLARED schema — the plain
+    * `CREATE TABLE t (col type, …)` entry point (the Delta/Iceberg front
+    * door a migrating user types first, before any INSERT/MERGE/stream
+    * exists to CTAS from; the reference instead lets its warehouse infer
+    * the schema on first load — gcp_savebigquery.py:24-28 `autodetect` —
+    * and the declared-schema CREATE is the standard-warehouse twin of
+    * that bootstrap, needed the moment the first write is an increment
+    * rather than a full frame). Version 1
+    * is an empty manifest that already carries the full per-file stats
+    * schema for `statsCols`, the declared schema gets parquet field ids
+    * from birth (column mapping — renames stay metadata-only, exactly as
+    * CTAS), and `bloomCols`/`props` land in the same single commit.
+    * NOT NULL columns are enforced on every future data-writing commit by
+    * riding the CHECK-constraint seam (`graft.constraints.nn_<col>`,
+    * validated in the same stats scan as every other constraint — a
+    * violating INSERT/MERGE aborts before its CAS). */
+  def createEmpty(spark: SparkSession, root: String, schema: StructType,
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): Commit = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    val notNull = schema.fields.filterNot(_.nullable).map(f =>
+      s"${ConstraintPrefix}nn_${f.name}" -> s"${f.name} IS NOT NULL").toMap
+    create(spark, root, empty, statsCols, bloomCols = bloomCols,
+      props = props ++ notNull)
   }
 
   /** CONVERT an existing plain-parquet directory into a cow table — the
