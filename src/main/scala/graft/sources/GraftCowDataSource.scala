@@ -50,10 +50,13 @@ class GraftCowDataSource extends RelationProvider
     * `startingVersion`/`startingTimestamp` position the start; the
     * resolved start is pinned in checkpoint metadata across restarts.
     * `maxVersionsPerTrigger` bounds each micro-batch to N commits (the
-    * Delta `maxFilesPerTrigger` analog), so a long-idle checkpoint
-    * drains its backlog in bounded batches; the delivered-to position
-    * persists in checkpoint metadata so a clean restart cannot regress
-    * below what the checkpoint committed. */
+    * Delta `maxFilesPerTrigger` analog) and `maxBytesPerTrigger` to B
+    * cumulative new-data bytes ("512m"/"10g"/plain bytes — the soft max
+    * that bounds the batch after one fat COPY INTO lands among small
+    * commits; at least one commit always admits), so a long-idle
+    * checkpoint drains its backlog in bounded batches; the delivered-to
+    * position persists in checkpoint metadata so a clean restart cannot
+    * regress below what the checkpoint committed. */
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, params: Map[String, String]): (String, StructType) = {
     val r = root(params)
@@ -71,6 +74,10 @@ class GraftCowDataSource extends RelationProvider
     val r = root(params)
     val start = CdfSource.pinnedStart(metadataPath, r, params)
     val maxPerTrigger = params.get("maxVersionsPerTrigger").map(_.toLong)
+    // Delta's maxBytesPerTrigger soft max — byte-string spellings accepted
+    // ("512m", "10g", or plain bytes); see [[CdfSource.admitUpTo]]
+    val maxBytes = params.get("maxBytesPerTrigger").map(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
     if (readsChangeFeed(params)) {
       val keys = params.getOrElse("keys", sys.error(
         "graft-cow: readChangeFeed requires the 'keys' option (the table's " +
@@ -83,7 +90,7 @@ class GraftCowDataSource extends RelationProvider
       CdfSource.pinnedMode(metadataPath, "cdf")
       val pinnedFeed = CdfSource.pinnedSchema(metadataPath, CdfSource.feedSchema(r))
       new CdfSource(ctx, r, keys, start, maxPerTrigger, Some(metadataPath),
-        pinnedFeedSchema = Some(pinnedFeed))
+        pinnedFeedSchema = Some(pinnedFeed), maxBytesPerTrigger = maxBytes)
     } else {
       // the stream's BIRTH schema is persisted like the start version: a
       // restart adopts a pure widening (additive evolution), and fails
@@ -95,7 +102,7 @@ class GraftCowDataSource extends RelationProvider
         sourceSchema(ctx, schema, providerName, params)._2)
       new CowTableSource(ctx, r, pinned,
         start, params.get("skipChangeCommits").exists(_.toBoolean),
-        maxPerTrigger, Some(metadataPath))
+        maxPerTrigger, Some(metadataPath), maxBytesPerTrigger = maxBytes)
     }
   }
 
@@ -148,7 +155,9 @@ class GraftCowDataSource extends RelationProvider
   override def createSink(ctx: SQLContext, params: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
     require(partitionColumns.isEmpty, "graft-cow sink: partitionBy unsupported " +
-      "(layout is range-partitioning on the lead stats column)")
+      "(layout is range-partitioning on the lead stats column; hive-style " +
+      "partition columns are adjudicated — with measurements — in " +
+      "docs/ADR-002-partition-columns.md)")
     val r = root(params)
     val appId = params.getOrElse("appId",
       sys.error("graft-cow sink: 'appId' option is required (the txn identity)"))

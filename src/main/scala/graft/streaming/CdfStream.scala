@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2,
-  ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit,
+  Offset => OffsetV2, ReadLimit, ReadMaxBytes, ReadMaxRows,
+  SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions._
@@ -67,7 +68,9 @@ class CdfSourceProvider extends StreamSourceProvider
     val pinned = CdfSource.pinnedSchema(metadataPath, CdfSource.feedSchema(root))
     new CdfSource(ctx, root, keys, CdfSource.pinnedStart(metadataPath, root, params),
       params.get("maxVersionsPerTrigger").map(_.toLong), Some(metadataPath),
-      pinnedFeedSchema = Some(pinned))
+      pinnedFeedSchema = Some(pinned),
+      maxBytesPerTrigger = params.get("maxBytesPerTrigger").map(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes))
   }
 }
 
@@ -203,6 +206,61 @@ object CdfSource {
     case other => sys.error(s"graft cow stream: unexpected offset $other")
   }
 
+  /** Cap a planned catch-up (from, planned] at `maxVersions` commits
+    * and/or `maxBytes` CUMULATIVE NEW-DATA BYTES — the commit log already
+    * records each commit's added-file byte total, so the walk reads
+    * file-count-sized metadata, never data. A version-count cap alone
+    * admits an unbounded-byte batch after one huge COPY INTO/append; the
+    * byte cap bounds executor work per micro-batch. Delta's
+    * `maxBytesPerTrigger` "soft max" contract: at least one commit is
+    * always admitted (a single over-cap commit still makes progress — it
+    * cannot be split below commit granularity), and the cap may be
+    * exceeded by at most that one commit's size. Shared by both cow
+    * sources and by their legacy `getOffset` path. */
+  private[streaming] def admitUpTo(root: String, from: Long, planned: Long,
+      maxVersions: Option[Long], maxBytes: Option[Long]): Long = {
+    val vCap = maxVersions.fold(planned)(m =>
+      math.min(planned, from + math.max(m, 1L)))
+    maxBytes match {
+      case None => vCap
+      case Some(cap) =>
+        var v = from
+        var acc = 0L
+        var stop = false
+        while (!stop && v < vCap) {
+          val b = FileCow.commitInfo(root, v + 1).map(_.bytes).getOrElse(0L)
+          if (v > from && acc + b > cap) stop = true
+          else { acc += b; v += 1 }
+        }
+        v
+    }
+  }
+
+  /** The engine's ReadLimit unpacked into (maxVersions, maxBytes). Rows
+    * map onto VERSIONS for these sources (the unit their offsets count —
+    * the same mapping FileStreamSource makes onto files); a composite
+    * takes the tightest of each kind (the AvailableNow wrapping shape). */
+  private[streaming] def limitCaps(limit: ReadLimit): (Option[Long], Option[Long]) =
+    limit match {
+      case r: ReadMaxRows => (Some(r.maxRows()), None)
+      case b: ReadMaxBytes => (None, Some(b.maxBytes()))
+      case c: CompositeReadLimit =>
+        val parts = c.getReadLimits.toSeq.map(limitCaps)
+        (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption)
+      case _ => (None, None)
+    }
+
+  /** The default ReadLimit advertised to the engine from the two option
+    * knobs (`maxVersionsPerTrigger`, `maxBytesPerTrigger`). */
+  private[streaming] def defaultLimit(maxVersions: Option[Long],
+      maxBytes: Option[Long]): ReadLimit = (maxVersions, maxBytes) match {
+    case (Some(m), Some(b)) =>
+      ReadLimit.compositeLimit(Array(ReadLimit.maxRows(m), ReadLimit.maxBytes(b)))
+    case (Some(m), None) => ReadLimit.maxRows(m)
+    case (None, Some(b)) => ReadLimit.maxBytes(b)
+    case _ => ReadLimit.allAvailable()
+  }
+
   /** Project a per-commit feed onto the stream's PINNED schema, in its
     * declared order (offset-based row decoding is order-sensitive). A
     * restart may have ADVANCED the pin across a pure widening — a replayed
@@ -266,7 +324,8 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
     val startVersion: Long,
     maxVersionsPerTrigger: Option[Long] = None,
     metadataPath: Option[String] = None,
-    pinnedFeedSchema: Option[StructType] = None) extends Source
+    pinnedFeedSchema: Option[StructType] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // the feed schema is PINNED at stream birth exactly like the table
@@ -276,15 +335,21 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
   override val schema: StructType =
     pinnedFeedSchema.getOrElse(CdfSource.feedSchema(root))
 
-  // rate limiting caps each micro-batch at N commits, so a stream catching
-  // up on a long-idle checkpoint drains the backlog in bounded batches
-  // instead of one giant one (Delta's maxFilesPerTrigger motivation)
-  private val ratePos = for { m <- maxVersionsPerTrigger; p <- metadataPath }
-    yield (m, new CdfSource.RatePos(p, startVersion))
+  // rate limiting caps each micro-batch at N commits and/or B cumulative
+  // new-data bytes, so a stream catching up on a long-idle checkpoint
+  // drains the backlog in bounded batches instead of one giant one
+  // (Delta's maxFilesPerTrigger/maxBytesPerTrigger motivation — the byte
+  // cap is what bounds the batch after ONE fat COPY INTO lands among
+  // small commits)
+  private val ratePos =
+    if (maxVersionsPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty)
+      metadataPath.map(new CdfSource.RatePos(_, startVersion))
+    else None
 
   override def getOffset: Option[Offset] = {
     val v = FileCow.currentVersion(root)
-    val capped = ratePos.fold(v) { case (m, pos) => math.min(v, pos.get + m) }
+    val capped = ratePos.fold(v)(pos => CdfSource.admitUpTo(root, pos.get, v,
+      maxVersionsPerTrigger, maxBytesPerTrigger))
     if (capped > startVersion) Some(LongOffset(capped)) else None
   }
 
@@ -303,16 +368,14 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
     availableNowEnd = Some(FileCow.currentVersion(root))
 
   override def getDefaultReadLimit: ReadLimit =
-    maxVersionsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+    CdfSource.defaultLimit(maxVersionsPerTrigger, maxBytesPerTrigger)
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = Option(start).map(CdfSource.versionOf).getOrElse(startVersion)
     val current = FileCow.currentVersion(root)
     val planned = availableNowEnd.fold(current)(math.min(current, _))
-    val capped = limit match {
-      case r: ReadMaxRows => math.min(planned, from + r.maxRows())
-      case _ => planned
-    }
+    val (mv, mb) = CdfSource.limitCaps(limit)
+    val capped = CdfSource.admitUpTo(root, from, planned, mv, mb)
     if (capped > from) LongOffset(capped) else null
   }
 
@@ -336,7 +399,7 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
       CdfSource.conformTo(schema,
         feed.withColumn("_commit_version", lit(v + 1)), currentCols)
     }
-    ratePos.foreach { case (_, pos) => pos.advance(to) }
+    ratePos.foreach(_.advance(to))
     org.apache.spark.sql.GraftBridge.asStreaming(perCommit.reduce(_ unionByName _))
   }
 

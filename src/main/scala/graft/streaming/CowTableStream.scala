@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2,
-  ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+  ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.types.StructType
@@ -44,7 +44,8 @@ class CowTableSource(ctx: SQLContext, root: String,
     override val schema: StructType, val startVersion: Long,
     skipChangeCommits: Boolean,
     maxVersionsPerTrigger: Option[Long] = None,
-    metadataPath: Option[String] = None) extends Source
+    metadataPath: Option[String] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   /** Kinds that add+remove files yet leave the row set identical — the one
@@ -52,13 +53,18 @@ class CowTableSource(ctx: SQLContext, root: String,
   private val RowNeutralRewriteKinds = Set("compact", "zorder", "rename_column")
 
   // same bounded-catch-up contract as the CDF source: cap each batch at N
-  // commits, position persisted in checkpoint metadata across restarts
-  private val ratePos = for { m <- maxVersionsPerTrigger; p <- metadataPath }
-    yield (m, new CdfSource.RatePos(p, startVersion))
+  // commits and/or B cumulative new-data bytes ([[CdfSource.admitUpTo]] —
+  // the byte cap bounds the batch after one fat COPY INTO), position
+  // persisted in checkpoint metadata across restarts
+  private val ratePos =
+    if (maxVersionsPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty)
+      metadataPath.map(new CdfSource.RatePos(_, startVersion))
+    else None
 
   override def getOffset: Option[Offset] = {
     val v = FileCow.currentVersion(root)
-    val capped = ratePos.fold(v) { case (m, pos) => math.min(v, pos.get + m) }
+    val capped = ratePos.fold(v)(pos => CdfSource.admitUpTo(root, pos.get, v,
+      maxVersionsPerTrigger, maxBytesPerTrigger))
     if (capped > startVersion) Some(LongOffset(capped)) else None
   }
 
@@ -76,18 +82,17 @@ class CowTableSource(ctx: SQLContext, root: String,
 
   /** Offsets are table VERSIONS, so `maxVersionsPerTrigger` maps onto the
     * engine's max-rows limit shape (rows := versions here, the same way
-    * FileStreamSource maps maxFilesPerTrigger onto maxFiles). */
+    * FileStreamSource maps maxFilesPerTrigger onto maxFiles) and
+    * `maxBytesPerTrigger` onto max-bytes. */
   override def getDefaultReadLimit: ReadLimit =
-    maxVersionsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+    CdfSource.defaultLimit(maxVersionsPerTrigger, maxBytesPerTrigger)
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = Option(start).map(CdfSource.versionOf).getOrElse(startVersion)
     val current = FileCow.currentVersion(root)
     val planned = availableNowEnd.fold(current)(math.min(current, _))
-    val capped = limit match {
-      case r: ReadMaxRows => math.min(planned, from + r.maxRows())
-      case _ => planned
-    }
+    val (mv, mb) = CdfSource.limitCaps(limit)
+    val capped = CdfSource.admitUpTo(root, from, planned, mv, mb)
     if (capped > from) LongOffset(capped) else null
   }
 
@@ -159,7 +164,7 @@ class CowTableSource(ctx: SQLContext, root: String,
       if (addedFiles.nonEmpty) spark.read.schema(schema).parquet(addedFiles: _*)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    ratePos.foreach { case (_, pos) => pos.advance(to) }
+    ratePos.foreach(_.advance(to))
     org.apache.spark.sql.GraftBridge.asStreaming(batch)
   }
 
