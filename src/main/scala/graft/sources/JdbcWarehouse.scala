@@ -99,7 +99,50 @@ final case class WarehouseConfig(
   }
 }
 
+/** The pluggable CREDENTIAL-PROVIDER seam — the public-knowledge analog of
+  * the reference's secret-manager pull (gcp_getsecrets.py: one
+  * `get_gcp_secret(name)` helper every notebook calls; no credential ever
+  * appears in code, and dw2_wc_increment.py:24 fetches its API key through
+  * it). Implementations wrap a real secret manager (Vault, cloud secret
+  * stores, a keystore file); the engine only ever sees the returned
+  * property map. Must have a public zero-arg constructor —
+  * [[WarehouseConfig.fromSparkConf]] instantiates it reflectively from a
+  * Spark conf key, so a deployment swaps secret backends by configuration
+  * alone, never by touching a call site. */
+trait CredentialProvider {
+  /** Connection properties (user, password, ssl, …) for a named endpoint. */
+  def credentials(endpoint: String): Map[String, String]
+}
+
 object WarehouseConfig {
+
+  /** The conf key naming the [[CredentialProvider]] implementation class. */
+  val ProviderConfKey = "spark.graft.warehouse.credentialProvider"
+
+  /** Spark-conf-driven assembly — the deployment surface where NOTHING
+    * secret lives in code or plain conf: non-secret endpoint facts come
+    * from `spark.graft.warehouse.<endpoint>.url` / `.columnTypes`, and the
+    * credentials come from the [[CredentialProvider]] named by
+    * [[ProviderConfKey]] (instantiated reflectively, called with the
+    * endpoint name). With no provider configured the config carries only
+    * the non-secret conf — right for auth-less endpoints (embedded test
+    * engines), loud the moment a real warehouse rejects the connection. */
+  def fromSparkConf(spark: SparkSession, endpoint: String): WarehouseConfig = {
+    val url = spark.conf.getOption(s"spark.graft.warehouse.$endpoint.url")
+      .getOrElse(throw new IllegalArgumentException(
+        s"spark.graft.warehouse.$endpoint.url is not set"))
+    val secrets = spark.conf.getOption(ProviderConfKey).map { cls =>
+      Class.forName(cls).getDeclaredConstructor().newInstance() match {
+        case p: CredentialProvider => p.credentials(endpoint)
+        case other => throw new IllegalArgumentException(
+          s"$ProviderConfKey: ${other.getClass.getName} does not implement " +
+            "graft.sources.CredentialProvider")
+      }
+    }.getOrElse(Map.empty)
+    WarehouseConfig(url, secrets,
+      spark.conf.getOption(s"spark.graft.warehouse.$endpoint.columnTypes"))
+  }
+
   /** Environment-variable names (the container-orchestration surface):
     * `GRAFT_WAREHOUSE_URL` (required), `GRAFT_WAREHOUSE_COLUMN_TYPES`
     * (optional), and `GRAFT_WAREHOUSE_PROP_<NAME>` for each connection
