@@ -89,20 +89,37 @@ class Round10FixSpec2 extends SparkSpec {
       s"drop + re-add must fail the pinned-schema guard, got: ${e.getMessage}")
   }
 
-  test("a rename retry after a lost CAS attempt tolerates its own bloom remap") {
+  test("bloom remap orders AFTER the CAS: a lost attempt leaves no remap; a foreign one refuses") {
+    // The round-10 version of this test simulated "remap landed, CAS
+    // lost" and expected the retry to adopt it — that ordering is GONE
+    // (ADVICE r10: the remap now lands only after the commit wins its
+    // CAS, so a losing/aborting rename can never leave the index keyed by
+    // a name the table never adopted). The new pins:
+    //  1. an ABORTING rename (refused before its CAS) leaves declaration
+    //     and alias chain untouched — no drift to recover from;
+    //  2. a remap that somehow PRE-EXISTS without its commit (the old
+    //     hazard state, reachable only by out-of-band tampering now) is
+    //     refused loudly as a recycled name — the FAIL-SAFE direction
+    //     (no wrong skip), not silently adopted.
     val root = Files.createTempDirectory("r10b-ren").resolve("t").toString
     FileCow.create(spark, root,
       spark.range(1, 21).select(col("id").as("k"),
         ((col("id") * 2654435761L) % 1000003L).as("u")),
       statsCols = Seq("k"), bloomCols = Seq("u"))
-    // simulate attempt 1: the bloom remap landed, then the CAS lost
+    // 1. an aborting rename (target name exists → refused before its CAS)
+    intercept[Exception] { FileCow.renameColumn(spark, root, "u", "k") }
+    assert(graft.sources.BloomStore.columns(root) == Seq("u"),
+      "a refused rename must not remap the declaration")
+    assert(graft.sources.BloomStore.aliases(root).getOrElse("u", Nil).isEmpty)
+    // 2. the tampered state: remap present, commit absent
     graft.sources.BloomStore.renameColumn(root, "u", "uid")
-    // the retry must recognize its own remap instead of refusing
-    val c = FileCow.renameColumn(spark, root, "u", "uid")
-    assert(c.filesRewritten == 0L)
-    assert(FileCow.schemaOf(root, FileCow.currentVersion(root))
-      .fieldNames.contains("uid"))
-    assert(graft.sources.BloomStore.columns(root) == Seq("uid"))
+    val e = intercept[IllegalArgumentException] {
+      FileCow.renameColumn(spark, root, "u", "uid")
+    }
+    assert(e.getMessage.contains("uid"), s"got: ${e.getMessage}")
+    // fail-safe direction: the table still serves exact rows on u
+    val probe = (5L * 2654435761L) % 1000003L
+    assert(FileCow.read(spark, root).filter(col("u") === probe).count() == 1L)
   }
 
   test("OPTIMIZE + VACUUM lifts the recycled-bloom-name refusal") {
