@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path => NioPath, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** REFERENCE-COUNTED VACUUM — retention over shared immutable files:
+  * a data file dies only when no retained manifest (of this table or a
+  * registered live clone) names it, with the age floor protecting
+  * in-flight commits and crashed-attempt orphans reclaimed. Extracted
+  * along the VERDICT r10 seam; self-typed on [[FileCow]]. */
+private[sources] trait CowVacuum { this: FileCow.type =>
+
+  /** Reference-counted vacuum: drop manifests older than the newest `keep`,
+    * then delete every `_data` file no RETAINED manifest names — which also
+    * reclaims orphans from lost commit races. Returns deleted file paths.
+    *
+    * `minAgeMs` is the Delta VACUUM retention contract, and it exists for a
+    * REAL race: an in-flight commit's fresh data files are unreferenced
+    * until its manifest wins the CAS, so a concurrent vacuum with no age
+    * floor would delete them out from under the commit. With writers
+    * possibly active, pass an age comfortably above the longest in-flight
+    * commit (Delta defaults to 7 days for the same reason); 0 is safe only
+    * when the caller knows no commit is in flight. */
+  /** What [[vacuum]] WOULD delete, without deleting — the `DRY RUN` ops
+    * surface: (file, bytes, age-ms) of every `_data` file that is
+    * unreferenced by the manifests a `keep`-retention vacuum would retain
+    * AND old enough to clear `minAgeMs`. Pure metadata (manifest reads +
+    * one directory listing); the table is untouched. */
+  def vacuumPlan(spark: SparkSession, root: String, keep: Int,
+      minAgeMs: Long = 0L): Seq[(String, Long, Long)] = {
+    val retained = versions(root).takeRight(math.max(keep, 1))
+    val referenced: Set[String] =
+      (if (retained.isEmpty) Set.empty[String]
+       else retained.map(v => manifest(spark, root, v).select("file"))
+         .reduce(_ unionByName _).distinct()
+         .collect().map(_.getString(0)).toSet) ++
+      cloneReferenced(spark, root, pruneDead = false, minAgeMs)
+    val dir = dataDir(root)
+    if (!Files.exists(dir)) return Seq.empty
+    val list = Files.list(dir)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    try {
+      val now = System.currentTimeMillis()
+      val it = list.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        mtimeOf(p).map(now - _).foreach { age =>
+          if (!referenced.contains(p.toString) && age >= minAgeMs)
+            out += ((p.toString, Files.size(p), age))
+        }
+      }
+    } finally list.close()
+    out.toSeq
+  }
+
+  def vacuum(spark: SparkSession, root: String, keep: Int,
+      minAgeMs: Long = 0L): Seq[String] = {
+    val all = versions(root)
+    val retained = all.takeRight(math.max(keep, 1))
+    val dropped = all.filterNot(retained.contains)
+    // the new oldest retained version must survive its fold base dropping:
+    // materialize its full manifest BEFORE any predecessor goes
+    if (dropped.nonEmpty) retained.headOption.foreach { v =>
+      ensureCheckpoint(spark, root, v)
+    }
+    dropped.foreach { v =>
+      deleteTree(manifestDir(root, v))
+      deleteTree(manifestDeltaDir(root, v))
+      Files.deleteIfExists(schemaFile(root, v))
+      Files.deleteIfExists(commitInfoFile(root, v))
+      Files.deleteIfExists(propsFile(root, v))
+      Files.deleteIfExists(dvRegistryFile(root, v))
+    }
+    val referenced: Set[String] =
+      (if (retained.isEmpty) Set.empty[String]
+       else retained.map(v => manifest(spark, root, v).select("file"))
+         .reduce(_ unionByName _).distinct()
+         .collect().map(_.getString(0)).toSet) ++ // file-count metadata, driver-ok
+      cloneReferenced(spark, root, pruneDead = true, minAgeMs)
+    val dir = dataDir(root)
+    if (!Files.exists(dir)) return Seq.empty
+    val list = Files.list(dir)
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val now = System.currentTimeMillis()
+      val it = list.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (!referenced.contains(p.toString) &&
+            mtimeOf(p).exists(now - _ >= minAgeMs)) {
+          Files.deleteIfExists(p)
+          removed += p.toString
+        }
+      }
+    } finally list.close()
+    // crashed-attempt staging leftovers: a writer that died between
+    // staging and its CAS leaves a `_staging-*` dir under the root (data
+    // parts) or `m<v>.*.staging-*` entries under `_manifests` (manifest/
+    // schema/props/commit tmp files) that nothing references — reclaim
+    // them under the same age floor, which is what keeps an IN-FLIGHT
+    // attempt's younger staging safe
+    locally {
+      val now = System.currentTimeMillis()
+      def sweep(d: NioPath, pred: String => Boolean): Unit =
+        if (Files.exists(d)) {
+          val l = Files.list(d)
+          try {
+            val it = l.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              // a concurrent commit MOVES its staging between our listing
+              // and this stat — a vanished entry just needs no reclaiming
+              if (pred(p.getFileName.toString) &&
+                  mtimeOf(p).exists(now - _ >= minAgeMs))
+                deleteTree(p)
+            }
+          } finally l.close()
+        }
+      sweep(Paths.get(root), _.startsWith("_staging-"))
+      sweep(manifestsDir(root), _.contains(".staging-"))
+      // a writer that crashed INSIDE its commit's lock body (after moving
+      // artifacts, before the pointer swap) leaves non-staging manifest
+      // files at versions ABOVE the pointer — [[versions]] rightly ignores
+      // them (unpublished), so the dropped-version loop never reaches
+      // them; reclaim here under the same age floor (an in-flight commit's
+      // artifacts are younger than it by construction)
+      locally {
+        val cur = currentVersion(root)
+        val now = System.currentTimeMillis()
+        versionMarkers(root).filter(_ > cur).foreach { v =>
+          val artifacts = Seq(schemaFile(root, v), commitInfoFile(root, v),
+            propsFile(root, v), dvRegistryFile(root, v))
+          val dirs = Seq(manifestDir(root, v), manifestDeltaDir(root, v))
+          val youngest = (artifacts ++ dirs).flatMap(mtimeOf).maxOption
+          if (youngest.exists(now - _ >= minAgeMs)) {
+            dirs.foreach(deleteTree)
+            artifacts.foreach(Files.deleteIfExists(_))
+          }
+        }
+      }
+    }
+    // bloom slices whose every sketched file is now dead go with them
+    // (a partially-live slice stays — its dead rows are bounded garbage
+    // until compaction retires the slice's last live file)
+    BloomStore.vacuumSlices(spark, root, referenced, minAgeMs)
+    // DV sidecars no retained registry names are reclaimed under the same
+    // age floor (a racing DV commit's freshly staged sidecar must survive
+    // until its CAS resolves)
+    locally {
+      val dvReferenced = retained.flatMap(v => dvRegistryOf(root, v).values).toSet
+      val dd = dvDir(root)
+      if (Files.exists(dd)) {
+        val l = Files.list(dd)
+        try {
+          val now = System.currentTimeMillis()
+          val it = l.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (!dvReferenced.contains(p.toString) &&
+                mtimeOf(p).exists(now - _ >= minAgeMs))
+              deleteTree(p)
+          }
+        } finally l.close()
+      }
+    }
+    removed.toSeq
+  }
+
+  /** Materialize version `v`'s FULL manifest if it only exists as a delta
+    * chain — [[vacuum]]'s fold-base guarantee. Checkpoint content is a
+    * pure function of the version, so a lost race against another writer
+    * just discards an identical staging. */
+  private[sources] def ensureCheckpoint(spark: SparkSession, root: String, v: Long): Unit =
+    if (!Files.exists(manifestDir(root, v))) {
+      val (s, rows) = CowManifestCache.rowsOf(spark, root, v)
+      import scala.jdk.CollectionConverters._
+      val staging = manifestsDir(root).resolve(
+        s"m$v.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+      spark.createDataFrame(rows.asJava, s)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      if (Files.exists(manifestDir(root, v))) deleteTree(staging)
+      else try Files.move(staging, manifestDir(root, v), StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // lost the race between the exists probe and the move (two vacuums
+        // re-basing the same version): the winner's checkpoint is the same
+        // manifest — discard ours and proceed
+        case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.DirectoryNotEmptyException
+           | _: java.nio.file.FileSystemException if Files.exists(manifestDir(root, v)) =>
+          deleteTree(staging)
+      }
+      // its delta slice is now redundant (reconstruction short-circuits at
+      // the checkpoint); leave it for this version's own vacuum
+    }
+}
