@@ -99,6 +99,66 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   /** `'k' = 'v', 'k2' = 'v2'` (Spark's TBLPROPERTIES literal list). */
   private val PropPair = """'([^']+)'\s*=\s*'([^']*)'""".r
 
+  /** Index of the `)` balancing the `(` at `open`, ignoring parens inside
+    * single-quoted literals (ANSI `''` doubling reads as two quote
+    * toggles, which round-trips correctly); −1 if unbalanced. Shared by
+    * the CREATE column-list and TBLPROPERTIES scans — types carry parens
+    * (`DECIMAL(10,2)`), property values carry whole predicates. */
+  private def balancedClose(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var inQuote = false
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') inQuote = !inQuote
+      else if (!inQuote && ch == '(') depth += 1
+      else if (!inQuote && ch == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse a TBLPROPERTIES literal list with ANSI `''` quote doubling in
+    * values — [[PropPair]]'s `[^']*` value group truncates at the first
+    * embedded quote, which corrupts exactly the values SHOW CREATE emits
+    * for CHECK constraints with string literals. */
+  private def parsePropPairs(inner: String): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    def skipWs(): Unit = while (i < inner.length && inner.charAt(i).isWhitespace) i += 1
+    def quoted(): String = {
+      require(i < inner.length && inner.charAt(i) == '\'',
+        s"TBLPROPERTIES: expected a quoted literal at '${inner.drop(i).take(20)}'")
+      i += 1
+      val b = new StringBuilder
+      var done = false
+      while (!done) {
+        require(i < inner.length, "TBLPROPERTIES: unterminated string literal")
+        val ch = inner.charAt(i)
+        if (ch == '\'') {
+          if (i + 1 < inner.length && inner.charAt(i + 1) == '\'') {
+            b.append('\''); i += 2 // '' escape
+          } else { i += 1; done = true }
+        } else { b.append(ch); i += 1 }
+      }
+      b.toString
+    }
+    skipWs()
+    while (i < inner.length) {
+      val k = quoted()
+      skipWs()
+      require(i < inner.length && inner.charAt(i) == '=',
+        s"TBLPROPERTIES: expected '=' after '$k'")
+      i += 1; skipWs()
+      out += k -> quoted()
+      skipWs()
+      if (i < inner.length) {
+        require(inner.charAt(i) == ',', s"TBLPROPERTIES: expected ',' at " +
+          s"'${inner.drop(i).take(20)}'")
+        i += 1; skipWs()
+      }
+    }
+    out.result()
+  }
+
   /** `COPY INTO t FROM '<dir>'` — Delta's idempotent landing-zone loader
     * on cow tables: each run appends only the directory's parquet files
     * not already recorded in a prior copy_into commit. */
@@ -139,17 +199,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     val m = CreateSchemaPrefix.findPrefixMatchOf(sqlText).getOrElse(return None)
     val name = m.group(2)
     val e = GraftTables.entryOf(name).getOrElse(return None)
-    // balanced-paren scan from the opening paren the prefix just matched
     val open = m.end - 1
-    var depth = 0; var i = open; var close = -1
-    while (i < sqlText.length && close < 0) {
-      sqlText.charAt(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1; if (depth == 0) close = i
-        case _ =>
-      }
-      i += 1
-    }
+    val close = balancedClose(sqlText, open)
     require(close > open + 1, s"CREATE TABLE $name: empty or unbalanced column list")
     val colList = sqlText.substring(open + 1, close)
     var tail = sqlText.substring(close + 1)
@@ -161,11 +212,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       re.findFirstMatchIn(tail).map { mm =>
         tail = tail.substring(0, mm.start) + tail.substring(mm.end); mm
       }
-    // TBLPROPERTIES first: its quoted values could otherwise feed the
-    // simpler clause regexes below
-    val props = take("""(?is)TBLPROPERTIES\s*\(\s*(.+?)\s*\)""".r)
-      .map(mm => PropPair.findAllMatchIn(mm.group(1))
-        .map(p => p.group(1) -> p.group(2)).toMap)
+    // TBLPROPERTIES first — and with the BALANCED scan, not a lazy regex:
+    // a property value is arbitrary quoted text (CHECK constraints ride
+    // properties), so `(.+?)\)` would truncate at the first ')' inside a
+    // predicate like '(a > 0) AND (b > 0)' and corrupt a SHOW CREATE
+    // round-trip
+    val props = "(?is)TBLPROPERTIES\\s*\\(".r.findFirstMatchIn(tail)
+      .map { mm =>
+        val o = mm.end - 1
+        val c = balancedClose(tail, o)
+        require(c > o, s"CREATE TABLE $name: unbalanced TBLPROPERTIES")
+        val inner = tail.substring(o + 1, c)
+        tail = tail.substring(0, mm.start) + tail.substring(c + 1)
+        parsePropPairs(inner)
+      }
       .getOrElse(Map.empty[String, String])
     val stats = take("""(?is)(?:--\s*)?STATS\s*\(\s*([A-Za-z0-9_\s,]*?)\s*\)""".r)
       .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -293,8 +353,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       cowOnly("ALTER TABLE DROP CONSTRAINT", name)(e =>
         GraftConstraintCommand(name, e.root, cname, None))
     case SetProps(name, pairs) if GraftTables.entryOf(name).isDefined =>
-      val kv = PropPair.findAllMatchIn(pairs)
-        .map(m => m.group(1) -> m.group(2)).toMap
+      // same ''-aware pair parser as CREATE: a value carrying a string
+      // literal (a CHECK predicate) must survive, not truncate
+      val kv = parsePropPairs(pairs)
       require(kv.nonEmpty, s"SET TBLPROPERTIES: no 'k' = 'v' pairs in ($pairs)")
       cowOnly("ALTER TABLE SET TBLPROPERTIES", name)(e =>
         GraftPropsCommand(name, e.root, set = kv, unset = Nil))

@@ -174,6 +174,10 @@ class CreateTableSpec extends SparkSpec {
       "STATS (k, amt) TBLPROPERTIES ('owner.note' = 'rt')")
     spark.sql("CREATE BLOOMFILTER INDEX ON ct_rt FOR COLUMNS (h)")
     spark.sql("ALTER TABLE ct_rt ADD CONSTRAINT amt_pos CHECK (amt >= 0)")
+    // the hard round-trip: parens AND a ''-escaped string literal inside a
+    // property value (the balanced scan + ''-aware pair parser's reason)
+    spark.sql("ALTER TABLE ct_rt ADD CONSTRAINT h_ok " +
+      "CHECK ((h <> 'q') AND (h <> 'y''z'))")
     val ddl = spark.sql("SHOW CREATE TABLE ct_rt").as[String].head()
     assert(ddl.contains("k BIGINT NOT NULL") && ddl.contains("-- STATS (k, amt)"))
 
@@ -191,6 +195,8 @@ class CreateTableSpec extends SparkSpec {
     assert(props("owner.note") == "rt")
     assert(props("graft.constraints.amt_pos") == "amt >= 0",
       "CHECK constraints ride properties through the round-trip")
+    assert(props("graft.constraints.h_ok") == "(h <> 'q') AND (h <> 'y''z')",
+      "parens and ''-escaped literals survive the TBLPROPERTIES round-trip")
     assert(props("graft.constraints.nn_k") == "k IS NOT NULL")
     assert(graft.sources.BloomStore.columns(root) == Seq("h"),
       "the emitted CREATE BLOOMFILTER INDEX statement re-declares the index")
