@@ -719,6 +719,14 @@ case class GraftCreateTableExec(cmd: GraftCreateTableCommand) extends LeafExecNo
           s"graft CREATE TABLE ${cmd.table}: STATS columns " +
             s"${stats.filterNot(cmd.declaredSchema.fieldNames.contains).mkString(",")} " +
             "are not in the declared schema")
+        // an explicitly declared prune column must also be a type the
+        // manifest can min/max — catching it here beats a mid-create
+        // aggregate error
+        val eligible = GraftWriteSupport.statsEligible(cmd.declaredSchema).toSet
+        require(stats.forall(eligible.contains),
+          s"graft CREATE TABLE ${cmd.table}: STATS columns " +
+            s"${stats.filterNot(eligible.contains).mkString(",")} are not " +
+            "stats-eligible (atomic orderable types only)")
         FileCow.createEmpty(spark, cmd.root, cmd.declaredSchema, stats,
           props = cmd.props)
         ()

@@ -485,8 +485,14 @@ object FileCow extends CowWritePath with CowDeletionVectors
       props: Map[String, String] = Map.empty): Commit = {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
+    // non-identifier column names must backtick or the stored predicate
+    // won't re-parse at the first write's enforcement scan; renaming a
+    // NOT NULL column later means DROP CONSTRAINT nn_<col>, rename,
+    // re-ADD — the same discipline as any constraint-referenced column
+    def ref(n: String): String =
+      if (n.matches("[A-Za-z_][A-Za-z0-9_]*")) n else s"`$n`"
     val notNull = schema.fields.filterNot(_.nullable).map(f =>
-      s"${ConstraintPrefix}nn_${f.name}" -> s"${f.name} IS NOT NULL").toMap
+      s"${ConstraintPrefix}nn_${f.name}" -> s"${ref(f.name)} IS NOT NULL").toMap
     create(spark, root, empty, statsCols, bloomCols = bloomCols,
       props = props ++ notNull)
   }
@@ -894,7 +900,8 @@ object FileCow extends CowWritePath with CowDeletionVectors
       maxRecordsPerFile: Long = 0L): Commit = {
     val v = currentVersion(root)
     val useDv = v >= 1L && tableProps(root, v).get(DvEnabledProp).contains("true")
-    def rewrite() = rewriteWhere(spark, root, cond, maxRecordsPerFile, "FileCow.delete") {
+    def rewrite() = rewriteWhere(spark, root, cond, maxRecordsPerFile,
+        "FileCow.delete", dropWholeFiles = true) {
       (rows, condTrue) => rows.filter(!condTrue)
     }
     if (!useDv) rewrite()
@@ -987,7 +994,8 @@ object FileCow extends CowWritePath with CowDeletionVectors
     }
 
   private[sources] def rewriteWhere(spark: SparkSession, root: String, cond: Column,
-      maxRecordsPerFile: Long, what: String)(
+      maxRecordsPerFile: Long, what: String,
+      dropWholeFiles: Boolean = false)(
       rewrite: (DataFrame, Column) => DataFrame): Commit =
     retrying(root, what) { version =>
       val schema = schemaOf(root, version)
@@ -1008,11 +1016,49 @@ object FileCow extends CowWritePath with CowDeletionVectors
       val prevFiles = CowManifestCache.rowsOf(spark, root, version)._2.length.toLong
       // cond NULL means "not matched" on both branches (SQL WHERE semantics).
       val condTrue = coalesce(cond, lit(false))
-      val base = readFilesWithDv(spark, root, version, schema, affected.toSeq)
+      // WHOLE-FILE DROPS (delete only — an update must read what it
+      // rewrites): a file provably containing NO survivor is retired as
+      // pure metadata, never read. Survivors are rows where cond is FALSE
+      // or NULL, so a file drops whole iff (a) the NEGATED predicate's
+      // stat admission EXCLUDES it (Catalyst has already pushed the Not
+      // through the comparisons, so `day < c` negates into the
+      // StatAdmission-recognizable `day >= c`; exclusion means no row can
+      // make cond false) and (b) every column the predicate references
+      // carries an ENFORCED `IS NOT NULL` CHECK constraint — min/max
+      // stats are null-blind, so without the constraint a NULL-cond
+      // survivor could hide in any file (addConstraint validated standing
+      // rows, every later write enforced it, so constraint ⟹ no null
+      // anywhere). Retention deletes (`day < cutoff` on a NOT NULL day —
+      // the hive dir-drop twin ADR-002 priced) read only boundary files.
+      val pureDrops: Set[String] =
+        if (!dropWholeFiles || condExpr.isEmpty) Set.empty
+        else {
+          val notNull = constraintsOf(root, version).values
+            .map(_.trim.toLowerCase)
+            .collect { case s if s.endsWith(" is not null") =>
+              // tolerate the backticked spelling createEmpty writes for
+              // non-identifier names
+              s.stripSuffix(" is not null").trim.stripPrefix("`").stripSuffix("`") }
+            .toSet
+          val refs = condExpr.get.references.map(_.name.toLowerCase).toSet
+          if (refs.isEmpty || !refs.subsetOf(notNull)) Set.empty
+          else readVersion(spark, root, version).filter(!cond)
+            .queryExecution.optimizedPlan.collectFirst {
+              case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                f.condition
+            }
+            .fold(Set.empty[String]) { negExpr =>
+              val survivorAdm = StatAdmission.admission(Seq(negExpr), dims)
+              man.filter(admission && !survivorAdm).select("file")
+                .collect().map(_.getString(0)).toSet
+            }
+        }
+      val toRead = affected.filterNot(pureDrops)
+      val base = readFilesWithDv(spark, root, version, schema, toRead.toSeq)
       // same layout discipline as merge: rewritten-file count tracks the
       // touched count, ranges stay disjoint on the lead stats column
       val newData = rewrite(base, condTrue).repartitionByRange(
-        math.max(1, affected.length), col(statsCols.head))
+        math.max(1, toRead.length), col(statsCols.head))
       val added = writeDataFiles(spark, root, newData, statsCols, maxRecordsPerFile)
       val addedPaths = filePaths(added)
       commit(spark, root, version, AddedSlice(added), schema,

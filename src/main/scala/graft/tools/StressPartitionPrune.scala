@@ -88,12 +88,17 @@ object StressPartitionPrune {
       data(0, rows).repartition(days * filesPerDay, col("day"), col("slot"))
         .write.partitionBy("day").mode("overwrite").parquet(hiveDir)
     }
-    // cow: one flat _data dir, range layout on (day, id), stats on both
+    // cow: one flat _data dir, range layout on (day, id), stats on both;
+    // the retention key is declared NOT NULL (the real table's contract —
+    // and the soundness precondition for whole-file retention drops:
+    // min/max stats are null-blind, so the enforced constraint is what
+    // proves a covered file holds no NULL-cond survivor)
     val (_, cowWriteSec) = timed {
       FileCow.create(spark, cowRoot,
         data(0, rows).drop("slot")
           .repartitionByRange(days * filesPerDay, col("day"), col("id")),
         statsCols = Seq("day", "id"))
+      FileCow.addConstraint(spark, cowRoot, "nn_day", "day IS NOT NULL")
     }
     val hiveFiles = {
       val s = Files.walk(Paths.get(hiveDir))
