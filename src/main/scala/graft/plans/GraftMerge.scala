@@ -727,13 +727,33 @@ case class GraftCreateTableExec(cmd: GraftCreateTableCommand) extends LeafExecNo
           s"graft CREATE TABLE ${cmd.table}: STATS columns " +
             s"${stats.filterNot(eligible.contains).mkString(",")} are not " +
             "stats-eligible (atomic orderable types only)")
-        FileCow.createEmpty(spark, cmd.root, cmd.declaredSchema, stats,
-          props = cmd.props)
-        ()
+        try {
+          FileCow.createEmpty(spark, cmd.root, cmd.declaredSchema, stats,
+            props = cmd.props)
+          ()
+        } catch {
+          // IF NOT EXISTS must be idempotent ACROSS drivers too: two
+          // concurrent bootstraps both pass the exists check, one wins
+          // the CAS — the loser's contract is "silently keep the table",
+          // not a concurrency error
+          case _: graft.sources.ConcurrentPublishException if cmd.ifNotExists
+              && FileCow.currentVersion(cmd.root) > 0L => ()
+        }
       } else {
         require(cmd.props.isEmpty, s"graft CREATE TABLE ${cmd.table}: " +
           "TBLPROPERTIES is a cow-table surface (snapshot-level tables " +
           "carry no property map)")
+        // declared contracts the snapshot layout cannot keep must refuse,
+        // not silently drop: there is no stats manifest to prune on and no
+        // constraint seam to enforce NOT NULL with
+        require(cmd.statsCols.isEmpty, s"graft CREATE TABLE ${cmd.table}: " +
+          "STATS is a cow-table surface (snapshot-level tables have no " +
+          "per-file stats manifest)")
+        require(cmd.declaredSchema.fields.forall(_.nullable),
+          s"graft CREATE TABLE ${cmd.table}: NOT NULL is enforced through " +
+            "the cow-table constraint seam; the snapshot layout cannot " +
+            "keep that contract — register the table as cow, or drop the " +
+            "NOT NULL")
         val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cmd.declaredSchema)
         Versioned.publish(empty, cmd.root)

@@ -101,14 +101,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   /** Index of the `)` balancing the `(` at `open`, ignoring parens inside
     * single-quoted literals (ANSI `''` doubling reads as two quote
-    * toggles, which round-trips correctly); −1 if unbalanced. Shared by
-    * the CREATE column-list and TBLPROPERTIES scans — types carry parens
+    * toggles, which round-trips correctly; a backslash-escaped `\'` —
+    * Spark's default lexer accepts both spellings — must not desync the
+    * quote state either); −1 if unbalanced. Shared by the CREATE
+    * column-list and TBLPROPERTIES scans — types carry parens
     * (`DECIMAL(10,2)`), property values carry whole predicates. */
   private def balancedClose(s: String, open: Int): Int = {
     var depth = 0; var i = open; var inQuote = false
     while (i < s.length) {
       val ch = s.charAt(i)
-      if (ch == '\'') inQuote = !inQuote
+      if (inQuote && ch == '\\' && i + 1 < s.length) i += 1 // skip escaped char
+      else if (ch == '\'') inQuote = !inQuote
       else if (!inQuote && ch == '(') depth += 1
       else if (!inQuote && ch == ')') { depth -= 1; if (depth == 0) return i }
       i += 1
@@ -133,7 +136,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       while (!done) {
         require(i < inner.length, "TBLPROPERTIES: unterminated string literal")
         val ch = inner.charAt(i)
-        if (ch == '\'') {
+        if (ch == '\\' && i + 1 < inner.length &&
+            (inner.charAt(i + 1) == '\'' || inner.charAt(i + 1) == '\\')) {
+          // only \' and \\ unescape — SHOW CREATE's emitter escapes
+          // exactly these two, so emission∘parse is the identity; any
+          // other \x passes through verbatim (a regex in a CHECK
+          // predicate keeps its backslashes)
+          b.append(inner.charAt(i + 1)); i += 2
+        } else if (ch == '\'') {
           if (i + 1 < inner.length && inner.charAt(i + 1) == '\'') {
             b.append('\''); i += 2 // '' escape
           } else { i += 1; done = true }
@@ -373,7 +383,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       val e = GraftTables.entryOf(name).get
       // ANSI '' doubling: a CHECK predicate with a string literal must
       // round-trip through the quoted property value, not corrupt it
-      def q(s: String): String = s.replace("'", "''")
+      // '' doubling for quotes AND \\ doubling for backslashes — the exact
+      // inverse of parsePropPairs' unescaping, so emitted DDL replays to
+      // the identical stored value (a CHECK predicate carrying a regex
+      // keeps its backslashes through the round-trip)
+      def q(s: String): String = s.replace("\\", "\\\\").replace("'", "''")
       val v =
         if (e.cow) graft.sources.FileCow.currentVersion(e.root)
         else Versioned.currentVersion(e.root)

@@ -67,20 +67,29 @@ private[sources] trait CowBloomIndex { this: FileCow.type =>
     require(cols.nonEmpty && cols.forall(schema.fieldNames.contains),
       s"bloom columns ${cols.mkString(",")} must exist " +
         s"(have: ${schema.fieldNames.mkString(",")})")
-    val existing = BloomStore.columns(root)
-    // a fresh declaration may not land on a name the store ever keyed
-    // sketches by (alias chains / drop tombstones): old slices' stale
-    // bytes would probe-match the new column and wrongly skip files
-    locally {
-      val stale = cols.filterNot(existing.contains)
-        .filter(BloomStore.historicalNames(root).contains)
-      require(stale.isEmpty,
-        s"cannot bloom-index ${stale.mkString(",")}: old slices still key " +
-          "sketches by these names for live files — pick other names, or " +
-          "OPTIMIZE (rewrite) then VACUUM first")
+    // the read-check-declare below is a read-modify-write of the
+    // declaration file: it serializes under the SAME advisory-lock seam as
+    // every other declaration/alias mutation (a concurrent rename's remap
+    // read after our columns() but written before our declare would
+    // otherwise be clobbered — resurrecting the renamed-away name, whose
+    // old slices' sketches then wrongly skip for the wrong column)
+    val fresh = TablePointer.withCommitLock(root) {
+      val existing = BloomStore.columns(root)
+      // a fresh declaration may not land on a name the store ever keyed
+      // sketches by (alias chains / drop tombstones): old slices' stale
+      // bytes would probe-match the new column and wrongly skip files
+      locally {
+        val stale = cols.filterNot(existing.contains)
+          .filter(BloomStore.historicalNames(root).contains)
+        require(stale.isEmpty,
+          s"cannot bloom-index ${stale.mkString(",")}: old slices still key " +
+            "sketches by these names for live files — pick other names, or " +
+            "OPTIMIZE (rewrite) then VACUUM first")
+      }
+      val f = cols.filterNot(existing.contains)
+      BloomStore.declare(root, existing ++ f)
+      f
     }
-    val fresh = cols.filterNot(existing.contains)
-    BloomStore.declare(root, existing ++ fresh)
     if (fresh.isEmpty) return
     val files = CowManifestCache.rowsOf(spark, root, v)._2
       .map(_.getAs[String]("file")).filter(_.nonEmpty)

@@ -253,6 +253,10 @@ private[sources] trait CowWritePath { this: FileCow.type =>
     val totals = (newRows.length.toLong,
       newRows.iterator.map(_.getLong(rowsIdx)).sum,
       newRows.iterator.map(_.getLong(bytesIdx)).sum)
+    // the commit's NEW-DATA byte total, distinct from the snapshot totals
+    // above: stream admission (maxBytesPerTrigger) prices a catch-up batch
+    // by what it will READ — the added files — not by table size
+    val addedBytes = addedRows.iterator.map(_.getLong(bytesIdx)).sum
     // ---- stage the checkpoint or the delta slice ----
     // a checkpoint is due every N delta commits (property-tunable), so a
     // cold JVM folds at most N slices before hitting a full manifest
@@ -325,6 +329,7 @@ private[sources] trait CowWritePath { this: FileCow.type =>
     rec.put("commitMs", System.currentTimeMillis())
     rec.put("nFiles", totals._1)
     rec.put("nRows", totals._2); rec.put("bytes", totals._3)
+    rec.put("bytesAdded", addedBytes)
     val addedArr = rec.putArray("added"); action.added.foreach(addedArr.add)
     val removedArr = rec.putArray("removed"); action.removed.foreach(removedArr.add)
     action.txn.foreach { case (app, batch) =>

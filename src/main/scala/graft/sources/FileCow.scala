@@ -167,7 +167,12 @@ object FileCow extends CowWritePath with CowDeletionVectors
       added: Seq[String], removed: Seq[String],
       txn: Option[(String, Long)] = None,
       copied: Seq[String] = Nil,
-      dvFiles: Seq[String] = Nil)
+      dvFiles: Seq[String] = Nil,
+      /** The commit's ADDED-FILE byte total — what a catch-up batch will
+        * read, vs `bytes` = the whole snapshot's total (the DESCRIBE
+        * HISTORY accounting). −1 on records written before the field
+        * existed; readers needing it fall back conservatively. */
+      bytesAdded: Long = -1L)
 
   /** The file-path delta a commit is about to apply, handed to [[commit]]
     * by each DML (which knows it exactly — no diff needed). `txn` is the
@@ -234,7 +239,9 @@ object FileCow extends CowWritePath with CowDeletionVectors
       Some(CommitInfo(n.get("version").asLong(), n.get("kind").asText(),
         n.get("commitMs").asLong(), n.get("nFiles").asLong(),
         n.get("nRows").asLong(), n.get("bytes").asLong(),
-        strings("added"), strings("removed"), txn, copied, dvFiles))
+        strings("added"), strings("removed"), txn, copied, dvFiles,
+        bytesAdded =
+          if (n.has("bytesAdded")) n.get("bytesAdded").asLong() else -1L))
     }
   }
 

@@ -207,16 +207,21 @@ object CdfSource {
   }
 
   /** Cap a planned catch-up (from, planned] at `maxVersions` commits
-    * and/or `maxBytes` CUMULATIVE NEW-DATA BYTES — the commit log already
-    * records each commit's added-file byte total, so the walk reads
+    * and/or `maxBytes` CUMULATIVE NEW-DATA BYTES — the commit log records
+    * each commit's ADDED-FILE byte total (`bytesAdded`, what the batch
+    * will read; NOT the record's `bytes`, which is the whole snapshot's
+    * size — pricing on that would collapse every batch to one version the
+    * moment the table outgrows the cap), so the walk reads
     * file-count-sized metadata, never data. A version-count cap alone
     * admits an unbounded-byte batch after one huge COPY INTO/append; the
     * byte cap bounds executor work per micro-batch. Delta's
     * `maxBytesPerTrigger` "soft max" contract: at least one commit is
     * always admitted (a single over-cap commit still makes progress — it
     * cannot be split below commit granularity), and the cap may be
-    * exceeded by at most that one commit's size. Shared by both cow
-    * sources and by their legacy `getOffset` path. */
+    * exceeded by at most that one commit's size. Records from before the
+    * field existed fall back to the snapshot total — conservative (a
+    * smaller batch), never unbounded. Shared by both cow sources and by
+    * their legacy `getOffset` path. */
   private[streaming] def admitUpTo(root: String, from: Long, planned: Long,
       maxVersions: Option[Long], maxBytes: Option[Long]): Long = {
     val vCap = maxVersions.fold(planned)(m =>
@@ -228,7 +233,9 @@ object CdfSource {
         var acc = 0L
         var stop = false
         while (!stop && v < vCap) {
-          val b = FileCow.commitInfo(root, v + 1).map(_.bytes).getOrElse(0L)
+          val b = FileCow.commitInfo(root, v + 1)
+            .map(ci => if (ci.bytesAdded >= 0L) ci.bytesAdded else ci.bytes)
+            .getOrElse(0L)
           if (v > from && acc + b > cap) stop = true
           else { acc += b; v += 1 }
         }

@@ -152,6 +152,39 @@ class CreateTableSpec extends SparkSpec {
     GraftTables.unregister("ct_guard")
   }
 
+  test("two concurrent CREATE IF NOT EXISTS both succeed; exactly one v1 lands") {
+    val root = fresh("ct_race")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (1 to 2).map { _ =>
+      new Thread(() => {
+        start.await()
+        try spark.sql("CREATE TABLE IF NOT EXISTS ct_race (k BIGINT)")
+        catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join(60000))
+    // the loser of the create CAS must land on "silently keep the table",
+    // never a concurrency error — the statement is declared idempotent
+    assert(errs.isEmpty, s"IF NOT EXISTS must absorb the race: ${errs.peek()}")
+    assert(FileCow.currentVersion(root) == 1L)
+    GraftTables.unregister("ct_race")
+  }
+
+  test("snapshot-layout CREATE refuses contracts it cannot keep") {
+    GraftTables.register("ct_snapstats",
+      Files.createTempDirectory("ct-snapstats").toString)
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE ct_snapstats (k BIGINT) STATS (k)")
+    }
+    assert(e1.getMessage.contains("cow-table surface"))
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE ct_snapstats (k BIGINT NOT NULL)")
+    }
+    assert(e2.getMessage.contains("NOT NULL"), s"got: ${e2.getMessage}")
+    GraftTables.unregister("ct_snapstats")
+  }
+
   test("snapshot-layout CREATE publishes an empty v1 on the Versioned layout") {
     val root = fresh("ct_snap", cow = false)
     spark.sql("CREATE TABLE ct_snap (k BIGINT, v STRING) USING graft")
@@ -178,6 +211,9 @@ class CreateTableSpec extends SparkSpec {
     // property value (the balanced scan + ''-aware pair parser's reason)
     spark.sql("ALTER TABLE ct_rt ADD CONSTRAINT h_ok " +
       "CHECK ((h <> 'q') AND (h <> 'y''z'))")
+    // backslashes in a stored predicate (a regex) must also survive:
+    // SHOW CREATE escapes them, parsePropPairs unescapes — the identity
+    spark.sql("""ALTER TABLE ct_rt ADD CONSTRAINT h_re CHECK (h RLIKE 'x|\\d*')""")
     val ddl = spark.sql("SHOW CREATE TABLE ct_rt").as[String].head()
     assert(ddl.contains("k BIGINT NOT NULL") && ddl.contains("-- STATS (k, amt)"))
 
@@ -197,6 +233,8 @@ class CreateTableSpec extends SparkSpec {
       "CHECK constraints ride properties through the round-trip")
     assert(props("graft.constraints.h_ok") == "(h <> 'q') AND (h <> 'y''z')",
       "parens and ''-escaped literals survive the TBLPROPERTIES round-trip")
+    assert(props("graft.constraints.h_re") == """h RLIKE 'x|\\d*'""",
+      "backslashes survive the TBLPROPERTIES round-trip verbatim")
     assert(props("graft.constraints.nn_k") == "k IS NOT NULL")
     assert(graft.sources.BloomStore.columns(root) == Seq("h"),
       "the emitted CREATE BLOOMFILTER INDEX statement re-declares the index")

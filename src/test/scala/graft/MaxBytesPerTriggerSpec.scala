@@ -43,7 +43,13 @@ class MaxBytesPerTriggerSpec extends SparkSpec {
     append("v2", 1000, 3); append("v3", 2000, 3); append("v4", 3000, 3)
     append("v5", 10000, 20000) // the fat commit
     append("v6", 4000, 3); append("v7", 5000, 3); append("v8", 6000, 3)
-    val bytes = (1L to 8L).map(v => FileCow.commitInfo(root, v).get.bytes)
+    // ADDED-file bytes, not the record's snapshot totals: pricing on the
+    // totals would make every commit after the fat one exceed the cap and
+    // collapse v6..v8 to one-version batches (the bug the first cut had)
+    val bytes = (1L to 8L).map(v => FileCow.commitInfo(root, v).get.bytesAdded)
+    assert(bytes.forall(_ >= 0L), "fresh commits must record bytesAdded")
+    assert(FileCow.commitInfo(root, 6L).get.bytes > bytes(5),
+      "post-fat snapshot totals dwarf the added bytes — the distinction under test")
     (root, bytes)
   }
 
