@@ -37,6 +37,10 @@ import graft.sources.{BloomStore, FileCow}
   *      probe on the bloom column returns exact rows (no wrong skip).
   *   5. **No torn metadata**: every commit record parses; the manifest
   *      fold from the nearest checkpoint reproduces the final file set.
+  *   6. **The history replays**: folding the change feed commit-by-commit
+  *      from the seed version reproduces the final table exactly — the
+  *      downstream-replica guarantee across the whole raced history,
+  *      rename commits included.
   *
   * Modes:
   *   - `dev/jrun.sh graft.tools.StressMultiWriter orchestrate [opsPerWriter]`
@@ -255,6 +259,38 @@ object StressMultiWriter {
         errs += s"shared keys carry ${offKeys.take(3).toSeq} but the " +
           s"highest-version merge (v${winner.version}) wrote $wantVal — " +
           "torn/interleaved merge state"
+    }
+
+    // 6. the full raced HISTORY replays: fold the change feed commit by
+    // commit from the seed version and compare to the final table — every
+    // intermediate commit record, manifest slice, and rename mapping the
+    // two processes wrote must compose into exactly the state they left
+    // (the downstream-replica guarantee, proven across the whole race).
+    // (k, val) are the stable columns; the bloom column renames mid-race.
+    locally {
+      val state = scala.collection.mutable.Map[Long, String]()
+      FileCow.readVersion(spark, root, 1L).select("k", "val").collect()
+        .foreach(r => state(r.getLong(0)) = r.getString(1))
+      (2L to finalVersion).foreach { v =>
+        FileCow.changesBetween(spark, root, Seq("k"), v - 1, v)
+          .select("_change_type", "k", "val").collect().foreach { r =>
+            r.getString(0) match {
+              case "delete" | "update_pre" => state.remove(r.getLong(1)); ()
+              case _ => state(r.getLong(1)) = r.getString(2)
+            }
+          }
+      }
+      val want = df.select("k", "val").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      if (state.toMap != want) {
+        val extra = state.keySet -- want.keySet
+        val missing = want.keySet -- state.keySet
+        val drifted = want.keySet.intersect(state.keySet)
+          .filter(k => state(k) != want(k))
+        errs += s"CDF fold diverged from the final table: extra=${extra.take(3)} " +
+          s"missing=${missing.take(3)} drifted=${drifted.take(3)} " +
+          s"(of ${want.size} final rows)"
+      }
     }
 
     // 4. bloom declaration/alias integrity after racing renames + vacuums
