@@ -733,11 +733,15 @@ case class GraftCreateTableExec(cmd: GraftCreateTableCommand) extends LeafExecNo
           ()
         } catch {
           // IF NOT EXISTS must be idempotent ACROSS drivers too: two
-          // concurrent bootstraps both pass the exists check, one wins
-          // the CAS — the loser's contract is "silently keep the table",
-          // not a concurrency error
-          case _: graft.sources.ConcurrentPublishException if cmd.ifNotExists
-              && FileCow.currentVersion(cmd.root) > 0L => ()
+          // concurrent bootstraps both pass the exists check and the
+          // loser either loses the CAS (ConcurrentPublishException) or —
+          // when the winner fully lands first — trips create's own
+          // already-exists require. Either way the contract is "silently
+          // keep the table", decided by whether a table NOW exists, not
+          // by which window the race resolved in.
+          case e @ (_: graft.sources.ConcurrentPublishException |
+                    _: IllegalArgumentException)
+              if cmd.ifNotExists && FileCow.currentVersion(cmd.root) > 0L => ()
         }
       } else {
         require(cmd.props.isEmpty, s"graft CREATE TABLE ${cmd.table}: " +
@@ -756,8 +760,14 @@ case class GraftCreateTableExec(cmd: GraftCreateTableCommand) extends LeafExecNo
             "NOT NULL")
         val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cmd.declaredSchema)
-        Versioned.publish(empty, cmd.root)
-        ()
+        try { Versioned.publish(empty, cmd.root); () }
+        catch {
+          // same cross-driver IF NOT EXISTS contract as the cow branch
+          // (plain publish is last-wins, but a racing loser can still trip
+          // on the other's staging/move window)
+          case _: Exception if cmd.ifNotExists
+              && Versioned.currentVersion(cmd.root) > 0L => ()
+        }
       }
     }
     ()

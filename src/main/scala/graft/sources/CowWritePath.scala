@@ -253,10 +253,28 @@ private[sources] trait CowWritePath { this: FileCow.type =>
     val totals = (newRows.length.toLong,
       newRows.iterator.map(_.getLong(rowsIdx)).sum,
       newRows.iterator.map(_.getLong(bytesIdx)).sum)
-    // the commit's NEW-DATA byte total, distinct from the snapshot totals
-    // above: stream admission (maxBytesPerTrigger) prices a catch-up batch
-    // by what it will READ — the added files — not by table size
-    val addedBytes = addedRows.iterator.map(_.getLong(bytesIdx)).sum
+    // the commit's CHANGE-SIZED byte totals, distinct from the snapshot
+    // totals above: stream admission (maxBytesPerTrigger) prices a
+    // catch-up batch by what it will READ. Added bytes come from the
+    // ACTION's added set, not from addedRows — a FullManifest commit's
+    // addedRows is the whole manifest (a metadata-only rename would
+    // otherwise record table-sized bytesAdded and needlessly isolate
+    // itself in admission). Removed bytes price the files a CHANGE-FEED
+    // batch additionally reads (the pre-image side); a remove-only
+    // commit (a whole-file-drop DELETE) would otherwise admit for free
+    // and hand the CDF stream an unbounded batch.
+    val addedSet = action.added.toSet
+    val addedBytes = newRows.iterator
+      .filter(r => addedSet(r.getString(fileIdx)))
+      .map(_.getLong(bytesIdx)).sum
+    val removedBytes =
+      if (action.removed.isEmpty || expected < 1L) 0L
+      else {
+        val removedSet = action.removed.toSet
+        CowManifestCache.rowsOf(spark, root, expected)._2.iterator
+          .filter(r => removedSet(r.getString(fileIdx)))
+          .map(_.getLong(bytesIdx)).sum
+      }
     // ---- stage the checkpoint or the delta slice ----
     // a checkpoint is due every N delta commits (property-tunable), so a
     // cold JVM folds at most N slices before hitting a full manifest
@@ -330,6 +348,7 @@ private[sources] trait CowWritePath { this: FileCow.type =>
     rec.put("nFiles", totals._1)
     rec.put("nRows", totals._2); rec.put("bytes", totals._3)
     rec.put("bytesAdded", addedBytes)
+    rec.put("bytesRemoved", removedBytes)
     val addedArr = rec.putArray("added"); action.added.foreach(addedArr.add)
     val removedArr = rec.putArray("removed"); action.removed.foreach(removedArr.add)
     action.txn.foreach { case (app, batch) =>

@@ -172,7 +172,10 @@ object FileCow extends CowWritePath with CowDeletionVectors
         * read, vs `bytes` = the whole snapshot's total (the DESCRIBE
         * HISTORY accounting). −1 on records written before the field
         * existed; readers needing it fall back conservatively. */
-      bytesAdded: Long = -1L)
+      bytesAdded: Long = -1L,
+      /** The commit's REMOVED-FILE byte total — the pre-image side a
+        * change-feed batch additionally reads. Same −1 sentinel. */
+      bytesRemoved: Long = -1L)
 
   /** The file-path delta a commit is about to apply, handed to [[commit]]
     * by each DML (which knows it exactly — no diff needed). `txn` is the
@@ -241,7 +244,9 @@ object FileCow extends CowWritePath with CowDeletionVectors
         n.get("nRows").asLong(), n.get("bytes").asLong(),
         strings("added"), strings("removed"), txn, copied, dvFiles,
         bytesAdded =
-          if (n.has("bytesAdded")) n.get("bytesAdded").asLong() else -1L))
+          if (n.has("bytesAdded")) n.get("bytesAdded").asLong() else -1L,
+        bytesRemoved =
+          if (n.has("bytesRemoved")) n.get("bytesRemoved").asLong() else -1L))
     }
   }
 
@@ -497,7 +502,8 @@ object FileCow extends CowWritePath with CowDeletionVectors
     // NOT NULL column later means DROP CONSTRAINT nn_<col>, rename,
     // re-ADD — the same discipline as any constraint-referenced column
     def ref(n: String): String =
-      if (n.matches("[A-Za-z_][A-Za-z0-9_]*")) n else s"`$n`"
+      if (n.matches("[A-Za-z_][A-Za-z0-9_]*")) n
+      else s"`${n.replace("`", "``")}`" // Spark identifier quoting: `` doubling
     val notNull = schema.fields.filterNot(_.nullable).map(f =>
       s"${ConstraintPrefix}nn_${f.name}" -> s"${ref(f.name)} IS NOT NULL").toMap
     create(spark, root, empty, statsCols, bloomCols = bloomCols,
@@ -1040,13 +1046,19 @@ object FileCow extends CowWritePath with CowDeletionVectors
       val pureDrops: Set[String] =
         if (!dropWholeFiles || condExpr.isEmpty) Set.empty
         else {
-          val notNull = constraintsOf(root, version).values
-            .map(_.trim.toLowerCase)
-            .collect { case s if s.endsWith(" is not null") =>
-              // tolerate the backticked spelling createEmpty writes for
-              // non-identifier names
-              s.stripSuffix(" is not null").trim.stripPrefix("`").stripSuffix("`") }
-            .toSet
+          // parse each stored predicate and match the IsNotNull(attr)
+          // SHAPE (parens/whitespace/backtick spellings all normalize —
+          // a string-suffix match would silently miss `(day IS NOT
+          // NULL)` and the optimization would never fire); an
+          // unparseable predicate contributes nothing: conservative
+          val notNull = constraintsOf(root, version).values.flatMap { sql =>
+            scala.util.Try(spark.sessionState.sqlParser.parseExpression(sql))
+              .toOption.collect {
+                case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+                    a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute)
+                    if a.nameParts.length == 1 => a.name.toLowerCase
+              }
+          }.toSet
           val refs = condExpr.get.references.map(_.name.toLowerCase).toSet
           if (refs.isEmpty || !refs.subsetOf(notNull)) Set.empty
           else readVersion(spark, root, version).filter(!cond)

@@ -220,10 +220,15 @@ object CdfSource {
     * cannot be split below commit granularity), and the cap may be
     * exceeded by at most that one commit's size. Records from before the
     * field existed fall back to the snapshot total — conservative (a
-    * smaller batch), never unbounded. Shared by both cow sources and by
-    * their legacy `getOffset` path. */
+    * smaller batch), never unbounded. `readsRemoved` prices the commit's
+    * REMOVED bytes too — the change feed reads both sides of a rewrite
+    * (a remove-only whole-file-drop DELETE would otherwise admit for
+    * free and hand the CDF an unbounded pre-image batch), while the
+    * table stream reads only added files. Shared by both cow sources and
+    * by their legacy `getOffset` path. */
   private[streaming] def admitUpTo(root: String, from: Long, planned: Long,
-      maxVersions: Option[Long], maxBytes: Option[Long]): Long = {
+      maxVersions: Option[Long], maxBytes: Option[Long],
+      readsRemoved: Boolean = false): Long = {
     val vCap = maxVersions.fold(planned)(m =>
       math.min(planned, from + math.max(m, 1L)))
     maxBytes match {
@@ -234,7 +239,11 @@ object CdfSource {
         var stop = false
         while (!stop && v < vCap) {
           val b = FileCow.commitInfo(root, v + 1)
-            .map(ci => if (ci.bytesAdded >= 0L) ci.bytesAdded else ci.bytes)
+            .map { ci =>
+              if (ci.bytesAdded < 0L) ci.bytes // pre-field record: table total
+              else ci.bytesAdded +
+                (if (readsRemoved && ci.bytesRemoved > 0L) ci.bytesRemoved else 0L)
+            }
             .getOrElse(0L)
           if (v > from && acc + b > cap) stop = true
           else { acc += b; v += 1 }
@@ -356,7 +365,7 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
   override def getOffset: Option[Offset] = {
     val v = FileCow.currentVersion(root)
     val capped = ratePos.fold(v)(pos => CdfSource.admitUpTo(root, pos.get, v,
-      maxVersionsPerTrigger, maxBytesPerTrigger))
+      maxVersionsPerTrigger, maxBytesPerTrigger, readsRemoved = true))
     if (capped > startVersion) Some(LongOffset(capped)) else None
   }
 
@@ -382,7 +391,8 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
     val current = FileCow.currentVersion(root)
     val planned = availableNowEnd.fold(current)(math.min(current, _))
     val (mv, mb) = CdfSource.limitCaps(limit)
-    val capped = CdfSource.admitUpTo(root, from, planned, mv, mb)
+    val capped = CdfSource.admitUpTo(root, from, planned, mv, mb,
+      readsRemoved = true)
     if (capped > from) LongOffset(capped) else null
   }
 

@@ -98,8 +98,10 @@ object StressPartitionPrune {
         data(0, rows).drop("slot")
           .repartitionByRange(days * filesPerDay, col("day"), col("id")),
         statsCols = Seq("day", "id"))
-      FileCow.addConstraint(spark, cowRoot, "nn_day", "day IS NOT NULL")
     }
+    // outside the timed write (its standing-row validation scan would
+    // skew the write comparison): the retention key's NOT NULL contract
+    FileCow.addConstraint(spark, cowRoot, "nn_day", "day IS NOT NULL")
     val hiveFiles = {
       val s = Files.walk(Paths.get(hiveDir))
       try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count()

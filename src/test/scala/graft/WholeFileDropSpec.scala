@@ -103,6 +103,28 @@ class WholeFileDropSpec extends SparkSpec {
     GraftTables.unregister("wfd_b")
   }
 
+  test("a parenthesized user-added NOT NULL constraint also enables the drop") {
+    val root = Files.createTempDirectory("graft-wfd-paren").toString
+    GraftTables.registerCow("wfd_paren", root)
+    val rows = spark.range(0, 800).select((col("id") % 8).as("day"),
+      col("id"), concat(lit("p"), col("id")).as("v"))
+    FileCow.create(spark, root,
+      rows.repartitionByRange(8, col("day"), col("id")),
+      statsCols = Seq("day", "id"))
+    val man = FileCow.manifest(spark, root, FileCow.currentVersion(root))
+    assert(man.filter(col("min_day") === col("max_day")).count() == man.count(),
+      "premise: day-pure files")
+    // the user's spelling, not createEmpty's: parens + odd spacing — the
+    // detection parses the predicate shape, it does not string-match
+    FileCow.addConstraint(spark, root, "day_nn", "( day  IS NOT NULL )")
+    val (_, read) = recordsReadDuring {
+      FileCow.delete(spark, root, col("day") < 4)
+    }
+    assert(read == 0L, s"shape-parsed constraint must enable the drop, read $read")
+    assert(FileCow.read(spark, root).count() == 400L)
+    GraftTables.unregister("wfd_paren")
+  }
+
   test("without the NOT NULL constraint the optimization must not fire") {
     val root = Files.createTempDirectory("graft-wfd-nn").toString
     GraftTables.registerCow("wfd_nn", root)
