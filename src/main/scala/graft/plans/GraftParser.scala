@@ -96,9 +96,6 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val ShowCreate =
     """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
 
-  /** `'k' = 'v', 'k2' = 'v2'` (Spark's TBLPROPERTIES literal list). */
-  private val PropPair = """'([^']+)'\s*=\s*'([^']*)'""".r
-
   /** Index of the `)` balancing the `(` at `open`, ignoring parens inside
     * single-quoted literals (ANSI `''` doubling reads as two quote
     * toggles, which round-trips correctly; a backslash-escaped `\'` —
@@ -120,9 +117,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   }
 
   /** Parse a TBLPROPERTIES literal list with ANSI `''` quote doubling in
-    * values — [[PropPair]]'s `[^']*` value group truncates at the first
-    * embedded quote, which corrupts exactly the values SHOW CREATE emits
-    * for CHECK constraints with string literals. */
+    * values — a naive `'([^']+)'\s*=\s*'([^']*)'` pair regex truncates at
+    * the first embedded quote, which corrupts exactly the values SHOW
+    * CREATE emits for CHECK constraints with string literals. */
   private def parsePropPairs(inner: String): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     var i = 0

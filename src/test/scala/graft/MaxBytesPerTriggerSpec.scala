@@ -138,6 +138,49 @@ class MaxBytesPerTriggerSpec extends SparkSpec {
       s"CDF admission diverged: observed $observed, expected $want (bytes=$bytes, cap=$cap)")
   }
 
+  test("the change feed prices a rewrite's REMOVED bytes too") {
+    // a delete that rewrites a fat file is cheap on the ADDED side if few
+    // rows survive — but the CDF reads the fat pre-image; pricing added
+    // bytes alone would admit it for free into a small batch
+    val root = Files.createTempDirectory("cdf-rm").resolve("t").toString
+    val mk = (tag: String, from: Long, n: Long) =>
+      spark.range(from, from + n).select(col("id"),
+        concat(lit(s"$tag-"), col("id")).as("payload")).coalesce(1)
+    FileCow.create(spark, root, mk("c", 0, 20), Seq("id"))        // v1 small
+    FileCow.append(spark, root, mk("v2", 1000, 3))                // v2 small
+    FileCow.append(spark, root, mk("v3", 10000, 20000))           // v3 FAT
+    FileCow.delete(spark, root, col("id") >= 10000 && col("id") < 29990) // v4: fat rewrite
+    FileCow.append(spark, root, mk("v5", 2000, 3))                // v5 small
+    FileCow.append(spark, root, mk("v6", 3000, 3))                // v6 small
+    val infos = (1L to 6L).map(v => FileCow.commitInfo(root, v).get)
+    assert(infos(3).bytesRemoved > 0L && infos(3).bytesAdded < infos(3).bytesRemoved,
+      s"the delete must carry a fat pre-image: ${infos(3)}")
+    val costs = infos.map(ci => ci.bytesAdded + math.max(ci.bytesRemoved, 0L))
+    val cap = costs(1) * 4 + costs(1) / 2
+    assert(costs(3) > cap, "the rewrite's two-sided cost must exceed the cap")
+    val want = expectedBatches(costs, cap)
+    assert(want.exists(_ == Seq(4L)), s"the oracle must isolate v4: $want ($costs)")
+
+    val observed = mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("graft-cow").option("root", root)
+      .option("readChangeFeed", "true").option("keys", "id")
+      .option("startingVersion", "0")
+      .option("maxBytesPerTrigger", cap.toString).load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val vs = b.select("_commit_version").distinct().collect()
+          .map(_.getLong(0)).toSet
+        observed.synchronized { if (vs.nonEmpty) observed += vs }
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("cdf-rm-ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000))
+    assert(observed.toSeq == want.map(_.toSet),
+      s"two-sided CDF pricing diverged: $observed vs $want (costs=$costs)")
+  }
+
   test("a version cap composes with the byte cap (tightest wins per kind)") {
     val (root, bytes) = mkBacklog()
     // byte cap generous (covers everything), version cap 2: pure 2-version batches
