@@ -200,12 +200,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * Unregistered names fall through untouched — real catalogs keep
     * owning their CREATE TABLE. */
   private val CreateSchemaPrefix =
-    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
 
   private def createSchema(sqlText: String): Option[LogicalPlan] = {
     val m = CreateSchemaPrefix.findPrefixMatchOf(sqlText).getOrElse(return None)
-    val name = m.group(2)
+    val name = m.group(3)
     val e = GraftTables.entryOf(name).getOrElse(return None)
+    // a column-list OR REPLACE on a REGISTERED name must not fall through:
+    // Spark's catalog would create a shadow table while the registry keeps
+    // serving the graft one — the most confusing failure shape possible
+    if (m.group(1) != null) sys.error(s"CREATE OR REPLACE TABLE $name: a " +
+      "declared-schema replace is not supported on a graft table — replace " +
+      s"the CONTENTS with CREATE OR REPLACE TABLE $name AS SELECT …, and " +
+      "evolve the SCHEMA with ALTER TABLE (ADD/DROP/RENAME COLUMN)")
     val open = m.end - 1
     val close = balancedClose(sqlText, open)
     require(close > open + 1, s"CREATE TABLE $name: empty or unbalanced column list")
@@ -252,7 +259,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       s"CREATE TABLE $name: unrecognized trailing clause: ${tail.trim}")
     val schema = delegate.parseTableSchema(colList)
     Some(GraftCreateTableCommand(name, e.root, schema, e.cow,
-      ifNotExists = m.group(1) != null, statsCols = stats, props = props))
+      ifNotExists = m.group(2) != null, statsCols = stats, props = props))
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =

@@ -144,6 +144,12 @@ class CreateTableSpec extends SparkSpec {
       spark.sql("CREATE TABLE ct_guard (k BIGINT) AS SELECT 1 AS k")
     }
     assert(ctas.getMessage.contains("cannot combine with AS"))
+    // OR REPLACE with a column list must refuse loudly, not fall through
+    // to Spark's catalog and shadow the registered name
+    val orr = intercept[Exception] {
+      spark.sql("CREATE OR REPLACE TABLE ct_guard (k BIGINT)")
+    }
+    assert(orr.getMessage.contains("declared-schema replace"))
 
     // a column list on an UNREGISTERED name is Spark's own CREATE TABLE
     spark.sql("CREATE TABLE ct_delegated (k BIGINT) USING parquet")
