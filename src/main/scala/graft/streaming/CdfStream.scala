@@ -224,8 +224,13 @@ object CdfSource {
     * REMOVED bytes too — the change feed reads both sides of a rewrite
     * (a remove-only whole-file-drop DELETE would otherwise admit for
     * free and hand the CDF an unbounded pre-image batch), while the
-    * table stream reads only added files. Shared by both cow sources and
-    * by their legacy `getOffset` path. */
+    * table stream reads only added files. Known under-pricing: a
+    * DV-delta commit moves no data files (bytesAdded = bytesRemoved = 0)
+    * yet its feed re-reads the files whose vectors changed; its DELETED
+    * ROW count is capped by `graft.dv.maxRows` by design, but the dirty
+    * files' read amplification is not in the record — if that matters,
+    * cap by versions as well. Shared by both cow sources and by their
+    * legacy `getOffset` path. */
   private[streaming] def admitUpTo(root: String, from: Long, planned: Long,
       maxVersions: Option[Long], maxBytes: Option[Long],
       readsRemoved: Boolean = false): Long = {
