@@ -100,20 +100,60 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * single-quoted literals (ANSI `''` doubling reads as two quote
     * toggles, which round-trips correctly; a backslash-escaped `\'` —
     * Spark's default lexer accepts both spellings — must not desync the
-    * quote state either); −1 if unbalanced. Shared by the CREATE
-    * column-list and TBLPROPERTIES scans — types carry parens
-    * (`DECIMAL(10,2)`), property values carry whole predicates. */
+    * quote state either) and inside SQL comments (`--` line spans and
+    * slash-star block spans, outside quotes — an apostrophe in a `--`
+    * remark is legal Spark DDL and must not flip the quote state); −1 if
+    * unbalanced. Shared by the CREATE column-list and
+    * TBLPROPERTIES scans — types carry parens (`DECIMAL(10,2)`), property
+    * values carry whole predicates. Mirrors the lexer the column list is
+    * later handed to (`delegate.parseTableSchema`). */
   private def balancedClose(s: String, open: Int): Int = {
     var depth = 0; var i = open; var inQuote = false
     while (i < s.length) {
       val ch = s.charAt(i)
       if (inQuote && ch == '\\' && i + 1 < s.length) i += 1 // skip escaped char
       else if (ch == '\'') inQuote = !inQuote
+      else if (!inQuote && ch == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        // line comment: skip to end of line (or end of input)
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+        i -= 1 // the loop's own increment lands on the newline itself
+      }
+      else if (!inQuote && ch == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val end = s.indexOf("*/", i + 2)
+        if (end < 0) return -1 // unterminated block comment: unbalanced
+        i = end + 1 // loop increment lands past the closing '/'
+      }
       else if (!inQuote && ch == '(') depth += 1
       else if (!inQuote && ch == ')') { depth -= 1; if (depth == 0) return i }
       i += 1
     }
     -1
+  }
+
+  /** Scan one single-quoted SQL string literal starting at `from` (which
+    * must point at the opening `'`), honoring the same two escape
+    * spellings as [[parsePropPairs]] (`''` doubling, `\'`/`\\`). Returns
+    * (unescaped value, index just past the closing quote). This is the
+    * exact inverse of SHOW CREATE's `q()` emitter, so clauses parsed with
+    * it (LOCATION) replay emitted DDL verbatim even when the value carries
+    * quotes or backslashes. */
+  private def quotedLiteral(s: String, from: Int): (String, Int) = {
+    require(from < s.length && s.charAt(from) == '\'',
+      s"expected a quoted literal at '${s.drop(from).take(20)}'")
+    var i = from + 1
+    val b = new StringBuilder
+    while (true) {
+      require(i < s.length, "unterminated string literal")
+      val ch = s.charAt(i)
+      if (ch == '\\' && i + 1 < s.length &&
+          (s.charAt(i + 1) == '\'' || s.charAt(i + 1) == '\\')) {
+        b.append(s.charAt(i + 1)); i += 2
+      } else if (ch == '\'') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '\'') { b.append('\''); i += 2 }
+        else return (b.toString, i + 1)
+      } else { b.append(ch); i += 1 }
+    }
+    sys.error("unreachable")
   }
 
   /** Parse a TBLPROPERTIES literal list with ANSI `''` quote doubling in
@@ -250,9 +290,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         s"${mm.group(1)} but '$name' is registered as " +
         s"${if (e.cow) "graft-cow (file-level)" else "graft (snapshot-level)"}")
     }
-    take("""(?is)LOCATION\s+'([^']*)'""".r).foreach { mm =>
-      require(mm.group(1) == e.root, s"CREATE TABLE $name: LOCATION " +
-        s"'${mm.group(1)}' conflicts with the registered root '${e.root}' — " +
+    // LOCATION's literal parses through the same quoted()/unescape
+    // machinery as property values — SHOW CREATE emits it through q()
+    // (doubling quotes and backslashes), so a raw `'([^']*)'` regex would
+    // either fail to match or compare the ESCAPED spelling against the raw
+    // registered root, breaking the verbatim-replay contract for roots
+    // carrying ' or \
+    "(?is)LOCATION\\s*'".r.findFirstMatchIn(tail).foreach { mm =>
+      val (loc, after) = quotedLiteral(tail, mm.end - 1)
+      tail = tail.substring(0, mm.start) + tail.substring(after)
+      require(loc == e.root, s"CREATE TABLE $name: LOCATION " +
+        s"'$loc' conflicts with the registered root '${e.root}' — " +
         "registration is the binding; re-register the name to move it")
     }
     require(tail.replaceAll("[;\\s]", "").isEmpty,

@@ -259,6 +259,14 @@ private[sources] trait CowMaintenance { this: FileCow.type =>
     retrying(root, "FileCow.restore") { version =>
       require(toVersion != version,
         s"restore target v$toVersion is already the current version")
+      // the pointer is the single source of published truth: isRetained
+      // alone also counts a crashed attempt's checkpoint-shaped orphan
+      // ABOVE the pointer, and restoring to it would PUBLISH a manifest
+      // that provably never landed (same versions()-caps-at-the-pointer
+      // discipline as lastTxn/COPY INTO)
+      require(toVersion >= 1L && toVersion < version,
+        s"restore target v$toVersion is not a published version " +
+          s"(current is v$version) — only published history can be restored")
       require(isRetained(root, toVersion),
         s"version $toVersion is not retained under $root — vacuumed history " +
           "cannot be restored")

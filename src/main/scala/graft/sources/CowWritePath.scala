@@ -349,6 +349,22 @@ private[sources] trait CowWritePath { this: FileCow.type =>
     rec.put("nRows", totals._2); rec.put("bytes", totals._3)
     rec.put("bytesAdded", addedBytes)
     rec.put("bytesRemoved", removedBytes)
+    // DV-dirty bytes: a deletion-vector commit moves no data files
+    // (bytesAdded = bytesRemoved = 0) yet its change-feed batch re-reads
+    // every file whose vectors changed — record those files' byte total so
+    // CDF admission can price the re-read (removed dirty files are already
+    // priced by bytesRemoved; this covers the still-present ones)
+    if (action.dvFiles.nonEmpty) {
+      val dvSet = action.dvFiles.toSet
+      val dvBytes = newRows.iterator
+        .filter { r =>
+          val f = r.getString(fileIdx)
+          dvSet.contains(f.substring(f.lastIndexOf('/') + 1))
+        }
+        .map(_.getLong(bytesIdx)).sum
+      rec.put("bytesDv", dvBytes)
+      ()
+    }
     val addedArr = rec.putArray("added"); action.added.foreach(addedArr.add)
     val removedArr = rec.putArray("removed"); action.removed.foreach(removedArr.add)
     action.txn.foreach { case (app, batch) =>

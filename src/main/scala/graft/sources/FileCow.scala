@@ -175,7 +175,12 @@ object FileCow extends CowWritePath with CowDeletionVectors
       bytesAdded: Long = -1L,
       /** The commit's REMOVED-FILE byte total — the pre-image side a
         * change-feed batch additionally reads. Same −1 sentinel. */
-      bytesRemoved: Long = -1L)
+      bytesRemoved: Long = -1L,
+      /** Byte total of the STILL-PRESENT files whose deletion vectors this
+        * commit changed — what a change-feed batch re-reads for a DV-delta
+        * commit (whose bytesAdded/bytesRemoved are both 0; removed dirty
+        * files are already priced by bytesRemoved). Same −1 sentinel. */
+      bytesDv: Long = -1L)
 
   /** The file-path delta a commit is about to apply, handed to [[commit]]
     * by each DML (which knows it exactly — no diff needed). `txn` is the
@@ -246,7 +251,9 @@ object FileCow extends CowWritePath with CowDeletionVectors
         bytesAdded =
           if (n.has("bytesAdded")) n.get("bytesAdded").asLong() else -1L,
         bytesRemoved =
-          if (n.has("bytesRemoved")) n.get("bytesRemoved").asLong() else -1L))
+          if (n.has("bytesRemoved")) n.get("bytesRemoved").asLong() else -1L,
+        bytesDv =
+          if (n.has("bytesDv")) n.get("bytesDv").asLong() else -1L))
     }
   }
 

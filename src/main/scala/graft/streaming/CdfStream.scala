@@ -224,13 +224,13 @@ object CdfSource {
     * REMOVED bytes too — the change feed reads both sides of a rewrite
     * (a remove-only whole-file-drop DELETE would otherwise admit for
     * free and hand the CDF an unbounded pre-image batch), while the
-    * table stream reads only added files. Known under-pricing: a
-    * DV-delta commit moves no data files (bytesAdded = bytesRemoved = 0)
-    * yet its feed re-reads the files whose vectors changed; its DELETED
-    * ROW count is capped by `graft.dv.maxRows` by design, but the dirty
-    * files' read amplification is not in the record — if that matters,
-    * cap by versions as well. Shared by both cow sources and by their
-    * legacy `getOffset` path. */
+    * table stream reads only added files. A DV-delta commit moves no
+    * data files (bytesAdded = bytesRemoved = 0) yet its feed re-reads
+    * the still-present files whose vectors changed — the record's
+    * `bytesDv` prices that re-read on the `readsRemoved` path (an
+    * r11-era record carrying dvFiles without the field falls back to
+    * the snapshot total, conservative). Shared by both cow sources and
+    * by their legacy `getOffset` path. */
   private[streaming] def admitUpTo(root: String, from: Long, planned: Long,
       maxVersions: Option[Long], maxBytes: Option[Long],
       readsRemoved: Boolean = false): Long = {
@@ -246,8 +246,11 @@ object CdfSource {
           val b = FileCow.commitInfo(root, v + 1)
             .map { ci =>
               if (ci.bytesAdded < 0L) ci.bytes // pre-field record: table total
+              else if (readsRemoved && ci.dvFiles.nonEmpty && ci.bytesDv < 0L)
+                ci.bytes // r11-era DV record without bytesDv: conservative
               else ci.bytesAdded +
-                (if (readsRemoved && ci.bytesRemoved > 0L) ci.bytesRemoved else 0L)
+                (if (readsRemoved && ci.bytesRemoved > 0L) ci.bytesRemoved else 0L) +
+                (if (readsRemoved && ci.bytesDv > 0L) ci.bytesDv else 0L)
             }
             .getOrElse(0L)
           if (v > from && acc + b > cap) stop = true

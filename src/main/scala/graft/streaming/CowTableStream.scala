@@ -135,16 +135,21 @@ class CowTableSource(ctx: SQLContext, root: String,
     if (graft.sources.FileCow.isColumnMapped(schema))
       graft.sources.FileCow.ensureFieldIdConfs(spark)
     // the same fillable/fail-loudly discipline as CdfSource.conformTo: a
-    // pinned column that no longer RESOLVES against the current table —
-    // by field id on a mapped table (a metadata-only rename keeps the id,
-    // so the pinned name keeps reading correctly), by name on a
-    // convert-vintage one — was dropped/renamed MID-RUN. Relying on
+    // pinned column that no longer RESOLVES against the BATCH'S END
+    // version — by field id on a mapped table (a metadata-only rename
+    // keeps the id, so the pinned name keeps reading correctly), by name
+    // on a convert-vintage one — was dropped/renamed MID-RUN. Relying on
     // parquet null-padding there would hand the sink real rows with a
     // silently-corrupted column until the restart-time pinnedSchema guard
     // finally fires; fail at the batch that first crosses the drift.
+    // Resolving against `to`, not the CURRENT version, keeps pre-drift
+    // backlog deliverable: once a drop lands, batches whose (from, to]
+    // lies entirely before it — including the restart replay of the last
+    // checkpointed batch, whose files all still carry the column — must
+    // deliver; the first batch whose end crosses the drop is the one
+    // that fails.
     locally {
-      val cur = graft.sources.FileCow.schemaOf(
-        root, graft.sources.FileCow.currentVersion(root))
+      val cur = graft.sources.FileCow.schemaOf(root, to)
       def idOf(f: org.apache.spark.sql.types.StructField): Option[Long] =
         if (f.metadata.contains(graft.sources.FileCow.FieldIdKey))
           Some(f.metadata.getLong(graft.sources.FileCow.FieldIdKey))
