@@ -23,7 +23,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(session => new graft.plans.GraftMergeRule(session))
     ext.injectPlannerStrategy(_ => graft.plans.GraftMergeStrategy)
     // VACUUM <t> RETAIN <n> VERSIONS; all other statements delegate verbatim.
-    ext.injectParser((session, delegate) => new graft.plans.GraftSqlParser(session, delegate))
+    // The parser factory runs once per session build — the moment to attach
+    // the DURABLE catalog when the deployment names one
+    // (`--conf spark.graft.warehouse=<dir>`): name→table bindings then
+    // survive driver restarts and resolve across driver processes.
+    ext.injectParser { (session, delegate) =>
+      session.sparkContext.getConf.getOption("spark.graft.warehouse")
+        .filterNot(graft.plans.GraftTables.warehouse.contains)
+        .foreach(graft.plans.GraftTables.attachWarehouse)
+      new graft.plans.GraftSqlParser(session, delegate)
+    }
     // metadata-only COUNT(*)/MIN/MAX over unfiltered cow-table scans — the
     // manifest answers from driver-cached per-file stats, zero Spark jobs
     ext.injectOptimizerRule(_ => new graft.plans.CowMetadataAggRule)

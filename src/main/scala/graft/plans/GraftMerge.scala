@@ -51,33 +51,102 @@ object GraftTables {
     * file-level COW (same SQL surface, commit cost O(touched files)). */
   final case class Entry(root: String, cow: Boolean)
 
+  /** JVM-local bindings — the pre-warehouse behavior, kept for embedded/
+    * test use: register without a warehouse and the binding lives (only)
+    * as long as the process. */
   private val tables = new ConcurrentHashMap[String, Entry]()
+
+  /** Mirror of the attached warehouse's DURABLE registry
+    * ([[graft.sources.CatalogStore]]), refreshed whenever the store's
+    * pointer moves — so a name CREATEd by another driver process resolves
+    * here without any registration call, and a DROP there stops resolving
+    * here. */
+  private val stored = new ConcurrentHashMap[String, Entry]()
+  @volatile private var wh: Option[String] = None
+  @volatile private var loadedVersion: Long = -1L
+
+  /** Attach the durable registry under `dir` (`<dir>/_catalog/`):
+    * registrations write through to it (CAS-committed under the same
+    * advisory-lock seam as table commits), lookups see every other
+    * process's registrations, and a restarted driver re-attaches to find
+    * its tables still bound. Deployment spelling:
+    * `--conf spark.graft.warehouse=<dir>` (picked up at session build by
+    * [[graft.GraftExtensions]]). */
+  def attachWarehouse(dir: String): Unit = this.synchronized {
+    wh = Some(dir); loadedVersion = -1L; refresh()
+  }
+
+  /** Detach (embedded/test use): durable bindings stop resolving here;
+    * the store itself is untouched. */
+  def detachWarehouse(): Unit = this.synchronized {
+    wh = None; stored.clear(); loadedVersion = -1L
+  }
+
+  def warehouse: Option[String] = wh
+
+  /** Re-mirror the store when its pointer moved — one tiny pointer read
+    * per lookup miss, a snapshot load only on change. */
+  private def refresh(): Unit = wh.foreach { d =>
+    val v = graft.sources.CatalogStore.currentVersion(d)
+    if (v != loadedVersion) this.synchronized {
+      if (v != loadedVersion) {
+        val entries = graft.sources.CatalogStore.load(d, v)
+        stored.clear()
+        entries.foreach { case (k, b) => stored.put(k, Entry(b.root, b.cow)) }
+        loadedVersion = v
+      }
+    }
+  }
 
   /** Register `name` as a MERGE-able versioned table rooted at `root`. */
   def register(name: String, root: String): Unit =
-    tables.put(normalize(name), Entry(root, cow = false))
+    put(name, Entry(root, cow = false))
 
   /** Register `name` as a FILE-LEVEL COW table rooted at `root` (a
     * [[graft.sources.FileCow]] layout — created via `FileCow.create`). */
   def registerCow(name: String, root: String): Unit =
-    tables.put(normalize(name), Entry(root, cow = true))
+    put(name, Entry(root, cow = true))
 
-  def unregister(name: String): Unit = tables.remove(normalize(name))
+  private def put(name: String, e: Entry): Unit = wh match {
+    case Some(d) =>
+      graft.sources.CatalogStore.commit(d)(m =>
+        m + (normalize(name) -> graft.sources.CatalogStore.Binding(e.root, e.cow)))
+      refresh()
+    case None => tables.put(normalize(name), e); ()
+  }
+
+  def unregister(name: String): Unit = {
+    tables.remove(normalize(name))
+    wh.foreach { d =>
+      graft.sources.CatalogStore.commit(d)(m => m - normalize(name))
+      refresh()
+    }
+  }
+
   def rootOf(name: String): Option[String] = entryOf(name).map(_.root)
-  def entryOf(name: String): Option[Entry] = Option(tables.get(normalize(name)))
 
-  /** Every registered (name, entry), name-sorted — `SHOW GRAFT TABLES`. */
+  def entryOf(name: String): Option[Entry] = {
+    val k = normalize(name)
+    Option(tables.get(k)).orElse { refresh(); Option(stored.get(k)) }
+  }
+
+  /** Every registered (name, entry), name-sorted — `SHOW GRAFT TABLES`.
+    * Local bindings shadow same-named durable ones (matching [[entryOf]]'s
+    * precedence). */
   def all(): Seq[(String, Entry)] = {
     import scala.jdk.CollectionConverters._
-    tables.asScala.toSeq.sortBy(_._1)
+    refresh()
+    (stored.asScala ++ tables.asScala).toSeq.sortBy(_._1)
   }
 
   private def normalize(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
 
-  /** Multipart identifier → registry key (single-part names only: graft
-    * tables live in the registry, not a catalog namespace). */
+  /** Multipart identifier → registry key: parts join with `.` (the
+    * registry is flat — `db.t` is a NAME, registered as such; an exact
+    * key either resolves or the statement falls through loudly to Spark's
+    * catalog, never to a silent shadow). */
   def keyFor(multipart: Seq[String]): Option[String] =
-    if (multipart.length == 1) Some(normalize(multipart.head)) else None
+    if (multipart.nonEmpty) Some(normalize(multipart.mkString("."))) else None
 }
 
 /** Non-Expression holder: DML conditions/assignments captured at parse
@@ -155,11 +224,9 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some((name, entry)) =>
           if (partitionSpec.nonEmpty)
             fail(s"graft INSERT INTO $name: PARTITION spec unsupported")
-          if (userCols.nonEmpty)
-            fail(s"graft INSERT INTO $name: explicit column lists unsupported " +
-              "(positional ANSI INSERT only)")
           if (byName) fail(s"graft INSERT INTO $name: BY NAME unsupported")
-          GraftInsertCommand(name, entry.root, query, overwrite, entry.cow)
+          GraftInsertCommand(name, entry.root, query, overwrite, entry.cow,
+            userCols = userCols)
         case None => i
       }
 
@@ -396,20 +463,30 @@ case class GraftCtasCommand(table: String, root: String, query: LogicalPlan,
   * .createEmpty]] (cow) / an empty [[graft.sources.Versioned]] publish. */
 case class GraftCreateTableCommand(table: String, root: String,
     declaredSchema: StructType, cow: Boolean, ifNotExists: Boolean,
-    statsCols: Seq[String], props: Map[String, String])
+    statsCols: Seq[String], props: Map[String, String],
+    /** True when the statement itself claimed an UNREGISTERED name via
+      * `USING graft|graft-cow` — the binding commits (durably, when a
+      * warehouse is attached) only AFTER the create succeeds, so a failed
+      * create never leaves a dangling name. */
+    autoRegister: Boolean = false)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
 
-/** `INSERT INTO t SELECT …` / `INSERT OVERWRITE t SELECT …` on a graft
-  * table: positional column resolution with casts to the table's declared
-  * types (ANSI INSERT), then an append-only commit (cow: new data files,
-  * every current file kept by reference — O(increment); snapshot: publish
-  * current ∪ increment) or a full replace under OVERWRITE. An INSERT into a
-  * never-created table creates it (the same bootstrap courtesy the first
-  * MERGE extends). */
+/** `INSERT INTO t [(a, b, …)] SELECT …` / `INSERT OVERWRITE t SELECT …` on
+  * a graft table: positional column resolution with casts to the table's
+  * declared types (ANSI INSERT), then an append-only commit (cow: new data
+  * files, every current file kept by reference — O(increment); snapshot:
+  * publish current ∪ increment) or a full replace under OVERWRITE. An
+  * explicit column list (`userCols`) maps the query's columns to the named
+  * table columns positionally; omitted columns pad NULL — refusing loudly
+  * when the omitted column is NOT NULL (ANSI semantics, Delta's contract).
+  * An INSERT into a never-created table creates it (the same bootstrap
+  * courtesy the first MERGE extends) — column lists need a declared schema
+  * to resolve against, so they refuse on the bootstrap path. */
 case class GraftInsertCommand(table: String, root: String, query: LogicalPlan,
-    overwrite: Boolean, cow: Boolean = false) extends UnaryNode with Command {
+    overwrite: Boolean, cow: Boolean = false, userCols: Seq[String] = Nil)
+    extends UnaryNode with Command {
   override def child: LogicalPlan = query
   override def output: Seq[Attribute] = Nil
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftInsertCommand =
@@ -488,6 +565,38 @@ object GraftWriteSupport {
         col(s"_ins_c$i").cast(f.dataType).as(f.name)
       }.toSeq: _*)
   }
+
+  /** Explicit-column-list INSERT resolution: the query's i-th column feeds
+    * the i-th NAMED table column; omitted columns pad typed NULL — unless
+    * NOT NULL, which refuses loudly (padding NULL into it would poison
+    * reads; the same contract as MERGE's INSERT pad). */
+  def positional(src: DataFrame, schema: StructType,
+      userCols: Seq[String]): DataFrame =
+    if (userCols.isEmpty) positional(src, schema)
+    else {
+      def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      val names = userCols.map(lc)
+      require(names.distinct.length == names.length,
+        s"INSERT column list repeats a column: ${userCols.mkString(", ")}")
+      val tableCols = schema.fields.map(f => lc(f.name)).toSet
+      val unknown = userCols.filterNot(c => tableCols(lc(c)))
+      require(unknown.isEmpty,
+        s"INSERT column list names unknown column(s): ${unknown.mkString(", ")}")
+      require(src.columns.length == userCols.length,
+        s"INSERT arity mismatch: query produces ${src.columns.length} " +
+          s"columns, column list names ${userCols.length}")
+      val srcPos = names.zipWithIndex.toMap // table column (lc) → query position
+      val tmp = src.toDF(userCols.indices.map(i => s"_ins_c$i"): _*)
+      tmp.select(schema.fields.toSeq.map { f =>
+        srcPos.get(lc(f.name)) match {
+          case Some(i) => col(s"_ins_c$i").cast(f.dataType).as(f.name)
+          case None =>
+            require(f.nullable, s"INSERT omits column ${f.name}, which is " +
+              "NOT NULL — nothing to pad with")
+            lit(null).cast(f.dataType).as(f.name)
+        }
+      }: _*)
+    }
 
   /** CTAS/bootstrap layout — [[graft.sources.FileCow.rangedByLead]]. */
   def ranged(df: DataFrame, statsCols: Seq[String]): DataFrame =
@@ -704,6 +813,27 @@ case class GraftCreateTableExec(cmd: GraftCreateTableCommand) extends LeafExecNo
       if (cmd.cow) FileCow.currentVersion(cmd.root) > 0L
       else Versioned.currentVersion(cmd.root) > 0L
     if (cmd.ifNotExists && exists) () // IF NOT EXISTS: silently keep the table
+    else if (exists && cmd.autoRegister) {
+      // a statement-claimed name over a root that ALREADY holds a table is
+      // the external-table re-attach (Delta's CREATE … USING delta
+      // LOCATION over existing data; also what replaying an exported SHOW
+      // CREATE after DROP TABLE means): adopt the data, but only when the
+      // declared schema matches the live one — silently re-binding a
+      // different shape would corrupt every later positional INSERT
+      val live =
+        if (cmd.cow) FileCow.schemaOf(cmd.root, FileCow.currentVersion(cmd.root))
+        else Versioned.read(spark, cmd.root).schema
+      def key(s: StructType, withNull: Boolean) = s.fields.toSeq.map(f =>
+        (f.name.toLowerCase(java.util.Locale.ROOT), f.dataType,
+          if (withNull) f.nullable else true))
+      // snapshot layouts read back through parquet (nullability is not a
+      // kept contract there — declared NOT NULL is refused at create)
+      require(key(live, cmd.cow) == key(cmd.declaredSchema, cmd.cow),
+        s"graft CREATE TABLE ${cmd.table}: the LOCATION already holds a " +
+          s"table with schema ${live.simpleString}, which does not match " +
+          s"the declared ${cmd.declaredSchema.simpleString} — declare the " +
+          "matching schema to adopt it, or point LOCATION elsewhere")
+    }
     else {
       require(!exists, s"graft CREATE TABLE ${cmd.table}: table already " +
         "exists — INSERT or MERGE into it, or CREATE OR REPLACE … AS to " +
@@ -770,6 +900,13 @@ case class GraftCreateTableExec(cmd: GraftCreateTableCommand) extends LeafExecNo
         }
       }
     }
+    // statement-claimed name: commit the binding only now, after every
+    // path above succeeded (incl. the IF-NOT-EXISTS keep — re-running an
+    // exported CREATE after a registry wipe re-attaches the binding)
+    if (cmd.autoRegister) {
+      if (cmd.cow) GraftTables.registerCow(cmd.table, cmd.root)
+      else GraftTables.register(cmd.table, cmd.root)
+    }
     ()
   }
 
@@ -784,10 +921,15 @@ case class GraftInsertExec(cmd: GraftInsertCommand) extends LeafExecNode {
   private lazy val done: Unit = {
     val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val src = GraftBridge.ofRows(spark, cmd.query)
+    def requireNoColsOnBootstrap(): Unit =
+      require(cmd.userCols.isEmpty, s"graft INSERT INTO ${cmd.table}: an " +
+        "explicit column list needs a declared table schema to resolve " +
+        "against — CREATE the table first (this INSERT would bootstrap it)")
     if (cmd.cow) {
       if (FileCow.currentVersion(cmd.root) == 0L) {
         // first INSERT into a never-created table bootstraps it (the same
         // courtesy the first MERGE extends)
+        requireNoColsOnBootstrap()
         val stats = GraftWriteSupport.statsEligible(src.schema)
         require(stats.nonEmpty, s"graft INSERT INTO ${cmd.table}: no " +
           "stats-eligible column to bootstrap the cow table with")
@@ -795,15 +937,18 @@ case class GraftInsertExec(cmd: GraftInsertCommand) extends LeafExecNode {
           statsCols = stats)
       } else {
         val schema = FileCow.schemaOf(cmd.root, FileCow.currentVersion(cmd.root))
-        val aligned = GraftWriteSupport.positional(src, schema)
+        val aligned = GraftWriteSupport.positional(src, schema, cmd.userCols)
         if (cmd.overwrite) FileCow.overwrite(spark, cmd.root, aligned)
         else FileCow.append(spark, cmd.root, aligned)
       }
     } else {
-      if (Versioned.currentVersion(cmd.root) == 0L) Versioned.publish(src, cmd.root)
+      if (Versioned.currentVersion(cmd.root) == 0L) {
+        requireNoColsOnBootstrap()
+        Versioned.publish(src, cmd.root)
+      }
       else GraftCommit.retrying(cmd.root, s"graft INSERT INTO ${cmd.table}") { version =>
         val current = Versioned.readVersion(spark, cmd.root, version)
-        val aligned = GraftWriteSupport.positional(src, current.schema)
+        val aligned = GraftWriteSupport.positional(src, current.schema, cmd.userCols)
         if (cmd.overwrite) aligned else current.unionByName(aligned)
       }
     }

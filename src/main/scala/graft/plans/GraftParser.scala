@@ -25,35 +25,35 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   private val Vacuum =
-    """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)\s+RETAIN\s+(\d+)\s+VERSIONS(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+RETAIN\s+(\d+)\s+VERSIONS(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
 
   private val History =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s*;?\s*""".r
 
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s+INTO\s+(\d+)\s+FILES(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+INTO\s+(\d+)\s+FILES(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
 
   private val Restore =
-    """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+    """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   /** `RESTORE TABLE t TO TIMESTAMP AS OF '<ts>'` — the version live at
     * that instant (same session-timezone resolution as read-side
     * TIMESTAMP AS OF), then the ordinary restore commit. */
   private val RestoreTs =
-    """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
 
   /** `CONVERT TO GRAFT <registered> FROM '<dir>' STATS (c, …)` — adopt an
     * existing plain-parquet directory as the named cow table (the Delta
     * `CONVERT TO DELTA` analog): files are renamed in, one stats scan
     * runs, no byte is rewritten. */
   private val Convert =
-    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'\s+STATS\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*;?\s*""".r
+    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+FROM\s+'([^']+)'\s+STATS\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*;?\s*""".r
 
   /** `DESCRIBE DETAIL t` — the cow table's FILE-LEVEL metadata as a
     * relation (Delta `DESCRIBE DETAIL` / Iceberg `.files`): one row per
     * current data file with bytes, rows, and per-stats-column [min, max]
     * — the layout-inspection surface OPTIMIZE/ZORDER decisions read. */
   private val Detail =
-    """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s*;?\s*""".r
 
   /** `CREATE TABLE <registered> AS <query>` — the migrating user's first
     * statement. The prefix claims ONLY names pre-registered via
@@ -62,13 +62,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * column-list/USING/OPTIONS spelling — delegates verbatim, so real
     * catalogs keep owning their tables. */
   private val Ctas =
-    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+AS\s+(.+?)\s*;?\s*""".r
 
   /** `CREATE TABLE <tgt> SHALLOW CLONE <src> [VERSION AS OF n]` — Delta's
     * zero-copy clone on cow tables: one metadata commit naming the
     * source's files; see [[graft.sources.FileCow.shallowClone]]. */
   private val Clone =
-    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SHALLOW\s+CLONE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+SHALLOW\s+CLONE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
 
   /** `SHOW GRAFT TABLES` — the catalog-lite listing as a composable
     * relation: (name, root, layout, version). The GRAFT keyword keeps
@@ -79,22 +79,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * `ADD CONSTRAINT … CHECK` surface. Spark's grammar has no ADD
     * CONSTRAINT, so these are prefix intercepts like VACUUM. */
   private val AddConstraint =
-    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
-    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
   private val SetProps =
-    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
   private val UnsetProps =
-    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+UNSET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+UNSET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
   private val ShowProps =
-    """(?is)\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s*;?\s*""".r
 
   /** `SHOW CREATE TABLE t` on a REGISTERED graft name — the migration
     * artifact a user exports: columns + layout + location + properties
     * (CHECK constraints ride them) + the bloom-index statement when one is
     * declared. Spark's own SHOW CREATE TABLE keeps unregistered names. */
   private val ShowCreate =
-    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s*;?\s*""".r
 
   /** Index of the `)` balancing the `(` at `open`, ignoring parens inside
     * single-quoted literals (ANSI `''` doubling reads as two quote
@@ -210,19 +210,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * on cow tables: each run appends only the directory's parquet files
     * not already recorded in a prior copy_into commit. */
   private val CopyInto =
-    """(?is)\s*COPY\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*COPY\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+FROM\s+'([^']+)'\s*;?\s*""".r
 
   /** `CREATE BLOOMFILTER INDEX ON [TABLE] t FOR COLUMNS (c, …)` — Delta's
     * spelling: backfill-sketch every current data file in one scan (no
     * rewrite) and keep sketching on every future commit. */
   private val BloomIndex =
-    """(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+FOR\s+COLUMNS\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+FOR\s+COLUMNS\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
 
   /** `ALTER TABLE t RENAME COLUMN a TO b` — on a graft cow table this is
     * a full-rewrite commit (read-by-name layout, no column-mapping ids);
     * unregistered names delegate to Spark's own RENAME COLUMN. */
   private val RenameCol =
-    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
 
   /** `CREATE TABLE [IF NOT EXISTS] t (col type [NOT NULL], …)` on a
     * REGISTERED graft name — the migrating user's actual first statement:
@@ -240,21 +240,33 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * Unregistered names fall through untouched — real catalogs keep
     * owning their CREATE TABLE. */
   private val CreateSchemaPrefix =
-    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s*\(""".r
 
   private def createSchema(sqlText: String): Option[LogicalPlan] = {
     val m = CreateSchemaPrefix.findPrefixMatchOf(sqlText).getOrElse(return None)
     val name = m.group(3)
-    val e = GraftTables.entryOf(name).getOrElse(return None)
-    // a column-list OR REPLACE on a REGISTERED name must not fall through:
+    val preRegistered = GraftTables.entryOf(name)
+    val open = m.end - 1
+    val close = balancedClose(sqlText, open)
+    if (preRegistered.isEmpty) {
+      // an UNREGISTERED name is claimed only when the statement SAYS graft
+      // (`USING graft|graft-cow` after a balanced column list) — the SQL
+      // front door that registers the binding itself (durably when a
+      // warehouse is attached). Anything else delegates verbatim, so real
+      // catalogs keep owning their CREATE TABLE; until the claim is
+      // decided, nothing here may error.
+      if (close <= open + 1) return None
+      val peek = sqlText.substring(close + 1)
+      if ("""(?is)\bUSING\s+graft(?:-cow)?(?![\w\-])""".r
+          .findFirstIn(peek).isEmpty) return None
+    }
+    // a column-list OR REPLACE on a CLAIMED name must not fall through:
     // Spark's catalog would create a shadow table while the registry keeps
     // serving the graft one — the most confusing failure shape possible
     if (m.group(1) != null) sys.error(s"CREATE OR REPLACE TABLE $name: a " +
       "declared-schema replace is not supported on a graft table — replace " +
       s"the CONTENTS with CREATE OR REPLACE TABLE $name AS SELECT …, and " +
       "evolve the SCHEMA with ALTER TABLE (ADD/DROP/RENAME COLUMN)")
-    val open = m.end - 1
-    val close = balancedClose(sqlText, open)
     require(close > open + 1, s"CREATE TABLE $name: empty or unbalanced column list")
     val colList = sqlText.substring(open + 1, close)
     var tail = sqlText.substring(close + 1)
@@ -284,30 +296,50 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     val stats = take("""(?is)(?:--\s*)?STATS\s*\(\s*([A-Za-z0-9_\s,]*?)\s*\)""".r)
       .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    take("""(?is)USING\s+(graft(?:-cow)?)""".r).foreach { mm =>
-      val declaredCow = mm.group(1).equalsIgnoreCase("graft-cow")
-      require(declaredCow == e.cow, s"CREATE TABLE $name: USING " +
-        s"${mm.group(1)} but '$name' is registered as " +
-        s"${if (e.cow) "graft-cow (file-level)" else "graft (snapshot-level)"}")
-    }
+    val usingDecl = take("""(?is)USING\s+(graft(?:-cow)?)(?![\w\-])""".r)
+      .map(_.group(1).equalsIgnoreCase("graft-cow"))
     // LOCATION's literal parses through the same quoted()/unescape
     // machinery as property values — SHOW CREATE emits it through q()
     // (doubling quotes and backslashes), so a raw `'([^']*)'` regex would
     // either fail to match or compare the ESCAPED spelling against the raw
     // registered root, breaking the verbatim-replay contract for roots
     // carrying ' or \
-    "(?is)LOCATION\\s*'".r.findFirstMatchIn(tail).foreach { mm =>
+    val locationDecl = "(?is)LOCATION\\s*'".r.findFirstMatchIn(tail).map { mm =>
       val (loc, after) = quotedLiteral(tail, mm.end - 1)
       tail = tail.substring(0, mm.start) + tail.substring(after)
-      require(loc == e.root, s"CREATE TABLE $name: LOCATION " +
-        s"'$loc' conflicts with the registered root '${e.root}' — " +
-        "registration is the binding; re-register the name to move it")
+      loc
     }
     require(tail.replaceAll("[;\\s]", "").isEmpty,
       s"CREATE TABLE $name: unrecognized trailing clause: ${tail.trim}")
+    val (e, autoRegister) = preRegistered match {
+      case Some(e0) =>
+        usingDecl.foreach(declaredCow =>
+          require(declaredCow == e0.cow, s"CREATE TABLE $name: USING " +
+            s"${if (declaredCow) "graft-cow" else "graft"} but '$name' is registered as " +
+            s"${if (e0.cow) "graft-cow (file-level)" else "graft (snapshot-level)"}"))
+        locationDecl.foreach(loc =>
+          require(loc == e0.root, s"CREATE TABLE $name: LOCATION " +
+            s"'$loc' conflicts with the registered root '${e0.root}' — " +
+            "registration is the binding; re-register the name to move it"))
+        (e0, false)
+      case None =>
+        // the statement-claimed layout (the peek above guarantees USING is
+        // present); the root comes from LOCATION or the attached warehouse
+        val cow = usingDecl.get
+        val root = locationDecl
+          .orElse(GraftTables.warehouse.map(wh =>
+            java.nio.file.Paths.get(wh,
+              name.toLowerCase(java.util.Locale.ROOT).split('.').toSeq: _*).toString))
+          .getOrElse(sys.error(s"CREATE TABLE $name: USING " +
+            s"${if (cow) "graft-cow" else "graft"} on an unregistered name " +
+            "needs a LOCATION clause or an attached graft warehouse " +
+            "(spark.graft.warehouse) to place the table"))
+        (GraftTables.Entry(root, cow), true)
+    }
     val schema = delegate.parseTableSchema(colList)
     Some(GraftCreateTableCommand(name, e.root, schema, e.cow,
-      ifNotExists = m.group(2) != null, statsCols = stats, props = props))
+      ifNotExists = m.group(2) != null, statsCols = stats, props = props,
+      autoRegister = autoRegister))
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =

@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftTables
+import graft.sources.{CatalogStore, FileCow}
+
+/** The DURABLE catalog (VERDICT r11 missing #1) + the two everyday SQL
+  * spellings it unblocks (#4): name→table bindings persist under
+  * `<warehouse>/_catalog/` with the TablePointer CAS seam, so a restarted
+  * driver re-resolves every name; `db.t` multipart names register and
+  * resolve as flat dotted keys (or fall through loudly, never shadow);
+  * `INSERT INTO t (a, b)` explicit column lists resolve positionally with
+  * NULL padding and a loud NOT NULL refusal. Cross-PROCESS resolution and
+  * racing are [[CrossProcessCatalogSpec]]'s job — this suite proves the
+  * semantics same-JVM. */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withWarehouse[T](body: String => T): T = {
+    val wh = Files.createTempDirectory("graft-cat-wh").toString
+    GraftTables.attachWarehouse(wh)
+    try body(wh) finally GraftTables.detachWarehouse()
+  }
+
+  test("bindings survive a driver restart (detach + re-attach = fresh mirror)") {
+    withWarehouse { wh =>
+      val root = Files.createTempDirectory("graft-cat-t1").resolve("t").toString
+      GraftTables.registerCow("cat_restart", root)
+      spark.sql("CREATE TABLE cat_restart (k BIGINT NOT NULL, v STRING)")
+      spark.sql("INSERT INTO cat_restart SELECT id, concat('r-', id) FROM range(1, 6)")
+      // simulate the restart: drop every in-memory trace, re-attach
+      GraftTables.detachWarehouse()
+      assert(GraftTables.entryOf("cat_restart").isEmpty, "spec premise: gone when detached")
+      GraftTables.attachWarehouse(wh)
+      assert(GraftTables.entryOf("cat_restart").contains(GraftTables.Entry(root, cow = true)))
+      assert(spark.sql("SELECT count(*) AS n FROM cat_restart")
+        .collect().head.getLong(0) == 5L)
+      // DML by name still lands
+      spark.sql("MERGE INTO cat_restart t USING (SELECT CAST(9 AS BIGINT) AS k, 'm' AS v) s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      assert(FileCow.read(spark, root).count() == 6L)
+      // DROP TABLE tombstones the binding durably
+      spark.sql("DROP TABLE cat_restart")
+      assert(GraftTables.entryOf("cat_restart").isEmpty)
+      GraftTables.detachWarehouse(); GraftTables.attachWarehouse(wh)
+      assert(GraftTables.entryOf("cat_restart").isEmpty, "DROP must survive the restart")
+    }
+  }
+
+  test("SQL front door: USING graft-cow on an unregistered name registers + creates") {
+    withWarehouse { wh =>
+      spark.sql("CREATE TABLE cat_front (k BIGINT NOT NULL, v STRING) USING graft-cow " +
+        "TBLPROPERTIES ('owner' = 'me')")
+      val e = GraftTables.entryOf("cat_front").get
+      assert(e.cow && e.root == java.nio.file.Paths.get(wh, "cat_front").toString,
+        s"default root under the warehouse, got $e")
+      assert(FileCow.currentVersion(e.root) == 1L)
+      assert(FileCow.tableProps(e.root, 1L).get("owner").contains("me"))
+      spark.sql("INSERT INTO cat_front SELECT id, concat('x', id) FROM range(1, 4)")
+      assert(spark.sql("SELECT count(*) AS n FROM cat_front").collect().head.getLong(0) == 3L)
+      // the binding is DURABLE (committed to the store, not just mirrored)
+      assert(CatalogStore.load(wh, CatalogStore.currentVersion(wh))
+        .get("cat_front").contains(CatalogStore.Binding(e.root, cow = true)))
+      // SHOW CREATE replays: drop, re-create from the exported DDL
+      val ddl = spark.sql("SHOW CREATE TABLE cat_front").collect().head.getString(0)
+      spark.sql("DROP TABLE cat_front")
+      assert(GraftTables.entryOf("cat_front").isEmpty)
+      spark.sql(ddl) // auto-registers again (LOCATION pins the same root)
+      assert(GraftTables.entryOf("cat_front").contains(e))
+      assert(spark.sql("SELECT count(*) AS n FROM cat_front").collect().head.getLong(0) == 3L,
+        "re-attaching the binding must find the table's history intact")
+    }
+  }
+
+  test("SQL front door: explicit LOCATION wins; no warehouse + no location refuses") {
+    withWarehouse { _ =>
+      val root = Files.createTempDirectory("graft-cat-loc").resolve("t").toString
+      spark.sql(s"CREATE TABLE cat_loc (k BIGINT) USING graft-cow LOCATION '$root'")
+      try {
+        assert(GraftTables.entryOf("cat_loc").contains(GraftTables.Entry(root, cow = true)))
+        assert(FileCow.currentVersion(root) == 1L)
+      } finally GraftTables.unregister("cat_loc")
+    }
+    // detached and unregistered: USING graft with no LOCATION must refuse
+    // loudly, not shadow into Spark's catalog
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE cat_nowhere (k BIGINT) USING graft-cow")
+    }
+    assert(e.getMessage.contains("attached graft warehouse"), e.getMessage)
+    // a non-graft USING on an unregistered name still belongs to Spark
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE cat_parquet_x (k BIGINT) USING graftother")
+    }
+    assert(!e2.getMessage.contains("graft warehouse"),
+      s"non-graft USING must delegate to Spark, got: ${e2.getMessage}")
+  }
+
+  test("multipart names register, resolve, and DML as flat dotted keys") {
+    val root = Files.createTempDirectory("graft-cat-mp").resolve("t").toString
+    GraftTables.registerCow("sales.orders", root)
+    try {
+      spark.sql("CREATE TABLE sales.orders (k BIGINT NOT NULL, v STRING)")
+      spark.sql("INSERT INTO sales.orders SELECT id, concat('o', id) FROM range(1, 4)")
+      assert(spark.sql("SELECT count(*) AS n FROM sales.orders")
+        .collect().head.getLong(0) == 3L)
+      spark.sql("MERGE INTO sales.orders t USING (SELECT CAST(7 AS BIGINT) AS k, 'm' AS v) s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      assert(FileCow.read(spark, root).count() == 4L)
+      spark.sql("UPDATE sales.orders SET v = 'u' WHERE k = 1")
+      assert(FileCow.read(spark, root).filter(col("v") === "u").count() == 1L)
+      // the statement intercepts see dotted names too
+      val hist = spark.sql("DESCRIBE HISTORY sales.orders")
+      assert(hist.count() >= 4L)
+      val ddl = spark.sql("SHOW CREATE TABLE sales.orders").collect().head.getString(0)
+      assert(ddl.startsWith("CREATE TABLE sales.orders"), ddl)
+      // an UNREGISTERED dotted name falls through to Spark — loudly, no shadow
+      val e = intercept[Exception] { spark.sql("SELECT * FROM sales.nope").collect() }
+      assert(!e.getMessage.contains("graft"), e.getMessage)
+    } finally GraftTables.unregister("sales.orders")
+  }
+
+  test("INSERT with an explicit column list: reorder, pad NULL, refuse NOT NULL") {
+    val root = Files.createTempDirectory("graft-cat-ins").resolve("t").toString
+    GraftTables.registerCow("cat_ins", root)
+    try {
+      spark.sql("CREATE TABLE cat_ins (k BIGINT NOT NULL, v STRING, w DOUBLE)")
+      // named columns feed positionally — (v, k) reorders; w pads NULL
+      spark.sql("INSERT INTO cat_ins (v, k) SELECT concat('s', id), id FROM range(1, 4)")
+      val got = FileCow.read(spark, root).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2)))
+      assert(got.toSeq == Seq((1L, "s1", true), (2L, "s2", true), (3L, "s3", true)))
+      // omitting a NOT NULL column refuses loudly
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO cat_ins (v, w) SELECT 'x', 1.0")
+      }
+      assert(e.getMessage.contains("NOT NULL"), e.getMessage)
+      // unknown + duplicate names refuse loudly
+      val e2 = intercept[Exception] {
+        spark.sql("INSERT INTO cat_ins (k, nope) SELECT 1, 2")
+      }
+      assert(e2.getMessage.contains("unknown column"), e2.getMessage)
+      val e3 = intercept[Exception] {
+        spark.sql("INSERT INTO cat_ins (k, k) SELECT 1, 2")
+      }
+      assert(e3.getMessage.contains("repeats"), e3.getMessage)
+      // arity mismatch refuses loudly
+      val e4 = intercept[Exception] {
+        spark.sql("INSERT INTO cat_ins (k, v) SELECT 1")
+      }
+      assert(e4.getMessage.contains("arity"), e4.getMessage)
+      // snapshot-layout twin answers alike
+      val sroot = Files.createTempDirectory("graft-cat-ins-s").resolve("t").toString
+      GraftTables.register("cat_ins_s", sroot)
+      try {
+        spark.sql("CREATE TABLE cat_ins_s (k BIGINT, v STRING)")
+        spark.sql("INSERT INTO cat_ins_s (v, k) SELECT 'a', 1")
+        val r = graft.sources.Versioned.read(spark, sroot).collect().head
+        assert((r.getLong(0), r.getString(1)) == (1L, "a"))
+      } finally GraftTables.unregister("cat_ins_s")
+    } finally GraftTables.unregister("cat_ins")
+  }
+}
