@@ -754,6 +754,43 @@ object GraftCommit {
     }
     -1L // unreachable
   }
+
+  /** Is this failure the CONCURRENT-SCHEMA-CHANGE contract firing? A
+    * statement raced by another writer's rename/drop fails LOUDLY by
+    * design (the Delta ConcurrentTransaction analog) — the client's move
+    * is to re-derive against the new schema and retry, which
+    * [[retryingSchema]] packages. Message-shape matching (causes walked)
+    * because the races surface through several layers: FileCow's own
+    * drift checks, the analyzer's unresolved column, the rename guard. */
+  def isSchemaRace(t: Throwable): Boolean = {
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    msgs(t).exists(m => m.contains("drifted") || m.contains("no such column") ||
+      m.contains("concurrent schema change") || m.contains("rename column") ||
+      m.contains("UNRESOLVED_COLUMN"))
+  }
+
+  /** Run `body` (a whole statement DERIVATION + commit — it must re-read
+    * the live schema each attempt, e.g. re-resolve column names before
+    * building its source frame) until it lands or fails for a reason that
+    * is NOT a concurrent schema change. The budget is generous by design:
+    * under CAS contention one merge attempt can span seconds, so several
+    * renames can land across its retries — a real client re-derives until
+    * the schema holds still. Anything else propagates untouched. This is
+    * the helper every multi-writer deployment re-invents (usually wrong —
+    * catching too much and retrying non-races); the cross-process race
+    * harness ([[graft.tools.StressMultiWriter]]) drives this exact code. */
+  def retryingSchema[T](what: String, maxAttempts: Int = 12)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Exception if attempt < maxAttempts && isSchemaRace(e) =>
+          attempt += 1
+      }
+    }
+    sys.error(s"$what: unreachable")
+  }
 }
 
 /** Materializes a CTAS as version 1. Runs once per command instance. */

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftCommit
+import graft.sources.FileCow
+
+/** [[GraftCommit.retryingSchema]] — the published client helper for the
+  * concurrent-schema-change contract (VERDICT r11 #6: the race harness
+  * hand-rolled this loop; real clients would too, wrong). A statement
+  * raced by a rename/drop fails LOUDLY by design; the helper re-runs the
+  * caller's WHOLE derivation (which re-reads the live schema) until it
+  * lands, while every non-race failure propagates untouched on the first
+  * throw. The cross-process harness drives this exact code
+  * ([[graft.tools.StressMultiWriter.worker]]); this spec pins the
+  * semantics under a same-JVM rename storm. */
+class RetryingSchemaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merges land through a rename storm; every rename is honored") {
+    val root = Files.createTempDirectory("graft-rs").resolve("t").toString
+    FileCow.create(spark, root,
+      (1L to 10L).map(k => (k, "seed", 0L)).toDF("k", "val", "u"),
+      statsCols = Seq("k"))
+    def uName(): String = FileCow.schemaOf(root, FileCow.currentVersion(root))
+      .fieldNames.find(_.startsWith("u")).get
+    // the storm: a racing thread renames the u-column between generations
+    val storm = new Thread(() => (1 to 6).foreach { gen =>
+      GraftCommit.retryingSchema("rename") {
+        FileCow.renameColumn(spark, root, uName(), s"u_$gen")
+      }
+      Thread.sleep(30)
+    })
+    storm.start()
+    // the client: merges that re-derive their source against the LIVE
+    // schema each attempt — exactly the helper's contract
+    (1 to 8).foreach { i =>
+      GraftCommit.retryingSchema(s"merge $i") {
+        val src = (1L to 10L).map(k => (k, s"m$i", i.toLong))
+          .toDF("k", "val", uName())
+        FileCow.merge(spark, root, src, keys = Seq("k"))
+      }
+    }
+    storm.join()
+    // all 8 merges and all 6 renames landed; the final state is the last
+    // merge's full rewrite under the last rename's name
+    val schema = FileCow.schemaOf(root, FileCow.currentVersion(root))
+    assert(schema.fieldNames.toSet == Set("k", "val", "u_6"), schema.simpleString)
+    val got = FileCow.read(spark, root).select("val").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("m8"), s"final values $got")
+  }
+
+  test("non-race failures propagate immediately, untried") {
+    var attempts = 0
+    val e = intercept[IllegalStateException] {
+      GraftCommit.retryingSchema("boom") {
+        attempts += 1
+        throw new IllegalStateException("disk on fire")
+      }
+    }
+    assert(e.getMessage == "disk on fire")
+    assert(attempts == 1, s"a non-race failure must not retry (tried $attempts)")
+  }
+
+  test("the budget bounds a schema that never holds still") {
+    var attempts = 0
+    val e = intercept[RuntimeException] {
+      GraftCommit.retryingSchema("drift", maxAttempts = 3) {
+        attempts += 1
+        sys.error("source schema drifted mid-merge")
+      }
+    }
+    assert(attempts == 4, s"budget of 3 retries = 4 attempts, got $attempts")
+    assert(e.getMessage.contains("drifted"))
+  }
+}
