@@ -96,116 +96,6 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val ShowCreate =
     """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s*;?\s*""".r
 
-  /** Index of the `)` balancing the `(` at `open`, ignoring parens inside
-    * single-quoted literals (ANSI `''` doubling reads as two quote
-    * toggles, which round-trips correctly; a backslash-escaped `\'` —
-    * Spark's default lexer accepts both spellings — must not desync the
-    * quote state either) and inside SQL comments (`--` line spans and
-    * slash-star block spans, outside quotes — an apostrophe in a `--`
-    * remark is legal Spark DDL and must not flip the quote state); −1 if
-    * unbalanced. Shared by the CREATE column-list and
-    * TBLPROPERTIES scans — types carry parens (`DECIMAL(10,2)`), property
-    * values carry whole predicates. Mirrors the lexer the column list is
-    * later handed to (`delegate.parseTableSchema`). */
-  private def balancedClose(s: String, open: Int): Int = {
-    var depth = 0; var i = open; var inQuote = false
-    while (i < s.length) {
-      val ch = s.charAt(i)
-      if (inQuote && ch == '\\' && i + 1 < s.length) i += 1 // skip escaped char
-      else if (ch == '\'') inQuote = !inQuote
-      else if (!inQuote && ch == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
-        // line comment: skip to end of line (or end of input)
-        while (i < s.length && s.charAt(i) != '\n') i += 1
-        i -= 1 // the loop's own increment lands on the newline itself
-      }
-      else if (!inQuote && ch == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
-        val end = s.indexOf("*/", i + 2)
-        if (end < 0) return -1 // unterminated block comment: unbalanced
-        i = end + 1 // loop increment lands past the closing '/'
-      }
-      else if (!inQuote && ch == '(') depth += 1
-      else if (!inQuote && ch == ')') { depth -= 1; if (depth == 0) return i }
-      i += 1
-    }
-    -1
-  }
-
-  /** Scan one single-quoted SQL string literal starting at `from` (which
-    * must point at the opening `'`), honoring the same two escape
-    * spellings as [[parsePropPairs]] (`''` doubling, `\'`/`\\`). Returns
-    * (unescaped value, index just past the closing quote). This is the
-    * exact inverse of SHOW CREATE's `q()` emitter, so clauses parsed with
-    * it (LOCATION) replay emitted DDL verbatim even when the value carries
-    * quotes or backslashes. */
-  private def quotedLiteral(s: String, from: Int): (String, Int) = {
-    require(from < s.length && s.charAt(from) == '\'',
-      s"expected a quoted literal at '${s.drop(from).take(20)}'")
-    var i = from + 1
-    val b = new StringBuilder
-    while (true) {
-      require(i < s.length, "unterminated string literal")
-      val ch = s.charAt(i)
-      if (ch == '\\' && i + 1 < s.length &&
-          (s.charAt(i + 1) == '\'' || s.charAt(i + 1) == '\\')) {
-        b.append(s.charAt(i + 1)); i += 2
-      } else if (ch == '\'') {
-        if (i + 1 < s.length && s.charAt(i + 1) == '\'') { b.append('\''); i += 2 }
-        else return (b.toString, i + 1)
-      } else { b.append(ch); i += 1 }
-    }
-    sys.error("unreachable")
-  }
-
-  /** Parse a TBLPROPERTIES literal list with ANSI `''` quote doubling in
-    * values — a naive `'([^']+)'\s*=\s*'([^']*)'` pair regex truncates at
-    * the first embedded quote, which corrupts exactly the values SHOW
-    * CREATE emits for CHECK constraints with string literals. */
-  private def parsePropPairs(inner: String): Map[String, String] = {
-    val out = Map.newBuilder[String, String]
-    var i = 0
-    def skipWs(): Unit = while (i < inner.length && inner.charAt(i).isWhitespace) i += 1
-    def quoted(): String = {
-      require(i < inner.length && inner.charAt(i) == '\'',
-        s"TBLPROPERTIES: expected a quoted literal at '${inner.drop(i).take(20)}'")
-      i += 1
-      val b = new StringBuilder
-      var done = false
-      while (!done) {
-        require(i < inner.length, "TBLPROPERTIES: unterminated string literal")
-        val ch = inner.charAt(i)
-        if (ch == '\\' && i + 1 < inner.length &&
-            (inner.charAt(i + 1) == '\'' || inner.charAt(i + 1) == '\\')) {
-          // only \' and \\ unescape — SHOW CREATE's emitter escapes
-          // exactly these two, so emission∘parse is the identity; any
-          // other \x passes through verbatim (a regex in a CHECK
-          // predicate keeps its backslashes)
-          b.append(inner.charAt(i + 1)); i += 2
-        } else if (ch == '\'') {
-          if (i + 1 < inner.length && inner.charAt(i + 1) == '\'') {
-            b.append('\''); i += 2 // '' escape
-          } else { i += 1; done = true }
-        } else { b.append(ch); i += 1 }
-      }
-      b.toString
-    }
-    skipWs()
-    while (i < inner.length) {
-      val k = quoted()
-      skipWs()
-      require(i < inner.length && inner.charAt(i) == '=',
-        s"TBLPROPERTIES: expected '=' after '$k'")
-      i += 1; skipWs()
-      out += k -> quoted()
-      skipWs()
-      if (i < inner.length) {
-        require(inner.charAt(i) == ',', s"TBLPROPERTIES: expected ',' at " +
-          s"'${inner.drop(i).take(20)}'")
-        i += 1; skipWs()
-      }
-    }
-    out.result()
-  }
-
   /** `COPY INTO t FROM '<dir>'` — Delta's idempotent landing-zone loader
     * on cow tables: each run appends only the directory's parquet files
     * not already recorded in a prior copy_into commit. */
@@ -247,7 +137,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     val name = m.group(3)
     val preRegistered = GraftTables.entryOf(name)
     val open = m.end - 1
-    val close = balancedClose(sqlText, open)
+    val close = GraftSqlLex.balancedClose(sqlText, open)
     if (preRegistered.isEmpty) {
       // an UNREGISTERED name is claimed only when the statement SAYS graft
       // (`USING graft|graft-cow` after a balanced column list) — the SQL
@@ -286,11 +176,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     val props = "(?is)TBLPROPERTIES\\s*\\(".r.findFirstMatchIn(tail)
       .map { mm =>
         val o = mm.end - 1
-        val c = balancedClose(tail, o)
+        val c = GraftSqlLex.balancedClose(tail, o)
         require(c > o, s"CREATE TABLE $name: unbalanced TBLPROPERTIES")
         val inner = tail.substring(o + 1, c)
         tail = tail.substring(0, mm.start) + tail.substring(c + 1)
-        parsePropPairs(inner)
+        GraftSqlLex.parsePropPairs(inner)
       }
       .getOrElse(Map.empty[String, String])
     val stats = take("""(?is)(?:--\s*)?STATS\s*\(\s*([A-Za-z0-9_\s,]*?)\s*\)""".r)
@@ -305,7 +195,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     // registered root, breaking the verbatim-replay contract for roots
     // carrying ' or \
     val locationDecl = "(?is)LOCATION\\s*'".r.findFirstMatchIn(tail).map { mm =>
-      val (loc, after) = quotedLiteral(tail, mm.end - 1)
+      val (loc, after) = GraftSqlLex.quotedLiteral(tail, mm.end - 1)
       tail = tail.substring(0, mm.start) + tail.substring(after)
       loc
     }
@@ -449,7 +339,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case SetProps(name, pairs) if GraftTables.entryOf(name).isDefined =>
       // same ''-aware pair parser as CREATE: a value carrying a string
       // literal (a CHECK predicate) must survive, not truncate
-      val kv = parsePropPairs(pairs)
+      val kv = GraftSqlLex.parsePropPairs(pairs)
       require(kv.nonEmpty, s"SET TBLPROPERTIES: no 'k' = 'v' pairs in ($pairs)")
       cowOnly("ALTER TABLE SET TBLPROPERTIES", name)(e =>
         GraftPropsCommand(name, e.root, set = kv, unset = Nil))
@@ -471,7 +361,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // inverse of parsePropPairs' unescaping, so emitted DDL replays to
       // the identical stored value (a CHECK predicate carrying a regex
       // keeps its backslashes through the round-trip)
-      def q(s: String): String = s.replace("\\", "\\\\").replace("'", "''")
+      def q(s: String): String = GraftSqlLex.q(s)
       val v =
         if (e.cow) graft.sources.FileCow.currentVersion(e.root)
         else Versioned.currentVersion(e.root)
