@@ -445,7 +445,11 @@ case class GraftMergeCommand(
   * version — CREATE means create. */
 case class GraftCtasCommand(table: String, root: String, query: LogicalPlan,
     cow: Boolean = false, ifNotExists: Boolean = false,
-    orReplace: Boolean = false)
+    orReplace: Boolean = false,
+    /** Same contract as [[GraftCreateTableCommand.autoRegister]]: the
+      * statement claimed an unregistered name via `USING graft[-cow]`;
+      * the binding commits only after the create succeeds. */
+    autoRegister: Boolean = false)
     extends UnaryNode with Command {
   override def child: LogicalPlan = query
   override def output: Seq[Attribute] = Nil
@@ -832,6 +836,12 @@ case class GraftCtasExec(cmd: GraftCtasCommand) extends LeafExecNode {
           s"${Versioned.currentVersion(cmd.root)}) — INSERT or MERGE into it")
       Versioned.publish(df, cmd.root)
     }
+    }
+    // statement-claimed name (USING graft CTAS): commit the binding only
+    // after the create succeeded — same contract as the declared-schema exec
+    if (cmd.autoRegister) {
+      if (cmd.cow) GraftTables.registerCow(cmd.table, cmd.root)
+      else GraftTables.register(cmd.table, cmd.root)
     }
     ()
   }

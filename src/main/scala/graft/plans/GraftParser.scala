@@ -64,6 +64,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Ctas =
     """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+AS\s+(.+?)\s*;?\s*""".r
 
+  /** The CTAS spelling of the SQL front door: `CREATE TABLE t USING
+    * graft|graft-cow [LOCATION '…'] AS <query>` on an UNREGISTERED name
+    * registers the binding itself (root from LOCATION or the attached
+    * warehouse — same contract as the declared-schema form); on a
+    * registered name USING/LOCATION validate against the registration.
+    * The LOCATION literal's inner pattern is escape-aware (`''`, `\'`,
+    * `\\`) and unescapes through the shared lexer. Non-graft USING falls
+    * through to Spark untouched. */
+  private val CtasUsing =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+USING\s+""" +
+      """(graft(?:-cow)?)(?![\w\-])\s*(?:LOCATION\s*('(?:[^'\\]|\\.|'')*'))?""" +
+      """\s*AS\s+(.+?)\s*;?\s*""").r
+
   /** `CREATE TABLE <tgt> SHALLOW CLONE <src> [VERSION AS OF n]` — Delta's
     * zero-copy clone on cow tables: one metadata commit naming the
     * source's files; see [[graft.sources.FileCow.shallowClone]]. */
@@ -131,6 +145,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * owning their CREATE TABLE. */
   private val CreateSchemaPrefix =
     """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s*\(""".r
+
+  /** Default root for a statement-claimed name: `<warehouse>/<parts>`. */
+  private def warehouseRoot(name: String): Option[String] =
+    GraftTables.warehouse.map(wh => java.nio.file.Paths.get(wh,
+      name.toLowerCase(java.util.Locale.ROOT).split('.').toSeq: _*).toString)
 
   private def createSchema(sqlText: String): Option[LogicalPlan] = {
     val m = CreateSchemaPrefix.findPrefixMatchOf(sqlText).getOrElse(return None)
@@ -217,9 +236,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         // present); the root comes from LOCATION or the attached warehouse
         val cow = usingDecl.get
         val root = locationDecl
-          .orElse(GraftTables.warehouse.map(wh =>
-            java.nio.file.Paths.get(wh,
-              name.toLowerCase(java.util.Locale.ROOT).split('.').toSeq: _*).toString))
+          .orElse(warehouseRoot(name))
           .getOrElse(sys.error(s"CREATE TABLE $name: USING " +
             s"${if (cow) "graft-cow" else "graft"} on an unregistered name " +
             "needs a LOCATION clause or an attached graft warehouse " +
@@ -428,6 +445,33 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case _ => sys.error(s"SHALLOW CLONE: both '$tgt' and '$src' must be " +
           "registered graft tables")
       }
+    case CtasUsing(orReplace, ifNotExists, name, using, locLit, query) =>
+      require(orReplace == null || ifNotExists == null,
+        "CREATE OR REPLACE TABLE and IF NOT EXISTS cannot combine")
+      val declaredCow = using.equalsIgnoreCase("graft-cow")
+      val location = Option(locLit).map(l => GraftSqlLex.quotedLiteral(l, 0)._1)
+      val preRegistered = GraftTables.entryOf(name)
+      val e = preRegistered match {
+        case Some(e0) =>
+          require(declaredCow == e0.cow, s"CREATE TABLE $name: USING " +
+            s"${if (declaredCow) "graft-cow" else "graft"} but '$name' is registered as " +
+            s"${if (e0.cow) "graft-cow (file-level)" else "graft (snapshot-level)"}")
+          location.foreach(loc =>
+            require(loc == e0.root, s"CREATE TABLE $name: LOCATION " +
+              s"'$loc' conflicts with the registered root '${e0.root}' — " +
+              "registration is the binding; re-register the name to move it"))
+          e0
+        case None =>
+          val root = location.orElse(warehouseRoot(name)).getOrElse(sys.error(
+            s"CREATE TABLE $name: USING ${if (declaredCow) "graft-cow" else "graft"} " +
+              "on an unregistered name needs a LOCATION clause or an attached " +
+              "graft warehouse (spark.graft.warehouse) to place the table"))
+          GraftTables.Entry(root, declaredCow)
+      }
+      GraftCtasCommand(name, e.root, delegate.parsePlan(query), e.cow,
+        ifNotExists = ifNotExists != null, orReplace = orReplace != null,
+        autoRegister = preRegistered.isEmpty)
+
     case Ctas(orReplace, ifNotExists, name, query) if GraftTables.entryOf(name).isDefined =>
       require(orReplace == null || ifNotExists == null,
         "CREATE OR REPLACE TABLE and IF NOT EXISTS cannot combine")

@@ -68,6 +68,15 @@ private[graft] object CatalogStore {
       mutate: Map[String, Binding] => Map[String, Binding]): Long = {
     Files.createDirectories(dir(wh))
     TablePointer.withCommitLock(dir(wh).toString) {
+      // inside the lock, any staging file is a CRASHED attempt's orphan
+      // (ours is written below, after this sweep) — reclaim it here so a
+      // SIGKILLed registrar never leaks; snapshots at/below the pointer
+      // are the published history and stay
+      val listing = Files.list(dir(wh))
+      try listing.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.contains(".staging-")) Files.deleteIfExists(p)
+        ()
+      } finally listing.close()
       val cur = TablePointer.current(dir(wh).toString)
       val entries = load(wh, cur)
       val next = mutate(entries)

@@ -142,24 +142,32 @@ class CowTableSource(ctx: SQLContext, root: String,
     // parquet null-padding there would hand the sink real rows with a
     // silently-corrupted column until the restart-time pinnedSchema guard
     // finally fires; fail at the batch that first crosses the drift.
-    // Resolving against `to`, not the CURRENT version, keeps pre-drift
-    // backlog deliverable: once a drop lands, batches whose (from, to]
-    // lies entirely before it — including the restart replay of the last
-    // checkpointed batch, whose files all still carry the column — must
-    // deliver; the first batch whose end crosses the drop is the one
-    // that fails.
+    // A pinned column is VANISHED only when it resolves at NEITHER the
+    // batch's END version NOR the current one. Resolvable at `to`: the
+    // batch predates the drift — deliverable backlog (including the
+    // restart replay of the last checkpointed batch, whose files all
+    // still carry the column); the first batch whose end crosses the
+    // drop is the one that fails. Resolvable at CURRENT only: the pin
+    // ADVANCED across a later widening and this is a pre-widening
+    // replay — parquet null-pads the new column, the documented
+    // contract (same fillable discipline as CdfSource.conformTo).
     locally {
-      val cur = graft.sources.FileCow.schemaOf(root, to)
+      val atTo = graft.sources.FileCow.schemaOf(root, to)
+      val atCur = graft.sources.FileCow.schemaOf(
+        root, graft.sources.FileCow.currentVersion(root))
       def idOf(f: org.apache.spark.sql.types.StructField): Option[Long] =
         if (f.metadata.contains(graft.sources.FileCow.FieldIdKey))
           Some(f.metadata.getLong(graft.sources.FileCow.FieldIdKey))
         else None
-      val byId = graft.sources.FileCow.isColumnMapped(schema) &&
-        graft.sources.FileCow.isColumnMapped(cur)
-      val vanished = schema.fields.filterNot { f =>
-        if (byId) cur.fields.exists(g => idOf(g) == idOf(f))
-        else cur.fieldNames.contains(f.name)
+      def resolves(f: org.apache.spark.sql.types.StructField,
+          in: org.apache.spark.sql.types.StructType): Boolean = {
+        val byId = graft.sources.FileCow.isColumnMapped(schema) &&
+          graft.sources.FileCow.isColumnMapped(in)
+        if (byId) in.fields.exists(g => idOf(g) == idOf(f))
+        else in.fieldNames.contains(f.name)
       }
+      val vanished = schema.fields.filterNot(f =>
+        resolves(f, atTo) || resolves(f, atCur))
       if (vanished.nonEmpty) sys.error("graft-cow stream: column(s) " +
         s"${vanished.map(_.name).mkString(",")} vanished from the table " +
         "mid-run (a drop/rename commit) — the stream cannot keep " +

@@ -98,6 +98,28 @@ class CatalogSpec extends SparkSpec {
       s"non-graft USING must delegate to Spark, got: ${e2.getMessage}")
   }
 
+  test("SQL front door: USING graft-cow CTAS registers + materializes") {
+    withWarehouse { wh =>
+      spark.sql("CREATE TABLE cat_ctas USING graft-cow AS " +
+        "SELECT id AS k, concat('c', id) AS v FROM range(1, 6)")
+      val e = GraftTables.entryOf("cat_ctas").get
+      assert(e.cow && e.root == java.nio.file.Paths.get(wh, "cat_ctas").toString)
+      assert(spark.sql("SELECT count(*) AS n FROM cat_ctas").collect().head.getLong(0) == 5L)
+      // explicit LOCATION (with a quote hazard) wins over the warehouse
+      val root2 = Files.createTempDirectory("graft-cat-ctas2")
+        .resolve("it's t").toString
+      val esc = root2.replace("\\", "\\\\").replace("'", "''")
+      spark.sql(s"CREATE TABLE cat_ctas2 USING graft LOCATION '$esc' AS SELECT 1 AS k")
+      assert(GraftTables.entryOf("cat_ctas2").contains(
+        GraftTables.Entry(root2, cow = false)))
+      assert(graft.sources.Versioned.read(spark, root2).count() == 1L)
+      // a non-graft USING CTAS stays Spark's
+      val probe = spark.sessionState.sqlParser.parsePlan(
+        "CREATE TABLE cat_other USING parquet AS SELECT 1 AS k")
+      assert(!probe.isInstanceOf[graft.plans.GraftCtasCommand], probe.getClass.toString)
+    }
+  }
+
   test("multipart names register, resolve, and DML as flat dotted keys") {
     val root = Files.createTempDirectory("graft-cat-mp").resolve("t").toString
     GraftTables.registerCow("sales.orders", root)
