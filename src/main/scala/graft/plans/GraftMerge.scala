@@ -181,8 +181,7 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource,
         withSchemaEvolution) =>
-      targetName(target).flatMap(n => GraftTables.keyFor(n).flatMap(k =>
-        GraftTables.entryOf(k).map((k, _)))) match {
+      registered(target) match {
         case Some((name, entry)) =>
           val keys = equalityKeys(cond).getOrElse(fail(
             s"graft MERGE INTO $name: ON must be a conjunction of t.col = s.col equalities with matching column names"))
@@ -252,8 +251,7 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
         rel: UnresolvedRelation, ts, version) =>
-      GraftTables.keyFor(rel.multipartIdentifier).flatMap(k =>
-        GraftTables.entryOf(k).map((k, _))) match {
+      resolveParts(rel.multipartIdentifier) match {
         case Some((name, entry)) =>
           val v = (ts, version) match {
             case (None, Some(ver)) => ver.toLong
@@ -270,8 +268,7 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
 
     case ac @ AddColumns(t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, cols) =>
-      GraftTables.keyFor(t.multipartIdentifier).flatMap(k =>
-        GraftTables.entryOf(k).map((k, _))) match {
+      resolveParts(t.multipartIdentifier) match {
         case Some((name, entry)) if entry.cow =>
           val fields = cols.map { c =>
             if (c.path.nonEmpty) fail(s"graft ALTER TABLE $name: nested column paths unsupported")
@@ -288,8 +285,7 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case dc @ DropColumns(t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable,
         cols, _) =>
-      GraftTables.keyFor(t.multipartIdentifier).flatMap(k =>
-        GraftTables.entryOf(k).map((k, _))) match {
+      resolveParts(t.multipartIdentifier) match {
         case Some((name, entry)) if entry.cow =>
           val names = cols.map {
             case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName =>
@@ -321,13 +317,19 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
 
     case rel: UnresolvedRelation =>
-      GraftTables.keyFor(rel.multipartIdentifier).flatMap(k =>
-        GraftTables.entryOf(k).map((k, _))) match {
+      resolveParts(rel.multipartIdentifier) match {
         case Some((_, entry)) if entry.cow && FileCow.currentVersion(entry.root) > 0 =>
           snapshotPlan(FileCow.read(spark, entry.root))
         case Some((_, entry)) if !entry.cow && Versioned.currentVersion(entry.root) > 0 =>
           snapshotPlan(Versioned.read(spark, entry.root))
-        case _ => rel // unregistered, or registered-but-empty (no snapshot to scan)
+        // a PATH-spelled table that does not exist must fail loudly — the
+        // namespace claimed graft explicitly, there is nothing sane to
+        // fall through to (Delta's "not a delta table" contract)
+        case Some((name, entry))
+            if GraftTables.keyFor(rel.multipartIdentifier)
+              .flatMap(GraftTables.entryOf).isEmpty =>
+          sys.error(s"$name: no published graft table under '${entry.root}'")
+        case _ => rel // registered-but-empty (no snapshot to scan)
       }
   }
 
@@ -336,9 +338,26 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def snapshotPlan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
+  /** PATH tables — Delta's `delta.&#96;/path&#96;` spelling: the namespace
+    * part names the layout, the (path-shaped, so a registered dotted name
+    * `graft.t` can never collide) second part IS the root. No
+    * registration needed; registered names always win. */
+  private def pathEntry(parts: Seq[String]): Option[(String, GraftTables.Entry)] =
+    parts match {
+      case Seq(ns, path) if ns.equalsIgnoreCase("graft_cow") && path.contains('/') =>
+        Some((s"graft_cow.`$path`", GraftTables.Entry(path, cow = true)))
+      case Seq(ns, path) if ns.equalsIgnoreCase("graft") && path.contains('/') =>
+        Some((s"graft.`$path`", GraftTables.Entry(path, cow = false)))
+      case _ => None
+    }
+
+  /** Registry binding, or the path-table spelling. */
+  private def resolveParts(parts: Seq[String]): Option[(String, GraftTables.Entry)] =
+    GraftTables.keyFor(parts).flatMap(k => GraftTables.entryOf(k).map((k, _)))
+      .orElse(pathEntry(parts))
+
   private def registered(target: LogicalPlan): Option[(String, GraftTables.Entry)] =
-    targetName(target).flatMap(n => GraftTables.keyFor(n).flatMap(k =>
-      GraftTables.entryOf(k).map((k, _))))
+    targetName(target).flatMap(resolveParts)
 
   /** The registry entry a catalog-command target names — commands wrap the
     * name in `UnresolvedTable` / `UnresolvedIdentifier` /
@@ -360,8 +379,7 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(Seq(r.identifier.name))
       case _ => None
     }
-    parts.flatMap(n => GraftTables.keyFor(n).flatMap(k =>
-      GraftTables.entryOf(k).map((k, _))))
+    parts.flatMap(resolveParts)
   }
 
   /** `t.k` → `k`: single-table DML conditions resolve against the snapshot

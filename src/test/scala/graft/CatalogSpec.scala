@@ -50,6 +50,17 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("a crashed registrar's staging orphan is swept by the next catalog commit") {
+    withWarehouse { wh =>
+      GraftTables.register("cat_sweep0", "/r/0")
+      val orphan = java.nio.file.Paths.get(wh, "_catalog", "c9.staging-deadbeef")
+      Files.write(orphan, "junk".getBytes)
+      GraftTables.register("cat_sweep1", "/r/1")
+      assert(!Files.exists(orphan), "the commit's lock-held sweep must reclaim it")
+      assert(GraftTables.entryOf("cat_sweep1").isDefined)
+    }
+  }
+
   test("SQL front door: USING graft-cow on an unregistered name registers + creates") {
     withWarehouse { wh =>
       spark.sql("CREATE TABLE cat_front (k BIGINT NOT NULL, v STRING) USING graft-cow " +
@@ -142,6 +153,37 @@ class CatalogSpec extends SparkSpec {
       val e = intercept[Exception] { spark.sql("SELECT * FROM sales.nope").collect() }
       assert(!e.getMessage.contains("graft"), e.getMessage)
     } finally GraftTables.unregister("sales.orders")
+  }
+
+  test("path tables: graft_cow.`/path` reads, writes, and time-travels, no registration") {
+    val root = Files.createTempDirectory("graft-cat-path").resolve("t").toString
+    // write-by-path: the first INSERT bootstraps (Delta's delta.`/p` analog)
+    spark.sql(s"INSERT INTO graft_cow.`$root` " +
+      "SELECT id AS k, concat('p', id) AS v FROM range(1, 6)")
+    assert(FileCow.currentVersion(root) == 1L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_cow.`$root`")
+      .collect().head.getLong(0) == 5L)
+    spark.sql(s"UPDATE graft_cow.`$root` SET v = 'u' WHERE k = 1")
+    spark.sql(s"MERGE INTO graft_cow.`$root` t USING " +
+      "(SELECT CAST(9 AS BIGINT) AS k, 'm' AS v) s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(FileCow.read(spark, root).count() == 6L)
+    // time travel by path
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_cow.`$root` VERSION AS OF 1")
+      .collect().head.getLong(0) == 5L)
+    // ANSI DELETE with no WHERE clause deletes every row
+    spark.sql(s"DELETE FROM graft_cow.`$root`")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_cow.`$root`")
+      .collect().head.getLong(0) == 0L)
+    // a path-spelled table that does not exist fails LOUDLY, never falls
+    // through to Spark's catalog
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_cow.`/no/such/graft`").collect()
+    }
+    assert(e.getMessage.contains("no published graft table"), e.getMessage)
+    // a registered dotted name without a slash is never claimed as a path
+    val e2 = intercept[Exception] { spark.sql("SELECT * FROM graft_cow.nope").collect() }
+    assert(!e2.getMessage.contains("graft table"), e2.getMessage)
   }
 
   test("INSERT with an explicit column list: reorder, pad NULL, refuse NOT NULL") {
