@@ -147,6 +147,28 @@ object GraftTables {
     * catalog, never to a silent shadow). */
   def keyFor(multipart: Seq[String]): Option[String] =
     if (multipart.nonEmpty) Some(normalize(multipart.mkString("."))) else None
+
+  /** PATH tables — Delta's `delta.&#96;/path&#96;` spelling: the namespace
+    * part names the layout and the (path-shaped, so a registered dotted
+    * name `graft.t` can never collide) second part IS the root. No
+    * registration; one definition shared by the resolution rule and the
+    * statement intercepts. */
+  def pathEntry(parts: Seq[String]): Option[Entry] = parts match {
+    case Seq(ns, path) if ns.equalsIgnoreCase("graft_cow") && path.contains('/') =>
+      Some(Entry(path, cow = true))
+    case Seq(ns, path) if ns.equalsIgnoreCase("graft") && path.contains('/') =>
+      Some(Entry(path, cow = false))
+    case _ => None
+  }
+
+  private val PathName = """^([A-Za-z_][A-Za-z0-9_]*)\.`([^`]+)`$""".r
+
+  /** A statement-intercept name string → entry: the registry binding, or
+    * the `ns.&#96;/path&#96;` spelling. */
+  def resolveName(name: String): Option[Entry] = name match {
+    case PathName(ns, path) => pathEntry(Seq(ns, path))
+    case _ => entryOf(name)
+  }
 }
 
 /** Non-Expression holder: DML conditions/assignments captured at parse
@@ -338,23 +360,12 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def snapshotPlan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
-  /** PATH tables — Delta's `delta.&#96;/path&#96;` spelling: the namespace
-    * part names the layout, the (path-shaped, so a registered dotted name
-    * `graft.t` can never collide) second part IS the root. No
-    * registration needed; registered names always win. */
-  private def pathEntry(parts: Seq[String]): Option[(String, GraftTables.Entry)] =
-    parts match {
-      case Seq(ns, path) if ns.equalsIgnoreCase("graft_cow") && path.contains('/') =>
-        Some((s"graft_cow.`$path`", GraftTables.Entry(path, cow = true)))
-      case Seq(ns, path) if ns.equalsIgnoreCase("graft") && path.contains('/') =>
-        Some((s"graft.`$path`", GraftTables.Entry(path, cow = false)))
-      case _ => None
-    }
-
-  /** Registry binding, or the path-table spelling. */
+  /** Registry binding, or the path-table spelling ([[GraftTables
+    * .pathEntry]]); registered names always win. */
   private def resolveParts(parts: Seq[String]): Option[(String, GraftTables.Entry)] =
     GraftTables.keyFor(parts).flatMap(k => GraftTables.entryOf(k).map((k, _)))
-      .orElse(pathEntry(parts))
+      .orElse(GraftTables.pathEntry(parts).map(e =>
+        (s"${parts.head.toLowerCase(java.util.Locale.ROOT)}.`${parts(1)}`", e)))
 
   private def registered(target: LogicalPlan): Option[(String, GraftTables.Entry)] =
     targetName(target).flatMap(resolveParts)

@@ -25,35 +25,35 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   private val Vacuum =
-    """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+RETAIN\s+(\d+)\s+VERSIONS(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s+RETAIN\s+(\d+)\s+VERSIONS(?:\s+OLDER\s+THAN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
 
   private val History =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s*;?\s*""".r
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s*;?\s*""".r
 
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+INTO\s+(\d+)\s+FILES(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s+INTO\s+(\d+)\s+FILES(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
 
   private val Restore =
-    """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+    """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   /** `RESTORE TABLE t TO TIMESTAMP AS OF '<ts>'` — the version live at
     * that instant (same session-timezone resolution as read-side
     * TIMESTAMP AS OF), then the ordinary restore commit. */
   private val RestoreTs =
-    """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
 
   /** `CONVERT TO GRAFT <registered> FROM '<dir>' STATS (c, …)` — adopt an
     * existing plain-parquet directory as the named cow table (the Delta
     * `CONVERT TO DELTA` analog): files are renamed in, one stats scan
     * runs, no byte is rewritten. */
   private val Convert =
-    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+FROM\s+'([^']+)'\s+STATS\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*;?\s*""".r
+    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s+FROM\s+'([^']+)'\s+STATS\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*;?\s*""".r
 
   /** `DESCRIBE DETAIL t` — the cow table's FILE-LEVEL metadata as a
     * relation (Delta `DESCRIBE DETAIL` / Iceberg `.files`): one row per
     * current data file with bytes, rows, and per-stats-column [min, max]
     * — the layout-inspection surface OPTIMIZE/ZORDER decisions read. */
   private val Detail =
-    """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s*;?\s*""".r
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s*;?\s*""".r
 
   /** `CREATE TABLE <registered> AS <query>` — the migrating user's first
     * statement. The prefix claims ONLY names pre-registered via
@@ -93,15 +93,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * `ADD CONSTRAINT … CHECK` surface. Spark's grammar has no ADD
     * CONSTRAINT, so these are prefix intercepts like VACUUM. */
   private val AddConstraint =
-    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
-    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
   private val SetProps =
-    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
   private val UnsetProps =
-    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+UNSET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s+UNSET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
   private val ShowProps =
-    """(?is)\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s*;?\s*""".r
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s*;?\s*""".r
 
   /** `SHOW CREATE TABLE t` on a REGISTERED graft name — the migration
     * artifact a user exports: columns + layout + location + properties
@@ -114,19 +114,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * on cow tables: each run appends only the directory's parquet files
     * not already recorded in a prior copy_into commit. */
   private val CopyInto =
-    """(?is)\s*COPY\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+FROM\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*COPY\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s+FROM\s+'([^']+)'\s*;?\s*""".r
 
   /** `CREATE BLOOMFILTER INDEX ON [TABLE] t FOR COLUMNS (c, …)` — Delta's
     * spelling: backfill-sketch every current data file in one scan (no
     * rewrite) and keep sketching on every future commit. */
   private val BloomIndex =
-    """(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+FOR\s+COLUMNS\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s+FOR\s+COLUMNS\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
 
   /** `ALTER TABLE t RENAME COLUMN a TO b` — on a graft cow table this is
     * a full-rewrite commit (read-by-name layout, no column-mapping ids);
     * unregistered names delegate to Spark's own RENAME COLUMN. */
   private val RenameCol =
-    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
 
   /** `CREATE TABLE [IF NOT EXISTS] t (col type [NOT NULL], …)` on a
     * REGISTERED graft name — the migrating user's actual first statement:
@@ -254,7 +254,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private def parsePlanRest(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(name, n, hours, dryRun) =>
-      GraftTables.entryOf(name) match {
+      GraftTables.resolveName(name) match {
         case Some(e) if dryRun != null && e.cow =>
           // DRY RUN is a RELATION (file, bytes, age_ms): what a real vacuum
           // with these parameters would delete — composable, zero deletions
@@ -272,7 +272,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case None => sys.error(s"VACUUM: '$name' is not a registered graft table")
       }
     case History(name) =>
-      GraftTables.entryOf(name) match {
+      GraftTables.resolveName(name) match {
         // relation, not command: the history frame's analyzed plan drops
         // straight in, so DESCRIBE HISTORY composes (WHERE/ORDER BY/joins)
         case Some(e) if e.cow =>
@@ -282,7 +282,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case None => sys.error(s"DESCRIBE HISTORY: '$name' is not a registered graft table")
       }
     case Optimize(name, n, za, zb, where) =>
-      GraftTables.entryOf(name) match {
+      GraftTables.resolveName(name) match {
         case Some(e) if e.cow =>
           require(za == null || where == null,
             "OPTIMIZE: ZORDER BY and WHERE cannot combine — Z-ordering " +
@@ -296,7 +296,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case None => sys.error(s"OPTIMIZE: '$name' is not a registered graft table")
       }
     case BloomIndex(name, cols) =>
-      GraftTables.entryOf(name) match {
+      GraftTables.resolveName(name) match {
         case Some(e) if e.cow =>
           GraftBloomIndexCommand(name, e.root,
             cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -306,7 +306,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           s"CREATE BLOOMFILTER INDEX: '$name' is not a registered graft table")
       }
     case Convert(name, dir, cols) =>
-      GraftTables.entryOf(name) match {
+      GraftTables.resolveName(name) match {
         case Some(e) if e.cow =>
           GraftConvertCommand(name, e.root, dir, cols.split(",").map(_.trim).toSeq)
         case Some(_) => sys.error(s"CONVERT TO GRAFT: '$name' is registered as a " +
@@ -314,14 +314,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case None => sys.error(s"CONVERT TO GRAFT: '$name' is not a registered graft table")
       }
     case Restore(name, v) =>
-      GraftTables.entryOf(name) match {
+      GraftTables.resolveName(name) match {
         case Some(e) if e.cow => GraftRestoreCommand(name, e.root, v.toLong)
         case Some(_) => sys.error(s"RESTORE TABLE: '$name' is a snapshot-level " +
           "table — re-publish the old version's frame; RESTORE applies to cow tables")
         case None => sys.error(s"RESTORE TABLE: '$name' is not a registered graft table")
       }
     case RestoreTs(name, ts) =>
-      GraftTables.entryOf(name) match {
+      GraftTables.resolveName(name) match {
         case Some(e) if e.cow =>
           // session-timezone resolution, same contract as TIMESTAMP AS OF
           val cast = org.apache.spark.sql.catalyst.expressions.Cast(
@@ -337,7 +337,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case None => sys.error(s"RESTORE TABLE: '$name' is not a registered graft table")
       }
     case Detail(name) =>
-      GraftTables.entryOf(name) match {
+      GraftTables.resolveName(name) match {
         // relation, not command (same reasoning as DESCRIBE HISTORY):
         // composes with WHERE/ORDER BY/aggregates
         case Some(e) if e.cow =>
@@ -347,27 +347,27 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           "table (no per-file manifest); use DESCRIBE HISTORY")
         case None => sys.error(s"DESCRIBE DETAIL: '$name' is not a registered graft table")
       }
-    case AddConstraint(name, cname, check) if GraftTables.entryOf(name).isDefined =>
+    case AddConstraint(name, cname, check) if GraftTables.resolveName(name).isDefined =>
       cowOnly("ALTER TABLE ADD CONSTRAINT", name)(e =>
         GraftConstraintCommand(name, e.root, cname, Some(check)))
-    case DropConstraint(name, cname) if GraftTables.entryOf(name).isDefined =>
+    case DropConstraint(name, cname) if GraftTables.resolveName(name).isDefined =>
       cowOnly("ALTER TABLE DROP CONSTRAINT", name)(e =>
         GraftConstraintCommand(name, e.root, cname, None))
-    case SetProps(name, pairs) if GraftTables.entryOf(name).isDefined =>
+    case SetProps(name, pairs) if GraftTables.resolveName(name).isDefined =>
       // same ''-aware pair parser as CREATE: a value carrying a string
       // literal (a CHECK predicate) must survive, not truncate
       val kv = GraftSqlLex.parsePropPairs(pairs)
       require(kv.nonEmpty, s"SET TBLPROPERTIES: no 'k' = 'v' pairs in ($pairs)")
       cowOnly("ALTER TABLE SET TBLPROPERTIES", name)(e =>
         GraftPropsCommand(name, e.root, set = kv, unset = Nil))
-    case UnsetProps(name, keys) if GraftTables.entryOf(name).isDefined =>
+    case UnsetProps(name, keys) if GraftTables.resolveName(name).isDefined =>
       val ks = """'([^']+)'""".r.findAllMatchIn(keys).map(_.group(1)).toSeq
       require(ks.nonEmpty, s"UNSET TBLPROPERTIES: no 'k' keys in ($keys)")
       cowOnly("ALTER TABLE UNSET TBLPROPERTIES", name)(e =>
         GraftPropsCommand(name, e.root, set = Map.empty, unset = ks))
     case CopyInto(name, dir) =>
       cowOnly("COPY INTO", name)(e => GraftCopyIntoCommand(name, e.root, dir))
-    case RenameCol(name, from, to) if GraftTables.entryOf(name).isDefined =>
+    case RenameCol(name, from, to) if GraftTables.resolveName(name).isDefined =>
       cowOnly("ALTER TABLE RENAME COLUMN", name)(e =>
         GraftRenameColumnCommand(name, e.root, from, to))
     case ShowCreate(name) if GraftTables.entryOf(name).isDefined =>
@@ -418,8 +418,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         s"USING $using\nLOCATION '${q(e.root)}'$propsDdl$statsDdl$bloomDdl"
       import session.implicits._
       Seq(ddl).toDF("createtab_stmt").queryExecution.analyzed
-    case ShowProps(name) if GraftTables.entryOf(name).exists(_.cow) =>
-      val e = GraftTables.entryOf(name).get
+    case ShowProps(name) if GraftTables.resolveName(name).exists(_.cow) =>
+      val e = GraftTables.resolveName(name).get
       val rows = graft.sources.FileCow
         .tableProps(e.root, graft.sources.FileCow.currentVersion(e.root))
         .toSeq.sortBy(_._1)
@@ -450,7 +450,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         "CREATE OR REPLACE TABLE and IF NOT EXISTS cannot combine")
       val declaredCow = using.equalsIgnoreCase("graft-cow")
       val location = Option(locLit).map(l => GraftSqlLex.quotedLiteral(l, 0)._1)
-      val preRegistered = GraftTables.entryOf(name)
+      val preRegistered = GraftTables.resolveName(name)
       val e = preRegistered match {
         case Some(e0) =>
           require(declaredCow == e0.cow, s"CREATE TABLE $name: USING " +
@@ -483,7 +483,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private def cowOnly(what: String, name: String)(
       mk: GraftTables.Entry => LogicalPlan): LogicalPlan =
-    GraftTables.entryOf(name) match {
+    GraftTables.resolveName(name) match {
       case Some(e) if e.cow => mk(e)
       case Some(_) => sys.error(s"$what: '$name' is a snapshot-level table — " +
         "constraints/properties are a cow-table surface")

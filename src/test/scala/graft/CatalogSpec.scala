@@ -175,6 +175,13 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DELETE FROM graft_cow.`$root`")
     assert(spark.sql(s"SELECT count(*) AS n FROM graft_cow.`$root`")
       .collect().head.getLong(0) == 0L)
+    // the ops statements take the path spelling too (Delta parity:
+    // DESCRIBE HISTORY / OPTIMIZE / VACUUM DRY RUN delta.`/p`)
+    assert(spark.sql(s"DESCRIBE HISTORY graft_cow.`$root`").count() >= 4L)
+    spark.sql(s"OPTIMIZE graft_cow.`$root` INTO 1 FILES")
+    assert(spark.sql(s"DESCRIBE DETAIL graft_cow.`$root`").count() >= 0L)
+    assert(spark.sql(s"VACUUM graft_cow.`$root` RETAIN 1000 VERSIONS DRY RUN")
+      .columns.toSeq == Seq("file", "bytes", "age_ms"))
     // a path-spelled table that does not exist fails LOUDLY, never falls
     // through to Spark's catalog
     val e = intercept[Exception] {
