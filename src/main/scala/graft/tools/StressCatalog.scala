@@ -109,8 +109,10 @@ object StressCatalog {
   def sharedRoot(writerId: Int, seq: Int): String = s"/shared/$writerId/$seq"
 
   /** Pure registry hammer — no Spark: register private cow names, drop
-    * some back, and fight over one shared snapshot name. */
-  def racer(wh: String, receiptsDir: String, writerId: Int, nOps: Int): Unit = {
+    * some back, and fight over one shared snapshot name. `sleepMs`
+    * paces the loop so a kill harness can SIGKILL it mid-stride. */
+  def racer(wh: String, receiptsDir: String, writerId: Int, nOps: Int,
+      sleepMs: Long = 0L): Unit = {
     GraftTables.attachWarehouse(wh)
     (1 to nOps).foreach { seq =>
       GraftTables.registerCow(privateName(writerId, seq), privateRoot(writerId, seq))
@@ -118,6 +120,7 @@ object StressCatalog {
         GraftTables.unregister(privateName(writerId, seq - 1))
       if (seq % 2 == 0)
         GraftTables.register("race_shared", sharedRoot(writerId, seq))
+      if (sleepMs > 0) Thread.sleep(sleepMs)
     }
     writeReceipt(receiptsDir, s"racer$writerId", { n =>
       n.put("writer", writerId); n.put("nOps", nOps)
@@ -127,7 +130,8 @@ object StressCatalog {
 
   // ------------------------------------------------------------ validation
 
-  def validate(wh: String, writers: Seq[Int], nOps: Int): Seq[String] = {
+  def validate(wh: String, writers: Seq[Int], nOps: Int,
+      killed: Set[Int] = Set.empty): Seq[String] = {
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
     val v = CatalogStore.currentVersion(wh)
     if (v < 1L) errs += s"no catalog version committed under $wh"
@@ -154,9 +158,19 @@ object StressCatalog {
       }
     }
 
-    // 3: every private name's final state equals its writer's last op
+    // 3: every private name's final state equals its writer's last op —
+    // for a KILLED writer only the bindings that DID land are checked
+    // (they must be exact; which prefix landed is the kill's business)
     val finalSnap = CatalogStore.load(wh, v)
     writers.foreach { w =>
+      if (killed.contains(w)) {
+        (1 to nOps).foreach { seq =>
+          finalSnap.get(privateName(w, seq)).foreach { b =>
+            if (b != CatalogStore.Binding(privateRoot(w, seq), cow = true))
+              errs += s"killed writer's ${privateName(w, seq)} holds torn binding $b"
+          }
+        }
+      } else {
       val want = survivingSeqs(nOps)
       (1 to nOps).foreach { seq =>
         val name = privateName(w, seq)
@@ -169,6 +183,7 @@ object StressCatalog {
             errs += s"$name final state $got contradicts the writer's schedule " +
               s"(surviving=${want.contains(seq)})"
         }
+      }
       }
     }
 
@@ -220,8 +235,9 @@ object StressCatalog {
       finally spark.stop()
 
     case Some("racer") =>
-      val Array(_, wh, receiptsDir, writerId, nOps) = args
-      racer(wh, receiptsDir, writerId.toInt, nOps.toInt)
+      val wh = args(1); val receiptsDir = args(2)
+      val sleepMs = if (args.length > 5) args(5).toLong else 0L
+      racer(wh, receiptsDir, args(3).toInt, args(4).toInt, sleepMs)
 
     case _ =>
       val nOps = args.drop(1).headOption.map(_.toInt).getOrElse(24)

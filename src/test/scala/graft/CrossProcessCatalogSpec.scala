@@ -61,4 +61,43 @@ class CrossProcessCatalogSpec extends SparkSpec {
     val v = CatalogStore.currentVersion(wh)
     assert(v >= 2L * nOps, s"catalog landed only $v versions")
   }
+
+  test("SIGKILL a registrar mid-commit: lock releases, store stays untorn") {
+    val base = Files.createTempDirectory("graft-xcat3")
+    val wh = base.resolve("wh").toString
+    val receipts = base.resolve("receipts").toString
+    // the victim: a paced hammer (so the kill lands mid-stride — the
+    // catalog holds its lock ACROSS the whole RMW, a different window
+    // shape than table commits' stage-outside/rename-inside)
+    val victim = StressCatalog.fork(Seq("racer", wh, receipts, "1", "500", "40"))
+    while (victim.isAlive && CatalogStore.currentVersion(wh) < 5L) Thread.sleep(25)
+    victim.destroyForcibly(); victim.waitFor()
+    val atKill = CatalogStore.currentVersion(wh)
+    // the survivor: a second process must keep committing through the
+    // dead process's released lock
+    val survivor = StressCatalog.fork(Seq("racer", wh, receipts, "2", "12"))
+    assert(survivor.waitFor() == 0, "survivor registrar failed after the kill")
+    val errs = StressCatalog.validate(wh, Seq(1, 2), nOps = 12, killed = Set(1))
+    assert(errs.isEmpty, errs.mkString("\n"))
+    assert(CatalogStore.currentVersion(wh) > atKill,
+      "the survivor must have advanced the catalog past the kill point")
+    // the kill's staging orphan (if any) is swept by the next commit; a
+    // fresh commit from THIS process proves the lock is free and the dir
+    // is clean
+    GraftTables.attachWarehouse(wh)
+    try {
+      GraftTables.register("post_kill", "/r/post")
+      assert(GraftTables.entryOf("post_kill").isDefined)
+      val staged = java.nio.file.Files.list(java.nio.file.Paths.get(wh, "_catalog"))
+      val leftovers =
+        try {
+          val it = staged.iterator()
+          var acc = List.empty[String]
+          while (it.hasNext) { val f = it.next().getFileName.toString
+            if (f.contains(".staging-")) acc ::= f }
+          acc
+        } finally staged.close()
+      assert(leftovers.isEmpty, s"staging orphans survived: $leftovers")
+    } finally GraftTables.detachWarehouse()
+  }
 }
