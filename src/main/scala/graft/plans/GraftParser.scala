@@ -202,22 +202,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftSqlLex.parsePropPairs(inner)
       }
       .getOrElse(Map.empty[String, String])
-    val stats = take("""(?is)(?:--\s*)?STATS\s*\(\s*([A-Za-z0-9_\s,]*?)\s*\)""".r)
-      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Nil)
-    val usingDecl = take("""(?is)USING\s+(graft(?:-cow)?)(?![\w\-])""".r)
-      .map(_.group(1).equalsIgnoreCase("graft-cow"))
-    // LOCATION's literal parses through the same quoted()/unescape
-    // machinery as property values — SHOW CREATE emits it through q()
-    // (doubling quotes and backslashes), so a raw `'([^']*)'` regex would
-    // either fail to match or compare the ESCAPED spelling against the raw
-    // registered root, breaking the verbatim-replay contract for roots
-    // carrying ' or \
+    // LOCATION next (BEFORE the STATS/USING keyword scans): its literal is
+    // arbitrary user text, so a path containing "USING graft" or "STATS ("
+    // must be spliced out before those regexes run. The literal parses
+    // through the same quoted()/unescape machinery as property values —
+    // SHOW CREATE emits it through q() (doubling quotes and backslashes),
+    // so a raw `'([^']*)'` regex would either fail to match or compare the
+    // ESCAPED spelling against the raw registered root, breaking the
+    // verbatim-replay contract for roots carrying ' or \
     val locationDecl = "(?is)LOCATION\\s*'".r.findFirstMatchIn(tail).map { mm =>
       val (loc, after) = GraftSqlLex.quotedLiteral(tail, mm.end - 1)
       tail = tail.substring(0, mm.start) + tail.substring(after)
       loc
     }
+    val stats = take("""(?is)(?:--\s*)?STATS\s*\(\s*([A-Za-z0-9_\s,]*?)\s*\)""".r)
+      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val usingDecl = take("""(?is)USING\s+(graft(?:-cow)?)(?![\w\-])""".r)
+      .map(_.group(1).equalsIgnoreCase("graft-cow"))
     require(tail.replaceAll("[;\\s]", "").isEmpty,
       s"CREATE TABLE $name: unrecognized trailing clause: ${tail.trim}")
     val (e, autoRegister) = preRegistered match {

@@ -21,7 +21,10 @@ class SqlRoundTripSpec extends SparkSpec {
 
   private val hazards = Vector("'", "\\", "(", ")", ",", "=", "\n", "--",
     "/*", "*/", "it's", "a > 0 AND (b < 'x''y')", "regex \\d+\\.\\d+",
-    "ü数据🙂", "plain")
+    "ü数据🙂", "plain",
+    // clause keywords INSIDE property values must never be mistaken for
+    // the clauses themselves (the splice-order hazard)
+    "LOCATION '/fake/x'", "USING graft-cow", "STATS (k)")
 
   test("30 random tables: SHOW CREATE re-parses to the stored schema/props/root") {
     val rnd = new scala.util.Random(20260815L)
