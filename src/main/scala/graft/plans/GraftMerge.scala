@@ -60,8 +60,10 @@ object GraftTables {
     * ([[graft.sources.CatalogStore]]), refreshed whenever the store's
     * pointer moves — so a name CREATEd by another driver process resolves
     * here without any registration call, and a DROP there stops resolving
-    * here. */
-  private val stored = new ConcurrentHashMap[String, Entry]()
+    * here. An IMMUTABLE map swapped by reference: a clear-then-repopulate
+    * mutable mirror would let a concurrent lookup transiently MISS a
+    * registered name mid-refresh. */
+  @volatile private var stored: Map[String, Entry] = Map.empty
   @volatile private var wh: Option[String] = None
   @volatile private var loadedVersion: Long = -1L
 
@@ -79,7 +81,7 @@ object GraftTables {
   /** Detach (embedded/test use): durable bindings stop resolving here;
     * the store itself is untouched. */
   def detachWarehouse(): Unit = this.synchronized {
-    wh = None; stored.clear(); loadedVersion = -1L
+    wh = None; stored = Map.empty; loadedVersion = -1L
   }
 
   def warehouse: Option[String] = wh
@@ -90,9 +92,8 @@ object GraftTables {
     val v = graft.sources.CatalogStore.currentVersion(d)
     if (v != loadedVersion) this.synchronized {
       if (v != loadedVersion) {
-        val entries = graft.sources.CatalogStore.load(d, v)
-        stored.clear()
-        entries.foreach { case (k, b) => stored.put(k, Entry(b.root, b.cow)) }
+        stored = graft.sources.CatalogStore.load(d, v)
+          .map { case (k, b) => k -> Entry(b.root, b.cow) }
         loadedVersion = v
       }
     }
@@ -127,7 +128,7 @@ object GraftTables {
 
   def entryOf(name: String): Option[Entry] = {
     val k = normalize(name)
-    Option(tables.get(k)).orElse { refresh(); Option(stored.get(k)) }
+    Option(tables.get(k)).orElse { refresh(); stored.get(k) }
   }
 
   /** Every registered (name, entry), name-sorted — `SHOW GRAFT TABLES`.
@@ -136,7 +137,7 @@ object GraftTables {
   def all(): Seq[(String, Entry)] = {
     import scala.jdk.CollectionConverters._
     refresh()
-    (stored.asScala ++ tables.asScala).toSeq.sortBy(_._1)
+    (stored ++ tables.asScala).toSeq.sortBy(_._1)
   }
 
   private def normalize(name: String): String = name.toLowerCase(java.util.Locale.ROOT)

@@ -165,7 +165,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // catalogs keep owning their CREATE TABLE; until the claim is
       // decided, nothing here may error.
       if (close <= open + 1) return None
-      val peek = sqlText.substring(close + 1)
+      // peek through the LEXER's eyes: a property value or comment
+      // carrying the words "USING graft" must not claim a foreign CREATE
+      val peek = GraftSqlLex.stripLiteralsAndComments(sqlText.substring(close + 1))
       if ("""(?is)\bUSING\s+graft(?:-cow)?(?![\w\-])""".r
           .findFirstIn(peek).isEmpty) return None
     }
@@ -235,8 +237,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         (e0, false)
       case None =>
         // the statement-claimed layout (the peek above guarantees USING is
-        // present); the root comes from LOCATION or the attached warehouse
-        val cow = usingDecl.get
+        // present outside literals); the root comes from LOCATION or the
+        // attached warehouse
+        val cow = usingDecl.getOrElse(sys.error(s"CREATE TABLE $name: " +
+          "internal: USING graft peeked but not parsed — report this statement"))
         val root = locationDecl
           .orElse(warehouseRoot(name))
           .getOrElse(sys.error(s"CREATE TABLE $name: USING " +

@@ -73,6 +73,31 @@ private[graft] object GraftSqlLex {
     sys.error("unreachable")
   }
 
+  /** Blank out quoted literals and SQL comments (same quote/comment rules
+    * as [[balancedClose]]), for KEYWORD PEEKS that must not match text
+    * inside a literal — e.g. deciding whether a CREATE TABLE says
+    * `USING graft` when a property value or remark could carry those
+    * words. Lengths are not preserved; only keyword visibility is. */
+  def stripLiteralsAndComments(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') {
+        // best-effort: an unterminated literal swallows the rest, which
+        // is exactly what a peek should see (nothing after it is code)
+        try { val (_, next) = quotedLiteral(s, i); b.append("''"); i = next }
+        catch { case _: IllegalArgumentException => i = s.length }
+      } else if (ch == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else if (ch == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val end = s.indexOf("*/", i + 2)
+        i = if (end < 0) s.length else end + 2
+      } else { b.append(ch); i += 1 }
+    }
+    b.toString
+  }
+
   /** Parse a `'k' = 'v', …` literal list (TBLPROPERTIES bodies) — both
     * sides through [[quotedLiteral]], so values carrying quoted SQL
     * (CHECK predicates with string literals, regexes with backslashes)

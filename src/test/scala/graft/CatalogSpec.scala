@@ -107,6 +107,13 @@ class CatalogSpec extends SparkSpec {
     }
     assert(!e2.getMessage.contains("graft warehouse"),
       s"non-graft USING must delegate to Spark, got: ${e2.getMessage}")
+    // 'USING graft' INSIDE a literal must not claim a foreign CREATE —
+    // the claim peek looks through the lexer's eyes
+    val probe = spark.sessionState.sqlParser.parsePlan(
+      "CREATE TABLE cat_note (k BIGINT) USING parquet " +
+        "TBLPROPERTIES ('note' = 'USING graft-cow, it''s a remark')")
+    assert(!probe.isInstanceOf[graft.plans.GraftCreateTableCommand],
+      probe.getClass.toString)
   }
 
   test("SQL front door: USING graft-cow CTAS registers + materializes") {
