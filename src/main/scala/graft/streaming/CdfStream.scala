@@ -226,11 +226,13 @@ object CdfSource {
     * free and hand the CDF an unbounded pre-image batch), while the
     * table stream reads only added files. A DV-delta commit moves no
     * data files (bytesAdded = bytesRemoved = 0) yet its feed re-reads
-    * the still-present files whose vectors changed — the record's
-    * `bytesDv` prices that re-read on the `readsRemoved` path (an
-    * r11-era record carrying dvFiles without the field falls back to
-    * the snapshot total, conservative). Shared by both cow sources and
-    * by their legacy `getOffset` path. */
+    * the still-present files whose vectors changed — TWICE, one scan
+    * per delta side (delete + insert; streaming batches run without
+    * AQE, so even an empty side's semi-join scans its probe) — priced
+    * as 2×`bytesDv` on the `readsRemoved` path (an r11-era record
+    * carrying dvFiles without the field falls back to the snapshot
+    * total, conservative). Shared by both cow sources and by their
+    * legacy `getOffset` path. */
   private[streaming] def admitUpTo(root: String, from: Long, planned: Long,
       maxVersions: Option[Long], maxBytes: Option[Long],
       readsRemoved: Boolean = false): Long = {
@@ -250,7 +252,7 @@ object CdfSource {
                 ci.bytes // r11-era DV record without bytesDv: conservative
               else ci.bytesAdded +
                 (if (readsRemoved && ci.bytesRemoved > 0L) ci.bytesRemoved else 0L) +
-                (if (readsRemoved && ci.bytesDv > 0L) ci.bytesDv else 0L)
+                (if (readsRemoved && ci.bytesDv > 0L) 2L * ci.bytesDv else 0L)
             }
             .getOrElse(0L)
           if (v > from && acc + b > cap) stop = true
