@@ -36,6 +36,10 @@ class CatalogSpec extends SparkSpec {
       assert(GraftTables.entryOf("cat_restart").isEmpty, "spec premise: gone when detached")
       GraftTables.attachWarehouse(wh)
       assert(GraftTables.entryOf("cat_restart").contains(GraftTables.Entry(root, cow = true)))
+      // the listing serves durable names too (fresh mirror, no register call)
+      val listed = spark.sql("SHOW GRAFT TABLES")
+        .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3)))
+      assert(listed.contains(("cat_restart", "cow", 2L)), listed.mkString(", "))
       assert(spark.sql("SELECT count(*) AS n FROM cat_restart")
         .collect().head.getLong(0) == 5L)
       // DML by name still lands
