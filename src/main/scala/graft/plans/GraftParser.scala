@@ -185,16 +185,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       sys.error(s"CREATE TABLE $name: a column list cannot combine with AS " +
         "on a graft table — CREATE the declared schema, then INSERT INTO " +
         s"$name SELECT … (or drop the column list for plain CTAS)")
-    def take(re: scala.util.matching.Regex): Option[scala.util.matching.Regex.Match] =
-      re.findFirstMatchIn(tail).map { mm =>
+    // Every keyword scan below runs over the MASK (literal contents and
+    // comments blanked, lengths preserved — GraftSqlLex.mask) and splices
+    // the ORIGINAL by the match offsets, so no clause keyword can ever
+    // anchor inside another clause's quoted literal REGARDLESS of scan
+    // order (ADVICE r12: a LOCATION path containing "TBLPROPERTIES ("
+    // anchored the props scan mid-literal because the splice order was
+    // load-bearing; with mask-scanning it is not).
+    def take(re: scala.util.matching.Regex, keepComments: Boolean = false)
+        : Option[scala.util.matching.Regex.Match] =
+      re.findFirstMatchIn(GraftSqlLex.mask(tail, keepComments)).map { mm =>
         tail = tail.substring(0, mm.start) + tail.substring(mm.end); mm
       }
-    // TBLPROPERTIES first — and with the BALANCED scan, not a lazy regex:
-    // a property value is arbitrary quoted text (CHECK constraints ride
-    // properties), so `(.+?)\)` would truncate at the first ')' inside a
-    // predicate like '(a > 0) AND (b > 0)' and corrupt a SHOW CREATE
-    // round-trip
-    val props = "(?is)TBLPROPERTIES\\s*\\(".r.findFirstMatchIn(tail)
+    // TBLPROPERTIES with the BALANCED scan, not a lazy regex: a property
+    // value is arbitrary quoted text (CHECK constraints ride properties),
+    // so `(.+?)\)` would truncate at the first ')' inside a predicate
+    // like '(a > 0) AND (b > 0)' and corrupt a SHOW CREATE round-trip
+    val props = "(?is)TBLPROPERTIES\\s*\\(".r.findFirstMatchIn(GraftSqlLex.mask(tail))
       .map { mm =>
         val o = mm.end - 1
         val c = GraftSqlLex.balancedClose(tail, o)
@@ -204,20 +211,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftSqlLex.parsePropPairs(inner)
       }
       .getOrElse(Map.empty[String, String])
-    // LOCATION next (BEFORE the STATS/USING keyword scans): its literal is
-    // arbitrary user text, so a path containing "USING graft" or "STATS ("
-    // must be spliced out before those regexes run. The literal parses
-    // through the same quoted()/unescape machinery as property values —
-    // SHOW CREATE emits it through q() (doubling quotes and backslashes),
-    // so a raw `'([^']*)'` regex would either fail to match or compare the
-    // ESCAPED spelling against the raw registered root, breaking the
-    // verbatim-replay contract for roots carrying ' or \
-    val locationDecl = "(?is)LOCATION\\s*'".r.findFirstMatchIn(tail).map { mm =>
-      val (loc, after) = GraftSqlLex.quotedLiteral(tail, mm.end - 1)
-      tail = tail.substring(0, mm.start) + tail.substring(after)
-      loc
-    }
-    val stats = take("""(?is)(?:--\s*)?STATS\s*\(\s*([A-Za-z0-9_\s,]*?)\s*\)""".r)
+    // LOCATION's literal parses through the same quoted()/unescape
+    // machinery as property values — SHOW CREATE emits it through q()
+    // (doubling quotes and backslashes), so a raw `'([^']*)'` regex would
+    // either fail to match or compare the ESCAPED spelling against the
+    // raw registered root, breaking the verbatim-replay contract for
+    // roots carrying ' or \
+    val locationDecl = "(?is)LOCATION\\s*'".r.findFirstMatchIn(GraftSqlLex.mask(tail))
+      .map { mm =>
+        val (loc, after) = GraftSqlLex.quotedLiteral(tail, mm.end - 1)
+        tail = tail.substring(0, mm.start) + tail.substring(after)
+        loc
+      }
+    // keepComments: SHOW CREATE emits STATS as a `-- STATS (…)` comment
+    // (so foreign engines replaying the DDL skip it); the replay here must
+    // still see it — literals stay blanked either way
+    val stats = take("""(?is)(?:--\s*)?STATS\s*\(\s*([A-Za-z0-9_\s,]*?)\s*\)""".r,
+        keepComments = true)
       .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
     val usingDecl = take("""(?is)USING\s+(graft(?:-cow)?)(?![\w\-])""".r)

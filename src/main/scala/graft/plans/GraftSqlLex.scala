@@ -98,6 +98,49 @@ private[graft] object GraftSqlLex {
     b.toString
   }
 
+  /** LENGTH-PRESERVING mask: literal CONTENTS and comments become spaces
+    * (the quote delimiters themselves are kept, so `KEYWORD\s*'` shapes
+    * still anchor), for keyword scans that must SPLICE the original text
+    * by the match offsets — [[stripLiteralsAndComments]] changes lengths
+    * and can only answer is-the-keyword-present, not where. A scan over
+    * the mask can never anchor inside a quoted literal, which retires the
+    * clause-order hazard class (ADVICE r12: a LOCATION path containing
+    * "TBLPROPERTIES (" anchored the props scan mid-literal).
+    * `keepComments = true` leaves comment TEXT visible (literals still
+    * blanked) — for the one scan that must match a commented keyword:
+    * the `-- STATS (…)` line SHOW CREATE emits for verbatim replay. */
+  def mask(s: String, keepComments: Boolean = false): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') {
+        val end =
+          try Some(quotedLiteral(s, i)._2)
+          catch { case _: IllegalArgumentException => None } // unterminated
+        b.append('\'')
+        end match {
+          case Some(e) => // e points just past the closing quote
+            (i + 1 until e - 1).foreach(_ => b.append(' '))
+            b.append('\'')
+            i = e
+          case None => // unterminated: the rest is literal — all spaces
+            (i + 1 until s.length).foreach(_ => b.append(' '))
+            i = s.length
+        }
+      } else if (!keepComments && ch == '-' && i + 1 < s.length &&
+          s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') { b.append(' '); i += 1 }
+      } else if (!keepComments && ch == '/' && i + 1 < s.length &&
+          s.charAt(i + 1) == '*') {
+        val end = s.indexOf("*/", i + 2)
+        val stop = if (end < 0) s.length else end + 2
+        while (i < stop) { b.append(' '); i += 1 }
+      } else { b.append(ch); i += 1 }
+    }
+    b.toString
+  }
+
   /** Parse a `'k' = 'v', …` literal list (TBLPROPERTIES bodies) — both
     * sides through [[quotedLiteral]], so values carrying quoted SQL
     * (CHECK predicates with string literals, regexes with backslashes)

@@ -38,11 +38,21 @@ private[graft] object CatalogStore {
   /** The registry's live version under `wh`, 0 when none committed. */
   def currentVersion(wh: String): Long = TablePointer.current(dir(wh).toString)
 
-  /** The bindings at version `v` (0 or a missing snapshot = empty). */
+  /** The bindings at version `v` (0 = empty). A PUBLISHED version whose
+    * snapshot file is absent fails LOUDLY (ADVICE r12): the pointer says
+    * the catalog has state, so a missing `c<v>.json` is a damaged store
+    * (hand-pruned audit history, partial restore, torn copy) — treating
+    * it as empty would silently stop resolving every durable name AND,
+    * worse, let the next commit() rebase its read-modify-write from an
+    * empty map and durably wipe every existing binding. */
   def load(wh: String, v: Long): Map[String, Binding] = {
     val p = snapFile(wh, v)
-    if (v < 1L || !Files.exists(p)) Map.empty
+    if (v < 1L) Map.empty
     else {
+      require(Files.exists(p), s"graft catalog at $wh is damaged: the " +
+        s"pointer names version $v but snapshot ${p.getFileName} is " +
+        "missing — restore the file (any process that wrote it keeps the " +
+        "full history as c<N>.json) before registering or resolving names")
       val n = FileCow.jsonMapper.readTree(Files.readAllBytes(p))
       val b = Map.newBuilder[String, Binding]
       val entries = n.get("entries")

@@ -119,8 +119,12 @@ private[sources] trait CowMaintenance { this: FileCow.type =>
     retrying(root, "FileCow.renameColumn") { version =>
       val schema = schemaOf(root, version)
       val byLower = schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+      // typed: mid-storm, "no such column" usually means a CONCURRENT
+      // rename won — retryingSchema re-resolves and retries; a genuine
+      // typo keeps failing identically and surfaces when the budget ends
       val resolved = byLower.getOrElse(from.toLowerCase,
-        sys.error(s"rename column $from: no such column " +
+        throw new GraftConcurrentSchemaChange(
+          s"rename column $from: no such column " +
           s"(have: ${schema.fieldNames.mkString(",")})"))
       require(!byLower.contains(to.toLowerCase), s"column $to already exists")
       constraintsOf(root, version).foreach { case (cname, sql) =>

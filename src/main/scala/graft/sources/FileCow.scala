@@ -760,9 +760,10 @@ object FileCow extends CowWritePath with CowDeletionVectors
       case None => (schemaOf(root, version), None)
       case Some(s) =>
         val current = schemaOf(root, version)
-        require(s.fields.toSeq.startsWith(current.fields.toSeq),
-          s"schema evolution must widen the current schema: $current -> $s " +
-          "(a concurrent schema change may have won — retry the statement)")
+        if (!s.fields.toSeq.startsWith(current.fields.toSeq))
+          throw new GraftConcurrentSchemaChange(
+            s"schema evolution must widen the current schema: $current -> $s " +
+            "(a concurrent schema change may have won — retry the statement)")
         if (!isColumnMapped(current)) (s, None)
         else {
           val tail = s.fields.toSeq.drop(current.fields.length)
@@ -790,9 +791,10 @@ object FileCow extends CowWritePath with CowDeletionVectors
       // a custom combinator (general MERGE clauses) owns the row shaping —
       // the source then only needs the merge keys; its output is checked
       // against the table schema below instead
-      require(combine != null || source.schema.map(f => (f.name, f.dataType)) ==
-          schema.map(f => (f.name, f.dataType)),
-        s"merge source schema drifted from table schema: ${source.schema} vs $schema")
+      if (!(combine != null || source.schema.map(f => (f.name, f.dataType)) ==
+          schema.map(f => (f.name, f.dataType))))
+        throw new GraftConcurrentSchemaChange(
+          s"merge source schema drifted from table schema: ${source.schema} vs $schema")
       val dups = source.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
       require(dups == 0, s"FileCow.merge: duplicate source rows on key " +
@@ -873,9 +875,10 @@ object FileCow extends CowWritePath with CowDeletionVectors
       txn: Option[(String, Long)] = None): Commit =
     retrying(root, "FileCow.append") { version =>
       val schema = schemaOf(root, version)
-      require(df.schema.map(f => (f.name, f.dataType)) ==
-          schema.map(f => (f.name, f.dataType)),
-        s"append schema drifted from table schema: ${df.schema} vs $schema")
+      if (df.schema.map(f => (f.name, f.dataType)) !=
+          schema.map(f => (f.name, f.dataType)))
+        throw new GraftConcurrentSchemaChange(
+          s"append schema drifted from table schema: ${df.schema} vs $schema")
       val statsCols = statsColsOf(spark, root, version)
       // prior totals straight off the cached manifest rows: no Spark job
       val (ms, prevRows) = CowManifestCache.rowsOf(spark, root, version)
@@ -1000,9 +1003,10 @@ object FileCow extends CowWritePath with CowDeletionVectors
     retrying(root, "FileCow.overwrite") { version =>
       val (schema, evolvedProps) = evolvedSchemaAndProps(root, version, evolveTo)
       val df = make(spark, version)
-      require(df.schema.map(f => (f.name, f.dataType)) ==
-          schema.map(f => (f.name, f.dataType)),
-        s"overwrite schema drifted from table schema: ${df.schema} vs $schema")
+      if (df.schema.map(f => (f.name, f.dataType)) !=
+          schema.map(f => (f.name, f.dataType)))
+        throw new GraftConcurrentSchemaChange(
+          s"overwrite schema drifted from table schema: ${df.schema} vs $schema")
       val retired = filePaths(manifest(spark, root, version))
       val added = writeDataFiles(spark, root, df, statsColsOf(spark, root, version),
         maxRecordsPerFile, declaredSchema = Some(schema))

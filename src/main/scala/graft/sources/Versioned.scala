@@ -296,3 +296,15 @@ object Versioned {
 class ConcurrentPublishException(root: String, expected: Long, actual: Long)
     extends RuntimeException(
       s"concurrent publish on $root: expected version $expected but table is at $actual")
+
+/** Thrown by the schema guards a CONCURRENT writer's rename/drop/widen can
+  * trip mid-statement (merge/append/overwrite drift checks, the rename
+  * target check, evolution's widen-only check): the statement's derivation
+  * resolved column names against a version another writer then changed
+  * out from under it. TYPED (ADVICE r12) so
+  * [[graft.plans.GraftCommit.isSchemaRace]] classifies by type instead of
+  * message shape — an unrelated error whose text happens to contain
+  * "drifted" must propagate immediately, not burn a 12-attempt retry
+  * budget re-running whole Spark jobs. Catch → re-derive against the live
+  * schema → retry ([[graft.plans.GraftCommit.retryingSchema]]). */
+class GraftConcurrentSchemaChange(msg: String) extends RuntimeException(msg)

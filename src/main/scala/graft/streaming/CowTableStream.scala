@@ -166,8 +166,32 @@ class CowTableSource(ctx: SQLContext, root: String,
         if (byId) in.fields.exists(g => idOf(g) == idOf(f))
         else in.fieldNames.contains(f.name)
       }
+      // the resolves-at-CURRENT-only escape is honest on a column-mapped
+      // table (field ids disambiguate a re-add), but on a by-name table a
+      // column dropped before `to` and RE-ADDED later under the same name
+      // would pass it and silently null-pad — the exact corruption this
+      // guard exists to stop (ADVICE r12). For by-name tables the escape
+      // additionally requires the column be genuinely post-`to` widening:
+      // no retained version ≤ `to` ever carried the name (a drop + re-add
+      // leaves the name in some version ≤ `to`; the pre-retention horizon
+      // is unknowable and those versions are behind the stream anyway).
+      def postToWidening(f: org.apache.spark.sql.types.StructField): Boolean = {
+        if (graft.sources.FileCow.isColumnMapped(schema)) true // ids decide
+        else {
+          var v = to
+          var verdict: Option[Boolean] = None
+          while (v >= 1 && verdict.isEmpty) {
+            val s =
+              try Some(graft.sources.FileCow.schemaOf(root, v))
+              catch { case _: Exception => verdict = Some(true); None } // vacuumed horizon
+            s.foreach(st => if (st.fieldNames.contains(f.name)) verdict = Some(false))
+            v -= 1
+          }
+          verdict.getOrElse(true)
+        }
+      }
       val vanished = schema.fields.filterNot(f =>
-        resolves(f, atTo) || resolves(f, atCur))
+        resolves(f, atTo) || (resolves(f, atCur) && postToWidening(f)))
       if (vanished.nonEmpty) sys.error("graft-cow stream: column(s) " +
         s"${vanished.map(_.name).mkString(",")} vanished from the table " +
         "mid-run (a drop/rename commit) — the stream cannot keep " +

@@ -70,10 +70,35 @@ class RetryingSchemaSpec extends SparkSpec {
     val e = intercept[RuntimeException] {
       GraftCommit.retryingSchema("drift", maxAttempts = 3) {
         attempts += 1
-        sys.error("source schema drifted mid-merge")
+        throw new graft.sources.GraftConcurrentSchemaChange(
+          "source schema drifted mid-merge")
       }
     }
     assert(attempts == 4, s"budget of 3 retries = 4 attempts, got $attempts")
     assert(e.getMessage.contains("drifted"))
+  }
+
+  test("a message that merely LOOKS like a race does not retry (typed match)") {
+    // ADVICE r12: shape-matching "drifted"/"rename column" burned a
+    // 12-attempt budget of whole Spark jobs on unrelated errors; the race
+    // contract is now a TYPE, so this propagates on the first throw
+    var attempts = 0
+    intercept[RuntimeException] {
+      GraftCommit.retryingSchema("not-a-race") {
+        attempts += 1
+        sys.error("upstream table drifted; please rename column manually")
+      }
+    }
+    assert(attempts == 1, s"a shape-only match must not retry (tried $attempts)")
+  }
+
+  test("the typed race is detected anywhere in the cause chain") {
+    var attempts = 0
+    GraftCommit.retryingSchema("wrapped") {
+      attempts += 1
+      if (attempts == 1) throw new RuntimeException("statement failed",
+        new graft.sources.GraftConcurrentSchemaChange("rename won the race"))
+    }
+    assert(attempts == 2, s"a wrapped race must retry once (tried $attempts)")
   }
 }
