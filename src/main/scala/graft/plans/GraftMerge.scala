@@ -270,9 +270,11 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some((name, entry)) =>
           if (partitionSpec.nonEmpty)
             fail(s"graft INSERT INTO $name: PARTITION spec unsupported")
-          if (byName) fail(s"graft INSERT INTO $name: BY NAME unsupported")
+          if (byName && userCols.nonEmpty)
+            fail(s"graft INSERT INTO $name: BY NAME cannot combine with an " +
+              "explicit column list")
           GraftInsertCommand(name, entry.root, query, overwrite, entry.cow,
-            userCols = userCols)
+            userCols = userCols, byName = byName)
         case None => i
       }
 
@@ -319,11 +321,15 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some((name, entry)) if entry.cow =>
           val fields = cols.map { c =>
             if (c.path.nonEmpty) fail(s"graft ALTER TABLE $name: nested column paths unsupported")
-            if (c.default.nonEmpty) fail(s"graft ALTER TABLE $name: DEFAULT unsupported")
             if (c.position.nonEmpty) fail(s"graft ALTER TABLE $name: column position unsupported")
             org.apache.spark.sql.types.StructField(c.colName, c.dataType, c.nullable)
           }
-          GraftAddColumnsCommand(name, entry.root, fields)
+          // ADD COLUMN … DEFAULT <literal>: Iceberg-v3 initial-default
+          // semantics on this layout — pre-ALTER files fill the default on
+          // read, omitting writes materialize it (CowDefaults)
+          val defaults = cols.flatMap(c =>
+            c.default.map(d => c.colName -> d.originalSQL)).toMap
+          GraftAddColumnsCommand(name, entry.root, fields, defaults)
         case Some((name, _)) =>
           fail(s"graft ALTER TABLE $name: ADD COLUMNS is a cow-table operation " +
             "(a snapshot table takes its schema from each publish)")
@@ -543,7 +549,11 @@ case class GraftCreateTableCommand(table: String, root: String,
   * courtesy the first MERGE extends) — column lists need a declared schema
   * to resolve against, so they refuse on the bootstrap path. */
 case class GraftInsertCommand(table: String, root: String, query: LogicalPlan,
-    overwrite: Boolean, cow: Boolean = false, userCols: Seq[String] = Nil)
+    overwrite: Boolean, cow: Boolean = false, userCols: Seq[String] = Nil,
+    /** `INSERT INTO t BY NAME SELECT …` (Delta's spelling): the query's
+      * columns map to same-named table columns; omitted nullable/defaulted
+      * columns pad, unknown columns refuse. */
+    byName: Boolean = false)
     extends UnaryNode with Command {
   override def child: LogicalPlan = query
   override def output: Seq[Attribute] = Nil
@@ -574,9 +584,11 @@ case class GraftDropTableCommand(table: String) extends LeafNode with Command {
 }
 
 /** `ALTER TABLE t ADD COLUMNS (…)` on a cow table: ONE metadata-only
-  * commit ([[graft.sources.FileCow.addColumns]]). */
+  * commit ([[graft.sources.FileCow.addColumns]]); `defaults` carries each
+  * `DEFAULT <literal>` clause's original SQL. */
 case class GraftAddColumnsCommand(table: String, root: String,
-    fields: Seq[org.apache.spark.sql.types.StructField])
+    fields: Seq[org.apache.spark.sql.types.StructField],
+    defaults: Map[String, String] = Map.empty)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
 }
@@ -625,11 +637,12 @@ object GraftWriteSupport {
   }
 
   /** Explicit-column-list INSERT resolution: the query's i-th column feeds
-    * the i-th NAMED table column; omitted columns pad typed NULL — unless
-    * NOT NULL, which refuses loudly (padding NULL into it would poison
-    * reads; the same contract as MERGE's INSERT pad). */
-  def positional(src: DataFrame, schema: StructType,
-      userCols: Seq[String]): DataFrame =
+    * the i-th NAMED table column; omitted columns pad the column's DEFAULT
+    * when one is declared ([[graft.sources.FileCow.defaultSqlOf]]), else
+    * typed NULL — unless NOT NULL, which refuses loudly (padding NULL into
+    * it would poison reads; the same contract as MERGE's INSERT pad). */
+  def positional(src: DataFrame, schema: StructType, userCols: Seq[String],
+      defaults: Map[String, String] = Map.empty): DataFrame =
     if (userCols.isEmpty) positional(src, schema)
     else {
       def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
@@ -648,12 +661,47 @@ object GraftWriteSupport {
       tmp.select(schema.fields.toSeq.map { f =>
         srcPos.get(lc(f.name)) match {
           case Some(i) => col(s"_ins_c$i").cast(f.dataType).as(f.name)
-          case None =>
-            require(f.nullable, s"INSERT omits column ${f.name}, which is " +
-              "NOT NULL — nothing to pad with")
-            lit(null).cast(f.dataType).as(f.name)
+          case None => pad(src, f, defaults.get(lc(f.name)), "INSERT")
         }
       }: _*)
+    }
+
+  /** `INSERT INTO t BY NAME SELECT …` resolution: the query's columns map
+    * to SAME-NAMED table columns (any order), each cast to the declared
+    * type; unknown source columns refuse loudly; omitted table columns
+    * pad DEFAULT/NULL with the column-list contract. */
+  def byName(src: DataFrame, schema: StructType,
+      defaults: Map[String, String] = Map.empty): DataFrame = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val srcNames = src.columns.map(lc)
+    require(srcNames.distinct.length == srcNames.length,
+      s"INSERT BY NAME: the query repeats column(s) " +
+        srcNames.diff(srcNames.distinct).distinct.mkString(", "))
+    val tableCols = schema.fields.map(f => lc(f.name)).toSet
+    val unknown = src.columns.filterNot(c => tableCols(lc(c)))
+    require(unknown.isEmpty, s"INSERT BY NAME: the query names unknown " +
+      s"column(s): ${unknown.mkString(", ")}")
+    val srcPos = srcNames.zipWithIndex.toMap
+    val tmp = src.toDF(src.columns.indices.map(i => s"_ins_c$i"): _*)
+    tmp.select(schema.fields.toSeq.map { f =>
+      srcPos.get(lc(f.name)) match {
+        case Some(i) => col(s"_ins_c$i").cast(f.dataType).as(f.name)
+        case None => pad(src, f, defaults.get(lc(f.name)), "INSERT BY NAME")
+      }
+    }: _*)
+  }
+
+  /** The one omitted-column pad: DEFAULT when declared, else typed NULL,
+    * refusing loudly on NOT NULL. */
+  private def pad(src: DataFrame, f: org.apache.spark.sql.types.StructField,
+      defaultSql: Option[String], what: String): org.apache.spark.sql.Column =
+    defaultSql match {
+      case Some(sql) =>
+        graft.sources.FileCow.defaultColumn(src.sparkSession, sql, f).as(f.name)
+      case None =>
+        require(f.nullable, s"$what omits column ${f.name}, which is " +
+          "NOT NULL — nothing to pad with")
+        lit(null).cast(f.dataType).as(f.name)
     }
 
   /** CTAS/bootstrap layout — [[graft.sources.FileCow.rangedByLead]]. */
@@ -718,7 +766,7 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
       ()
     }) :: Nil
     case c: GraftAddColumnsCommand => GraftCowExec(c.table, { spark =>
-      FileCow.addColumns(spark, c.root, c.fields); ()
+      FileCow.addColumns(spark, c.root, c.fields, c.defaults); ()
     }) :: Nil
     case c: GraftDropColumnsCommand => GraftCowExec(c.table, { spark =>
       FileCow.dropColumns(spark, c.root, c.names); ()
@@ -1028,10 +1076,17 @@ case class GraftInsertExec(cmd: GraftInsertCommand) extends LeafExecNode {
   private lazy val done: Unit = {
     val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val src = GraftBridge.ofRows(spark, cmd.query)
-    def requireNoColsOnBootstrap(): Unit =
+    def requireNoColsOnBootstrap(): Unit = {
       require(cmd.userCols.isEmpty, s"graft INSERT INTO ${cmd.table}: an " +
         "explicit column list needs a declared table schema to resolve " +
         "against — CREATE the table first (this INSERT would bootstrap it)")
+      require(!cmd.byName, s"graft INSERT INTO ${cmd.table}: BY NAME needs " +
+        "a declared table schema to resolve against — CREATE the table " +
+        "first (this INSERT would bootstrap it)")
+    }
+    def align(schema: StructType, defaults: Map[String, String]) =
+      if (cmd.byName) GraftWriteSupport.byName(src, schema, defaults)
+      else GraftWriteSupport.positional(src, schema, cmd.userCols, defaults)
     if (cmd.cow) {
       if (FileCow.currentVersion(cmd.root) == 0L) {
         // first INSERT into a never-created table bootstraps it (the same
@@ -1043,8 +1098,9 @@ case class GraftInsertExec(cmd: GraftInsertCommand) extends LeafExecNode {
         FileCow.create(spark, cmd.root, GraftWriteSupport.ranged(src, stats),
           statsCols = stats)
       } else {
-        val schema = FileCow.schemaOf(cmd.root, FileCow.currentVersion(cmd.root))
-        val aligned = GraftWriteSupport.positional(src, schema, cmd.userCols)
+        val v = FileCow.currentVersion(cmd.root)
+        val aligned = align(FileCow.schemaOf(cmd.root, v),
+          FileCow.defaultSqlOf(cmd.root, v))
         if (cmd.overwrite) FileCow.overwrite(spark, cmd.root, aligned)
         else FileCow.append(spark, cmd.root, aligned)
       }
@@ -1055,7 +1111,7 @@ case class GraftInsertExec(cmd: GraftInsertCommand) extends LeafExecNode {
       }
       else GraftCommit.retrying(cmd.root, s"graft INSERT INTO ${cmd.table}") { version =>
         val current = Versioned.readVersion(spark, cmd.root, version)
-        val aligned = GraftWriteSupport.positional(src, current.schema, cmd.userCols)
+        val aligned = align(current.schema, Map.empty)
         if (cmd.overwrite) aligned else current.unionByName(aligned)
       }
     }
@@ -1112,7 +1168,8 @@ private[plans] object GraftMergeClauses {
   def combine(table: String, schema: org.apache.spark.sql.types.StructType,
       keys: Seq[String], matched: Seq[MergeMatched],
       notMatched: Seq[MergeNotMatched], bySource: Seq[MergeMatched],
-      tQuals: Seq[String], sQuals: Seq[String], evolution: Boolean = false)(
+      tQuals: Seq[String], sQuals: Seq[String], evolution: Boolean = false,
+      defaults: Map[String, String] = Map.empty)(
       base: org.apache.spark.sql.DataFrame,
       source: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.coalesce
@@ -1182,13 +1239,24 @@ private[plans] object GraftMergeClauses {
         when(cl.cond.map(h => coalesce(ins(h.e), lit(false))).getOrElse(lit(true)),
           lit(i)).otherwise(acc)
       }
+      // an omitted column pads its DEFAULT when one is declared
+      // (CowDefaults — same contract as the INSERT column-list pad),
+      // else typed NULL, refusing loudly on NOT NULL
+      def mergePad(f: org.apache.spark.sql.types.StructField,
+          what: String): org.apache.spark.sql.Column =
+        defaults.get(lc(f.name)) match {
+          case Some(sql) =>
+            graft.sources.FileCow.defaultColumn(source.sparkSession, sql, f)
+          case None =>
+            require(f.nullable, s"graft MERGE INTO $table: $what omits " +
+              s"column ${f.name}, which is NOT NULL — nothing to pad with")
+            lit(null)
+        }
       val insCols = schema.fields.toSeq.map { f =>
         val perClause = notMatched.zipWithIndex.map {
           case (MInsertStar(_), i) if !sCols(lc(f.name)) && evolution =>
-            // evolution: INSERT * pads the source-missing column with NULL
-            require(f.nullable, s"graft MERGE INTO $table: INSERT * omits " +
-              s"column ${f.name}, which is NOT NULL — nothing to pad with")
-            i -> (lit(null): org.apache.spark.sql.Column)
+            // evolution: INSERT * pads the source-missing column
+            i -> mergePad(f, "INSERT *")
           case (MInsertStar(_), i) =>
             require(sCols(lc(f.name)), s"graft MERGE INTO $table: INSERT * " +
               s"needs source column ${f.name}")
@@ -1196,13 +1264,7 @@ private[plans] object GraftMergeClauses {
           case (MInsert(_, assigns), i) =>
             i -> assigns.filter(a => lc(a.column) == lc(f.name))
               .map(a => ins(a.value))
-              .headOption.getOrElse {
-                // padding NULL into a NOT NULL column would poison reads
-                // (same contract as the writer's mergeSchema pad)
-                require(f.nullable, s"graft MERGE INTO $table: INSERT omits " +
-                  s"column ${f.name}, which is NOT NULL — nothing to pad with")
-                lit(null)
-              }
+              .headOption.getOrElse(mergePad(f, "INSERT"))
         }
         perClause.foldRight(lit(null).cast(f.dataType): org.apache.spark.sql.Column) {
           case ((i, v), acc) => when(col("__graft_ins") === lit(i), v).otherwise(acc)
@@ -1231,10 +1293,16 @@ case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
       s"graft MERGE INTO ${cmd.table}: duplicate source rows on key (${cmd.keys.mkString(", ")}) — " +
         "a multi-match merge is nondeterministic (same contract as Delta's multiple-matches error)")
 
-    def combine(schema: org.apache.spark.sql.types.StructType) =
+    def combine(schema: org.apache.spark.sql.types.StructType) = {
+      // cow tables pad omitted INSERT columns with their declared DEFAULT
+      // (snapshot layouts carry no property map, hence no defaults)
+      val defaults =
+        if (cmd.cow) FileCow.defaultSqlOf(cmd.root, FileCow.currentVersion(cmd.root))
+        else Map.empty[String, String]
       GraftMergeClauses.combine(cmd.table, schema, cmd.keys, cmd.matched,
         cmd.notMatched, cmd.bySource, cmd.tQuals, cmd.sQuals,
-        evolution = cmd.schemaEvolution) _
+        evolution = cmd.schemaEvolution, defaults = defaults) _
+    }
 
     def freshCols(tableCols: Seq[String]): Seq[org.apache.spark.sql.types.StructField] = {
       val tLower = tableCols.map(_.toLowerCase).toSet

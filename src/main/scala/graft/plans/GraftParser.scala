@@ -408,7 +408,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       }.mkString(",\n")
       val props =
         if (!e.cow) Map.empty[String, String]
-        else graft.sources.FileCow.tableProps(e.root, v)
+        // strip the defaults' __since/__files bookkeeping: they describe
+        // THIS instance's file vintages (sidecar refs) and must not replay
+        // into a fresh table — the write-side 'graft.default.<col>' itself
+        // replays (and the CREATE validation would refuse internal keys)
+        else graft.sources.FileCow.tableProps(e.root, v).filterNot { case (k, _) =>
+          k.startsWith("graft.default.") &&
+            (k.endsWith(".__since") || k.endsWith(".__files"))
+        }
       val propsDdl =
         if (props.isEmpty) ""
         else props.toSeq.sortBy(_._1)

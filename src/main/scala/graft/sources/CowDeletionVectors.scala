@@ -76,13 +76,31 @@ private[sources] trait CowDeletionVectors { this: FileCow.type =>
     }
 
   /** Read specific data files under `schema` with version `v`'s deletion
-    * vectors applied — the base-read every DML shares. */
+    * vectors applied — the base-read every DML shares. Defaulted columns
+    * fill by FILE VINTAGE here too (CowDefaults), so an UPDATE/DELETE/
+    * compaction base over pre-ALTER files sees the default, never a
+    * silent NULL its rewrite would then materialize. */
   private[sources] def readFilesWithDv(spark: SparkSession, root: String, v: Long,
       schema: StructType, files: Seq[String]): DataFrame = {
     if (isColumnMapped(schema)) ensureFieldIdConfs(spark)
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else applyDvRegistry(spark, dvRegistryOf(root, v),
-      spark.read.schema(schema).parquet(files: _*))
+    else {
+      def readRaw(fs: Seq[String]): DataFrame =
+        applyDvRegistry(spark, dvRegistryOf(root, v),
+          spark.read.schema(schema).parquet(fs: _*))
+      val defaults =
+        if (tableProps(root, v).keys.exists(_.startsWith(DefaultPrefix)))
+          readDefaultsOf(spark, root, v,
+            files.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet)
+        else Nil
+      if (defaults.isEmpty) readRaw(files)
+      else {
+        val byBase = files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+        vintageGroups(defaults, byBase.keySet).map { case (lack, group) =>
+          fillLacking(spark, readRaw(group.toSeq.map(byBase)), lack, defaults)
+        }.reduce(_ unionByName _)
+      }
+    }
   }
   /** The DV delete: stats-admit candidate files exactly like the rewrite
     * path, find the LIVE matching rows' (basename, row index) via the

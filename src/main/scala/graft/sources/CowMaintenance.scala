@@ -138,6 +138,16 @@ private[sources] trait CowMaintenance { this: FileCow.type =>
       }
       val newSchema = StructType(schema.fields.map(f =>
         if (f.name == resolved) f.copy(name = to) else f))
+      // a default follows its column's name (the sidecar's file vintages
+      // are name-independent, so the fill keeps working under the new name)
+      val prevProps = tableProps(root, version)
+      val oldDefaultKeys = defaultKeysFor(prevProps, resolved)
+      val renamedProps: Option[Map[String, String]] =
+        if (oldDefaultKeys.isEmpty) None
+        else Some(prevProps -- oldDefaultKeys ++ oldDefaultKeys.map { k =>
+          (DefaultPrefix + to + k.substring((DefaultPrefix + resolved).length)) ->
+            prevProps(k)
+        })
       if (isColumnMapped(schema)) {
         // a metadata-only rename keeps every data file LIVE, so stale
         // `bloom_<to>` bytes in old slices (from a previously dropped or
@@ -159,7 +169,7 @@ private[sources] trait CowMaintenance { this: FileCow.type =>
         // the MANIFEST schema changes with the rename (min_/max_ names) —
         // a delta fold cannot cross that, so the commit checkpoints
         commit(spark, root, version, FullManifest(renamedMan), newSchema,
-          CommitAction("rename_column", Nil, Nil))
+          CommitAction("rename_column", Nil, Nil), props = renamedProps)
         // the Bloom declaration/alias remap lands only AFTER the commit
         // wins its CAS: a losing attempt must not leave the index keyed by
         // a name the table never adopted (probes for that name would stay
@@ -192,7 +202,8 @@ private[sources] trait CowMaintenance { this: FileCow.type =>
         // the MANIFEST schema changes with the rename (min_/max_ names) —
         // a delta fold cannot cross that, so the commit checkpoints
         commit(spark, root, version, FullManifest(added), newSchema,
-          CommitAction("rename_column", addedPaths, retired))
+          CommitAction("rename_column", addedPaths, retired),
+          props = renamedProps)
         BloomStore.renameColumn(root, resolved, to)
         Commit(version + 1, filesKept = 0L, filesRewritten = retired.size.toLong,
           addedPaths.size.toLong)
@@ -367,28 +378,76 @@ private[sources] trait CowMaintenance { this: FileCow.type =>
     addColumns(spark, root, Seq(field))
 
   /** Multi-column [[addColumn]] as ONE commit (one `ALTER TABLE … ADD
-    * COLUMNS` statement = one snapshot, the Delta/Iceberg contract). */
+    * COLUMNS` statement = one snapshot, the Delta/Iceberg contract).
+    * `defaults` (column name → foldable literal SQL) makes the addition a
+    * DEFAULTED column ([[CowDefaults]]): pre-ALTER files fill the default
+    * on read (the files present NOW are recorded once in a `_defaults/`
+    * sidecar — they are exactly the files that will lack the column
+    * forever), and writes that omit the column materialize it. */
   def addColumns(spark: SparkSession, root: String,
-      fields: Seq[org.apache.spark.sql.types.StructField]): Commit =
+      fields: Seq[org.apache.spark.sql.types.StructField],
+      defaults: Map[String, String] = Map.empty): Commit =
     retrying(root, "FileCow.addColumns") { version =>
       val schema = schemaOf(root, version)
       val existing = schema.fieldNames.map(_.toLowerCase).toSet
+      val defaulted = defaults.map { case (k, v) =>
+        k.toLowerCase(java.util.Locale.ROOT) -> v }
+      defaulted.keys.foreach(k => require(
+        fields.exists(_.name.equalsIgnoreCase(k)),
+        s"DEFAULT declared for $k, which this ADD COLUMNS does not add"))
       fields.foreach { f =>
         require(!existing.contains(f.name.toLowerCase),
           s"column ${f.name} already exists")
+        // nullable even when DEFAULTED: the scan's declared schema must
+        // admit the NULLs pre-ALTER files physically produce (the fill
+        // projects the default ABOVE the scan; a non-nullable scan schema
+        // would let Catalyst fold IsNull(c) below it, unsoundly)
         require(f.nullable, s"added column ${f.name} must be nullable " +
           "(existing files cannot carry values for it)")
+        require(!defaulted.contains(f.name.toLowerCase) || !f.name.contains("."),
+          s"a DEFAULT cannot be declared on column ${f.name}: dots in the " +
+            "name collide with the property-key encoding")
+        defaulted.get(f.name.toLowerCase).foreach(sql =>
+          validateDefault(spark, f, sql))
       }
       require(fields.map(_.name.toLowerCase).distinct.size == fields.size,
         "duplicate column names in one ADD COLUMNS")
       val prevFiles = CowManifestCache.rowsOf(spark, root, version)._2.length.toLong
       // column-mapped tables stamp FRESH ids from the high-water mark —
       // a re-added name can never resolve to a dropped column's old values
-      val (stamped, props) =
+      val (stamped, mapProps) =
         if (isColumnMapped(schema)) {
           val (fs, ps) = freshFieldIds(root, version, schema, fields)
           (fs, Some(ps))
         } else (fields, None)
+      val defaultProps =
+        if (defaulted.isEmpty) Map.empty[String, String]
+        else {
+          // record THIS attempt's live files once; a lost CAS leaves an
+          // orphan sidecar (tiny, never referenced) and the retry records
+          // the winner's file set
+          Files.createDirectories(defaultsDir(root))
+          val liveFiles = CowManifestCache.rowsOf(spark, root, version)._2
+            .map(_.getAs[String]("file")).filter(_.nonEmpty)
+            .map(f => f.substring(f.lastIndexOf('/') + 1))
+          fields.filter(f => defaulted.contains(f.name.toLowerCase)).flatMap { f =>
+            val sql = defaulted(f.name.toLowerCase)
+            val ref = s"d${version + 1}-${f.name.toLowerCase}-" +
+              s"${java.util.UUID.randomUUID().toString.take(8)}.json"
+            val n = jsonMapper.createObjectNode()
+            n.put("col", f.name); n.put("since", version + 1)
+            val arr = n.putArray("files")
+            liveFiles.foreach(arr.add)
+            Files.write(defaultsDir(root).resolve(ref),
+              jsonMapper.writeValueAsBytes(n))
+            Seq(DefaultPrefix + f.name -> sql,
+              DefaultPrefix + f.name + ".__since" -> (version + 1).toString,
+              DefaultPrefix + f.name + ".__files" -> ref)
+          }.toMap
+        }
+      val props =
+        if (defaultProps.isEmpty) mapProps
+        else Some(mapProps.getOrElse(tableProps(root, version)) ++ defaultProps)
       commit(spark, root, version, MetadataOnly, StructType(schema.fields ++ stamped),
         CommitAction("add_columns", Nil, Nil), props = props)
       Commit(version + 1, filesKept = prevFiles, filesRewritten = 0L, filesAdded = 0L)
@@ -411,6 +470,12 @@ private[sources] trait CowMaintenance { this: FileCow.type =>
           require(scala.util.Try(v.trim.toLong).toOption.exists(_ > 0L),
             s"table property $k must be a positive integer, got '$v'")
       }
+      // SET ('graft.default.<col>' = '<literal>') is the ALTER COLUMN SET
+      // DEFAULT spelling: write-side only (no vintage sidecar — files that
+      // predate it keep reading NULL; ADD COLUMN … DEFAULT is the fill-
+      // on-read route). Validated like every default; the internal
+      // __since/__files bookkeeping keys are refused.
+      validateDefaultProps(spark, schemaOf(root, version), kv)
       val prevFiles = CowManifestCache.rowsOf(spark, root, version)._2.length.toLong
       commit(spark, root, version, MetadataOnly, schemaOf(root, version),
         CommitAction("set_properties", Nil, Nil),
@@ -515,11 +580,16 @@ private[sources] trait CowMaintenance { this: FileCow.type =>
       val keepManCols = man.columns.filterNot(c =>
         resolved.exists(r => c == s"min_$r" || c == s"max_$r"))
       val newSchema = StructType(schema.fields.filterNot(f => resolved.contains(f.name)))
+      // a dropped column's default props go with it (an orphan default
+      // would fail the next same-name ADD's property validation)
+      val prevProps = tableProps(root, version)
+      val dropKeys = resolved.flatMap(r => defaultKeysFor(prevProps, r))
       // dropping a stats column changes the MANIFEST schema — a delta fold
       // cannot cross that, so the (file-count-sized) commit checkpoints
       commit(spark, root, version,
         FullManifest(man.select(keepManCols.map(col).toSeq: _*)), newSchema,
-        CommitAction("drop_columns", Nil, Nil))
+        CommitAction("drop_columns", Nil, Nil),
+        props = if (dropKeys.isEmpty) None else Some(prevProps -- dropKeys))
       // the bloom declaration drops (and its tombstones land) only after
       // the commit wins its CAS — same post-commit discipline as rename:
       // a losing attempt must not leave the index dropped ahead of a

@@ -55,7 +55,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * per attempt; concurrent writers are serialized by the CAS + retry.
   */
 object FileCow extends CowWritePath with CowDeletionVectors
-    with CowChangeFeed with CowVacuum with CowBloomIndex with CowMaintenance {
+    with CowChangeFeed with CowVacuum with CowBloomIndex with CowMaintenance
+    with CowDefaults {
 
   /** What a commit did, for observability and specs: how many files the new
     * manifest kept by reference vs rewrote vs added. */
@@ -513,6 +514,10 @@ object FileCow extends CowWritePath with CowDeletionVectors
       else s"`${n.replace("`", "``")}`" // Spark identifier quoting: `` doubling
     val notNull = schema.fields.filterNot(_.nullable).map(f =>
       s"${ConstraintPrefix}nn_${f.name}" -> s"${ref(f.name)} IS NOT NULL").toMap
+    // CREATE-time 'graft.default.<col>' props are write-side defaults from
+    // day 1 (a new table has no pre-ALTER files to fill on read); validate
+    // the column exists + the literal folds, and refuse internal keys
+    validateDefaultProps(spark, schema, props)
     create(spark, root, empty, statsCols, bloomCols = bloomCols,
       props = props ++ notNull)
   }
@@ -678,15 +683,40 @@ object FileCow extends CowWritePath with CowDeletionVectors
     * all of them) scan through their ordinary vectorized relation and
     * union back in. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val reg = dvRegistryOf(root, version)
-    if (reg.isEmpty)
-      stripFieldIds(
-        classic.baseRelationToDataFrame(relationFor(spark, root, version)))
+    // COLUMN DEFAULTS (CowDefaults): when a defaulted column has surviving
+    // pre-ALTER files, split the read by FILE VINTAGE and project the
+    // default over the group that physically lacks the column. Zero cost
+    // for tables without read-side defaults (one property-map check).
+    if (!tableProps(root, version).keys.exists(_.startsWith(DefaultPrefix)))
+      readVersionSubset(spark, root, version, None)
     else {
-      val all = CowManifestCache.rowsOf(spark, root, version)._2
+      val live = CowManifestCache.rowsOf(spark, root, version)._2
         .map(_.getAs[String]("file")).filter(_.nonEmpty)
         .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+      val defaults = readDefaultsOf(spark, root, version, live)
+      if (defaults.isEmpty) readVersionSubset(spark, root, version, None)
+      else vintageGroups(defaults, live).map { case (lack, files) =>
+        fillLacking(spark,
+          readVersionSubset(spark, root, version, Some(files)), lack, defaults)
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** [[readVersion]] restricted to `only` (basenames); the DV dirty/clean
+    * split happens inside the subset. */
+  private[sources] def readVersionSubset(spark: SparkSession, root: String,
+      version: Long, only: Option[Set[String]]): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val reg0 = dvRegistryOf(root, version)
+    val reg = only.fold(reg0)(s => reg0.filter { case (k, _) => s(k) })
+    if (reg.isEmpty)
+      stripFieldIds(
+        classic.baseRelationToDataFrame(relationFor(spark, root, version, only)))
+    else {
+      val all0 = CowManifestCache.rowsOf(spark, root, version)._2
+        .map(_.getAs[String]("file")).filter(_.nonEmpty)
+        .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+      val all = only.fold(all0)(all0.intersect)
       val dirty = reg.keySet
       val clean = all -- dirty
       val dirtyDf = applyDvRegistry(spark, reg, classic.baseRelationToDataFrame(

@@ -158,7 +158,9 @@ class FileCowSpec extends SparkSpec {
       FileCow.merge(spark, root, dup, keys = Seq("id"))
     }
     val drifted = spark.range(1, 3).select(col("id"), col("id").as("grp"))
-    intercept[IllegalArgumentException] {
+    // r13: the drift guard throws the TYPED race exception so
+    // GraftCommit.retryingSchema classifies by type, not message shape
+    intercept[graft.sources.GraftConcurrentSchemaChange] {
       FileCow.merge(spark, root, drifted, keys = Seq("id"))
     }
   }
