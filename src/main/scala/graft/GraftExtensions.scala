@@ -31,6 +31,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       session.sparkContext.getConf.getOption("spark.graft.warehouse")
         .filterNot(graft.plans.GraftTables.warehouse.contains)
         .foreach(graft.plans.GraftTables.attachWarehouse)
+      // the DSv2 catalog (SHOW TABLES IN graft / DESCRIBE / spark.table /
+      // USE graft) rides the extensions conf: catalog plugins resolve
+      // lazily from SQLConf, so registering the class name here — before
+      // any statement parses — makes `spark.sql.extensions` the ONLY conf
+      // a deployment needs; an explicit spark.sql.catalog.graft wins
+      // the DSv2 catalog conf itself is registered LAZILY on the parser's
+      // first use (GraftSqlParser.ensureCatalog): the factory runs INSIDE
+      // sessionState construction, where touching session.conf would
+      // recurse into the build
       new graft.plans.GraftSqlParser(session, delegate)
     }
     // metadata-only COUNT(*)/MIN/MAX over unfiltered cow-table scans — the

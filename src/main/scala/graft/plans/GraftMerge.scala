@@ -146,6 +146,23 @@ object GraftTables {
     }
   }
 
+  /** Re-bind `from`'s entry under `to` — ONE catalog commit (a racing
+    * reader sees the old name or the new, never neither). DSv2
+    * `ALTER TABLE RENAME TO` lands here. */
+  def rename(from: String, to: String): Unit = {
+    val f = normalize(from); val t = normalize(to)
+    Option(tables.get(f)).foreach { e => tables.put(t, e); tables.remove(f); () }
+    wh.foreach { d =>
+      graft.sources.CatalogStore.commit(d) { m =>
+        m.get(f) match {
+          case Some(b) => m - f + (t -> b)
+          case None => m
+        }
+      }
+      refresh(force = true)
+    }
+  }
+
   def rootOf(name: String): Option[String] = entryOf(name).map(_.root)
 
   def entryOf(name: String): Option[Entry] = {
@@ -173,6 +190,20 @@ object GraftTables {
   def keyFor(multipart: Seq[String]): Option[String] =
     if (multipart.nonEmpty) Some(normalize(multipart.mkString("."))) else None
 
+  /** Strip a leading DSv2-catalog segment from a statement name:
+    * `graft.db.t` and `db.t` bind/resolve to the SAME flat registry key,
+    * so both spellings of CREATE land one binding (a catalog-qualified
+    * registration would otherwise be invisible to `SHOW TABLES IN graft`,
+    * which lists by the flat key). Backticked rests (path tables) keep
+    * the prefix — `graft.&#96;/p&#96;` is the path spelling, not a key. */
+  def stripCatalog(name: String): String = {
+    val i = name.indexOf('.')
+    if (i > 0 && i + 1 < name.length && name.charAt(i + 1) != '`' &&
+        graft.sources.GraftCatalog.isCatalogName(name.substring(0, i)))
+      name.substring(i + 1)
+    else name
+  }
+
   /** PATH tables — Delta's `delta.&#96;/path&#96;` spelling: the namespace
     * part names the layout and the (path-shaped, so a registered dotted
     * name `graft.t` can never collide) second part IS the root. No
@@ -188,11 +219,18 @@ object GraftTables {
 
   private val PathName = """^([A-Za-z_][A-Za-z0-9_]*)\.`([^`]+)`$""".r
 
-  /** A statement-intercept name string → entry: the registry binding, or
-    * the `ns.&#96;/path&#96;` spelling. */
+  /** A statement-intercept name string → entry: the registry binding, the
+    * `ns.&#96;/path&#96;` spelling, or a DSv2-catalog-qualified name
+    * (`graft.db.t` — the leading segment names a registered
+    * [[graft.sources.GraftCatalog]], stripped before the flat-key lookup). */
   def resolveName(name: String): Option[Entry] = name match {
     case PathName(ns, path) => pathEntry(Seq(ns, path))
-    case _ => entryOf(name)
+    case _ => entryOf(name).orElse {
+      val i = name.indexOf('.')
+      if (i > 0 && graft.sources.GraftCatalog.isCatalogName(name.substring(0, i)))
+        resolveName(name.substring(i + 1))
+      else None
+    }
   }
 }
 
@@ -225,37 +263,58 @@ final case class MInsert(cond: Option[ExprHolder],
   * node claims its target relation before the bare-relation case would. */
 class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // V2 write commands (AppendData/OverwriteByExpression riding the DSv2
+    // catalog's V1Write fallback) need their target relation INTACT — only
+    // read-positioned GraftV2Table relations swap to the v1 scan plan
+    val writeTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case w: V2WriteCommand => writeTargets.add(w.table); ()
+      case _ => ()
+    }
+    plan.resolveOperatorsDown(lower(writeTargets))
+  }
+
+  private def lower(writeTargets: java.util.Set[LogicalPlan])
+      : PartialFunction[LogicalPlan, LogicalPlan] = {
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource,
         withSchemaEvolution) =>
       registered(target) match {
         case Some((name, entry)) =>
           val keys = equalityKeys(cond).getOrElse(fail(
             s"graft MERGE INTO $name: ON must be a conjunction of t.col = s.col equalities with matching column names"))
+          // a DSv2-catalog-resolved target means the analyzer may already
+          // have resolved clause attributes against the relation we are
+          // about to drop — re-unresolve them (keeping the last qualifier
+          // for t./s. disambiguation) so they re-resolve at execution
+          def h(e: Expression): ExprHolder = ExprHolder(reUnresolve(e))
           def asgn(assignments: Seq[Assignment]): Seq[AssignHolder] =
             assignments.map {
               case Assignment(k: UnresolvedAttribute, v) =>
-                AssignHolder(k.nameParts.last, v)
+                AssignHolder(k.nameParts.last, reUnresolve(v))
+              case Assignment(k: Attribute, v) =>
+                AssignHolder(k.name, reUnresolve(v))
               case other =>
                 fail(s"graft MERGE INTO $name: unsupported assignment target: $other")
             }
           val matchedH: Seq[MergeMatched] = matched.map {
-            case UpdateStarAction(c) => MUpdateStar(c.map(ExprHolder))
+            case UpdateStarAction(c) => MUpdateStar(c.map(h))
             case UpdateAction(c, assignments, _) =>
-              MUpdate(c.map(ExprHolder), asgn(assignments))
-            case DeleteAction(c) => MDelete(c.map(ExprHolder))
+              MUpdate(c.map(h), asgn(assignments))
+            case DeleteAction(c) => MDelete(c.map(h))
             case other => fail(s"graft MERGE INTO $name: unsupported MATCHED action: $other")
           }
           val notMatchedH: Seq[MergeNotMatched] = notMatched.map {
-            case InsertStarAction(c) => MInsertStar(c.map(ExprHolder))
+            case InsertStarAction(c) => MInsertStar(c.map(h))
             case InsertAction(c, assignments) =>
-              MInsert(c.map(ExprHolder), asgn(assignments))
+              MInsert(c.map(h), asgn(assignments))
             case other => fail(s"graft MERGE INTO $name: unsupported NOT MATCHED action: $other")
           }
           val bySourceH: Seq[MergeMatched] = bySource.map {
-            case DeleteAction(c) => MDelete(c.map(ExprHolder))
+            case DeleteAction(c) => MDelete(c.map(h))
             case UpdateAction(c, assignments, _) =>
-              MUpdate(c.map(ExprHolder), asgn(assignments))
+              MUpdate(c.map(h), asgn(assignments))
             case other => fail(s"graft MERGE INTO $name: unsupported NOT MATCHED BY SOURCE action: $other")
           }
           GraftMergeCommand(name, entry.root, keys, bySourceH, source,
@@ -291,6 +350,8 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val assigns = assignments.map {
             case Assignment(k: UnresolvedAttribute, v) =>
               AssignHolder(k.nameParts.last, stripQualifiers(v))
+            case Assignment(k: Attribute, v) =>
+              AssignHolder(k.name, stripQualifiers(v))
             case other => fail(s"graft UPDATE $name: unsupported assignment target: $other")
           }
           GraftUpdateCommand(name, entry.root, assigns,
@@ -369,6 +430,17 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => d
       }
 
+    // a relation the DSv2 catalog resolved ([[graft.sources.GraftCatalog]]
+    // loadTable → GraftV2Table): swap in the SAME manifest-pruned v1 scan
+    // plan every other read path uses (deletion vectors, defaults fill,
+    // column mapping, metadata-only aggregates all apply — one read path,
+    // no drift), preserving the relation's output attribute ids so
+    // already-resolved references above stay valid
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[graft.sources.GraftV2Table] &&
+          !writeTargets.contains(r) =>
+      swapV2Scan(r)
+
     case rel: UnresolvedRelation =>
       resolveParts(rel.multipartIdentifier) match {
         case Some((_, entry)) if entry.cow && FileCow.currentVersion(entry.root) > 0 =>
@@ -391,10 +463,58 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def snapshotPlan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
-  /** Registry binding, or the path-table spelling ([[GraftTables
-    * .pathEntry]]); registered names always win. */
+  /** [[graft.sources.GraftV2Table]] relation → the v1 scan plan, with the
+    * v2 relation's output ids preserved through an aliasing Project (the
+    * analyzer may already have resolved references against them in the
+    * same fixpoint iteration that created the relation). */
+  private def swapV2Scan(
+      r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation)
+      : LogicalPlan = {
+    val g = r.table.asInstanceOf[graft.sources.GraftV2Table]
+    val df = (g.entry.cow, g.pinned) match {
+      case (true, Some(v)) => FileCow.readVersion(spark, g.entry.root, v)
+      case (true, None) => FileCow.read(spark, g.entry.root)
+      case (false, Some(v)) => Versioned.readVersion(spark, g.entry.root, v)
+      case (false, None) => Versioned.read(spark, g.entry.root)
+    }
+    val fresh = snapshotPlan(df)
+    val byName = fresh.output.map(a =>
+      a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+    val cols = r.output.map { old =>
+      val now = byName.getOrElse(old.name.toLowerCase(java.util.Locale.ROOT),
+        fail(s"${g.name()}: column '${old.name}' vanished between catalog " +
+          "resolution and scan planning (concurrent schema change) — re-run"))
+      require(now.dataType == old.dataType, s"${g.name()}: column " +
+        s"'${old.name}' changed type between catalog resolution and scan " +
+        s"planning (${old.dataType.simpleString} → ${now.dataType.simpleString}) — re-run")
+      org.apache.spark.sql.catalyst.expressions.Alias(now, old.name)(
+        exprId = old.exprId)
+    }
+    Project(cols, fresh)
+  }
+
+  /** Resolved references captured into command holders must re-unresolve:
+    * the relation they resolved against is dropped with the statement, and
+    * the holder re-resolves against the execution-time snapshot frame. The
+    * LAST qualifier part survives (`t.k` stays `t.k`) so MERGE's
+    * target/source disambiguation keeps working. */
+  private def reUnresolve(e: Expression): Expression = e.transform {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      UnresolvedAttribute(a.qualifier.takeRight(1) :+ a.name)
+  }
+
+  /** Registry binding, the DSv2-catalog-qualified spelling (leading
+    * segment names a registered [[graft.sources.GraftCatalog]] — stripped),
+    * or the path-table spelling ([[GraftTables.pathEntry]]); registered
+    * names always win. */
   private def resolveParts(parts: Seq[String]): Option[(String, GraftTables.Entry)] =
     GraftTables.keyFor(parts).flatMap(k => GraftTables.entryOf(k).map((k, _)))
+      .orElse {
+        if (parts.length > 1 && graft.sources.GraftCatalog.isCatalogName(parts.head))
+          GraftTables.keyFor(parts.tail).flatMap(k =>
+            GraftTables.entryOf(k).map((k, _)))
+        else None
+      }
       .orElse(GraftTables.pathEntry(parts).map(e =>
         (s"${parts.head.toLowerCase(java.util.Locale.ROOT)}.`${parts(1)}`", e)))
 
@@ -419,16 +539,30 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if r.identifier.namespace.isEmpty ||
             r.identifier.namespace.sameElements(Array("default")) =>
         Some(Seq(r.identifier.name))
+      // the DSv2 catalog resolved the command target to our own table —
+      // claim it so the intercepted semantics (one commit, registry DROP,
+      // snapshot TRUNCATE) stay identical across both spellings
+      case r: org.apache.spark.sql.catalyst.analysis.ResolvedTable
+          if r.table.isInstanceOf[graft.sources.GraftV2Table] =>
+        Some(r.table.asInstanceOf[graft.sources.GraftV2Table].nameParts)
+      case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier
+          if r.catalog.isInstanceOf[graft.sources.GraftCatalog] =>
+        Some((r.catalog.name() +: r.identifier.namespace.toSeq) :+
+          r.identifier.name)
       case _ => None
     }
     parts.flatMap(resolveParts)
   }
 
   /** `t.k` → `k`: single-table DML conditions resolve against the snapshot
-    * frame, which does not carry the statement's alias. */
+    * frame, which does not carry the statement's alias. An
+    * already-RESOLVED reference (DSv2-catalog-resolved target) strips the
+    * same way — re-unresolved to its bare name. */
   private def stripQualifiers(e: Expression): Expression = e.transform {
     case a: UnresolvedAttribute if a.nameParts.length > 1 =>
       UnresolvedAttribute(Seq(a.nameParts.last))
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      UnresolvedAttribute(Seq(a.name))
   }
 
   private def fail(msg: String): Nothing = sys.error(msg)
@@ -450,6 +584,11 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def targetName(plan: LogicalPlan): Option[Seq[String]] = plan match {
     case u: UnresolvedRelation => Some(u.multipartIdentifier)
     case SubqueryAlias(_, child) => targetName(child)
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case g: graft.sources.GraftV2Table => Some(g.nameParts)
+        case _ => None
+      }
     case _ => None
   }
 
@@ -458,17 +597,30 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def quals(plan: LogicalPlan): Seq[String] = plan match {
     case SubqueryAlias(id, child) => id.name +: quals(child)
     case u: UnresolvedRelation => Seq(u.multipartIdentifier.last)
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case g: graft.sources.GraftV2Table => Seq(g.ident.name)
+        case _ => Nil
+      }
     case _ => Nil
   }
 
   /** ON t.k1 = s.k1 AND t.k2 = s.k2 → Seq(k1, k2); None if any conjunct is
-    * not a same-name attribute equality. */
-  private def equalityKeys(cond: Expression): Option[Seq[String]] = cond match {
-    case And(l, r) => for (a <- equalityKeys(l); b <- equalityKeys(r)) yield a ++ b
-    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-        if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
-      Some(Seq(a.nameParts.last))
-    case _ => None
+    * not a same-name attribute equality. A resolved side (DSv2-resolved
+    * target) contributes its bare attribute name. */
+  private def equalityKeys(cond: Expression): Option[Seq[String]] = {
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        Some(a.name)
+      case _ => None
+    }
+    cond match {
+      case And(l, r) => for (a <- equalityKeys(l); b <- equalityKeys(r)) yield a ++ b
+      case EqualTo(l, r) =>
+        for (a <- nameOf(l); b <- nameOf(r) if a.equalsIgnoreCase(b)) yield Seq(a)
+      case _ => None
+    }
   }
 }
 

@@ -153,7 +153,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private def createSchema(sqlText: String): Option[LogicalPlan] = {
     val m = CreateSchemaPrefix.findPrefixMatchOf(sqlText).getOrElse(return None)
-    val name = m.group(3)
+    // a DSv2-catalog-qualified spelling registers under the FLAT key
+    // (graft.db.t and db.t are the same binding — GraftTables.stripCatalog)
+    val name = GraftTables.stripCatalog(m.group(3))
     val preRegistered = GraftTables.entryOf(name)
     val open = m.end - 1
     val close = GraftSqlLex.balancedClose(sqlText, open)
@@ -265,8 +267,31 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       autoRegister = autoRegister))
   }
 
-  override def parsePlan(sqlText: String): LogicalPlan =
+  /** Register the DSv2 catalog conf on the parser's FIRST use — catalog
+    * plugins resolve lazily from SQLConf, so landing the class name before
+    * the first statement analyzes makes `spark.sql.extensions` the only
+    * conf a deployment needs (an explicit spark.sql.catalog.graft wins).
+    * Deliberately NOT in the parser factory: that runs inside sessionState
+    * construction, where touching session.conf recurses into the build. */
+  private lazy val ensureCatalog: Unit = {
+    if (session.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      session.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+    // seed the intercepts' catalog-prefix strip before the plugin's lazy
+    // first load: `CREATE TABLE graft.t` must register the flat key from
+    // statement one
+    session.conf.getAll.foreach { case (k, v) =>
+      val rest = k.stripPrefix("spark.sql.catalog.")
+      if (k.startsWith("spark.sql.catalog.") && !rest.contains(".") &&
+          v == classOf[graft.sources.GraftCatalog].getName)
+        graft.sources.GraftCatalog.preRegister(rest)
+    }
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    ensureCatalog
     createSchema(sqlText).getOrElse(parsePlanRest(sqlText))
+  }
 
   private def parsePlanRest(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(name, n, hours, dryRun) =>
@@ -457,8 +482,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       }
       import session.implicits._
       rows.toDF("name", "root", "layout", "version").queryExecution.analyzed
-    case Clone(tgt, src, v) if GraftTables.entryOf(tgt).isDefined ||
-        GraftTables.entryOf(src).isDefined =>
+    case Clone(tgt0, src0, v) if GraftTables.entryOf(GraftTables.stripCatalog(tgt0)).isDefined ||
+        GraftTables.entryOf(GraftTables.stripCatalog(src0)).isDefined =>
+      val tgt = GraftTables.stripCatalog(tgt0); val src = GraftTables.stripCatalog(src0)
       (GraftTables.entryOf(tgt), GraftTables.entryOf(src)) match {
         case (Some(t), Some(s)) if t.cow && s.cow =>
           GraftCloneCommand(tgt, t.root, src, s.root, Option(v).map(_.toLong))
@@ -468,7 +494,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case _ => sys.error(s"SHALLOW CLONE: both '$tgt' and '$src' must be " +
           "registered graft tables")
       }
-    case CtasUsing(orReplace, ifNotExists, name, using, locLit, query) =>
+    case CtasUsing(orReplace, ifNotExists, name0, using, locLit, query) =>
+      val name = GraftTables.stripCatalog(name0)
       require(orReplace == null || ifNotExists == null,
         "CREATE OR REPLACE TABLE and IF NOT EXISTS cannot combine")
       val declaredCow = using.equalsIgnoreCase("graft-cow")
@@ -495,7 +522,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         ifNotExists = ifNotExists != null, orReplace = orReplace != null,
         autoRegister = preRegistered.isEmpty)
 
-    case Ctas(orReplace, ifNotExists, name, query) if GraftTables.entryOf(name).isDefined =>
+    case Ctas(orReplace, ifNotExists, name0, query)
+        if GraftTables.entryOf(GraftTables.stripCatalog(name0)).isDefined =>
+      val name = GraftTables.stripCatalog(name0)
       require(orReplace == null || ifNotExists == null,
         "CREATE OR REPLACE TABLE and IF NOT EXISTS cannot combine")
       val e = GraftTables.entryOf(name).get
@@ -519,8 +548,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     delegate.parseTableIdentifier(sqlText)
   override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
     delegate.parseFunctionIdentifier(sqlText)
-  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] = {
+    ensureCatalog // spark.table/spark.catalog enter here, not parsePlan
     delegate.parseMultipartIdentifier(sqlText)
+  }
   override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
   override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
   override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)

@@ -14,6 +14,22 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** StructType ↔ DSv2 Column conversions for a custom `TableCatalog`
+    * (`CatalogV2Util` is `private[sql]` — same shim rationale as above). */
+  def structTypeToV2Columns(schema: org.apache.spark.sql.types.StructType)
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util.structTypeToV2Columns(schema)
+  def v2ColumnsToStructType(cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util.v2ColumnsToStructType(cols)
+
+  /** A DSv2 connector `Literal` holding a Catalyst-internal value — the
+    * shape `ColumnDefaultValue` wants (the `LiteralValue` companion is
+    * `private[sql]`). */
+  def v2Literal(value: Any, dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.expressions.Literal[_] =
+    org.apache.spark.sql.connector.expressions.LiteralValue(value, dt)
+
   /** DataFrame over an analyzed/analyzable logical plan — the hop a custom
     * physical command needs to run its child relation (classic
     * `Dataset.ofRows` is `private[sql]`). */
