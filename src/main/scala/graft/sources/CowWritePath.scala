@@ -208,6 +208,101 @@ private[sources] trait CowWritePath { this: FileCow.type =>
       delta: ManifestDelta, schema: StructType, action: CommitAction,
       props: Option[Map[String, String]] = None,
       dvRegistry: Option[Map[String, String]] = None): Long = {
+    // test seam: lets a spec land a competing commit INSIDE another
+    // writer's derive→commit window, making the CAS race (and therefore
+    // the rebase-vs-re-derive decision) deterministic to pin
+    FileCow.CommitHooks.beforeCommit(root, expected)
+    var base = expected
+    var rebases = 0
+    while (true) {
+      try return commitAttempt(spark, root, base, delta, schema, action, props, dvRegistry)
+      catch {
+        case e: ConcurrentPublishException =>
+          val cur = currentVersion(root)
+          rebases += 1
+          if (cur <= base || rebases > 8 ||
+              !rebaseSafe(spark, root, base, cur, delta, action, dvRegistry))
+            throw e // logical conflict (or nothing to rebase onto): re-derive
+          // every winner's writes are disjoint from this commit's declared
+          // reads: REBASE — same staged data files, same slice rows, the
+          // manifest just re-folds from the winner's head (Delta's
+          // ConcurrentAppend semantics; metadata-priced, no Spark job)
+          CommitStats.rebased.incrementAndGet()
+          base = cur
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Can this staged commit land on `to` unchanged, given it derived from
+    * `from`? True iff the loser DECLARED its reads (not [[FullRead]]), the
+    * schema/props/constraint state is bit-identical across the gap, and
+    * every winner commit in (from, to] is a known data-only kind whose
+    * added/removed/DV'd files are disjoint from the loser's removed set and
+    * declared key ranges. Driver-side and metadata-priced: commit records
+    * are change-sized, the stats probe reads the (cached) manifest rows. */
+  private def rebaseSafe(spark: SparkSession, root: String, from: Long,
+      to: Long, delta: ManifestDelta, action: CommitAction,
+      dvRegistry: Option[Map[String, String]]): Boolean = {
+    if (!delta.isInstanceOf[AddedSlice]) return false
+    if (action.conflict == FullRead) return false
+    // an explicit DV registry was computed against `from`'s vectors —
+    // carrying it forward would clobber winner DV commits
+    if (dvRegistry.isDefined) return false
+    // schema, properties (constraints + defaults live there) must not have
+    // moved: the staged files were validated against `from`'s contracts
+    if (!java.util.Arrays.equals(Files.readAllBytes(schemaFile(root, from)),
+        Files.readAllBytes(schemaFile(root, to)))) return false
+    if (tableProps(root, from) != tableProps(root, to)) return false
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val loserRemoved = action.removed.map(base).toSet
+    // kinds whose full effect is captured by (added, removed, dvFiles);
+    // anything else (create/convert/clone/restore/schema ops/copy_into's
+    // ledger/bloom backfills) re-derives — unknown kinds fail safe
+    val rebasable = Set("append", "merge", "delete", "update")
+    val winners = ((from + 1) to to).map(v =>
+      commitInfo(root, v).getOrElse(return false))
+    val ok = winners.forall { w =>
+      rebasable.contains(w.kind) &&
+        // same-app txn stamps serialize through re-derive (the idempotence
+        // check read the log as of `from`)
+        !(action.txn.isDefined && w.txn.exists(_._1 == action.txn.get._1)) &&
+        w.removed.map(base).toSet.intersect(loserRemoved).isEmpty &&
+        w.dvFiles.map(base).toSet.intersect(loserRemoved).isEmpty
+    }
+    if (!ok) return false
+    action.conflict match {
+      case NoReads => true
+      case KeyRanges(ranges) =>
+        // a winner-ADDED file whose stats admit a loser source key on EVERY
+        // range column could change the loser's matched/anti-join sets
+        val winnerAdded = winners.flatMap(_.added).map(base).toSet
+        if (winnerAdded.isEmpty) true
+        else {
+          val (ms, rows) = CowManifestCache.rowsOf(spark, root, to)
+          val fIdx = ms.fieldIndex("file")
+          def cmp(a: Any, b: Any): Int =
+            a.asInstanceOf[Comparable[Any]].compareTo(b)
+          !rows.iterator
+            .filter(r => winnerAdded.contains(base(r.getString(fIdx))))
+            .exists { r =>
+              ranges.forall { case (c, lo, hi) =>
+                val mn = r.get(ms.fieldIndex(s"min_$c"))
+                val mx = r.get(ms.fieldIndex(s"max_$c"))
+                // all-null stats ⇒ the file holds no non-null key ⇒ it can
+                // never admit a (non-null) source key
+                mn != null && mx != null && cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0
+              }
+            }
+        }
+      case FullRead => false
+    }
+  }
+
+  private def commitAttempt(spark: SparkSession, root: String, expected: Long,
+      delta: ManifestDelta, schema: StructType, action: CommitAction,
+      props: Option[Map[String, String]],
+      dvRegistry: Option[Map[String, String]]): Long = {
     val next = expected + 1
     Files.createDirectories(manifestsDir(root))
     // properties carry forward unless the commit overrides them
@@ -433,6 +528,7 @@ private[sources] trait CowWritePath { this: FileCow.type =>
       try return body(version)
       catch {
         case e: ConcurrentPublishException =>
+          CommitStats.rederived.incrementAndGet()
           attempt += 1
           if (attempt >= MaxAttempts)
             throw new IllegalStateException(

@@ -105,9 +105,28 @@ object Versioned {
     deleteTree(staging) // stale staging from a crashed attempt
     deleteTree(snap)    // orphan snapshot: pointer < next, so never published
     df.write.parquet(staging.toString)
+    stampCommitMs(staging)
     Files.move(staging, snap, StandardCopyOption.ATOMIC_MOVE)
     TablePointer.swap(root, next)
     next
+  }
+
+  /** Stamp the snapshot's commit time INSIDE the dir before the rename, so
+    * `TIMESTAMP AS OF` survives a copy/rsync/restore that refreshes file
+    * mtimes (the cow layout's commit record keeps the same contract). The
+    * leading underscore keeps the marker invisible to the parquet reader. */
+  private def stampCommitMs(staging: Path): Unit = {
+    Files.write(staging.resolve("_commit_ms"),
+      System.currentTimeMillis().toString.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** When `v` committed: the in-dir stamp, mtime only for pre-stamp dirs. */
+  private[sources] def commitTimeOf(root: String, v: Long): Long = {
+    val m = versionsDir(root).resolve(s"v$v").resolve("_commit_ms")
+    if (Files.exists(m))
+      new String(Files.readAllBytes(m), StandardCharsets.UTF_8).trim.toLong
+    else Files.getLastModifiedTime(versionsDir(root).resolve(s"v$v")).toMillis
   }
 
   private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
@@ -124,21 +143,20 @@ object Versioned {
     * resolution on snapshot dirs ([[FileCow.versionAtTimestamp]]'s
     * contract; same mtime-is-commit-order basis and caveat). */
   def versionAtTimestamp(root: String, epochMs: Long): Long = {
-    val eligible = versions(root).filter(v =>
-      Files.getLastModifiedTime(versionsDir(root).resolve(s"v$v")).toMillis <= epochMs)
+    val eligible = versions(root).filter(commitTimeOf(root, _) <= epochMs)
     require(eligible.nonEmpty,
       s"no version of $root existed at or before epoch-ms $epochMs")
     eligible.max
   }
 
   /** `DESCRIBE HISTORY` relation for snapshot tables: (version, commit_ms)
-    * from snapshot-dir mtimes — metadata only; row/byte stats would cost a
-    * scan per snapshot here, which is exactly the accounting [[FileCow]]'s
-    * manifests keep for free. */
+    * from the in-dir commit stamps (dir mtime for pre-stamp versions) —
+    * metadata only; row/byte stats would cost a scan per snapshot here,
+    * which is exactly the accounting [[FileCow]]'s manifests keep for
+    * free. */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    val rows = versions(root).map(v =>
-      (v, Files.getLastModifiedTime(versionsDir(root).resolve(s"v$v")).toMillis))
+    val rows = versions(root).map(v => (v, commitTimeOf(root, v)))
     require(rows.nonEmpty, s"no retained versions under $root")
     rows.toDF("version", "commit_ms")
   }
@@ -175,6 +193,7 @@ object Versioned {
       s"v$next.staging-${java.util.UUID.randomUUID().toString.take(8)}")
     deleteTree(staging)
     df.write.parquet(staging.toString)
+    stampCommitMs(staging)
     TablePointer.withCommitLock(root) {
       val cur = currentVersion(root)
       if (cur != expectedVersion) {

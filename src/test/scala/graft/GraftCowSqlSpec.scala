@@ -119,11 +119,9 @@ class GraftCowSqlSpec extends SparkSpec {
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     Thread.sleep(60) // separate commit mtimes on millisecond clocks
     spark.sql("UPDATE cow_ts SET v = 'new'")
-    // commit-time basis is the commit RECORD's mtime (not the manifest
-    // dir's — a delta commit writes no dir, and a vacuum-materialized
-    // checkpoint must not shift history)
-    val t1 = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(root, "_manifests", "m1.commit.json")).toMillis
+    // commit-time basis is the RECORD's own commitMs (r13: survives a
+    // copied/rsynced table dir whose file mtimes are fresh)
+    val t1 = graft.sources.FileCow.commitInfo(root, 1L).get.commitMs
     def iso(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString.replace("T", " ").stripSuffix("Z")
     assert(spark.sql(s"SELECT v FROM cow_ts TIMESTAMP AS OF '${iso(t1)}' WHERE k = 1")
       .as[String].head() == "old")

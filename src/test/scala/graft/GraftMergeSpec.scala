@@ -144,8 +144,9 @@ class GraftMergeSpec extends SparkSpec {
     assert(cnt == 2L)
     assert(Versioned.currentVersion(root) == 2L)
     // TIMESTAMP AS OF: the instant of v1's commit resolves to v1
-    val t1 = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(root, "_versions", "v1")).toMillis
+    // the in-dir _commit_ms stamp is the basis (r13: survives fresh mtimes)
+    val t1 = Versioned.history(spark, root).where("version = 1")
+      .select("commit_ms").as[Long].head()
     val iso = java.time.Instant.ofEpochMilli(t1).toString.replace("T", " ").stripSuffix("Z")
     val atT1 = spark.sql(s"SELECT k, v FROM sel_v TIMESTAMP AS OF '$iso' ORDER BY k")
       .as[(Long, String)].collect().toSeq

@@ -111,11 +111,9 @@ class Round9FixSpec extends SparkSpec {
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     Thread.sleep(60)
     spark.sql("UPDATE ts_tz SET v = 'new'")
-    // commit-time basis is the COMMIT RECORD's mtime (round 10: a delta
-    // version has no manifest dir, and a vacuum-materialized checkpoint
-    // must never shift history)
-    val t1 = Files.getLastModifiedTime(
-      Paths.get(root, "_manifests", "m1.commit.json")).toMillis
+    // commit-time basis is the RECORD's own commitMs (r13: survives a
+    // copied table dir; a vacuum-materialized checkpoint never shifts it)
+    val t1 = graft.sources.FileCow.commitInfo(root, 1L).get.commitMs
     val zone = java.time.ZoneId.of("Australia/Sydney") // +10/+11, never UTC
     val local = java.time.Instant.ofEpochMilli(t1).atZone(zone)
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
