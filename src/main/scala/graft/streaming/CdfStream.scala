@@ -83,13 +83,20 @@ object CdfSource {
     * BELOW what the checkpoint already committed and re-delivering rows.
     * `advance` is monotonic and runs at batch CONSTRUCTION (getBatch), so
     * a crash-replayed batch just re-advances to the same position. */
-  private[streaming] final class RatePos(metadataPath: String, init: Long) {
+  private[streaming] final class RatePos(metadataPath: String, root: String,
+      init: Long) {
     private val file = metaDir(metadataPath).resolve("graft-rate-pos")
     def get: Long =
       if (java.nio.file.Files.exists(file))
         math.max(init, new String(java.nio.file.Files.readAllBytes(file),
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
       else init
+    // VACUUM PROTECTION (r13 #5): the checkpoint registers its delivered-to
+    // position under the table root from the moment the source exists, so
+    // a lagging stream's backlog versions cannot be vacuumed out from
+    // under it — refreshed on every advance below; deleting the checkpoint
+    // is the deregistration (the marker then ages out of vacuum's count)
+    FileCow.registerStream(root, metaDir(metadataPath).toString, get)
     def advance(to: Long): Unit = if (to > get) {
       java.nio.file.Files.createDirectories(file.getParent)
       val tmp = file.resolveSibling(s"graft-rate-pos.tmp")
@@ -98,6 +105,7 @@ object CdfSource {
       java.nio.file.Files.move(tmp, file,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      FileCow.registerStream(root, metaDir(metadataPath).toString, to)
     }
   }
 
@@ -367,10 +375,10 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
   // (Delta's maxFilesPerTrigger/maxBytesPerTrigger motivation — the byte
   // cap is what bounds the batch after ONE fat COPY INTO lands among
   // small commits)
-  private val ratePos =
-    if (maxVersionsPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty)
-      metadataPath.map(new CdfSource.RatePos(_, startVersion))
-    else None
+  // constructed for EVERY checkpointed stream (not just rate-limited
+  // ones): RatePos doubles as the vacuum-protection registration seam
+  // (r13 #5), and admitUpTo with no caps short-circuits for free
+  private val ratePos = metadataPath.map(new CdfSource.RatePos(_, root, startVersion))
 
   override def getOffset: Option[Offset] = {
     val v = FileCow.currentVersion(root)

@@ -56,10 +56,10 @@ class CowTableSource(ctx: SQLContext, root: String,
   // commits and/or B cumulative new-data bytes ([[CdfSource.admitUpTo]] —
   // the byte cap bounds the batch after one fat COPY INTO), position
   // persisted in checkpoint metadata across restarts
-  private val ratePos =
-    if (maxVersionsPerTrigger.nonEmpty || maxBytesPerTrigger.nonEmpty)
-      metadataPath.map(new CdfSource.RatePos(_, startVersion))
-    else None
+  // constructed for EVERY checkpointed stream (not just rate-limited
+  // ones): RatePos doubles as the vacuum-protection registration seam
+  // (r13 #5), and admitUpTo with no caps short-circuits for free
+  private val ratePos = metadataPath.map(new CdfSource.RatePos(_, root, startVersion))
 
   override def getOffset: Option[Offset] = {
     val v = FileCow.currentVersion(root)

@@ -229,13 +229,14 @@ class DeletionVectorSpec extends SparkSpec {
     val root = mkDvTable("stream")
     FileCow.delete(spark, root, col("k") === 7L)                // DV commit
     val got = scala.collection.mutable.Set.empty[Long]
+    val ckpt = Files.createTempDirectory("dv-ck")
     val q = spark.readStream.format("graft-cow").option("root", root)
       .option("startingVersion", "0").load()
       .writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
         got.synchronized { got ++= b.select("k").collect().map(_.getLong(0)) }; ()
       }
-      .option("checkpointLocation", Files.createTempDirectory("dv-ck").toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     try {
       val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
@@ -244,6 +245,14 @@ class DeletionVectorSpec extends SparkSpec {
       assert(e.getMessage.contains("deletion vectors") ||
         e.getCause.getMessage.contains("deletion vectors"))
     } finally q.stop()
+    // the DEAD stream is abandoned: drop its checkpoint, deregistering it
+    // from vacuum protection (r13 G30 — a live checkpoint would rightly
+    // floor retention at its delivered version and keep the sidecar)
+    locally {
+      val w = Files.walk(ckpt)
+      try w.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+      finally w.close()
+    }
 
     // compaction materializes; vacuum then reclaims the orphaned sidecar
     FileCow.compact(spark, root, targetFiles = 2)
