@@ -255,9 +255,15 @@ object StressMultiWriter {
     * commit of a killed writer" — everything store-derived (manifest fold,
     * CDF replay, bloom integrity) stays exact. */
   def validate(spark: SparkSession, root: String,
-      receipts: Seq[Receipt], killed: Set[Int] = Set.empty): Seq[String] = {
+      receipts: Seq[Receipt], killed: Set[Int] = Set.empty,
+      prunedHistory: Boolean = false): Seq[String] = {
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
     val finalVersion = FileCow.currentVersion(root)
+    // prunedHistory (the vacuum-kill sweep): retention sweeps legitimately
+    // dropped old versions, so the store-derived invariants anchor at the
+    // OLDEST RETAINED version instead of v1
+    val oldestRetained =
+      if (prunedHistory) FileCow.versions(root).headOption.getOrElse(1L) else 1L
 
     // 1. exactly-once, gap-free version allocation
     val versions = receipts.map(_.version).sorted
@@ -273,7 +279,7 @@ object StressMultiWriter {
         s"outside the published range 2..$finalVersion"
 
     // 5. every commit record parses and the fold reproduces the manifest
-    (1L to finalVersion).foreach { v =>
+    (oldestRetained to finalVersion).foreach { v =>
       if (!FileCow.isRetained(root, v)) errs += s"version $v not retained"
       else if (v > 1L && FileCow.commitInfo(root, v).isEmpty)
         errs += s"version $v has no commit record"
@@ -316,8 +322,11 @@ object StressMultiWriter {
       val lastBatch = rs.filter(_.op == "append").map(_.seq.toLong).maxOption
       lastBatch.foreach { b =>
         val got = FileCow.lastTxn(root, s"writer-$w")
-        // a killed writer may have landed one batch past its last receipt
-        if (got != b && !(killed.contains(w) && got > b))
+        // a killed writer may have landed one batch past its last receipt;
+        // under pruned history the batch's record may have been vacuumed
+        // (lastTxn only scans retained records)
+        if (got != b && !(killed.contains(w) && got > b) &&
+            !(prunedHistory && got < b))
           errs += s"writer $w lastTxn=$got, expected $b"
       }
     }
@@ -354,9 +363,9 @@ object StressMultiWriter {
     // (k, val) are the stable columns; the bloom column renames mid-race.
     locally {
       val state = scala.collection.mutable.Map[Long, String]()
-      FileCow.readVersion(spark, root, 1L).select("k", "val").collect()
+      FileCow.readVersion(spark, root, oldestRetained).select("k", "val").collect()
         .foreach(r => state(r.getLong(0)) = r.getString(1))
-      (2L to finalVersion).foreach { v =>
+      ((oldestRetained + 1) to finalVersion).foreach { v =>
         FileCow.changesBetween(spark, root, Seq("k"), v - 1, v)
           .select("_change_type", "k", "val").collect().foreach { r =>
             r.getString(0) match {
@@ -508,6 +517,57 @@ object StressMultiWriter {
     KillResult(errs.toSeq, rs.size, cur, landedAtKill, rr)
   }
 
+  // ------------------------------------------------------ vacuum-kill sweep
+
+  final case class VacKillResult(errors: Seq[String], landed: Int,
+      finalVersion: Long)
+
+  /** SIGKILL a VACUUM mid-sweep under live commits (VERDICT r12 #8: the
+    * one mutation class the writer-kill sweep never crashed): a dedicated
+    * process loops age-floored retention vacuums — version-artifact drops
+    * + fold-base checkpoint staging genuinely racing the writer — and dies
+    * by SIGKILL somewhere inside one. Proven after the dust settles:
+    *   - the WRITER is undisturbed (full schedule landed, exit 0);
+    *   - the six standing invariants hold on the surviving history;
+    *   - vacuum is IDEMPOTENT past the kill: re-running the same-parameter
+    *     vacuum converges (the second pass reclaims nothing — whatever the
+    *     killed sweep half-did, the next sweep completes), and a final
+    *     age-0 hygiene pass leaves zero reclaimable files, zero staging
+    *     orphans, no version commit. */
+  def killVacuumSweep(spark: SparkSession, baseDir: Path,
+      opsW0: Int): VacKillResult = {
+    val root = baseDir.resolve("t").toString
+    val receipts = baseDir.resolve("receipts").toString
+    createTable(spark, root)
+    val w0 = forkWorker(root, receipts, 0, opsW0, cpus = 2)
+    val vac = fork(Seq("vacuumer", root, "2"))
+    // let sweeps overlap live commits, then SIGKILL the vacuumer mid-loop
+    // (sweeps run back-to-back, so the kill lands inside one)
+    while (w0.isAlive && readReceipts(receipts).count(_.writer == 0) < opsW0 / 2)
+      Thread.sleep(50)
+    vac.destroyForcibly(); vac.waitFor()
+    val e0 = w0.waitFor()
+    val rs = readReceipts(receipts)
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (e0 != 0) errs += s"writer exited $e0 under concurrent vacuums"
+    if (rs.count(_.writer == 0) != opsW0)
+      errs += s"writer landed ${rs.count(_.writer == 0)} of $opsW0 ops"
+    errs ++= validate(spark, root, rs, killed = Set.empty, prunedHistory = true)
+    // idempotence past the kill: the first pass completes whatever the
+    // killed sweep half-did; the second finds nothing left
+    FileCow.vacuum(spark, root, keep = 3, minAgeMs = 3600000L)
+    val second = FileCow.vacuum(spark, root, keep = 3, minAgeMs = 3600000L)
+    if (second.nonEmpty)
+      errs += s"second same-parameter vacuum still reclaimed: $second"
+    val cur = FileCow.currentVersion(root)
+    FileCow.vacuum(spark, root, keep = 1000, minAgeMs = 0L)
+    if (FileCow.currentVersion(root) != cur)
+      errs += "vacuum must not commit a version"
+    if (FileCow.vacuumPlan(spark, root, 1000, 0L).nonEmpty)
+      errs += "hygiene vacuum left reclaimable files behind"
+    VacKillResult(errs.toSeq, rs.size, cur)
+  }
+
   // ----------------------------------------------------------------- mains
 
   def main(args: Array[String]): Unit = args.headOption match {
@@ -516,6 +576,17 @@ object StressMultiWriter {
       val spark = session(cpus.toInt, s"graft-mw-worker-$writerId")
       try worker(spark, root, receiptsDir, writerId.toInt, nOps.toInt)
       finally spark.stop()
+
+    case Some("vacuumer") =>
+      // loops retention sweeps until SIGKILLed by the harness — keep small
+      // so version drops + fold-base checkpoint staging actually happen,
+      // age floor high so a live writer's fresh staging is never in scope
+      val Array(_, root, cpus) = args
+      val spark = session(cpus.toInt, "graft-mw-vacuumer")
+      try while (true) {
+        FileCow.vacuum(spark, root, keep = 3, minAgeMs = 3600000L)
+        Thread.sleep(5L)
+      } finally spark.stop()
 
     case Some("reader") =>
       val Array(_, root, receiptsDir, durationMs, cpus) = args
@@ -539,6 +610,18 @@ object StressMultiWriter {
           s""""killedAfter":${r.killedAfter},""" +
           s""""readerProbes":${r.reader.map(_.probes).getOrElse(-1L)},""" +
           s""""readerLoud":${r.reader.map(_.loud).getOrElse(-1L)},""" +
+          s""""errors":${r.errors.size}}""")
+        r.errors.foreach(e => println(s"  FAIL: $e"))
+        if (r.errors.nonEmpty) failures += 1
+      }
+      // the vacuum-kill round (r13 #8): SIGKILL lands inside a retention
+      // sweep instead of a writer's commit — the one mutation class the
+      // writer-kill rounds never crashed
+      locally {
+        val base = Files.createTempDirectory("graft-killsweep-vac")
+        val r = killVacuumSweep(spark, base, opsW0 = 24)
+        println(s"""{"tool":"killsweep","round":"vacuum",""" +
+          s""""landed":${r.landed},"finalVersion":${r.finalVersion},""" +
           s""""errors":${r.errors.size}}""")
         r.errors.foreach(e => println(s"  FAIL: $e"))
         if (r.errors.nonEmpty) failures += 1
