@@ -220,7 +220,11 @@ private[sources] trait CowWritePath { this: FileCow.type =>
         case e: ConcurrentPublishException =>
           val cur = currentVersion(root)
           rebases += 1
-          if (cur <= base || rebases > 8 ||
+          // ops escape hatch + the measurement baseline's control arm
+          // (graft.tools.StressRebase): -Dgraft.conflict.rebase=off forces
+          // every lost CAS back to the full re-derive protocol
+          val enabled = !"off".equals(System.getProperty("graft.conflict.rebase"))
+          if (!enabled || cur <= base || rebases > 8 ||
               !rebaseSafe(spark, root, base, cur, delta, action, dvRegistry))
             throw e // logical conflict (or nothing to rebase onto): re-derive
           // every winner's writes are disjoint from this commit's declared
