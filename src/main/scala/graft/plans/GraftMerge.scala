@@ -266,17 +266,23 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // V2 write commands (AppendData/OverwriteByExpression riding the DSv2
     // catalog's V1Write fallback) need their target relation INTACT — only
-    // read-positioned GraftV2Table relations swap to the v1 scan plan
-    val writeTargets = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
-    plan.foreach {
-      case w: V2WriteCommand => writeTargets.add(w.table); ()
-      case _ => ()
+    // read-positioned GraftV2Table relations swap to the v1 scan plan.
+    // LAZY: the collection walk only runs when the plan actually contains
+    // a GraftV2Table relation (the guard's first evaluation), so the vast
+    // majority of rule invocations pay nothing extra per fixpoint iteration
+    lazy val writeTargets: java.util.Set[LogicalPlan] = {
+      val s = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+      plan.foreach {
+        case w: V2WriteCommand => s.add(w.table); ()
+        case _ => ()
+      }
+      s
     }
-    plan.resolveOperatorsDown(lower(writeTargets))
+    plan.resolveOperatorsDown(lower(() => writeTargets))
   }
 
-  private def lower(writeTargets: java.util.Set[LogicalPlan])
+  private def lower(writeTargets: () => java.util.Set[LogicalPlan])
       : PartialFunction[LogicalPlan, LogicalPlan] = {
     case m @ MergeIntoTable(target, source, cond, matched, notMatched, bySource,
         withSchemaEvolution) =>
@@ -438,7 +444,7 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // already-resolved references above stay valid
     case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
         if r.table.isInstanceOf[graft.sources.GraftV2Table] &&
-          !writeTargets.contains(r) =>
+          !writeTargets().contains(r) =>
       swapV2Scan(r)
 
     case rel: UnresolvedRelation =>

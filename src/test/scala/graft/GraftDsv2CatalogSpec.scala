@@ -179,6 +179,30 @@ class GraftDsv2CatalogSpec extends SparkSpec {
     }
   }
 
+  test("catalog CTAS, TRUNCATE, SHOW TBLPROPERTIES, listColumns") {
+    withWarehouse { _ =>
+      // CTAS with no USING routes through the catalog's createTable + the
+      // V1 write fallback (CreateTableAsSelectExec)
+      spark.sql("CREATE TABLE graft.dsv2_ctas AS SELECT id AS k, " +
+        "concat('v', id) AS v FROM range(0, 7)")
+      assert(GraftTables.entryOf("dsv2_ctas").exists(_.cow))
+      assert(spark.table("graft.dsv2_ctas").count() == 7L)
+
+      val cols = spark.catalog.listColumns("graft.dsv2_ctas").collect().map(_.name)
+      assert(cols.toSet == Set("k", "v"), cols.mkString(", "))
+
+      spark.sql("ALTER TABLE dsv2_ctas SET TBLPROPERTIES ('owner' = 'me')")
+      val props = spark.sql("SHOW TBLPROPERTIES graft.dsv2_ctas").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("owner").contains("me"), props.toString)
+
+      spark.sql("TRUNCATE TABLE graft.dsv2_ctas")
+      assert(spark.table("graft.dsv2_ctas").count() == 0L)
+      assert(FileCow.currentVersion(GraftTables.entryOf("dsv2_ctas").get.root) >= 3L,
+        "TRUNCATE is one commit; history survives")
+    }
+  }
+
   test("a second session (fresh sessionState) sees the same catalog") {
     withWarehouse { _ =>
       spark.sql("CREATE TABLE dsv2_s2 (k BIGINT NOT NULL) USING graft-cow")
