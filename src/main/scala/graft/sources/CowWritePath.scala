@@ -260,10 +260,18 @@ private[sources] trait CowWritePath { this: FileCow.type =>
     if (tableProps(root, from) != tableProps(root, to)) return false
     def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
     val loserRemoved = action.removed.map(base).toSet
-    // kinds whose full effect is captured by (added, removed, dvFiles);
-    // anything else (create/convert/clone/restore/schema ops/copy_into's
-    // ledger/bloom backfills) re-derives — unknown kinds fail safe
-    val rebasable = Set("append", "merge", "delete", "update")
+    // kinds whose full effect is captured by (added, removed, dvFiles):
+    // the DML four; delete_dv (a MetadataOnly vector change — the dvFiles
+    // intersection below is exactly its conflict surface, and the rebase
+    // re-reads the registry at the winner's head); compact/zorder (pure
+    // relayouts — row-preserving, so a replacement file overlapping the
+    // loser's ranges either replaces a file the loser REMOVED — caught by
+    // the intersection — or one its pruning already adjudicated, where
+    // the range probe stays conservative). Anything else (create/convert/
+    // clone/restore/schema ops/copy_into's ledger) re-derives — unknown
+    // kinds fail safe.
+    val rebasable = Set("append", "merge", "delete", "update",
+      "delete_dv", "compact", "zorder")
     val winners = ((from + 1) to to).map(v =>
       commitInfo(root, v).getOrElse(return false))
     val ok = winners.forall { w =>

@@ -135,6 +135,76 @@ class CommitRebaseSpec extends SparkSpec {
     assert(CommitStats.rebased.get() == 0L)
   }
 
+  test("a disjoint DV-delete winner rebases (its conflict surface IS dvFiles)") {
+    val root = Files.createTempDirectory("graft-rebase-dv").resolve("t").toString
+    val df = spark.range(0, 100).select($"id".as("k"), concat(lit("v"), $"id").as("v"))
+      .repartitionByRange(4, $"k")
+    FileCow.create(spark, root, df, statsCols = Seq("k"),
+      props = Map("graft.dv.enabled" -> "true"))
+    CommitStats.reset()
+    var armed = true
+    withHook((r, _) => if (armed && r == root) {
+      armed = false
+      // vectors land on the HIGH file; the loser only touches the low one
+      FileCow.delete(spark, root, col("k") === 90L)
+      ()
+    }) {
+      mergeKeys(root, 0, 5, "l")
+    }
+    assert(CommitStats.rebased.get() == 1L && CommitStats.rederived.get() == 0L)
+    val rows = FileCow.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 99 && rows(0L) == "l" && !rows.contains(90L),
+      "both the DV delete and the rebased merge landed")
+  }
+
+  test("a DV-delete winner ON the loser's files forces a re-derive") {
+    val root = Files.createTempDirectory("graft-rebase-dv2").resolve("t").toString
+    val df = spark.range(0, 100).select($"id".as("k"), concat(lit("v"), $"id").as("v"))
+      .repartitionByRange(4, $"k")
+    FileCow.create(spark, root, df, statsCols = Seq("k"),
+      props = Map("graft.dv.enabled" -> "true"))
+    CommitStats.reset()
+    var armed = true
+    withHook((r, _) => if (armed && r == root) {
+      armed = false
+      // vectors land on the LOW file the loser is rewriting — the loser's
+      // base read predates them; rebasing would resurrect the deleted row
+      FileCow.delete(spark, root, col("k") === 7L)
+      ()
+    }) {
+      mergeKeys(root, 0, 5, "l")
+    }
+    assert(CommitStats.rederived.get() >= 1L, "overlapping DV must re-derive")
+    val rows = FileCow.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 99 && rows(0L) == "l" && !rows.contains(7L),
+      "the re-derived merge sees the vectors")
+  }
+
+  test("a disjoint compaction winner rebases (row-preserving relayout)") {
+    // 8 files so the k>=75 region holds TWO files (a 1-file region would
+    // make the compaction a no-op and nothing would race)
+    val root = Files.createTempDirectory("graft-rebase-c").resolve("t").toString
+    FileCow.create(spark, root,
+      spark.range(0, 100).select($"id".as("k"), concat(lit("v"), $"id").as("v"))
+        .repartitionByRange(8, $"k"), statsCols = Seq("k"))
+    CommitStats.reset()
+    var armed = true
+    withHook((r, _) => if (armed && r == root) {
+      armed = false
+      // relayout ONLY the high files; the loser rewrites the lowest one
+      FileCow.compactWhere(spark, root, targetFiles = 1, col("k") >= 75L)
+      ()
+    }) {
+      mergeKeys(root, 0, 5, "l")
+    }
+    assert(CommitStats.rebased.get() == 1L && CommitStats.rederived.get() == 0L)
+    val rows = FileCow.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 100 && rows(0L) == "l" && rows(99L) == "v99")
+  }
+
   test("three disjoint writers: each loser rebases onto the accumulated head") {
     val root = freshTable()
     CommitStats.reset()
