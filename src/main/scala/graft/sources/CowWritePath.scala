@@ -285,6 +285,22 @@ private[sources] trait CowWritePath { this: FileCow.type =>
     if (!ok) return false
     action.conflict match {
       case NoReads => true
+      case StatPredicate(admission) =>
+        // a winner-added file the loser's OWN admission predicate selects
+        // could hold rows the statement should have touched; the probe is
+        // a Filter over a LocalRelation of the (driver-cached) winner rows
+        // — Catalyst folds it on the driver, no job
+        val winnerAdded = winners.flatMap(_.added).map(base).toSet
+        if (winnerAdded.isEmpty) true
+        else {
+          val (ms, rows) = CowManifestCache.rowsOf(spark, root, to)
+          val fIdx = ms.fieldIndex("file")
+          val winnerRows = rows.filter(r =>
+            winnerAdded.contains(base(r.getString(fIdx))))
+          import scala.jdk.CollectionConverters._
+          winnerRows.isEmpty ||
+            spark.createDataFrame(winnerRows.asJava, ms).filter(admission).isEmpty
+        }
       case KeyRanges(ranges) =>
         // a winner-ADDED file whose stats admit a loser source key on EVERY
         // range column could change the loser's matched/anti-join sets

@@ -217,6 +217,15 @@ object FileCow extends CowWritePath with CowDeletionVectors
     * anti-join's insert set, so it conflicts; anything disjoint rebases. */
   private[sources] final case class KeyRanges(ranges: Seq[(String, Any, Any)])
       extends ConflictDep
+  /** Predicate-scoped DML (DELETE/UPDATE): the output depends only on
+    * files the predicate's STAT ADMISSION selects, so a winner-added file
+    * the same admission (a manifest-row predicate over min_/max_ columns)
+    * admits could hold rows this statement should have touched —
+    * conflict; an unadmitted add rebases. A predicate StatAdmission could
+    * not translate admits everything, degrading to conflict-on-any-add
+    * (still rebasable over add-free winners like DV deletes). */
+  private[sources] final case class StatPredicate(
+      admission: org.apache.spark.sql.Column) extends ConflictDep
 
   /** Observable conflict-resolution counters (test seam + ops signal). */
   private[graft] object CommitStats {
@@ -1183,9 +1192,13 @@ object FileCow extends CowWritePath with CowDeletionVectors
         math.max(1, toRead.length), col(statsCols.head))
       val added = writeDataFiles(spark, root, newData, statsCols, maxRecordsPerFile)
       val addedPaths = filePaths(added)
-      commit(spark, root, version, AddedSlice(added), schema,
-        CommitAction(what.stripPrefix("FileCow."), addedPaths, affected.toSeq))
-      Commit(version + 1, prevFiles - affected.length,
+      // declared read dependency: the rewrite touched exactly the files
+      // the predicate's stat admission selected, so a lost CAS against
+      // winners whose adds the SAME admission rejects rebases (G29)
+      val landed = commit(spark, root, version, AddedSlice(added), schema,
+        CommitAction(what.stripPrefix("FileCow."), addedPaths, affected.toSeq,
+          conflict = StatPredicate(admission)))
+      Commit(landed, prevFiles - affected.length,
         affected.length.toLong, addedPaths.size.toLong)
     }
 

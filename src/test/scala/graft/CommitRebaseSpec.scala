@@ -205,6 +205,32 @@ class CommitRebaseSpec extends SparkSpec {
     assert(rows.size == 100 && rows(0L) == "l" && rows(99L) == "v99")
   }
 
+  test("a predicate-scoped DELETE rebases over a disjoint merge, re-derives over an admitted add") {
+    val root = freshTable()
+    CommitStats.reset()
+    // winner inserts k=2000.. (outside the delete's k < 10 admission)
+    var armed = true
+    withHook((r, _) => if (armed && r == root) { armed = false; mergeKeys(root, 2000, 2003, "w") }) {
+      FileCow.delete(spark, root, col("k") < 10L)
+    }
+    assert(CommitStats.rebased.get() == 1L && CommitStats.rederived.get() == 0L,
+      "the winner's adds fall outside the delete's stat admission: rebase")
+    assert(FileCow.read(spark, root).count() == 93L, "90 survivors + 3 inserts")
+
+    // now the winner's adds land INSIDE the admission: re-derive, so the
+    // serial order (winner first, delete second) removes them too
+    CommitStats.reset()
+    var armed2 = true
+    withHook((r, _) => if (armed2 && r == root) { armed2 = false; mergeKeys(root, 10, 13, "w2") }) {
+      FileCow.delete(spark, root, col("k") < 20L)
+    }
+    assert(CommitStats.rederived.get() >= 1L,
+      "an admitted winner add must re-derive")
+    val ks = FileCow.read(spark, root).select("k").collect().map(_.getLong(0)).toSet
+    assert(ks.filter(_ < 1000L).forall(_ >= 20L),
+      s"the re-derived delete must remove the winner's k=10..12 inserts too")
+  }
+
   test("three disjoint writers: each loser rebases onto the accumulated head") {
     val root = freshTable()
     CommitStats.reset()
