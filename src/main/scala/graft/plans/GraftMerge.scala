@@ -148,18 +148,29 @@ object GraftTables {
 
   /** Re-bind `from`'s entry under `to` — ONE catalog commit (a racing
     * reader sees the old name or the new, never neither). DSv2
-    * `ALTER TABLE RENAME TO` lands here. */
+    * `ALTER TABLE RENAME TO` lands here. The target-collision check runs
+    * INSIDE the store's lock-held RMW (a pre-check outside it would let a
+    * racing CREATE's binding be silently clobbered), and the JVM-local
+    * map follows only after the durable commit succeeded — a loud-failing
+    * store must not leave this process renamed while every other process
+    * still resolves the old name. */
   def rename(from: String, to: String): Unit = {
     val f = normalize(from); val t = normalize(to)
-    Option(tables.get(f)).foreach { e => tables.put(t, e); tables.remove(f); () }
     wh.foreach { d =>
       graft.sources.CatalogStore.commit(d) { m =>
         m.get(f) match {
-          case Some(b) => m - f + (t -> b)
+          case Some(b) =>
+            require(!m.contains(t),
+              s"rename $from -> $to: '$to' is already bound")
+            m - f + (t -> b)
           case None => m
         }
       }
       refresh(force = true)
+    }
+    Option(tables.get(f)).foreach { e =>
+      require(!tables.containsKey(t), s"rename $from -> $to: '$to' is already bound")
+      tables.put(t, e); tables.remove(f); ()
     }
   }
 

@@ -274,7 +274,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * Deliberately NOT in the parser factory: that runs inside sessionState
     * construction, where touching session.conf recurses into the build. */
   private lazy val ensureCatalog: Unit = {
-    if (session.conf.getOption("spark.sql.catalog.graft").isEmpty)
+    // auto-registration must not HIJACK two-part resolution for a
+    // deployment whose session catalog has a database literally named
+    // `graft` — their existing `graft.t` queries resolve there today and
+    // must keep doing so; such a deployment opts in with an explicit
+    // spark.sql.catalog.<name> conf under a non-colliding name. The probe
+    // goes through the INTERNAL SessionCatalog: the public Catalog API
+    // parses identifiers, which would re-enter this very lazy init.
+    if (session.conf.getOption("spark.sql.catalog.graft").isEmpty &&
+        !session.sessionState.catalog.databaseExists("graft"))
       session.conf.set("spark.sql.catalog.graft",
         classOf[graft.sources.GraftCatalog].getName)
     // seed the intercepts' catalog-prefix strip before the plugin's lazy

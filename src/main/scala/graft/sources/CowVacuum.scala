@@ -213,28 +213,40 @@ private[sources] trait CowVacuum { this: FileCow.type =>
       } finally list.close()
     }
     val floors = markers.flatMap { m =>
-      val n = jsonMapper.readTree(Files.readAllBytes(m))
-      val checkpoint = n.get("checkpoint").asText()
-      if (Files.exists(Paths.get(checkpoint))) Some(n.get("delivered").asLong())
-      else {
-        if (pruneDead && mtimeOf(m).exists(
-            System.currentTimeMillis() - _ >= minAgeMs))
-          Files.deleteIfExists(m)
-        None
+      // a CONCURRENT vacuum's pruneDead may delete a marker between our
+      // listing and this read (same vanished-entry tolerance as the
+      // staging sweep) — a vanished marker simply protects nothing
+      val parsed =
+        try Some(jsonMapper.readTree(Files.readAllBytes(m)))
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      parsed.flatMap { n =>
+        val checkpoint = n.get("checkpoint").asText()
+        if (Files.exists(Paths.get(checkpoint))) Some(n.get("delivered").asLong())
+        else {
+          if (pruneDead && mtimeOf(m).exists(
+              System.currentTimeMillis() - _ >= minAgeMs))
+            Files.deleteIfExists(m)
+          None
+        }
       }
     }
     floors.minOption
   }
 
   /** Register/refresh a streaming checkpoint's delivered-to position under
-    * the table root — called by the sources at construction and on every
-    * rate-position advance (tiny atomic marker write). */
+    * the table root (tiny atomic marker write). The marker must only ever
+    * hold ENGINE-CONFIRMED positions (batch starts / commit callbacks) —
+    * never a constructed batch end, whose versions a crash would replay.
+    * `onlyIfAbsent` serves source construction: an existing marker already
+    * holds a confirmed position, which must not be widened back to the
+    * birth start on every restart. */
   private[graft] def registerStream(root: String, checkpointDir: String,
-      deliveredTo: Long): Unit = {
+      deliveredTo: Long, onlyIfAbsent: Boolean = false): Unit = {
     Files.createDirectories(streamsDir(root))
     val id = java.util.UUID.nameUUIDFromBytes(
       checkpointDir.getBytes(StandardCharsets.UTF_8)).toString.take(12)
     val f = streamsDir(root).resolve(s"s-$id.json")
+    if (onlyIfAbsent && Files.exists(f)) return
     val n = jsonMapper.createObjectNode()
     n.put("checkpoint", checkpointDir)
     n.put("delivered", deliveredTo)

@@ -247,6 +247,16 @@ private[sources] trait CowWritePath { this: FileCow.type =>
     * are change-sized, the stats probe reads the (cached) manifest rows. */
   private def rebaseSafe(spark: SparkSession, root: String, from: Long,
       to: Long, delta: ManifestDelta, action: CommitAction,
+      dvRegistry: Option[Map[String, String]]): Boolean =
+    // a concurrent vacuum may drop `from`'s artifacts between the lost CAS
+    // and these reads — a vanished file means "cannot prove disjoint", and
+    // the caller's re-derive path (which reads only the live head) handles
+    // it exactly as it did before the rebase existed
+    try rebaseSafe0(spark, root, from, to, delta, action, dvRegistry)
+    catch { case _: java.nio.file.NoSuchFileException => false }
+
+  private def rebaseSafe0(spark: SparkSession, root: String, from: Long,
+      to: Long, delta: ManifestDelta, action: CommitAction,
       dvRegistry: Option[Map[String, String]]): Boolean = {
     if (!delta.isInstanceOf[AddedSlice]) return false
     if (action.conflict == FullRead) return false

@@ -388,13 +388,6 @@ object FileCow extends CowWritePath with CowDeletionVectors
     }
   }
 
-  /** When version `v` committed: the commit record's filesystem mtime
-    * (ATOMIC_MOVE preserves the staging write's time, and commits
-    * serialize under the table lock, so mtime order is commit order — the
-    * same file-time basis Delta uses). Pre-log versions fall back to the
-    * manifest dir's mtime; a checkpoint MATERIALIZED after the fact
-    * ([[vacuum]]'s fold-base) never shifts a commit time, because the
-    * record's mtime wins while the record lives. */
   /** When version `v` committed: the RECORD's own `commitMs` field — a
     * value stamped inside the commit, so a table directory that is copied,
     * rsynced, or restored from backup (fresh file mtimes) still resolves
@@ -427,8 +420,11 @@ object FileCow extends CowWritePath with CowDeletionVectors
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val perVersion = versions(root).map { v =>
-      val commitMs = commitTimeOf(root, v)
-      commitInfo(root, v) match {
+      // ONE record parse per version: commitMs and the stats row both come
+      // off the same commitInfo (commitTimeOf would parse it again)
+      val ci = commitInfo(root, v)
+      val commitMs = ci.map(_.commitMs).getOrElse(commitTimeOf(root, v))
+      ci match {
         // commit-log fast path: the totals AND the operation kind were
         // recorded at commit time — no manifest parquet is opened
         case Some(ci) =>

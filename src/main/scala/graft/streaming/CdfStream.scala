@@ -91,12 +91,6 @@ object CdfSource {
         math.max(init, new String(java.nio.file.Files.readAllBytes(file),
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
       else init
-    // VACUUM PROTECTION (r13 #5): the checkpoint registers its delivered-to
-    // position under the table root from the moment the source exists, so
-    // a lagging stream's backlog versions cannot be vacuumed out from
-    // under it — refreshed on every advance below; deleting the checkpoint
-    // is the deregistration (the marker then ages out of vacuum's count)
-    FileCow.registerStream(root, metaDir(metadataPath).toString, get)
     def advance(to: Long): Unit = if (to > get) {
       java.nio.file.Files.createDirectories(file.getParent)
       val tmp = file.resolveSibling(s"graft-rate-pos.tmp")
@@ -105,11 +99,24 @@ object CdfSource {
       java.nio.file.Files.move(tmp, file,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      FileCow.registerStream(root, metaDir(metadataPath).toString, to)
     }
   }
 
-  private def metaDir(metadataPath: String): java.nio.file.Path =
+  /** VACUUM PROTECTION (r13 #5): the checkpoint registers under the table
+    * root at source CONSTRUCTION (floored at the pinned start — a restart
+    * may still have to REPLAY WAL-committed-but-unprocessed batches, so
+    * the floor must never ride the constructed batch end the rate
+    * position tracks) and tightens to each batch's offset from the
+    * engine's `Source.commit` callback — the one signal that means "this
+    * batch is durably done and will never replay". Deleting the
+    * checkpoint is the deregistration. */
+  private[streaming] def registerProtection(metadataPath: Option[String],
+      root: String, deliveredTo: Long, onlyIfAbsent: Boolean = false): Unit =
+    metadataPath.foreach(mp =>
+      FileCow.registerStream(root, metaDir(mp).toString, deliveredTo,
+        onlyIfAbsent))
+
+  private[streaming] def metaDir(metadataPath: String): java.nio.file.Path =
     java.nio.file.Paths.get(
       org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
         new org.apache.hadoop.fs.Path(metadataPath)).toString)
@@ -379,6 +386,13 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
   // ones): RatePos doubles as the vacuum-protection registration seam
   // (r13 #5), and admitUpTo with no caps short-circuits for free
   private val ratePos = metadataPath.map(new CdfSource.RatePos(_, root, startVersion))
+  // vacuum protection registers at the PINNED START only when no marker
+  // exists yet (an existing one already holds an engine-confirmed
+  // position); it tightens at getBatch (the start offset is
+  // WAL-committed) and at the engine's commit callback below — never at
+  // a constructed batch END, whose versions a crash would replay
+  CdfSource.registerProtection(metadataPath, root, startVersion,
+    onlyIfAbsent = true)
 
   override def getOffset: Option[Offset] = {
     val v = FileCow.currentVersion(root)
@@ -417,6 +431,9 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val spark = ctx.sparkSession
     val from = start.map(version).getOrElse(startVersion)
+    // `start` is the WAL-committed lower bound: safe to tighten the
+    // vacuum-protection floor to it (batches below will never replay)
+    CdfSource.registerProtection(metadataPath, root, from)
     val to = version(end)
     // which pinned columns may legitimately be missing from a slice: the
     // ones that still exist NOW were added later (replay below the pin);
@@ -437,6 +454,11 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
     ratePos.foreach(_.advance(to))
     org.apache.spark.sql.GraftBridge.asStreaming(perCommit.reduce(_ unionByName _))
   }
+
+  /** The engine's durable-completion signal: batches at or below `end`
+    * will never replay, so the vacuum-protection floor may advance. */
+  override def commit(end: Offset): Unit =
+    CdfSource.registerProtection(metadataPath, root, version(end))
 
   override def stop(): Unit = ()
 }

@@ -60,6 +60,13 @@ class CowTableSource(ctx: SQLContext, root: String,
   // ones): RatePos doubles as the vacuum-protection registration seam
   // (r13 #5), and admitUpTo with no caps short-circuits for free
   private val ratePos = metadataPath.map(new CdfSource.RatePos(_, root, startVersion))
+  // vacuum protection registers at the PINNED START only when no marker
+  // exists yet (an existing one already holds an engine-confirmed
+  // position); it tightens at getBatch (the start offset is
+  // WAL-committed) and at the engine's commit callback below — never at
+  // a constructed batch END, whose versions a crash would replay
+  CdfSource.registerProtection(metadataPath, root, startVersion,
+    onlyIfAbsent = true)
 
   override def getOffset: Option[Offset] = {
     val v = FileCow.currentVersion(root)
@@ -105,6 +112,9 @@ class CowTableSource(ctx: SQLContext, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val spark = ctx.sparkSession
     val from = start.map(version).getOrElse(startVersion)
+    // `start` is the WAL-committed lower bound: safe to tighten the
+    // vacuum-protection floor to it (batches below will never replay)
+    CdfSource.registerProtection(metadataPath, root, from)
     val to = version(end)
     val addedFiles = ((from + 1) to to).flatMap { v =>
       val info = FileCow.commitInfo(root, v).getOrElse(sys.error(
@@ -204,6 +214,11 @@ class CowTableSource(ctx: SQLContext, root: String,
     ratePos.foreach(_.advance(to))
     org.apache.spark.sql.GraftBridge.asStreaming(batch)
   }
+
+  /** The engine's durable-completion signal: batches at or below `end`
+    * will never replay, so the vacuum-protection floor may advance. */
+  override def commit(end: Offset): Unit =
+    CdfSource.registerProtection(metadataPath, root, version(end))
 
   override def stop(): Unit = ()
 }

