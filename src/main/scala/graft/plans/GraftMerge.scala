@@ -458,6 +458,28 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           !writeTargets().contains(r) =>
       swapV2Scan(r)
 
+    // `spark.readStream.table("graft.t")`: the catalog resolved a
+    // STREAMING read to our table — swap in the PROVEN V1 graft-cow
+    // source (the format("graft-cow") table stream: schema pinning,
+    // vacuum-protection registration, rate limits, AvailableNow), output
+    // ids preserved. Reader options pass through (root is ours).
+    case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+        if s.table.isInstanceOf[graft.sources.GraftV2Table] =>
+      val g = s.table.asInstanceOf[graft.sources.GraftV2Table]
+      require(g.entry.cow, s"${g.name()}: streaming reads are a cow-table " +
+        "surface (snapshot-level tables re-publish whole versions; stream " +
+        "the cow layout or the change feed)")
+      require(g.pinned.isEmpty,
+        s"${g.name()}: a stream reads forward — VERSION/TIMESTAMP AS OF " +
+          "cannot combine with readStream (use startingVersion)")
+      import scala.jdk.CollectionConverters._
+      val opts = s.extraOptions.asScala.toMap + ("root" -> g.entry.root)
+      val ds = org.apache.spark.sql.execution.datasources.DataSource(
+        org.apache.spark.sql.classic.SparkSession.active,
+        className = "graft-cow", options = opts)
+      org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
+        ds, "graft-cow", s.output)
+
     case rel: UnresolvedRelation =>
       resolveParts(rel.multipartIdentifier) match {
         case Some((_, entry)) if entry.cow && FileCow.currentVersion(entry.root) > 0 =>

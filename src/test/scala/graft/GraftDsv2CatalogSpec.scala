@@ -203,6 +203,33 @@ class GraftDsv2CatalogSpec extends SparkSpec {
     }
   }
 
+  test("readStream.table('graft.t') streams through the proven V1 source") {
+    withWarehouse { _ =>
+      spark.sql("CREATE TABLE dsv2_rs (k BIGINT NOT NULL) USING graft-cow")
+      spark.sql("INSERT INTO dsv2_rs SELECT id FROM range(0, 5)")
+      val got = scala.collection.mutable.Set.empty[Long]
+      val q = spark.readStream.table("graft.dsv2_rs")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.select("k").collect().map(_.getLong(0)) }; ()
+        }
+        .option("checkpointLocation",
+          Files.createTempDirectory("dsv2-rs-ck").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(got.isEmpty, "the default start is the CURRENT version — " +
+          "existing rows do not re-stream")
+        spark.sql("INSERT INTO graft.dsv2_rs SELECT id FROM range(100, 103)")
+        q.processAllAvailable()
+        assert(got == Set(100L, 101L, 102L), got.toString)
+      } finally q.stop()
+      // statement intercepts take the catalog-qualified spelling too
+      assert(spark.sql("DESCRIBE HISTORY graft.dsv2_rs").count() >= 3L)
+      spark.sql("VACUUM graft.dsv2_rs RETAIN 100 VERSIONS DRY RUN").collect()
+    }
+  }
+
   test("a second session (fresh sessionState) sees the same catalog") {
     withWarehouse { _ =>
       spark.sql("CREATE TABLE dsv2_s2 (k BIGINT NOT NULL) USING graft-cow")
