@@ -230,6 +230,29 @@ class GraftDsv2CatalogSpec extends SparkSpec {
     }
   }
 
+  test("catalog-qualified MERGE WITH SCHEMA EVOLUTION and INSERT BY NAME") {
+    withWarehouse { _ =>
+      spark.sql("CREATE TABLE dsv2_ev (k BIGINT NOT NULL, v STRING) USING graft-cow")
+      spark.sql("INSERT INTO dsv2_ev VALUES (1, 'a'), (2, 'b')")
+      // the DSv2-resolved target's clauses may arrive RESOLVED; evolution
+      // widens the schema inside the merge commit
+      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO graft.dsv2_ev t USING " +
+        "(SELECT CAST(2 AS BIGINT) AS k, 'b2' AS v, 9.5D AS w " +
+        " UNION ALL SELECT 3L, 'c', 1.5D) s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      val rows = spark.table("graft.dsv2_ev").collect()
+        .map(r => r.getLong(0) -> (r.getString(1),
+          if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+      assert(rows(1L) == (("a", null)), "pre-evolution row pads null")
+      assert(rows(2L) == (("b2", 9.5)) && rows(3L) == (("c", 1.5)), rows.toString)
+
+      spark.sql("INSERT INTO graft.dsv2_ev BY NAME " +
+        "SELECT 'd' AS v, CAST(4 AS BIGINT) AS k, 2.5D AS w")
+      assert(spark.sql("SELECT v FROM dsv2_ev WHERE k = 4").collect()
+        .head.getString(0) == "d", "BY NAME maps columns by name, any order")
+    }
+  }
+
   test("a second session (fresh sessionState) sees the same catalog") {
     withWarehouse { _ =>
       spark.sql("CREATE TABLE dsv2_s2 (k BIGINT NOT NULL) USING graft-cow")
