@@ -73,7 +73,7 @@ private[graft] object CowManifestCache {
   private def load(spark: SparkSession, root: String,
       version: Long): (StructType, Seq[Row]) = {
     val absKey = Paths.get(root).toAbsolutePath.normalize.toString
-    val published = TablePointer.current(root)
+    val published = FileCow.currentVersion(root)
     def cachePut(v: Long, e: (StructType, Seq[Row])): Unit =
       // an UNPUBLISHED version dir (crashed commit's orphan) may still be
       // replaced by a winning commit — never cache it

@@ -509,51 +509,33 @@ private[sources] trait CowWritePath { this: FileCow.type =>
     if (action.dvFiles.nonEmpty) {
       val dvArr = rec.putArray("dvFiles"); action.dvFiles.foreach(dvArr.add)
     }
-    val infoTmp = manifestsDir(root).resolve(
-      s"m$next.commit.staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(infoTmp, jsonMapper.writeValueAsBytes(rec))
-    TablePointer.withCommitLock(root) {
-      val cur = currentVersion(root)
-      if (cur != expected) {
-        checkpointTmp.foreach(deleteTree)
-        deltaTmp.foreach(deleteTree)
-        Files.deleteIfExists(schemaTmp)
-        Files.deleteIfExists(infoTmp)
-        propsTmp.foreach(Files.deleteIfExists(_))
-        dvTmp.foreach(Files.deleteIfExists(_))
-        throw new ConcurrentPublishException(root, expected, cur)
-      }
-      // orphans from a crashed attempt at this version (provably
-      // unpublished) — either form may be lying around
-      deleteTree(manifestDir(root, next))
-      deleteTree(manifestDeltaDir(root, next))
-      checkpointTmp.foreach(t =>
-        Files.move(t, manifestDir(root, next), StandardCopyOption.ATOMIC_MOVE))
-      deltaTmp.foreach(t =>
-        Files.move(t, manifestDeltaDir(root, next), StandardCopyOption.ATOMIC_MOVE))
-      Files.move(schemaTmp, schemaFile(root, next), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-      Files.move(infoTmp, commitInfoFile(root, next), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-      propsTmp match {
-        case Some(t) => Files.move(t, propsFile(root, next),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        case None => Files.deleteIfExists(propsFile(root, next)) // crashed orphan
-      }
-      dvTmp match {
-        case Some(t) => Files.move(t, dvRegistryFile(root, next),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        case None => Files.deleteIfExists(dvRegistryFile(root, next)) // crashed orphan
-      }
-      TablePointer.swap(root, next)
-      if (checkpointTmp.isDefined)
-        checkpointPos.put(
-          Paths.get(root).toAbsolutePath.normalize.toString, (next, next))
-      // seed the cache with the rows just resolved: consumers of the new
-      // version (the next commit, the planner) never re-fold or re-read
-      CowManifestCache.seed(root, next, manSchema, newRows)
-      next
-    }
+    // the critical decision is the backend's ([[CommitBackend]]): advisory
+    // lock (check + renames + pointer swap) or conditional put (record
+    // put-if-absent + idempotent roll-forward) — everything above this line
+    // is backend-agnostic staging
+    val staged = StagedCommit(
+      next = next,
+      record = rec,
+      recordPath = commitInfoFile(root, next),
+      orphanDirs = Seq(manifestDir(root, next), manifestDeltaDir(root, next)),
+      dirMoves = checkpointTmp.map(_ -> manifestDir(root, next)).toSeq ++
+        deltaTmp.map(_ -> manifestDeltaDir(root, next)).toSeq,
+      fileMoves = Seq(schemaTmp -> schemaFile(root, next)) ++
+        propsTmp.map(_ -> propsFile(root, next)) ++
+        dvTmp.map(_ -> dvRegistryFile(root, next)),
+      absentCleanups =
+        (if (propsTmp.isEmpty) Seq(propsFile(root, next)) else Nil) ++
+        (if (dvTmp.isEmpty) Seq(dvRegistryFile(root, next)) else Nil),
+      onCommitted = () => {
+        if (checkpointTmp.isDefined)
+          checkpointPos.put(
+            Paths.get(root).toAbsolutePath.normalize.toString, (next, next))
+        // seed the cache with the rows just resolved: consumers of the new
+        // version (the next commit, the planner) never re-fold or re-read
+        CowManifestCache.seed(root, next, manSchema, newRows)
+      })
+    CommitBackend.active.publish(root, expected, staged)
+    next
   }
 
   /** The conflict-retry loop ([[graft.plans.GraftCommit]]'s protocol): on a

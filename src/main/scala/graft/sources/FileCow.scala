@@ -334,7 +334,8 @@ object FileCow extends CowWritePath with CowDeletionVectors
   private[sources] def schemaFile(root: String, v: Long): NioPath =
     manifestsDir(root).resolve(s"m$v.schema.json")
 
-  def currentVersion(root: String): Long = TablePointer.current(root)
+  def currentVersion(root: String): Long =
+    CommitBackend.active.currentVersion(root)
 
   /** A version is RETAINED while its manifest is still derivable: a full
     * checkpoint dir, or a commit record to fold over the previous
@@ -374,12 +375,21 @@ object FileCow extends CowWritePath with CowDeletionVectors
       try {
         val it = list.iterator()
         val buf = scala.collection.mutable.Set.empty[Long]
+        // every fixed-name artifact marks its version — checkpoint dir,
+        // commit record, delta dir, schema/props/dv JSONs. The sidecar
+        // suffixes matter for ORPHAN RECLAMATION completeness: a writer
+        // crashed between two artifact renames can leave any one of them
+        // alone at its fixed name, and vacuum's above-pointer sweep must
+        // see it (an unswept schema orphan would also brick the
+        // conditional-put backend's lock-era-crash guard forever).
+        val suffixes = Seq(".commit.json", ".delta", ".schema.json",
+          ".props.json", ".dv.json")
         while (it.hasNext) {
           val name = it.next().getFileName.toString
           if (name.startsWith("m") && name.drop(1).forall(_.isDigit))
             buf += name.drop(1).toLong
-          else if (name.startsWith("m") && name.endsWith(".commit.json")) {
-            val digits = name.stripPrefix("m").stripSuffix(".commit.json")
+          else if (name.startsWith("m")) suffixes.find(name.endsWith).foreach { s =>
+            val digits = name.stripPrefix("m").stripSuffix(s)
             if (digits.nonEmpty && digits.forall(_.isDigit)) buf += digits.toLong
           }
         }

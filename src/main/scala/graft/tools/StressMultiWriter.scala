@@ -424,8 +424,12 @@ object StressMultiWriter {
   def fork(args: Seq[String], heap: String = "3g"): Process = {
     val java = Paths.get(sys.props("java.home"), "bin", "java").toString
     val cp = sys.props("java.class.path")
+    // the commit backend is a per-DEPLOYMENT choice (every writer of a
+    // table must use the same one) — forked workers inherit the parent's
+    val backend = sys.props.get("graft.commit.backend")
+      .map(b => Seq(s"-Dgraft.commit.backend=$b")).getOrElse(Nil)
     val cmd = Seq(java) ++ Opens.flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++
-      Seq(s"-Xmx$heap", "-Dspark.ui.enabled=false",
+      backend ++ Seq(s"-Xmx$heap", "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC", "-cp", cp,
         "graft.tools.StressMultiWriter") ++ args
     new ProcessBuilder(cmd.asJava)
@@ -596,6 +600,10 @@ object StressMultiWriter {
 
     case Some("killsweep") =>
       val rounds = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+      // `killsweep N cput` runs the whole sweep (this process + every
+      // forked worker) through the conditional-put backend
+      args.drop(2).headOption.foreach(b =>
+        System.setProperty("graft.commit.backend", b))
       val spark = session(8, "graft-mw-killsweep")
       val t0 = System.nanoTime()
       var failures = 0

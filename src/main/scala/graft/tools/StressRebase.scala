@@ -110,9 +110,14 @@ object StressRebase {
     val writers = args.lift(0).map(_.toInt).getOrElse(4)
     val mergesEach = args.lift(1).map(_.toInt).getOrElse(8)
     val rowsPerBand = args.lift(2).map(_.toInt).getOrElse(100000)
+    // `… [writers mergesEach rowsPerBand cput]` re-measures both arms with
+    // the commit CAS riding conditional puts instead of the advisory lock
+    args.lift(3).foreach(b => System.setProperty("graft.commit.backend", b))
+    val backend = sys.props.getOrElse("graft.commit.backend", "lock")
     val spark = StressMultiWriter.session(8, "graft-rebase")
     def p(a: Arm): Unit = println(
-      s"""{"tool":"rebase","rebase":${a.rebase},"writers":$writers,""" +
+      s"""{"tool":"rebase","backend":"$backend","rebase":${a.rebase},""" +
+      s""""writers":$writers,""" +
       s""""mergesEach":$mergesEach,"wallSec":${a.wallSec},""" +
       s""""landed":${a.landed},"completed":${a.completed},""" +
       s""""gaveUp":${a.gaveUp},"rebased":${a.rebased},""" +

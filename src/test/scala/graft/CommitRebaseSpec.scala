@@ -42,7 +42,21 @@ class CommitRebaseSpec extends SparkSpec {
     try body finally CommitHooks.reset()
   }
 
-  test("disjoint-key merges: the loser REBASES — both land, zero re-derives") {
+  /** Register each case on BOTH commit backends (VERDICT r13 #1): the
+    * rebase/re-derive decision sits entirely above the [[CommitBackend]]
+    * seam, so every interleave must behave identically whether the lost
+    * CAS was an advisory-lock version check or a lost conditional put. */
+  private def testBoth(name: String)(body: => Unit): Unit =
+    Seq("lock" -> graft.sources.LockCommitBackend,
+        "cput" -> graft.sources.ConditionalPutBackend.default).foreach {
+      case (label, be) =>
+        test(s"[$label] $name") {
+          graft.sources.CommitBackend.forced = Some(be)
+          try body finally graft.sources.CommitBackend.forced = None
+        }
+    }
+
+  testBoth("disjoint-key merges: the loser REBASES — both land, zero re-derives") {
     val root = freshTable()
     CommitStats.reset()
     // the winner (inserts k=1000..1004, touches no existing file) lands
@@ -62,7 +76,7 @@ class CommitRebaseSpec extends SparkSpec {
       rows(1000L) == "w" && rows(5L) == "v5", "both merges' effects present")
   }
 
-  test("overlapping-key merges still re-derive (serializability over throughput)") {
+  testBoth("overlapping-key merges still re-derive (serializability over throughput)") {
     val root = freshTable()
     CommitStats.reset()
     // winner updates k=3..7 (rewrites the low file the loser also rewrites)
@@ -78,7 +92,7 @@ class CommitRebaseSpec extends SparkSpec {
     assert(rows.size == 100)
   }
 
-  test("blind append rebases over a disjoint merge") {
+  testBoth("blind append rebases over a disjoint merge") {
     val root = freshTable()
     CommitStats.reset()
     var armed = true
@@ -92,7 +106,7 @@ class CommitRebaseSpec extends SparkSpec {
     assert(rows.size == 110 && rows(0L) == "w" && rows(505L) == "a")
   }
 
-  test("a winner that moved the table PROPERTIES forces a re-derive") {
+  testBoth("a winner that moved the table PROPERTIES forces a re-derive") {
     val root = freshTable()
     CommitStats.reset()
     var armed = true
@@ -111,7 +125,7 @@ class CommitRebaseSpec extends SparkSpec {
     assert(FileCow.read(spark, root).count() == 105L, "the append still lands (re-derived)")
   }
 
-  test("a winner that evolved the SCHEMA forces a re-derive") {
+  testBoth("a winner that evolved the SCHEMA forces a re-derive") {
     val root = freshTable()
     CommitStats.reset()
     var armed = true
@@ -135,7 +149,7 @@ class CommitRebaseSpec extends SparkSpec {
     assert(CommitStats.rebased.get() == 0L)
   }
 
-  test("a disjoint DV-delete winner rebases (its conflict surface IS dvFiles)") {
+  testBoth("a disjoint DV-delete winner rebases (its conflict surface IS dvFiles)") {
     val root = Files.createTempDirectory("graft-rebase-dv").resolve("t").toString
     val df = spark.range(0, 100).select($"id".as("k"), concat(lit("v"), $"id").as("v"))
       .repartitionByRange(4, $"k")
@@ -158,7 +172,7 @@ class CommitRebaseSpec extends SparkSpec {
       "both the DV delete and the rebased merge landed")
   }
 
-  test("a DV-delete winner ON the loser's files forces a re-derive") {
+  testBoth("a DV-delete winner ON the loser's files forces a re-derive") {
     val root = Files.createTempDirectory("graft-rebase-dv2").resolve("t").toString
     val df = spark.range(0, 100).select($"id".as("k"), concat(lit("v"), $"id").as("v"))
       .repartitionByRange(4, $"k")
@@ -182,7 +196,7 @@ class CommitRebaseSpec extends SparkSpec {
       "the re-derived merge sees the vectors")
   }
 
-  test("a disjoint compaction winner rebases (row-preserving relayout)") {
+  testBoth("a disjoint compaction winner rebases (row-preserving relayout)") {
     // 8 files so the k>=75 region holds TWO files (a 1-file region would
     // make the compaction a no-op and nothing would race)
     val root = Files.createTempDirectory("graft-rebase-c").resolve("t").toString
@@ -205,7 +219,7 @@ class CommitRebaseSpec extends SparkSpec {
     assert(rows.size == 100 && rows(0L) == "l" && rows(99L) == "v99")
   }
 
-  test("a predicate-scoped DELETE rebases over a disjoint merge, re-derives over an admitted add") {
+  testBoth("a predicate-scoped DELETE rebases over a disjoint merge, re-derives over an admitted add") {
     val root = freshTable()
     CommitStats.reset()
     // winner inserts k=2000.. (outside the delete's k < 10 admission)
@@ -231,7 +245,7 @@ class CommitRebaseSpec extends SparkSpec {
       s"the re-derived delete must remove the winner's k=10..12 inserts too")
   }
 
-  test("three disjoint writers: each loser rebases onto the accumulated head") {
+  testBoth("three disjoint writers: each loser rebases onto the accumulated head") {
     val root = freshTable()
     CommitStats.reset()
     // two winners land inside the loser's window, back to back

@@ -1,0 +1,175 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources._
+import graft.sources.FileCow.{CommitHooks, CommitStats}
+
+/** The cow table END-TO-END through [[ConditionalPutBackend]] (VERDICT r13
+  * #1): every DML/maintenance shape that matters runs with the commit CAS
+  * riding record put-if-absent instead of the advisory lock — same results,
+  * same version arithmetic, same rebase behavior — plus the one
+  * fault-injected full-table case (a lost record-put response) proving
+  * exactly-once at the TABLE level, not just the protocol level. */
+class ConditionalPutCowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCput[T](body: => T): T = {
+    CommitBackend.forced = Some(ConditionalPutBackend.default)
+    try body finally CommitBackend.forced = None
+  }
+
+  private def withBackend[T](be: CommitBackend)(body: => T): T = {
+    CommitBackend.forced = Some(be)
+    try body finally CommitBackend.forced = None
+  }
+
+  private def fresh(): String =
+    Files.createTempDirectory("graft-cput-cow").resolve("t").toString
+
+  test("create / append / merge / delete / read / time travel, all conditional-put") {
+    withCput {
+      val root = fresh()
+      val df = spark.range(0, 100).select($"id".as("k"), concat(lit("v"), $"id").as("v"))
+        .repartitionByRange(4, $"k")
+      FileCow.create(spark, root, df, statsCols = Seq("k"))
+      assert(FileCow.currentVersion(root) == 1L)
+      FileCow.append(spark, root, Seq((1000L, "a")).toDF("k", "v"))
+      FileCow.merge(spark, root, Seq((0L, "merged"), (2000L, "new")).toDF("k", "v"), Seq("k"))
+      FileCow.delete(spark, root, col("k") === 7L)
+      assert(FileCow.currentVersion(root) == 4L)
+      val now = FileCow.read(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(now.size == 101) // 100 + append + merge-insert − delete
+      assert(now(0L) == "merged" && now(1000L) == "a" && now(2000L) == "new")
+      assert(!now.contains(7L))
+      // time travel reads versions committed through the record atom
+      assert(FileCow.readVersion(spark, root, 1L).count() == 100L)
+      assert(FileCow.readVersion(spark, root, 2L).count() == 101L)
+      // the commit records parse with their backend bookkeeping ignored
+      val ci = FileCow.commitInfo(root, 3L).get
+      assert(ci.kind == "merge")
+      // history replays across the conditional-put commits
+      val changes = FileCow.changesBetween(spark, root, Seq("k"), 1L, 4L)
+        .select("_change_type", "k").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      assert(changes.contains(("delete", 7L)))
+      assert(changes.contains(("insert", 1000L)))
+    }
+  }
+
+  test("disjoint-key merge race under conditional-put: the loser REBASES") {
+    withCput {
+      val root = fresh()
+      val df = spark.range(0, 100).select($"id".as("k"), concat(lit("v"), $"id").as("v"))
+        .repartitionByRange(4, $"k")
+      FileCow.create(spark, root, df, statsCols = Seq("k"))
+      CommitStats.reset()
+      var armed = true
+      CommitHooks.beforeCommit = (r, _) =>
+        if (armed && r == root) {
+          armed = false
+          FileCow.merge(spark, root,
+            spark.range(1000, 1005).select($"id".as("k"), lit("w").as("v")), Seq("k"))
+          ()
+        }
+      try FileCow.merge(spark, root,
+        spark.range(0, 5).select($"id".as("k"), lit("l").as("v")), Seq("k"))
+      finally CommitHooks.reset()
+      assert(CommitStats.rebased.get() == 1L, "the lost conditional put must rebase")
+      assert(CommitStats.rederived.get() == 0L)
+      assert(FileCow.currentVersion(root) == 3L)
+      val rows = FileCow.read(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows(0L) == "l" && rows(1000L) == "w")
+    }
+  }
+
+  test("vacuum under conditional-put: retention + orphan reclaim, hygiene clean") {
+    withCput {
+      val root = fresh()
+      FileCow.create(spark, root,
+        spark.range(0, 20).select($"id".as("k"), lit("s").as("v")), statsCols = Seq("k"))
+      (1 to 6).foreach { i =>
+        FileCow.append(spark, root, Seq((1000L + i, s"a$i")).toDF("k", "v")); ()
+      }
+      val cur = FileCow.currentVersion(root)
+      assert(cur == 7L)
+      FileCow.vacuum(spark, root, keep = 2, minAgeMs = 0L)
+      assert(FileCow.currentVersion(root) == cur, "vacuum commits no version")
+      assert(FileCow.versions(root) == Seq(cur - 1, cur))
+      assert(FileCow.read(spark, root).count() == 26L)
+      assert(FileCow.vacuumPlan(spark, root, 1000, 0L).isEmpty,
+        "hygiene: nothing reclaimable left")
+      // a second same-parameter vacuum converges
+      assert(FileCow.vacuum(spark, root, keep = 2, minAgeMs = 0L).isEmpty)
+    }
+  }
+
+  test("lost record-put response on a REAL table commit: exactly-once, no second version") {
+    val faulty = new FaultyObjectStore(LocalFsObjectStore)
+    withBackend(new ConditionalPutBackend(faulty)) {
+      val root = fresh()
+      FileCow.create(spark, root,
+        spark.range(0, 10).select($"id".as("k"), lit("s").as("v")), statsCols = Seq("k"))
+      faulty.lostPutResponses.set(1)
+      FileCow.append(spark, root, Seq((100L, "once")).toDF("k", "v"))
+      assert(FileCow.currentVersion(root) == 2L)
+      val got = FileCow.read(spark, root).filter($"k" === 100L).count()
+      assert(got == 1L, s"the appended row must land exactly once, found $got")
+    }
+  }
+
+  test("a table crashed mid-commit under the LOCK backend: conditional-put refuses loudly until vacuumed") {
+    val root = fresh()
+    FileCow.create(spark, root,
+      spark.range(0, 10).select($"id".as("k"), lit("s").as("v")), statsCols = Seq("k"))
+    // plant a lock-era crash at v2: an artifact at its fixed name, no record,
+    // pointer still at 1 (exactly what a SIGKILL inside the lock body leaves)
+    val orphan = Paths.get(root, "_manifests", "m2.schema.json")
+    Files.write(orphan, "stale".getBytes("UTF-8"))
+    withCput {
+      val e = intercept[RuntimeException] {
+        FileCow.append(spark, root, Seq((100L, "x")).toDF("k", "v"))
+      }
+      assert(e.getMessage.contains("lock-backend writer crashed"), e.getMessage)
+      assert(FileCow.currentVersion(root) == 1L)
+    }
+    // the cure the error names: a lock-mode vacuum clears the orphan
+    FileCow.vacuum(spark, root, keep = 1000, minAgeMs = 0L)
+    withCput {
+      FileCow.append(spark, root, Seq((100L, "x")).toDF("k", "v"))
+      assert(FileCow.currentVersion(root) == 2L)
+      assert(FileCow.read(spark, root).count() == 11L)
+    }
+  }
+
+  test("same-JVM writer threads race through conditional-put: gap-free versions, no lost update") {
+    withCput {
+      val root = fresh()
+      val seed = (0 until 4).flatMap(w => Seq((w * 1000L, "seed"))).toDF("k", "v")
+      FileCow.create(spark, root, seed.repartitionByRange(4, col("k")),
+        statsCols = Seq("k"))
+      val threads = (0 until 4).map { w =>
+        val t = new Thread(() => {
+          (1 to 4).foreach { m =>
+            graft.plans.GraftCommit.retryingSchema("merge") {
+              FileCow.merge(spark, root,
+                Seq((w * 1000L, s"w$w-m$m")).toDF("k", "v"), Seq("k"))
+            }
+            ()
+          }
+        }, s"cput-writer-$w")
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      assert(FileCow.currentVersion(root) == 17L, "16 merges = 16 versions, gap-free")
+      val rows = FileCow.read(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      (0 until 4).foreach(w => assert(rows(w * 1000L) == s"w$w-m4",
+        s"writer $w's last merge must win its own key"))
+    }
+  }
+}

@@ -30,4 +30,21 @@ class CrossProcessKillSpec extends SparkSpec {
     assert(r.landed >= 10, s"too few commits landed to mean anything: $r")
     assert(r.reader.exists(_.probes > 0), s"reader made no probes: $r")
   }
+
+  test("SIGKILL mid-run under the CONDITIONAL-PUT backend: same invariants, no lock anywhere") {
+    // `graft.commit.backend` is process-global and inherited by the forked
+    // workers (the deployment model: every writer of a table uses one
+    // backend) — under it, commit arbitration is record put-if-absent and
+    // a victim killed between its record landing and its roll-forward is
+    // completed by the survivor's next version probe
+    System.setProperty("graft.commit.backend", "cput")
+    try {
+      val base = Files.createTempDirectory("graft-kill-cput")
+      val r = StressMultiWriter.killSweep(spark, base, opsW0 = 10, opsW1 = 64,
+        killAfterLanded = 2, readerMs = 12000L)
+      assert(r.errors.isEmpty, r.errors.mkString("\n"))
+      assert(r.landed >= 10, s"too few commits landed to mean anything: $r")
+      assert(r.reader.exists(_.probes > 0), s"reader made no probes: $r")
+    } finally System.clearProperty("graft.commit.backend")
+  }
 }
