@@ -281,10 +281,10 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case rel: UnresolvedRelation =>
       resolveParts(rel.multipartIdentifier) match {
-        case Some((_, entry)) if entry.cow && FileCow.currentVersion(entry.root) > 0 =>
-          snapshotPlan(FileCow.read(spark, entry.root))
-        case Some((_, entry)) if !entry.cow && Versioned.currentVersion(entry.root) > 0 =>
-          snapshotPlan(Versioned.read(spark, entry.root))
+        case Some((name, entry)) if entry.cow && FileCow.currentVersion(entry.root) > 0 =>
+          stampCatalogMeta(snapshotPlan(FileCow.read(spark, entry.root)), name, entry)
+        case Some((name, entry)) if !entry.cow && Versioned.currentVersion(entry.root) > 0 =>
+          stampCatalogMeta(snapshotPlan(Versioned.read(spark, entry.root)), name, entry)
         // a PATH-spelled table that does not exist must fail loudly — the
         // namespace claimed graft explicitly, there is nothing sane to
         // fall through to (Delta's "not a delta table" contract)
@@ -328,8 +328,37 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       org.apache.spark.sql.catalyst.expressions.Alias(now, old.name)(
         exprId = old.exprId)
     }
-    Project(cols, fresh)
+    // carry the table's catalog metadata onto the v1 relations: Spark's
+    // Catalog.refreshTable (run by the streaming engine after every
+    // toTable batch) walks the analyzed plan and reads
+    // LogicalRelation.catalogTable.get — a bare swap would None.get there
+    stampMeta(Project(cols, fresh), g.catalogTableMeta)
   }
+
+  /** Attach v1 catalog metadata to every bare [[LogicalRelation]] in a
+    * resolved table scan (see [[swapV2Scan]]'s refreshTable note — the
+    * registry-name intercept needs the same stamp, since refreshTable
+    * re-resolves through it). */
+  private def stampMeta(plan: LogicalPlan,
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable): LogicalPlan =
+    plan.transform {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.catalogTable.isEmpty =>
+        lr.copy(catalogTable = Some(meta))
+    }
+
+  private def stampCatalogMeta(plan: LogicalPlan, name: String,
+      entry: GraftTables.Entry): LogicalPlan =
+    stampMeta(plan, org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      // display-only identifier (the name may be a dotted registry key)
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(name),
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty
+        .copy(locationUri = Some(java.nio.file.Paths.get(entry.root).toUri)),
+      schema = org.apache.spark.sql.types.StructType(
+        plan.output.map(a => org.apache.spark.sql.types.StructField(
+          a.name, a.dataType, a.nullable))),
+      provider = Some(if (entry.cow) "graft-cow" else "graft")))
 
   /** Resolved references captured into command holders must re-unresolve:
     * the relation they resolved against is dropped with the statement, and

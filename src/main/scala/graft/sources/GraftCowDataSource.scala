@@ -159,8 +159,20 @@ class GraftCowDataSource extends RelationProvider
       "partition columns are adjudicated — with measurements — in " +
       "docs/ADR-002-partition-columns.md)")
     val r = root(params)
-    val appId = params.getOrElse("appId",
-      sys.error("graft-cow sink: 'appId' option is required (the txn identity)"))
+    // the txn identity: explicit `appId`, else derived STABLY from the
+    // query's checkpoint location (always present here — a streaming sink
+    // start requires one) so the plain `writeStream.toTable("graft.t")`
+    // spelling is exactly-once with zero options. The checkpoint IS the
+    // stream's replay identity, so keying the txn stamp on it is exactly
+    // as stable as the recovery story itself.
+    val appId = params.get("appId")
+      .orElse(params.get("checkpointLocation").map(cp => "ckpt-" +
+        java.util.UUID.nameUUIDFromBytes(
+          java.nio.file.Paths.get(normalizePath(cp)).toAbsolutePath.normalize
+            .toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .toString.take(12)))
+      .getOrElse(sys.error(
+        "graft-cow sink: 'appId' option is required (the txn identity)"))
     val filesHint = params.get("filesHint").map(_.toInt).getOrElse(4)
     def stats(data: DataFrame): Seq[String] = params.get("statsCols")
       .map(_.split(",").map(_.trim).toSeq)
@@ -200,8 +212,17 @@ class GraftCowDataSource extends RelationProvider
     }
   }
 
+  /** The table root: the explicit `root` option, or the `path` option the
+    * `writeStream.toTable` v1 fallback injects (Spark passes the catalog
+    * table's LOCATION as a `file:` URI string — normalize it back to the
+    * local path the cow layout keys on). */
   private def root(params: Map[String, String]): String =
-    params.getOrElse("root", sys.error("graft-cow: 'root' option is required"))
+    params.get("root").orElse(params.get("path").map(normalizePath))
+      .getOrElse(sys.error("graft-cow: 'root' option is required"))
+
+  private def normalizePath(p: String): String =
+    if (p.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(p)).toString
+    else p
 
   private def resolveVersion(root: String, params: Map[String, String]): Long =
     params.get("versionAsOf").map(_.toLong)

@@ -70,3 +70,13 @@ object GraftBridge {
     fns.foreach { case (id, info, builder) => registry.registerFunction(id, info, builder) }
   }
 }
+
+/** Public re-export of the `private[sql]`
+  * [[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]] seam —
+  * the hook `DataStreamWriter.toTable` uses to route a catalog table
+  * without `STREAMING_WRITE` onto its provider's v1 streaming sink
+  * (`format(provider).option("path", location)`). Same shim rationale as
+  * [[GraftBridge]]: a Spark-native extension library implementing the
+  * catalog surface needs the hop. */
+trait GraftV1FallbackTable
+    extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
