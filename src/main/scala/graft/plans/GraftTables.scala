@@ -47,6 +47,14 @@ object GraftTables {
   @volatile private var wh: Option[String] = None
   @volatile private var loadedVersion: Long = -1L
 
+  /** DECLARED namespaces (VERDICT r13 #3): name → properties. JVM-local
+    * when no warehouse is attached (same lifetime contract as [[tables]]),
+    * mirrored from the store's snapshot otherwise. Implicit namespaces
+    * (a dotted table key's prefix) never appear here — they exist by
+    * construction and carry no properties. */
+  private val localNs = new ConcurrentHashMap[String, Map[String, String]]()
+  @volatile private var storedNs: Map[String, Map[String, String]] = Map.empty
+
   /** Pointer-read throttle (VERDICT r12 #6): every lookup MISS used to
     * stat the `_catalog` pointer file, so with a warehouse attached every
     * non-graft relation and statement-intercept probe in every analyzer
@@ -76,7 +84,7 @@ object GraftTables {
   /** Detach (embedded/test use): durable bindings stop resolving here;
     * the store itself is untouched. */
   def detachWarehouse(): Unit = this.synchronized {
-    wh = None; stored = Map.empty; loadedVersion = -1L
+    wh = None; stored = Map.empty; storedNs = Map.empty; loadedVersion = -1L
   }
 
   def warehouse: Option[String] = wh
@@ -93,8 +101,9 @@ object GraftTables {
       val v = graft.sources.CatalogStore.currentVersion(d)
       if (v != loadedVersion) this.synchronized {
         if (v != loadedVersion) {
-          stored = graft.sources.CatalogStore.load(d, v)
-            .map { case (k, b) => k -> Entry(b.root, b.cow) }
+          val snap = graft.sources.CatalogStore.loadSnapshot(d, v)
+          stored = snap.bindings.map { case (k, b) => k -> Entry(b.root, b.cow) }
+          storedNs = snap.namespaces
           loadedVersion = v
         }
       }
@@ -170,6 +179,66 @@ object GraftTables {
     // pointer read for an exact answer beats a TTL-stale table list
     refresh(force = true)
     (stored ++ tables.asScala).toSeq.sortBy(_._1)
+  }
+
+  // ---- declared namespaces (durable when a warehouse is attached) ----
+
+  /** Declare a namespace with properties. Idempotence/collision policy is
+    * the CALLER's (the DSv2 catalog throws AlreadyExists first). */
+  def createNamespace(name: String, props: Map[String, String]): Unit = wh match {
+    case Some(d) =>
+      graft.sources.CatalogStore.commitSnapshot(d)(s =>
+        s.copy(namespaces = s.namespaces + (normalize(name) -> props)))
+      refresh(force = true)
+    case None => localNs.put(normalize(name), props); ()
+  }
+
+  /** Drop a declared namespace record (tables under it are the caller's
+    * concern — the DSv2 catalog enforces empty-or-cascade). A CASCADE
+    * passes `alsoUnregister` so the record and every binding under it go
+    * in ONE catalog commit (a racing reader never sees the half-dropped
+    * state). */
+  def dropNamespace(name: String, alsoUnregister: Seq[String] = Nil): Unit = {
+    val k = normalize(name)
+    localNs.remove(k)
+    alsoUnregister.foreach(t => tables.remove(normalize(t)))
+    wh.foreach { d =>
+      graft.sources.CatalogStore.commitSnapshot(d)(s => s.copy(
+        bindings = s.bindings -- alsoUnregister.map(normalize),
+        namespaces = s.namespaces - k))
+      refresh(force = true)
+    }
+  }
+
+  /** Properties of a DECLARED namespace (None = not declared; it may
+    * still exist implicitly through a table-key prefix). */
+  def namespaceProps(name: String): Option[Map[String, String]] = {
+    val k = normalize(name)
+    Option(localNs.get(k)).orElse { refresh(); storedNs.get(k) }
+  }
+
+  /** Every declared namespace name (local shadows durable, like tables). */
+  def declaredNamespaces(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    refresh(force = true)
+    (storedNs.keySet ++ localNs.keySet.asScala).toSeq.sorted
+  }
+
+  /** Set/unset properties on a declared namespace in one commit. */
+  def alterNamespaceProps(name: String, set: Map[String, String],
+      unset: Seq[String]): Unit = {
+    val k = normalize(name)
+    def apply(props: Map[String, String]) = props ++ set -- unset
+    Option(localNs.get(k)).foreach(p => localNs.put(k, apply(p)))
+    wh.foreach { d =>
+      graft.sources.CatalogStore.commitSnapshot(d) { s =>
+        s.namespaces.get(k) match {
+          case Some(p) => s.copy(namespaces = s.namespaces + (k -> apply(p)))
+          case None => s
+        }
+      }
+      refresh(force = true)
+    }
   }
 
   private def normalize(name: String): String = name.toLowerCase(java.util.Locale.ROOT)

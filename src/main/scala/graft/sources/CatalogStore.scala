@@ -32,6 +32,14 @@ private[graft] object CatalogStore {
 
   final case class Binding(root: String, cow: Boolean)
 
+  /** One catalog snapshot: table bindings + DECLARED namespaces (VERDICT
+    * r13 #3 — a namespace a team creates ahead of its tables, durable,
+    * with properties; implicit prefix-namespaces need no record). Both
+    * maps are name-count-sized, so the whole-snapshot-per-commit
+    * discipline is unchanged. */
+  final case class Snapshot(bindings: Map[String, Binding],
+      namespaces: Map[String, Map[String, String]])
+
   private def dir(wh: String): Path = Paths.get(wh, "_catalog")
   private def snapFile(wh: String, v: Long): Path = dir(wh).resolve(s"c$v.json")
 
@@ -45,9 +53,14 @@ private[graft] object CatalogStore {
     * it as empty would silently stop resolving every durable name AND,
     * worse, let the next commit() rebase its read-modify-write from an
     * empty map and durably wipe every existing binding. */
-  def load(wh: String, v: Long): Map[String, Binding] = {
+  def load(wh: String, v: Long): Map[String, Binding] =
+    loadSnapshot(wh, v).bindings
+
+  /** The full snapshot at `v` (0 = empty). Pre-namespace snapshots read
+    * with an empty namespace map (no migration). */
+  def loadSnapshot(wh: String, v: Long): Snapshot = {
     val p = snapFile(wh, v)
-    if (v < 1L) Map.empty
+    if (v < 1L) Snapshot(Map.empty, Map.empty)
     else {
       require(Files.exists(p), s"graft catalog at $wh is damaged: the " +
         s"pointer names version $v but snapshot ${p.getFileName} is " +
@@ -61,7 +74,18 @@ private[graft] object CatalogStore {
         b += e.get("name").asText() -> Binding(e.get("root").asText(),
           e.get("cow").asBoolean())
       }
-      b.result()
+      val ns = Map.newBuilder[String, Map[String, String]]
+      if (n.has("namespaces")) {
+        val arr = n.get("namespaces")
+        (0 until arr.size()).foreach { i =>
+          val e = arr.get(i)
+          val props = Map.newBuilder[String, String]
+          val pn = e.get("props")
+          pn.properties().forEach(kv => props += kv.getKey -> kv.getValue.asText())
+          ns += e.get("name").asText() -> props.result()
+        }
+      }
+      Snapshot(b.result(), ns.result())
     }
   }
 
@@ -75,7 +99,10 @@ private[graft] object CatalogStore {
     * and the write costs microseconds and removes the lost-update window
     * entirely. */
   def commit(wh: String)(
-      mutate: Map[String, Binding] => Map[String, Binding]): Long = {
+      mutate: Map[String, Binding] => Map[String, Binding]): Long =
+    commitSnapshot(wh)(s => s.copy(bindings = mutate(s.bindings)))
+
+  def commitSnapshot(wh: String)(mutate: Snapshot => Snapshot): Long = {
     Files.createDirectories(dir(wh))
     TablePointer.withCommitLock(dir(wh).toString) {
       // inside the lock, any staging file is a CRASHED attempt's orphan
@@ -88,18 +115,28 @@ private[graft] object CatalogStore {
         ()
       } finally listing.close()
       val cur = TablePointer.current(dir(wh).toString)
-      val entries = load(wh, cur)
-      val next = mutate(entries)
-      if (next == entries) cur
+      val snapshot = loadSnapshot(wh, cur)
+      val next = mutate(snapshot)
+      if (next == snapshot) cur
       else {
         val n = FileCow.jsonMapper.createObjectNode()
         n.put("version", cur + 1)
         n.put("commitMs", System.currentTimeMillis())
         val arr = n.putArray("entries")
-        next.toSeq.sortBy(_._1).foreach { case (name, b) =>
+        next.bindings.toSeq.sortBy(_._1).foreach { case (name, b) =>
           val e = arr.addObject()
           e.put("name", name); e.put("root", b.root); e.put("cow", b.cow)
           ()
+        }
+        if (next.namespaces.nonEmpty) {
+          val nsArr = n.putArray("namespaces")
+          next.namespaces.toSeq.sortBy(_._1).foreach { case (name, props) =>
+            val e = nsArr.addObject()
+            e.put("name", name)
+            val pn = e.putObject("props")
+            props.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
+            ()
+          }
         }
         val tmp = dir(wh).resolve(
           s"c${cur + 1}.staging-${java.util.UUID.randomUUID().toString.take(8)}")

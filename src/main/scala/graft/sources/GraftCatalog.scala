@@ -289,58 +289,100 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTables.rename(from, to)
   }
 
-  // ---- namespaces: IMPLICIT — they exist exactly when a dotted key
-  // carries their prefix (the path-based-catalog model) ----
+  // ---- namespaces: IMPLICIT (a dotted table key's prefix — the
+  // path-based-catalog model) ∪ DECLARED (VERDICT r13 #3 — `CREATE
+  // NAMESPACE` persists a record with properties in the same CatalogStore
+  // snapshot as the table bindings, so a team can organize empty
+  // namespaces ahead of their tables, durably and cross-process) ----
+
+  private def nsKey(namespace: Array[String]): String =
+    namespace.mkString(".").toLowerCase(java.util.Locale.ROOT)
 
   private def allDottedKeys: Seq[String] =
     GraftTables.all().map(_._1).filterNot(_.contains("/")).filter(_.contains("."))
 
+  /** Implicit (table-prefix) ∪ declared namespace names, dotted. */
+  private def allNamespaceNames: Seq[String] =
+    (allDottedKeys.map(k => k.substring(0, k.lastIndexOf('.'))) ++
+      GraftTables.declaredNamespaces()).distinct
+
   override def listNamespaces(): Array[Array[String]] =
-    (FlatNs +: allDottedKeys.map(_.split('.').head))
+    (FlatNs +: allNamespaceNames.map(_.split('.').head))
       .distinct.sorted.map(Array(_)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) listNamespaces()
     else {
       if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-      val pref = namespace.mkString(".").toLowerCase(java.util.Locale.ROOT) + "."
-      allDottedKeys.filter(_.startsWith(pref))
-        .map(_.stripPrefix(pref)).filter(_.contains("."))
-        .map(rest => namespace :+ rest.split('.').head).distinct.toArray
+      val pref = nsKey(namespace) + "."
+      allNamespaceNames.filter(_.startsWith(pref))
+        .map(rest => namespace :+ rest.stripPrefix(pref).split('.').head)
+        .distinct.toArray
     }
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || namespace.sameElements(Array(FlatNs)) || {
-      val pref = namespace.mkString(".").toLowerCase(java.util.Locale.ROOT) + "."
-      GraftTables.all().map(_._1).exists(_.startsWith(pref))
-    }
+    namespace.isEmpty || namespace.sameElements(Array(FlatNs)) ||
+      GraftTables.namespaceProps(nsKey(namespace)).isDefined || {
+        val pref = nsKey(namespace) + "."
+        GraftTables.all().map(_._1).exists(_.startsWith(pref)) ||
+          GraftTables.declaredNamespaces().exists(_.startsWith(pref))
+      }
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
-    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    util.Collections.emptyMap()
+    GraftTables.namespaceProps(nsKey(namespace)) match {
+      case Some(props) => props.asJava
+      case None =>
+        // implicit namespaces exist but carry no metadata
+        if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+        util.Collections.emptyMap()
+    }
   }
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
     if (namespaceExists(namespace))
       throw new NamespaceAlreadyExistsException(namespace)
-    sys.error(s"graft catalog: namespaces are implicit — CREATE a table " +
-      s"under '${namespace.mkString(".")}.<name>' and the namespace exists")
+    require(!namespace.sameElements(Array(FlatNs)),
+      s"graft catalog: '$FlatNs' is the virtual flat namespace")
+    GraftTables.createNamespace(nsKey(namespace), metadata.asScala.toMap)
   }
 
+  /** SET/UNSET PROPERTIES on a DECLARED namespace. An implicit namespace
+    * must be declared first — silently materializing a record here would
+    * make `DROP NAMESPACE` semantics depend on whether anyone ever ran an
+    * ALTER. */
   override def alterNamespace(namespace: Array[String],
-      changes: NamespaceChange*): Unit =
-    sys.error("graft catalog: namespaces are implicit and carry no metadata")
+      changes: NamespaceChange*): Unit = {
+    val key = nsKey(namespace)
+    if (GraftTables.namespaceProps(key).isEmpty) {
+      if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+      sys.error(s"graft catalog: namespace '$key' exists implicitly " +
+        "(through its table keys) and carries no property record — " +
+        s"CREATE NAMESPACE $key first to declare it")
+    }
+    val set = changes.collect {
+      case s: NamespaceChange.SetProperty => s.property -> s.value }.toMap
+    val unset = changes.collect {
+      case u: NamespaceChange.RemoveProperty => u.property }
+    val unknown = changes.filterNot(c =>
+      c.isInstanceOf[NamespaceChange.SetProperty] ||
+      c.isInstanceOf[NamespaceChange.RemoveProperty])
+    require(unknown.isEmpty,
+      s"graft catalog: unsupported ALTER NAMESPACE change ${unknown.head}")
+    GraftTables.alterNamespaceProps(key, set, unset)
+  }
 
-  /** CASCADE unregisters every binding under the namespace (catalog-only,
-    * data stays — the same contract as DROP TABLE). */
+  /** Refuses when tables remain underneath unless CASCADE; CASCADE
+    * unregisters every binding under the namespace and drops the declared
+    * record in ONE catalog commit (catalog-only — data dirs stay, the
+    * same external-table contract as DROP TABLE). */
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace)) return false
-    val pref = namespace.mkString(".").toLowerCase(java.util.Locale.ROOT) + "."
+    val pref = nsKey(namespace) + "."
     val under = GraftTables.all().map(_._1).filter(_.startsWith(pref))
     if (!cascade && under.nonEmpty) throw new NonEmptyNamespaceException(namespace)
-    under.foreach(GraftTables.unregister)
+    GraftTables.dropNamespace(nsKey(namespace), alsoUnregister = under)
     true
   }
 }

@@ -239,6 +239,25 @@ object StressCatalog {
       val sleepMs = if (args.length > 5) args(5).toLong else 0L
       racer(wh, receiptsDir, args(3).toInt, args(4).toInt, sleepMs)
 
+    // a fresh JVM's view of DECLARED namespaces (VERDICT r13 #3): lists
+    // them, reads a property, and declares one of its own for the parent
+    // process to see — both directions of durability in one receipt
+    case Some("nsreader") =>
+      val Array(_, wh, receiptsDir) = args
+      val spark = session(wh, "graft-ns-reader")
+      try {
+        val names = spark.sql("SHOW NAMESPACES IN graft").collect()
+          .map(_.getString(0)).sorted.mkString(",")
+        val teamProp = spark.sql("DESCRIBE NAMESPACE EXTENDED graft.teams")
+          .collect().find(_.getString(0) == "Properties")
+          .map(_.getString(1)).getOrElse("")
+        spark.sql("CREATE NAMESPACE graft.from_reader " +
+          "WITH PROPERTIES ('origin' = 'reader-jvm')")
+        writeReceipt(receiptsDir, "nsreader", { n =>
+          n.put("namespaces", names); n.put("teamProps", teamProp); ()
+        })
+      } finally spark.stop()
+
     case _ =>
       val nOps = args.drop(1).headOption.map(_.toInt).getOrElse(24)
       val base = Files.createTempDirectory("graft-cat")
