@@ -193,13 +193,39 @@ private[sources] trait CowVacuum { this: FileCow.type =>
     }
   }
 
+  /** The registered-stream retention-cap property (VERDICT r13 #4): a
+    * live registration lagging MORE than this many versions behind the
+    * head stops flooring vacuum — so one consumer that stalls with its
+    * checkpoint directory intact cannot pin a 100 TB table's history
+    * forever. The lagging stream is NOT deregistered: if retention never
+    * actually reclaims its backlog it resumes unharmed (and re-floors the
+    * moment it catches back up within the cap); if retention does
+    * reclaim, the stream hits the existing LOUD vacuumed-history failure
+    * on its next batch instead of silently losing rows. Unset = floor
+    * forever (the pre-r14 behavior, Delta-like). */
+  private[graft] val StreamMaxLagProp = "graft.streams.maxLagVersions"
+
   /** Oldest version any REGISTERED live stream still needs, None when no
     * live registration exists. Dead markers (checkpoint dir gone) prune
-    * here once past the age floor. */
+    * here once past the age floor; live markers beyond the table's
+    * [[StreamMaxLagProp]] are ignored (not pruned). */
   private[sources] def streamFloor(root: String, pruneDead: Boolean,
       minAgeMs: Long): Option[Long] = {
+    val floors = streamMarkers(root, pruneDead, minAgeMs)
+      .collect { case (_, delivered, _, _, live) if live => delivered }
+    if (floors.isEmpty) return None
+    val cur = currentVersion(root)
+    val maxLag = tableProps(root, cur).get(StreamMaxLagProp).map(_.toLong)
+    floors.filter(d => maxLag.forall(cur - d <= _)).minOption
+  }
+
+  /** Registration markers: (marker-file, delivered, checkpoint,
+    * updated-ms, live). Dead markers (checkpoint dir gone) optionally
+    * prune — and report live=false until they age out. */
+  private def streamMarkers(root: String, pruneDead: Boolean,
+      minAgeMs: Long): Seq[(NioPath, Long, String, Long, Boolean)] = {
     val dir = streamsDir(root)
-    if (!Files.exists(dir)) return None
+    if (!Files.exists(dir)) return Nil
     val markers = {
       val list = Files.list(dir)
       try {
@@ -212,25 +238,54 @@ private[sources] trait CowVacuum { this: FileCow.type =>
         b.toSeq
       } finally list.close()
     }
-    val floors = markers.flatMap { m =>
+    markers.flatMap { m =>
       // a CONCURRENT vacuum's pruneDead may delete a marker between our
       // listing and this read (same vanished-entry tolerance as the
       // staging sweep) — a vanished marker simply protects nothing
       val parsed =
         try Some(jsonMapper.readTree(Files.readAllBytes(m)))
         catch { case _: java.nio.file.NoSuchFileException => None }
-      parsed.flatMap { n =>
+      parsed.map { n =>
         val checkpoint = n.get("checkpoint").asText()
-        if (Files.exists(Paths.get(checkpoint))) Some(n.get("delivered").asLong())
-        else {
-          if (pruneDead && mtimeOf(m).exists(
-              System.currentTimeMillis() - _ >= minAgeMs))
-            Files.deleteIfExists(m)
-          None
+        val live = Files.exists(Paths.get(checkpoint))
+        if (!live && pruneDead && mtimeOf(m).exists(
+            System.currentTimeMillis() - _ >= minAgeMs)) {
+          Files.deleteIfExists(m); ()
         }
+        (m, n.get("delivered").asLong(), checkpoint,
+          if (n.has("updatedMs")) n.get("updatedMs").asLong() else 0L, live)
       }
     }
-    floors.minOption
+  }
+
+  /** `DESCRIBE STREAMS t` (VERDICT r13 #4): one row per REGISTERED
+    * streaming consumer — who is pinning retention, how far behind, and
+    * whether it still floors vacuum. Pure metadata: markers + commit
+    * records, no data file opened.
+    *
+    * Columns: stream_id (marker id), checkpoint, delivered_version,
+    * lag_versions (head − delivered), lag_bytes (Σ bytesAdded over the
+    * undelivered RETAINED commits — what the catch-up batches will read;
+    * vacuumed or pre-log commits contribute 0), updated_ms (last
+    * position refresh), live (checkpoint dir still exists), flooring
+    * (live AND within [[StreamMaxLagProp]] — i.e. vacuum currently
+    * retains history for it). */
+  def streamRegistrations(spark: SparkSession, root: String): DataFrame = {
+    val cur = currentVersion(root)
+    val maxLag = tableProps(root, cur).get(StreamMaxLagProp).map(_.toLong)
+    val rows = streamMarkers(root, pruneDead = false, minAgeMs = 0L)
+      .map { case (m, delivered, checkpoint, updatedMs, live) =>
+        val lagV = cur - delivered
+        val lagBytes = ((delivered + 1) to cur).iterator
+          .flatMap(v => commitInfo(root, v))
+          .map(ci => math.max(ci.bytesAdded, 0L)).sum
+        val flooring = live && maxLag.forall(lagV <= _)
+        (m.getFileName.toString.stripPrefix("s-").stripSuffix(".json"),
+          checkpoint, delivered, lagV, lagBytes, updatedMs, live, flooring)
+      }
+    import spark.implicits._
+    rows.toDF("stream_id", "checkpoint", "delivered_version", "lag_versions",
+      "lag_bytes", "updated_ms", "live", "flooring")
   }
 
   /** Register/refresh a streaming checkpoint's delivered-to position under

@@ -215,7 +215,8 @@ private[sources] trait CowWritePath { this: FileCow.type =>
     var base = expected
     var rebases = 0
     while (true) {
-      try return commitAttempt(spark, root, base, delta, schema, action, props, dvRegistry)
+      try return commitAttempt(spark, root, base, delta, schema, action, props,
+        dvRegistry, rebases)
       catch {
         case e: ConcurrentPublishException =>
           val cur = currentVersion(root)
@@ -340,7 +341,8 @@ private[sources] trait CowWritePath { this: FileCow.type =>
   private def commitAttempt(spark: SparkSession, root: String, expected: Long,
       delta: ManifestDelta, schema: StructType, action: CommitAction,
       props: Option[Map[String, String]],
-      dvRegistry: Option[Map[String, String]]): Long = {
+      dvRegistry: Option[Map[String, String]],
+      rebases: Int = 0): Long = {
     val next = expected + 1
     Files.createDirectories(manifestsDir(root))
     // properties carry forward unless the commit overrides them
@@ -498,6 +500,13 @@ private[sources] trait CowWritePath { this: FileCow.type =>
       rec.put("bytesDv", dvBytes)
       ()
     }
+    // conflict-resolution observability (VERDICT r13 #6): how this commit
+    // got here — rebased over N winners and/or re-derived M times — rides
+    // the record, so DESCRIBE HISTORY tells the contention story without
+    // JVM access to CommitStats
+    if (rebases > 0) { rec.put("rebases", rebases.toLong); () }
+    val rederives = statementRederives.get()
+    if (rederives > 0L) { rec.put("rederives", rederives); () }
     val addedArr = rec.putArray("added"); action.added.foreach(addedArr.add)
     val removedArr = rec.putArray("removed"); action.removed.foreach(removedArr.add)
     action.txn.foreach { case (app, batch) =>
@@ -538,24 +547,37 @@ private[sources] trait CowWritePath { this: FileCow.type =>
     next
   }
 
+  /** Re-derive count of the CURRENT statement on this (driver) thread —
+    * set by [[retrying]], stamped into the eventually-landing commit's
+    * record by [[commitAttempt]]. Thread-local because a statement's
+    * derive→commit loop runs on one driver thread while other statements
+    * commit concurrently from theirs. */
+  private val statementRederives = new ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = 0L
+  }
+
   /** The conflict-retry loop ([[graft.plans.GraftCommit]]'s protocol): on a
     * lost CAS, re-derive against the winner's version. */
   private[sources] def retrying(root: String, what: String)(body: Long => Commit): Commit = {
     val MaxAttempts = 8
     var attempt = 0
-    while (true) {
-      val version = currentVersion(root)
-      try return body(version)
-      catch {
-        case e: ConcurrentPublishException =>
-          CommitStats.rederived.incrementAndGet()
-          attempt += 1
-          if (attempt >= MaxAttempts)
-            throw new IllegalStateException(
-              s"$what: lost the commit race $MaxAttempts times — giving up", e)
+    statementRederives.set(0L)
+    try {
+      while (true) {
+        val version = currentVersion(root)
+        try return body(version)
+        catch {
+          case e: ConcurrentPublishException =>
+            CommitStats.rederived.incrementAndGet()
+            attempt += 1
+            statementRederives.set(attempt.toLong)
+            if (attempt >= MaxAttempts)
+              throw new IllegalStateException(
+                s"$what: lost the commit race $MaxAttempts times — giving up", e)
+        }
       }
-    }
-    sys.error("unreachable")
+      sys.error("unreachable")
+    } finally statementRederives.remove()
   }
 
   /** File paths of a manifest (slice) — file-count-sized metadata. */

@@ -181,7 +181,16 @@ object FileCow extends CowWritePath with CowDeletionVectors
         * commit changed — what a change-feed batch re-reads for a DV-delta
         * commit (whose bytesAdded/bytesRemoved are both 0; removed dirty
         * files are already priced by bytesRemoved). Same −1 sentinel. */
-      bytesDv: Long = -1L)
+      bytesDv: Long = -1L,
+      /** CONFLICT-RESOLUTION observability (VERDICT r13 #6), stamped into
+        * the record so a deployment reads its commit-contention story from
+        * `DESCRIBE HISTORY` without JVM access: how many lost CASes this
+        * commit REBASED over (manifest re-fold, no statement re-derive)
+        * and how many times its statement fully RE-DERIVED before landing.
+        * 0 on uncontended commits and on records written before the
+        * fields existed. */
+      rebases: Long = 0L,
+      rederives: Long = 0L)
 
   /** The file-path delta a commit is about to apply, handed to [[commit]]
     * by each DML (which knows it exactly — no diff needed). `txn` is the
@@ -299,7 +308,9 @@ object FileCow extends CowWritePath with CowDeletionVectors
         bytesRemoved =
           if (n.has("bytesRemoved")) n.get("bytesRemoved").asLong() else -1L,
         bytesDv =
-          if (n.has("bytesDv")) n.get("bytesDv").asLong() else -1L))
+          if (n.has("bytesDv")) n.get("bytesDv").asLong() else -1L,
+        rebases = if (n.has("rebases")) n.get("rebases").asLong() else 0L,
+        rederives = if (n.has("rederives")) n.get("rederives").asLong() else 0L))
     }
   }
 
@@ -436,10 +447,15 @@ object FileCow extends CowWritePath with CowDeletionVectors
       val commitMs = ci.map(_.commitMs).getOrElse(commitTimeOf(root, v))
       ci match {
         // commit-log fast path: the totals AND the operation kind were
-        // recorded at commit time — no manifest parquet is opened
+        // recorded at commit time — no manifest parquet is opened.
+        // rebases/rederives (VERDICT r13 #6): the commit's own
+        // conflict-resolution story — how many lost CASes it re-folded
+        // over vs how many full statement re-derives it cost
         case Some(ci) =>
-          Seq((v, commitMs, ci.kind, ci.nFiles, ci.nRows, ci.bytes))
-            .toDF("version", "commit_ms", "operation", "n_files", "n_rows", "bytes")
+          Seq((v, commitMs, ci.kind, ci.nFiles, ci.nRows, ci.bytes,
+            ci.rebases, ci.rederives))
+            .toDF("version", "commit_ms", "operation", "n_files", "n_rows",
+              "bytes", "rebases", "rederives")
         case None => // pre-log version: aggregate its manifest, kind unknown
           manifest(spark, root, v)
             .agg(count(lit(1)).as("n_files"),
@@ -447,7 +463,8 @@ object FileCow extends CowWritePath with CowDeletionVectors
               coalesce(sum("bytes"), lit(0L)).as("bytes"))
             .select(lit(v).as("version"), lit(commitMs).as("commit_ms"),
               lit(null).cast("string").as("operation"),
-              col("n_files"), col("n_rows"), col("bytes"))
+              col("n_files"), col("n_rows"), col("bytes"),
+              lit(0L).as("rebases"), lit(0L).as("rederives"))
       }
     }
     require(perVersion.nonEmpty, s"no retained versions under $root")

@@ -46,7 +46,8 @@ object StressRebase {
   }
 
   final case class Arm(rebase: Boolean, wallSec: Double, landed: Long,
-      completed: Long, gaveUp: Long, rebased: Long, rederived: Long)
+      completed: Long, gaveUp: Long, rebased: Long, rederived: Long,
+      histRebases: Long, histRederives: Long)
 
   def runArm(spark: SparkSession, rebase: Boolean, writers: Int,
       mergesEach: Int, rowsPerBand: Int): Arm = {
@@ -101,9 +102,23 @@ object StressRebase {
     }
     require(FileCow.currentVersion(root) == 1L + totalCompleted,
       "every landed merge must be exactly one version")
+    // conflict observability (VERDICT r13 #6): the DESCRIBE HISTORY columns
+    // must tell the same story as the JVM counters — rebases exactly (every
+    // rebase lands), re-derives exactly when no writer gave up (a gave-up
+    // statement's re-derives never land a record to be stamped into)
+    val hist = FileCow.history(spark, root)
+      .agg(org.apache.spark.sql.functions.sum("rebases"),
+        org.apache.spark.sql.functions.sum("rederives")).collect().head
+    val (hr, hd) = (hist.getLong(0), hist.getLong(1))
+    require(hr == FileCow.CommitStats.rebased.get(),
+      s"history rebases $hr != CommitStats ${FileCow.CommitStats.rebased.get()}")
+    if (gaveUp.get() == 0L)
+      require(hd == FileCow.CommitStats.rederived.get(),
+        s"history rederives $hd != CommitStats ${FileCow.CommitStats.rederived.get()}")
     Arm(rebase, math.round(wall * 10) / 10.0,
       FileCow.currentVersion(root), totalCompleted, gaveUp.get(),
-      FileCow.CommitStats.rebased.get(), FileCow.CommitStats.rederived.get())
+      FileCow.CommitStats.rebased.get(), FileCow.CommitStats.rederived.get(),
+      hr, hd)
   }
 
   def main(args: Array[String]): Unit = {
@@ -121,7 +136,8 @@ object StressRebase {
       s""""mergesEach":$mergesEach,"wallSec":${a.wallSec},""" +
       s""""landed":${a.landed},"completed":${a.completed},""" +
       s""""gaveUp":${a.gaveUp},"rebased":${a.rebased},""" +
-      s""""rederived":${a.rederived}}""")
+      s""""rederived":${a.rederived},""" +
+      s""""histRebases":${a.histRebases},"histRederives":${a.histRederives}}""")
     // off first (the control), then on — same JVM, same warmed session
     p(runArm(spark, rebase = false, writers, mergesEach, rowsPerBand))
     p(runArm(spark, rebase = true, writers, mergesEach, rowsPerBand))

@@ -341,4 +341,38 @@ class PlanShapeSpec extends SparkSpec {
     val nl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
     assert(nl <= 1, s"only the 1-row entry seed may nested-loop, found $nl; plan:\n$p")
   }
+
+  test("the DSv2 catalog spelling plans the SAME physical scan as the direct read") {
+    // VERDICT r13 #5: spark.table("graft.t") resolves through GraftCatalog
+    // and the rule swap — the physical scan (pushed filters, read schema,
+    // format) must be IDENTICAL to FileCow.read's, and a bare count must
+    // fold to manifest totals (no FileScan) through the catalog spelling
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-ps-cat")
+      .resolve("t").toString
+    graft.sources.FileCow.create(spark, root,
+      spark.range(0, 1000).select(col("id"),
+        (col("id") % 7).as("grp")).repartitionByRange(4, col("id")),
+      statsCols = Seq("id"))
+    graft.plans.GraftTables.registerCow("ps_cat", root)
+    try {
+      def scanMeta(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metadata.toSeq.sortBy(_._1)
+              .filterNot(_._1 == "Location").mkString("|")
+              .replaceAll("#\\d+", "#") // expression ids differ by plan
+        }.getOrElse(sys.error("no file scan planned"))
+      val cat = scanMeta(spark.table("graft.ps_cat").where(col("id") === 500L))
+      val dir = scanMeta(
+        graft.sources.FileCow.read(spark, root).where(col("id") === 500L))
+      assert(cat == dir, s"catalog scan drifted from the direct scan:\n$cat\nvs\n$dir")
+      assert(cat.contains("PushedFilters") && cat.contains("500"),
+        s"the point filter must reach the scan: $cat")
+      val countPlan = spark.sql("SELECT count(*) FROM graft.ps_cat")
+        .queryExecution.executedPlan.toString
+      assert(!countPlan.contains("FileScan"),
+        s"metadata-only count must engage through the catalog:\n$countPlan")
+    } finally graft.plans.GraftTables.unregister("ps_cat")
+  }
 }
