@@ -83,7 +83,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val CtasUsing =
     ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
       """([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+USING\s+""" +
-      """(graft(?:-cow)?)(?![\w\-])\s*(?:LOCATION\s*('(?:[^'\\]|\\.|'')*'))?""" +
+      """(graft(?:[-_]cow)?)(?![\w\-])\s*(?:LOCATION\s*('(?:[^'\\]|\\.|'')*'))?""" +
       """\s*AS\s+(.+?)\s*;?\s*""").r
 
   /** `CREATE TABLE <tgt> SHALLOW CLONE <src> [VERSION AS OF n]` — Delta's
@@ -178,7 +178,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // peek through the LEXER's eyes: a property value or comment
       // carrying the words "USING graft" must not claim a foreign CREATE
       val peek = GraftSqlLex.stripLiteralsAndComments(sqlText.substring(close + 1))
-      if ("""(?is)\bUSING\s+graft(?:-cow)?(?![\w\-])""".r
+      if ("""(?is)\bUSING\s+graft(?:[-_]cow)?(?![\w\-])""".r
           .findFirstIn(peek).isEmpty) return None
     }
     // a column-list OR REPLACE on a CLAIMED name must not fall through:
@@ -240,8 +240,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         keepComments = true)
       .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    val usingDecl = take("""(?is)USING\s+(graft(?:-cow)?)(?![\w\-])""".r)
-      .map(_.group(1).equalsIgnoreCase("graft-cow"))
+    val usingDecl = take("""(?is)USING\s+(graft(?:[-_]cow)?)(?![\w\-])""".r)
+      .map(g => g.group(1).equalsIgnoreCase("graft-cow") ||
+        g.group(1).equalsIgnoreCase("graft_cow"))
     require(tail.replaceAll("[;\\s]", "").isEmpty,
       s"CREATE TABLE $name: unrecognized trailing clause: ${tail.trim}")
     val (e, autoRegister) = preRegistered match {

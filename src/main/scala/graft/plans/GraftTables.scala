@@ -127,6 +127,26 @@ object GraftTables {
     case None => tables.put(normalize(name), e); ()
   }
 
+  /** Register iff the name is UNBOUND — the check and the bind are one
+    * lock-held RMW, so two processes' `CREATE TABLE` of the same name can
+    * never both succeed with the loser's binding silently clobbered (the
+    * round-14 DDL-race kill harness hits exactly this window). False =
+    * already bound; the caller throws its AlreadyExists. */
+  def registerIfAbsent(name: String, root: String, cow: Boolean): Boolean = {
+    val k = normalize(name)
+    wh match {
+      case Some(d) =>
+        var won = false
+        graft.sources.CatalogStore.commit(d) { m =>
+          if (m.contains(k)) { won = false; m }
+          else { won = true; m + (k -> graft.sources.CatalogStore.Binding(root, cow)) }
+        }
+        refresh(force = true)
+        won
+      case None => tables.putIfAbsent(k, Entry(root, cow)) == null
+    }
+  }
+
   def unregister(name: String): Unit = {
     tables.remove(normalize(name))
     wh.foreach { d =>

@@ -232,6 +232,7 @@ private[sources] trait CowWritePath { this: FileCow.type =>
           // reads: REBASE — same staged data files, same slice rows, the
           // manifest just re-folds from the winner's head (Delta's
           // ConcurrentAppend semantics; metadata-priced, no Spark job)
+          FileCow.CommitHooks.beforeRebaseCommit(root, cur)
           CommitStats.rebased.incrementAndGet()
           base = cur
       }

@@ -246,7 +246,14 @@ object FileCow extends CowWritePath with CowDeletionVectors
   /** Test seam for deterministic commit interleaving (no-op in production). */
   private[graft] object CommitHooks {
     @volatile var beforeCommit: (String, Long) => Unit = (_, _) => ()
-    def reset(): Unit = beforeCommit = (_, _) => ()
+    /** Fires AFTER a lost CAS passes the rebase-safety probe and BEFORE
+      * the rebased re-CAS attempt — the window the round-14 killsweep
+      * SIGKILLs inside (a crash there must leave only staged orphans). */
+    @volatile var beforeRebaseCommit: (String, Long) => Unit = (_, _) => ()
+    def reset(): Unit = {
+      beforeCommit = (_, _) => ()
+      beforeRebaseCommit = (_, _) => ()
+    }
   }
 
   private[sources] def commitInfoFile(root: String, v: Long): NioPath =

@@ -210,7 +210,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "at least one for file pruning")
       FileCow.createEmpty(spark, root, schema, stats,
         props = userProps ++ defaults)
-      GraftTables.registerCow(key, root)
+      // register iff still unbound: the tableExists pre-check above is
+      // only a courtesy — a RACING createTable of the same name must lose
+      // HERE, atomically, not silently clobber the winner's binding (its
+      // created root stays behind as an external-table orphan dir, the
+      // same class as a dropped table's data)
+      if (!GraftTables.registerIfAbsent(key, root, cow = true))
+        throw new TableAlreadyExistsException(ident)
     } else {
       require(defaults.isEmpty && userProps.isEmpty, s"graft catalog: " +
         s"CREATE TABLE $key — TBLPROPERTIES/DEFAULT are cow-table surfaces " +
@@ -221,7 +227,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       Versioned.publish(empty, root)
-      GraftTables.register(key, root)
+      if (!GraftTables.registerIfAbsent(key, root, cow = false))
+        throw new TableAlreadyExistsException(ident)
     }
     loadTable(ident)
   }

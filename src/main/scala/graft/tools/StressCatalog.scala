@@ -239,6 +239,37 @@ object StressCatalog {
       val sleepMs = if (args.length > 5) args(5).toLong else 0L
       racer(wh, receiptsDir, args(3).toInt, args(4).toInt, sleepMs)
 
+    // the round-14 catalog kill point: a paced loop of DSv2 DDL on ONE
+    // SHARED name — `CREATE TABLE graft.<shared>` (TableAlreadyExists from
+    // the other racer is expected and folds to a DROP + retry) — so a
+    // SIGKILL lands inside the catalog's lock-held RMW while another
+    // process races createTable on the same name
+    case Some("ddl") =>
+      val Array(_, wh, receiptsDir, id, nOps, paceMs) = args
+      val spark = session(wh, s"graft-cat-ddl-$id")
+      try {
+        val dataDir = Files.createTempDirectory(s"graft-ddl-$id")
+        var landed = 0
+        var i = 0
+        while (landed < nOps.toInt) {
+          i += 1
+          try {
+            spark.sql("CREATE TABLE graft.shared_ddl (k BIGINT NOT NULL) " +
+              s"USING graft_cow LOCATION '${dataDir.resolve(s"t$i")}'")
+            landed += 1
+            spark.sql("DROP TABLE graft.shared_ddl")
+          } catch {
+            // the other racer owns the name right now: drop if it is
+            // still there, then retry the create
+            case _: Exception =>
+              try spark.sql("DROP TABLE IF EXISTS graft.shared_ddl")
+              catch { case _: Exception => () }
+          }
+          if (paceMs.toLong > 0) Thread.sleep(paceMs.toLong)
+        }
+        writeReceipt(receiptsDir, s"ddl$id", { n => n.put("landed", landed); () })
+      } finally spark.stop()
+
     // a fresh JVM's view of DECLARED namespaces (VERDICT r13 #3): lists
     // them, reads a property, and declares one of its own for the parent
     // process to see — both directions of durability in one receipt

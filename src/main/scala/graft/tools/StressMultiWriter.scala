@@ -598,6 +598,33 @@ object StressMultiWriter {
       try readerWorker(spark, root, receiptsDir, durationMs.toLong)
       finally spark.stop()
 
+    // the round-14 kill point: a merge that LOSES its CAS to a disjoint
+    // winner (landed by its own commit hook), passes the rebase-safety
+    // probe, drops a marker INSIDE the probe→re-CAS window, and hangs —
+    // the parent SIGKILLs here, then proves the table holds exactly the
+    // winner's state with the victim's staged rebase left as reclaimable
+    // orphans
+    case Some("rebasevictim") =>
+      val Array(_, root, markerPath) = args
+      val spark = session(2, "graft-mw-rebasevictim")
+      import spark.implicits._
+      var armed = true
+      FileCow.CommitHooks.beforeCommit = (r, _) => if (armed && r == root) {
+        armed = false
+        FileCow.merge(spark, root,
+          Seq((5000000L, "winner", 0L)).toDF("k", "val", "u"), Seq("k"))
+        ()
+      }
+      FileCow.CommitHooks.beforeRebaseCommit = (_, _) => {
+        Files.write(Paths.get(markerPath),
+          "in-window".getBytes(StandardCharsets.UTF_8))
+        Thread.sleep(120000L) // the parent's SIGKILL lands here
+        ()
+      }
+      FileCow.merge(spark, root,
+        SharedKeys.map(k => (k, "victim", 1L)).toDF("k", "val", "u"), Seq("k"))
+      ()
+
     case Some("killsweep") =>
       val rounds = args.drop(1).headOption.map(_.toInt).getOrElse(3)
       // `killsweep N cput` runs the whole sweep (this process + every
