@@ -37,16 +37,19 @@ import com.fasterxml.jackson.databind.node.ObjectNode
   * both backends; [[graft.sources.ConcurrentPublishException]] and the
   * rebase/re-derive protocol above this seam are backend-agnostic.
   *
-  * Backend selection: `-Dgraft.commit.backend=cput` (process-global, the
-  * deployment model — every writer of a table must use the same backend).
-  * MIXED-BACKEND OPERATION OF ONE TABLE IS NOT SUPPORTED: the lock backend
-  * treats above-pointer artifacts as deletable orphans, which under
-  * conditional-put are committed-but-unpointed versions. Switching a table
-  * between backends is safe only at a clean state (no version markers above
-  * the pointer — a lock-mode `VACUUM` clears crashed leftovers);
-  * [[ConditionalPutBackend.publish]] refuses loudly when it finds a
-  * lock-era crash orphan rather than pair a commit record with stale
-  * artifacts.
+  * Backend selection: `-Dgraft.commit.backend=cput` (or env
+  * `GRAFT_COMMIT_BACKEND` where JVM flags are fixed) — process-global, the
+  * deployment model: every CONCURRENT writer of a table must use the same
+  * backend (the lock backend treats above-pointer artifacts as deletable
+  * orphans, which under conditional-put are committed-but-unpointed
+  * versions mid-roll-forward). SWITCHING a quiesced table is safe in both
+  * directions, including over a crash: [[ConditionalPutBackend.publish]]
+  * self-heals lock-era crash debris — a record without `commitArtifacts`
+  * was provably never a conditional-put commit, and a fixed-name artifact
+  * sighted while the record (re-)reads absent provably is not a
+  * conditional-put winner's (its record lands before any move) — clearing
+  * both before re-racing the put-if-absent, exactly the recovery the lock
+  * backend's own orphan-overwrite gives.
   */
 private[graft] trait CommitBackend {
   def name: String
@@ -69,8 +72,12 @@ private[graft] object CommitBackend {
   @volatile private[graft] var forced: Option[CommitBackend] = None
 
   def active: CommitBackend = forced.getOrElse {
-    if ("cput".equals(System.getProperty("graft.commit.backend")))
-      ConditionalPutBackend.default
+    // system property first (per-process, what the forked harnesses set);
+    // env var as the spelling for contexts whose JVM flags are fixed
+    // (running the whole sbt suite under conditional-put)
+    val sel = Option(System.getProperty("graft.commit.backend"))
+      .orElse(Option(System.getenv("GRAFT_COMMIT_BACKEND")))
+    if (sel.contains("cput")) ConditionalPutBackend.default
     else LockCommitBackend
   }
 }
@@ -167,6 +174,10 @@ private[graft] trait CommitObjectStore {
   /** Unconditional last-writer-wins put — used ONLY for the pointer HINT,
     * whose loss or reordering the probe-forward read path self-heals. */
   def put(key: String, bytes: Array[Byte]): Unit
+  /** Delete `key` — used ONLY to clear a lock-era crashed attempt's
+    * record (provably never a conditional-put commit) before re-racing
+    * the put-if-absent; arbitration stays with the put. */
+  def delete(key: String): Unit
 }
 
 /** [[CommitObjectStore]] over the local filesystem — the integration
@@ -203,6 +214,8 @@ private[graft] object LocalFsObjectStore extends CommitObjectStore {
       StandardCopyOption.REPLACE_EXISTING)
     ()
   }
+
+  def delete(key: String): Unit = { Files.deleteIfExists(Paths.get(key)); () }
 }
 
 /** In-memory [[CommitObjectStore]] — the protocol-spec double. Thread-safe;
@@ -221,6 +234,12 @@ private[graft] final class MemoryObjectStore extends CommitObjectStore {
 
   def put(key: String, bytes: Array[Byte]): Unit = {
     val old = objects.put(key, bytes)
+    if (old != null) previous.put(key, old)
+    ()
+  }
+
+  def delete(key: String): Unit = {
+    val old = objects.remove(key)
     if (old != null) previous.put(key, old)
     ()
   }
@@ -276,6 +295,14 @@ private[graft] final class FaultyObjectStore(inner: CommitObjectStore)
       throw new TransientStoreException(
         s"response lost for put of $key (op may have applied)")
   }
+
+  def delete(key: String): Unit = {
+    prior.put(key, inner.read(key))
+    inner.delete(key)
+    if (takeFault(lostPutResponses))
+      throw new TransientStoreException(
+        s"response lost for delete of $key (op may have applied)")
+  }
 }
 
 /** The CONDITIONAL-PUT commit protocol (see [[CommitBackend]] scaladoc for
@@ -315,37 +342,42 @@ private[graft] final class ConditionalPutBackend(store: CommitObjectStore)
     v
   }
 
-  /** Complete a landed record's renames + hint advance. Idempotent and
-    * concurrency-safe WITHOUT destructive replaces: in pure conditional-put
-    * life a fixed name can only be occupied by a completed move of this
-    * same record (same staged source), so "already there" always means
-    * done. Vacuum's `.staging-` sweep can race a roll-forward of a FRESH
-    * commit only inside its age floor (the same in-flight-commit window the
-    * floor has always protected); a staged temp that vanishes to a
-    * CONCURRENT roller of this same record reads as completed via the
-    * target check. */
+  /** Complete a landed record's renames + hint advance. Idempotent — any
+    * process may run it, any number of times. The rename loop runs under
+    * the table's advisory file lock: NOT for commit arbitration (that is
+    * the record's put-if-absent, decided before anyone gets here) but to
+    * serialize the LOCAL-FS RENAME MECHANICS — same-record rollers
+    * coordinate via staged-temp consumption, and lock-era crash DEBRIS at
+    * a fixed directory name needs a delete-then-move that must not
+    * interleave with another roller's completed move (the check and the
+    * replace are one critical section; files replace atomically and need
+    * no such care). On a real object store "directories" are key
+    * prefixes and every artifact lands as whole-object atomic puts, so
+    * this serialization has no analog to need. */
   private def rollForward(root: String, v: Long,
       rec: com.fasterxml.jackson.databind.JsonNode): Unit = {
     val arts = rec.get("commitArtifacts")
-    (0 until arts.size()).foreach { i =>
-      val a = arts.get(i)
-      val tmp = Paths.get(a.get("tmp").asText())
-      val fin = Paths.get(a.get("final").asText())
-      if (Files.exists(tmp)) {
-        try {
-          if (a.get("dir").asBoolean()) Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
-          else Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
-        } catch {
-          // another roll-forward of this same record completed the move
-          // between our exists probe and the rename
-          case e: java.nio.file.FileSystemException
-              if Files.exists(fin) || !Files.exists(tmp) => ()
-        }
-      } else if (!Files.exists(fin))
-        sys.error(s"commit v$v of $root is recorded but artifact $fin is " +
-          s"gone along with its staged copy $tmp — reclaimed by an " +
-          "age-0 vacuum racing an in-flight commit?")
+    TablePointer.withCommitLock(root) {
+      (0 until arts.size()).foreach { i =>
+        val a = arts.get(i)
+        val tmp = Paths.get(a.get("tmp").asText())
+        val fin = Paths.get(a.get("final").asText())
+        if (Files.exists(tmp)) {
+          if (a.get("dir").asBoolean()) {
+            // inside the lock, tmp-present is authoritative: an occupied
+            // final is NOT this record's completed move (that consumes
+            // tmp) — it is lock-era crash debris; replace it
+            FileCow.deleteTree(fin)
+            Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+          } else
+            Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          ()
+        } else if (!Files.exists(fin))
+          sys.error(s"commit v$v of $root is recorded but artifact $fin is " +
+            s"gone along with its staged copy $tmp — reclaimed by an " +
+            "age-0 vacuum racing an in-flight commit?")
+      }
     }
     if (hint(root) < v)
       try store.put(pointerKey(root), v.toString.getBytes(StandardCharsets.UTF_8))
@@ -377,20 +409,30 @@ private[graft] final class ConditionalPutBackend(store: CommitObjectStore)
       sc.cleanupTemps()
       throw new ConcurrentPublishException(root, expected, cur)
     }
-    // lock-era crash guard: fixed-name artifacts at `next` with NO record
-    // can only be a lock-backend writer's crashed attempt (a conditional-put
-    // winner moves nothing before its record lands, and its record would
-    // make currentVersion ≥ next above). Pairing our record with stale
-    // artifacts would corrupt the version — refuse and name the cure.
-    val finals = (sc.orphanDirs ++ sc.dirMoves.map(_._2) ++
-      sc.fileMoves.map(_._2) ++ sc.absentCleanups).distinct
-    val occupied = finals.filter(Files.exists(_))
-    if (occupied.nonEmpty && store.read(recordKey).isEmpty)
-      sys.error(s"refusing to commit v${sc.next} of $root through the " +
-        s"conditional-put backend: fixed-name artifacts ${occupied.mkString(", ")} " +
-        "exist above the pointer with no commit record — a lock-backend " +
-        "writer crashed mid-commit here; run a lock-mode VACUUM to clear " +
-        "the orphans before switching this table to conditional-put")
+    // lock-era crash hygiene (self-healing, matching the lock backend's
+    // own orphan-overwrite semantics): a lock-backend writer SIGKILLed
+    // inside its lock can leave the RECORD at `next` with the pointer
+    // never swapped — unpublished by that backend's contract, and
+    // PROVABLY never a conditional-put commit (ours always embeds
+    // `commitArtifacts`). Clear it so the put-if-absent below can decide
+    // the version; the check-and-delete runs under the advisory lock so a
+    // concurrent winner's REAL record (landed between our read and our
+    // delete) can never be the thing deleted — its put happens outside
+    // any lock, but this locked read re-establishes which record is
+    // present at delete time, and a real record here is an ordinary lost
+    // CAS. Artifact debris at fixed names needs no preflight: the
+    // winner's [[rollForward]] replaces it under the same lock.
+    var lostToReal = false
+    TablePointer.withCommitLock(root) {
+      store.read(recordKey).foreach { b =>
+        if (FileCow.jsonMapper.readTree(b).has("commitArtifacts")) lostToReal = true
+        else store.delete(recordKey)
+      }
+    }
+    if (lostToReal) {
+      sc.cleanupTemps()
+      throw new ConcurrentPublishException(root, expected, currentVersion(root))
+    }
     // enrich the record into a SELF-SUFFICIENT commit: uid (so a retry
     // after a lost response can recognize its own write) + the move list
     // (so any process can roll the commit forward)

@@ -189,37 +189,43 @@ class CommitBackendSpec extends AnyFunSuite {
       .sameElements(bytes1))
   }
 
-  test("lock-era crash orphan: publish refuses loudly instead of pairing a record with stale artifacts") {
+  test("lock-era crash ARTIFACT orphan: publish clears it and commits (never pairs a record with stale artifacts)") {
     val root = fresh()
     val store = new MemoryObjectStore
     val be = new ConditionalPutBackend(store)
     be.publish(root, 0L, stage(root, 1L, "a"))
     // a lock-backend writer crashed inside its lock at v2: schema moved to
-    // its fixed name, no record, pointer never swapped
+    // its fixed name, no record, pointer never swapped — provably not a
+    // conditional-put winner's artifact (its record lands before any move),
+    // so publish SELF-HEALS: clears it and lands OUR artifact
     Files.write(fixedSchema(root, 2L), "stale".getBytes(StandardCharsets.UTF_8))
-    val sc = stage(root, 2L, "b")
-    val e = intercept[RuntimeException] { be.publish(root, 1L, sc) }
-    assert(e.getMessage.contains("lock-backend writer crashed"), e.getMessage)
-    assert(be.currentVersion(root) == 1L, "nothing committed")
-    // clear the orphan (what a lock-mode vacuum does) and the commit lands
-    Files.delete(fixedSchema(root, 2L))
-    be.publish(root, 1L, stage(root, 2L, "b2"))
+    be.publish(root, 1L, stage(root, 2L, "b"))
     assert(be.currentVersion(root) == 2L)
+    assert(new String(Files.readAllBytes(fixedSchema(root, 2L)),
+      StandardCharsets.UTF_8) == "schema-b",
+      "the stale lock-era schema must be replaced by the commit's own")
   }
 
-  test("lock-era crashed RECORD above the pointer is not treated as a commit") {
+  test("lock-era crashed RECORD above the pointer: not a commit, and the next publish reclaims the version") {
     val root = fresh()
     val store = new MemoryObjectStore
     val be = new ConditionalPutBackend(store)
     be.publish(root, 0L, stage(root, 1L, "a"))
     // a lock-mode crash can leave the RECORD itself above the pointer —
     // such records carry no commitArtifacts field and are unpublished by
-    // that backend's contract; the probe must stop below them
+    // that backend's contract; the probe must stop below them …
     val lockEra = mapper.createObjectNode()
     lockEra.put("version", 2L); lockEra.put("kind", "append")
     store.put(recordPath(root, 2L).toString, mapper.writeValueAsBytes(lockEra))
     assert(be.currentVersion(root) == 1L,
       "a lock-era record above the pointer is an orphan, not a commit")
+    // … and the next committer CLEARS it and wins the version through the
+    // ordinary put-if-absent (the lock backend's own orphan-overwrite
+    // semantics, carried over)
+    be.publish(root, 1L, stage(root, 2L, "b"))
+    assert(be.currentVersion(root) == 2L)
+    val rec = mapper.readTree(store.read(recordPath(root, 2L).toString).get)
+    assert(rec.get("tag").asText() == "b")
   }
 
   test("LocalFsObjectStore: putIfAbsent is atomic create-or-fail with full content") {

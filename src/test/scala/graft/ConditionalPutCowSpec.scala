@@ -122,27 +122,34 @@ class ConditionalPutCowSpec extends SparkSpec {
     }
   }
 
-  test("a table crashed mid-commit under the LOCK backend: conditional-put refuses loudly until vacuumed") {
+  test("a table crashed mid-commit under the LOCK backend: conditional-put self-heals the orphans") {
     val root = fresh()
     FileCow.create(spark, root,
       spark.range(0, 10).select($"id".as("k"), lit("s").as("v")), statsCols = Seq("k"))
-    // plant a lock-era crash at v2: an artifact at its fixed name, no record,
-    // pointer still at 1 (exactly what a SIGKILL inside the lock body leaves)
-    val orphan = Paths.get(root, "_manifests", "m2.schema.json")
-    Files.write(orphan, "stale".getBytes("UTF-8"))
+    // plant a lock-era crash at v2: a stale artifact at its fixed name AND
+    // the crashed record (no commitArtifacts), pointer still at 1 —
+    // exactly what a SIGKILL inside the lock body leaves
+    Files.write(Paths.get(root, "_manifests", "m2.schema.json"),
+      "stale".getBytes("UTF-8"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rec = mapper.createObjectNode()
+    rec.put("version", 2L); rec.put("kind", "append")
+    rec.put("commitMs", System.currentTimeMillis())
+    rec.put("nFiles", 0L); rec.put("nRows", 0L); rec.put("bytes", 0L)
+    rec.putArray("added"); rec.putArray("removed")
+    Files.write(Paths.get(root, "_manifests", "m2.commit.json"),
+      mapper.writeValueAsBytes(rec))
     withCput {
-      val e = intercept[RuntimeException] {
-        FileCow.append(spark, root, Seq((100L, "x")).toDF("k", "v"))
-      }
-      assert(e.getMessage.contains("lock-backend writer crashed"), e.getMessage)
-      assert(FileCow.currentVersion(root) == 1L)
-    }
-    // the cure the error names: a lock-mode vacuum clears the orphan
-    FileCow.vacuum(spark, root, keep = 1000, minAgeMs = 0L)
-    withCput {
+      assert(FileCow.currentVersion(root) == 1L,
+        "a lock-era record above the pointer is an orphan, not a commit")
+      // the next commit clears the debris and lands — the lock backend's
+      // own orphan-overwrite recovery, carried over
       FileCow.append(spark, root, Seq((100L, "x")).toDF("k", "v"))
       assert(FileCow.currentVersion(root) == 2L)
       assert(FileCow.read(spark, root).count() == 11L)
+      assert(FileCow.commitInfo(root, 2L).get.kind == "append")
+      assert(FileCow.schemaOf(root, 2L).fieldNames.toSeq == Seq("k", "v"),
+        "the stale lock-era schema must be replaced by the commit's own")
     }
   }
 
