@@ -257,6 +257,36 @@ class CommitBackendSpec extends AnyFunSuite {
     } finally list.close()
   }
 
+  test("a conditional-put commit costs a FLAT store-op budget (the RTT-bound at 100 TB)") {
+    // every store op is a round-trip on a real object store (20-50 ms) —
+    // the commit protocol must cost O(1) ops regardless of table size or
+    // history length, or commit rate collapses. Pin the budget.
+    val counting = new CommitObjectStore {
+      val inner = new MemoryObjectStore
+      val ops = new java.util.concurrent.atomic.AtomicLong(0L)
+      def read(key: String) = { ops.incrementAndGet(); inner.read(key) }
+      def putIfAbsent(key: String, bytes: Array[Byte]) = {
+        ops.incrementAndGet(); inner.putIfAbsent(key, bytes) }
+      def put(key: String, bytes: Array[Byte]) = {
+        ops.incrementAndGet(); inner.put(key, bytes) }
+      def delete(key: String) = { ops.incrementAndGet(); inner.delete(key) }
+    }
+    val root = fresh()
+    val be = new ConditionalPutBackend(counting)
+    (1L to 20L).foreach(v => be.publish(root, v - 1, stage(root, v, s"c$v")))
+    val total = counting.ops.get()
+    val perCommit = total.toDouble / 20.0
+    // currentVersion (hint + probe) + locked record check + put-if-absent
+    // + roll-forward hint read/put ≈ 6; anything O(history) would blow this
+    assert(perCommit <= 8.0,
+      s"a commit must cost a flat store-op budget, measured $perCommit ops/commit")
+    // and a plain read-side version probe costs ≤ 2 ops (hint + one record miss)
+    counting.ops.set(0L)
+    (1 to 10).foreach(_ => be.currentVersion(root))
+    assert(counting.ops.get() <= 20L,
+      s"a version probe must cost ≤ 2 ops, measured ${counting.ops.get() / 10.0}")
+  }
+
   test("16 threads race 8 versions through one MemoryObjectStore: gap-free, exactly-once") {
     val root = fresh()
     val store = new MemoryObjectStore
