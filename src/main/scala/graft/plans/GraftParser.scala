@@ -527,7 +527,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       val name = GraftTables.stripCatalog(name0)
       require(orReplace == null || ifNotExists == null,
         "CREATE OR REPLACE TABLE and IF NOT EXISTS cannot combine")
-      val declaredCow = using.equalsIgnoreCase("graft-cow")
+      // the regex admits both `graft-cow` and `graft_cow` (DSv2 provider
+      // spellings can't carry a dash) — normalize before the layout check,
+      // mirroring the declared-schema path above
+      val declaredCow = using.replace('_', '-').equalsIgnoreCase("graft-cow")
       val location = Option(locLit).map(l => GraftSqlLex.quotedLiteral(l, 0)._1)
       val preRegistered = GraftTables.resolveName(name)
       val e = preRegistered match {

@@ -249,7 +249,10 @@ object GraftTables {
       unset: Seq[String]): Unit = {
     val k = normalize(name)
     def apply(props: Map[String, String]) = props ++ set -- unset
-    Option(localNs.get(k)).foreach(p => localNs.put(k, apply(p)))
+    // atomic RMW: two concurrent ALTERs in a warehouse-less session must
+    // not drop each other's property changes (the durable path below is
+    // already serialized by CatalogStore.commitSnapshot's lock)
+    localNs.computeIfPresent(k, (_, p) => apply(p))
     wh.foreach { d =>
       graft.sources.CatalogStore.commitSnapshot(d) { s =>
         s.namespaces.get(k) match {

@@ -160,19 +160,28 @@ class GraftCowDataSource extends RelationProvider
       "docs/ADR-002-partition-columns.md)")
     val r = root(params)
     // the txn identity: explicit `appId`, else derived STABLY from the
-    // query's checkpoint location (always present here — a streaming sink
-    // start requires one) so the plain `writeStream.toTable("graft.t")`
-    // spelling is exactly-once with zero options. The checkpoint IS the
-    // stream's replay identity, so keying the txn stamp on it is exactly
-    // as stable as the recovery story itself.
-    val appId = params.get("appId")
-      .orElse(params.get("checkpointLocation").map(cp => "ckpt-" +
-        java.util.UUID.nameUUIDFromBytes(
-          java.nio.file.Paths.get(normalizePath(cp)).toAbsolutePath.normalize
-            .toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .toString.take(12)))
+    // query's checkpoint location, so the plain
+    // `writeStream.toTable("graft.t")` spelling is exactly-once with zero
+    // options. The checkpoint IS the stream's replay identity, so keying
+    // the txn stamp on it is exactly as stable as the recovery story
+    // itself. When the checkpoint comes from the session-wide
+    // `spark.sql.streaming.checkpointLocation` conf, Spark resolves it
+    // only AFTER createSink — so the fallback resolves it lazily at first
+    // addBatch from the running query itself (addBatch runs on the
+    // query's execution thread; same normalization, same derived id).
+    def ckptAppId(cp: String): String = "ckpt-" +
+      java.util.UUID.nameUUIDFromBytes(
+        java.nio.file.Paths.get(normalizePath(cp)).toAbsolutePath.normalize
+          .toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .toString.take(12)
+    lazy val appId = params.get("appId")
+      .orElse(params.get("checkpointLocation").map(ckptAppId))
+      .orElse(org.apache.spark.sql.GraftBridge
+        .currentStreamCheckpoint(ctx.sparkSession).map(ckptAppId))
       .getOrElse(sys.error(
-        "graft-cow sink: 'appId' option is required (the txn identity)"))
+        "graft-cow sink: txn identity unresolved — pass 'appId' or " +
+          "'checkpointLocation' as a sink option (no running stream " +
+          "checkpoint found on this thread)"))
     val filesHint = params.get("filesHint").map(_.toInt).getOrElse(4)
     def stats(data: DataFrame): Seq[String] = params.get("statsCols")
       .map(_.split(",").map(_.trim).toSeq)

@@ -58,6 +58,22 @@ object GraftBridge {
     spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** The resolved checkpoint root of the streaming query executing on the
+    * CURRENT thread (a v1 `Sink.addBatch` runs on its query's execution
+    * thread). This is the seam a v1 fallback sink needs when the
+    * checkpoint came from the session-wide
+    * `spark.sql.streaming.checkpointLocation` conf: Spark resolves the
+    * final checkpoint AFTER `createSink`, so it never appears in the sink
+    * options map — but the running `StreamExecution` knows it. */
+  def currentStreamCheckpoint(spark: SparkSession): Option[String] = {
+    val t = Thread.currentThread()
+    spark.streams.active.collectFirst {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+          if w.streamingQuery.queryExecutionThread eq t =>
+        w.streamingQuery.resolvedCheckpointRoot
+    }
+  }
+
   /** Register graft's SQL functions on an ALREADY-BUILT session (e.g. one
     * handed over by a driver that did not pass spark.sql.extensions). */
   def registerFunctions(

@@ -127,6 +127,17 @@ class CatalogSpec extends SparkSpec {
       val e = GraftTables.entryOf("cat_ctas").get
       assert(e.cow && e.root == java.nio.file.Paths.get(wh, "cat_ctas").toString)
       assert(spark.sql("SELECT count(*) AS n FROM cat_ctas").collect().head.getLong(0) == 5L)
+      // ADVICE r14: the underscore spelling (`USING graft_cow`, the DSv2
+      // provider form) must declare the SAME cow layout as `graft-cow` —
+      // both fresh and against a pre-registered cow name
+      spark.sql("CREATE TABLE cat_ctas_us USING graft_cow AS SELECT 1 AS k")
+      assert(GraftTables.entryOf("cat_ctas_us").exists(_.cow),
+        "USING graft_cow CTAS must create a file-level (cow) table")
+      assert(spark.sql("DESCRIBE HISTORY cat_ctas_us").count() >= 1L)
+      val preRoot = Files.createTempDirectory("graft-cat-ctas-us2").resolve("t").toString
+      GraftTables.registerCow("cat_ctas_us2", preRoot)
+      spark.sql("CREATE TABLE cat_ctas_us2 USING graft_cow AS SELECT 2 AS k")
+      assert(spark.sql("SELECT k FROM cat_ctas_us2").collect().head.getInt(0) == 2)
       // explicit LOCATION (with a quote hazard) wins over the warehouse
       val root2 = Files.createTempDirectory("graft-cat-ctas2")
         .resolve("it's t").toString

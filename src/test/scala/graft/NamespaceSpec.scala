@@ -57,6 +57,23 @@ class NamespaceSpec extends SparkSpec {
     }
   }
 
+  test("concurrent local ALTER NAMESPACE SET never drops a racing change (ADVICE r14)") {
+    // warehouse-less sessions hold namespace props in a local map; the
+    // read-modify-write must be atomic so two racing ALTERs compose
+    GraftTables.createNamespace("ns_race", Map("seed" -> "1"))
+    try {
+      val threads = (0 until 8).map { i =>
+        new Thread(() =>
+          GraftTables.alterNamespaceProps("ns_race", Map(s"p$i" -> s"v$i"), Nil))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val props = GraftTables.namespaceProps("ns_race").get
+      (0 until 8).foreach(i => assert(props.get(s"p$i").contains(s"v$i"),
+        s"lost update: p$i missing from $props"))
+      assert(props.get("seed").contains("1"))
+    } finally GraftTables.dropNamespace("ns_race", alsoUnregister = Nil)
+  }
+
   test("implicit namespaces still exist through table keys; ALTER on them demands a declaration") {
     val root = Files.createTempDirectory("graft-ns-imp").resolve("t").toString
     sql(s"CREATE TABLE graft.impns.t (k BIGINT NOT NULL) USING graft_cow LOCATION '$root'")

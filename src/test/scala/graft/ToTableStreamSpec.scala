@@ -143,6 +143,53 @@ class ToTableStreamSpec extends SparkSpec {
     } finally { sql("DROP TABLE graft.tt_src"); sql("DROP TABLE graft.tt_dst") }
   }
 
+  test("toTable with only the session-wide checkpoint conf: zero options, stable identity") {
+    // ADVICE r14: when the checkpoint comes from
+    // spark.sql.streaming.checkpointLocation, Spark resolves it AFTER
+    // createSink and it is absent from the sink options — the txn
+    // identity must then resolve lazily from the running query itself.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = freshTable("tt_conf")
+    val confBase = Files.createTempDirectory("graft-tt-conf-ck").toString
+    s.conf.set("spark.sql.streaming.checkpointLocation", confBase)
+    try {
+      val input = MemoryStream[Event]
+      // queryName pins the resolved checkpoint to $conf/$name, so the
+      // derived identity is stable across restarts of the same stream
+      def start() = input.toDF().writeStream.format("graft-cow")
+        .queryName("tt_conf_q")
+        .outputMode("append").toTable("graft.tt_conf")
+
+      val q = start()
+      try {
+        input.addData(Seq(Event(1L, ts(1), 1L, "view", 1.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(FileCow.currentVersion(root) == 2L)
+      val txn = FileCow.commitInfo(root, 2L).get.txn
+      assert(txn.exists { case (app, batch) => app.startsWith("ckpt-") && batch == 0L },
+        s"expected a checkpoint-derived txn stamp, got $txn")
+
+      // restart recovers the same conf-resolved checkpoint → same derived
+      // identity → the committed batch must not replay
+      val q2 = start()
+      try {
+        input.addData(Seq(Event(2L, ts(2), 2L, "view", 2.0)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(FileCow.currentVersion(root) == 3L,
+        "a clean restart under the conf checkpoint must not replay a committed batch")
+      assert(FileCow.commitInfo(root, 3L).get.txn == txn.map { case (a, _) => (a, 1L) },
+        "the restart must derive the SAME txn identity from the conf-resolved checkpoint")
+      assert(sql("SELECT count(*) FROM graft.tt_conf").head.getLong(0) == 2L)
+    } finally {
+      s.conf.unset("spark.sql.streaming.checkpointLocation")
+      sql("DROP TABLE graft.tt_conf")
+    }
+  }
+
   test("toTable on a snapshot-level table refuses with the cure in the message") {
     val s = spark
     import s.implicits._
