@@ -360,6 +360,18 @@ private[graft] final class ConditionalPutBackend(store: CommitObjectStore)
     TablePointer.withCommitLock(root) {
       (0 until arts.size()).foreach { i =>
         val a = arts.get(i)
+        if (a.path("absent").asBoolean(false)) {
+          // a DELETE-type artifact (ADVICE r14): this commit OMITS the
+          // optional artifact (props/dv) at this fixed name, so anything
+          // sitting there is a crashed lock-era attempt's leftover. The
+          // record embeds the cleanup so ANY roller completes it — a
+          // winner dying between its record landing and its cleanups no
+          // longer strands stale-readable debris. Per-version fixed names
+          // are never legitimately re-created, so the delete is idempotent
+          // and can never hit a real artifact.
+          Files.deleteIfExists(Paths.get(a.get("final").asText()))
+          ()
+        } else {
         val tmp = Paths.get(a.get("tmp").asText())
         val fin = Paths.get(a.get("final").asText())
         if (Files.exists(tmp)) {
@@ -377,6 +389,7 @@ private[graft] final class ConditionalPutBackend(store: CommitObjectStore)
           sys.error(s"commit v$v of $root is recorded but artifact $fin is " +
             s"gone along with its staged copy $tmp — reclaimed by an " +
             "age-0 vacuum racing an in-flight commit?")
+        }
       }
     }
     if (hint(root) < v)
@@ -435,7 +448,8 @@ private[graft] final class ConditionalPutBackend(store: CommitObjectStore)
     }
     // enrich the record into a SELF-SUFFICIENT commit: uid (so a retry
     // after a lost response can recognize its own write) + the move list
-    // (so any process can roll the commit forward)
+    // AND the absent-artifact cleanups (so any process can roll the
+    // commit forward COMPLETELY — moves and debris deletes both)
     sc.record.put("commitUid", uid)
     val arr = sc.record.putArray("commitArtifacts")
     (sc.dirMoves.map(m => (m, true)) ++ sc.fileMoves.map(m => (m, false)))
@@ -444,6 +458,11 @@ private[graft] final class ConditionalPutBackend(store: CommitObjectStore)
         o.put("tmp", t.toString); o.put("final", f.toString); o.put("dir", isDir)
         ()
       }
+    sc.absentCleanups.foreach { f =>
+      val o = arr.addObject()
+      o.put("final", f.toString); o.put("absent", true)
+      ()
+    }
     val bytes = FileCow.jsonMapper.writeValueAsBytes(sc.record)
     // the commit point: put-if-absent of the record, with lost responses
     // settled by reading back our uid and a bounded retry while the
@@ -466,9 +485,11 @@ private[graft] final class ConditionalPutBackend(store: CommitObjectStore)
       sc.cleanupTemps()
       throw new ConcurrentPublishException(root, expected, currentVersion(root))
     }
-    // committed: complete our own record (any other process could, too)
+    // committed: complete our own record (any other process could, too —
+    // the record carries moves AND cleanups, so there is no winner-only
+    // step left after this line)
+    FileCow.CommitHooks.afterCommitRecordPut(root, sc.next)
     rollForward(root, sc.next, sc.record)
-    sc.absentCleanups.foreach(Files.deleteIfExists(_))
     sc.onCommitted()
   }
 }

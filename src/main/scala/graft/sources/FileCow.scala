@@ -250,9 +250,16 @@ object FileCow extends CowWritePath with CowDeletionVectors
       * the rebased re-CAS attempt — the window the round-14 killsweep
       * SIGKILLs inside (a crash there must leave only staged orphans). */
     @volatile var beforeRebaseCommit: (String, Long) => Unit = (_, _) => ()
+    /** Fires on the conditional-put backend AFTER the commit record's
+      * put-if-absent settled as won and BEFORE the winner's own
+      * roll-forward — the window the round-15 killsweep SIGKILLs inside
+      * (a crash there must leave a commit any process completes fully,
+      * moves AND absent-artifact cleanups). */
+    @volatile var afterCommitRecordPut: (String, Long) => Unit = (_, _) => ()
     def reset(): Unit = {
       beforeCommit = (_, _) => ()
       beforeRebaseCommit = (_, _) => ()
+      afterCommitRecordPut = (_, _) => ()
     }
   }
 

@@ -625,6 +625,27 @@ object StressMultiWriter {
         SharedKeys.map(k => (k, "victim", 1L)).toDF("k", "val", "u"), Seq("k"))
       ()
 
+    // the round-15 kill point (VERDICT r14 #1): a conditional-put WINNER
+    // SIGKILLed between its record's put-if-absent landing and its own
+    // roll-forward, at a version where planted lock-era debris occupies
+    // the fixed props name — the record embeds the absent-artifact
+    // cleanup, so the parent proves ANY process's probe completes the
+    // commit fully (moves AND debris delete) with no winner-only step
+    case Some("cleanupvictim") =>
+      val Array(_, root, markerPath) = args
+      System.setProperty("graft.commit.backend", "cput")
+      val spark = session(2, "graft-mw-cleanupvictim")
+      import spark.implicits._
+      FileCow.CommitHooks.afterCommitRecordPut = (r, _) => if (r == root) {
+        Files.write(Paths.get(markerPath),
+          "record-landed".getBytes(StandardCharsets.UTF_8))
+        Thread.sleep(120000L) // the parent's SIGKILL lands here
+        ()
+      }
+      FileCow.append(spark, root,
+        Seq((9000001L, "victim", 9L)).toDF("k", "val", "u"))
+      ()
+
     case Some("killsweep") =>
       val rounds = args.drop(1).headOption.map(_.toInt).getOrElse(3)
       // `killsweep N cput` runs the whole sweep (this process + every

@@ -82,6 +82,63 @@ class RoundKillSpec extends SparkSpec {
     } finally System.clearProperty("graft.commit.backend")
   }
 
+  test("SIGKILL a cput winner between record-landing and roll-forward over planted DV debris: any probe completes the cleanup") {
+    // VERDICT r14 #1: the commit record must be fully self-sufficient —
+    // it embeds the ABSENT-ARTIFACT cleanups next to the moves, so a
+    // winner crashing right after its put-if-absent leaves nothing only
+    // it could have finished. Planted here: lock-era debris at the fixed
+    // DV-registry name of the version being committed (a crashed
+    // lock-mode attempt's leftover), which a reader would otherwise take
+    // as the published version's deletion vectors — silently masking rows.
+    System.setProperty("graft.commit.backend", "cput")
+    try {
+      val base = Files.createTempDirectory("graft-cleankill")
+      val root = base.resolve("t").toString
+      StressMultiWriter.createTable(spark, root) // v1, no deletion vectors
+      val debris = Paths.get(root, "_manifests", "m2.dv.json")
+      Files.write(debris,
+        """{"lock-era-file.parquet":"dv-stale.bin"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+      val marker = base.resolve("record-landed").toString
+      val victim = StressMultiWriter.fork(Seq("cleanupvictim", root, marker))
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (victim.isAlive && !Files.exists(Paths.get(marker))) {
+        assert(System.nanoTime() < deadline, "victim never landed its record")
+        Thread.sleep(25)
+      }
+      if (!Files.exists(Paths.get(marker)))
+        fail(s"victim exited (${victim.exitValue()}) before landing its record")
+      victim.destroyForcibly(); victim.waitFor()
+
+      // the record landed → the commit HAPPENED; the winner just never
+      // rolled it forward. It must carry the absent-cleanup entries.
+      val rec = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        Files.readAllBytes(Paths.get(root, "_manifests", "m2.commit.json")))
+      val arts = rec.get("commitArtifacts")
+      val absents = (0 until arts.size()).map(arts.get)
+        .filter(_.path("absent").asBoolean(false))
+        .map(_.get("final").asText())
+      assert(absents.exists(_.endsWith("m2.dv.json")),
+        s"record must embed the DV-registry cleanup, carried: $absents")
+
+      // a plain reader's probe completes the commit: moves AND cleanup
+      assert(FileCow.currentVersion(root) == 2L)
+      assert(Files.notExists(debris),
+        "roll-forward must clear the planted lock-era DV debris")
+      val rows = FileCow.read(spark, root)
+      assert(rows.filter(col("val") === "victim").count() == 1L,
+        "the landed record IS the commit — its rows must be readable")
+      assert(rows.count() == StressMultiWriter.SharedKeys.size + 1L,
+        "no row may be masked by the stale DV registry")
+
+      // hygiene: vacuum reclaims nothing surprising and commits no version
+      FileCow.vacuum(spark, root, keep = 1000, minAgeMs = 0L)
+      assert(FileCow.currentVersion(root) == 2L)
+      assert(FileCow.vacuumPlan(spark, root, 1000, 0L).isEmpty)
+    } finally System.clearProperty("graft.commit.backend")
+  }
+
   test("SIGKILL a DDL racer while another process CREATEs the same name: store untorn, name not wedged") {
     val baseDir = Files.createTempDirectory("graft-ddlkill")
     val wh = baseDir.resolve("wh").toString
