@@ -212,7 +212,7 @@ private[sources] trait CowVacuum { this: FileCow.type =>
   private[sources] def streamFloor(root: String, pruneDead: Boolean,
       minAgeMs: Long): Option[Long] = {
     val floors = streamMarkers(root, pruneDead, minAgeMs)
-      .collect { case (_, delivered, _, _, live) if live => delivered }
+      .collect { case (_, delivered, _, _, live, _) if live => delivered }
     if (floors.isEmpty) return None
     val cur = currentVersion(root)
     val maxLag = tableProps(root, cur).get(StreamMaxLagProp).map(_.toLong)
@@ -220,10 +220,12 @@ private[sources] trait CowVacuum { this: FileCow.type =>
   }
 
   /** Registration markers: (marker-file, delivered, checkpoint,
-    * updated-ms, live). Dead markers (checkpoint dir gone) optionally
-    * prune — and report live=false until they age out. */
+    * updated-ms, live, reads-removed). Dead markers (checkpoint dir gone)
+    * optionally prune — and report live=false until they age out. A
+    * marker without the `readsRemoved` field (pre-r15) prices
+    * conservatively as a CDF consumer until its next refresh rewrites it. */
   private def streamMarkers(root: String, pruneDead: Boolean,
-      minAgeMs: Long): Seq[(NioPath, Long, String, Long, Boolean)] = {
+      minAgeMs: Long): Seq[(NioPath, Long, String, Long, Boolean, Boolean)] = {
     val dir = streamsDir(root)
     if (!Files.exists(dir)) return Nil
     val markers = {
@@ -253,10 +255,28 @@ private[sources] trait CowVacuum { this: FileCow.type =>
           Files.deleteIfExists(m); ()
         }
         (m, n.get("delivered").asLong(), checkpoint,
-          if (n.has("updatedMs")) n.get("updatedMs").asLong() else 0L, live)
+          if (n.has("updatedMs")) n.get("updatedMs").asLong() else 0L, live,
+          n.path("readsRemoved").asBoolean(true))
       }
     }
   }
+
+  /** Bytes ONE catch-up batch admits for a single commit — THE pricing
+    * function (ADVICE r14), shared by the streaming admission path
+    * ([[graft.streaming.CdfSource.admitUpTo]]'s maxBytes cap) and
+    * `DESCRIBE STREAMS`'s lag_bytes, so the two can never drift:
+    * a pre-field record prices conservatively as the snapshot total; a
+    * CDF consumer (`readsRemoved`) additionally re-reads removed files
+    * and each DV-dirty file TWICE (one scan per delta side), with an
+    * r11-era DV record lacking `bytesDv` again priced as the total. */
+  private[graft] def commitAdmissionBytes(ci: CommitInfo,
+      readsRemoved: Boolean): Long =
+    if (ci.bytesAdded < 0L) ci.bytes // pre-field record: table total
+    else if (readsRemoved && ci.dvFiles.nonEmpty && ci.bytesDv < 0L)
+      ci.bytes // r11-era DV record without bytesDv: conservative
+    else ci.bytesAdded +
+      (if (readsRemoved && ci.bytesRemoved > 0L) ci.bytesRemoved else 0L) +
+      (if (readsRemoved && ci.bytesDv > 0L) 2L * ci.bytesDv else 0L)
 
   /** `DESCRIBE STREAMS t` (VERDICT r13 #4): one row per REGISTERED
     * streaming consumer — who is pinning retention, how far behind, and
@@ -264,21 +284,22 @@ private[sources] trait CowVacuum { this: FileCow.type =>
     * records, no data file opened.
     *
     * Columns: stream_id (marker id), checkpoint, delivered_version,
-    * lag_versions (head − delivered), lag_bytes (Σ bytesAdded over the
-    * undelivered RETAINED commits — what the catch-up batches will read;
-    * vacuumed or pre-log commits contribute 0), updated_ms (last
-    * position refresh), live (checkpoint dir still exists), flooring
-    * (live AND within [[StreamMaxLagProp]] — i.e. vacuum currently
-    * retains history for it). */
+    * lag_versions (head − delivered), lag_bytes (Σ
+    * [[commitAdmissionBytes]] over the undelivered RETAINED commits —
+    * exactly what the catch-up batches will admit, priced per the
+    * registration's consumer kind; vacuumed or pre-log commits
+    * contribute 0), updated_ms (last position refresh), live (checkpoint
+    * dir still exists), flooring (live AND within [[StreamMaxLagProp]] —
+    * i.e. vacuum currently retains history for it). */
   def streamRegistrations(spark: SparkSession, root: String): DataFrame = {
     val cur = currentVersion(root)
     val maxLag = tableProps(root, cur).get(StreamMaxLagProp).map(_.toLong)
     val rows = streamMarkers(root, pruneDead = false, minAgeMs = 0L)
-      .map { case (m, delivered, checkpoint, updatedMs, live) =>
+      .map { case (m, delivered, checkpoint, updatedMs, live, readsRemoved) =>
         val lagV = cur - delivered
         val lagBytes = ((delivered + 1) to cur).iterator
           .flatMap(v => commitInfo(root, v))
-          .map(ci => math.max(ci.bytesAdded, 0L)).sum
+          .map(ci => commitAdmissionBytes(ci, readsRemoved)).sum
         val flooring = live && maxLag.forall(lagV <= _)
         (m.getFileName.toString.stripPrefix("s-").stripSuffix(".json"),
           checkpoint, delivered, lagV, lagBytes, updatedMs, live, flooring)
@@ -296,7 +317,8 @@ private[sources] trait CowVacuum { this: FileCow.type =>
     * holds a confirmed position, which must not be widened back to the
     * birth start on every restart. */
   private[graft] def registerStream(root: String, checkpointDir: String,
-      deliveredTo: Long, onlyIfAbsent: Boolean = false): Unit = {
+      deliveredTo: Long, onlyIfAbsent: Boolean = false,
+      readsRemoved: Boolean = true): Unit = {
     Files.createDirectories(streamsDir(root))
     val id = java.util.UUID.nameUUIDFromBytes(
       checkpointDir.getBytes(StandardCharsets.UTF_8)).toString.take(12)
@@ -306,6 +328,9 @@ private[sources] trait CowVacuum { this: FileCow.type =>
     n.put("checkpoint", checkpointDir)
     n.put("delivered", deliveredTo)
     n.put("updatedMs", System.currentTimeMillis())
+    // the consumer kind, so DESCRIBE STREAMS prices this registration's
+    // catch-up with the SAME function its admission path uses
+    n.put("readsRemoved", readsRemoved)
     val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
     Files.write(tmp, jsonMapper.writeValueAsBytes(n))
     Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,

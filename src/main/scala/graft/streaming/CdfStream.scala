@@ -111,10 +111,11 @@ object CdfSource {
     * batch is durably done and will never replay". Deleting the
     * checkpoint is the deregistration. */
   private[streaming] def registerProtection(metadataPath: Option[String],
-      root: String, deliveredTo: Long, onlyIfAbsent: Boolean = false): Unit =
+      root: String, deliveredTo: Long, onlyIfAbsent: Boolean = false,
+      readsRemoved: Boolean = true): Unit =
     metadataPath.foreach(mp =>
       FileCow.registerStream(root, metaDir(mp).toString, deliveredTo,
-        onlyIfAbsent))
+        onlyIfAbsent, readsRemoved = readsRemoved))
 
   private[streaming] def metaDir(metadataPath: String): java.nio.file.Path =
     java.nio.file.Paths.get(
@@ -260,15 +261,10 @@ object CdfSource {
         var acc = 0L
         var stop = false
         while (!stop && v < vCap) {
+          // the per-commit pricing lives on FileCow (ADVICE r14) —
+          // `DESCRIBE STREAMS` sums the SAME function for lag_bytes
           val b = FileCow.commitInfo(root, v + 1)
-            .map { ci =>
-              if (ci.bytesAdded < 0L) ci.bytes // pre-field record: table total
-              else if (readsRemoved && ci.dvFiles.nonEmpty && ci.bytesDv < 0L)
-                ci.bytes // r11-era DV record without bytesDv: conservative
-              else ci.bytesAdded +
-                (if (readsRemoved && ci.bytesRemoved > 0L) ci.bytesRemoved else 0L) +
-                (if (readsRemoved && ci.bytesDv > 0L) 2L * ci.bytesDv else 0L)
-            }
+            .map(ci => FileCow.commitAdmissionBytes(ci, readsRemoved))
             .getOrElse(0L)
           if (v > from && acc + b > cap) stop = true
           else { acc += b; v += 1 }

@@ -66,7 +66,7 @@ class CowTableSource(ctx: SQLContext, root: String,
   // WAL-committed) and at the engine's commit callback below — never at
   // a constructed batch END, whose versions a crash would replay
   CdfSource.registerProtection(metadataPath, root, startVersion,
-    onlyIfAbsent = true)
+    onlyIfAbsent = true, readsRemoved = false)
 
   override def getOffset: Option[Offset] = {
     val v = FileCow.currentVersion(root)
@@ -114,7 +114,7 @@ class CowTableSource(ctx: SQLContext, root: String,
     val from = start.map(version).getOrElse(startVersion)
     // `start` is the WAL-committed lower bound: safe to tighten the
     // vacuum-protection floor to it (batches below will never replay)
-    CdfSource.registerProtection(metadataPath, root, from)
+    CdfSource.registerProtection(metadataPath, root, from, readsRemoved = false)
     val to = version(end)
     val addedFiles = ((from + 1) to to).flatMap { v =>
       val info = FileCow.commitInfo(root, v).getOrElse(sys.error(
@@ -218,7 +218,8 @@ class CowTableSource(ctx: SQLContext, root: String,
   /** The engine's durable-completion signal: batches at or below `end`
     * will never replay, so the vacuum-protection floor may advance. */
   override def commit(end: Offset): Unit =
-    CdfSource.registerProtection(metadataPath, root, version(end))
+    CdfSource.registerProtection(metadataPath, root, version(end),
+      readsRemoved = false)
 
   override def stop(): Unit = ()
 }

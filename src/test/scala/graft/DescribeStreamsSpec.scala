@@ -74,6 +74,58 @@ class DescribeStreamsSpec extends SparkSpec {
     } finally GraftTables.unregister("ds_t")
   }
 
+  test("lag_bytes prices a DV-delete commit exactly as the admission path, per consumer kind (ADVICE r14)") {
+    val root = mkTable("ds_dvp")
+    try {
+      // a CDF consumer delivered through v1, then: v2 = DV enable
+      // (metadata-only), v3 = DV delete (moves no data files —
+      // bytesAdded = 0 — but its catch-up batch re-reads every DV-dirty
+      // file twice, one scan per delta side)
+      val ckpt = Files.createTempDirectory("ds-dv-ck").toString
+      val got = mutable.Set.empty[Long]
+      val q = spark.readStream.format("graft-cdf").option("root", root)
+        .option("keys", "k").option("startingVersion", "0").load()
+        .writeStream
+        .foreachBatch((b: DataFrame, _: Long) => {
+          val ks = b.select("k").collect().map(_.getLong(0))
+          got.synchronized { got ++= ks }; ()
+        })
+        .option("checkpointLocation", ckpt)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      FileCow.setTableProperties(spark, root,
+        Map(FileCow.DvEnabledProp -> "true"))      // v2
+      FileCow.delete(spark, root, col("k") < 3L)   // v3: delete_dv
+      val ci3 = FileCow.commitInfo(root, 3L).get
+      assert(ci3.kind == "delete_dv" && ci3.bytesAdded == 0L && ci3.bytesDv > 0L,
+        s"fixture must be a DV delta: $ci3")
+
+      // a table-stream registration at the same position, for contrast:
+      // it reads only ADDED files, so the same lag prices 0 bytes
+      FileCow.registerStream(root, "/definitely/gone/ts-ckpt",
+        deliveredTo = 1L, readsRemoved = false)
+
+      val rows = spark.sql("DESCRIBE STREAMS ds_dvp").collect()
+      val cdfRow = rows.find(_.getAs[String]("checkpoint").startsWith(ckpt))
+        .getOrElse(fail(s"no CDF registration row in ${rows.mkString("\n")}"))
+      val tsRow = rows.find(_.getAs[String]("checkpoint").contains("ts-ckpt")).get
+      val delivered = cdfRow.getAs[Long]("delivered_version")
+      assert(delivered <= 1L, cdfRow.toString)
+      // exactly the admission pricing: plain commits at bytesAdded (the
+      // marker's engine-confirmed position may trail by one callback, so
+      // v1's create bytes may be in scope), v2 contributes 0
+      // (metadata-only), v3 contributes 2×bytesDv (delete side + insert
+      // side) — never ~0
+      val plain = ((delivered + 1) to 2L).flatMap(v => FileCow.commitInfo(root, v))
+        .map(ci => math.max(ci.bytesAdded, 0L)).sum
+      assert(cdfRow.getAs[Long]("lag_bytes") == plain + 2L * ci3.bytesDv,
+        s"CDF lag_bytes must price the DV re-read, got $cdfRow " +
+          s"vs $plain + 2×${ci3.bytesDv}")
+      assert(tsRow.getAs[Long]("lag_bytes") == 0L,
+        s"a table-stream consumer admits only added bytes, got $tsRow")
+    } finally GraftTables.unregister("ds_dvp")
+  }
+
   test("maxLagVersions: a stalled stream stops flooring, vacuum reclaims, resume fails LOUDLY") {
     val root = mkTable("ds_lag")
     try {
