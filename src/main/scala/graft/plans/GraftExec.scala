@@ -334,7 +334,7 @@ case class GraftCtasExec(cmd: GraftCtasCommand) extends LeafExecNode {
       // OR REPLACE on an existing cow table: one replace commit — history
       // and time travel survive (Delta's CREATE OR REPLACE contract),
       // unlike DROP + CREATE which would orphan the version chain
-      val schema = FileCow.schemaOf(cmd.root, FileCow.currentVersion(cmd.root))
+      val schema = FileCow.schemaOf(cmd.root, FileCow.visibleVersion(cmd.root))
       require(df.schema.map(f => (f.name, f.dataType)) ==
           schema.map(f => (f.name, f.dataType)),
         s"graft CREATE OR REPLACE ${cmd.table}: new schema " +
@@ -389,7 +389,7 @@ case class GraftCreateTableExec(cmd: GraftCreateTableCommand) extends LeafExecNo
       // declared schema matches the live one — silently re-binding a
       // different shape would corrupt every later positional INSERT
       val live =
-        if (cmd.cow) FileCow.schemaOf(cmd.root, FileCow.currentVersion(cmd.root))
+        if (cmd.cow) FileCow.schemaOf(cmd.root, FileCow.visibleVersion(cmd.root))
         else Versioned.read(spark, cmd.root).schema
       def key(s: StructType, withNull: Boolean) = s.fields.toSeq.map(f =>
         (f.name.toLowerCase(java.util.Locale.ROOT), f.dataType,
@@ -511,7 +511,7 @@ case class GraftInsertExec(cmd: GraftInsertCommand) extends LeafExecNode {
         FileCow.create(spark, cmd.root, GraftWriteSupport.ranged(src, stats),
           statsCols = stats)
       } else {
-        val v = FileCow.currentVersion(cmd.root)
+        val v = FileCow.visibleVersion(cmd.root)
         val aligned = align(FileCow.schemaOf(cmd.root, v),
           FileCow.defaultSqlOf(cmd.root, v))
         if (cmd.overwrite) FileCow.overwrite(spark, cmd.root, aligned)
@@ -710,7 +710,7 @@ case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
       // cow tables pad omitted INSERT columns with their declared DEFAULT
       // (snapshot layouts carry no property map, hence no defaults)
       val defaults =
-        if (cmd.cow) FileCow.defaultSqlOf(cmd.root, FileCow.currentVersion(cmd.root))
+        if (cmd.cow) FileCow.defaultSqlOf(cmd.root, FileCow.visibleVersion(cmd.root))
         else Map.empty[String, String]
       GraftMergeClauses.combine(cmd.table, schema, cmd.keys, cmd.matched,
         cmd.notMatched, cmd.bySource, cmd.tQuals, cmd.sQuals,
@@ -742,7 +742,7 @@ case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
       // pads and projects — UPDATE SET * touches only columns the source
       // has, INSERT * pads the rest NULL (Delta's evolution semantics).
       val current = graft.sources.FileCow.schemaOf(cmd.root,
-        graft.sources.FileCow.currentVersion(cmd.root))
+        graft.sources.FileCow.visibleVersion(cmd.root))
       val evolveTo =
         if (!cmd.schemaEvolution) None
         else {

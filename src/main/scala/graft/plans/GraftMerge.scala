@@ -188,8 +188,12 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
               else Versioned.versionAtTimestamp(entry.root, ms)
             case _ => fail(s"graft time travel on $name: VERSION AS OF or TIMESTAMP AS OF required")
           }
-          if (entry.cow) snapshotPlan(FileCow.readVersion(spark, entry.root, v))
-          else snapshotPlan(Versioned.readVersion(spark, entry.root, v))
+          if (entry.cow) {
+            // a version gated by an open/aborted cross-table txn was
+            // never visible — refuse instead of serving phantom state
+            graft.sources.GraftTransactions.requireReadable(entry.root, v)
+            snapshotPlan(FileCow.readVersion(spark, entry.root, v))
+          } else snapshotPlan(Versioned.readVersion(spark, entry.root, v))
         case None => tt
       }
 
@@ -310,7 +314,9 @@ class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       : LogicalPlan = {
     val g = r.table.asInstanceOf[graft.sources.GraftV2Table]
     val df = (g.entry.cow, g.pinned) match {
-      case (true, Some(v)) => FileCow.readVersion(spark, g.entry.root, v)
+      case (true, Some(v)) =>
+        graft.sources.GraftTransactions.requireReadable(g.entry.root, v)
+        FileCow.readVersion(spark, g.entry.root, v)
       case (true, None) => FileCow.read(spark, g.entry.root)
       case (false, Some(v)) => Versioned.readVersion(spark, g.entry.root, v)
       case (false, None) => Versioned.read(spark, g.entry.root)

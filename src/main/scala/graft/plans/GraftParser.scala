@@ -412,7 +412,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         // composes with WHERE/ORDER BY/aggregates
         case Some(e) if e.cow =>
           graft.sources.FileCow.detail(session, e.root,
-            graft.sources.FileCow.currentVersion(e.root)).queryExecution.analyzed
+            graft.sources.FileCow.visibleVersion(e.root)).queryExecution.analyzed
         case Some(_) => sys.error(s"DESCRIBE DETAIL: '$name' is a snapshot-level " +
           "table (no per-file manifest); use DESCRIBE HISTORY")
         case None => sys.error(s"DESCRIBE DETAIL: '$name' is not a registered graft table")
@@ -450,7 +450,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // keeps its backslashes through the round-trip)
       def q(s: String): String = GraftSqlLex.q(s)
       val v =
-        if (e.cow) graft.sources.FileCow.currentVersion(e.root)
+        if (e.cow) graft.sources.FileCow.visibleVersion(e.root)
         else Versioned.currentVersion(e.root)
       if (v < 1L) sys.error(s"SHOW CREATE TABLE: '$name' is registered " +
         s"but has no published version yet (CREATE/CTAS it first)")
@@ -498,14 +498,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case ShowProps(name) if GraftTables.resolveName(name).exists(_.cow) =>
       val e = GraftTables.resolveName(name).get
       val rows = graft.sources.FileCow
-        .tableProps(e.root, graft.sources.FileCow.currentVersion(e.root))
+        .tableProps(e.root, graft.sources.FileCow.visibleVersion(e.root))
         .toSeq.sortBy(_._1)
       import session.implicits._
       rows.toDF("key", "value").queryExecution.analyzed
     case ShowTables() =>
       val rows = GraftTables.all().map { case (name, e) =>
         val version =
-          if (e.cow) graft.sources.FileCow.currentVersion(e.root)
+          if (e.cow) graft.sources.FileCow.visibleVersion(e.root)
           else Versioned.currentVersion(e.root)
         (name, e.root, if (e.cow) "cow" else "snapshot", version)
       }

@@ -305,6 +305,26 @@ private[graft] final class FaultyObjectStore(inner: CommitObjectStore)
   }
 }
 
+/** Latency-injecting decorator over any [[CommitObjectStore]] — the
+  * HTTP-REALISTIC arm (VERDICT r14 #4): every store op sleeps `perOpMs`
+  * (the ~30 ms RTT of a same-region S3/GCS request) and counts itself,
+  * so a harness can MEASURE sustained commits/s/table instead of deriving
+  * it from the op budget. See [[graft.tools.StressCommitRate]]. */
+private[graft] final class LatencyObjectStore(inner: CommitObjectStore,
+    perOpMs: Long) extends CommitObjectStore {
+  val ops = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def pay(): Unit = {
+    ops.incrementAndGet()
+    if (perOpMs > 0L) Thread.sleep(perOpMs)
+  }
+  def read(key: String): Option[Array[Byte]] = { pay(); inner.read(key) }
+  def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
+    pay(); inner.putIfAbsent(key, bytes)
+  }
+  def put(key: String, bytes: Array[Byte]): Unit = { pay(); inner.put(key, bytes) }
+  def delete(key: String): Unit = { pay(); inner.delete(key) }
+}
+
 /** The CONDITIONAL-PUT commit protocol (see [[CommitBackend]] scaladoc for
   * the design): record put-if-absent is the commit point; artifacts roll
   * forward idempotently; the pointer is a monotonic hint. */

@@ -215,8 +215,14 @@ private[sources] trait CowWritePath { this: FileCow.type =>
     var base = expected
     var rebases = 0
     while (true) {
-      try return commitAttempt(spark, root, base, delta, schema, action, props,
-        dvRegistry, rebases)
+      try {
+        val landed = commitAttempt(spark, root, base, delta, schema, action,
+          props, dvRegistry, rebases)
+        // auto-maintenance (VERDICT r14 #5): price the small-file debt
+        // AFTER the user's commit landed; never fails the statement
+        CowAutoMaintenance.afterCommit(spark, root, action.kind, landed)
+        return landed
+      }
       catch {
         case e: ConcurrentPublishException =>
           val cur = currentVersion(root)
@@ -226,8 +232,17 @@ private[sources] trait CowWritePath { this: FileCow.type =>
           // every lost CAS back to the full re-derive protocol
           val enabled = !"off".equals(System.getProperty("graft.conflict.rebase"))
           if (!enabled || cur <= base || rebases > 8 ||
-              !rebaseSafe(spark, root, base, cur, delta, action, dvRegistry))
+              !rebaseSafe(spark, root, base, cur, delta, action, dvRegistry)) {
+            // cross-table txn gate (VERDICT r14 #3): before handing back
+            // to the re-derive loop, resolve any txn gate in (base, cur]
+            // — break stale + heal aborted (txn_revert), refuse LOUDLY on
+            // a live open txn (re-deriving would spin: the visible version
+            // cannot advance past a foreign gate until it decides). Placed
+            // in the conflict handler so an uncontended commit pays zero
+            // extra store ops.
+            GraftTransactions.checkGate(spark, root, base, cur)
             throw e // logical conflict (or nothing to rebase onto): re-derive
+          }
           // every winner's writes are disjoint from this commit's declared
           // reads: REBASE — same staged data files, same slice rows, the
           // manifest just re-folds from the winner's head (Delta's
@@ -288,6 +303,11 @@ private[sources] trait CowWritePath { this: FileCow.type =>
       commitInfo(root, v).getOrElse(return false))
     val ok = winners.forall { w =>
       rebasable.contains(w.kind) &&
+        // a winner gated by a cross-table txn that has not COMMITTED is
+        // not a state to build on (pending may abort; aborted reverts) —
+        // fail safe to the re-derive path, whose gate check resolves it
+        w.txnMarker.forall(m =>
+          GraftTransactions.state(m) == GraftTransactions.Committed) &&
         // same-app txn stamps serialize through re-derive (the idempotence
         // check read the log as of `from`)
         !(action.txn.isDefined && w.txn.exists(_._1 == action.txn.get._1)) &&
@@ -344,6 +364,13 @@ private[sources] trait CowWritePath { this: FileCow.type =>
       props: Option[Map[String, String]],
       dvRegistry: Option[Map[String, String]],
       rebases: Int = 0): Long = {
+    // a txn's abort heal reverts to the last CLEAN version — version 1
+    // has none, so table bootstraps cannot participate (VERDICT r14 #3)
+    if (expected == 0L)
+      GraftTransactions.activeMarker.foreach(m => sys.error(
+        s"cross-table transaction $m cannot CREATE $root (version 1 would " +
+          "have no clean version to revert to on abort) — create the table " +
+          "outside the transaction, then transact its writes"))
     val next = expected + 1
     Files.createDirectories(manifestsDir(root))
     // properties carry forward unless the commit overrides them
@@ -508,6 +535,9 @@ private[sources] trait CowWritePath { this: FileCow.type =>
     if (rebases > 0) { rec.put("rebases", rebases.toLong); () }
     val rederives = statementRederives.get()
     if (rederives > 0L) { rec.put("rederives", rederives); () }
+    // an open cross-table txn on this thread gates the commit: visible
+    // only once the marker's decision reads `committed`
+    GraftTransactions.activeMarker.foreach { m => rec.put("txnMarker", m); () }
     val addedArr = rec.putArray("added"); action.added.foreach(addedArr.add)
     val removedArr = rec.putArray("removed"); action.removed.foreach(removedArr.add)
     action.txn.foreach { case (app, batch) =>
@@ -545,6 +575,7 @@ private[sources] trait CowWritePath { this: FileCow.type =>
         CowManifestCache.seed(root, next, manSchema, newRows)
       })
     CommitBackend.active.publish(root, expected, staged)
+    GraftTransactions.registerParticipant(root, next)
     next
   }
 
@@ -565,7 +596,9 @@ private[sources] trait CowWritePath { this: FileCow.type =>
     statementRederives.set(0L)
     try {
       while (true) {
-        val version = currentVersion(root)
+        // derive against the VISIBLE version: never build on a foreign
+        // txn's not-yet-committed data (an own-txn gate reads its writes)
+        val version = FileCow.visibleVersion(root)
         try return body(version)
         catch {
           case e: ConcurrentPublishException =>

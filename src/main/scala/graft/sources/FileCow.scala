@@ -190,7 +190,12 @@ object FileCow extends CowWritePath with CowDeletionVectors
         * 0 on uncontended commits and on records written before the
         * fields existed. */
       rebases: Long = 0L,
-      rederives: Long = 0L)
+      rederives: Long = 0L,
+      /** Marker base path of the cross-table transaction gating this
+        * commit (VERDICT r14 #3), None for ordinary commits. A gated
+        * version is a real commit that is visible only once its marker's
+        * decision reads `committed` — see [[GraftTransactions]]. */
+      txnMarker: Option[String] = None)
 
   /** The file-path delta a commit is about to apply, handed to [[commit]]
     * by each DML (which knows it exactly — no diff needed). `txn` is the
@@ -324,7 +329,9 @@ object FileCow extends CowWritePath with CowDeletionVectors
         bytesDv =
           if (n.has("bytesDv")) n.get("bytesDv").asLong() else -1L,
         rebases = if (n.has("rebases")) n.get("rebases").asLong() else 0L,
-        rederives = if (n.has("rederives")) n.get("rederives").asLong() else 0L))
+        rederives = if (n.has("rederives")) n.get("rederives").asLong() else 0L,
+        txnMarker =
+          if (n.has("txnMarker")) Some(n.get("txnMarker").asText()) else None))
     }
   }
 
@@ -361,6 +368,17 @@ object FileCow extends CowWritePath with CowDeletionVectors
 
   def currentVersion(root: String): Long =
     CommitBackend.active.currentVersion(root)
+
+  /** The newest version VISIBLE to a reader (VERDICT r14 #3): at or below
+    * [[currentVersion]], skipping a head gated by a cross-table
+    * transaction whose marker has not committed (a thread's own open txn
+    * reads its writes). Read paths and statement derivations resolve
+    * here; vacuum/orphan/roll-forward machinery stays on
+    * [[currentVersion]] — gated versions are real commits, never
+    * orphans. Steady-state cost is one cache lookup (clean and
+    * committed-gated versions are permanently visible). */
+  def visibleVersion(root: String): Long =
+    GraftTransactions.visibleVersion(root, currentVersion(root))
 
   /** A version is RETAINED while its manifest is still derivable: a full
     * checkpoint dir, or a commit record to fold over the previous
@@ -440,7 +458,10 @@ object FileCow extends CowWritePath with CowDeletionVectors
     * `TIMESTAMP AS OF` resolution; the filter-then-max spelling tolerates
     * any residual same-millisecond ties. */
   def versionAtTimestamp(root: String, epochMs: Long): Long = {
-    val eligible = versions(root).filter(commitTimeOf(root, _) <= epochMs)
+    val vis = visibleVersion(root)
+    val eligible = versions(root).filter(_ <= vis)
+      .filter(GraftTransactions.versionVisible(root, _)) // skip aborted-txn versions
+      .filter(commitTimeOf(root, _) <= epochMs)
     require(eligible.nonEmpty,
       s"no version of $root existed at or before epoch-ms $epochMs " +
         s"(earliest retained: ${versions(root).headOption.getOrElse("none")})")
@@ -685,7 +706,7 @@ object FileCow extends CowWritePath with CowDeletionVectors
       versionAsOf: Option[Long] = None): Commit = {
     require(currentVersion(tgtRoot) == 0L && versions(tgtRoot).isEmpty,
       s"table already exists at $tgtRoot")
-    val v = versionAsOf.getOrElse(currentVersion(srcRoot))
+    val v = versionAsOf.getOrElse(visibleVersion(srcRoot))
     require(isRetained(srcRoot, v),
       s"version $v is not retained under $srcRoot")
     // a clone's manifest names the source's files but its vacuum-safety
@@ -759,9 +780,10 @@ object FileCow extends CowWritePath with CowDeletionVectors
     }.toSet
   }
 
-  /** Read the current snapshot. */
+  /** Read the current VISIBLE snapshot (an open cross-table txn's gated
+    * head resolves below the gate — see [[GraftTransactions]]). */
   def read(spark: SparkSession, root: String): DataFrame =
-    readVersion(spark, root, currentVersion(root))
+    readVersion(spark, root, visibleVersion(root))
 
   /** Time travel: snapshot `version`, planned through the manifest — pushed
     * filters on stat columns prune data files at `listFiles` time. If the

@@ -62,7 +62,7 @@ class GraftCowDataSource extends RelationProvider
     val r = root(params)
     if (readsChangeFeed(params)) ("graft-cow", CdfSource.feedSchema(r))
     else {
-      val v = FileCow.currentVersion(r)
+      val v = FileCow.visibleVersion(r)
       require(v > 0L, s"graft-cow: no published version under $r")
       ("graft-cow", FileCow.schemaOf(r, v))
     }
@@ -233,11 +233,16 @@ class GraftCowDataSource extends RelationProvider
     if (p.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(p)).toString
     else p
 
-  private def resolveVersion(root: String, params: Map[String, String]): Long =
-    params.get("versionAsOf").map(_.toLong)
+  private def resolveVersion(root: String, params: Map[String, String]): Long = {
+    val v = params.get("versionAsOf").map(_.toLong)
       .orElse(params.get("timestampAsOf").map(ts =>
         FileCow.versionAtTimestamp(root, parseTs(ts))))
-      .getOrElse(FileCow.currentVersion(root))
+      .getOrElse(FileCow.visibleVersion(root))
+    // an explicitly named version inside an open/aborted cross-table txn
+    // was never visible — refuse rather than serve phantom state
+    GraftTransactions.requireReadable(root, v)
+    v
+  }
 
   private def parseTs(s: String): Long =
     if (s.forall(_.isDigit)) s.toLong
@@ -288,6 +293,6 @@ class GraftCowDataSource extends RelationProvider
         create()
       case SaveMode.Ignore => if (!exists) create()
     }
-    FileCow.relationFor(spark, r, FileCow.currentVersion(r))
+    FileCow.relationFor(spark, r, FileCow.visibleVersion(r))
   }
 }

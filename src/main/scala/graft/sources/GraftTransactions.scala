@@ -1,0 +1,334 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** CROSS-TABLE TRANSACTIONS (VERDICT r14 #3): N single-table commits made
+  * atomically visible by ONE conditional-put decision.
+  *
+  * The reference's orchestrator writes fact + summary + audit in sequence
+  * and gets multi-table consistency only by convention
+  * (main_orchestrator.py:18-36); Delta has the same gap (its
+  * multi-statement transactions are catalog-side). This seam closes it
+  * with the same primitive the commit protocol already trusts:
+  *
+  *  - `run { body }` creates a PENDING txn marker, then every graft commit
+  *    the body issues (FileCow API or SQL DML — the driver-side commit
+  *    path runs on the calling thread) lands through the NORMAL per-table
+  *    CAS but with the record stamped `txnMarker`. A stamped version is
+  *    a real commit that is NOT YET VISIBLE.
+  *  - The marker's decision file (`<base>.final.json`) is written via
+  *    PUT-IF-ABSENT — one atomic decision, committed or aborted, exactly
+  *    the arbitration model of [[ConditionalPutBackend]]. That put is THE
+  *    cross-table commit point: the instant it lands, every stamped
+  *    version everywhere flips visible together.
+  *  - Readers resolve tables at [[visibleVersion]]: the newest version
+  *    whose gating txn (if any) is COMMITTED. Clean and
+  *    committed-gated versions cache as permanently visible (the states
+  *    are immutable), so steady-state resolution costs one map lookup;
+  *    only a table with an open txn pays a marker read per resolution.
+  *  - Writers never build on invisible data: the statement derive loop
+  *    reads the visible version, and [[checkGate]] (run before every
+  *    commit attempt) refuses — loudly, with the cure — while a foreign
+  *    txn is open on the table. A txn dead past
+  *    `graft.txn.timeoutMs` is broken by the same put-if-absent (decision
+  *    = aborted), and aborted-gated heads are healed by a `txn_revert`
+  *    commit (restore-shaped: the last clean version's manifest, schema,
+  *    props and DV registry — metadata-sized, no data file rewritten)
+  *    before the writer's own commit proceeds.
+  *
+  * Single-process coordination, multi-process safety: the BODY runs in one
+  * JVM on one thread (the reference's orchestrator shape), but crash
+  * recovery, visibility, stale-break and heal are all cross-process —
+  * any reader/writer of any participating table enforces them from the
+  * marker files alone.
+  *
+  * Object-store deployment: the marker decision is one conditional PUT
+  * (S3 `If-None-Match: *`), the pending/decision files are tiny JSON, and
+  * gating adds zero per-commit store ops (the stamp rides inside the
+  * commit record that already lands).
+  */
+object GraftTransactions {
+
+  sealed trait TxnState
+  case object Committed extends TxnState
+  case object Aborted extends TxnState
+  /** Open; `startMs` drives the stale-break timeout. */
+  final case class Pending(startMs: Long) extends TxnState
+
+  /** A coordinator's live transaction: the marker base path plus the
+    * participant versions its commits landed (root -> landed versions,
+    * in landing order — the heal set if the txn aborts). */
+  private final class ActiveTxn(val markerBase: String) {
+    val participants =
+      new scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
+  }
+
+  private val active = new ThreadLocal[ActiveTxn]
+
+  /** Marker decisions memoized for [[consistentRead]]'s scope (including
+    * Pending — the scope pins ONE observation, so two tables gated by the
+    * same marker can never resolve across its flip). */
+  private val readSnapshot = new ThreadLocal[java.util.HashMap[String, TxnState]]
+
+  /** Final marker decisions are immutable — cache them forever. */
+  private val decidedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TxnState]()
+
+  /** (root @ version) -> permanently visible: clean records (no marker)
+    * and committed-gated records never change state. Bounded: cleared
+    * wholesale if it ever grows past metadata size. */
+  private val visibleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def pendingPath(base: String) = base + ".json"
+  private def finalPath(base: String) = base + ".final.json"
+
+  private def timeoutMs: Long =
+    Option(System.getProperty("graft.txn.timeoutMs")).map(_.toLong)
+      .getOrElse(900000L)
+
+  /** The marker's state, one tiny read (memoized per [[consistentRead]]
+    * scope; final states cached forever). */
+  def state(markerBase: String): TxnState = {
+    val snap = readSnapshot.get()
+    if (snap != null && snap.containsKey(markerBase)) return snap.get(markerBase)
+    val s = Option(decidedCache.get(markerBase)).getOrElse {
+      LocalFsObjectStore.read(finalPath(markerBase)) match {
+        case Some(b) =>
+          val outcome = FileCow.jsonMapper.readTree(b).path("outcome").asText("")
+          val st = if (outcome == "committed") Committed else Aborted
+          decidedCache.put(markerBase, st)
+          st
+        case None =>
+          val startMs = LocalFsObjectStore.read(pendingPath(markerBase))
+            .map(b => FileCow.jsonMapper.readTree(b).path("startMs").asLong(0L))
+            .getOrElse(0L)
+          Pending(startMs)
+      }
+    }
+    if (snap != null) snap.put(markerBase, s)
+    s
+  }
+
+  /** Decide the txn — the atomic cross-table commit point. True = THIS
+    * call decided; false = a decision already stood (read it back via
+    * [[state]]). */
+  private def decide(markerBase: String, outcome: String): Boolean = {
+    val n = FileCow.jsonMapper.createObjectNode()
+    n.put("outcome", outcome)
+    n.put("decidedMs", System.currentTimeMillis())
+    val won = LocalFsObjectStore.putIfAbsent(
+      finalPath(markerBase), FileCow.jsonMapper.writeValueAsBytes(n))
+    if (won) decidedCache.put(markerBase,
+      if (outcome == "committed") Committed else Aborted)
+    won
+  }
+
+  /** Abort an open txn by marker path (the ops escape hatch for a dead
+    * coordinator; also what the stale-break does). True = this call
+    * decided the abort. */
+  def abort(markerBase: String): Boolean = decide(markerBase, "aborted")
+
+  /** The marker the CURRENT thread's open transaction stamps, if any. */
+  private[sources] def activeMarker: Option[String] =
+    Option(active.get()).map(_.markerBase)
+
+  /** Record a landed commit as a participant of the thread's open txn. */
+  private[sources] def registerParticipant(root: String, version: Long): Unit = {
+    val t = active.get()
+    if (t != null) {
+      t.participants.getOrElseUpdate(root,
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += version
+      ()
+    }
+  }
+
+  /** Run `body` as one cross-table transaction. Every graft commit the
+    * body issues on THIS thread gates behind the txn's marker; on normal
+    * return the marker commits (one conditional put — all participants
+    * flip visible atomically); on exception the marker aborts and every
+    * participating table is healed with a `txn_revert` commit before the
+    * exception rethrows. `markerDir` must be a location all readers and
+    * writers of the participating tables can reach (a warehouse `_txns/`
+    * dir is the natural home). */
+  def run[T](spark: SparkSession, markerDir: String)(body: => T): T = {
+    require(active.get() == null,
+      "cross-table transactions do not nest (an open transaction is " +
+        "already bound to this thread)")
+    Files.createDirectories(Paths.get(markerDir))
+    val base = Paths.get(markerDir)
+      .resolve(s"txn-${java.util.UUID.randomUUID().toString}")
+      .toAbsolutePath.normalize.toString
+    val pn = FileCow.jsonMapper.createObjectNode()
+    pn.put("startMs", System.currentTimeMillis())
+    LocalFsObjectStore.put(pendingPath(base),
+      FileCow.jsonMapper.writeValueAsBytes(pn))
+    val txn = new ActiveTxn(base)
+    active.set(txn)
+    try {
+      val result = body
+      if (!decide(base, "committed")) state(base) match {
+        case Committed => () // a duplicate decision of ours — idempotent
+        case _ =>
+          // a stale-breaker aborted us mid-run (timeout set too tight for
+          // the body): surface it — the heal below runs in the catch
+          throw new GraftTransactionAbortedException(base)
+      }
+      result
+    } catch {
+      case e: Throwable =>
+        abort(base) // idempotent; a prior break just confirms
+        if (state(base) == Aborted)
+          txn.participants.keys.foreach { r =>
+            try { active.remove(); revertAborted(spark, r) }
+            catch { case scala.util.control.NonFatal(_) => () }
+            finally active.set(txn)
+          }
+        throw e
+    } finally active.remove()
+  }
+
+  /** Resolve every graft read inside `body` against ONE observation of
+    * each txn marker — the cross-table snapshot spelling: two tables
+    * gated by the same marker resolve all-pre or all-post, never a mix,
+    * even if the marker commits mid-body. */
+  def consistentRead[T](body: => T): T = {
+    require(readSnapshot.get() == null, "consistentRead does not nest")
+    readSnapshot.set(new java.util.HashMap[String, TxnState]())
+    try body finally readSnapshot.remove()
+  }
+
+  /** The newest VISIBLE version at or below `head`: walk below versions
+    * gated by a non-committed txn. The walk is O(1) steady-state (clean /
+    * committed versions cache permanently; only an open txn's suffix
+    * re-reads its marker). A thread's OWN open txn reads its writes. */
+  private[sources] def visibleVersion(root: String, head: Long): Long = {
+    var v = head
+    while (v >= 1L && !versionVisible(root, v)) v -= 1
+    v
+  }
+
+  private[graft] def versionVisible(root: String, v: Long): Boolean = {
+    val key = s"$root@$v"
+    // inside a consistentRead scope the fast cache must not short-circuit:
+    // another thread may have cached a version committed AFTER this scope
+    // pinned its marker observation — route through state()'s memo instead
+    if (readSnapshot.get() == null && visibleCache.containsKey(key)) return true
+    FileCow.commitInfo(root, v) match {
+      case None => visibleCache.put(key, true); true // pre-log: no gate
+      case Some(ci) => ci.txnMarker match {
+        case None => visibleCache.put(key, true); true
+        case Some(m) if activeMarker.contains(m) => true // read-your-writes
+        case Some(m) => state(m) match {
+          case Committed =>
+            if (visibleCache.size > 100000) visibleCache.clear()
+            visibleCache.put(key, true); true
+          case _ => false // pending or aborted: below the gate
+        }
+      }
+    }
+  }
+
+  /** Refuse a version the caller named explicitly (time travel) when it
+    * was gated by a txn that is not committed. */
+  private[graft] def requireReadable(root: String, v: Long): Unit =
+    FileCow.commitInfo(root, v).flatMap(_.txnMarker)
+      .filterNot(activeMarker.contains).foreach { m =>
+        state(m) match {
+          case Committed => ()
+          case Aborted => sys.error(s"version $v of $root belongs to an " +
+            s"ABORTED cross-table transaction ($m) — it was never visible")
+          case Pending(_) => sys.error(s"version $v of $root belongs to an " +
+            s"OPEN cross-table transaction ($m) — not yet visible " +
+            "(commit or abort the transaction first)")
+        }
+      }
+
+  /** The writer-side gate (run from the commit conflict handler):
+    * `expected` is the version the statement derived against (the VISIBLE
+    * head), `head` the raw head its CAS just lost to; anything between is
+    * either a plain lost race (handled by re-derive) or a txn gate to
+    * resolve — break a stale txn, heal an aborted one (the `txn_revert`
+    * commit), refuse loudly on a live open one. */
+  private[sources] def checkGate(spark: SparkSession, root: String,
+      expected: Long, head: Long): Unit = {
+    if (head <= expected) return
+    var sawAborted = false
+    var v = head
+    while (v > math.max(expected, 0L)) {
+      FileCow.commitInfo(root, v).flatMap(_.txnMarker)
+        .filterNot(activeMarker.contains).foreach { m =>
+          state(m) match {
+            case Committed => ()
+            case Aborted => sawAborted = true
+            case Pending(startMs) =>
+              val age = System.currentTimeMillis() - startMs
+              if (age > timeoutMs) {
+                decide(m, "aborted") // break the stale txn (CAS; loser reads back)
+                if (state(m) == Aborted) sawAborted = true
+              } else throw new GraftOpenTransactionException(root, m, v)
+          }
+        }
+      v -= 1
+    }
+    if (sawAborted) revertAborted(spark, root)
+  }
+
+  /** Heal an aborted-gated head: ONE `txn_revert` commit whose manifest,
+    * schema, properties and DV registry are the last clean version's —
+    * restore-shaped, metadata-sized, no data file read or written. Any
+    * process may heal; a lost CAS means another healer (or writer) got
+    * there first and the caller re-derives. */
+  private[sources] def revertAborted(spark: SparkSession, root: String): Unit = {
+    val head = FileCow.currentVersion(root)
+    var clean = head
+    while (clean >= 1L && {
+      FileCow.commitInfo(root, clean).flatMap(_.txnMarker)
+        .exists(m => state(m) == Aborted)
+    }) clean -= 1
+    if (clean == head || clean < 1L) return
+    // the aborted suffix is contiguous by construction: writers refuse to
+    // commit atop an unresolved gate, so nothing clean sits above it
+    val target = FileCow.manifest(spark, root, clean)
+    val current = FileCow.manifest(spark, root, head)
+    val added = target.join(current, Seq("file"), "left_anti")
+    val removed = current.join(target, Seq("file"), "left_anti")
+    val regCur = FileCow.dvRegistryOf(root, head)
+    val regTgt = FileCow.dvRegistryOf(root, clean)
+    val dvChanged = (regCur.keySet ++ regTgt.keySet)
+      .filter(b => regCur.get(b) != regTgt.get(b)).toSeq
+    val delta =
+      if (target.columns.toSeq == current.columns.toSeq)
+        FileCow.AddedSlice(added)
+      else FileCow.FullManifest(target)
+    try FileCow.commit(spark, root, head, delta,
+      FileCow.schemaOf(root, clean),
+      FileCow.CommitAction("txn_revert", FileCow.filePaths(added),
+        FileCow.filePaths(removed), dvFiles = dvChanged),
+      props = Some(FileCow.tableProps(root, clean)),
+      dvRegistry = Some(regTgt))
+    catch { case _: ConcurrentPublishException => () } // someone else healed
+    ()
+  }
+}
+
+/** A commit refused because the table's head is gated by a LIVE open
+  * cross-table transaction — the writer must wait for its decision (or
+  * abort it via [[GraftTransactions.abort]] / let the
+  * `graft.txn.timeoutMs` stale-break run). */
+class GraftOpenTransactionException(root: String, marker: String, version: Long)
+    extends RuntimeException(
+      s"table $root is gated by an OPEN cross-table transaction " +
+        s"(version $version, marker $marker): commit or abort the " +
+        "transaction, or wait for the graft.txn.timeoutMs stale-break")
+
+/** The coordinator's own txn was aborted out from under it (stale-break
+  * raced a long-running body). */
+class GraftTransactionAbortedException(marker: String)
+    extends RuntimeException(
+      s"cross-table transaction $marker was aborted by another process " +
+        "(stale-break?) before its commit decision — its writes were " +
+        "reverted and are not visible")

@@ -105,7 +105,7 @@ object MaterializedAgg {
   def initialize(spark: SparkSession, srcRoot: String, viewRoot: String,
       groupCols: Seq[String], sumCols: Seq[String]): Long = {
     require(applied(viewRoot) == (0L, 0L), s"view already initialized at $viewRoot")
-    val srcV = FileCow.currentVersion(srcRoot)
+    val srcV = FileCow.visibleVersion(srcRoot)
     val viewV = Versioned.publish(
       aggregate(FileCow.readVersion(spark, srcRoot, srcV), groupCols, sumCols), viewRoot)
     writeMarker(viewRoot, srcV, viewV)
@@ -121,7 +121,7 @@ object MaterializedAgg {
       keys: Seq[String], groupCols: Seq[String], sumCols: Seq[String]): (Long, Long) = {
     val (from, _) = applied(viewRoot)
     require(from > 0L, s"view at $viewRoot was never initialized")
-    val to = FileCow.currentVersion(srcRoot)
+    val to = FileCow.visibleVersion(srcRoot)
     if (to == from) return (from, to)
     val feed = FileCow.changesBetween(spark, srcRoot, keys, from, to)
     foldFeed(spark, feed, viewRoot, groupCols, sumCols, srcTo = to)

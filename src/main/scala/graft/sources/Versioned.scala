@@ -99,6 +99,12 @@ object Versioned {
     * would race the version allocation; that coordination is exactly what
     * an ACID catalog adds at this seam (ADR-001). */
   def publish(df: DataFrame, root: String): Long = {
+    // cross-table txns (VERDICT r14 #3) gate COMMIT RECORDS, which the
+    // snapshot layout does not write — a silent non-participant inside
+    // run{} would break the atomicity promise, so refuse loudly
+    require(GraftTransactions.activeMarker.isEmpty,
+      s"snapshot-level table $root cannot participate in a cross-table " +
+        "transaction (no commit record to gate) — use a cow-layout table")
     val next = currentVersion(root) + 1
     val snap = versionsDir(root).resolve(s"v$next")
     val staging = versionsDir(root).resolve(s"v$next.staging")
@@ -185,6 +191,9 @@ object Versioned {
     * needs — the swap body is the seam (ADR-001), the retry protocol
     * around it is the part that carries over unchanged. */
   def publishIf(df: DataFrame, root: String, expectedVersion: Long): Long = {
+    require(GraftTransactions.activeMarker.isEmpty,
+      s"snapshot-level table $root cannot participate in a cross-table " +
+        "transaction (no commit record to gate) — use a cow-layout table")
     val next = expectedVersion + 1
     val snap = versionsDir(root).resolve(s"v$next")
     // Stage under a writer-unique name: two contenders must not collide on

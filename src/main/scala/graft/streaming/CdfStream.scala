@@ -148,7 +148,7 @@ object CdfSource {
       }
       val v = params.get("startingVersion").map(_.toLong)
         .orElse(fromTs)
-        .getOrElse(FileCow.currentVersion(root))
+        .getOrElse(FileCow.visibleVersion(root))
       java.nio.file.Files.createDirectories(pinned.getParent)
       val tmp = pinned.resolveSibling("graft-cdf-start.tmp")
       java.nio.file.Files.write(tmp,
@@ -349,7 +349,7 @@ object CdfSource {
 
   /** Table schema + Delta's `_change_type` and `_commit_version`. */
   def feedSchema(root: String): StructType = {
-    val v = FileCow.currentVersion(root)
+    val v = FileCow.visibleVersion(root)
     require(v > 0, s"graft-cdf: no published version under $root")
     StructType(FileCow.schemaOf(root, v).fields ++ Seq(
       StructField("_change_type", StringType, nullable = false),
@@ -391,7 +391,7 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
     onlyIfAbsent = true)
 
   override def getOffset: Option[Offset] = {
-    val v = FileCow.currentVersion(root)
+    val v = FileCow.visibleVersion(root)
     val capped = ratePos.fold(v)(pos => CdfSource.admitUpTo(root, pos.get, v,
       maxVersionsPerTrigger, maxBytesPerTrigger, readsRemoved = true))
     if (capped > startVersion) Some(LongOffset(capped)) else None
@@ -409,14 +409,14 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
   @volatile private var availableNowEnd: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(FileCow.currentVersion(root))
+    availableNowEnd = Some(FileCow.visibleVersion(root))
 
   override def getDefaultReadLimit: ReadLimit =
     CdfSource.defaultLimit(maxVersionsPerTrigger, maxBytesPerTrigger)
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = Option(start).map(CdfSource.versionOf).getOrElse(startVersion)
-    val current = FileCow.currentVersion(root)
+    val current = FileCow.visibleVersion(root)
     val planned = availableNowEnd.fold(current)(math.min(current, _))
     val (mv, mb) = CdfSource.limitCaps(limit)
     val capped = CdfSource.admitUpTo(root, from, planned, mv, mb,
@@ -435,7 +435,7 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
     // ones that still exist NOW were added later (replay below the pin);
     // a column gone from the current schema was dropped/renamed mid-run
     val currentCols =
-      FileCow.schemaOf(root, FileCow.currentVersion(root)).fieldNames.toSet
+      FileCow.schemaOf(root, FileCow.visibleVersion(root)).fieldNames.toSet
     val perCommit = (from until to).map { v =>
       val feed =
         if (v == 0L) // genesis: version 1 IS the insert feed

@@ -69,7 +69,7 @@ class CowTableSource(ctx: SQLContext, root: String,
     onlyIfAbsent = true, readsRemoved = false)
 
   override def getOffset: Option[Offset] = {
-    val v = FileCow.currentVersion(root)
+    val v = FileCow.visibleVersion(root)
     val capped = ratePos.fold(v)(pos => CdfSource.admitUpTo(root, pos.get, v,
       maxVersionsPerTrigger, maxBytesPerTrigger))
     if (capped > startVersion) Some(LongOffset(capped)) else None
@@ -85,7 +85,7 @@ class CowTableSource(ctx: SQLContext, root: String,
   @volatile private var availableNowEnd: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(FileCow.currentVersion(root))
+    availableNowEnd = Some(FileCow.visibleVersion(root))
 
   /** Offsets are table VERSIONS, so `maxVersionsPerTrigger` maps onto the
     * engine's max-rows limit shape (rows := versions here, the same way
@@ -96,7 +96,7 @@ class CowTableSource(ctx: SQLContext, root: String,
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = Option(start).map(CdfSource.versionOf).getOrElse(startVersion)
-    val current = FileCow.currentVersion(root)
+    val current = FileCow.visibleVersion(root)
     val planned = availableNowEnd.fold(current)(math.min(current, _))
     val (mv, mb) = CdfSource.limitCaps(limit)
     val capped = CdfSource.admitUpTo(root, from, planned, mv, mb)
@@ -164,7 +164,7 @@ class CowTableSource(ctx: SQLContext, root: String,
     locally {
       val atTo = graft.sources.FileCow.schemaOf(root, to)
       val atCur = graft.sources.FileCow.schemaOf(
-        root, graft.sources.FileCow.currentVersion(root))
+        root, graft.sources.FileCow.visibleVersion(root))
       def idOf(f: org.apache.spark.sql.types.StructField): Option[Long] =
         if (f.metadata.contains(graft.sources.FileCow.FieldIdKey))
           Some(f.metadata.getLong(graft.sources.FileCow.FieldIdKey))

@@ -646,6 +646,26 @@ object StressMultiWriter {
         Seq((9000001L, "victim", 9L)).toDF("k", "val", "u"))
       ()
 
+    // round-15 (VERDICT r14 #3): a cross-table txn coordinator SIGKILLed
+    // BETWEEN its two table commits — the atomicity crash window. Lands
+    // the first table's gated commit, drops the touch-file, hangs for the
+    // parent's SIGKILL; the parent proves readers see pre-state on BOTH
+    // tables and the stale-break + txn_revert heal unblocks writers.
+    case Some("txnvictim") =>
+      val Array(_, root1, root2, txnDir, touchPath) = args
+      val spark = session(2, "graft-mw-txnvictim")
+      import spark.implicits._
+      graft.sources.GraftTransactions.run(spark, txnDir) {
+        FileCow.append(spark, root1,
+          Seq((777001L, "txn", 7L)).toDF("k", "val", "u"))
+        Files.write(Paths.get(touchPath),
+          "t1-committed".getBytes(StandardCharsets.UTF_8))
+        Thread.sleep(120000L) // the parent's SIGKILL lands here
+        FileCow.append(spark, root2,
+          Seq((777002L, "txn", 7L)).toDF("k", "val", "u"))
+      }
+      ()
+
     case Some("killsweep") =>
       val rounds = args.drop(1).headOption.map(_.toInt).getOrElse(3)
       // `killsweep N cput` runs the whole sweep (this process + every
