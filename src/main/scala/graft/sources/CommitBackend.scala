@@ -410,6 +410,7 @@ private[graft] final class ConditionalPutBackend(store: CommitObjectStore)
             s"gone along with its staged copy $tmp — reclaimed by an " +
             "age-0 vacuum racing an in-flight commit?")
         }
+        FileCow.CommitHooks.afterRollForwardArtifact(root, v, i)
       }
     }
     if (hint(root) < v)

@@ -261,10 +261,18 @@ object FileCow extends CowWritePath with CowDeletionVectors
       * (a crash there must leave a commit any process completes fully,
       * moves AND absent-artifact cleanups). */
     @volatile var afterCommitRecordPut: (String, Long) => Unit = (_, _) => ()
+    /** Fires inside a conditional-put roll-forward after EACH artifact is
+      * consumed (index into the record's commitArtifacts) — the round-15
+      * killsweep SIGKILLs a roller mid-way through a multi-artifact
+      * roll-forward (some moves consumed, some still staged) while a
+      * second roller races the same record. */
+    @volatile var afterRollForwardArtifact: (String, Long, Int) => Unit =
+      (_, _, _) => ()
     def reset(): Unit = {
       beforeCommit = (_, _) => ()
       beforeRebaseCommit = (_, _) => ()
       afterCommitRecordPut = (_, _) => ()
+      afterRollForwardArtifact = (_, _, _) => ()
     }
   }
 

@@ -646,6 +646,28 @@ object StressMultiWriter {
         Seq((9000001L, "victim", 9L)).toDF("k", "val", "u"))
       ()
 
+    // round-15 killsweep variation (VERDICT r14 #8): a conditional-put
+    // ROLLER SIGKILLed mid-way through a multi-artifact roll-forward —
+    // the first artifact (the delta dir) consumed, the rest (schema /
+    // props files) still at staged names — so the parent can prove a
+    // second roller completes the half-rolled record from the staged
+    // leftovers alone.
+    case Some("rollvictim") =>
+      val Array(_, root, markerPath) = args
+      System.setProperty("graft.commit.backend", "cput")
+      val spark = session(2, "graft-mw-rollvictim")
+      import spark.implicits._
+      FileCow.CommitHooks.afterRollForwardArtifact = (r, _, i) =>
+        if (r == root && i == 0) {
+          Files.write(Paths.get(markerPath),
+            "mid-roll".getBytes(StandardCharsets.UTF_8))
+          Thread.sleep(120000L) // the parent's SIGKILL lands here (lock held)
+          ()
+        }
+      FileCow.append(spark, root,
+        Seq((9000002L, "roller", 9L)).toDF("k", "val", "u"))
+      ()
+
     // round-15 (VERDICT r14 #3): a cross-table txn coordinator SIGKILLed
     // BETWEEN its two table commits — the atomicity crash window. Lands
     // the first table's gated commit, drops the touch-file, hangs for the

@@ -139,6 +139,94 @@ class RoundKillSpec extends SparkSpec {
     } finally System.clearProperty("graft.commit.backend")
   }
 
+  test("SIGKILL a cput roller MID-roll-forward: racing rollers complete the half-rolled record") {
+    // VERDICT r14 #8: the victim consumed the record's first artifact
+    // (the delta dir) and died with the rest (schema/props) still at
+    // staged names. Two concurrent rollers then race the SAME record —
+    // staged-temp consumption under the rename lock must complete it
+    // exactly once, whichever wins each artifact.
+    System.setProperty("graft.commit.backend", "cput")
+    try {
+      val base = Files.createTempDirectory("graft-rollkill")
+      val root = base.resolve("t").toString
+      StressMultiWriter.createTable(spark, root) // props-carrying (bloom cols)
+      val marker = base.resolve("mid-roll").toString
+      val victim = StressMultiWriter.fork(Seq("rollvictim", root, marker))
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (victim.isAlive && !Files.exists(Paths.get(marker))) {
+        assert(System.nanoTime() < deadline, "victim never reached mid-roll")
+        Thread.sleep(25)
+      }
+      if (!Files.exists(Paths.get(marker)))
+        fail(s"victim exited (${victim.exitValue()}) before mid-roll")
+      victim.destroyForcibly(); victim.waitFor()
+
+      // two racing rollers: both probes must complete the record
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val rollers = (0 until 2).map(_ => new Thread(() =>
+        try seen.add(FileCow.currentVersion(root))
+        catch { case e: Throwable => errs.add(e) }))
+      rollers.foreach(_.start()); rollers.foreach(_.join())
+      assert(errs.isEmpty, errs.toArray.mkString("; "))
+      assert(seen.toArray.forall(_ == 2L), seen.toArray.mkString(","))
+
+      // every artifact at its fixed name, none staged, reads complete
+      assert(Files.exists(Paths.get(root, "_manifests", "m2.schema.json")))
+      assert(Files.exists(Paths.get(root, "_manifests", "m2.props.json")))
+      assert(FileCow.read(spark, root).filter(col("val") === "roller").count() == 1L)
+      assert(FileCow.read(spark, root).count() ==
+        StressMultiWriter.SharedKeys.size + 1L)
+      FileCow.vacuum(spark, root, keep = 1000, minAgeMs = 0L)
+      assert(FileCow.vacuumPlan(spark, root, 1000, 0L).isEmpty)
+      val staged = {
+        val l = Files.list(Paths.get(root, "_manifests"))
+        try {
+          val it = l.iterator(); var acc = List.empty[String]
+          while (it.hasNext) { val f = it.next().getFileName.toString
+            if (f.contains(".staging-")) acc ::= f }
+          acc
+        } finally l.close()
+      }
+      assert(staged.isEmpty, s"staging leftovers survived: $staged")
+    } finally System.clearProperty("graft.commit.backend")
+  }
+
+  test("a recorded commit whose staged artifacts were reclaimed fails LOUDLY, never silently") {
+    // VERDICT r14 #8: the artifact-gone check in roll-forward is the
+    // guard against an age-0 vacuum racing an in-flight commit — a
+    // recorded version whose artifacts vanished (tmp consumed-nor-final)
+    // must refuse the probe with the vacuum diagnosis, not resolve a
+    // torn version.
+    System.setProperty("graft.commit.backend", "cput")
+    try {
+      val base = Files.createTempDirectory("graft-gonekill")
+      val root = base.resolve("t").toString
+      StressMultiWriter.createTable(spark, root)
+      val marker = base.resolve("record-landed").toString
+      val victim = StressMultiWriter.fork(Seq("cleanupvictim", root, marker))
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (victim.isAlive && !Files.exists(Paths.get(marker))) {
+        assert(System.nanoTime() < deadline, "victim never landed its record")
+        Thread.sleep(25)
+      }
+      victim.destroyForcibly(); victim.waitFor()
+      // simulate the rogue reclaim: every staged temp of the un-rolled
+      // commit vanishes (what an age-0 vacuum racing the roll would do)
+      val l = Files.list(Paths.get(root, "_manifests"))
+      try {
+        val it = l.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.contains(".staging-")) FileCow.deleteTree(p)
+        }
+      } finally l.close()
+      val e = intercept[RuntimeException] { FileCow.currentVersion(root) }
+      assert(e.getMessage.contains("vacuum"),
+        s"expected the loud vacuum diagnosis, got: ${e.getMessage}")
+    } finally System.clearProperty("graft.commit.backend")
+  }
+
   test("SIGKILL a DDL racer while another process CREATEs the same name: store untorn, name not wedged") {
     val baseDir = Files.createTempDirectory("graft-ddlkill")
     val wh = baseDir.resolve("wh").toString
