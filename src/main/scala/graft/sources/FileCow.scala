@@ -495,10 +495,19 @@ object FileCow extends CowWritePath with CowDeletionVectors
         // conflict-resolution story — how many lost CASes it re-folded
         // over vs how many full statement re-derives it cost
         case Some(ci) =>
+          // txn_status (VERDICT r14 #3): how a cross-table-gated version
+          // stands — committed / open / aborted — null for ordinary
+          // commits; the audit view of which history a reader resolves
+          val txnStatus = ci.txnMarker.map(m =>
+            GraftTransactions.state(m) match {
+              case GraftTransactions.Committed => "committed"
+              case GraftTransactions.Aborted => "aborted"
+              case GraftTransactions.Pending(_) => "open"
+            }).orNull
           Seq((v, commitMs, ci.kind, ci.nFiles, ci.nRows, ci.bytes,
-            ci.rebases, ci.rederives))
+            ci.rebases, ci.rederives, txnStatus))
             .toDF("version", "commit_ms", "operation", "n_files", "n_rows",
-              "bytes", "rebases", "rederives")
+              "bytes", "rebases", "rederives", "txn_status")
         case None => // pre-log version: aggregate its manifest, kind unknown
           manifest(spark, root, v)
             .agg(count(lit(1)).as("n_files"),
@@ -507,7 +516,8 @@ object FileCow extends CowWritePath with CowDeletionVectors
             .select(lit(v).as("version"), lit(commitMs).as("commit_ms"),
               lit(null).cast("string").as("operation"),
               col("n_files"), col("n_rows"), col("bytes"),
-              lit(0L).as("rebases"), lit(0L).as("rederives"))
+              lit(0L).as("rebases"), lit(0L).as("rederives"),
+              lit(null).cast("string").as("txn_status"))
       }
     }
     require(perVersion.nonEmpty, s"no retained versions under $root")

@@ -94,6 +94,13 @@ class GraftTransactionsSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("ABORTED"), e.getMessage)
     }
+    // DESCRIBE HISTORY tells the story: the gated version reads aborted,
+    // the heal and the ordinary commits read null
+    val hist = FileCow.history(spark, fact)
+      .select("version", "txn_status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hist(2L) == "aborted" && hist(1L) == null && hist(3L) == null,
+      hist.toString)
     // ordinary writes proceed on the healed head
     appendOne(fact, 201L)
     assert(FileCow.read(spark, fact).count() == 11L)
