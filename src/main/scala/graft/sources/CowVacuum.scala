@@ -186,7 +186,13 @@ private[sources] trait CowVacuum { this: FileCow.type =>
       pruneDead: Boolean, minAgeMs: Long): Seq[Long] = {
     val all = versions(root)
     val base = all.takeRight(math.max(keep, 1))
-    val floor = streamFloor(root, pruneDead, minAgeMs)
+    // retention counts from the RAW head, but while a cross-table txn is
+    // open the VISIBLE version is below it and every reader still
+    // resolves there — an aggressive keep must not drop the manifest the
+    // table currently serves (the txn decides and the floor lifts)
+    val visFloor = Some(visibleVersion(root)).filter(_ >= 1L)
+    val floor = (streamFloor(root, pruneDead, minAgeMs).toSeq ++ visFloor)
+      .minOption
     (base.headOption, floor) match {
       case (Some(h), Some(f)) if f < h => all.filter(_ >= f)
       case _ => base

@@ -142,6 +142,11 @@ class GraftTransactionsSpec extends SparkSpec {
       landed.await()
       val e = intercept[GraftOpenTransactionException] { appendOne(fact, 401L) }
       assert(e.getMessage.contains("OPEN cross-table transaction"), e.getMessage)
+      // an aggressive vacuum while the gate is open must not drop the
+      // manifest the table currently SERVES (the visible version)
+      FileCow.vacuum(spark, fact, keep = 1, minAgeMs = 0L)
+      assert(FileCow.read(spark, fact).count() == 10L,
+        "the visible version must survive keep=1 vacuum under an open gate")
     } finally { gate.countDown(); txnThread.join() }
     assert(txnErr.get() == null, s"txn thread failed: ${txnErr.get()}")
     // decided now: the foreign writer proceeds on top of the txn's commit
