@@ -139,6 +139,7 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
       current.filter(!coalesce(GraftBridge.column(c.cond.e), lit(false)))
     }) :: Nil
     case c: GraftVacuumCommand => GraftVacuumExec(c) :: Nil
+    case c: GraftTxnCommand => GraftTxnExec(c) :: Nil
     case c: GraftRestoreCommand => GraftCowExec(c.table, { spark =>
       FileCow.restore(spark, c.root, c.toVersion); ()
     }) :: Nil

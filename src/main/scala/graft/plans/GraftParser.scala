@@ -97,6 +97,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * Spark's own SHOW TABLES untouched. */
   private val ShowTables = """(?is)\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*""".r
 
+  /** Cross-table transactions, SQL spelling (VERDICT r14 #3): `BEGIN
+    * GRAFT TRANSACTION [AT '<dir>']` binds a txn to the session's
+    * driver thread (markers default under the attached warehouse's
+    * `_txns/`), every graft DML until the decision lands gated, `COMMIT
+    * GRAFT TRANSACTION` is the atomic visibility flip and `ROLLBACK
+    * GRAFT TRANSACTION` aborts + heals. `SHOW GRAFT TRANSACTIONS` lists
+    * the markers (the handle a survivor aborts a dead coordinator by). */
+  private val TxnBegin =
+    """(?is)\s*BEGIN\s+GRAFT\s+TRANSACTION(?:\s+AT\s+'([^']+)')?\s*;?\s*""".r
+  private val TxnCommit = """(?is)\s*COMMIT\s+GRAFT\s+TRANSACTION\s*;?\s*""".r
+  private val TxnRollback = """(?is)\s*ROLLBACK\s+GRAFT\s+TRANSACTION\s*;?\s*""".r
+  private val TxnShow =
+    """(?is)\s*SHOW\s+GRAFT\s+TRANSACTIONS(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+
   /** CHECK constraints + table properties (cow tables): the Delta
     * `ADD CONSTRAINT … CHECK` surface. Spark's grammar has no ADD
     * CONSTRAINT, so these are prefix intercepts like VACUUM. */
@@ -310,6 +324,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     createSchema(sqlText).getOrElse(parsePlanRest(sqlText))
   }
 
+  /** Marker location for the txn statements: explicit AT/IN '<dir>', else
+    * the attached warehouse's `_txns/`. */
+  private def txnDir(explicit: String): String =
+    Option(explicit).getOrElse(GraftTables.warehouse
+      .map(w => java.nio.file.Paths.get(w).resolve("_txns").toString)
+      .getOrElse(sys.error("graft transactions: no attached graft " +
+        "warehouse (GraftTables.attachWarehouse / spark.graft.warehouse) — " +
+        "name the marker location explicitly: ... GRAFT TRANSACTION[S] " +
+        "AT/IN '<dir>'")))
+
   private def parsePlanRest(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(name, n, hours, dryRun) =>
       GraftTables.resolveName(name) match {
@@ -502,6 +526,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         .toSeq.sortBy(_._1)
       import session.implicits._
       rows.toDF("key", "value").queryExecution.analyzed
+    case TxnBegin(dir) => GraftTxnCommand("begin", Some(txnDir(dir)))
+    case TxnCommit() => GraftTxnCommand("commit", None)
+    case TxnRollback() => GraftTxnCommand("rollback", None)
+    case TxnShow(dir) =>
+      val rows = graft.sources.GraftTransactions.listTransactions(txnDir(dir))
+      import session.implicits._
+      rows.toDF("marker", "status", "started_ms", "decided_ms")
+        .queryExecution.analyzed
+
     case ShowTables() =>
       val rows = GraftTables.all().map { case (name, e) =>
         val version =
@@ -595,6 +628,30 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   * (7 days, Delta's default) applies — an age-0 vacuum deletes the fresh
   * still-unreferenced data files of any commit in flight, so 0 must be
   * asked for explicitly (`OLDER THAN 0 HOURS`), never defaulted into. */
+/** Cross-table transaction control (VERDICT r14 #3): `op` is begin /
+  * commit / rollback; `markerDir` only for begin (the marker location —
+  * explicit AT '<dir>' or the warehouse's `_txns/`). The txn binds the
+  * session's driver thread — the same thread every `spark.sql` statement
+  * of an orchestrator runs on. */
+case class GraftTxnCommand(op: String, markerDir: Option[String])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
+case class GraftTxnExec(cmd: GraftTxnCommand) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  private lazy val done: Unit = {
+    cmd.op match {
+      case "begin" => graft.sources.GraftTransactions.begin(cmd.markerDir.get)
+      case "commit" => graft.sources.GraftTransactions.commitActive(session)
+      case "rollback" => graft.sources.GraftTransactions.rollbackActive(session)
+    }
+    ()
+  }
+  protected override def doExecute(): RDD[InternalRow] = { done; sparkContext.emptyRDD }
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+}
+
 case class GraftVacuumCommand(table: String, root: String, retainLast: Int,
     cow: Boolean = false, olderThanMs: Option[Long] = None)
     extends LeafNode with Command {

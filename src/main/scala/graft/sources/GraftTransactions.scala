@@ -155,6 +155,29 @@ object GraftTransactions {
     * writers of the participating tables can reach (a warehouse `_txns/`
     * dir is the natural home). */
   def run[T](spark: SparkSession, markerDir: String)(body: => T): T = {
+    begin(markerDir)
+    try {
+      val result = body
+      commitActive(spark)
+      result
+    } catch {
+      case e: Throwable =>
+        // no-op when commitActive already decided (it unbinds the thread
+        // before throwing — e.g. lost to a stale-break, already healed)
+        if (active.get() != null) {
+          try rollbackActive(spark)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        throw e
+    }
+  }
+
+  /** Open an UNBRACKETED transaction on this thread — the SQL spelling
+    * (`BEGIN GRAFT TRANSACTION`); pair with [[commitActive]] /
+    * [[rollbackActive]]. Returns the marker base path (the handle
+    * `SHOW GRAFT TRANSACTIONS` lists and [[abort]] takes from another
+    * process). */
+  def begin(markerDir: String): String = {
     require(active.get() == null,
       "cross-table transactions do not nest (an open transaction is " +
         "already bound to this thread)")
@@ -166,29 +189,75 @@ object GraftTransactions {
     pn.put("startMs", System.currentTimeMillis())
     LocalFsObjectStore.put(pendingPath(base),
       FileCow.jsonMapper.writeValueAsBytes(pn))
-    val txn = new ActiveTxn(base)
-    active.set(txn)
-    try {
-      val result = body
-      if (!decide(base, "committed")) state(base) match {
-        case Committed => () // a duplicate decision of ours — idempotent
-        case _ =>
-          // a stale-breaker aborted us mid-run (timeout set too tight for
-          // the body): surface it — the heal below runs in the catch
-          throw new GraftTransactionAbortedException(base)
+    active.set(new ActiveTxn(base))
+    base
+  }
+
+  /** Decide the thread's open transaction COMMITTED (the atomic
+    * cross-table visibility flip) and unbind it. Throws
+    * [[GraftTransactionAbortedException]] — after healing the
+    * participants — when a stale-breaker decided an abort first. */
+  def commitActive(spark: SparkSession): String = {
+    val t = Option(active.get()).getOrElse(sys.error(
+      "COMMIT GRAFT TRANSACTION: no open transaction on this thread"))
+    active.remove()
+    if (!decide(t.markerBase, "committed")) state(t.markerBase) match {
+      case Committed => () // a duplicate decision of ours — idempotent
+      case _ =>
+        healParticipants(spark, t)
+        throw new GraftTransactionAbortedException(t.markerBase)
+    }
+    t.markerBase
+  }
+
+  /** Decide the thread's open transaction ABORTED, heal every
+    * participating table with a `txn_revert`, and unbind it. */
+  def rollbackActive(spark: SparkSession): String = {
+    val t = Option(active.get()).getOrElse(sys.error(
+      "ROLLBACK GRAFT TRANSACTION: no open transaction on this thread"))
+    active.remove()
+    abort(t.markerBase) // idempotent; a prior stale-break just confirms
+    if (state(t.markerBase) == Aborted) healParticipants(spark, t)
+    t.markerBase
+  }
+
+  private def healParticipants(spark: SparkSession, t: ActiveTxn): Unit =
+    t.participants.keys.foreach { r =>
+      try revertAborted(spark, r)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  /** The markers under `markerDir` as rows: (marker, status, started_ms,
+    * decided_ms) — the `SHOW GRAFT TRANSACTIONS` ops surface. */
+  def listTransactions(markerDir: String): Seq[(String, String, Long, Long)] = {
+    val dir = Paths.get(markerDir)
+    if (!Files.exists(dir)) return Nil
+    val names = {
+      val l = Files.list(dir)
+      try {
+        val it = l.iterator()
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next().getFileName.toString
+          if (f.startsWith("txn-") && f.endsWith(".json") &&
+              !f.endsWith(".final.json")) b += f.stripSuffix(".json")
+        }
+        b.toSeq
+      } finally l.close()
+    }
+    names.sorted.map { n =>
+      val base = dir.resolve(n).toString
+      val startMs = LocalFsObjectStore.read(pendingPath(base))
+        .map(b => FileCow.jsonMapper.readTree(b).path("startMs").asLong(0L))
+        .getOrElse(0L)
+      val (status, decidedMs) = LocalFsObjectStore.read(finalPath(base)) match {
+        case Some(b) =>
+          val f = FileCow.jsonMapper.readTree(b)
+          (f.path("outcome").asText("aborted"), f.path("decidedMs").asLong(0L))
+        case None => ("open", 0L)
       }
-      result
-    } catch {
-      case e: Throwable =>
-        abort(base) // idempotent; a prior break just confirms
-        if (state(base) == Aborted)
-          txn.participants.keys.foreach { r =>
-            try { active.remove(); revertAborted(spark, r) }
-            catch { case scala.util.control.NonFatal(_) => () }
-            finally active.set(txn)
-          }
-        throw e
-    } finally active.remove()
+      (base, status, startMs, decidedMs)
+    }
   }
 
   /** Resolve every graft read inside `body` against ONE observation of

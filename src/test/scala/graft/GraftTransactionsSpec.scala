@@ -217,6 +217,41 @@ class GraftTransactionsSpec extends SparkSpec {
     assert(observe(fact, summary) == (10L + rounds, 10L + rounds))
   }
 
+  test("SQL spelling: BEGIN / COMMIT / ROLLBACK GRAFT TRANSACTION + SHOW GRAFT TRANSACTIONS") {
+    val fact = mkTable("qfact"); val summary = mkTable("qsum")
+    GraftTables.registerCow("txq_fact", fact)
+    GraftTables.registerCow("txq_sum", summary)
+    val dir = Files.createTempDirectory("graft-txn-sqldir").toString
+    try {
+      spark.sql(s"BEGIN GRAFT TRANSACTION AT '$dir'")
+      spark.sql("INSERT INTO txq_fact VALUES (700, 'sql', 7)")
+      assert(observe(fact, summary) == (10L, 10L))
+      val open = spark.sql(s"SHOW GRAFT TRANSACTIONS IN '$dir'").collect()
+      assert(open.length == 1 && open.head.getAs[String]("status") == "open",
+        open.mkString(","))
+      spark.sql("INSERT INTO txq_sum VALUES (700, 'sql', 7)")
+      spark.sql("COMMIT GRAFT TRANSACTION")
+      assert(observe(fact, summary) == (11L, 11L))
+      assert(spark.sql(s"SHOW GRAFT TRANSACTIONS IN '$dir'").collect()
+        .head.getAs[String]("status") == "committed")
+
+      // the rollback spelling: nothing visible, table healed
+      spark.sql(s"BEGIN GRAFT TRANSACTION AT '$dir'")
+      spark.sql("INSERT INTO txq_fact VALUES (701, 'rb', 7)")
+      spark.sql("ROLLBACK GRAFT TRANSACTION")
+      assert(observe(fact, summary) == (11L, 11L))
+      assert(FileCow.commitInfo(fact, FileCow.currentVersion(fact)).get.kind
+        == "txn_revert")
+      val statuses = spark.sql(s"SHOW GRAFT TRANSACTIONS IN '$dir'")
+        .collect().map(_.getAs[String]("status")).sorted.toSeq
+      assert(statuses == Seq("aborted", "committed"), statuses.toString)
+
+      // decision statements demand an open txn
+      val e = intercept[Exception] { spark.sql("COMMIT GRAFT TRANSACTION") }
+      assert(e.getMessage.contains("no open transaction"), e.getMessage)
+    } finally { GraftTables.unregister("txq_fact"); GraftTables.unregister("txq_sum") }
+  }
+
   test("bootstrap inside a txn refuses; snapshot-level tables refuse participation") {
     val txnDir = Files.createTempDirectory("graft-txn-bm").toString
     val fresh = Files.createTempDirectory("graft-txn-fresh").resolve("t").toString
