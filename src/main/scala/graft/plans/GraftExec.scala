@@ -257,6 +257,15 @@ case class GraftDmlExec(
 object GraftCommit {
   private val MaxAttempts = 8
 
+  /** Cross-table transaction (VERDICT r14 #3) — the discoverable alias
+    * onto [[graft.sources.GraftTransactions.run]]: every graft commit
+    * the body issues on this thread lands gated behind ONE
+    * conditional-put marker decision, visible all together or (on
+    * exception) not at all. SQL spellings: `BEGIN/COMMIT/ROLLBACK GRAFT
+    * TRANSACTION`, `SHOW GRAFT TRANSACTIONS`. */
+  def multiTable[T](spark: SparkSession, markerDir: String)(body: => T): T =
+    graft.sources.GraftTransactions.run(spark, markerDir)(body)
+
   def retrying(root: String, what: String)(
       derive: Long => org.apache.spark.sql.DataFrame): Long = {
     var attempt = 0

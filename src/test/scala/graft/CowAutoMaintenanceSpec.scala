@@ -73,6 +73,23 @@ class CowAutoMaintenanceSpec extends SparkSpec {
       "a row-neutral layout commit must produce an empty change feed")
   }
 
+  test("auto-maintenance composes with concurrent writers: no lost rows, reduced debt") {
+    val root = mkTable("race", auto = true)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map(w => new Thread(() =>
+      try (1 to 8).foreach(i => appendOne(root, 10000L * (w + 1) + i))
+      catch { case e: Throwable => errs.add(e) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    // correctness first: every append's row present exactly once
+    assert(FileCow.read(spark, root).count() == 26L)
+    val ks = kinds(root)
+    assert(ks.count(_ == "append") == 16, ks.toString)
+    assert(ks.contains("compact"), s"maintenance never fired under race: $ks")
+    // the debt is materially below the no-maintenance 17 files
+    assert(fileCount(root) < 10L, s"${fileCount(root)} files: $ks")
+  }
+
   test("without the property nothing triggers; the manual bounded step still works") {
     val root = mkTable("off", auto = false)
     (1 to 6).foreach(i => appendOne(root, 300L + i))
