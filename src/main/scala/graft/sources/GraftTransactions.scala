@@ -68,14 +68,23 @@ object GraftTransactions {
 
   private val active = new ThreadLocal[ActiveTxn]
 
-  /** Marker decisions memoized for [[consistentRead]]'s scope (including
-    * Pending — the scope pins ONE observation, so two tables gated by the
-    * same marker can never resolve across its flip). */
-  private val readSnapshot = new ThreadLocal[java.util.HashMap[String, TxnState]]
+  /** A [[consistentRead]] scope: marker decisions memoized (ONE
+    * observation per marker), and — the stronger half — any decision
+    * STAMPED AFTER the scope began reads as still pending, so the scope
+    * sees the world as of its own start: a whole transaction that begins
+    * and decides between two of the scope's table resolutions can never
+    * show on the later table only. (`decidedMs` is stamped by the
+    * decision put; cross-host clock skew shifts the snapshot instant by
+    * the skew, never tears a single marker's observation.) */
+  private final class Snapshot(val startMs: Long) {
+    val memo = new java.util.HashMap[String, TxnState]()
+  }
+  private val readSnapshot = new ThreadLocal[Snapshot]
 
-  /** Final marker decisions are immutable — cache them forever. */
+  /** Final marker decisions are immutable — cache them forever, WITH
+    * their decision stamp (scopes need it to place the flip in time). */
   private val decidedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, TxnState]()
+    new java.util.concurrent.ConcurrentHashMap[String, (TxnState, Long)]()
 
   /** (root @ version) -> permanently visible: clean records (no marker)
     * and committed-gated records never change state. Bounded: cleared
@@ -90,40 +99,52 @@ object GraftTransactions {
     Option(System.getProperty("graft.txn.timeoutMs")).map(_.toLong)
       .getOrElse(900000L)
 
-  /** The marker's state, one tiny read (memoized per [[consistentRead]]
-    * scope; final states cached forever). */
+  /** The marker's state, one tiny read (final states cached forever).
+    * Inside a [[consistentRead]] scope the observation is memoized AND
+    * time-pinned: a decision stamped after the scope began reads as
+    * still pending (the scope's snapshot instant is its start). */
   def state(markerBase: String): TxnState = {
     val snap = readSnapshot.get()
-    if (snap != null && snap.containsKey(markerBase)) return snap.get(markerBase)
-    val s = Option(decidedCache.get(markerBase)).getOrElse {
+    if (snap != null && snap.memo.containsKey(markerBase))
+      return snap.memo.get(markerBase)
+    val (st, decidedMs) = Option(decidedCache.get(markerBase)).getOrElse {
       LocalFsObjectStore.read(finalPath(markerBase)) match {
         case Some(b) =>
-          val outcome = FileCow.jsonMapper.readTree(b).path("outcome").asText("")
-          val st = if (outcome == "committed") Committed else Aborted
-          decidedCache.put(markerBase, st)
-          st
+          val f = FileCow.jsonMapper.readTree(b)
+          val outcome = f.path("outcome").asText("")
+          val entry = (if (outcome == "committed") Committed else Aborted,
+            f.path("decidedMs").asLong(0L))
+          decidedCache.put(markerBase, entry)
+          entry
         case None =>
           val startMs = LocalFsObjectStore.read(pendingPath(markerBase))
             .map(b => FileCow.jsonMapper.readTree(b).path("startMs").asLong(0L))
             .getOrElse(0L)
-          Pending(startMs)
+          (Pending(startMs), 0L)
       }
     }
-    if (snap != null) snap.put(markerBase, s)
-    s
+    if (snap == null) st
+    else {
+      val effective =
+        if (decidedMs > snap.startMs) Pending(decidedMs) // decided after the scope began
+        else st
+      snap.memo.put(markerBase, effective)
+      effective
+    }
   }
 
   /** Decide the txn — the atomic cross-table commit point. True = THIS
     * call decided; false = a decision already stood (read it back via
     * [[state]]). */
   private def decide(markerBase: String, outcome: String): Boolean = {
+    val now = System.currentTimeMillis()
     val n = FileCow.jsonMapper.createObjectNode()
     n.put("outcome", outcome)
-    n.put("decidedMs", System.currentTimeMillis())
+    n.put("decidedMs", now)
     val won = LocalFsObjectStore.putIfAbsent(
       finalPath(markerBase), FileCow.jsonMapper.writeValueAsBytes(n))
     if (won) decidedCache.put(markerBase,
-      if (outcome == "committed") Committed else Aborted)
+      (if (outcome == "committed") Committed else Aborted, now))
     won
   }
 
@@ -266,7 +287,7 @@ object GraftTransactions {
     * even if the marker commits mid-body. */
   def consistentRead[T](body: => T): T = {
     require(readSnapshot.get() == null, "consistentRead does not nest")
-    readSnapshot.set(new java.util.HashMap[String, TxnState]())
+    readSnapshot.set(new Snapshot(System.currentTimeMillis()))
     try body finally readSnapshot.remove()
   }
 

@@ -668,6 +668,29 @@ object StressMultiWriter {
         Seq((9000002L, "roller", 9L)).toDF("k", "val", "u"))
       ()
 
+    // round-15 (VERDICT r14 #3): a FOREIGN-PROCESS reader probing two
+    // tables through consistentRead for `durationMs` — visibility is
+    // enforced from marker files alone, so the probe must never observe
+    // the tables mid-flip (one post, one pre). Writes one JSON receipt:
+    // {"probes":N,"violations":[...]}.
+    case Some("txnprobe") =>
+      val Array(_, root1, root2, receiptPath, durationMs) = args
+      val spark = session(2, "graft-mw-txnprobe")
+      val deadline = System.nanoTime() + durationMs.toLong * 1000000L
+      var probes = 0L
+      val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (System.nanoTime() < deadline && violations.isEmpty) {
+        val (a, b) = graft.sources.GraftTransactions.consistentRead {
+          (FileCow.read(spark, root1).count(), FileCow.read(spark, root2).count())
+        }
+        probes += 1
+        if (a != b) violations += s"""\"t1=$a t2=$b\""""
+      }
+      Files.write(Paths.get(receiptPath),
+        (s"""{"probes":$probes,"violations":[${violations.mkString(",")}]}""")
+          .getBytes(StandardCharsets.UTF_8))
+      spark.stop()
+
     // round-15 (VERDICT r14 #3): a cross-table txn coordinator SIGKILLed
     // BETWEEN its two table commits — the atomicity crash window. Lands
     // the first table's gated commit, drops the touch-file, hangs for the

@@ -217,6 +217,36 @@ class GraftTransactionsSpec extends SparkSpec {
     assert(observe(fact, summary) == (10L + rounds, 10L + rounds))
   }
 
+  test("a FOREIGN-PROCESS reader probe never observes one-of-two (marker files alone)") {
+    // the same-JVM probe shares caches with the coordinator; this one
+    // shares NOTHING but the filesystem — visibility is enforced from
+    // the commit records + marker files, exactly what a second executor
+    // fleet or engine would see
+    val fact = mkTable("xfact"); val summary = mkTable("xsum")
+    val txnDir = Files.createTempDirectory("graft-txn-xm").toString
+    val receipt = Files.createTempDirectory("graft-txn-xr").resolve("probe.json")
+    val probe = StressMultiWriter.fork(
+      Seq("txnprobe", fact, summary, receipt.toString, "20000"))
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      (1 to 8).foreach { i =>
+        GraftTransactions.run(spark, txnDir) {
+          appendOne(fact, 2000L + i)
+          Thread.sleep(25)
+          appendOne(summary, 2000L + i)
+        }
+        assert(System.nanoTime() < deadline)
+      }
+    } finally assert(probe.waitFor() == 0, "probe process failed")
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(receipt))
+    assert(n.get("violations").size() == 0,
+      s"cross-process probe observed a mix: $n")
+    assert(n.get("probes").asLong() > 10L,
+      s"probe too slow to mean anything: $n")
+    assert(observe(fact, summary) == (18L, 18L))
+  }
+
   test("SQL spelling: BEGIN / COMMIT / ROLLBACK GRAFT TRANSACTION + SHOW GRAFT TRANSACTIONS") {
     val fact = mkTable("qfact"); val summary = mkTable("qsum")
     GraftTables.registerCow("txq_fact", fact)
