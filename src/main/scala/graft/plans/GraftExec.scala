@@ -170,6 +170,17 @@ object GraftMergeStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     case c: GraftCopyIntoCommand => GraftCowExec(c.table, { spark =>
       FileCow.copyInto(spark, c.root, c.sourceDir); ()
     }) :: Nil
+    case c: GraftOptimizeAutoCommand => GraftCowExec(c.table, { spark =>
+      val props = FileCow.tableProps(c.root, FileCow.visibleVersion(c.root))
+      graft.sources.CowAutoMaintenance.compactSmall(spark, c.root,
+        smallBytes = props.get(graft.sources.CowAutoMaintenance.SmallBytesProp)
+          .map(_.toLong).getOrElse(32L * 1024 * 1024),
+        minFiles = props.get(graft.sources.CowAutoMaintenance.MinFilesProp)
+          .map(_.toInt).getOrElse(2),
+        maxPerTrigger = props.get(graft.sources.CowAutoMaintenance.MaxPerTriggerProp)
+          .map(_.toInt).getOrElse(32))
+      ()
+    }) :: Nil
     case c: GraftOptimizeCommand => GraftCowExec(c.table, { spark =>
       (c.zorder, c.where) match {
         case (Some((a, b)), _) => FileCow.compactZOrder(spark, c.root, c.targetFiles, a, b)

@@ -33,6 +33,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s+INTO\s+(\d+)\s+FILES(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
 
+  /** `OPTIMIZE t AUTO` — ONE bounded small-file compaction priced by the
+    * table's `graft.maintenance.*` properties (the manual trigger of the
+    * G36 auto-maintenance step; same planner, same bound, no hook). */
+  private val OptimizeAuto =
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s+AUTO\s*;?\s*""".r
+
   private val Restore =
     """(?is)\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`))*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   /** `RESTORE TABLE t TO TIMESTAMP AS OF '<ts>'` — the version live at
@@ -362,6 +368,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case Some(e) =>
           graft.sources.Versioned.history(session, e.root).queryExecution.analyzed
         case None => sys.error(s"DESCRIBE HISTORY: '$name' is not a registered graft table")
+      }
+    case OptimizeAuto(name) =>
+      GraftTables.resolveName(name) match {
+        case Some(e) if e.cow => GraftOptimizeAutoCommand(name, e.root)
+        case Some(_) => sys.error(s"OPTIMIZE AUTO: '$name' is a snapshot-level " +
+          "table — every publish already rewrites it; OPTIMIZE applies to cow tables")
+        case None => sys.error(s"OPTIMIZE AUTO: '$name' is not a registered graft table")
       }
     case Optimize(name, n, za, zb, where) =>
       GraftTables.resolveName(name) match {
@@ -751,6 +764,14 @@ object GraftVacuumExec {
   * commit, planned by [[GraftMergeStrategy]]; mechanism =
   * [[graft.sources.FileCow.compact]] or
   * [[graft.sources.FileCow.compactZOrder]]). */
+/** `OPTIMIZE t AUTO` — the bounded G36 maintenance step on demand,
+  * thresholds from the table's `graft.maintenance.*` properties (defaults
+  * when unset: 32 MiB small-file bar, 2-file floor, 32 per trigger). */
+case class GraftOptimizeAutoCommand(table: String, root: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 case class GraftOptimizeCommand(table: String, root: String, targetFiles: Int,
     zorder: Option[(String, String)] = None,
     where: Option[ExprHolder] = None)

@@ -107,4 +107,28 @@ class CowAutoMaintenanceSpec extends SparkSpec {
       smallBytes = 1024L * 1024, minFiles = 2, maxPerTrigger = 32)
     assert(c2.filesRewritten == 0L && FileCow.currentVersion(root) == v)
   }
+
+  test("OPTIMIZE t AUTO is the SQL spelling of the bounded step") {
+    val root = mkTable("sqlauto", auto = false)
+    graft.plans.GraftTables.registerCow("auto_sql_t", root)
+    try {
+      (1 to 4).foreach(i => appendOne(root, 400L + i))
+      // thresholds ride the same table properties the hook reads
+      FileCow.setTableProperties(spark, root, Map(
+        CowAutoMaintenance.SmallBytesProp -> (1024L * 1024).toString))
+      assert(fileCount(root) >= 5L)
+      spark.sql("OPTIMIZE auto_sql_t AUTO")
+      assert(fileCount(root) == 1L)
+      assert(FileCow.commitInfo(root, FileCow.currentVersion(root)).get.kind
+        == "compact")
+      assert(FileCow.read(spark, root).count() == 14L)
+      // snapshot tables refuse with the cure
+      val snapRoot = Files.createTempDirectory("graft-auto-snap").resolve("t").toString
+      graft.plans.GraftTables.register("auto_sql_snap", snapRoot)
+      try {
+        val e = intercept[Exception] { spark.sql("OPTIMIZE auto_sql_snap AUTO") }
+        assert(e.getMessage.contains("snapshot-level"), e.getMessage)
+      } finally graft.plans.GraftTables.unregister("auto_sql_snap")
+    } finally graft.plans.GraftTables.unregister("auto_sql_t")
+  }
 }
