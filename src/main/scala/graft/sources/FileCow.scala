@@ -268,11 +268,17 @@ object FileCow extends CowWritePath with CowDeletionVectors
       * second roller races the same record. */
     @volatile var afterRollForwardArtifact: (String, Long, Int) => Unit =
       (_, _, _) => ()
+    /** Fires AFTER a cross-table txn's decision put landed and BEFORE the
+      * coordinator unbinds/returns — the round-16 killsweep SIGKILLs here
+      * (decision durable, coordinator dead: every participant must flip
+      * visible together from the files alone). (markerBase, outcome). */
+    @volatile var afterTxnDecision: (String, String) => Unit = (_, _) => ()
     def reset(): Unit = {
       beforeCommit = (_, _) => ()
       beforeRebaseCommit = (_, _) => ()
       afterCommitRecordPut = (_, _) => ()
       afterRollForwardArtifact = (_, _, _) => ()
+      afterTxnDecision = (_, _) => ()
     }
   }
 

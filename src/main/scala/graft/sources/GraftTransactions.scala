@@ -266,6 +266,7 @@ object GraftTransactions {
         (if (outcome == "committed") Committed else Aborted, now))
     else if (!won)
       readDecision(markerBase).foreach(decidedCache.put(markerBase, _))
+    if (won) FileCow.CommitHooks.afterTxnDecision(markerBase, outcome)
     won
   }
 

@@ -711,6 +711,54 @@ object StressMultiWriter {
       }
       ()
 
+    // round-16 killsweep (VERDICT r15 #7): the txn COORDINATOR SIGKILLed
+    // immediately AFTER its decision put landed — the decision is durable
+    // but the coordinator never returned/unbound, so a foreign process
+    // must resolve BOTH tables post-state from the files alone.
+    case Some("txndecidedvictim") =>
+      val Array(_, root1, root2, txnDir, touchPath) = args
+      val spark = session(2, "graft-mw-txndecided")
+      import spark.implicits._
+      FileCow.CommitHooks.afterTxnDecision = (_, outcome) => {
+        Files.write(Paths.get(touchPath),
+          outcome.getBytes(StandardCharsets.UTF_8))
+        Thread.sleep(120000L) // the parent's SIGKILL lands here
+        ()
+      }
+      graft.sources.GraftTransactions.run(spark, txnDir) {
+        FileCow.append(spark, root1,
+          Seq((888001L, "txn", 8L)).toDF("k", "val", "u"))
+        FileCow.append(spark, root2,
+          Seq((888002L, "txn", 8L)).toDF("k", "val", "u"))
+      }
+      ()
+
+    // round-16 killsweep (VERDICT r15 #7): the coordinator SIGKILLed
+    // inside its SECOND table's publish, after the commit record's
+    // put-if-absent landed but before the roll-forward (cput) — the
+    // record is durable with its artifacts still at staged names and the
+    // txn still pending: the gated-but-unrolled commit must resolve via
+    // any probe, stay invisible, and heal through the stale-break.
+    case Some("txnstagedvictim") =>
+      val Array(_, root1, root2, txnDir, touchPath) = args
+      System.setProperty("graft.commit.backend", "cput")
+      val spark = session(2, "graft-mw-txnstaged")
+      import spark.implicits._
+      FileCow.CommitHooks.afterCommitRecordPut = (r, _) =>
+        if (r == root2) {
+          Files.write(Paths.get(touchPath),
+            "record-landed".getBytes(StandardCharsets.UTF_8))
+          Thread.sleep(120000L) // the parent's SIGKILL lands here
+          ()
+        }
+      graft.sources.GraftTransactions.run(spark, txnDir) {
+        FileCow.append(spark, root1,
+          Seq((888003L, "txn", 8L)).toDF("k", "val", "u"))
+        FileCow.append(spark, root2,
+          Seq((888004L, "txn", 8L)).toDF("k", "val", "u"))
+      }
+      ()
+
     case Some("killsweep") =>
       val rounds = args.drop(1).headOption.map(_.toInt).getOrElse(3)
       // `killsweep N cput` runs the whole sweep (this process + every

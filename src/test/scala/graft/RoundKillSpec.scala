@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 
 import graft.plans.GraftTables
-import graft.sources.{CatalogStore, FileCow}
+import graft.sources.{CatalogStore, FileCow, GraftTransactions}
 import graft.tools.{StressCatalog, StressMultiWriter}
 
 /** The round-14 killsweep kill points (VERDICT r13 #8):
@@ -225,6 +225,175 @@ class RoundKillSpec extends SparkSpec {
       assert(e.getMessage.contains("vacuum"),
         s"expected the loud vacuum diagnosis, got: ${e.getMessage}")
     } finally System.clearProperty("graft.commit.backend")
+  }
+
+  // ---- round-16 killsweep variations (VERDICT r15 #7) ----
+
+  private def mkTxnTable(tag: String): String = {
+    val root = Files.createTempDirectory(s"graft-rk16-$tag").resolve("t").toString
+    val s = spark
+    import s.implicits._
+    FileCow.create(spark, root,
+      (0L until 10L).map(k => (k, "seed", 0L)).toDF("k", "val", "u"),
+      statsCols = Seq("k"))
+    root
+  }
+
+  private def awaitTouch(victim: Process, touch: java.nio.file.Path,
+      what: String): Unit = {
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while (victim.isAlive && !Files.exists(touch)) {
+      assert(System.nanoTime() < deadline, s"victim never reached $what")
+      Thread.sleep(25)
+    }
+    if (!Files.exists(touch))
+      fail(s"victim exited (${victim.exitValue()}) before $what")
+  }
+
+  private def observeBoth(r1: String, r2: String): (Long, Long) = {
+    val out = new java.util.concurrent.atomic.AtomicReference[(Long, Long)]()
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() =>
+      try out.set(GraftTransactions.consistentRead {
+        (FileCow.read(spark, r1).count(), FileCow.read(spark, r2).count())
+      }) catch { case e: Throwable => err.set(e) })
+    t.start(); t.join()
+    if (err.get() != null) throw err.get()
+    out.get()
+  }
+
+  test("SIGKILL the txn coordinator right AFTER its decision put: both tables flip visible from the files alone") {
+    val fact = mkTxnTable("dec-f"); val summary = mkTxnTable("dec-s")
+    val base = Files.createTempDirectory("graft-rk16-dec")
+    val txnDir = base.resolve("txns").toString
+    val touch = base.resolve("decided")
+    val victim = StressMultiWriter.fork(
+      Seq("txndecidedvictim", fact, summary, txnDir, touch.toString))
+    awaitTouch(victim, touch, "its decision put")
+    victim.destroyForcibly(); victim.waitFor()
+    assert(new String(Files.readAllBytes(touch)) == "committed")
+
+    // the decision is durable: a foreign JVM (this one — it never saw the
+    // txn) resolves BOTH tables post-state together, from the files alone
+    assert(observeBoth(fact, summary) == (11L, 11L),
+      "a committed decision must flip every participant, coordinator dead or not")
+    Seq(fact, summary).foreach { r =>
+      assert(FileCow.currentVersion(r) == 2L)
+      val m = FileCow.commitInfo(r, 2L).get.txnMarker
+      assert(m.isDefined)
+      assert(GraftTransactions.state(m.get) == GraftTransactions.Committed)
+      GraftTransactions.requireReadable(r, 2L) // time travel into it is legal
+    }
+    assert(GraftTransactions.listTransactions(txnDir).map(_._2)
+      == Seq("committed"))
+    // ordinary writes proceed on top with no heal detour
+    val s = spark
+    import s.implicits._
+    FileCow.append(spark, fact, Seq((888100L, "after", 8L)).toDF("k", "val", "u"))
+    assert(FileCow.commitInfo(fact, 3L).get.kind == "append")
+    assert(FileCow.read(spark, fact).count() == 12L)
+  }
+
+  test("SIGKILL the txn coordinator with its 2nd commit RECORDED but unrolled (cput): invisible, stale-break heals, never a tear") {
+    System.setProperty("graft.commit.backend", "cput")
+    try {
+      val fact = mkTxnTable("stg-f"); val summary = mkTxnTable("stg-s")
+      val base = Files.createTempDirectory("graft-rk16-stg")
+      val txnDir = base.resolve("txns").toString
+      val touch = base.resolve("recorded")
+      val victim = StressMultiWriter.fork(
+        Seq("txnstagedvictim", fact, summary, txnDir, touch.toString))
+      awaitTouch(victim, touch, "its second record put")
+      victim.destroyForcibly(); victim.waitFor()
+
+      // the second table's record landed with artifacts still staged: any
+      // probe completes the roll-forward, but the version stays GATED by
+      // the still-pending marker — pre-state everywhere, never one-of-two
+      assert(FileCow.currentVersion(summary) == 2L,
+        "the recorded commit must resolve via any probe")
+      assert(FileCow.visibleVersion(summary) == 1L, "but stay invisible")
+      assert(observeBoth(fact, summary) == (10L, 10L))
+
+      // the stale-break (through a foreign writer's gate check) aborts the
+      // dead txn and heals the written table before the writer's own row
+      System.setProperty("graft.txn.timeoutMs", "400")
+      try {
+        Thread.sleep(500)
+        val s = spark
+        import s.implicits._
+        FileCow.append(spark, summary,
+          Seq((888200L, "after", 8L)).toDF("k", "val", "u"))
+      } finally System.clearProperty("graft.txn.timeoutMs")
+      val m = FileCow.commitInfo(summary, 2L).get.txnMarker.get
+      assert(GraftTransactions.state(m) == GraftTransactions.Aborted)
+      assert(FileCow.read(spark, summary).count() == 11L)
+      assert(FileCow.read(spark, summary)
+        .filter(col("k") === 888004L).count() == 0L,
+        "the dead txn's row must never surface")
+      val kinds = (2L to FileCow.currentVersion(summary))
+        .flatMap(v => FileCow.commitInfo(summary, v)).map(_.kind)
+      assert(kinds == Seq("append", "txn_revert", "append"), kinds.toString)
+      // the FIRST table heals on its next write the same way
+      val s2 = spark
+      import s2.implicits._
+      FileCow.append(spark, fact, Seq((888201L, "after", 8L)).toDF("k", "val", "u"))
+      assert(FileCow.read(spark, fact).count() == 11L)
+      assert(FileCow.read(spark, fact).filter(col("k") === 888003L).count() == 0L)
+    } finally System.clearProperty("graft.commit.backend")
+  }
+
+  test("an aggressive vacuum races the txn_revert heal: both complete, no visible data lost") {
+    val root = mkTxnTable("heal")
+    val txnDir = Files.createTempDirectory("graft-rk16-heal").toString
+    // an aborted-gated, UNHEALED head: a coordinator thread lands one
+    // gated commit and dies without deciding; an ops abort() then decides
+    // — nothing has healed yet
+    val marker = new java.util.concurrent.atomic.AtomicReference[String]()
+    val t = new Thread(() => {
+      marker.set(GraftTransactions.begin(txnDir))
+      val s = spark
+      import s.implicits._
+      FileCow.append(spark, root, Seq((666L, "dead", 6L)).toDF("k", "val", "u"))
+    })
+    t.start(); t.join()
+    assert(GraftTransactions.abort(marker.get()))
+    assert(FileCow.currentVersion(root) == 2L)
+    assert(FileCow.visibleVersion(root) == 1L)
+
+    // the race, made DETERMINISTIC: a keep=1 age-0 vacuum fires INSIDE
+    // the heal's commit window — after revertAborted chose its restore
+    // set from the clean version, before the txn_revert's CAS reads those
+    // manifests. The vacuum's visible-version floor must keep the clean
+    // manifest (the version the table SERVES and the heal restores from)
+    // alive even though keep=1 would otherwise retain only the gated
+    // head. (An unguarded age-0 sweep against a LIVE writer's staging is
+    // the separately-pinned loud-failure case above.)
+    val vacuumsInWindow = new java.util.concurrent.atomic.AtomicInteger(0)
+    FileCow.CommitHooks.beforeCommit = (r, expected) =>
+      if (r == root && expected == 2L && vacuumsInWindow.incrementAndGet() == 1) {
+        FileCow.vacuum(spark, root, keep = 1, minAgeMs = 0L)
+        ()
+      }
+    val s = spark
+    import s.implicits._
+    try FileCow.append(spark, root, Seq((777L, "healer", 9L)).toDF("k", "val", "u"))
+    finally FileCow.CommitHooks.reset()
+    assert(vacuumsInWindow.get() >= 1, "the vacuum never fired in the heal window")
+
+    // end state: seed + healer row, no dead row, history tells the story
+    val rows = FileCow.read(spark, root)
+    assert(rows.count() == 11L)
+    assert(rows.filter(col("k") === 666L).count() == 0L)
+    assert(rows.filter(col("k") === 777L).count() == 1L)
+    val kinds = (2L to FileCow.currentVersion(root))
+      .flatMap(v => FileCow.commitInfo(root, v)).map(_.kind)
+    assert(kinds.contains("txn_revert") && kinds.last == "append", kinds.toString)
+    // hygiene: a quiescent sweep reclaims the rest and the table stays
+    // writable and correct afterwards
+    FileCow.vacuum(spark, root, keep = 1, minAgeMs = 0L)
+    assert(FileCow.vacuumPlan(spark, root, 1, 0L).isEmpty)
+    FileCow.append(spark, root, Seq((778L, "post", 7L)).toDF("k", "val", "u"))
+    assert(FileCow.read(spark, root).count() == 12L)
   }
 
   test("SIGKILL a DDL racer while another process CREATEs the same name: store untorn, name not wedged") {
