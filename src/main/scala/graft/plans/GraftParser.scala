@@ -116,6 +116,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val TxnRollback = """(?is)\s*ROLLBACK\s+GRAFT\s+TRANSACTION\s*;?\s*""".r
   private val TxnShow =
     """(?is)\s*SHOW\s+GRAFT\s+TRANSACTIONS(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  /** Marker retention (ADVICE r15): consolidate decided markers older
+    * than RETAIN into the dir's sealed ledger — outcomes stay readable
+    * forever, the per-txn files age out. Default retention 168 h. */
+  private val TxnVacuum =
+    """(?is)\s*VACUUM\s+GRAFT\s+TRANSACTIONS(?:\s+IN\s+'([^']+)')?(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
 
   /** CHECK constraints + table properties (cow tables): the Delta
     * `ADD CONSTRAINT … CHECK` surface. Spark's grammar has no ADD
@@ -547,6 +552,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       import session.implicits._
       rows.toDF("marker", "status", "started_ms", "decided_ms")
         .queryExecution.analyzed
+
+    case TxnVacuum(dir, hours) =>
+      val retainMs = Option(hours).map(_.toLong * 3600000L)
+        .getOrElse(168L * 3600000L)
+      val sealedCount =
+        graft.sources.GraftTransactions.vacuumMarkers(txnDir(dir), retainMs)
+      import session.implicits._
+      Seq(sealedCount).toDF("markers_sealed").queryExecution.analyzed
 
     case ShowTables() =>
       val rows = GraftTables.all().map { case (name, e) =>

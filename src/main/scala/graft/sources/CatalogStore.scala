@@ -11,18 +11,32 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * persists the bindings under `<warehouse>/_catalog/` with the SAME
   * commit discipline as every graft table:
   *
-  *  - each catalog version is ONE whole-snapshot JSON (`c<N>.json`,
-  *    name → {root, layout}) — the registry is name-count-sized, so a
-  *    full snapshot per commit is metadata-priced and a reader never
-  *    folds a log;
+  *  - a catalog version is a CHECKPOINT snapshot (`c<N>.json`, the full
+  *    name → {root, layout} map) every [[CheckpointEvery]] commits and a
+  *    DELTA record (`d<N>.json`, just the bindings/namespaces this commit
+  *    set or unset) in between — the FileCow manifest discipline applied
+  *    to the registry (VERDICT r15 #5: a whole snapshot per commit is
+  *    O(bindings) write amplification, measurable at 10⁴ names —
+  *    [[graft.tools.StressCatalog]]'s `grow` mode prices it: 15 of 16
+  *    commits are mutation-sized, the 16th pays the snapshot — 16× less
+  *    write amplification, measured in SCALING.md). A reader folds at
+  *    most CheckpointEvery−1 tiny deltas onto the nearest checkpoint
+  *    (one fold per JVM steady-state — the latest snapshot caches until
+  *    the pointer moves);
   *  - the live version is named by [[TablePointer]]'s `_current` pointer,
   *    advanced by write-aside + ATOMIC_MOVE under the advisory
   *    `_commit.lock` — the seam [[graft.tools.StressMultiWriter]] races
   *    across real OS processes, reused verbatim so two drivers'
   *    concurrent CREATE/DROP serialize without a lock service;
-  *  - DROP commits a snapshot without the name (the tombstone is the
+  *  - DROP commits a version without the name (the tombstone is the
   *    version history itself — every prior version stays readable for
   *    audit until the files are removed by hand; they are bytes-tiny).
+  *
+  * Format compatibility: pre-round-16 stores carry a `c<N>.json` at EVERY
+  * version; the loader prefers the checkpoint when both exist, so old
+  * stores read unchanged (no migration). All writers of one warehouse
+  * must run a delta-aware binary (the deployment rule every log-format
+  * evolution has).
   *
   * Reference analog: the durable dataset binding of the reference's
   * warehouse loader (dw5 gcp_savebigquery.py:18-41 — dataset+table ids
@@ -40,53 +54,121 @@ private[graft] object CatalogStore {
   final case class Snapshot(bindings: Map[String, Binding],
       namespaces: Map[String, Map[String, String]])
 
+  /** A checkpoint every N commits: a cold reader folds ≤ N−1 deltas. */
+  private val CheckpointEvery = 16L
+
   private def dir(wh: String): Path = Paths.get(wh, "_catalog")
   private def snapFile(wh: String, v: Long): Path = dir(wh).resolve(s"c$v.json")
+  private def deltaFile(wh: String, v: Long): Path = dir(wh).resolve(s"d$v.json")
+
+  /** Latest loaded snapshot per warehouse (version-checked against the
+    * pointer on use): steady-state readers and the RMW commit fold ONE
+    * delta instead of re-reading the chain. Snapshots are immutable per
+    * version, so staleness is impossible — only re-reads are saved. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Snapshot)]()
+  private def cacheKey(wh: String): String =
+    dir(wh).toAbsolutePath.normalize.toString
 
   /** The registry's live version under `wh`, 0 when none committed. */
   def currentVersion(wh: String): Long = TablePointer.current(dir(wh).toString)
 
-  /** The bindings at version `v` (0 = empty). A PUBLISHED version whose
-    * snapshot file is absent fails LOUDLY (ADVICE r12): the pointer says
-    * the catalog has state, so a missing `c<v>.json` is a damaged store
-    * (hand-pruned audit history, partial restore, torn copy) — treating
-    * it as empty would silently stop resolving every durable name AND,
-    * worse, let the next commit() rebase its read-modify-write from an
-    * empty map and durably wipe every existing binding. */
+  /** The bindings at version `v` (0 = empty); see [[loadSnapshot]] for
+    * the checkpoint+delta fold and the damage-loudness contract. */
   def load(wh: String, v: Long): Map[String, Binding] =
     loadSnapshot(wh, v).bindings
 
-  /** The full snapshot at `v` (0 = empty). Pre-namespace snapshots read
+  /** The full snapshot at `v` (0 = empty): the nearest checkpoint at or
+    * below `v` (or the JVM's verified cached base) plus the delta records
+    * above it, folded forward. A PUBLISHED version with NEITHER artifact
+    * fails LOUDLY (ADVICE r12): the pointer says the catalog has state,
+    * so a missing `c<v>.json`/`d<v>.json` is a damaged store (hand-pruned
+    * audit history, partial restore, torn copy) — treating it as empty
+    * would silently stop resolving every durable name AND, worse, let the
+    * next commit() rebase its read-modify-write from an empty map and
+    * durably wipe every existing binding. Pre-namespace snapshots read
     * with an empty namespace map (no migration). */
   def loadSnapshot(wh: String, v: Long): Snapshot = {
-    val p = snapFile(wh, v)
-    if (v < 1L) Snapshot(Map.empty, Map.empty)
-    else {
-      require(Files.exists(p), s"graft catalog at $wh is damaged: the " +
-        s"pointer names version $v but snapshot ${p.getFileName} is " +
-        "missing — restore the file (any process that wrote it keeps the " +
-        "full history as c<N>.json) before registering or resolving names")
-      val n = FileCow.jsonMapper.readTree(Files.readAllBytes(p))
-      val b = Map.newBuilder[String, Binding]
-      val entries = n.get("entries")
-      (0 until entries.size()).foreach { i =>
-        val e = entries.get(i)
-        b += e.get("name").asText() -> Binding(e.get("root").asText(),
-          e.get("cow").asBoolean())
-      }
-      val ns = Map.newBuilder[String, Map[String, String]]
-      if (n.has("namespaces")) {
-        val arr = n.get("namespaces")
-        (0 until arr.size()).foreach { i =>
-          val e = arr.get(i)
-          val props = Map.newBuilder[String, String]
-          val pn = e.get("props")
-          pn.properties().forEach(kv => props += kv.getKey -> kv.getValue.asText())
-          ns += e.get("name").asText() -> props.result()
-        }
-      }
-      Snapshot(b.result(), ns.result())
+    if (v < 1L) return Snapshot(Map.empty, Map.empty)
+    def artifactPresent(w: Long): Boolean =
+      Files.exists(snapFile(wh, w)) || Files.exists(deltaFile(wh, w))
+    def damaged(w: Long): Nothing =
+      throw new IllegalArgumentException(s"requirement failed: graft " +
+        s"catalog at $wh is damaged: the pointer names version $v but " +
+        s"neither checkpoint c$w.json nor delta d$w.json exists — restore " +
+        "the files (any process that wrote them keeps the full history " +
+        "under _catalog/) before registering or resolving names")
+    val deltas = scala.collection.mutable.ArrayBuffer
+      .empty[com.fasterxml.jackson.databind.JsonNode]
+    var base: Snapshot = null
+    var w = v
+    while (base == null && w >= 1L) {
+      val cached = Option(cache.get(cacheKey(wh))).filter(_._1 == w)
+      if (cached.isDefined) {
+        // a cached base serves only while its artifact still exists —
+        // the damage-loudness contract must survive the cache
+        if (!artifactPresent(w)) damaged(w)
+        base = cached.get._2
+      } else if (Files.exists(snapFile(wh, w))) {
+        base = parseCheckpoint(wh, w)
+      } else if (Files.exists(deltaFile(wh, w))) {
+        deltas += FileCow.jsonMapper.readTree(Files.readAllBytes(deltaFile(wh, w)))
+        w -= 1
+      } else damaged(w)
     }
+    if (base == null) base = Snapshot(Map.empty, Map.empty)
+    val snap = deltas.reverseIterator.foldLeft(base)(applyDelta)
+    cache.compute(cacheKey(wh),
+      (_, old) => if (old == null || v >= old._1) (v, snap) else old)
+    snap
+  }
+
+  private def parseCheckpoint(wh: String, v: Long): Snapshot = {
+    val n = FileCow.jsonMapper.readTree(Files.readAllBytes(snapFile(wh, v)))
+    val b = Map.newBuilder[String, Binding]
+    val entries = n.get("entries")
+    (0 until entries.size()).foreach { i =>
+      val e = entries.get(i)
+      b += e.get("name").asText() -> Binding(e.get("root").asText(),
+        e.get("cow").asBoolean())
+    }
+    val ns = Map.newBuilder[String, Map[String, String]]
+    if (n.has("namespaces")) {
+      val arr = n.get("namespaces")
+      (0 until arr.size()).foreach { i =>
+        val e = arr.get(i)
+        val props = Map.newBuilder[String, String]
+        val pn = e.get("props")
+        pn.properties().forEach(kv => props += kv.getKey -> kv.getValue.asText())
+        ns += e.get("name").asText() -> props.result()
+      }
+    }
+    Snapshot(b.result(), ns.result())
+  }
+
+  private def applyDelta(base: Snapshot,
+      d: com.fasterxml.jackson.databind.JsonNode): Snapshot = {
+    var bindings = base.bindings
+    var namespaces = base.namespaces
+    val set = d.path("setBindings")
+    (0 until set.size()).foreach { i =>
+      val e = set.get(i)
+      bindings += e.get("name").asText() -> Binding(e.get("root").asText(),
+        e.get("cow").asBoolean())
+    }
+    val unset = d.path("unsetBindings")
+    (0 until unset.size()).foreach(i => bindings -= unset.get(i).asText())
+    val nsSet = d.path("setNamespaces")
+    (0 until nsSet.size()).foreach { i =>
+      val e = nsSet.get(i)
+      val props = Map.newBuilder[String, String]
+      e.get("props").properties()
+        .forEach(kv => props += kv.getKey -> kv.getValue.asText())
+      namespaces += e.get("name").asText() -> props.result()
+    }
+    val nsUnset = d.path("unsetNamespaces")
+    (0 until nsUnset.size()).foreach(i => namespaces -= nsUnset.get(i).asText())
+    Snapshot(bindings, namespaces)
   }
 
   /** Read-modify-write one catalog commit under the advisory lock: load
@@ -119,34 +201,76 @@ private[graft] object CatalogStore {
       val next = mutate(snapshot)
       if (next == snapshot) cur
       else {
+        val nextV = cur + 1
+        // FileCow's manifest discipline on the registry: a full CHECKPOINT
+        // every CheckpointEvery commits (and at v1), a mutation-sized
+        // DELTA otherwise — 15 of 16 commits are O(mutation), and the
+        // periodic checkpoint amortizes the remaining O(bindings) cost
+        // 16× down (VERDICT r15 #5; measured in SCALING.md at 10³/10⁴
+        // bindings)
+        val checkpointDue = nextV % CheckpointEvery == 1L || cur == 0L
         val n = FileCow.jsonMapper.createObjectNode()
-        n.put("version", cur + 1)
+        n.put("version", nextV)
         n.put("commitMs", System.currentTimeMillis())
-        val arr = n.putArray("entries")
-        next.bindings.toSeq.sortBy(_._1).foreach { case (name, b) =>
-          val e = arr.addObject()
-          e.put("name", name); e.put("root", b.root); e.put("cow", b.cow)
-          ()
-        }
-        if (next.namespaces.nonEmpty) {
-          val nsArr = n.putArray("namespaces")
-          next.namespaces.toSeq.sortBy(_._1).foreach { case (name, props) =>
-            val e = nsArr.addObject()
-            e.put("name", name)
-            val pn = e.putObject("props")
-            props.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
+        if (checkpointDue) {
+          val arr = n.putArray("entries")
+          next.bindings.toSeq.sortBy(_._1).foreach { case (name, b) =>
+            val e = arr.addObject()
+            e.put("name", name); e.put("root", b.root); e.put("cow", b.cow)
             ()
           }
+          if (next.namespaces.nonEmpty) {
+            val nsArr = n.putArray("namespaces")
+            next.namespaces.toSeq.sortBy(_._1).foreach { case (name, props) =>
+              val e = nsArr.addObject()
+              e.put("name", name)
+              val pn = e.putObject("props")
+              props.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
+              ()
+            }
+          }
+        } else {
+          val set = n.putArray("setBindings")
+          (next.bindings.keySet -- snapshot.bindings.keySet ++
+            next.bindings.keySet.intersect(snapshot.bindings.keySet)
+              .filter(k => next.bindings(k) != snapshot.bindings(k)))
+            .toSeq.sorted.foreach { name =>
+              val b = next.bindings(name)
+              val e = set.addObject()
+              e.put("name", name); e.put("root", b.root); e.put("cow", b.cow)
+              ()
+            }
+          val unset = n.putArray("unsetBindings")
+          (snapshot.bindings.keySet -- next.bindings.keySet)
+            .toSeq.sorted.foreach(unset.add)
+          val nsSet = n.putArray("setNamespaces")
+          (next.namespaces.keySet -- snapshot.namespaces.keySet ++
+            next.namespaces.keySet.intersect(snapshot.namespaces.keySet)
+              .filter(k => next.namespaces(k) != snapshot.namespaces(k)))
+            .toSeq.sorted.foreach { name =>
+              val e = nsSet.addObject()
+              e.put("name", name)
+              val pn = e.putObject("props")
+              next.namespaces(name).toSeq.sortBy(_._1)
+                .foreach { case (k, v) => pn.put(k, v) }
+              ()
+            }
+          val nsUnset = n.putArray("unsetNamespaces")
+          (snapshot.namespaces.keySet -- next.namespaces.keySet)
+            .toSeq.sorted.foreach(nsUnset.add)
         }
-        val tmp = dir(wh).resolve(
-          s"c${cur + 1}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+        val target =
+          if (checkpointDue) snapFile(wh, nextV) else deltaFile(wh, nextV)
+        val tmp = dir(wh).resolve(target.getFileName.toString +
+          s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
         Files.write(tmp, FileCow.jsonMapper.writeValueAsBytes(n))
         // a crashed attempt's orphan at this version is provably
         // unpublished (pointer never swapped) — replace it
-        Files.move(tmp, snapFile(wh, cur + 1), StandardCopyOption.ATOMIC_MOVE,
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
-        TablePointer.swap(dir(wh).toString, cur + 1)
-        cur + 1
+        cache.put(cacheKey(wh), (nextV, next))
+        TablePointer.swap(dir(wh).toString, nextV)
+        nextV
       }
     }
   }

@@ -227,7 +227,56 @@ object StressCatalog {
 
   // ----------------------------------------------------------------- mains
 
+  /** Price the catalog's commit path as the registry GROWS (VERDICT r15
+    * #5): register `n` bindings one commit at a time, report per-commit
+    * latency and bytes written at the start vs the end of the run — the
+    * checkpoint+delta log must hold both roughly FLAT in binding count
+    * (amortized), where the old whole-snapshot-per-commit shape grew both
+    * linearly. One JSON line to stdout. */
+  def grow(wh: String, n: Int): String = {
+    def dirBytes(): Long = {
+      val d = Paths.get(wh, "_catalog")
+      if (!Files.exists(d)) return 0L
+      val l = Files.list(d)
+      try l.iterator().asScala.map(p => Files.size(p)).sum finally l.close()
+    }
+    var bytesBefore = dirBytes()
+    val window = math.max(50, n / 20)
+    var firstWindowMs = 0.0
+    var firstWindowBytes = 0L
+    var t0 = System.nanoTime()
+    (1 to n).foreach { i =>
+      CatalogStore.commit(wh)(m =>
+        m + (f"grow_t$i%06d" -> CatalogStore.Binding(s"/data/grow/t$i", true)))
+      if (i == window) {
+        firstWindowMs = (System.nanoTime() - t0) / 1e6 / window
+        firstWindowBytes = (dirBytes() - bytesBefore) / window
+      }
+    }
+    val totalMs = (System.nanoTime() - t0) / 1e6
+    // last window: re-measure at full size
+    bytesBefore = dirBytes()
+    t0 = System.nanoTime()
+    (1 to window).foreach { i =>
+      CatalogStore.commit(wh)(m =>
+        m + (f"grow_u$i%06d" -> CatalogStore.Binding(s"/data/grow/u$i", true)))
+    }
+    val lastWindowMs = (System.nanoTime() - t0) / 1e6 / window
+    val lastWindowBytes = (dirBytes() - bytesBefore) / window
+    val v = CatalogStore.currentVersion(wh)
+    s"""{"tool":"catgrow","bindings":$n,"versions":$v,""" +
+      s""""first_ms_per_commit":${f"$firstWindowMs%.2f"},""" +
+      s""""last_ms_per_commit":${f"$lastWindowMs%.2f"},""" +
+      s""""first_bytes_per_commit":$firstWindowBytes,""" +
+      s""""last_bytes_per_commit":$lastWindowBytes,""" +
+      s""""total_sec":${f"${totalMs / 1000.0}%.1f"}}"""
+  }
+
   def main(args: Array[String]): Unit = args.headOption match {
+    case Some("grow") =>
+      val Array(_, wh, n) = args
+      println(grow(wh, n.toInt))
+
     case Some("reader") =>
       val Array(_, wh, receiptsDir) = args
       val spark = session(wh, "graft-cat-reader")

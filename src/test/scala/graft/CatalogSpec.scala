@@ -255,4 +255,54 @@ class CatalogSpec extends SparkSpec {
       } finally GraftTables.unregister("cat_ins_s")
     } finally GraftTables.unregister("cat_ins")
   }
+
+  test("checkpoint+delta log: every version reconstructs exactly; commits are mutation-sized (VERDICT r15 #5)") {
+    val wh = Files.createTempDirectory("graft-cat-delta").toString
+    // 40 commits of mixed shape, an independent in-test fold as the oracle
+    var expect = List.empty[Map[String, CatalogStore.Binding]]
+    var live = Map.empty[String, CatalogStore.Binding]
+    (1 to 40).foreach { i =>
+      val v = CatalogStore.commit(wh) { m =>
+        live =
+          if (i % 7 == 0) m - s"t${i - 3}" // periodic DROP
+          else m + (s"t$i" -> CatalogStore.Binding(s"/r/$i", i % 2 == 0))
+        live
+      }
+      assert(v == i.toLong)
+      expect ::= live
+    }
+    // every version folds back to exactly the state it committed
+    expect.reverse.zipWithIndex.foreach { case (want, idx) =>
+      assert(CatalogStore.load(wh, idx + 1L) == want, s"version ${idx + 1}")
+    }
+    // layout: checkpoints only every 16th-ish version (1, 17, 33), deltas
+    // elsewhere — the write amplification fix is the FORMAT, not a cache
+    val files = {
+      val l = Files.list(java.nio.file.Paths.get(wh, "_catalog"))
+      try {
+        val it = l.iterator()
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) b += it.next().getFileName.toString
+        b.toSet
+      } finally l.close()
+    }
+    assert(Seq(1, 17, 33).forall(v => files.contains(s"c$v.json")), files.toString)
+    assert(Seq(2, 16, 18, 40).forall(v => files.contains(s"d$v.json")), files.toString)
+    assert(Seq(2, 16, 40).forall(v => !files.contains(s"c$v.json")),
+      "a delta version must not also write a snapshot")
+
+    // namespaces ride the same log
+    CatalogStore.commitSnapshot(wh)(s =>
+      s.copy(namespaces = s.namespaces + ("teams" -> Map("owner" -> "a"))))
+    CatalogStore.commitSnapshot(wh)(s =>
+      s.copy(namespaces = s.namespaces - "teams"))
+    assert(CatalogStore.loadSnapshot(wh, 41L).namespaces == Map("teams" -> Map("owner" -> "a")))
+    assert(CatalogStore.loadSnapshot(wh, 42L).namespaces.isEmpty)
+
+    // damage at a DELTA version is as loud as at a checkpoint (and the
+    // in-JVM fold base must not mask it)
+    Files.delete(java.nio.file.Paths.get(wh, "_catalog", "d40.json"))
+    val e = intercept[IllegalArgumentException] { CatalogStore.load(wh, 40L) }
+    assert(e.getMessage.contains("damaged"), e.getMessage)
+  }
 }

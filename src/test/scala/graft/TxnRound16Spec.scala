@@ -265,4 +265,18 @@ class TxnRound16Spec extends SparkSpec {
       assert(GraftTransactions.listTransactions(txnDir).map(_._2) == Seq("open"))
     } finally GraftTransactions.rollbackActive(spark)
   }
+
+  test("VACUUM GRAFT TRANSACTIONS is the SQL spelling of marker retention") {
+    val fact = mkTable("sqlvac")
+    val dir = Files.createTempDirectory("graft-txn16-sqlvac").toString
+    GraftTransactions.run(spark, dir) { appendOne(fact, 700L) }
+    assert(spark.sql(s"VACUUM GRAFT TRANSACTIONS IN '$dir' RETAIN 0 HOURS")
+      .head.getInt(0) == 1)
+    assert(spark.sql(s"SHOW GRAFT TRANSACTIONS IN '$dir'").count() == 0L)
+    assert(FileCow.read(spark, fact).count() == 11L, "sealing never flips visibility")
+    // the default retention (168 h) leaves young markers alone
+    GraftTransactions.run(spark, dir) { appendOne(fact, 701L) }
+    assert(spark.sql(s"VACUUM GRAFT TRANSACTIONS IN '$dir'").head.getInt(0) == 0)
+    assert(spark.sql(s"SHOW GRAFT TRANSACTIONS IN '$dir'").count() == 1L)
+  }
 }
