@@ -186,7 +186,7 @@ object GraftTransactions {
     * body must see a just-decided foreign gate as decided, not as the
     * scope's pinned Pending (which would spin every re-derive into a
     * lost CAS until the statement dies). */
-  private[sources] def stateFresh(markerBase: String): TxnState =
+  private[graft] def stateFresh(markerBase: String): TxnState =
     freshState(markerBase)._1
 
   private def freshState(markerBase: String): (TxnState, Long) =
@@ -283,10 +283,11 @@ object GraftTransactions {
     * First touch of a NEW table also records the root into the pending
     * marker (one tiny put per table per txn) — the ops surface a dead
     * coordinator leaves behind: which tables are gated, without scanning
-    * the warehouse. */
+    * the warehouse. Synchronized on the txn: joined worker threads
+    * ([[TxnHandle.join]]) register through the same structure. */
   private[sources] def registerParticipant(root: String, version: Long): Unit = {
     val t = active.get()
-    if (t != null) {
+    if (t != null) t.synchronized {
       t.participants.getOrElseUpdate(root,
         scala.collection.mutable.ArrayBuffer.empty[Long]) += version
       if (t.roots.add(normalizeRoot(root))) {
@@ -303,6 +304,37 @@ object GraftTransactions {
       ()
     }
   }
+
+  /** A capability to opt ANOTHER thread of this JVM into the current
+    * thread's open transaction — the sanctioned spelling of what the
+    * coordinator-thread guard refuses by default (a Future / parallel
+    * collection / foreachBatch body issuing commits it believes are
+    * transactional). The coordinator captures the handle inside its body;
+    * a worker runs `handle.join { … }` and every graft commit in the
+    * block gates behind the SAME marker, flipping with the txn. The
+    * coordinator must not decide (return from `run` / COMMIT) while a
+    * joined block is still running — its commits would race the decision;
+    * `join` refuses once the txn has decided. */
+  final class TxnHandle private[GraftTransactions] (t: ActiveTxn) {
+    def marker: String = t.markerBase
+    def join[T](body: => T): T = {
+      require(active.get() == null,
+        "TxnHandle.join: this thread already has an open transaction")
+      stateFresh(t.markerBase) match {
+        case Pending(_) => ()
+        case _ => sys.error(s"TxnHandle.join: cross-table transaction " +
+          s"${t.markerBase} has already decided — nothing to join")
+      }
+      active.set(t)
+      try body finally active.remove()
+    }
+  }
+
+  /** The current thread's open transaction as a hand-off capability —
+    * see [[TxnHandle]]. */
+  def handle: TxnHandle = new TxnHandle(Option(active.get()).getOrElse(
+    sys.error("GraftTransactions.handle: no open transaction on this " +
+      "thread to hand off")))
 
   private def normalizeRoot(root: String): String =
     Paths.get(root).toAbsolutePath.normalize.toString
@@ -328,9 +360,10 @@ object GraftTransactions {
             s"table $root was written by the OPEN cross-table transaction " +
               s"${t.markerBase}, coordinated by ANOTHER thread of this " +
               "JVM — commits that belong to the transaction must run on " +
-              "its coordinating thread (a Future/parallel-collection " +
-              "commit inside the body does not gate); commits that do " +
-              "not belong must wait for its decision")
+              "its coordinating thread or opt in via " +
+              "GraftTransactions.handle.join { … } (a bare Future/" +
+              "parallel-collection commit inside the body does not gate); " +
+              "commits that do not belong must wait for its decision")
         case _ => openInJvm.remove(e.getKey) // decided: unbind the ghost
       }
     }
@@ -390,7 +423,7 @@ object GraftTransactions {
   }
 
   private def participantsOf(t: ActiveTxn): Seq[(String, Seq[Long])] =
-    t.participants.toSeq.map { case (r, vs) => (r, vs.toSeq) }
+    t.synchronized { t.participants.toSeq.map { case (r, vs) => (r, vs.toSeq) } }
 
   /** Decide the thread's open transaction COMMITTED (the atomic
     * cross-table visibility flip) and unbind it. Throws
@@ -422,7 +455,7 @@ object GraftTransactions {
   }
 
   private def healParticipants(spark: SparkSession, t: ActiveTxn): Unit =
-    t.participants.keys.foreach { r =>
+    t.synchronized { t.participants.keys.toSeq }.foreach { r =>
       try revertAborted(spark, r)
       catch { case scala.util.control.NonFatal(_) => () }
     }

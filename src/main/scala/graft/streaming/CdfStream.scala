@@ -273,6 +273,23 @@ object CdfSource {
     }
   }
 
+  /** CDC semantics of cross-table transactions (round 16): a version
+    * gated by an ABORTED txn was NEVER VISIBLE, and the `txn_revert`
+    * that healed it restores exactly the pre-txn state — so a change
+    * feed must emit NOTHING for the whole span. Without the skip, a
+    * version-granular batch (maxVersionsPerTrigger=1) would hand a
+    * downstream replica the aborted rows as real inserts one trigger
+    * before their reverting deletes — transiently (CDF) or permanently
+    * (an append-only table stream under skipChangeCommits) wrong.
+    * Offsets only ever PLAN past a version while it reads visible, so a
+    * marker seen here is Committed (emit) or Aborted (skip) — decisions
+    * are immutable, replays classify identically. Admission still prices
+    * skipped versions' bytes (conservative: admits less, never more). */
+  private[streaming] def skipInFeed(ci: graft.sources.FileCow.CommitInfo): Boolean =
+    ci.kind == "txn_revert" ||
+    ci.txnMarker.exists(m => graft.sources.GraftTransactions.stateFresh(m) ==
+      graft.sources.GraftTransactions.Aborted)
+
   /** The engine's ReadLimit unpacked into (maxVersions, maxBytes). Rows
     * map onto VERSIONS for these sources (the unit their offsets count —
     * the same mapping FileStreamSource makes onto files); a composite
@@ -437,6 +454,12 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
     val currentCols =
       FileCow.schemaOf(root, FileCow.visibleVersion(root)).fieldNames.toSet
     val perCommit = (from until to).map { v =>
+      // aborted-txn spans (the gated versions + their txn_revert) emit
+      // NOTHING — see CdfSource.skipInFeed
+      if (v > 0L && FileCow.commitInfo(root, v + 1).exists(CdfSource.skipInFeed))
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      else {
       val feed =
         if (v == 0L) // genesis: version 1 IS the insert feed
           FileCow.readVersion(spark, root, 1L)
@@ -446,6 +469,7 @@ class CdfSource(ctx: SQLContext, root: String, keys: Seq[String],
       // schema order (offset-based row decoding is order-sensitive)
       CdfSource.conformTo(schema,
         feed.withColumn("_commit_version", lit(v + 1)), currentCols)
+      }
     }
     ratePos.foreach(_.advance(to))
     org.apache.spark.sql.GraftBridge.asStreaming(perCommit.reduce(_ unionByName _))

@@ -121,6 +121,10 @@ class CowTableSource(ctx: SQLContext, root: String,
         s"graft-cow stream: commit record for version $v of $root is gone " +
         "(vacuumed?) — snapshot retention must outlive the slowest consumer"))
       info.kind match {
+        // an aborted txn's gated versions and their txn_revert heal: the
+        // span was never visible and nets to nothing — emit nothing, and
+        // never fail the stream on the heal's file removals
+        case _ if CdfSource.skipInFeed(info) => Nil
         case k if RowNeutralRewriteKinds(k) => Nil
         // a deletion-vector change (delete_dv, or a restore rewinding
         // vectors over an identical file set) touches no files but DOES

@@ -67,6 +67,45 @@ object StressCommitRate {
     } finally CommitBackend.forced = None
   }
 
+  /** The CROSS-TABLE TXN arm (round 16): the same serial append workload,
+    * but every PAIR of appends (one to each of two tables) runs inside a
+    * `GraftTransactions.run` — with the marker store riding the SAME
+    * latency-injected client (it now resolves through the active
+    * backend). Prices the G35 claims directly: per txn the protocol adds
+    * 1 pending put + 1 decision conditional-put + 1 pending rewrite per
+    * new table (2 here, first txn only), and ZERO ops per table commit. */
+  private def runTxnArm(spark: SparkSession, latencyMs: Long,
+      txns: Int): Arm = {
+    import spark.implicits._
+    val store = new LatencyObjectStore(LocalFsObjectStore, latencyMs)
+    CommitBackend.forced = Some(new ConditionalPutBackend(store))
+    try {
+      val base = Files.createTempDirectory(s"graft-rate-txn-$latencyMs")
+      val fact = base.resolve("fact").toString
+      val summary = base.resolve("summary").toString
+      val txnDir = base.resolve("txns").toString
+      Seq(fact, summary).foreach(r => FileCow.create(spark, r,
+        Seq((0L, "seed")).toDF("k", "v"), statsCols = Seq("k")))
+      val createOps = store.ops.get()
+      FileCow.CommitStats.reset()
+      val t0 = System.nanoTime()
+      (0 until txns).foreach { i =>
+        graft.sources.GraftTransactions.run(spark, txnDir) {
+          FileCow.append(spark, fact, Seq((1000L + i, s"t$i")).toDF("k", "v"))
+          FileCow.append(spark, summary, Seq((1000L + i, s"t$i")).toDF("k", "v"))
+        }
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val landed = (FileCow.currentVersion(fact) - 1L) +
+        (FileCow.currentVersion(summary) - 1L)
+      val ops = store.ops.get() - createOps
+      Arm("txn2table", latencyMs, 1, math.round(wall * 100) / 100.0, landed,
+        math.round(landed / wall * 100) / 100.0, ops,
+        math.round(ops.toDouble / landed * 100) / 100.0,
+        FileCow.CommitStats.rebased.get())
+    } finally CommitBackend.forced = None
+  }
+
   def main(args: Array[String]): Unit = {
     val latencyMs = args.headOption.map(_.toLong).getOrElse(30L)
     val writers = args.drop(1).headOption.map(_.toInt).getOrElse(4)
@@ -76,7 +115,8 @@ object StressCommitRate {
       val arms = Seq(
         runArm(spark, 0L, 1, commitsEach * 2),        // control: protocol + Spark only
         runArm(spark, latencyMs, 1, commitsEach * 2), // the RTT-priced serial rate
-        runArm(spark, latencyMs, writers, commitsEach)) // contention + rebase
+        runArm(spark, latencyMs, writers, commitsEach), // contention + rebase
+        runTxnArm(spark, latencyMs, commitsEach))     // cross-table txn pricing
       val single0 = arms(0); val singleL = arms(1)
       // marginal store time per commit isolates the protocol from Spark:
       // (wall_L - wall_0) / commits = ops/commit × L (if the budget holds)

@@ -266,6 +266,38 @@ class TxnRound16Spec extends SparkSpec {
     } finally GraftTransactions.rollbackActive(spark)
   }
 
+  test("TxnHandle.join opts a worker thread INTO the txn: gated, atomic, accepted by the guard") {
+    val fact = mkTable("join-f"); val summary = mkTable("join-s")
+    val txnDir = Files.createTempDirectory("graft-txn16-join").toString
+    val escaped = new AtomicReference[GraftTransactions.TxnHandle]()
+    GraftTransactions.run(spark, txnDir) {
+      appendOne(fact, 810L)
+      val h = GraftTransactions.handle
+      escaped.set(h)
+      // the worker commits through the handle: gated by the SAME marker
+      // (the bare-thread spelling of this is refused by the guard)
+      onThread { h.join { appendOne(summary, 810L) } }
+      assert(observe(fact, summary) == (10L, 10L),
+        "a joined worker's commit is still invisible pre-decision")
+      // a joined thread cannot double-bind
+      val e = intercept[IllegalArgumentException] {
+        onThread { h.join { GraftTransactions.begin(txnDir) } }
+      }
+      assert(e.getMessage.contains("do not nest"), e.getMessage)
+    }
+    // the decision flips BOTH tables' rows — coordinator's and worker's
+    assert(observe(fact, summary) == (11L, 11L))
+    val m1 = FileCow.commitInfo(fact, 2L).get.txnMarker
+    val m2 = FileCow.commitInfo(summary, 2L).get.txnMarker
+    assert(m1.isDefined && m1 == m2, s"$m1 vs $m2")
+    // joining a DECIDED txn refuses with the cure
+    val late = intercept[RuntimeException] {
+      onThread { escaped.get().join { appendOne(fact, 811L) } }
+    }
+    assert(late.getMessage.contains("already decided"), late.getMessage)
+    assert(FileCow.read(spark, fact).count() == 11L)
+  }
+
   test("VACUUM GRAFT TRANSACTIONS is the SQL spelling of marker retention") {
     val fact = mkTable("sqlvac")
     val dir = Files.createTempDirectory("graft-txn16-sqlvac").toString
