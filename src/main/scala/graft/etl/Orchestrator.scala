@@ -84,6 +84,67 @@ object Orchestrator {
     RunReport(runId, ok = !failed, results)
   }
 
+  /** Run `stages` as ONE cross-table transaction (round 16): every graft
+    * commit any stage lands gates behind one txn marker under
+    * `markerDir`, and the whole pipeline flips visible with the single
+    * conditional-put decision — the reference's dw2→dw5 sequence with
+    * the atomicity it only has by convention. On the first stage failure
+    * the transaction aborts: every already-landed stage output is healed
+    * (`txn_revert`) and NOTHING of the run is ever visible to a reader —
+    * earlier stages log `reverted` (not `ok`), so a later [[resume]]
+    * correctly restarts from stage 0 (their effects are gone by
+    * construction; all-or-nothing has no partial resume). Only graft
+    * (FileCow / SQL DML) sinks are transactional — a stage writing plain
+    * parquet publishes immediately and is on the caller. Downstream
+    * change feeds see an aborted run as NOTHING and a committed run at
+    * the flip (TxnChangeFeedSpec semantics). The run log itself is
+    * appended AFTER the decision, outside the transaction. */
+  def runAtomic(spark: SparkSession, stages: Seq[Stage], runLogDir: String,
+      runId: Long, markerDir: String): RunReport = {
+    require(stages.map(_.name).distinct.size == stages.size,
+      "stage names must be unique — the run log and resume key on them")
+    val results = scala.collection.mutable.ArrayBuffer.empty[StageResult]
+    var failedAt = -1
+    try {
+      graft.sources.GraftTransactions.run(spark, markerDir) {
+        stages.zipWithIndex.foreach { case (st, i) =>
+          val started = System.currentTimeMillis()
+          val t0 = System.nanoTime()
+          try {
+            st.run(spark)
+            results += StageResult(st.name, "ok", started,
+              (System.nanoTime() - t0) / 1000000L, None)
+          } catch {
+            case e: Throwable =>
+              failedAt = i
+              results += StageResult(st.name, "failed", started,
+                (System.nanoTime() - t0) / 1000000L,
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+              throw e // aborts the txn: landed stages heal before rethrow
+          }
+        }
+      }
+    } catch {
+      case e: Throwable if failedAt >= 0 =>
+        // the txn aborted and healed: earlier "ok" stages' effects are
+        // GONE — relabel them so resume restarts from stage 0
+        results.indices.foreach { i =>
+          if (results(i).status == "ok")
+            results(i) = results(i).copy(status = "reverted")
+        }
+        stages.drop(failedAt + 1).foreach(st =>
+          results += StageResult(st.name, "skipped", 0L, 0L, None))
+        val _ = e // first-failure semantics: report, don't rethrow (as run())
+    }
+    import spark.implicits._
+    results.toSeq.zipWithIndex.map { case (r, i) =>
+      (runId, i.toLong, r.stage, r.status, r.startedMs, r.elapsedMs, r.error)
+    }.toDF(logSchema: _*)
+      .repartition(1)
+      .write.mode(SaveMode.Append).parquet(runLogDir)
+    RunReport(runId, ok = failedAt < 0, results.toSeq)
+  }
+
   /** The latest run's per-stage status, ordered by stage sequence. */
   def lastRun(spark: SparkSession, runLogDir: String): DataFrame = {
     val log = spark.read.parquet(runLogDir)

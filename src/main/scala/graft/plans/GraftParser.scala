@@ -114,6 +114,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*BEGIN\s+GRAFT\s+TRANSACTION(?:\s+AT\s+'([^']+)')?\s*;?\s*""".r
   private val TxnCommit = """(?is)\s*COMMIT\s+GRAFT\s+TRANSACTION\s*;?\s*""".r
   private val TxnRollback = """(?is)\s*ROLLBACK\s+GRAFT\s+TRANSACTION\s*;?\s*""".r
+  /** Multi-process participants (round 16): `JOIN GRAFT TRANSACTION
+    * '<marker>'` binds this session INTO a foreign coordinator's open
+    * txn (its DML gates behind the same marker); `LEAVE GRAFT
+    * TRANSACTION` detaches without deciding. */
+  private val TxnJoin =
+    """(?is)\s*JOIN\s+GRAFT\s+TRANSACTION\s+'([^']+)'\s*;?\s*""".r
+  private val TxnLeave = """(?is)\s*LEAVE\s+GRAFT\s+TRANSACTION\s*;?\s*""".r
   private val TxnShow =
     """(?is)\s*SHOW\s+GRAFT\s+TRANSACTIONS(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
   /** Marker retention (ADVICE r15): consolidate decided markers older
@@ -547,6 +554,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case TxnBegin(dir) => GraftTxnCommand("begin", Some(txnDir(dir)))
     case TxnCommit() => GraftTxnCommand("commit", None)
     case TxnRollback() => GraftTxnCommand("rollback", None)
+    case TxnJoin(m) => GraftTxnCommand("join", Some(m))
+    case TxnLeave() => GraftTxnCommand("leave", None)
     case TxnShow(dir) =>
       val rows = graft.sources.GraftTransactions.listTransactions(txnDir(dir))
       import session.implicits._
@@ -671,6 +680,8 @@ case class GraftTxnExec(cmd: GraftTxnCommand) extends LeafExecNode {
       case "begin" => graft.sources.GraftTransactions.begin(cmd.markerDir.get)
       case "commit" => graft.sources.GraftTransactions.commitActive(session)
       case "rollback" => graft.sources.GraftTransactions.rollbackActive(session)
+      case "join" => graft.sources.GraftTransactions.joinSession(cmd.markerDir.get)
+      case "leave" => graft.sources.GraftTransactions.leaveActive()
     }
     ()
   }

@@ -82,7 +82,8 @@ object GraftTransactions {
     * in landing order — the heal set if the txn aborts). `roots` is the
     * normalized participant set, readable from OTHER threads (the
     * same-JVM coordinator-thread guard). */
-  private final class ActiveTxn(val markerBase: String) {
+  private final class ActiveTxn(val markerBase: String,
+      val joined: Boolean = false) {
     val participants =
       new scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
     val roots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -154,6 +155,39 @@ object GraftTransactions {
   private def finalPath(base: String) = base + ".final.json"
   private def markerName(base: String) =
     Paths.get(base).getFileName.toString
+
+  /** A JOINED participant's root registration (put-if-absent, one tiny
+    * object per (txn, table)): a foreign process can't rewrite the
+    * coordinator's pending root list without a read-modify-write race,
+    * so its first touch of a table registers through an absent-put side
+    * record instead — same price, no lost update. */
+  private def rootSidePath(base: String, root: String): String = {
+    val h = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(normalizeRoot(root).getBytes(StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    s"$base.root.$h.json"
+  }
+
+  /** Roots registered by JOINED participants (side records). */
+  private def sideRoots(base: String): Seq[String] =
+    store.list(base + ".root.").flatMap { k =>
+      store.read(k).map(b =>
+        FileCow.jsonMapper.readTree(b).path("root").asText(""))
+    }.filter(_.nonEmpty)
+
+  /** Roots in the coordinator's pending record. */
+  private def pendingRoots(base: String): Seq[String] =
+    store.read(pendingPath(base)).toSeq.flatMap { b =>
+      val arr = FileCow.jsonMapper.readTree(b).path("roots")
+      (0 until arr.size).map(i => arr.get(i).asText(""))
+    }.filter(_.nonEmpty)
+
+  /** EVERY participant root any decider can see: this JVM's map, the
+    * coordinator's pending list, and joined-process side records — the
+    * heal set. */
+  private def allRoots(t: ActiveTxn): Seq[String] =
+    (t.synchronized { t.participants.keys.toSeq } ++
+      pendingRoots(t.markerBase) ++ sideRoots(t.markerBase)).distinct
 
   private def timeoutMs: Long =
     Option(System.getProperty("graft.txn.timeoutMs")).map(_.toLong)
@@ -291,15 +325,25 @@ object GraftTransactions {
       t.participants.getOrElseUpdate(root,
         scala.collection.mutable.ArrayBuffer.empty[Long]) += version
       if (t.roots.add(normalizeRoot(root))) {
-        val startMs = store.read(pendingPath(t.markerBase))
-          .map(b => FileCow.jsonMapper.readTree(b).path("startMs").asLong(0L))
-          .getOrElse(0L)
-        val pn = FileCow.jsonMapper.createObjectNode()
-        pn.put("startMs", startMs)
-        val arr = pn.putArray("roots")
-        t.participants.keys.foreach(r => arr.add(r))
-        store.put(pendingPath(t.markerBase),
-          FileCow.jsonMapper.writeValueAsBytes(pn))
+        if (t.joined) {
+          // a foreign participant must not rewrite the coordinator's
+          // pending list (read-modify-write race) — absent-put a side
+          // record instead; a duplicate first touch just loses the put
+          val pn = FileCow.jsonMapper.createObjectNode()
+          pn.put("root", root)
+          store.putIfAbsent(rootSidePath(t.markerBase, root),
+            FileCow.jsonMapper.writeValueAsBytes(pn))
+        } else {
+          val startMs = store.read(pendingPath(t.markerBase))
+            .map(b => FileCow.jsonMapper.readTree(b).path("startMs").asLong(0L))
+            .getOrElse(0L)
+          val pn = FileCow.jsonMapper.createObjectNode()
+          pn.put("startMs", startMs)
+          val arr = pn.putArray("roots")
+          t.participants.keys.foreach(r => arr.add(r))
+          store.put(pendingPath(t.markerBase),
+            FileCow.jsonMapper.writeValueAsBytes(pn))
+        }
       }
       ()
     }
@@ -335,6 +379,92 @@ object GraftTransactions {
   def handle: TxnHandle = new TxnHandle(Option(active.get()).getOrElse(
     sys.error("GraftTransactions.handle: no open transaction on this " +
       "thread to hand off")))
+
+  /** Join an open cross-table transaction FROM ANOTHER PROCESS (or any
+    * JVM) by its marker base path — the multi-process participant
+    * spelling (round 16). The reference's pipeline runs each stage as
+    * its own OS process (bp_etl.sh → main_orchestrator.py); `join` lets
+    * such a stage's commits gate behind the coordinator's marker, so the
+    * whole multi-process pipeline flips visible with ONE decision:
+    *
+    *  - every graft commit inside `body` lands stamped with the SAME
+    *    marker (the normal per-table CAS, invisible until the decision);
+    *  - first touch of a NEW table registers through a put-if-absent
+    *    side record (`<base>.root.<h>.json`) — a foreign process never
+    *    rewrites the coordinator's pending list, so registration is
+    *    race-free by construction;
+    *  - a `body` failure ABORTS the transaction (the put-if-absent
+    *    decision — the coordinator's later COMMIT loses and heals): a
+    *    dead or failed participant can never let half a pipeline publish;
+    *  - the coordinator must not decide while a joined body is running
+    *    (the same contract as [[TxnHandle.join]]) — wait for the
+    *    participant process to exit before COMMIT.
+    *
+    * Refuses when the marker does not exist or has already decided. */
+  def join[T](spark: SparkSession, markerBase: String)(body: => T): T = {
+    val base = joinSession(markerBase)
+    val t = active.get()
+    try body
+    catch {
+      case e: Throwable =>
+        if (active.get() != null) {
+          try {
+            unbind(t)
+            decide(base, "aborted", participantsOf(t))
+            if (stateFresh(base) == Aborted) healParticipants(spark, t)
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+        throw e
+    } finally {
+      if (active.get() != null) unbind(t)
+    }
+  }
+
+  /** Bind this thread INTO an open foreign transaction, unbracketed —
+    * the SQL spelling `JOIN GRAFT TRANSACTION '<marker>'`. Every graft
+    * commit until detach gates behind the marker. Detach with
+    * [[leaveActive]] (`LEAVE GRAFT TRANSACTION`) once this session's
+    * share of the work is done — the COORDINATOR decides; `ROLLBACK
+    * GRAFT TRANSACTION` from a participant aborts the WHOLE transaction
+    * (a participant that knows the work is bad must be able to stop the
+    * publish); `COMMIT GRAFT TRANSACTION` from a participant refuses.
+    * Refuses when the marker does not exist or has already decided. */
+  def joinSession(markerBase: String): String = {
+    require(active.get() == null,
+      "cross-table transactions do not nest (an open transaction is " +
+        "already bound to this thread)")
+    val base = Paths.get(markerBase).toAbsolutePath.normalize.toString
+    stateFresh(base) match {
+      case Pending(_) =>
+        if (store.read(pendingPath(base)).isEmpty)
+          sys.error(s"JOIN GRAFT TRANSACTION: no transaction marker at " +
+            s"$base (begin one with GraftTransactions.begin / BEGIN GRAFT " +
+            "TRANSACTION, or check the marker path)")
+      case _ => sys.error(s"JOIN GRAFT TRANSACTION: cross-table " +
+        s"transaction $base has already decided — nothing to join")
+    }
+    val t = new ActiveTxn(base, joined = true)
+    active.set(t)
+    openInJvm.put(base, t)
+    base
+  }
+
+  /** Detach a JOINED participant from its transaction WITHOUT deciding —
+    * the SQL spelling `LEAVE GRAFT TRANSACTION`. The commits it landed
+    * stay gated; the coordinator's decision flips them. Refuses on a
+    * coordinating thread (an abandoned coordinator txn would gate its
+    * tables until the stale-break — commit or roll back instead). */
+  def leaveActive(): String = {
+    val t = Option(active.get()).getOrElse(sys.error(
+      "LEAVE GRAFT TRANSACTION: no open transaction on this thread"))
+    if (!t.joined)
+      sys.error(s"LEAVE GRAFT TRANSACTION: this thread COORDINATES " +
+        s"${t.markerBase} — leaving would abandon the open gate on every " +
+        "participant table until the stale-break; COMMIT or ROLLBACK " +
+        "GRAFT TRANSACTION instead")
+    unbind(t)
+    t.markerBase
+  }
 
   private def normalizeRoot(root: String): String =
     Paths.get(root).toAbsolutePath.normalize.toString
@@ -422,8 +552,17 @@ object GraftTransactions {
     ()
   }
 
-  private def participantsOf(t: ActiveTxn): Seq[(String, Seq[Long])] =
-    t.synchronized { t.participants.toSeq.map { case (r, vs) => (r, vs.toSeq) } }
+  /** The decision record's participant list: this JVM's landed versions
+    * plus any roots only the marker files know (foreign joined
+    * participants) — the final file is the complete ops surface. */
+  private def participantsOf(t: ActiveTxn): Seq[(String, Seq[Long])] = {
+    val own =
+      t.synchronized { t.participants.toSeq.map { case (r, vs) => (r, vs.toSeq) } }
+    val known = own.map(p => normalizeRoot(p._1)).toSet
+    own ++ (pendingRoots(t.markerBase) ++ sideRoots(t.markerBase))
+      .filterNot(r => known.contains(normalizeRoot(r)))
+      .distinct.map(r => (r, Seq.empty[Long]))
+  }
 
   /** Decide the thread's open transaction COMMITTED (the atomic
     * cross-table visibility flip) and unbind it. Throws
@@ -432,6 +571,11 @@ object GraftTransactions {
   def commitActive(spark: SparkSession): String = {
     val t = Option(active.get()).getOrElse(sys.error(
       "COMMIT GRAFT TRANSACTION: no open transaction on this thread"))
+    if (t.joined)
+      sys.error(s"COMMIT GRAFT TRANSACTION: this session JOINED " +
+        s"${t.markerBase} as a participant — only the coordinating " +
+        "session commits; LEAVE GRAFT TRANSACTION to detach, ROLLBACK " +
+        "to abort the whole transaction")
     unbind(t)
     if (!decide(t.markerBase, "committed", participantsOf(t)))
       stateFresh(t.markerBase) match {
@@ -454,8 +598,13 @@ object GraftTransactions {
     t.markerBase
   }
 
+  /** Heal EVERY participant the decider can see — this JVM's map plus
+    * the marker's pending list and joined-process side records, so a
+    * coordinator heals a foreign participant's tables too (and vice
+    * versa). Tables the union misses still heal lazily at next touch
+    * ([[checkGate]]). */
   private def healParticipants(spark: SparkSession, t: ActiveTxn): Unit =
-    t.synchronized { t.participants.keys.toSeq }.foreach { r =>
+    allRoots(t).foreach { r =>
       try revertAborted(spark, r)
       catch { case scala.util.control.NonFatal(_) => () }
     }
@@ -473,7 +622,7 @@ object GraftTransactions {
     val names = store.list(dirPrefix)
       .map(markerName)
       .filter(f => f.startsWith("txn-") && f.endsWith(".json") &&
-        !f.endsWith(".final.json"))
+        !f.endsWith(".final.json") && !f.contains(".root."))
       .map(_.stripSuffix(".json"))
     names.sorted.map { n =>
       val base = Paths.get(dirPrefix).resolve(n).toString
@@ -583,11 +732,14 @@ object GraftTransactions {
       }
     }
     // entries are durably in the ledger: the marker files can go
+    // (including joined-participant side records — outcome decided,
+    // their registration has served its heal/ops purpose)
     toSeal.foreach { case (name, entry) =>
       val base = Paths.get(markerDir).resolve(name).toString
       decidedCache.put(base, entry)
       store.delete(finalPath(base))
       store.delete(pendingPath(base))
+      store.list(base + ".root.").foreach(store.delete)
     }
     sealedCount
   }

@@ -419,9 +419,10 @@ object StressMultiWriter {
     "java.base/sun.nio.ch", "java.base/sun.nio.cs",
     "java.base/sun.security.action", "java.base/sun.util.calendar")
 
-  /** Fork one StressMultiWriter JVM with `args` (the jrun.sh contract:
+  /** Fork any graft main class in a fresh JVM (the jrun.sh contract:
     * bare java, sbt-free). */
-  def fork(args: Seq[String], heap: String = "3g"): Process = {
+  def forkMain(mainClass: String, args: Seq[String],
+      heap: String = "3g"): Process = {
     val java = Paths.get(sys.props("java.home"), "bin", "java").toString
     val cp = sys.props("java.class.path")
     // the commit backend is a per-DEPLOYMENT choice (every writer of a
@@ -430,13 +431,16 @@ object StressMultiWriter {
       .map(b => Seq(s"-Dgraft.commit.backend=$b")).getOrElse(Nil)
     val cmd = Seq(java) ++ Opens.flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED")) ++
       backend ++ Seq(s"-Xmx$heap", "-Dspark.ui.enabled=false",
-        "-Dspark.sql.session.timeZone=UTC", "-cp", cp,
-        "graft.tools.StressMultiWriter") ++ args
+        "-Dspark.sql.session.timeZone=UTC", "-cp", cp, mainClass) ++ args
     new ProcessBuilder(cmd.asJava)
       .redirectOutput(ProcessBuilder.Redirect.INHERIT)
       .redirectErrorStream(true)
       .start()
   }
+
+  /** Fork one StressMultiWriter JVM with `args`. */
+  def fork(args: Seq[String], heap: String = "3g"): Process =
+    forkMain("graft.tools.StressMultiWriter", args, heap)
 
   def forkWorker(root: String, receiptsDir: String, writerId: Int,
       nOps: Int, cpus: Int, heap: String = "3g"): Process =

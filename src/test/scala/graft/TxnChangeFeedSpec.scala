@@ -87,6 +87,44 @@ class TxnChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("feed classification survives marker retention: a FRESH consumer replaying after vacuumMarkers still skips the aborted span via the sealed ledger") {
+    val t = mkTable("sealed")
+    val dir = Files.createTempDirectory("graft-txncdf-sm").toString
+    val e = intercept[RuntimeException] {
+      GraftTransactions.run(spark, dir) { appendOne(t, 800L); sys.error("boom") }
+    }
+    assert(e.getMessage.contains("boom"))
+    val cm = Files.createTempDirectory("graft-txncdf-sc").toString
+    GraftTransactions.run(spark, cm) { appendOne(t, 801L) }
+    // seal BOTH decided markers into their ledgers, drop the files, and
+    // drop every in-JVM memo — the consumer below classifies like a
+    // process that never saw the live markers
+    assert(GraftTransactions.vacuumMarkers(dir, retainMs = 0L) == 1)
+    assert(GraftTransactions.vacuumMarkers(cm, retainMs = 0L) == 1)
+    GraftTransactions.resetCachesForTest()
+    val got = mutable.Set.empty[(Long, String)]
+    val q = spark.readStream.format("graft-cow").option("root", t)
+      .option("readChangeFeed", "true").option("keys", "k")
+      .option("maxVersionsPerTrigger", "1")
+      .option("startingVersion", "1") // REPLAY the whole history
+      .load().writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= b.select("k", "_change_type").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-txncdf-sck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(got.toSet == Set((801L, "insert")),
+        s"ledger-classified replay must skip the aborted span only: $got")
+    } finally q.stop()
+  }
+
   test("append-only table stream sails through an aborted span WITHOUT skipChangeCommits; committed txn appends flow") {
     val t = mkTable("ts")
     val got = mutable.Set.empty[Long]
