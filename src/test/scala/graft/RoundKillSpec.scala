@@ -342,6 +342,41 @@ class RoundKillSpec extends SparkSpec {
     } finally System.clearProperty("graft.commit.backend")
   }
 
+  test("SIGKILL a JOINED foreign participant after its gated commit lands: the coordinator's decision alone flips both tables") {
+    val fact = mkTxnTable("join-f"); val summary = mkTxnTable("join-s")
+    val base = Files.createTempDirectory("graft-rk16-join")
+    val txnDir = base.resolve("txns").toString
+    val touch = base.resolve("landed")
+    val marker = GraftTransactions.begin(txnDir)
+    try {
+      val s = spark
+      import s.implicits._
+      FileCow.append(spark, fact,
+        Seq((888300L, "coord", 8L)).toDF("k", "val", "u"))
+      // the worker JOINS, lands its gated append, touches, then HANGS —
+      // SIGKILLed mid-join: a dead participant, its work durably landed
+      val victim = StressMultiWriter.forkMain("graft.TxnHangWorker",
+        Seq(marker, summary, touch.toString))
+      awaitTouch(victim, touch, "its gated append")
+      victim.destroyForcibly(); victim.waitFor()
+      // the dead participant's commit is real (a recorded version), its
+      // side-record registration durable — and nothing is visible yet
+      assert(FileCow.currentVersion(summary) == 2L)
+      assert(observeBoth(fact, summary) == (10L, 10L),
+        "a dead participant must not leak pre-decision state")
+    } finally {
+      GraftTransactions.commitActive(spark)
+    }
+    // the coordinator's ONE decision flips its own table AND the dead
+    // worker's — membership lives in the marker files, not in any JVM
+    assert(observeBoth(fact, summary) == (11L, 11L),
+      "the dead participant's landed work must flip with the decision")
+    Seq(fact, summary).foreach { r =>
+      val m = FileCow.commitInfo(r, 2L).get.txnMarker
+      assert(m.contains(marker), s"$r: $m")
+    }
+  }
+
   test("an aggressive vacuum races the txn_revert heal: both complete, no visible data lost") {
     val root = mkTxnTable("heal")
     val txnDir = Files.createTempDirectory("graft-rk16-heal").toString
@@ -446,5 +481,31 @@ class RoundKillSpec extends SparkSpec {
         e.getMessage)
       spark.sql("DROP TABLE graft.shared_ddl")
     } finally GraftTables.detachWarehouse()
+  }
+}
+
+/** The forked JOINED-participant victim of RoundKillSpec's joined-kill
+  * case: joins the coordinator's open txn by marker path, lands ONE
+  * gated append on `root`, touches `touchPath`, then hangs until the
+  * spec SIGKILLs it — a participant that dies mid-transaction with its
+  * work durably landed. Test-tree main: forked with the spec JVM's own
+  * classpath. */
+object TxnHangWorker {
+  def main(args: Array[String]): Unit = {
+    val marker = args(0); val root = args(1); val touchPath = args(2)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("graft-txn-hang-worker")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    import spark.implicits._
+    GraftTransactions.join(spark, marker) {
+      FileCow.append(spark, root,
+        Seq((888400L, "worker", 1L)).toDF("k", "val", "u"))
+      Files.write(Paths.get(touchPath), "landed".getBytes)
+      Thread.sleep(300000L) // hold the join open until the SIGKILL
+    }
+    ()
   }
 }
