@@ -368,15 +368,21 @@ case class GraftCtasExec(cmd: GraftCtasCommand) extends LeafExecNode {
       require(stats.nonEmpty, s"graft CREATE TABLE ${cmd.table}: no column is " +
         "stats-eligible (atomic orderable) — a cow table needs at least one " +
         "for file pruning")
-      FileCow.create(spark, cmd.root, GraftWriteSupport.ranged(df, stats),
-        statsCols = stats)
+      // inside a cross-table txn the NAME carries the atomicity (G41):
+      // v1 lands clean, the binding below is marker-stamped
+      graft.sources.GraftTransactions.withoutTxn {
+        FileCow.create(spark, cmd.root, GraftWriteSupport.ranged(df, stats),
+          statsCols = stats)
+      }
     } else if (cmd.orReplace && exists) {
       Versioned.publish(df, cmd.root)
     } else {
       require(Versioned.currentVersion(cmd.root) == 0L,
         s"graft CREATE TABLE ${cmd.table}: table already exists (v" +
           s"${Versioned.currentVersion(cmd.root)}) — INSERT or MERGE into it")
-      Versioned.publish(df, cmd.root)
+      graft.sources.GraftTransactions.withoutTxn {
+        Versioned.publish(df, cmd.root)
+      }
     }
     }
     // statement-claimed name (USING graft CTAS): commit the binding only
@@ -447,8 +453,11 @@ case class GraftCreateTableExec(cmd: GraftCreateTableCommand) extends LeafExecNo
             s"${stats.filterNot(eligible.contains).mkString(",")} are not " +
             "stats-eligible (atomic orderable types only)")
         try {
-          FileCow.createEmpty(spark, cmd.root, cmd.declaredSchema, stats,
-            props = cmd.props)
+          // G41: the binding below carries the txn gate; v1 lands clean
+          graft.sources.GraftTransactions.withoutTxn {
+            FileCow.createEmpty(spark, cmd.root, cmd.declaredSchema, stats,
+              props = cmd.props)
+          }
           ()
         } catch {
           // IF NOT EXISTS must be idempotent ACROSS drivers too: two
@@ -479,7 +488,12 @@ case class GraftCreateTableExec(cmd: GraftCreateTableCommand) extends LeafExecNo
             "NOT NULL")
         val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cmd.declaredSchema)
-        try { Versioned.publish(empty, cmd.root); () }
+        try {
+          graft.sources.GraftTransactions.withoutTxn {
+            Versioned.publish(empty, cmd.root)
+          }
+          ()
+        }
         catch {
           // same cross-driver IF NOT EXISTS contract as the cow branch
           // (plain publish is last-wins, but a racing loser can still trip

@@ -557,9 +557,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case TxnJoin(m) => GraftTxnCommand("join", Some(m))
     case TxnLeave() => GraftTxnCommand("leave", None)
     case TxnShow(dir) =>
-      val rows = graft.sources.GraftTransactions.listTransactions(txnDir(dir))
+      val rows =
+        graft.sources.GraftTransactions.listTransactionsDetailed(txnDir(dir))
       import session.implicits._
-      rows.toDF("marker", "status", "started_ms", "decided_ms")
+      rows.toDF("marker", "status", "started_ms", "decided_ms", "participants")
         .queryExecution.analyzed
 
     case TxnVacuum(dir, hours) =>

@@ -44,6 +44,12 @@ object GraftTables {
     * mutable mirror would let a concurrent lookup transiently MISS a
     * registered name mid-refresh. */
   @volatile private var stored: Map[String, Entry] = Map.empty
+  /** Marker stamps of bindings CREATEd inside a cross-table txn (G41):
+    * name → marker, mirrored with [[stored]]. A stamped binding resolves
+    * only while its marker reads Committed (or belongs to the resolving
+    * thread's own open txn) — the visibility rule table versions follow,
+    * applied to NAMES. */
+  @volatile private var storedTxn: Map[String, String] = Map.empty
   @volatile private var wh: Option[String] = None
   @volatile private var loadedVersion: Long = -1L
 
@@ -84,7 +90,8 @@ object GraftTables {
   /** Detach (embedded/test use): durable bindings stop resolving here;
     * the store itself is untouched. */
   def detachWarehouse(): Unit = this.synchronized {
-    wh = None; stored = Map.empty; storedNs = Map.empty; loadedVersion = -1L
+    wh = None; stored = Map.empty; storedTxn = Map.empty
+    storedNs = Map.empty; loadedVersion = -1L
   }
 
   def warehouse: Option[String] = wh
@@ -103,6 +110,8 @@ object GraftTables {
         if (v != loadedVersion) {
           val snap = graft.sources.CatalogStore.loadSnapshot(d, v)
           stored = snap.bindings.map { case (k, b) => k -> Entry(b.root, b.cow) }
+          storedTxn = snap.bindings.collect {
+            case (k, b) if b.txnMarker.isDefined => k -> b.txnMarker.get }
           storedNs = snap.namespaces
           loadedVersion = v
         }
@@ -119,12 +128,42 @@ object GraftTables {
   def registerCow(name: String, root: String): Unit =
     put(name, Entry(root, cow = true))
 
+  /** Whether a STAMPED binding resolves for the current thread: clean
+    * bindings always do; a txn-created one only once its marker commits,
+    * or inside the creating txn itself (read-your-writes). Aborted and
+    * foreign-pending names are absent — the same walk-below rule
+    * [[graft.sources.GraftTransactions.visibleVersion]] applies to
+    * versions. */
+  private def bindingVisible(k: String): Boolean = storedTxn.get(k) match {
+    case None => true
+    case Some(m) =>
+      graft.sources.GraftTransactions.activeMarker.contains(m) ||
+        graft.sources.GraftTransactions.state(m) ==
+          graft.sources.GraftTransactions.Committed
+  }
+
+  /** The creating txn's marker for a registration issued inside one
+    * (G41) — requires the durable store: name-level atomicity must be
+    * observable by OTHER processes, which a JVM-local binding can't be. */
+  private def stampOf(): Option[String] = {
+    val m = graft.sources.GraftTransactions.activeMarker
+    if (m.isDefined && wh.isEmpty)
+      sys.error("CREATE TABLE inside a cross-table transaction needs an " +
+        "attached graft warehouse (the txn-gated binding must be durable " +
+        "and visible to other processes) — attach one " +
+        "(spark.graft.warehouse) or create the table outside the " +
+        "transaction")
+    m
+  }
+
   private def put(name: String, e: Entry): Unit = wh match {
     case Some(d) =>
+      val stamp = stampOf()
       graft.sources.CatalogStore.commit(d)(m =>
-        m + (normalize(name) -> graft.sources.CatalogStore.Binding(e.root, e.cow)))
+        m + (normalize(name) ->
+          graft.sources.CatalogStore.Binding(e.root, e.cow, stamp)))
       refresh(force = true)
-    case None => tables.put(normalize(name), e); ()
+    case None => stampOf(); tables.put(normalize(name), e); ()
   }
 
   /** Register iff the name is UNBOUND — the check and the bind are one
@@ -136,18 +175,34 @@ object GraftTables {
     val k = normalize(name)
     wh match {
       case Some(d) =>
+        val stamp = stampOf()
         var won = false
         graft.sources.CatalogStore.commit(d) { m =>
-          if (m.contains(k)) { won = false; m }
-          else { won = true; m + (k -> graft.sources.CatalogStore.Binding(root, cow)) }
+          // a name bound by an ABORTED txn was never visible — it is
+          // ABSENT for a new CREATE, and the replacement drops the stale
+          // stamp (the heal the aborted creation never got to run)
+          val occupied = m.get(k).exists(b => b.txnMarker.forall(mk =>
+            graft.sources.GraftTransactions.state(mk) !=
+              graft.sources.GraftTransactions.Aborted))
+          if (occupied) { won = false; m }
+          else {
+            won = true
+            m + (k -> graft.sources.CatalogStore.Binding(root, cow, stamp))
+          }
         }
         refresh(force = true)
         won
-      case None => tables.putIfAbsent(k, Entry(root, cow)) == null
+      case None => stampOf(); tables.putIfAbsent(k, Entry(root, cow)) == null
     }
   }
 
   def unregister(name: String): Unit = {
+    // a DROP lands immediately (no gate to revert it on abort): inside a
+    // txn it would silently break the all-or-nothing contract — refuse
+    graft.sources.GraftTransactions.activeMarker.foreach(m => sys.error(
+      s"DROP TABLE inside cross-table transaction $m is not " +
+        "transactional (the unbinding cannot be reverted on abort) — " +
+        "drop outside the transaction"))
     tables.remove(normalize(name))
     wh.foreach { d =>
       graft.sources.CatalogStore.commit(d)(m => m - normalize(name))
@@ -164,6 +219,10 @@ object GraftTables {
     * store must not leave this process renamed while every other process
     * still resolves the old name. */
   def rename(from: String, to: String): Unit = {
+    graft.sources.GraftTransactions.activeMarker.foreach(m => sys.error(
+      s"ALTER TABLE RENAME inside cross-table transaction $m is not " +
+        "transactional (the re-binding cannot be reverted on abort) — " +
+        "rename outside the transaction"))
     val f = normalize(from); val t = normalize(to)
     wh.foreach { d =>
       graft.sources.CatalogStore.commit(d) { m =>
@@ -187,7 +246,9 @@ object GraftTables {
 
   def entryOf(name: String): Option[Entry] = {
     val k = normalize(name)
-    Option(tables.get(k)).orElse { refresh(); stored.get(k) }
+    Option(tables.get(k)).orElse {
+      refresh(); stored.get(k).filter(_ => bindingVisible(k))
+    }
   }
 
   /** Every registered (name, entry), name-sorted — `SHOW GRAFT TABLES`.
@@ -198,7 +259,8 @@ object GraftTables {
     // force: a LISTING is a rare, explicitly-metadata statement — one
     // pointer read for an exact answer beats a TTL-stale table list
     refresh(force = true)
-    (stored ++ tables.asScala).toSeq.sortBy(_._1)
+    (stored.filter { case (k, _) => bindingVisible(k) } ++
+      tables.asScala).toSeq.sortBy(_._1)
   }
 
   // ---- declared namespaces (durable when a warehouse is attached) ----
@@ -219,6 +281,9 @@ object GraftTables {
     * in ONE catalog commit (a racing reader never sees the half-dropped
     * state). */
   def dropNamespace(name: String, alsoUnregister: Seq[String] = Nil): Unit = {
+    graft.sources.GraftTransactions.activeMarker.foreach(m => sys.error(
+      s"DROP NAMESPACE inside cross-table transaction $m is not " +
+        "transactional — drop outside the transaction"))
     val k = normalize(name)
     localNs.remove(k)
     alsoUnregister.foreach(t => tables.remove(normalize(t)))

@@ -44,7 +44,13 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   */
 private[graft] object CatalogStore {
 
-  final case class Binding(root: String, cow: Boolean)
+  /** `txnMarker` (round 16, G41): a binding created INSIDE a cross-table
+    * transaction carries its marker — the NAME resolves only once the
+    * marker commits (own-txn reads-its-writes aside), exactly the
+    * visibility rule table versions follow. A clean binding has None;
+    * pre-r16 records read as None (no migration). */
+  final case class Binding(root: String, cow: Boolean,
+      txnMarker: Option[String] = None)
 
   /** One catalog snapshot: table bindings + DECLARED namespaces (VERDICT
     * r13 #3 — a namespace a team creates ahead of its tables, durable,
@@ -130,7 +136,8 @@ private[graft] object CatalogStore {
     (0 until entries.size()).foreach { i =>
       val e = entries.get(i)
       b += e.get("name").asText() -> Binding(e.get("root").asText(),
-        e.get("cow").asBoolean())
+        e.get("cow").asBoolean(),
+        Option(e.get("txnMarker")).map(_.asText()).filter(_.nonEmpty))
     }
     val ns = Map.newBuilder[String, Map[String, String]]
     if (n.has("namespaces")) {
@@ -154,7 +161,8 @@ private[graft] object CatalogStore {
     (0 until set.size()).foreach { i =>
       val e = set.get(i)
       bindings += e.get("name").asText() -> Binding(e.get("root").asText(),
-        e.get("cow").asBoolean())
+        e.get("cow").asBoolean(),
+        Option(e.get("txnMarker")).map(_.asText()).filter(_.nonEmpty))
     }
     val unset = d.path("unsetBindings")
     (0 until unset.size()).foreach(i => bindings -= unset.get(i).asText())
@@ -217,6 +225,7 @@ private[graft] object CatalogStore {
           next.bindings.toSeq.sortBy(_._1).foreach { case (name, b) =>
             val e = arr.addObject()
             e.put("name", name); e.put("root", b.root); e.put("cow", b.cow)
+            b.txnMarker.foreach(m => e.put("txnMarker", m))
             ()
           }
           if (next.namespaces.nonEmpty) {
@@ -238,6 +247,7 @@ private[graft] object CatalogStore {
               val b = next.bindings(name)
               val e = set.addObject()
               e.put("name", name); e.put("root", b.root); e.put("cow", b.cow)
+              b.txnMarker.foreach(m => e.put("txnMarker", m))
               ()
             }
           val unset = n.putArray("unsetBindings")

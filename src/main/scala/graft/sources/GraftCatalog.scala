@@ -208,8 +208,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       require(stats.nonEmpty, s"graft catalog: CREATE TABLE $key — no " +
         "column is stats-eligible (atomic orderable); a cow table needs " +
         "at least one for file pruning")
-      FileCow.createEmpty(spark, root, schema, stats,
-        props = userProps ++ defaults)
+      // G41: inside a cross-table txn the binding carries the gate
+      GraftTransactions.withoutTxn {
+        FileCow.createEmpty(spark, root, schema, stats,
+          props = userProps ++ defaults)
+      }
       // register iff still unbound: the tableExists pre-check above is
       // only a courtesy — a RACING createTable of the same name must lose
       // HERE, atomically, not silently clobber the winner's binding (its
@@ -226,7 +229,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "constraint seam; register the table as graft-cow, or drop it")
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      Versioned.publish(empty, root)
+      GraftTransactions.withoutTxn { Versioned.publish(empty, root) }
       if (!GraftTables.registerIfAbsent(key, root, cow = false))
         throw new TableAlreadyExistsException(ident)
     }

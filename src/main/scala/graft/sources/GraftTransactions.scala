@@ -310,8 +310,22 @@ object GraftTransactions {
   def abort(markerBase: String): Boolean = decide(markerBase, "aborted")
 
   /** The marker the CURRENT thread's open transaction stamps, if any. */
-  private[sources] def activeMarker: Option[String] =
+  private[graft] def activeMarker: Option[String] =
     Option(active.get()).map(_.markerBase)
+
+  /** Run a CATALOG-MEDIATED bootstrap with the thread's open txn
+    * SUSPENDED (G41): a `CREATE TABLE` inside a transaction lands its
+    * version-1 files CLEAN (unstamped — v1 has no clean version to
+    * revert to, the reason bare bootstraps refuse), because the NAME
+    * carries the transaction's atomicity instead: the catalog binding is
+    * marker-stamped and resolves only at the decision. Only the CREATE
+    * execution paths call this; a bare `FileCow.create` inside a txn
+    * still refuses with the cure. */
+  private[graft] def withoutTxn[T](body: => T): T = {
+    val saved = active.get()
+    if (saved == null) body
+    else { active.remove(); try body finally active.set(saved) }
+  }
 
   /** Record a landed commit as a participant of the thread's open txn.
     * First touch of a NEW table also records the root into the pending
@@ -617,7 +631,18 @@ object GraftTransactions {
     * aged out of the listing (their outcomes stay readable via [[state]]
     * forever) — the same retention semantics as DESCRIBE HISTORY after a
     * vacuum. */
-  def listTransactions(markerDir: String): Seq[(String, String, Long, Long)] = {
+  def listTransactions(markerDir: String): Seq[(String, String, Long, Long)] =
+    listTransactionsDetailed(markerDir)
+      .map { case (base, status, startMs, decidedMs, _) =>
+        (base, status, startMs, decidedMs) }
+
+  /** [[listTransactions]] plus each txn's PARTICIPANT roots — for an
+    * open txn the union of the coordinator's pending list and joined-
+    * process side records (the heal/ops set a dead coordinator leaves
+    * behind); for a decided one the final record's own list. The
+    * `participants` column of `SHOW GRAFT TRANSACTIONS`. */
+  def listTransactionsDetailed(markerDir: String)
+      : Seq[(String, String, Long, Long, Seq[String])] = {
     val dirPrefix = Paths.get(markerDir).toAbsolutePath.normalize.toString
     val names = store.list(dirPrefix)
       .map(markerName)
@@ -629,13 +654,20 @@ object GraftTransactions {
       val startMs = store.read(pendingPath(base))
         .map(b => FileCow.jsonMapper.readTree(b).path("startMs").asLong(0L))
         .getOrElse(0L)
-      val (status, decidedMs) = store.read(finalPath(base)) match {
+      val (status, decidedMs, decidedRoots) = store.read(finalPath(base)) match {
         case Some(b) =>
           val f = FileCow.jsonMapper.readTree(b)
-          (f.path("outcome").asText("aborted"), f.path("decidedMs").asLong(0L))
-        case None => ("open", 0L)
+          val arr = f.path("participants")
+          val roots = (0 until arr.size).map(i =>
+            arr.get(i).path("root").asText("")).filter(_.nonEmpty)
+          (f.path("outcome").asText("aborted"),
+            f.path("decidedMs").asLong(0L), roots)
+        case None => ("open", 0L, Seq.empty[String])
       }
-      (base, status, startMs, decidedMs)
+      val roots =
+        if (status == "open") (pendingRoots(base) ++ sideRoots(base)).distinct
+        else decidedRoots
+      (base, status, startMs, decidedMs, roots.sorted.toSeq)
     }
   }
 

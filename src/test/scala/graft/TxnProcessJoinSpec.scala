@@ -73,6 +73,10 @@ class TxnProcessJoinSpec extends SparkSpec {
       val sideFiles = new java.io.File(txnDir).listFiles()
         .map(_.getName).filter(_.contains(".root."))
       assert(sideFiles.length == 1, sideFiles.mkString(","))
+      // SHOW GRAFT TRANSACTIONS surfaces the UNION participant set — the
+      // ops view of which tables a dead coordinator would leave gated
+      val parts = GraftTransactions.listTransactionsDetailed(txnDir).head._5
+      assert(parts.toSet == Set(fact, summary), parts.toString)
     } finally {
       GraftTransactions.commitActive(spark)
     }
