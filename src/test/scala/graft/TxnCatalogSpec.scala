@@ -107,6 +107,48 @@ class TxnCatalogSpec extends SparkSpec {
     }
   }
 
+  test("consistentRead pins NAME resolution: a name committed mid-scope stays unresolvable until the scope ends") {
+    withWarehouse { wh =>
+      val root = Files.createTempDirectory("graft-txncat-s").resolve("t").toString
+      val txnDir = Files.createTempDirectory("graft-txncat-sm").toString
+      // the txn begins BEFORE the scope and decides MID-scope — the
+      // scope's snapshot-at-start rule (decisions stamped after scope
+      // start read as pending) must govern the catalog too
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val committed = new java.util.concurrent.CountDownLatch(1)
+      val creator = new Thread(() => {
+        GraftTransactions.run(spark, txnDir) {
+          spark.sql(s"CREATE TABLE graft.txncat_scoped (k BIGINT NOT NULL) " +
+            s"USING graft_cow LOCATION '$root'")
+          done.await()
+        }
+        committed.countDown()
+      })
+      creator.start()
+      // wait for the STAMPED BINDING to land (catalog version advances)
+      // before opening the scope — the scope's first resolution must
+      // observe the pending marker to have anything to pin
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (graft.sources.CatalogStore.currentVersion(wh) < 1L &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      assert(graft.sources.CatalogStore.currentVersion(wh) >= 1L)
+      onThread {
+        GraftTransactions.consistentRead {
+          assert(GraftTables.resolveName("txncat_scoped").isEmpty,
+            "pre-decision: pending name invisible")
+          done.countDown() // let the creator COMMIT mid-scope
+          committed.await()
+          assert(GraftTables.resolveName("txncat_scoped").isEmpty,
+            "a decision stamped mid-scope must stay pinned out of the scope")
+        }
+        // a FRESH observation sees the committed name
+        assert(GraftTables.resolveName("txncat_scoped").isDefined,
+          "post-scope: the committed name resolves")
+      }
+      creator.join()
+    }
+  }
+
   test("DROP / RENAME / DROP NAMESPACE inside a txn refuse loudly (they cannot be reverted on abort)") {
     withWarehouse { wh =>
       val root = Files.createTempDirectory("graft-txncat-d").resolve("t").toString
