@@ -18,6 +18,53 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Scan-parallelism rescue keys (optimization guide §2.5: "one huge
+    * unsplittable file … repartition immediately after the read").
+    *
+    * The driver-generated tables are SINGLE-ROW-GROUP parquet files; Spark
+    * assigns a row group to the one byte-range split holding its midpoint,
+    * so a scan of such a file — and the whole codegen pipeline fused onto
+    * it (regex cleaning, JSON assembly, vector math, partial aggregation) —
+    * runs on ONE core regardless of session cores (measured: q60's
+    * scan+join+agg map stage = 1.3 s on 1 of 32 cores). The rescue
+    * repartitions the table by its natural key immediately after the read:
+    * hash partitioning (deterministic under task retry — no round-robin, no
+    * sortBeforeRepartition pass) that downstream joins/aggregates on the
+    * same key can reuse as their own exchange (§2.4).
+    *
+    * Scale-adaptive, not a local-mode constant: the rescue fires only when
+    * the file bytes cannot fill one split per core at the session's
+    * maxPartitionBytes — at production sizes (≥ cores × 128 MB per table)
+    * the plan is bit-identical to the un-rescued one, and a mid-size table
+    * pays at most one input-sized shuffle to go from "a few cores" to
+    * "all cores". Dimension tables (region/nation/customer/supplier/part)
+    * are broadcast targets and stay un-rescued: an exchange under a
+    * BroadcastExchange only adds a stage to the broadcast build.
+    *
+    * Applied by default only to the two tables whose downstream pipelines
+    * are CPU-heavy per input byte — documents (regex cleaning, shingling,
+    * hashing) and embeddings (256-dim vector arithmetic) — where the
+    * measured full-suite win is large (tx12 −0.6 s, tx16 −0.6 s, ann17
+    * −1.0 s, dd03 −0.5 s, …). For the cheap-per-row relational tables
+    * (lineitem/orders/events) the extra exchange costs more than the
+    * parallelism buys on most of their ~40 consumers (measured +0.2–0.4 s
+    * each on q05/q16/q34/q44/q54/q57); the one consumer whose fused
+    * scan+5-way-join+7-sum map stage is long enough to flip that trade
+    * (q60, 1.3 s single-core) opts in explicitly via [[rescued]]. */
+  private val rescueKey: Map[String, String] = Map(
+    "documents"  -> "doc_id",
+    "embeddings" -> "vec_id")
+
+  /** Explicit opt-in scan-parallelism rescue for a table `load` leaves
+    * un-rescued by default — same size gate, same by-column (AQE-coalescible)
+    * repartition. */
+  def rescued(spark: SparkSession, dir: String, name: String, key: String): DataFrame =
+    maybeRescue(spark, dir, name, key, load(spark, dir, name))
+
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isDirectory) Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+    else f.length
+
   private val required: Map[String, Seq[String]] = Map(
     "region"     -> Seq("r_regionkey", "r_name"),
     "nation"     -> Seq("n_nationkey", "n_name", "n_regionkey"),
@@ -73,7 +120,31 @@ object Tables {
       } else df0
     val missing = required.getOrElse(name, Nil).filterNot(df.columns.contains)
     require(missing.isEmpty, s"table $name missing columns: ${missing.mkString(",")}")
-    df
+    rescueKey.get(name) match {
+      case Some(key) => maybeRescue(spark, dir, name, key, df)
+      case None      => df
+    }
+  }
+
+  /** The size-gated rescue repartition (see [[rescueKey]]'s scaladoc). */
+  private def maybeRescue(
+      spark: SparkSession, dir: String, name: String,
+      key: String, df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val bytes = dirBytes(new java.io.File(s"$dir/$name.parquet"))
+    // Fires only when the scan cannot fill the cluster by itself; at
+    // production table sizes this branch is dead and the plan unchanged.
+    // Column-only repartition (REPARTITION_BY_COL): AQE picks the partition
+    // count from the measured shuffle size, so the rescue inherits the same
+    // adaptive sizing as every other exchange. A pinned REPARTITION_BY_NUM
+    // here would exempt the exchange from AQE coalescing and cascade fixed
+    // 32-task stages through the plan (measured: 20× per-task CPU inflation
+    // on object-heavy aggregates once stage concurrency exceeds ~the
+    // AQE-chosen level).
+    if (bytes < cores.toLong * maxSplit)
+      df.repartition(org.apache.spark.sql.functions.col(key))
+    else df
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

@@ -56,12 +56,15 @@ object Pipeline {
     val gated = TextAnalysis.withQualitySignals(corp)
       .filter(col("pass"))
       .select(col("doc_id"), col("source"), col("c"), col("n_tokens"))
-      .localCheckpoint() // feeds the keep-set aggregate AND the survivor join
-    // Stage 3: exact dedup — lowest doc_id per content hash survives (dd01).
-    val keep = gated.groupBy(md5(col("c")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val ddExact = gated.join(keep, "doc_id")
+    // Stage 3: exact dedup — lowest doc_id per content hash survives (dd01),
+    // resolved as a window over the content-hash partitioning instead of a
+    // keep-set aggregate joined back on doc_id: one corpus shuffle replaces
+    // the agg exchange + two join-side shuffles, and `gated` drops to a
+    // single consumer so its checkpoint goes too (guide §2.4).
+    val ddExact = gated
+      .withColumn("keep", min(col("doc_id")).over(Window.partitionBy(md5(col("c")))))
+      .filter(col("doc_id") === col("keep"))
+      .drop("keep")
     // Stage 3b (swap-in): near-dup pruning — every clustered doc except
     // its cluster's dd07 survivor is dropped; unclustered docs pass. The
     // cluster relation is built ONCE and both the survivor pick (dd07's
@@ -175,13 +178,20 @@ object Pipeline {
     val doc = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("text"), clean(col("text")).as("c"))
     val corp = doc.filter(col("doc_id") % 17 =!= 0)
+    // Funnel from ONE flagged relation instead of one checkpoint per stage:
+    // the gated relation carries its dd01 keeper (window over the content
+    // hash, as in `curated`) so stage-2 and stage-3 counts read the same
+    // materialization, and the decontamination verdict rides as a flag so
+    // stage-4 and the split sizes share the other. 19 jobs → ~9 at
+    // identical per-stage semantics (the flags are the stages' own
+    // predicates; counts over flag filters ≡ counts over the old
+    // per-stage DataFrames).
     val gated = TextAnalysis.withQualitySignals(corp)
       .filter(col("pass"))
       .select(col("doc_id"), col("source"), col("c"), col("n_tokens"))
-      .localCheckpoint()
-    val keep = gated.groupBy(md5(col("c")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val dd = gated.join(keep, "doc_id").localCheckpoint()
+      .withColumn("keep", min(col("doc_id")).over(Window.partitionBy(md5(col("c")))))
+      .localCheckpoint() // consumed by the stage-2 count AND the dd chain
+    val dd = gated.filter(col("doc_id") === col("keep"))
     val evalGrams = doc.filter(col("doc_id") % 17 === 0)
       .filter(size(split(col("c"), " ")) >= 8) // mirror ev0's len(t) >= 8 gate
       .select(explode(WordShinglesN.shinglesN(col("c"), 8)).as("gram"))
@@ -191,8 +201,10 @@ object Pipeline {
       .select(col("doc_id"), charHash(col("gram")).as("gh"))
       .join(broadcast(evalGrams), "gh")
       .select("doc_id").distinct()
-    val cleaned = dd.join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint()
-    val labeled = cleaned
+    val flagged = dd
+      .join(contaminated.withColumn("contam", lit(1)), Seq("doc_id"), "left")
+      .localCheckpoint() // stage-3/4 counts AND the split rollup
+    val labeled = flagged.filter(col("contam").isNull)
       .withColumn("bucket", charHash(concat(lit("split:"), col("c"))) % 100)
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
@@ -201,8 +213,8 @@ object Pipeline {
     cnt("0_all", doc)
       .unionByName(cnt("1_corpus", corp))
       .unionByName(cnt("2_quality", gated))
-      .unionByName(cnt("3_exact_dedup", dd))
-      .unionByName(cnt("4_decontaminated", cleaned))
+      .unionByName(cnt("3_exact_dedup", flagged))
+      .unionByName(cnt("4_decontaminated", flagged.filter(col("contam").isNull)))
       .unionByName(labeled.groupBy(concat(lit("5_"), col("split")).as("stage"))
         .agg(count(lit(1)).as("n_docs")))
   }

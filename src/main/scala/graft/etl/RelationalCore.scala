@@ -633,7 +633,11 @@ object RelationalCore {
     val qty = round(col("l_quantity")).cast("long")
     val retail = col("c_mktsegment") =!= "BUILDING" && col("l_returnflag") =!= "R"
     val qualified = rateCol > 0 && retail
-    Tables.lineitem(s, d)
+    // Scan-parallelism rescue opt-in (see Tables.rescueKey): this query's
+    // fused scan+4-join+7-sum map stage measured 1.3 s on one core against
+    // the single-row-group lineitem file; the rescue exchange parallelizes
+    // it for one input-sized shuffle (full-suite: 3.20 s → 1.92 s).
+    Tables.rescued(s, d, "lineitem", "l_orderkey")
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(dimBroadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))

@@ -315,7 +315,9 @@ object Multimodal {
       |  l.id = l.comp AS is_canonical
       |FROM labels l JOIN sized2 s ON l.comp = s.comp""".stripMargin) { (s, d) =>
     val fp = fingerprints(s, d).localCheckpoint() // feeds pair join AND spine
-    val cc = graft.operators.Dedup.connectedComponents(phashPairs(fp))
+    // pairsCanonical: phashPairs emits each pair once (first-match block
+    // predicate) with id_a < id_b — CC's initial canon exchange is skipped.
+    val cc = graft.operators.Dedup.connectedComponents(phashPairs(fp), pairsCanonical = true)
       .select(col("doc_id"), col("cluster_id"))
     val labeled = fp.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

@@ -115,7 +115,10 @@ object Dedup {
     * the row already had locally. Same arithmetic, same values — the
     * oracle's exploded GROUP BY remains the independent spec. */
   private def lshPairs(s: SparkSession, d: String): DataFrame =
-    lshPairsAuto(docShingles(s, d).localCheckpoint())
+    // eager = false: the router's probe aggregate is the first action and
+    // materializes the blocks itself — an eager checkpoint here is one
+    // whole extra pass over the corpus scan (guide §1.2: fewer passes).
+    lshPairsAuto(docShingles(s, d).localCheckpoint(eager = false))
 
   /** Routing threshold for [[lshPairsAuto]]: total intra-class pairs above
     * which the exact-collapse-first plan wins. Below it, duplicate classes
@@ -270,7 +273,8 @@ object Dedup {
     * ConnectedComponentsSpec checks the result against driver-side
     * union-find on random graphs and on chain graphs of diameter ≫ the old
     * propagation cap. */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(
+      pairs: DataFrame, pairsCanonical: Boolean = false): DataFrame = {
     // Canonical undirected representation: (lo, hi), lo < hi.
     def canon(e: DataFrame): DataFrame = e
       .select(least(col("u"), col("v")).as("lo"), greatest(col("u"), col("v")).as("hi"))
@@ -312,8 +316,19 @@ object Dedup {
       next
     }
 
-    var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
-      .localCheckpoint()
+    // When the caller guarantees its pair set is already canonical
+    // (id_a < id_b, distinct — true of every lshPairs* route, whose
+    // candidates pass a DISTINCT), the initial canon's exchange is pure
+    // overhead and is skipped (guide §2.4: a distinct on already-unique
+    // data is an accidental shuffle).
+    val pairsUV = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+    // eager = false: the signature aggregate right below is the first
+    // action and materializes the blocks — same one-job-per-round shape as
+    // the loop's own checkpoints.
+    var edges = (if (pairsCanonical)
+      pairsUV.select(col("u").as("lo"), col("v").as("hi"))
+    else canon(pairsUV))
+      .localCheckpoint(eager = false)
     var sig = signature(edges)
     var converged = sig._1 == 0L
     var iter = 0
@@ -322,9 +337,17 @@ object Dedup {
       val adj = bidir(edges)
       // m(u) = min over the neighborhood of u, including u itself.
       val nbrMin = adj.groupBy($"u").agg(least(min($"v"), $"u").as("m"))
-      // large-star: (v, m(u)) for every neighbor v > u.
-      val large = canon(adj.join(nbrMin, "u").filter($"v" > $"u")
-        .select($"v".as("u"), $"m".as("v")))
+      // large-star: (v, m(u)) for every neighbor v > u. The intermediate
+      // edge set feeds ONLY the small star's min-aggregation and join, both
+      // of which are duplicate-insensitive (min is idempotent; duplicate
+      // join fan-out collapses in the small star's final canon), so the
+      // large star skips canon's distinct — one whole exchange less per
+      // round (guide §2.4). No canon normalization needed either: m(u) ≤ u
+      // < v makes every pair already (lo, hi)-ordered with lo < hi, so
+      // self-loops cannot occur and both orientations are covered by the
+      // bidir explode exactly as for a canon'd set.
+      val large = adj.join(nbrMin, "u").filter($"v" > $"u")
+        .select($"m".as("lo"), $"v".as("hi"))
       val adj2 = bidir(large)
       val nbrMin2 = adj2.groupBy($"u").agg(least(min($"v"), $"u").as("m"))
       // small-star: (v, m(u)) for every neighbor v <= u, plus (u, m(u)).
@@ -354,11 +377,19 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters star rounds — " +
           "input exceeds any plausible log² bound; investigate the edge set")
-    // Converged: a star forest of (center=lo, satellite=hi) pairs.
-    val nodes = bidir(edges).select($"u".as("doc_id")).distinct()
-    nodes.join(edges.select($"hi".as("doc_id"), $"lo".as("ctr")), Seq("doc_id"), "left")
-      .groupBy($"doc_id")
-      .agg(coalesce(min($"ctr"), first($"doc_id")).as("cluster_id"))
+    // Converged: a star forest of (center=lo, satellite=hi) pairs — every
+    // satellite appears in exactly ONE edge and a center is never a
+    // satellite (Kiveris et al. §3: the fixpoint of the alternation is the
+    // star graph rooted at each component's minimum; ConnectedComponentsSpec
+    // re-proves it against driver-side union-find on random and chain
+    // graphs). Labels therefore read straight off the edge set: satellites
+    // are the edges themselves, centers the distinct lo side — replacing
+    // the old defensive nodes-distinct + left-join + groupBy(min) tail
+    // (3 exchanges) with a single distinct on the (tiny) center set.
+    val sat = edges.select($"hi".as("doc_id"), $"lo".as("cluster_id"))
+    val ctrs = edges.select($"lo".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("cluster_id"))
+    sat.unionByName(ctrs)
       .select($"doc_id", $"cluster_id", ($"doc_id" === $"cluster_id").as("is_canonical"))
   }
 
@@ -371,7 +402,7 @@ object Dedup {
     * end-to-end (no cross-query runtime caching — bench numbers stay honest
     * per-query costs), which is why dd07's cost ≈ dd06 + one equi-join. */
   private[graft] def clusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(lshPairs(s, d).select("id_a", "id_b"))
+    connectedComponents(lshPairs(s, d).select("id_a", "id_b"), pairsCanonical = true)
 
   /** dd07's survivor rule over an ALREADY-BUILT cluster relation —
     * quality-best member, min-id tie — factored so consumers holding a
@@ -1006,13 +1037,18 @@ object Dedup {
         i => md5(array_join(slice(col("t"), i * 20 + 1, lit(20)), " "))))
         .as(Seq("p", "h")))
       .select(col("doc_id"), col("p").cast("long").as("p"), col("h"))
-      .localCheckpoint() // feeds the keeper aggregate AND the flag join
-    val keep = para.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("p"))).as("k"))
-      .select(col("h"), col("k.doc_id").as("kd"), col("k.p").as("kp"))
-    para.join(keep, "h")
+    // First occurrence = min(struct(doc_id, p)) per hash, resolved as a
+    // WINDOW over the hash partitioning instead of a grouped aggregate
+    // joined back on h: the window needs ONE corpus shuffle where the
+    // agg+join needed the agg exchange plus a re-shuffle of both sides
+    // (the keeper table is corpus-distinct-sized — never broadcastable at
+    // 100 TB), and the single-consumer relation no longer needs a
+    // checkpoint (guide §2.4).
+    para
+      .withColumn("k", min(struct(col("doc_id"), col("p")))
+        .over(Window.partitionBy(col("h"))))
       .withColumn("is_dup",
-        when(col("doc_id") === col("kd") && col("p") === col("kp"), 0L).otherwise(1L))
+        when(col("doc_id") === col("k.doc_id") && col("p") === col("k.p"), 0L).otherwise(1L))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_paras"), sum(col("is_dup")).as("n_dups"))
       .select(col("doc_id"), col("n_paras"), col("n_dups"),
@@ -1266,11 +1302,14 @@ object Dedup {
       |  c.signals, l.id = l.comp AS is_canonical
       |FROM labels l JOIN sized z ON l.comp = z.comp
       |JOIN csig c ON l.comp = c.comp""".stripMargin) { (s, d) =>
-    val sh = docShingles(s, d).localCheckpoint() // ONE corpus pass, both generators
+    // eager = false on both: the router probe materializes the shingle
+    // table; CC's first signature aggregate materializes the edge set —
+    // two whole corpus/edge passes saved per execution.
+    val sh = docShingles(s, d).localCheckpoint(eager = false) // ONE corpus pass, both generators
     val sigedges = lshPairsAuto(sh).select(col("id_a"), col("id_b"), lit("lsh").as("sig"))
       .unionByName(containmentPairs(sh).select(col("id_a"), col("id_b"),
         lit("containment").as("sig")))
-      .localCheckpoint() // feeds CC AND the per-cluster signal rollup
+      .localCheckpoint(eager = false) // feeds CC AND the per-cluster signal rollup
     val labels = connectedComponents(sigedges.select("id_a", "id_b"))
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     val sigs = sigedges
@@ -1440,10 +1479,13 @@ object Dedup {
       |FROM docsrc s LEFT JOIN ec e ON s.doc_id = e.doc_id
       |LEFT JOIN nc n ON s.doc_id = n.doc_id
       |GROUP BY s.source""".stripMargin) { (s, d) =>
-    val doc = docsClean(s, d).localCheckpoint() // hash groups + casualty join spine
-    val exactCas = doc
-      .join(doc.groupBy(md5(col("c")).as("h")).agg(min(col("doc_id")).as("keep")),
-        md5(col("c")) === col("h"))
+    // Exact-dup casualties = docs that are not their content-hash group's
+    // minimum: one window over the hash partitioning replaces the grouped
+    // keeper table + md5-keyed self-join (two exchanges and a corpus-sized
+    // join side at scale), and the single-consumer relation no longer
+    // needs its checkpoint (guide §2.4).
+    val exactCas = docsClean(s, d)
+      .withColumn("keep", min(col("doc_id")).over(Window.partitionBy(md5(col("c")))))
       .filter(col("doc_id") =!= col("keep"))
       .select("doc_id")
     val cl = clusters(s, d).localCheckpoint() // survivor pick AND casualty set
@@ -1512,12 +1554,14 @@ object Dedup {
         i => array_join(slice(col("t"), i * 20 + 1, lit(20)), " ")))
         .as(Seq("p", "w")))
       .select(col("doc_id"), col("p").cast("long").as("p"), col("w"), md5(col("w")).as("h"))
-      .localCheckpoint() // feeds the keeper aggregate AND the rebuild join
-    val keep = para.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("p"))).as("k"))
-      .select(col("h"), col("k.doc_id").as("kd"), col("k.p").as("kp"))
-    para.join(keep, "h")
-      .withColumn("kept", col("doc_id") === col("kd") && col("p") === col("kp"))
+    // Same window-over-hash rewrite as dd10 (one shuffle, no keeper join,
+    // no checkpoint); here the window rows also carry the paragraph STRINGS
+    // once — inherent to rebuilding text, exactly as the agg+join carried
+    // them through the join before.
+    para
+      .withColumn("k", min(struct(col("doc_id"), col("p")))
+        .over(Window.partitionBy(col("h"))))
+      .withColumn("kept", col("doc_id") === col("k.doc_id") && col("p") === col("k.p"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_paras"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
