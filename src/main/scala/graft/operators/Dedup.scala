@@ -333,6 +333,31 @@ object Dedup {
     var converged = sig._1 == 0L
     var iter = 0
     val maxIters = 64 // runaway backstop only; log²(n) ≪ this for any real n
+    // Scale-adaptive loop configuration (guide §2: derive partitioning from
+    // measured input size, never a constant). The signature already counted
+    // the edge set exactly; when it is small enough that every round's
+    // shuffles fit a handful of tasks, AQE's per-exchange re-plan jobs are
+    // the DOMINANT cost of the loop (measured: ~6 stage-jobs × ~80 ms per
+    // round on converging kilobyte edge sets) — so the loop plans its
+    // rounds with AQE off and shuffle partitions sized from the count
+    // (~250k edges ≈ 4 MB per task), and restores the session confs before
+    // the result plan is returned. Above the threshold nothing changes:
+    // AQE keeps coalescing and skew-splitting production-sized rounds.
+    val conf = pairs.sparkSession.conf
+    val tinyLoopEdges = 1000000L
+    val savedAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val savedParts = conf.get("spark.sql.shuffle.partitions")
+    // spark.graft.cc.tinyLoop=false opts a deployment out of the tiny-loop
+    // planning mode without a rebuild (e.g. when the session's AQE state is
+    // shared with concurrent queries on the same thread).
+    val tinyMode = !converged && sig._1 < tinyLoopEdges &&
+      conf.get("spark.graft.cc.tinyLoop", "true") == "true"
+    if (tinyMode) {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions",
+        (1L + sig._1 / 250000L).toString)
+    }
+    try {
     while (!converged && iter < maxIters) {
       val adj = bidir(edges)
       // m(u) = min over the neighborhood of u, including u itself.
@@ -372,6 +397,10 @@ object Dedup {
       // The convergence check above was the last read of the old `edges`.
       edges = retireAndAdvance(edges, small)
       iter += 1
+    }
+    } finally if (tinyMode) {
+      conf.set("spark.sql.adaptive.enabled", savedAqe)
+      conf.set("spark.sql.shuffle.partitions", savedParts)
     }
     if (!converged)
       throw new IllegalStateException(
