@@ -201,20 +201,38 @@ object Pipeline {
       .select(col("doc_id"), charHash(col("gram")).as("gh"))
       .join(broadcast(evalGrams), "gh")
       .select("doc_id").distinct()
-    val flagged = dd
+    // flagged = EVERY gated row with its keeper and contamination verdict:
+    // stage 2 = all rows, stage 3 = keepers, stage 4 = clean keepers —
+    // the old per-stage DataFrames as flag predicates over one relation.
+    val flagged = gated
       .join(contaminated.withColumn("contam", lit(1)), Seq("doc_id"), "left")
-      .localCheckpoint() // stage-3/4 counts AND the split rollup
-    val labeled = flagged.filter(col("contam").isNull)
+      .localCheckpoint() // stage-2/3/4 counts AND the split rollup
+    val labeled = flagged
+      .filter(col("doc_id") === col("keep") && col("contam").isNull)
       .withColumn("bucket", charHash(concat(lit("split:"), col("c"))) % 100)
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
-    def cnt(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
-    cnt("0_all", doc)
-      .unionByName(cnt("1_corpus", corp))
-      .unionByName(cnt("2_quality", gated))
-      .unionByName(cnt("3_exact_dedup", flagged))
-      .unionByName(cnt("4_decontaminated", flagged.filter(col("contam").isNull)))
+    // Stages 0+1 fold into ONE conditional aggregate over the corpus scan
+    // and stages 2+3+4 into ONE over the flagged relation (the stage
+    // predicates become sum(when(...)) arms — identical counts, 6 count
+    // jobs → 2 + the split rollup). The 2-row/3-row stacks come out of an
+    // inline explode, never a second pass.
+    val s01 = doc.agg(count(lit(1)).as("n0"),
+        sum(when(col("doc_id") % 17 =!= 0, 1L).otherwise(0L)).as("n1"))
+      .select(explode(array(
+        struct(lit("0_all").as("stage"), col("n0").as("n_docs")),
+        struct(lit("1_corpus").as("stage"), col("n1").as("n_docs")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.n_docs").as("n_docs"))
+    val kept = col("doc_id") === col("keep")
+    val s234 = flagged.agg(count(lit(1)).as("n2"),
+        sum(when(kept, 1L).otherwise(0L)).as("n3"),
+        sum(when(kept && col("contam").isNull, 1L).otherwise(0L)).as("n4"))
+      .select(explode(array(
+        struct(lit("2_quality").as("stage"), col("n2").as("n_docs")),
+        struct(lit("3_exact_dedup").as("stage"), col("n3").as("n_docs")),
+        struct(lit("4_decontaminated").as("stage"), col("n4").as("n_docs")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.n_docs").as("n_docs"))
+    s01.unionByName(s234)
       .unionByName(labeled.groupBy(concat(lit("5_"), col("split")).as("stage"))
         .agg(count(lit(1)).as("n_docs")))
   }
