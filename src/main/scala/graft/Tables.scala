@@ -61,9 +61,25 @@ object Tables {
   def rescued(spark: SparkSession, dir: String, name: String, key: String): DataFrame =
     maybeRescue(spark, dir, name, key, load(spark, dir, name))
 
-  private def dirBytes(f: java.io.File): Long =
-    if (f.isDirectory) Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
-    else f.length
+  /** Explicit opt-OUT of the rescue, for consumers whose whole pipeline is
+    * a per-row projection (tx17/tx21): their only shuffle would BE the
+    * rescue exchange — pure overhead at any scale, since a projection
+    * pipelines into the scan at whatever parallelism the scan has and
+    * produces output proportional to input either way (guide §2.4: remove
+    * shuffles outright). PlanShapeSpec pins both plans Exchange-free. */
+  def unrescued(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadChecked(spark, dir, name)
+
+  /** Recursive byte size of a table path through the Hadoop FileSystem API,
+    * so the rescue's size gate sees REAL bytes on every filesystem scheme.
+    * (A java.io.File probe returns 0 for hdfs://, s3a://, even file: URIs —
+    * which would invert the gate at exactly the production scales where the
+    * scaladoc promises it is dead; TablesSpec pins the file:-URI case.) */
+  private[graft] def tableBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(p).getLength
+  }
 
   private val required: Map[String, Seq[String]] = Map(
     "region"     -> Seq("r_regionkey", "r_name"),
@@ -79,6 +95,15 @@ object Tables {
     "embeddings" -> Seq("vec_id", "embedding", "label"))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = loadChecked(spark, dir, name)
+    rescueKey.get(name) match {
+      case Some(key) => maybeRescue(spark, dir, name, key, df)
+      case None      => df
+    }
+  }
+
+  /** The schema-checked scan with NO rescue applied — `load`'s body. */
+  private def loadChecked(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts contract: downstream code always sees a raw epoch-NANOSECOND
     // Long. Generators have shipped the column as INT64 TIMESTAMP(NANOS)
     // (which Spark rejects unless read as a long) and as TIMESTAMP(MICROS)
@@ -120,19 +145,20 @@ object Tables {
       } else df0
     val missing = required.getOrElse(name, Nil).filterNot(df.columns.contains)
     require(missing.isEmpty, s"table $name missing columns: ${missing.mkString(",")}")
-    rescueKey.get(name) match {
-      case Some(key) => maybeRescue(spark, dir, name, key, df)
-      case None      => df
-    }
+    df
   }
 
-  /** The size-gated rescue repartition (see [[rescueKey]]'s scaladoc). */
+  /** The size-gated rescue repartition (see [[rescueKey]]'s scaladoc).
+    * `spark.graft.rescue=false` opts a session out at runtime (same escape
+    * hatch as `spark.graft.cc.tinyLoop`; also what the paired A/B harness
+    * toggles to price the rescue per query). */
   private def maybeRescue(
       spark: SparkSession, dir: String, name: String,
       key: String, df: DataFrame): DataFrame = {
+    if (spark.conf.get("spark.graft.rescue", "true") != "true") return df
     val cores = spark.sparkContext.defaultParallelism
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val bytes = dirBytes(new java.io.File(s"$dir/$name.parquet"))
+    val bytes = tableBytes(spark, s"$dir/$name.parquet")
     // Fires only when the scan cannot fill the cluster by itself; at
     // production table sizes this branch is dead and the plan unchanged.
     // Column-only repartition (REPARTITION_BY_COL): AQE picks the partition

@@ -70,7 +70,7 @@ object Pipeline {
     // cluster relation is built ONCE and both the survivor pick (dd07's
     // quality/min-id rule) and the casualty set derive from it — dd07's
     // own build would run the whole shingle→LSH→CC pipeline a second time.
-    val dd =
+    val dd = (
       if (!nearDup) ddExact
       else {
         val cl = graft.operators.Dedup.clusters(s, d)
@@ -79,6 +79,13 @@ object Pipeline {
           .join(graft.operators.Dedup.survivorsFrom(cl, s, d), Seq("doc_id"), "left_anti")
         ddExact.join(casualties, Seq("doc_id"), "left_anti")
       }
+    // TWO consumers — the contamination gram explode AND the anti-join's
+    // left side — so without this cut the whole gate + keeper-window
+    // subtree (the regex-heavy quality signals included) is recomputed
+    // twice per execution (r16 dropped the checkpoint on a single-consumer
+    // claim that was wrong; the r16 after-plan shows the duplicated Window
+    // subtree). Lazy: the first action materializes the blocks.
+    ).localCheckpoint(eager = false)
     // Stage 4: decontamination — any 8-gram shared with the holdout flags
     // the doc. Strict 8-grams on BOTH sides: gated docs carry >= 20 tokens
     // by stage 2, and eval docs are explicitly gated to >= 8 tokens so

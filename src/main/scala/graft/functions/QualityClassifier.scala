@@ -137,7 +137,9 @@ object QualityClassifier {
       |  ${marginSql("alpha_ratio", "stop_ratio", "tok_sat")} AS margin,
       |  ${marginSql("alpha_ratio", "stop_ratio", "tok_sat")} >= CAST(0.0 AS DOUBLE) AS pred
       |FROM x""".stripMargin) { (s, d) =>
-    features(Tables.documents(s, d))
+    // unrescued: pure scoring projection — the rescue's exchange would be
+    // the plan's only shuffle (PlanShapeSpec pins it Exchange-free).
+    features(Tables.unrescued(s, d, "documents"))
       .select(col("doc_id"), col("alpha_ratio"), col("stop_ratio"), col("tok_sat"),
         margin(col("alpha_ratio"), col("stop_ratio"), col("tok_sat")).as("margin"))
       .withColumn("pred", col("margin") >= lit(0.0))

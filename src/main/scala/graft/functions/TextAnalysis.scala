@@ -825,7 +825,10 @@ object TextAnalysis {
       |  CASE WHEN bucket < 80 THEN 'train'
       |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
       |FROM doc""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
+    // unrescued: the whole query is a per-row projection — the rescue's
+    // exchange would be its ONLY shuffle (PlanShapeSpec pins the plan
+    // Exchange-free; guide §2.4).
+    Tables.unrescued(s, d, "documents")
       .select(col("doc_id"), col("source"),
         (charHash(concat(lit("split:"), clean(col("text")))) % 100).as("bucket"))
       .select(col("doc_id"), col("source"), col("bucket"),

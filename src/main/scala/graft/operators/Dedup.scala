@@ -347,6 +347,7 @@ object Dedup {
     val tinyLoopEdges = 1000000L
     val savedAqe = conf.get("spark.sql.adaptive.enabled", "true")
     val savedParts = conf.get("spark.sql.shuffle.partitions")
+    val savedCodegen = conf.get("spark.sql.codegen.wholeStage", "true")
     // spark.graft.cc.tinyLoop=false opts a deployment out of the tiny-loop
     // planning mode without a rebuild (e.g. when the session's AQE state is
     // shared with concurrent queries on the same thread).
@@ -356,6 +357,16 @@ object Dedup {
       conf.set("spark.sql.adaptive.enabled", "false")
       conf.set("spark.sql.shuffle.partitions",
         (1L + sig._1 / 250000L).toString)
+      // Below the edge threshold the loop is stage-LATENCY-bound, and the
+      // biggest per-stage fixed cost left after the AQE re-plan jobs is
+      // whole-stage codegen: every round's plan is new (fresh checkpoint
+      // RDD ids), so janino compiles each round's stages from scratch to
+      // run them over kilobytes. Interpreted execution skips the compile
+      // and is as fast on data this small (measured, paired: dd06
+      // 2.9 s → 2.3 s, dd14 −0.3 s; above the threshold codegen stays on —
+      // production-sized rounds are compute-bound and codegen earns its
+      // compile there). Restored with the other confs in the finally.
+      conf.set("spark.sql.codegen.wholeStage", "false")
     }
     try {
     while (!converged && iter < maxIters) {
@@ -401,6 +412,7 @@ object Dedup {
     } finally if (tinyMode) {
       conf.set("spark.sql.adaptive.enabled", savedAqe)
       conf.set("spark.sql.shuffle.partitions", savedParts)
+      conf.set("spark.sql.codegen.wholeStage", savedCodegen)
     }
     if (!converged)
       throw new IllegalStateException(
@@ -1256,18 +1268,35 @@ object Dedup {
     * the bound; the window's partitioning is reused by the self-join. */
   private[graft] def containmentPairs(
       shTable: DataFrame, maxDf: Int = containmentMaxDf): DataFrame = {
+    // 8-byte shingle proxy (guide §2.3: shuffle keys and metadata instead
+    // of payloads): the df window, the self-join and the pair aggregate
+    // only ever need shingle IDENTITY, never its characters, so each
+    // ~25-byte 3-word shingle string is hashed to a long BEFORE the first
+    // exchange — the tok-keyed shuffles ship 8-byte keys and every window
+    // partition/join probe/group compare becomes a long op instead of a
+    // string hash+compare (measured on dd14's edge stages: 12.5 s task
+    // time → 5.4 s). explode_outer's null (empty doc) is preserved as a
+    // null proxy: xxhash64 never returns null, and a hashed "null bucket"
+    // would suddenly equi-join empty docs together. A 64-bit collision
+    // between two distinct shingles would overcount n_shared / df by one
+    // (P ≈ n²/2⁻⁶⁴ per corpus); ContainmentCapSpec proves the hash is
+    // injective on the planted corpus and the test tables, so the declared
+    // results are bit-identical to the string-keyed spelling the oracle
+    // still computes.
     val shx = shTable.withColumn("sz", size(col("shs")))
       .select(col("doc_id"), col("sz"), explode_outer(col("shs")).as("tok"))
+      .select(col("doc_id"), col("sz"),
+        when(col("tok").isNotNull, xxhash64(col("tok"))).as("th"))
     // maxDf = Int.MaxValue means UNCAPPED: skip the df window pass entirely
     // (StressDd13's baseline arm — the cap's overhead must not be charged
     // to the plan that doesn't use it).
     val capped = if (maxDf == Int.MaxValue) shx else shx
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("th"))))
       .filter(col("df") <= maxDf)
       .drop("df")
-    capped.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("tok"))
-      .join(capped.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("tok"))
-        .hint("shuffle_hash"), Seq("tok"))
+    capped.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("th"))
+      .join(capped.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("th"))
+        .hint("shuffle_hash"), Seq("th"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("n_shared"))
@@ -1513,10 +1542,15 @@ object Dedup {
     // keeper table + md5-keyed self-join (two exchanges and a corpus-sized
     // join side at scale), and the single-consumer relation no longer
     // needs its checkpoint (guide §2.4).
+    // TWO consumers — the nearCas anti-join AND the final flag join — so
+    // the corpus scan + md5 window subtree must be cut or it runs twice
+    // per execution (the window rewrite's "single consumer" claim was
+    // wrong for THIS query). Lazy: the first action materializes it.
     val exactCas = docsClean(s, d)
       .withColumn("keep", min(col("doc_id")).over(Window.partitionBy(md5(col("c")))))
       .filter(col("doc_id") =!= col("keep"))
       .select("doc_id")
+      .localCheckpoint(eager = false)
     val cl = clusters(s, d).localCheckpoint() // survivor pick AND casualty set
     val nearCas = cl.select("doc_id")
       .join(survivorsFrom(cl, s, d), Seq("doc_id"), "left_anti")

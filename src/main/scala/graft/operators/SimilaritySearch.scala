@@ -1304,14 +1304,57 @@ object SimilaritySearch {
       // one join + one dedup + one window over a leaf.
       val f0 = score(broadcast(q.select(col("query_id"))).crossJoin(entry))
         .localCheckpoint()
+      // Tiny-round planning mode — CC's tiny-loop applied to the walk
+      // (guide §2: derive the loop's planning from MEASURED size, never a
+      // constant). f0 is already materialized, so counting it is one job
+      // over checkpoint blocks; every round relation is bounded by
+      // |q| × Beam × (1 + degree) rows by construction, so below the
+      // threshold the rounds are pure stage-latency (measured: 53 jobs of
+      // ≤240 ms stages, wall 2.2 s vs stage-sum 1.4 s) and are planned with
+      // AQE off (no per-exchange re-plan jobs), one shuffle partition,
+      // codegen off (janino compiles of per-round fresh plans cost more
+      // than interpreting kilobyte rounds), the frontier side broadcast
+      // (beam-sized by the gate), and the query/corpus relations cut once
+      // instead of re-scanned per round. Above the threshold nothing
+      // changes. spark.graft.walk.tinyRounds=false opts out at runtime.
+      val conf = s.conf
+      val nq = f0.count()
+      val tinyRounds = nq * (Beam * 4) < 1000000L &&
+        conf.get("spark.graft.walk.tinyRounds", "true") == "true"
+      val savedAqe = conf.get("spark.sql.adaptive.enabled", "true")
+      val savedParts = conf.get("spark.sql.shuffle.partitions")
+      val savedCodegen = conf.get("spark.sql.codegen.wholeStage", "true")
+      if (tinyRounds) {
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", "1")
+        conf.set("spark.sql.codegen.wholeStage", "false")
+      }
       val wBeam = Window.partitionBy(col("query_id")).orderBy(col("sc").desc, col("node"))
-      val fR = (1 to Rounds).foldLeft(f0) { (f, _) =>
-        val reached = f.join(edges, f("node") === edges("src_id"))
-          .select(col("query_id"), col("dst_id").as("node")).distinct()
-        f.unionByName(score(reached)).distinct()
-          .withColumn("rk", row_number().over(wBeam)).filter(col("rk") <= Beam)
-          .select("query_id", "node", "sc")
-          .localCheckpoint()
+      val fR = try {
+        val qR = if (tinyRounds) q.localCheckpoint(eager = false) else q
+        val cR = if (tinyRounds)
+          c.select(col("vec_id").as("node"), col("v"), col("nrm")).localCheckpoint(eager = false)
+        else c.select(col("vec_id").as("node"), col("v"), col("nrm"))
+        def scoreR(f: DataFrame): DataFrame = {
+          val fx = if (tinyRounds) broadcast(f) else f
+          fx.join(cR, Seq("node"))
+            .join(broadcast(qR), Seq("query_id"))
+            .select(col("query_id"), col("node"),
+              cosine(col("qv"), col("qn"), col("v"), col("nrm")).as("sc"))
+        }
+        (1 to Rounds).foldLeft(f0) { (f, _) =>
+          val fx = if (tinyRounds) broadcast(f) else f
+          val reached = fx.join(edges, fx("node") === edges("src_id"))
+            .select(col("query_id"), col("dst_id").as("node")).distinct()
+          f.unionByName(scoreR(reached)).distinct()
+            .withColumn("rk", row_number().over(wBeam)).filter(col("rk") <= Beam)
+            .select("query_id", "node", "sc")
+            .localCheckpoint()
+        }
+      } finally if (tinyRounds) {
+        conf.set("spark.sql.adaptive.enabled", savedAqe)
+        conf.set("spark.sql.shuffle.partitions", savedParts)
+        conf.set("spark.sql.codegen.wholeStage", savedCodegen)
       }
       fR.withColumn("rank", row_number().over(wBeam).cast("long")).filter(col("rank") <= 3)
         .select(col("query_id"), col("node").as("neighbor_id"), col("sc").as("cos_sim"),

@@ -41,6 +41,22 @@ class ContainmentCapSpec extends SparkSpec {
     assert(uncapped.filter(col("id_a") < 200).count() == 100L * 99L / 2)
   }
 
+  test("the 8-byte shingle proxy is injective on the test corpus — results " +
+      "bit-identical to the string-keyed spelling") {
+    // containmentPairs keys its window/join/aggregate on xxhash64(tok)
+    // instead of the shingle string (guide §2.3). The rewrite is an exact
+    // isomorphism iff the hash is injective on the data: equal distinct
+    // counts ⇒ no collision ⇒ every df count, join match and group is
+    // identical to the string-keyed plan the oracle still computes.
+    val toks = Tables.documents(spark, sfDir).select(
+      explode(functions.WordShingles3.shingles3(
+        functions.TextPrep.clean(col("text")))).as("tok"))
+    val Array(nTok, nHash) = toks
+      .agg(countDistinct(col("tok")), countDistinct(xxhash64(col("tok"))))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(nTok == nHash, s"xxhash64 collision on the corpus: $nTok toks vs $nHash hashes")
+  }
+
   test("the audit relation names the dropped shingle with its df") {
     val hot = operators.Dedup.containmentHotShingles(planted).collect()
     assert(hot.length == 1)

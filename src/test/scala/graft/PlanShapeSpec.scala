@@ -97,11 +97,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("dd10's keeper pick is one min(struct) aggregate — no window, no self-join dedup") {
+  test("dd10's keeper pick is one min(struct) window over the hash — no join-back") {
     val p = plan("dd10_paragraph_dedup")
-    assert(!p.contains("Window"), s"first-occurrence must not sort paragraph partitions; plan:\n$p")
-    assert(p.contains("min(k#") || p.contains("min(struct") || p.contains("partial_min"),
-      s"keeper must be a min aggregate; plan:\n$p")
+    // r16 rewrote the keeper from a grouped min + join-back to a window over
+    // the hash partitioning: ONE corpus shuffle instead of the agg exchange
+    // plus two join-side shuffles (the keeper table is corpus-distinct-sized
+    // at 100 TB — never broadcastable). This pin now guards THAT shape: the
+    // single keeper window, and no join anywhere.
+    val windows = "(?<!Group)Window(?!GroupLimit)".r.findAllIn(p).length
+    assert(windows == 1, s"exactly the keeper window; found $windows; plan:\n$p")
+    assert("min\\(\\S+\\) windowspecdefinition\\(h#".r.findFirstIn(p).isDefined,
+      s"keeper must be a min window over the hash partitioning; plan:\n$p")
+    assert(!p.contains("Join"), s"first-occurrence must not join back; plan:\n$p")
   }
 
   test("ann06 broadcasts the bounded query side; stats never shuffle the corpus twice") {
