@@ -559,7 +559,13 @@ object TextAnalysis {
       |  CAST(c_a AS BIGINT) AS n_first, CAST(c_b AS BIGINT) AS n_second,
       |  ROUND(ln(CAST(c_ab AS DOUBLE) * total1 * total1 / (total2 * c_a * c_b)), 4) + 0.0 AS pmi
       |FROM j CROSS JOIN n1 CROSS JOIN n2""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d).select(split(clean(col("text")), " ").as("t"))
+    // unrescued: adjudicated per VERDICT r16 item 6 — the driver measured
+    // tx12 regressing 25% under the documents rescue (1.62 → 2.03 s) and a
+    // 5-pair A/B on spark.graft.rescue confirms it (+0.67 s median with the
+    // rescue on). Both of tx12's corpus passes collapse map-side into
+    // vocabulary-sized aggregates, so the extra exchange buys nothing the
+    // partial agg doesn't already parallelize.
+    val docs = Tables.unrescued(s, d, "documents").select(split(clean(col("text")), " ").as("t"))
     val big = docs.filter(size(col("t")) >= 2)
       .select(explode(zip_with(
         slice(col("t"), lit(1), size(col("t")) - 1),

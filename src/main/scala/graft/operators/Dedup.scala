@@ -939,15 +939,27 @@ object Dedup {
     // explode — WindowHashProperties pins the expression equal to the
     // transform∘slice∘array_join∘polyHash31 composition the oracle spells;
     // sub-window docs yield an empty array (≡ the oracle's WHERE len ≥ w).
+    // THREE consumers downstream (the df cap and both self-join sides), so
+    // the corpus regex-clean + window-hash pass is cut here or it runs
+    // three times per execution (measured: 3 × ~400 ms single-task stages
+    // at sf0.1). The checkpointed rows are (doc_id, pos, wh) longs — the
+    // lightweight proxy, never the text. Lazy: the first action
+    // materializes the blocks.
     val wins = docs
       .select(col("doc_id"),
         posexplode(graft.functions.WordWindowHashes.windowHashes(col("c"), w)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("wh"))
+      .localCheckpoint(eager = false)
+    // df cap as a count window over the wh partitioning (the containment
+    // cap's shape): ONE exchange of wins replaces the grouped-df aggregate
+    // plus the join-back's re-shuffle, and the window's partitioning is
+    // what the self-join needs anyway (guide §2.4).
     val wf =
       if (maxDf == Int.MaxValue) wins
-      else wins.join(
-        wins.groupBy("wh").agg(count(lit(1)).as("dfw"))
-          .filter(col("dfw") <= maxDf).select("wh"), "wh")
+      else wins
+        .withColumn("dfw", count(lit(1)).over(Window.partitionBy(col("wh"))))
+        .filter(col("dfw") <= maxDf)
+        .drop("dfw")
     val m = wf.as("a").join(wf.as("b"),
         col("a.wh") === col("b.wh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -1274,8 +1286,9 @@ object Dedup {
     // ~25-byte 3-word shingle string is hashed to a long BEFORE the first
     // exchange — the tok-keyed shuffles ship 8-byte keys and every window
     // partition/join probe/group compare becomes a long op instead of a
-    // string hash+compare (measured on dd14's edge stages: 12.5 s task
-    // time → 5.4 s). explode_outer's null (empty doc) is preserved as a
+    // string hash+compare (measured on dd14's candidate stage: shuffle
+    // bytes 10.9 → 7.1 MB, task time 7.4 s → 5.6 s). explode_outer's null
+    // (empty doc) is preserved as a
     // null proxy: xxhash64 never returns null, and a hashed "null bucket"
     // would suddenly equi-join empty docs together. A 64-bit collision
     // between two distinct shingles would overcount n_shared / df by one

@@ -51,8 +51,13 @@ object SimilaritySearch {
       |ranked AS (SELECT query_id, neighbor_id, cos_sim,
       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
       |FROM scored)
-      |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin) { (s, d) =>
-    val n = vecs(s, d)
+      |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin)(
+    (s, d) => ann01From(vecs(s, d)))
+
+  /** ann01's body over an ALREADY-BUILT vecs relation — the seam ann17
+    * threads its shared checkpointed scan through (the standalone query
+    * passes the plain scan, so its plan is unchanged). */
+  private def ann01From(n: DataFrame): DataFrame = {
     val q = n.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = n.filter(col("vec_id") % 20 =!= 0)
@@ -326,8 +331,11 @@ object SimilaritySearch {
       |ranked AS (SELECT query_id, neighbor_id, approx_sim, cos_sim,
       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id) AS BIGINT) AS rank
       |FROM scored)
-      |SELECT query_id, neighbor_id, approx_sim, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin) { (s, d) =>
-    val n = vecs(s, d)
+      |SELECT query_id, neighbor_id, approx_sim, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin)(
+    (s, d) => ann06From(vecs(s, d)))
+
+  /** ann06's body over an ALREADY-BUILT vecs relation (see [[ann01From]]). */
+  private def ann06From(n: DataFrame): DataFrame = {
     val c = n.filter(col("vec_id") % 20 =!= 0)
     val q = n.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -524,8 +532,12 @@ object SimilaritySearch {
 
   /** Spark side of [[pqCtesSql]]: ADC-ranked candidates
     * (query_id, neighbor_id, approx_dist, pq_rank). */
-  private def pqRanked(s: SparkSession, d: String): DataFrame = {
-    val n = vecs(s, d)
+  private def pqRanked(s: SparkSession, d: String): DataFrame =
+    pqRankedFrom(vecs(s, d))
+
+  /** [[pqRanked]] over an ALREADY-BUILT vecs relation (see [[ann01From]]). */
+  private def pqRankedFrom(base: DataFrame): DataFrame = {
+    val n = base
       .withColumn("nv", transform(col("v"), x => x.cast("double") / col("nrm")))
     val sub = (0 until 4).map(lit(_))
     // Codebook: per subspace m, the UNIT-NORMALIZED centroids' 16-dim
@@ -575,13 +587,16 @@ object SimilaritySearch {
       |SELECT t.query_id, t.neighbor_id, t.approx_dist,
       |  ROUND(${dotSql("q.v", "c2.v")} / (q.nrm * ${nrmSql("c2.v")}), 6) AS cos_sim, t.rank
       |FROM top t JOIN q ON q.vec_id = t.query_id
-      |JOIN n0 c2 ON c2.vec_id = t.neighbor_id""".stripMargin) { (s, d) =>
-    val top = pqRanked(s, d)
+      |JOIN n0 c2 ON c2.vec_id = t.neighbor_id""".stripMargin)(
+    (s, d) => ann08From(vecs(s, d)))
+
+  /** ann08's body over an ALREADY-BUILT vecs relation (see [[ann01From]]). */
+  private def ann08From(n: DataFrame): DataFrame = {
+    val top = pqRankedFrom(n)
       .filter(col("pq_rank") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("approx_dist"),
         col("pq_rank").as("rank"))
     // Late materialization: raw floats are read only for the <=3Q winners.
-    val n = vecs(s, d)
     val qv = n.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val cv = n.filter(col("vec_id") % 20 =!= 0)
@@ -625,8 +640,12 @@ object SimilaritySearch {
       |  FROM exact)
       |SELECT query_id, neighbor_id, approx_dist, pq_rank, cos_sim, rank
       |FROM reranked WHERE rank <= 3""".stripMargin) { (s, d) =>
-    val cand = pqRanked(s, d).filter(col("pq_rank") <= 10)
-    val n = vecs(s, d)
+    // Same shared-scan composition as ann17: the PQ funnel and the exact
+    // rerank both read the vecs relation (the funnel's subtrees reference
+    // it three times on their own), so ONE lazily-checkpointed base
+    // replaces ~5 embeddings scans + l2norm recomputations per execution.
+    val n = vecs(s, d).localCheckpoint(eager = false)
+    val cand = pqRankedFrom(n).filter(col("pq_rank") <= 10)
     val qv = n.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val cv = n.filter(col("vec_id") % 20 =!= 0)
@@ -1168,7 +1187,16 @@ object SimilaritySearch {
       |SELECT s.codec, s.bytes_per_vec, s.n_hits, t.n_exact,
       |  CAST(s.n_hits * 1000000 // t.n_exact AS BIGINT) AS recall_ppm
       |FROM stats s CROSS JOIN tot t""".stripMargin) { (s, d) =>
-    val e3 = ann01.build(s, d).filter(col("rank") <= 3)
+    // ONE scanned+checkpointed base feeds all three codec sub-pipelines
+    // (VERDICT r16 item 5): the standalone ann01/ann06/ann08 spellings are
+    // unchanged — their bodies run verbatim via the *From seams — but the
+    // embeddings scan + l2norm projection, which the three builders would
+    // otherwise each recompute per subtree reference (~9 scans total),
+    // materializes once. Lazy: e3's checkpoint action below is the first
+    // consumer. The three declared queries and this one stay oracle-equal
+    // by construction (same expressions over the same rows).
+    val base = vecs(s, d).localCheckpoint(eager = false)
+    val e3 = ann01From(base).filter(col("rank") <= 3)
       .select("query_id", "neighbor_id")
       .localCheckpoint() // joined by all three codec comparisons + the total
     def row(name: String, bytes: Long, topk: DataFrame): DataFrame =
@@ -1178,8 +1206,8 @@ object SimilaritySearch {
         .select(lit(name).as("codec"), lit(bytes).as("bytes_per_vec"), col("n_hits"))
     val tot = e3.agg(count(lit(1)).as("n_exact"))
     row("float32", 256L, e3)
-      .unionByName(row("sq8", 64L, ann06.build(s, d)))
-      .unionByName(row("pq4x8", 4L, ann08.build(s, d)))
+      .unionByName(row("sq8", 64L, ann06From(base)))
+      .unionByName(row("pq4x8", 4L, ann08From(base)))
       .crossJoin(broadcast(tot))
       .select(col("codec"), col("bytes_per_vec"), col("n_hits"), col("n_exact"),
         expr("n_hits * 1000000 div n_exact").as("recall_ppm"))

@@ -319,9 +319,15 @@ class PlanShapeSpec extends SparkSpec {
 
   test("dd19's window join moves longs, not window strings") {
     val p = plan("dd19_repeated_spans")
-    assert(p.contains("word_window_hashes") || p.contains("WordWindowHashes") ||
-      p.contains("wordwindowhashes"),
-      s"the native window-hash expression must feed the explode; plan:\n$p")
+    // r17 cut the (doc_id, pos, wh) relation with a localCheckpoint (it
+    // feeds the df cap and both self-join sides — three corpus passes
+    // before), so the native window-hash expression now sits below the
+    // checkpoint leaf. The guarded property is unchanged and asserted at
+    // the boundary: ONLY the three long columns cross the cut — window
+    // strings can never be materialized into the checkpoint, the join,
+    // or the cap window.
+    assert("Scan ExistingRDD\\[doc_id#\\d+L,pos#\\d+L,wh#\\d+L\\]".r.findFirstIn(p).isDefined,
+      s"the checkpointed span relation must carry exactly (doc_id, pos, wh) longs; plan:\n$p")
     assert(!p.contains("array_join"),
       s"window strings must never be materialized outside the expression; plan:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
